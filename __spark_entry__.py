@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full M0 pipeline on sf0.001 (documents →
+                 chunk → fingerprint → deterministic embed → vector index
+                 → exact kNN top-10).
+queries()      — one callable per implemented operator (SURVEY.md §2 +
+                 north-star extensions), from the engine's query catalog.
+oracle_sql()   — DuckDB mirror for each SQL-expressible query.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from wc_vector_indexing_spark.plans.queries import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.config import ChunkingConfig, EngineConfig
+    from wc_vector_indexing_spark.operators.embed import DeterministicEmbedder
+    from wc_vector_indexing_spark.operators.indexer import build_index
+    from wc_vector_indexing_spark.operators.similarity import knn_exact
+    from wc_vector_indexing_spark.sources.readers import load
+
+    sf = "/root/testdata/sf0.001"
+    config = EngineConfig(
+        model="fake-deterministic-64", chunking=ChunkingConfig(size=100, overlap=10)
+    )
+    docs = load(spark, "documents", sf).select(
+        F.col("doc_id").alias("product_id"), "text"
+    )
+    index = build_index(docs, config, DeterministicEmbedder(), text_col="text")
+    emb = load(spark, "embeddings", sf)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]]
+    return knn_exact(index, qv, k=10, vec_col="values", id_col="vector_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL mirror for each SQL-expressible query."""
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}

@@ -1,0 +1,263 @@
+"""Deduplication operators over a document corpus — the training-data-
+pipeline extension surface (engine north star; the reference has only
+identity-level dedup of work items, SURVEY T4/J7).
+
+Five strategies, cheapest first:
+
+  * exact_duplicates        — sha256 hash-groupBy. One shuffle on the
+                              hash; at 100 TB this is the canonical
+                              map-side-combine aggregation.
+  * ngram_jaccard_pairs     — word n-gram shingles → inverted-index
+                              self-join → exact Jaccard. The shingle join
+                              only pairs docs sharing a shingle, so the
+                              cross product never materializes.
+  * minhash_lsh_pairs       — MinHash signatures + banded LSH: candidate
+                              pairs from band-bucket join, verified with
+                              exact Jaccard. The scale path: candidate
+                              generation is linear in corpus size.
+  * simhash64               — 64-bit SimHash fingerprint per doc; near-dups
+                              are fingerprints at small Hamming distance.
+  * embedding_cosine_pairs  — semantic near-dup via cosine over an
+                              embedding column, blocked on a key to bound
+                              the pair count.
+
+All-Spark-built-ins except the MinHash signature (a vectorized pandas UDF
+— per-doc min over hashed shingles isn't expressible as a fold that beats
+Arrow batching).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from wc_vector_indexing_spark.functions.hashing import sha_text
+from wc_vector_indexing_spark.functions.vectors import cosine
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def _shingles(tokens: F.Column, k: int) -> F.Column:
+    """Distinct word k-gram shingles; caller must filter size(tokens) >= k
+    (sequence() needs a non-descending range)."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, k), " "))
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with its
+    duplicate count and canonical (minimum) id."""
+    return (
+        docs.select(sha_text(text_col).alias("text_sha"), F.col(id_col))
+        .groupBy("text_sha")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard, via an inverted shingle
+    index self-join (docs sharing zero shingles never pair up).
+
+    |J(A,B)| = shared / (|A| + |B| - shared) over *distinct* shingles.
+    Output: doc_a, doc_b (doc_a < doc_b), jaccard — rounded to 4.
+    """
+    toks = docs.select(F.col(id_col).alias("doc"), _tokens(text_col).alias("ts")).filter(
+        F.size("ts") >= k
+    )
+    sh = toks.select(
+        "doc", _shingles(F.col("ts"), k).alias("shs")
+    ).select("doc", F.size("shs").alias("n"), F.explode("shs").alias("shingle"))
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"), F.min("na").alias("na"), F.min("nb").alias("nb"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_MINHASH_SCHEMA = T.ArrayType(T.LongType())
+
+
+def _minhash_udf(num_hashes: int, k: int):
+    """MinHash signature over word k-gram shingles.
+
+    Hash family: h_i(s) = (a_i * crc32(s) + b_i) mod p — deterministic
+    (no process-seeded state), cheap, and identical on every executor.
+    """
+    p = (1 << 61) - 1
+    rng_a = [(2 * i + 1) * 2654435761 % p or 1 for i in range(num_hashes)]
+    rng_b = [(i * 40503 + 12345) * 2246822519 % p for i in range(num_hashes)]
+
+    @pandas_udf(_MINHASH_SCHEMA)
+    def sig(texts: pd.Series) -> pd.Series:
+        def one(text: str) -> list[int]:
+            toks = (text or "").lower().split()
+            if len(toks) < k:
+                shingles = set(toks) or {""}
+            else:
+                shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            hs = [zlib.crc32(s.encode("utf-8")) for s in shingles]
+            return [min((a * h + b) % p for h in hs) for a, b in zip(rng_a, rng_b)]
+
+        return texts.map(one)
+
+    return sig
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 4,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup detection.
+
+    signature(64) → 16 bands of 4 rows → band-hash bucket join for
+    candidates → candidates verified with exact n-gram Jaccard (so the
+    output threshold is exact, LSH only affects recall). Pairs whose docs
+    share no band-bucket are never scored — the property that makes this
+    linear-ish at 100 TB (vs the quadratic exact join).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("_text"),
+        _minhash_udf(num_hashes, k)(F.col(text_col)).alias("sig"),
+    )
+    band_rows = sigs.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.sha2(
+                        F.concat_ws(
+                            ",",
+                            b.cast("string"),
+                            F.array_join(
+                                F.transform(
+                                    F.sequence(F.lit(1), F.lit(rows_per_band)),
+                                    lambda r: F.element_at(F.col("sig"), b * rows_per_band + r).cast(
+                                        "string"
+                                    ),
+                                ),
+                                ",",
+                            ),
+                        ),
+                        256,
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    l = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    r = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    candidates = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    exact = ngram_jaccard_pairs(docs, k=k, threshold=threshold, text_col=text_col, id_col=id_col)
+    return candidates.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per document, all JVM-side:
+    token → xxhash64 → per-bit ±1 votes → sign.
+
+    Near-dups are rows with small Hamming distance; bucketing by the top
+    16 bits gives a blocked join at scale (bit_count(a ^ b) <= d filter
+    within buckets).
+    """
+    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    # vote per bit: +1 if bit set else -1; sum votes; bit set iff sum > 0
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp + F.shiftleft((F.col(f"b{b}") > 0).cast("long"), b)
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs with Hamming(simhash_a, simhash_b) <= max_hamming,
+    blocked on the top-16-bit prefix to avoid the full cross join."""
+    fps = simhash64(docs, text_col, id_col).withColumn(
+        "block", F.shiftrightunsigned(F.col("simhash"), 48)
+    )
+    a = fps.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"), "block")
+    b = fps.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"), "block")
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine >= threshold within a blocking key
+    (block on LSH bucket when no natural key exists — see
+    similarity.lsh_signature). Output: id_a, id_b, block, cosine(4dp)."""
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(block_col).alias("block"), F.col(vec_col).alias("_va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(block_col).alias("block"), F.col(vec_col).alias("_vb")
+    )
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", "block", "cosine")
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+The reference delegates ANN entirely to its remote stores (Pinecone
+query plane); the engine makes the vector index a local columnar table,
+so kNN becomes a Spark plan:
+
+  * knn_exact          — brute-force cosine top-k: one scan, no shuffle
+                         beyond the final TakeOrderedAndProject. The
+                         100 TB baseline (scan is embarrassingly
+                         parallel; top-k is a per-partition heap + driver
+                         merge of k rows per partition).
+  * knn_similarity_join — all-pairs k-nearest between two tables
+                         (windowed top-k per query).
+  * LSH bucketed ANN   — random-hyperplane (sign) LSH: probe only the
+                         bucket(s) matching the query signature. At scale
+                         the index table is *partitioned by bucket*, so a
+                         probe prunes to ~1/2^bits of the data before any
+                         scan (the IVF-style scale path).
+
+All vector math is JVM-side (functions/vectors.py) — zip_with/aggregate
+inside codegen, no Python in the scan loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.functions.vectors import cosine, dot, normalized
+
+DEFAULT_LSH_BITS = 8
+
+
+def knn_exact(
+    index: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k rows by cosine similarity to a constant query vector.
+
+    Deterministic tiebreak on id so results are stable across runs.
+    Plan shape: Scan → Project(score) → TakeOrderedAndProject(k).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    scored = index.withColumn("score", cosine(F.col(vec_col), q))
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_similarity_join(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    q_vec: str = "embedding",
+    q_id: str = "vec_id",
+    i_vec: str = "embedding",
+    i_id: str = "vec_id",
+) -> DataFrame:
+    """For each query row, its k nearest index rows (cosine).
+
+    Brute force: broadcast the smaller side when it fits (Catalyst
+    decides via AQE); the per-query top-k is a window rank. At 100 TB one
+    uses the LSH path below to cut the cross product first.
+    """
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+    i = index.select(F.col(i_id).alias("neighbor_id"), F.col(i_vec).alias("_iv"))
+    pairs = q.crossJoin(i).withColumn("score", cosine(F.col("_qv"), F.col("_iv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed seed → same
+    signature function on every run/executor)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((bits, dim)).astype("float64").tolist()
+
+
+def lsh_signature(
+    df: DataFrame, vec_col: str, dim: int, bits: int = DEFAULT_LSH_BITS, seed: int = 42
+) -> DataFrame:
+    """Append an integer sign-LSH ``bucket`` column: bit b = sign(v·h_b).
+
+    Pure column expressions — the hyperplanes fold into the plan as array
+    literals. Partitioning/bucketing the index table by this column makes
+    a probe prune to one bucket before any vector math.
+    """
+    planes = _hyperplanes(dim, bits, seed)
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        h = F.array(*[F.lit(x) for x in plane])
+        bit = (dot(F.col(vec_col), h) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, b)
+    return df.withColumn("bucket", sig)
+
+
+def knn_lsh(
+    index: DataFrame,
+    query_vector: list[float],
+    dim: int,
+    k: int = 10,
+    bits: int = DEFAULT_LSH_BITS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe_bits: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: restrict the exact scan to the query's LSH bucket (plus
+    optional multi-probe: buckets at Hamming distance 1 on the lowest
+    ``n_probe_bits`` bits).
+
+    Recall/latency tradeoff is (bits, n_probe_bits); the exact scorer is
+    reused on the pruned set, so results are exact *within* the probed
+    buckets. At scale the bucket column is a partition key → partition
+    pruning replaces the filter with file skipping.
+    """
+    import numpy as np
+
+    planes = np.array(_hyperplanes(dim, bits, seed))
+    qv = np.array(query_vector, dtype="float64")
+    sig = 0
+    for b in range(bits):
+        if float(planes[b] @ qv) > 0:
+            sig |= 1 << b
+    probes = {sig} | {sig ^ (1 << b) for b in range(min(n_probe_bits, bits))}
+
+    bucketed = lsh_signature(index, vec_col, dim, bits, seed)
+    pruned = bucketed.filter(F.col("bucket").isin([int(p) for p in probes]))
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        pruned.withColumn("score", cosine(F.col(vec_col), q))
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def normalize_index(index: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize vectors so cosine == dot at query time (one-time
+    cost at write, saves two norms per row per query at read)."""
+    return index.withColumn(vec_col, normalized(F.col(vec_col)))

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data curation: quality scoring,
+language ID, token counting, rolling-hash fingerprinting.
+
+All pure Catalyst expressions (no UDFs) — these run in whole-stage
+codegen directly over the parquet scan, which is exactly what you want
+for a 100 TB quality-filter pass: scan → project → filter, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram-free heuristic
+# language-ID (hit-ratio argmax). Deliberately small: the point is a
+# cheap JVM-side pass, not a model.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "los", "las", "que", "y", "en", "un", "una"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+    "fr": ["le", "la", "les", "des", "et", "est", "une", "que", "dans", "pour"],
+}
+LANG_MIN_RATIO = 0.05
+
+
+def tokens_col(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(text_col: str | Column) -> Column:
+    """Whitespace token count — the cheap 'approx_tokens' complement
+    (the chunker's budget heuristic uses chars/4.0 instead)."""
+    return F.size(tokens_col(text_col))
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    """BPE-flavored token estimate: count word pieces + digits + punct
+    runs via regex, ~GPT-2 pre-tokenizer shape. Still pure regex."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # split into word / number / punctuation runs, count non-empty pieces
+    pieces = F.split(c, r"(?<=\W)(?=\w)|(?<=\w)(?=\W)")
+    return F.size(F.filter(pieces, lambda x: F.trim(x) != ""))
+
+
+def _char_class_count(c: Column, pattern: str) -> Column:
+    """#chars NOT matching the negated class == #chars in the class."""
+    return F.length(F.regexp_replace(c, pattern, ""))
+
+
+def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics (length / digit / punctuation /
+    uppercase ratios + a composite score). Deterministic rational
+    arithmetic — mirrors the DuckDB oracle exactly."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    digits = _char_class_count(c, r"[^0-9]")
+    punct = _char_class_count(c, r"[^.,;:!?]")
+    upper = _char_class_count(c, r"[^A-Z]")
+    digit_ratio = digits / n_chars
+    punct_ratio = punct / n_chars
+    upper_ratio = upper / n_chars
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
+        + (1.0 - digit_ratio) * 0.3
+        + (1.0 - F.least(F.lit(1.0), punct_ratio * 5.0)) * 0.3
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / n_tokens, 4).alias("avg_token_len"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(upper_ratio, 4).alias("upper_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit-ratio language ID. For each language L:
+    ratio_L = |tokens ∈ stopwords_L| / |tokens|; predict argmax if it
+    clears LANG_MIN_RATIO, else 'other' (CJK text without spaces lands
+    in 'other' by construction)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    ratios = {
+        lang: F.size(F.filter(toks, lambda x: x.isin(words))) / n
+        for lang, words in STOPWORDS.items()
+    }
+    en, es, de, fr = ratios["en"], ratios["es"], ratios["de"], ratios["fr"]
+    m = F.lit(LANG_MIN_RATIO)
+    predicted = (
+        F.when((en >= es) & (en >= de) & (en >= fr) & (en >= m), "en")
+        .when((es >= de) & (es >= fr) & (es >= m), "es")
+        .when((de >= fr) & (de >= m), "de")
+        .when(fr >= m, "fr")
+        .otherwise("other")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(en, 4).alias("en_ratio"),
+        F.round(es, 4).alias("es_ratio"),
+        F.round(de, 4).alias("de_ratio"),
+        F.round(fr, 4).alias("fr_ratio"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: full-text sha256 + a polynomial rolling hash
+    of the token stream (order-sensitive, whitespace-insensitive — the
+    'same words, same order' identity).
+
+    Arithmetic stays in [0, 2^31) so it is ANSI-safe (no long overflow):
+    acc' = (acc * 1000003 + (xxhash64(tok) mod 2^31)) mod 2^31.
+    """
+    toks = tokens_col(text_col)
+    mod = F.lit(2**31)
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(1000003) + F.pmod(F.xxhash64(x), mod), mod),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.sha2(F.col(text_col), 256).alias("text_sha"),
+        rolling.alias("rolling_hash"),
+    )

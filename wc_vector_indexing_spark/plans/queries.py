@@ -1,0 +1,763 @@
+"""The engine's query catalog: every relational operator from SURVEY §2
+expressed as a Spark DataFrame plan, each paired (where SQL-expressible)
+with an ANSI-SQL mirror the DuckDB oracle runs on the same parquet.
+
+Registry contract (driver CORRECTNESS gate, __spark_entry__.py):
+  * column names identical between Spark plan and oracle SQL
+  * float aggregates rounded identically on both sides (sums→2dp,
+    ratios/scores/cosines→4dp) so order-of-summation noise can't flip
+    the value hash
+  * every LIMIT carries a total order (unique tiebreak key) so the
+    selected row *set* is deterministic
+
+Reference operator ↔ query mapping (FIXTURES.md §10): ``part`` plays the
+product catalog, ``lineitem``/``orders`` play the sync-state ledger,
+``events`` plays the event log. Citations point at the reference behavior
+each query re-expresses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.operators import dedup, similarity, textstats
+from wc_vector_indexing_spark.operators.chunker import chunk_documents
+from wc_vector_indexing_spark.sources.readers import load
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None => non-SQL-expressible (rows-only check)
+    description: str
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style headline queries (scan → join → agg → sort; bench workload)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide aggregation (map-side partial
+    agg → single shuffle on a 2-value key)."""
+    li = load(spark, "lineitem", sf)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + top-10 (broadcast the customer
+    filter; TakeOrderedAndProject caps the sort)."""
+    cust = load(spark, "customer", sf).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, "orders", sf).filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, "lineitem", sf).filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: star join through region→nation→(customer,supplier)
+    with the small dims broadcast."""
+    region = load(spark, "region", sf).filter(F.col("r_name") == "ASIA")
+    nation = load(spark, "nation", sf)
+    cust = load(spark, "customer", sf)
+    supp = load(spark, "supplier", sf)
+    orders = load(spark, "orders", sf).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, "lineitem", sf)
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — every predicate must reach the
+    parquet scan (PushedFilters)."""
+    li = load(spark, "lineitem", sf)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# Reference scans S3-S5, S10 (class-storage.php) — part≙products,
+# lineitem≙sync-state, events≙event log
+# --------------------------------------------------------------------------
+
+def s3_never_synced(spark: SparkSession, sf: str) -> DataFrame:
+    """S3/J1 initial-sync candidates: NOT EXISTS anti-join + recency
+    order + limit (class-storage.php:223-243). The 'synced' set is
+    lineitems shipped before 1996 so the anti-join is non-trivial."""
+    part = load(spark, "part", sf)
+    li = (
+        load(spark, "lineitem", sf)
+        .filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return (
+        part.join(li, "p_partkey", "left_anti")
+        .select(
+            F.col("p_partkey").alias("product_id"),
+            F.col("p_name").alias("title"),
+            F.round(F.col("p_retailprice"), 2).alias("price"),
+        )
+        .orderBy(F.desc("product_id"))
+        .limit(100)
+    )
+
+
+S3_SQL = """
+SELECT p_partkey AS product_id, p_name AS title, round(p_retailprice, 2) AS price
+FROM part
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_partkey = p_partkey AND l_shipdate < TIMESTAMP '1996-01-01'
+)
+ORDER BY p_partkey DESC
+LIMIT 100
+"""
+
+
+def s4_modified_since(spark: SparkSession, sf: str) -> DataFrame:
+    """S4/J2/A2 modified-since scan: per-key MAX(GREATEST(updated, synced))
+    left-joined to the corpus, staleness filter, recency order+limit
+    (class-storage.php:254-281)."""
+    li = load(spark, "lineitem", sf)
+    orders = load(spark, "orders", sf)
+    agg = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max(
+            F.greatest(F.col("l_shipdate"), F.col("l_shipdate") + F.make_interval(days=F.lit(5)))
+        ).alias("last_sync")
+    )
+    return (
+        orders.join(agg, "o_orderkey", "left")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (
+                F.col("last_sync").isNull()
+                | (F.col("last_sync") < F.col("o_orderdate") + F.make_interval(days=F.lit(60)))
+            )
+        )
+        .select(
+            F.col("o_orderkey").alias("product_id"),
+            F.col("o_orderdate").alias("modified_at"),
+            F.col("last_sync"),
+        )
+        .orderBy(F.desc("modified_at"), F.desc("product_id"))
+        .limit(200)
+    )
+
+
+S4_SQL = """
+SELECT o_orderkey AS product_id, o_orderdate AS modified_at, last_sync
+FROM orders
+LEFT JOIN (
+    SELECT l_orderkey, max(greatest(l_shipdate, l_shipdate + INTERVAL 5 DAY)) AS last_sync
+    FROM lineitem GROUP BY l_orderkey
+) s ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+  AND (last_sync IS NULL OR last_sync < o_orderdate + INTERVAL 60 DAY)
+ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 200
+"""
+
+
+def s5_error_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """S5 error-rows scan: SELECT DISTINCT … WHERE status='error' ORDER
+    DESC LIMIT (class-storage.php:300-308); 'R' returns play errors."""
+    li = load(spark, "lineitem", sf)
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_partkey").alias("product_id"))
+        .distinct()
+        .orderBy(F.desc("product_id"))
+        .limit(100)
+    )
+
+
+S5_SQL = """
+SELECT DISTINCT l_partkey AS product_id
+FROM lineitem WHERE l_returnflag = 'R'
+ORDER BY l_partkey DESC
+LIMIT 100
+"""
+
+
+def s10_logs_page(spark: SparkSession, sf: str) -> DataFrame:
+    """S10 logs-page query: dynamic predicate + snippet projection + dual
+    sort keys + limit (class-admin-page-logs.php:133-173)."""
+    ev = load(spark, "events", sf)
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.substring(F.col("props"), 1, 100).alias("props_snippet"),
+        )
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(50)
+    )
+
+
+S10_SQL = """
+SELECT event_id, ts, user_id, substring(props, 1, 100) AS props_snippet
+FROM events WHERE event_type = 'error'
+ORDER BY ts DESC, event_id DESC
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins / set ops J7-J8, sorts/limits K2-K3, aggregations A1, windows T9
+# --------------------------------------------------------------------------
+
+def j7_priority_union(spark: SparkSession, sf: str) -> DataFrame:
+    """J7 priority union + first-seen dedupe: errors(1) → modified(2) →
+    initial(3), row_number over priority (class-scheduler.php:143-154)."""
+    li = load(spark, "lineitem", sf)
+    part = load(spark, "part", sf)
+    errors = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_partkey").alias("product_id"))
+        .distinct()
+        .withColumn("priority", F.lit(1))
+    )
+    modified = (
+        li.filter(F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("l_partkey").alias("product_id"))
+        .distinct()
+        .withColumn("priority", F.lit(2))
+    )
+    initial = (
+        part.join(li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_anti")
+        .select(F.col("p_partkey").alias("product_id"))
+        .withColumn("priority", F.lit(3))
+    )
+    unioned = errors.unionByName(modified).unionByName(initial)
+    w = Window.partitionBy("product_id").orderBy("priority")
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("product_id", "priority")
+        .orderBy("priority", "product_id")
+        .limit(500)
+    )
+
+
+J7_SQL = """
+WITH cand AS (
+    SELECT DISTINCT l_partkey AS product_id, 1 AS priority FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT DISTINCT l_partkey, 2 FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+    UNION ALL
+    SELECT p_partkey, 3 FROM part WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+), ranked AS (
+    SELECT product_id, priority,
+           row_number() OVER (PARTITION BY product_id ORDER BY priority) AS rn
+    FROM cand
+)
+SELECT product_id, priority FROM ranked WHERE rn = 1
+ORDER BY priority, product_id
+LIMIT 500
+"""
+
+
+def j8_parent_expansion(spark: SparkSession, sf: str) -> DataFrame:
+    """J8 variation→parent expansion + dedupe: emit each id and (for
+    'variations', here ids not divisible by 10) its synthetic parent;
+    order-preserving dedupe (class-storage.php:317-340)."""
+    part = load(spark, "part", sf)
+    expanded = part.select(
+        F.explode(
+            F.array(
+                F.col("p_partkey"),
+                F.when(F.col("p_partkey") % 10 != 0, F.col("p_partkey") - F.col("p_partkey") % 10),
+            )
+        ).alias("product_id")
+    )
+    return (
+        expanded.filter(F.col("product_id").isNotNull())
+        .distinct()
+        .orderBy("product_id")
+        .limit(1000)
+    )
+
+
+J8_SQL = """
+SELECT DISTINCT product_id FROM (
+    SELECT p_partkey AS product_id FROM part
+    UNION ALL
+    SELECT p_partkey - p_partkey % 10 FROM part WHERE p_partkey % 10 <> 0
+)
+WHERE product_id IS NOT NULL
+ORDER BY product_id
+LIMIT 1000
+"""
+
+
+def a1_variation_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """A1/K2 variation rollup: per-parent count, min/max price, sorted
+    distinct value sets capped at K with '+N more' overflow marker
+    (class-variation-rollup.php:22-153); brand plays the parent."""
+    part = load(spark, "part", sf)
+    cap = 5
+    types = F.array_sort(F.collect_set("p_type"))
+    over = F.size(types) > cap
+    rendered = F.when(
+        over,
+        F.concat(
+            F.array_join(F.slice(types, 1, cap), ", "),
+            F.lit(", +"),
+            (F.size(types) - cap).cast("string"),
+            F.lit(" more"),
+        ),
+    ).otherwise(F.array_join(types, ", "))
+    return (
+        part.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("variation_count"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+            F.count_distinct(F.col("p_size")).alias("size_count"),
+            rendered.alias("types_rendered"),
+        )
+        .orderBy("brand")
+    )
+
+
+A1_SQL = """
+WITH g AS (
+    SELECT p_brand AS brand, count(*) AS variation_count,
+           round(min(p_retailprice), 2) AS min_price,
+           round(max(p_retailprice), 2) AS max_price,
+           count(DISTINCT p_size) AS size_count,
+           list_sort(list(DISTINCT p_type)) AS types
+    FROM part GROUP BY p_brand
+)
+SELECT brand, variation_count, min_price, max_price, size_count,
+       CASE WHEN len(types) > 5
+            THEN array_to_string(list_slice(types, 1, 5), ', ') || ', +' || (len(types) - 5)::VARCHAR || ' more'
+            ELSE array_to_string(types, ', ') END AS types_rendered
+FROM g ORDER BY brand
+"""
+
+
+def k2_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """K2 per-group top-K: window rank over price within brand."""
+    part = load(spark, "part", sf)
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("product_id"),
+            F.round(F.col("p_retailprice"), 2).alias("price"),
+            "rnk",
+        )
+        .orderBy("brand", "rnk")
+    )
+
+
+K2_SQL = """
+SELECT brand, product_id, price, rnk FROM (
+    SELECT p_brand AS brand, p_partkey AS product_id, round(p_retailprice, 2) AS price,
+           row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+    FROM part
+) WHERE rnk <= 3
+ORDER BY brand, rnk
+"""
+
+
+def k3_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    """K3 pagination: dual-key recency sort + OFFSET/LIMIT page
+    (class-admin-page-logs.php:159-170)."""
+    orders = load(spark, "orders", sf)
+    return (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderdate").alias("order_date"),
+            F.round(F.col("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(F.desc("order_date"), F.desc("order_id"))
+        .offset(100)
+        .limit(20)
+    )
+
+
+K3_SQL = """
+SELECT o_orderkey AS order_id, o_orderdate AS order_date, round(o_totalprice, 2) AS total
+FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 20 OFFSET 100
+"""
+
+
+def t9_windowed_events(spark: SparkSession, sf: str) -> DataFrame:
+    """T9 tumbling-window aggregation over the event stream (batch form;
+    streaming/incremental.py runs the same agg with a watermark)."""
+    ev = load(spark, "events", sf)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+T9_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Text pipeline: normalization P2, hashing H1/H3, dedup, quality, lang-id
+# --------------------------------------------------------------------------
+
+def p2_plain_text(spark: SparkSession, sf: str) -> DataFrame:
+    """P2 plain(): tag-strip + whitespace-collapse + trim
+    (class-field-normalizer.php:450-455)."""
+    docs = load(spark, "documents", sf)
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "<[^>]+>", " "), r"\s+", " ")
+    )
+    return docs.select("doc_id", clean.alias("clean_text"), F.length(clean).alias("clean_chars"))
+
+
+P2_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_text,
+       length(trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))) AS clean_chars
+FROM documents
+"""
+
+
+def h_doc_sha(spark: SparkSession, sf: str) -> DataFrame:
+    """H1-flavor: sha256 content fingerprint per document."""
+    docs = load(spark, "documents", sf)
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+H_SQL = "SELECT doc_id, sha256(text) AS text_sha FROM documents"
+
+
+def h3_chunk_sha(spark: SparkSession, sf: str) -> DataFrame:
+    """H3 chunk fingerprint: sha256(product_sha \\n index \\n text) with
+    doc-sha as the product sha and a single whole-doc chunk
+    (class-fingerprint.php:49-53)."""
+    docs = load(spark, "documents", sf)
+    psha = F.sha2(F.col("text"), 256)
+    return docs.select(
+        "doc_id",
+        F.sha2(F.concat_ws("\n", psha, F.lit("0"), F.col("text")), 256).alias("chunk_sha"),
+    )
+
+
+H3_SQL = """
+SELECT doc_id,
+       sha256(sha256(text) || chr(10) || '0' || chr(10) || text) AS chunk_sha
+FROM documents
+"""
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_duplicates(load(spark, "documents", sf))
+
+
+DEDUP_EXACT_SQL = """
+SELECT sha256(text) AS text_sha, count(*) AS dup_count, min(doc_id) AS canonical_id
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load(spark, "documents", sf), k=4, threshold=0.2)
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM documents
+), sh AS (
+    SELECT doc_id,
+           len(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS n,
+           unnest(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS shingle
+    FROM toks WHERE len(ts) >= 4
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared, min(a.n) AS na, min(b.n) AS nb
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, round(shared::DOUBLE / (na + nb - shared), 4) AS jaccard
+FROM pairs WHERE shared::DOUBLE / (na + nb - shared) >= 0.2
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_cosine_pairs(load(spark, "embeddings", sf), threshold=0.3)
+
+
+EMB_COSINE_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+"""
+
+
+def textstats_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.text_quality(load(spark, "documents", sf))
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+       round(length(text)::DOUBLE / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 4) AS avg_token_len,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text), 4) AS digit_ratio,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text), 4) AS punct_ratio,
+       round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE / length(text), 4) AS upper_ratio,
+       round(least(1.0, len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 100.0) * 0.4
+             + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.3
+             + (1.0 - least(1.0, length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) * 5.0)) * 0.3,
+             4) AS quality_score
+FROM documents
+"""
+
+
+def lang_id_stopwords(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.lang_id(load(spark, "documents", sf))
+
+
+def _lang_sql() -> str:
+    from wc_vector_indexing_spark.operators.textstats import LANG_MIN_RATIO, STOPWORDS
+
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    def ratio(lang: str) -> str:
+        return (
+            f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            f"x -> list_contains({lst(lang)}, x)))::DOUBLE "
+            f"/ len(regexp_split_to_array(lower(trim(text)), '\\s+'))"
+        )
+
+    m = LANG_MIN_RATIO
+    return f"""
+WITH r AS (
+    SELECT doc_id, {ratio('en')} AS en_r, {ratio('es')} AS es_r,
+           {ratio('de')} AS de_r, {ratio('fr')} AS fr_r
+    FROM documents
+)
+SELECT doc_id, round(en_r, 4) AS en_ratio, round(es_r, 4) AS es_ratio,
+       round(de_r, 4) AS de_ratio, round(fr_r, 4) AS fr_ratio,
+       CASE WHEN en_r >= es_r AND en_r >= de_r AND en_r >= fr_r AND en_r >= {m} THEN 'en'
+            WHEN es_r >= de_r AND es_r >= fr_r AND es_r >= {m} THEN 'es'
+            WHEN de_r >= fr_r AND de_r >= {m} THEN 'de'
+            WHEN fr_r >= {m} THEN 'fr'
+            ELSE 'other' END AS predicted_lang
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def knn_exact_top10(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine kNN: top-10 neighbors of vec_id=1 (SURVEY §4 item 4)."""
+    emb = load(spark, "embeddings", sf)
+    qv = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    res = similarity.knn_exact(emb, [float(x) for x in qv], k=10)
+    return res.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
+KNN_SQL = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only driver check, pytest-verified)
+# --------------------------------------------------------------------------
+
+def chunk_documents_op(spark: SparkSession, sf: str) -> DataFrame:
+    """C1-C5 deterministic chunker over the documents corpus (small
+    budget so multi-chunk behavior is exercised)."""
+    docs = load(spark, "documents", sf)
+    return chunk_documents(docs, text_col="text", size=40, overlap=8).select(
+        "doc_id", "chunk_index", "chunk_chars", "approx_tokens"
+    )
+
+
+def dedup_minhash_op(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load(spark, "documents", sf), threshold=0.2)
+
+
+def dedup_simhash_op(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash64(load(spark, "documents", sf))
+
+
+def knn_lsh_op(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, "embeddings", sf)
+    qv = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    res = similarity.knn_lsh(emb, [float(x) for x in qv], dim=len(qv), k=10, bits=4)
+    return res.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
+def doc_fingerprint_op(spark: SparkSession, sf: str) -> DataFrame:
+    return textstats.doc_fingerprint(load(spark, "documents", sf))
+
+
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 wide aggregation"),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "3-way join + agg + top-10"),
+    "q5_region_volume": QuerySpec(q5_region_volume, Q5_SQL, "star join through dims"),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "pushdown filter + agg"),
+    "s3_never_synced": QuerySpec(s3_never_synced, S3_SQL, "anti-join initial-sync scan"),
+    "s4_modified_since": QuerySpec(s4_modified_since, S4_SQL, "staleness left-join scan"),
+    "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
+    "s10_logs_page": QuerySpec(s10_logs_page, S10_SQL, "log page query"),
+    "j7_priority_union": QuerySpec(j7_priority_union, J7_SQL, "priority union dedupe"),
+    "j8_parent_expansion": QuerySpec(j8_parent_expansion, J8_SQL, "parent expansion dedupe"),
+    "a1_variation_rollup": QuerySpec(a1_variation_rollup, A1_SQL, "capped rollup aggregation"),
+    "k2_topk_per_group": QuerySpec(k2_topk_per_group, K2_SQL, "per-group top-K window"),
+    "k3_pagination": QuerySpec(k3_pagination, K3_SQL, "offset/limit pagination"),
+    "t9_windowed_events": QuerySpec(t9_windowed_events, T9_SQL, "tumbling window agg"),
+    "p2_plain_text": QuerySpec(p2_plain_text, P2_SQL, "html strip + ws collapse"),
+    "h_doc_sha": QuerySpec(h_doc_sha, H_SQL, "sha256 fingerprint"),
+    "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMB_COSINE_SQL, "cosine near-dup pairs"),
+    "textstats_quality": QuerySpec(textstats_quality, QUALITY_SQL, "quality scoring"),
+    "lang_id_stopwords": QuerySpec(lang_id_stopwords, _lang_sql(), "stopword lang-id"),
+    "knn_exact_top10": QuerySpec(knn_exact_top10, KNN_SQL, "exact cosine kNN"),
+    # rows-only (non-SQL-expressible)
+    "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_op, None, "minhash+LSH near-dup"),
+    "dedup_simhash": QuerySpec(dedup_simhash_op, None, "simhash fingerprints"),
+    "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
+    "doc_fingerprint": QuerySpec(doc_fingerprint_op, None, "rolling-hash fingerprint"),
+}

@@ -1,0 +1,107 @@
+"""Table loaders for the driver-generated synthetic star schema
+(TESTDATA.md) plus synthesis of the reference-shaped ``products`` corpus.
+
+The reference's source "table" is the WooCommerce catalog (SURVEY §1.1);
+FIXTURES.md §1 maps it onto the test tables: ``part`` provides ids /
+titles / brands / prices, ``documents`` provides long-form description
+text. ``products()`` builds that shape as a pure DataFrame expression —
+no materialization, so Catalyst can prune/push down through it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS); with legacy nanosAsLong it arrives as
+    # a long of epoch-nanos — convert to a proper timestamp (µs, floor),
+    # matching what DuckDB/py fetch at µs precision.
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.typeName() == "long":
+            # integer division — double division loses precision at 1e18
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register all tables as temp views for the SQL API."""
+    for t in TABLES:
+        load(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+def products(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Reference-shaped product corpus (FIXTURES.md §1) synthesized from
+    ``part`` ⋈ ``documents``.
+
+    Columns: product_id, parent_id, product_type, status, title,
+    short_description, description, sku, price, sale_price, stock_status,
+    permalink, image_alt, modified_at.
+
+    Deterministic derivations (no randomness):
+      * description  = documents.text keyed by doc_id = p_partkey % |documents|
+      * product_type = 'variable' for every 10th part, else 'simple';
+        variations are *not* synthesized here (rollup tests build their own)
+      * modified_at  = fixed epoch + p_partkey seconds (stable watermark axis)
+    """
+    part = load(spark, "part", sf_dir)
+    docs = load(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("_doc_id"), F.col("text").alias("description")
+    )
+    n_docs = docs.count()
+    return (
+        part.withColumn("_doc_id", (F.col("p_partkey") % F.lit(n_docs)).cast("long"))
+        .join(F.broadcast(docs), "_doc_id", "left")
+        .select(
+            F.col("p_partkey").alias("product_id"),
+            F.lit(0).cast("long").alias("parent_id"),
+            F.when((F.col("p_partkey") % 10) == 0, "variable")
+            .otherwise("simple")
+            .alias("product_type"),
+            F.when((F.col("p_partkey") % 25) == 0, "draft")
+            .otherwise("publish")
+            .alias("status"),
+            F.col("p_name").alias("title"),
+            F.concat(F.lit("Brand "), F.col("p_brand")).alias("short_description"),
+            F.coalesce(F.col("description"), F.lit("")).alias("description"),
+            F.concat(F.lit("SKU-"), F.col("p_partkey").cast("string")).alias("sku"),
+            F.col("p_retailprice").alias("price"),
+            (F.col("p_retailprice") * 0.9).alias("sale_price"),
+            F.when((F.col("p_partkey") % 7) == 0, "outofstock")
+            .otherwise("instock")
+            .alias("stock_status"),
+            F.concat(F.lit("https://shop.example/p/"), F.col("p_partkey").cast("string")).alias(
+                "permalink"
+            ),
+            F.col("p_type").alias("image_alt"),
+            (
+                F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("p_partkey").cast("double"))
+            ).alias("modified_at"),
+        )
+    )
