@@ -34,11 +34,41 @@ def sha_product(text_col: Column | str, config: EngineConfig) -> Column:
     return F.sha2(F.concat_ws("\n", F.lit(payload), t), 256)
 
 
+def config_sha(config: EngineConfig) -> str:
+    """SHA-256 of the canonical config payload (selection, chunking,
+    model, dimension, version) — the text-free fingerprint base."""
+    import hashlib
+
+    return hashlib.sha256(config.fingerprint_payload_json().encode("utf-8")).hexdigest()
+
+
+def sha_chunk_bound(
+    config: EngineConfig, chunk_index: Column | str, chunk_text: Column | str
+) -> Column:
+    """Chunk fingerprint: sha256(config_sha \\n chunk_index \\n chunk_text).
+
+    DELIBERATE divergence from the reference, which chains the chunk sha
+    to the *product* sha (class-fingerprint.php:50-53,
+    ``$product_sha . "\\n" . $chunk_index . "\\n" . $chunk_text``). Since
+    the product sha includes the full normalized text, any one-character
+    edit changes EVERY chunk sha and forces a full re-embed — defeating
+    the minimal-re-embedding delta its own dev-plan specifies (case C,
+    dev-plan:1524-1531). Binding to the config sha instead keeps chunk
+    identity stable under unrelated edits: only chunks whose own text
+    (or index) changed re-embed. At 100 TB this is the difference between
+    re-embedding a corpus and re-embedding an edit.
+    """
+    i = F.col(chunk_index) if isinstance(chunk_index, str) else chunk_index
+    t = F.col(chunk_text) if isinstance(chunk_text, str) else chunk_text
+    return F.sha2(F.concat_ws("\n", F.lit(config_sha(config)), i.cast("string"), t), 256)
+
+
 def sha_chunk(
     product_sha: Column | str, chunk_index: Column | str, chunk_text: Column | str
 ) -> Column:
-    """sha256(product_sha \\n chunk_index \\n chunk_text) (H3,
-    class-fingerprint.php:49-53)."""
+    """sha256(product_sha \\n chunk_index \\n chunk_text) — the
+    reference's exact H3 chain (class-fingerprint.php:49-53), kept for
+    parity demonstration; the delta-sync path uses sha_chunk_bound."""
     p = F.col(product_sha) if isinstance(product_sha, str) else product_sha
     i = F.col(chunk_index) if isinstance(chunk_index, str) else chunk_index
     t = F.col(chunk_text) if isinstance(chunk_text, str) else chunk_text

@@ -140,7 +140,13 @@ def chunk_text(
     chars_per_token: float = CHARS_PER_TOKEN,
 ) -> list[Chunk]:
     """The C1 packing loop (class-chunker.php:24-103). Pure function of its
-    arguments — no clock, randomness, or locale dependence."""
+    arguments — no clock, randomness, or locale dependence.
+
+    Size invariant: every chunk's ``chars <= budget + overlap_chars``.
+    The overlap tail carried into a chunk is *extra* context on top of
+    the packing budget — shrinking the first piece to compensate would
+    split mid-sentence, defeating the sentence-aware design.
+    """
     budget = max(1, int(size * chars_per_token))
     overlap_chars = max(0, int(overlap * chars_per_token))
     overlap_chars = min(overlap_chars, budget // 2)  # overlap may never dominate
@@ -162,7 +168,7 @@ def chunk_text(
     for unit in to_units(t):
         pieces = split_long_unit(unit, budget) if len(unit) > budget else [unit]
         for piece in pieces:
-            if cur and len(cur.rstrip()) + len(piece) > budget:
+            if cur and len(cur) + len(piece) > budget:
                 done = flush()
                 tail = word_safe_tail(done, overlap_chars)
                 cur = tail + (" " if tail and not tail.endswith(("\n", " ")) else "")

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wc_vector_indexing_spark.config import EngineConfig
-from wc_vector_indexing_spark.functions.hashing import sha_chunk, sha_product
+from wc_vector_indexing_spark.functions.hashing import sha_chunk_bound, sha_product
 from wc_vector_indexing_spark.functions.text import assemble_document, label_line
 from wc_vector_indexing_spark.operators.chunker import chunk_documents
 from wc_vector_indexing_spark.operators.embed import EmbeddingBackend, embed_texts
@@ -60,19 +60,19 @@ def normalize_products(df: DataFrame, config: EngineConfig) -> DataFrame:
     return df.withColumn("doc_text", assemble_document(*lines))
 
 
-def build_index(
+def build_chunks(
     products: DataFrame,
     config: EngineConfig,
-    backend: EmbeddingBackend,
     text_col: str | None = None,
 ) -> DataFrame:
-    """Full build: products → normalized doc → product_sha → chunks →
-    chunk_sha → embeddings → payload rows.
+    """The cheap half of the build: products → normalized doc →
+    product_sha → chunk rows → chunk_sha. NO embedding — the delta diff
+    (operators/delta_sync.py) runs on these rows first, so unchanged
+    chunks are never embedded (the reference's #1 cost optimization,
+    class-indexer.php:329-388).
 
     If ``text_col`` is given the normalization step is skipped and that
-    column is used as the document text directly (the documents-table
-    path). All steps are lazy; nothing materializes until the caller
-    writes or collects.
+    column is the document text directly (the documents-table path).
     """
     if text_col is None:
         df = normalize_products(products, config)
@@ -83,12 +83,15 @@ def build_index(
     df = df.withColumn("product_sha", sha_product(F.col(text_col), config))
     chunks = chunk_documents(df, text_col=text_col, size=config.chunking.size,
                              overlap=config.chunking.overlap)
-    chunks = chunks.withColumn(
-        "chunk_sha", sha_chunk("product_sha", "chunk_index", "chunk_text")
+    return chunks.withColumn(
+        "chunk_sha", sha_chunk_bound(config, "chunk_index", "chunk_text")
     )
-    embedded = embed_texts(chunks, text_col="chunk_text", out_col="values",
-                           backend=backend, batch_size=config.embed_batch)
-    return embedded.withColumn(
+
+
+def attach_payload(chunks: DataFrame, config: EngineConfig, products_cols: list[str]) -> DataFrame:
+    """Add vector_id + metadata struct to embedded chunk rows
+    (class-indexer.php:101-116 payload shape)."""
+    return chunks.withColumn(
         "vector_id",
         F.concat_ws(
             "",
@@ -102,12 +105,29 @@ def build_index(
         F.struct(
             F.lit(config.site_id).cast("long").alias("site_id"),
             F.col("product_id").alias("product_id"),
-            (F.col("sku") if "sku" in products.columns else F.lit(None).cast("string")).alias("sku"),
+            (F.col("sku") if "sku" in products_cols else F.lit(None).cast("string")).alias("sku"),
             (
-                F.col("permalink") if "permalink" in products.columns else F.lit(None).cast("string")
+                F.col("permalink") if "permalink" in products_cols else F.lit(None).cast("string")
             ).alias("url"),
             F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX").alias("updated_at"),
             F.col("product_sha").alias("fingerprint"),
             F.lit(sorted(config.selection.canonical()["core"])).alias("fields"),
         ),
     )
+
+
+def build_index(
+    products: DataFrame,
+    config: EngineConfig,
+    backend: EmbeddingBackend,
+    text_col: str | None = None,
+) -> DataFrame:
+    """Full (non-incremental) build: build_chunks → embed → payload.
+    The incremental path goes through operators.delta_sync instead, which
+    embeds only the changed subset."""
+    chunks = build_chunks(products, config, text_col=text_col)
+    embedded = embed_texts(
+        chunks, text_col="chunk_text", out_col="values",
+        backend=backend, batch_size=config.embed_batch,
+    )
+    return attach_payload(embedded, config, products.columns)
