@@ -1,0 +1,92 @@
+"""Streaming incremental semantics (SURVEY T1-T5): debounce collapses
+edit bursts, delete events purge, replay converges (idempotent MERGE)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Row
+
+from wc_vector_indexing_spark.config import ChunkingConfig, EngineConfig
+from wc_vector_indexing_spark.operators.embed import DeterministicEmbedder
+from wc_vector_indexing_spark.state.store import sync_state_store, vector_index_store
+from wc_vector_indexing_spark.streaming.incremental import (
+    CHANGE_EVENT_SCHEMA,
+    debounced_changes,
+    start_incremental_stream,
+    windowed_event_aggregate,
+)
+
+T0 = datetime(2025, 6, 1, 12, 0, 0)
+
+
+def test_debounce_collapses_burst(spark):
+    events = spark.createDataFrame(
+        [
+            Row(product_id=1, change_type="save", event_ts=T0),
+            Row(product_id=1, change_type="save", event_ts=T0 + timedelta(seconds=5)),
+            Row(product_id=1, change_type="trash", event_ts=T0 + timedelta(seconds=10)),
+            Row(product_id=2, change_type="save", event_ts=T0 + timedelta(seconds=2)),
+        ],
+        CHANGE_EVENT_SCHEMA,
+    )
+    out = debounced_changes(events).collect()
+    by_id = {r.product_id: r.change_type for r in out}
+    assert len(out) == 2
+    assert by_id[1] == "trash"  # latest change in the window wins
+    assert by_id[2] == "save"
+
+
+def test_stream_end_to_end_with_deletes(spark, tmp_path):
+    config = EngineConfig(
+        model="fake-deterministic-64", chunking=ChunkingConfig(size=25, overlap=4)
+    )
+    state = sync_state_store(spark, str(tmp_path / "state"))
+    index = vector_index_store(spark, str(tmp_path / "index"))
+    backend = DeterministicEmbedder()
+    products = spark.createDataFrame(
+        [Row(product_id=i, text=f"Streaming product {i} text body.") for i in range(1, 5)]
+    )
+    # seed: product 4 already indexed; the stream will delete it
+    from wc_vector_indexing_spark.operators.delta_sync import sync_products
+
+    sync_products(
+        products.filter("product_id = 4"), state, index, config, backend, text_col="text"
+    )
+    assert index.read().count() > 0
+
+    ev_dir = str(tmp_path / "events")
+    spark.createDataFrame(
+        [
+            Row(product_id=1, change_type="save", event_ts=T0),
+            Row(product_id=1, change_type="save", event_ts=T0 + timedelta(seconds=3)),
+            Row(product_id=2, change_type="save", event_ts=T0 + timedelta(seconds=4)),
+            Row(product_id=4, change_type="delete", event_ts=T0 + timedelta(seconds=6)),
+        ],
+        CHANGE_EVENT_SCHEMA,
+    ).write.parquet(ev_dir)
+
+    stream = spark.readStream.schema(CHANGE_EVENT_SCHEMA).parquet(ev_dir)
+    q = start_incremental_stream(
+        stream, products, state, index, config, backend,
+        checkpoint_dir=str(tmp_path / "ckpt"), text_col="text",
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    idx = index.read()
+    assert idx.filter("product_id = 1").count() > 0
+    assert idx.filter("product_id = 2").count() > 0
+    assert idx.filter("product_id = 4").count() == 0  # deleted by stream
+    st = state.read()
+    assert st.filter("product_id = 4").count() == 0
+
+
+def test_windowed_event_aggregate_matches_batch(spark):
+    from wc_vector_indexing_spark.sources.readers import load
+
+    ev = load(spark, "events", "/root/testdata/sf0.001")
+    agg = windowed_event_aggregate(ev, window_size="1 hour").collect()
+    assert agg
+    total = sum(r.n_events for r in agg)
+    assert total == ev.count()

@@ -1,0 +1,139 @@
+"""Streaming incremental sync (SURVEY §2.10 T1-T8).
+
+The reference's CDC is WordPress save/trash/delete hooks firing queue
+jobs (class-lifecycle.php:20-31) with a 30 s debounce for variation-edit
+bursts (:111-114) and a 15-min recurring scan as the catch-all
+(class-scheduler.php:35-66). Spark restatement:
+
+  T1 change events   → ``readStream`` over an append-only change-event
+                       table (product_id, change_type, event_ts)
+  T5 debounce        → watermark + per-key tumbling-window dedupe: many
+                       events for one product within the window collapse
+                       to one sync
+  T2 trigger         → Trigger.AvailableNow (micro-batch catch-up) or
+                       processingTime='15 minutes'
+  T4 exactly-once    → idempotent vector ids + MERGE keyed on
+                       (target, product_id, chunk_index): replaying a
+                       batch converges to the same state
+  T7/T8 retry/DLQ    → failed products marked status='error' in the
+                       ledger; the next scan picks them first (priority 1)
+
+The heavy lifting happens in ``foreachBatch`` — inside it the data is a
+plain DataFrame, so the whole batch path (diff → embed-changed-only →
+MERGE) is reused verbatim. That is the point: streaming is a *driver* of
+the same incremental semantics, not a second implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wc_vector_indexing_spark.config import EngineConfig
+
+CHANGE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("product_id", T.LongType(), False),
+        T.StructField("change_type", T.StringType(), False),  # save|trash|delete|acf_save
+        T.StructField("event_ts", T.TimestampType(), False),
+    ]
+)
+
+
+def debounced_changes(
+    events: DataFrame,
+    watermark_delay: str = "30 seconds",
+    window_size: str = "30 seconds",
+) -> DataFrame:
+    """T5 debounce: collapse an edit burst per product into one change
+    per tumbling window, keeping the latest change_type (a delete after
+    saves wins). Works identically on a static frame (tests) and a
+    stream (withWatermark enables state eviction)."""
+    if events.isStreaming:
+        events = events.withWatermark("event_ts", watermark_delay)
+    return (
+        events.groupBy(
+            F.window("event_ts", window_size).alias("w"),
+            F.col("product_id"),
+        )
+        .agg(F.max_by("change_type", "event_ts").alias("change_type"))
+        .select("product_id", "change_type", F.col("w.end").alias("window_end"))
+    )
+
+
+def start_incremental_stream(
+    change_events: DataFrame,
+    products: DataFrame,
+    state_store,
+    index_store,
+    config: EngineConfig,
+    backend,
+    checkpoint_dir: str,
+    text_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Wire a change-event stream into the batch sync path via
+    foreachBatch. Returns the StreamingQuery (caller awaits/stops)."""
+    from wc_vector_indexing_spark.operators.delta_sync import delete_products, sync_products
+
+    debounced = debounced_changes(change_events)
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.cache()
+        deletes = [
+            r.product_id
+            for r in batch.filter(F.col("change_type").isin("trash", "delete"))
+            .select("product_id")
+            .distinct()
+            .collect()
+        ]
+        if deletes:
+            delete_products(deletes, state_store, index_store, targets=config.targets)
+        upsert_ids = batch.filter(~F.col("change_type").isin("trash", "delete")).select(
+            "product_id"
+        ).distinct()
+        todo = products.join(upsert_ids, "product_id", "left_semi")
+        if todo.limit(1).count() > 0:
+            sync_products(todo, state_store, index_store, config, backend, text_col=text_col)
+
+    # update mode: append would hold the last window open until a later
+    # event advances the watermark past it — with AvailableNow catch-up
+    # that means the tail of the stream never syncs. Updates may re-emit
+    # a key across batches; the MERGE downstream is idempotent (T4), so
+    # converged state is identical.
+    writer = (
+        debounced.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process_batch)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="15 minutes")
+    return writer.start()
+
+
+def windowed_event_aggregate(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """T9 extension: watermarked tumbling-window aggregate over the
+    engine's event stream (counts + value sums per type) — the streaming
+    twin of plans.queries.t9_windowed_events."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark_delay)
+    return (
+        events.groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
