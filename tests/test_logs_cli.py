@@ -1,0 +1,91 @@
+"""Event log (W9/S9/W10) + queue metrics (A4) + CLI transcript (U6)."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+import subprocess
+import sys
+from datetime import datetime, timedelta, timezone
+
+from wc_vector_indexing_spark.logs import EventLog, queue_metrics
+
+
+def test_event_log_roundtrip_and_page(spark, tmp_path):
+    log = EventLog(spark, str(tmp_path / "logs"))
+    now = datetime.now(timezone.utc)
+    log.append(
+        [
+            {"action": "job", "outcome": "success", "product_id": 1, "target": "local",
+             "duration_ms": 120, "count": 5, "ts": now - timedelta(minutes=2)},
+            {"action": "job", "outcome": "error", "product_id": 2, "target": "local",
+             "message": "boom", "details": {"code": "E1"}, "ts": now - timedelta(minutes=1)},
+            {"action": "scan", "outcome": "info", "count": 9, "ts": now},
+        ]
+    )
+    assert log.read().count() == 3
+    errs = log.page(outcome="error").collect()
+    assert len(errs) == 1 and errs[0].product_id == 2 and errs[0].message == "boom"
+    newest_first = [r.action for r in log.page(limit=3).collect()]
+    assert newest_first[0] == "scan"
+
+
+def test_event_log_prune(spark, tmp_path):
+    log = EventLog(spark, str(tmp_path / "logs"))
+    old = datetime.now(timezone.utc) - timedelta(days=30)
+    log.append([{"action": "job", "outcome": "success", "ts": old}])
+    log.append([{"action": "job", "outcome": "success"}])
+    assert log.read().count() == 2
+    dropped = log.prune(retention_days=7)
+    assert len(dropped) == 1
+    assert log.read().count() == 1
+
+
+def test_event_log_csv_export(spark, tmp_path):
+    log = EventLog(spark, str(tmp_path / "logs"))
+    log.append([{"action": "job", "outcome": "success", "product_id": i} for i in range(10)])
+    out = log.export_csv(str(tmp_path / "csv"))
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert files
+    with open(files[0]) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 10 and "action" in rows[0]
+
+
+def test_queue_metrics(spark, tmp_path):
+    from tests.test_scans import mk_state
+    from wc_vector_indexing_spark.state.store import sync_state_store
+
+    store = mk_state(spark, sync_state_store(spark, str(tmp_path / "s")))
+    m = queue_metrics(store.read())
+    assert m["state_rows"] == 3
+    assert m["by_status"] == {"synced": 2, "error": 1}
+    assert m["products"] == 3
+
+
+def test_cli_chunk_transcript_deterministic():
+    cmd = [
+        sys.executable, "-m", "wc_vector_indexing_spark.cli", "chunk",
+        "--text", "First sentence here. Second one follows! Third ends it? " * 8,
+        "--size", "20", "--overlap", "4",
+    ]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    assert r1.returncode == 0, r1.stderr
+    assert r1.stdout == r2.stdout  # golden-output surface is bit-stable
+    assert "product sha:" in r1.stdout and "sha8" in r1.stdout
+    lines = [l for l in r1.stdout.splitlines() if l.strip() and l.strip()[0].isdigit()]
+    assert len(lines) >= 2  # multiple chunks listed
+
+
+def test_cli_embed_deterministic():
+    cmd = [
+        sys.executable, "-m", "wc_vector_indexing_spark.cli", "embed",
+        "--text", "embed me", "--model", "fake-deterministic-64",
+    ]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    assert r1.returncode == 0, r1.stderr
+    assert "dimension: 64" in r1.stdout
+    assert r1.stdout == r2.stdout

@@ -1,0 +1,188 @@
+"""CLI (SURVEY §2.11 U6-U7) — the engine's inspection/debug surface,
+mirroring `wp wcvec chunk|embed|sync|status` (includes/cli/class-cli.php).
+
+    python -m wc_vector_indexing_spark.cli chunk --text "..." [--size N --overlap N]
+    python -m wc_vector_indexing_spark.cli chunk --doc-id 7 [--sf-dir DIR]
+    python -m wc_vector_indexing_spark.cli embed --text "..." [--model M]
+    python -m wc_vector_indexing_spark.cli sync  --sf-dir DIR --state DIR --index DIR
+    python -m wc_vector_indexing_spark.cli status --state DIR
+
+`chunk` prints the golden-output transcript the reference uses as its
+network-free EXPLAIN (class-cli.php:70-90): model/dim, product sha, char
+count, then per-chunk {index, chars, approx_tokens, sha8}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+import time
+
+from wc_vector_indexing_spark.config import (
+    DEFAULT_CHUNK_OVERLAP,
+    DEFAULT_CHUNK_SIZE,
+    MODEL_DIMENSIONS,
+    ChunkingConfig,
+    EngineConfig,
+)
+
+
+def _sha8(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()[:8]
+
+
+def cmd_chunk(args: argparse.Namespace) -> int:
+    from wc_vector_indexing_spark.functions.hashing import config_sha
+    from wc_vector_indexing_spark.operators.chunker import chunk_text
+
+    if args.text is not None:
+        text = args.text
+    else:
+        from wc_vector_indexing_spark.session import get_spark
+        from wc_vector_indexing_spark.sources.readers import load
+
+        spark = get_spark("wcvec-cli", cpus=4)
+        spark.sparkContext.setLogLevel("ERROR")
+        row = (
+            load(spark, "documents", args.sf_dir)
+            .filter(f"doc_id = {int(args.doc_id)}")
+            .head()
+        )
+        if row is None:
+            print(f"error: doc_id {args.doc_id} not found", file=sys.stderr)
+            return 1
+        text = row.text
+
+    config = EngineConfig(
+        model=args.model, chunking=ChunkingConfig(size=args.size, overlap=args.overlap)
+    )
+    product_sha = hashlib.sha256(
+        (config.fingerprint_payload_json() + "\n" + text).encode("utf-8")
+    ).hexdigest()
+    chunks = chunk_text(text, size=args.size, overlap=args.overlap)
+    print(f"model: {config.model}  dimension: {config.dimension}")
+    print(f"product sha: {product_sha}")
+    print(f"config sha:  {config_sha(config)}")
+    print(f"chars: {len(text)}  chunks: {len(chunks)}")
+    print(f"{'index':>5}  {'chars':>6}  {'~tokens':>7}  sha8")
+    for c in chunks:
+        print(f"{c.index:>5}  {c.chars:>6}  {c.approx_tokens:>7}  {_sha8(c.text)}")
+    if args.show_chunks:
+        for c in chunks:
+            print(f"\n--- chunk {c.index} ---\n{c.text}")
+    return 0
+
+
+def cmd_embed(args: argparse.Namespace) -> int:
+    from wc_vector_indexing_spark.operators.embed import DeterministicEmbedder
+
+    text = args.text if args.text is not None else sys.stdin.read()
+    backend = DeterministicEmbedder(args.model, MODEL_DIMENSIONS.get(args.model))
+    vec = backend.embed_batch([text])[0]
+    print(f"model: {backend.model}  dimension: {backend.dimension}")
+    print(f"sha8: {_sha8(text)}")
+    head = ", ".join(f"{x:.6f}" for x in vec[:8])
+    print(f"vector[0:8]: [{head}, ...]")
+    return 0
+
+
+def cmd_sync(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.delta_sync import sync_products
+    from wc_vector_indexing_spark.operators.embed import DeterministicEmbedder
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.readers import load
+    from wc_vector_indexing_spark.state.store import sync_state_store, vector_index_store
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    config = EngineConfig(
+        model=args.model, chunking=ChunkingConfig(size=args.size, overlap=args.overlap)
+    )
+    docs = load(spark, "documents", args.sf_dir).select(
+        F.col("doc_id").alias("product_id"), "text"
+    )
+    state = sync_state_store(spark, args.state)
+    index = vector_index_store(spark, args.index)
+    t0 = time.time()
+    res = sync_products(docs, state, index, config, DeterministicEmbedder(config.model),
+                        text_col="text", force=args.force)
+    for target, s in res.items():
+        print(
+            json.dumps(
+                {
+                    "target": target,
+                    "upserted": s.upserted,
+                    "deleted": s.deleted,
+                    "skipped_products": s.skipped_products,
+                    "duration_s": round(time.time() - t0, 2),
+                }
+            )
+        )
+    return 0
+
+
+def cmd_status(args: argparse.Namespace) -> int:
+    from wc_vector_indexing_spark import __version__
+    from wc_vector_indexing_spark.logs import queue_metrics
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.state.store import sync_state_store
+
+    spark = get_spark("wcvec-cli", cpus=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    state = sync_state_store(spark, args.state)
+    out = {"engine_version": __version__, "spark_version": spark.version}
+    if not state.is_empty():
+        out.update(queue_metrics(state.read()))
+    else:
+        out["state_rows"] = 0
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="wcvec", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("chunk", help="deterministic chunk transcript")
+    g = c.add_mutually_exclusive_group(required=True)
+    g.add_argument("--text")
+    g.add_argument("--doc-id", type=int)
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    c.add_argument("--size", type=int, default=DEFAULT_CHUNK_SIZE)
+    c.add_argument("--overlap", type=int, default=DEFAULT_CHUNK_OVERLAP)
+    c.add_argument("--model", default="fake-deterministic-64")
+    c.add_argument("--show-chunks", action="store_true")
+    c.set_defaults(fn=cmd_chunk)
+
+    e = sub.add_parser("embed", help="embed one text (deterministic backend)")
+    e.add_argument("--text")
+    e.add_argument("--model", default="fake-deterministic-64")
+    e.set_defaults(fn=cmd_embed)
+
+    s = sub.add_parser("sync", help="incremental sync of the documents table")
+    s.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    s.add_argument("--state", required=True)
+    s.add_argument("--index", required=True)
+    s.add_argument("--size", type=int, default=100)
+    s.add_argument("--overlap", type=int, default=10)
+    s.add_argument("--model", default="fake-deterministic-64")
+    s.add_argument("--force", action="store_true")
+    s.set_defaults(fn=cmd_sync)
+
+    st = sub.add_parser("status", help="engine + ledger status")
+    st.add_argument("--state", required=True)
+    st.set_defaults(fn=cmd_status)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
