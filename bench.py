@@ -32,8 +32,17 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else 0.0
 
-    # one warm-up action so JVM/codegen startup isn't billed to q1
+    # warm-ups: one JVM action + one tiny pandas-UDF pass so JVM/codegen
+    # startup and python-worker spin-up aren't billed to the first queries
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: "pd.Series") -> "pd.Series":
+        return s
+
+    spark.range(1000).select(_warm("id")).count()
 
     times: dict[str, float] = {}
     for name, spec in REGISTRY.items():

@@ -182,3 +182,15 @@ def test_build_documents_full(spark, catalog):
     # determinism
     again = {r.product_id: r.doc_text for r in build_documents(products, config, terms=terms, meta=meta).collect()}
     assert again == by_id
+
+
+def test_discover_meta_keys(spark, catalog):
+    from wc_vector_indexing_spark.operators.normalize import discover_meta_keys
+
+    _, _, meta = catalog
+    keys = [r.meta_key for r in discover_meta_keys(meta).collect()]
+    assert keys == ["material", "spec_json"]  # private excluded, sorted
+    with_private = [r.meta_key for r in discover_meta_keys(meta, include_private=True).collect()]
+    assert "_private_key" in with_private
+    filtered = [r.meta_key for r in discover_meta_keys(meta, search="spec").collect()]
+    assert filtered == ["spec_json"]

@@ -216,7 +216,16 @@ def chunk_documents(
 
     Documents with empty text produce zero rows (explode drops empty
     arrays) — matching the reference's skip-empty behavior.
+
+    Partitioning: a small parquet file arrives as ONE partition, which
+    would serialize the (python-side) chunking onto one core — so the
+    input is fanned out to the session's default parallelism first when
+    it is under-partitioned. At real scale the scan already yields
+    hundreds of partitions and the repartition is a no-op branch.
     """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
     chunked = df.withColumn("_chunks", chunk_udf(size=size, overlap=overlap)(F.col(text_col)))
     exploded = chunked.select("*", F.explode("_chunks").alias("_c")).drop("_chunks")
     return (

@@ -76,12 +76,30 @@ def ngram_jaccard_pairs(
     |J(A,B)| = shared / (|A| + |B| - shared) over *distinct* shingles.
     Output: doc_a, doc_b (doc_a < doc_b), jaccard — rounded to 4.
     """
+    sh = shingle_table(docs, k, text_col, id_col)
+    return _jaccard_from_shingles(sh, threshold)
+
+
+def shingle_table(
+    docs: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, n, shingle_hash) inverted index over distinct word k-grams.
+
+    Shingles are xxhash64-hashed before the self-join so the shuffle
+    carries 8-byte keys instead of ~25-byte strings (collision odds at
+    64 bits are ~|shingles|²/2⁶⁴ — irrelevant). The join key being a
+    long also makes the sort-merge compare branchless.
+    """
     toks = docs.select(F.col(id_col).alias("doc"), _tokens(text_col).alias("ts")).filter(
         F.size("ts") >= k
     )
-    sh = toks.select(
+    exploded = toks.select(
         "doc", _shingles(F.col("ts"), k).alias("shs")
-    ).select("doc", F.size("shs").alias("n"), F.explode("shs").alias("shingle"))
+    ).select("doc", F.size("shs").alias("n"), F.explode("shs").alias("_s"))
+    return exploded.select("doc", "n", F.xxhash64("_s").alias("shingle"))
+
+
+def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     a = sh.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"), "shingle")
     pairs = (
@@ -186,8 +204,16 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # verify candidates with exact jaccard
-    exact = ngram_jaccard_pairs(docs, k=k, threshold=threshold, text_col=text_col, id_col=id_col)
+    # verify ONLY the candidate pairs with exact jaccard: restrict the
+    # shingle inverted index to candidate docs first, so verification
+    # cost scales with the near-dup rate, not the corpus size
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sh = shingle_table(docs, k, text_col, id_col).join(cand_docs, "doc", "left_semi")
+    exact = _jaccard_from_shingles(sh, threshold)
     return candidates.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 
@@ -246,14 +272,26 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine >= threshold within a blocking key
     (block on LSH bucket when no natural key exists — see
-    similarity.lsh_signature). Output: id_a, id_b, block, cosine(4dp)."""
-    a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(block_col).alias("block"), F.col(vec_col).alias("_va")
+    similarity.lsh_signature). Output: id_a, id_b, block, cosine(4dp).
+
+    Norms are precomputed per ROW before the self-join (|corpus| norm
+    evaluations) so each of the |pairs| comparisons evaluates a single
+    dot-product fold instead of dot + two norms — higher-order aggregates
+    are the interpreted hot path, so this is ~3× on the pair stage.
+    """
+    from wc_vector_indexing_spark.functions.vectors import dot, l2_norm
+
+    with_norm = vectors.withColumn("_norm", l2_norm(F.col(vec_col)))
+    a = with_norm.select(
+        F.col(id_col).alias("id_a"), F.col(block_col).alias("block"),
+        F.col(vec_col).alias("_va"), F.col("_norm").alias("_na"),
     )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(block_col).alias("block"), F.col(vec_col).alias("_vb")
+    b = with_norm.select(
+        F.col(id_col).alias("id_b"), F.col(block_col).alias("block"),
+        F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb"),
     )
-    cos = cosine(F.col("_va"), F.col("_vb"))
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(F.col("_va"), F.col("_vb")) / denom)
     return (
         a.join(b, ["block"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -92,8 +92,13 @@ def embed_texts(
     batch_size: int = DEFAULT_EMBED_BATCH,
 ) -> DataFrame:
     """Append ``out_col: array<float>`` by embedding ``text_col`` in
-    batches of ``batch_size`` per partition (E1)."""
+    batches of ``batch_size`` per partition (E1). Under-partitioned
+    input is fanned out first — embedding is the expensive stage and
+    must use every executor."""
     backend = backend or DeterministicEmbedder()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()), False)]
     )

@@ -79,6 +79,36 @@ def meta_map(meta: DataFrame, include_private: bool = False) -> DataFrame:
     )
 
 
+META_KEY_BLACKLIST = (
+    "_edit_lock",
+    "_edit_last",
+    "_wp_old_slug",
+    "_thumbnail_id",
+    "total_sales",
+)
+
+
+def discover_meta_keys(
+    meta: DataFrame,
+    include_private: bool = False,
+    search: str | None = None,
+    limit: int = 200,
+) -> DataFrame:
+    """S7 meta-key discovery: enumerate distinct keys minus the
+    blacklist, excluding '_'-private keys unless flagged, optional
+    substring filter, sorted (class-field-discovery.php:133-178).
+    Sort is lexicographic (natural-sort parity is a documented
+    non-goal, SURVEY K6)."""
+    keys = meta.select("meta_key").distinct().filter(
+        ~F.col("meta_key").isin(*META_KEY_BLACKLIST)
+    )
+    if not include_private:
+        keys = keys.filter(~F.col("meta_key").startswith("_"))
+    if search:
+        keys = keys.filter(F.col("meta_key").contains(search))
+    return keys.orderBy("meta_key").limit(limit)
+
+
 def meta_lines(config: EngineConfig) -> F.Column:
     """P5: selected meta keys rendered by mode — 'json' keeps the raw
     value (values arrive JSON-encoded for nested data), 'text' flattens

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from wc_vector_indexing_spark.functions.vectors import cosine, dot, normalized
+from wc_vector_indexing_spark.functions.vectors import cosine, dot, l2_norm, normalized
 
 DEFAULT_LSH_BITS = 8
 
@@ -42,9 +42,21 @@ def knn_exact(
 
     Deterministic tiebreak on id so results are stable across runs.
     Plan shape: Scan → Project(score) → TakeOrderedAndProject(k).
+    The query norm is folded to a Python float so each row evaluates one
+    dot fold + one row-norm fold (not a third fold over the literal).
     """
+    import math
+
     q = F.array(*[F.lit(float(x)) for x in query_vector])
-    scored = index.withColumn("score", cosine(F.col(vec_col), q))
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vector))
+    if qnorm == 0.0:
+        scored = index.withColumn("score", F.lit(0.0))
+    else:
+        denom = l2_norm(F.col(vec_col)) * F.lit(qnorm)
+        scored = index.withColumn(
+            "score",
+            F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(F.col(vec_col), q) / denom),
+        )
     return (
         scored.select(id_col, "score")
         .orderBy(F.desc("score"), F.asc(id_col))

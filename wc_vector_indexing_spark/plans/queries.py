@@ -339,11 +339,11 @@ def j7_priority_union(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("priority", F.lit(3))
     )
     unioned = errors.unionByName(modified).unionByName(initial)
-    w = Window.partitionBy("product_id").orderBy("priority")
+    # first-seen = MIN(priority) per product: a map-side-combinable agg
+    # instead of a row_number window (same result, no per-group sort)
     return (
-        unioned.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("product_id", "priority")
+        unioned.groupBy("product_id")
+        .agg(F.min("priority").alias("priority"))
         .orderBy("priority", "product_id")
         .limit(500)
     )
@@ -522,6 +522,60 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def p13_money_format(spark: SparkSession, sf: str) -> DataFrame:
+    """P13 money format: fixed two-decimal render
+    (class-variation-rollup.php:186-192)."""
+    orders = load(spark, "orders", sf)
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("total_fmt"),
+    )
+
+
+P13_SQL = """
+SELECT o_orderkey AS order_id, printf('%.2f', o_totalprice) AS total_fmt
+FROM orders
+"""
+
+
+def p14_masking(spark: SparkSession, sf: str) -> DataFrame:
+    """P14 masking/redaction: '****' + last-4 (class-options.php:115-119)."""
+    cust = load(spark, "customer", sf)
+    return cust.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.concat(F.lit("****"), F.substring(F.col("c_name"), -4, 4)).alias("masked_name"),
+    )
+
+
+P14_SQL = """
+SELECT c_custkey AS customer_id, '****' || right(c_name, 4) AS masked_name
+FROM customer
+"""
+
+
+def a4_status_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A4 queue/backlog metrics: counts by status + distinct actors
+    (class-scheduler.php:259-327)."""
+    orders = load(spark, "orders", sf)
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_jobs"),
+            F.count_distinct(F.col("o_custkey")).alias("n_actors"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .orderBy("status")
+    )
+
+
+A4_SQL = """
+SELECT o_orderstatus AS status, count(*) AS n_jobs,
+       count(DISTINCT o_custkey) AS n_actors,
+       round(sum(o_totalprice), 2) AS total_value
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
@@ -745,6 +799,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "k2_topk_per_group": QuerySpec(k2_topk_per_group, K2_SQL, "per-group top-K window"),
     "k3_pagination": QuerySpec(k3_pagination, K3_SQL, "offset/limit pagination"),
     "t9_windowed_events": QuerySpec(t9_windowed_events, T9_SQL, "tumbling window agg"),
+    "p13_money_format": QuerySpec(p13_money_format, P13_SQL, "two-decimal money render"),
+    "p14_masking": QuerySpec(p14_masking, P14_SQL, "secret masking projection"),
+    "a4_status_counts": QuerySpec(a4_status_counts, A4_SQL, "status/backlog metrics"),
     "p2_plain_text": QuerySpec(p2_plain_text, P2_SQL, "html strip + ws collapse"),
     "h_doc_sha": QuerySpec(h_doc_sha, H_SQL, "sha256 fingerprint"),
     "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
