@@ -1,11 +1,19 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 import pytest
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+# python workers unpickle test-defined classes (fake backends) by module
+# name — put the repo AND tests dir on the workers' import path before
+# the JVM (and its python workers) launch
+os.environ["PYTHONPATH"] = (
+    f"{_REPO}:{_REPO / 'tests'}:" + os.environ.get("PYTHONPATH", "")
+)
 
 from wc_vector_indexing_spark.session import get_spark  # noqa: E402
 

@@ -147,6 +147,7 @@ class SyncSummary:
     upserted: int
     deleted: int
     skipped_products: int
+    errored: int = 0
 
 
 def apply_sync(
@@ -173,19 +174,51 @@ def apply_sync(
         index.delete_keys(del_keys, ["target", "product_id", "chunk_index"])
         state.delete_keys(del_keys, ["target", "product_id", "chunk_index"])
 
-    # 2) embed ONLY the changed chunks, then upsert payloads (W5/W8)
+    # 2) embed ONLY the changed chunks with per-batch failure isolation
+    # (W8), then upsert the successful payloads (W5)
     embedded = embed_texts(
         plan.to_upsert,
         text_col="chunk_text",
         out_col="values",
         backend=backend,
         batch_size=config.embed_batch,
+        on_error="mark",
     )
-    payloads = attach_payload(embedded, config, product_cols or []).withColumn(
+    all_payloads = attach_payload(embedded, config, product_cols or []).withColumn(
         "target", F.lit(target)
     )
-    payloads = payloads.cache()
+    all_payloads = all_payloads.cache()
+    failed = all_payloads.filter(F.col("embed_error").isNotNull())
+    n_failed = failed.count()
+    payloads = all_payloads.filter(F.col("embed_error").isNull())
     n_upsert = payloads.count()
+
+    # W3: failed chunks land in the ledger as status='error' with the
+    # snippet; they re-queue at priority 1 on the next scan (T8)
+    if n_failed:
+        state.merge(
+            failed.select(
+                F.lit(config.site_id).cast("long").alias("site_id"),
+                "product_id",
+                "target",
+                "chunk_index",
+                "vector_id",
+                "product_sha",
+                # chunk_sha stays NULL so the next diff re-selects the
+                # chunk for embedding (a recorded sha would read as
+                # 'already synced' and the error would never retry)
+                F.lit(None).cast("string").alias("chunk_sha"),
+                F.lit(config.model).alias("model"),
+                F.lit(config.dimension).alias("dimension"),
+                F.lit(None).cast("string").alias("remote_id"),
+                F.lit("error").alias("status"),
+                F.lit("embed_failed").alias("error_code"),
+                F.col("embed_error").alias("error_msg"),
+                F.lit(None).cast("timestamp").alias("last_synced_at"),
+                now.alias("created_at"),
+                now.alias("updated_at"),
+            )
+        )
     if n_upsert:
         index.merge(
             payloads.select(
@@ -228,6 +261,7 @@ def apply_sync(
         upserted=n_upsert,
         deleted=n_delete,
         skipped_products=len(unchanged_ids),
+        errored=n_failed,
     )
 
 

@@ -90,27 +90,54 @@ def embed_texts(
     out_col: str = "embedding",
     backend: EmbeddingBackend | None = None,
     batch_size: int = DEFAULT_EMBED_BATCH,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Append ``out_col: array<float>`` by embedding ``text_col`` in
     batches of ``batch_size`` per partition (E1). Under-partitioned
     input is fanned out first — embedding is the expensive stage and
-    must use every executor."""
+    must use every executor.
+
+    ``on_error``:
+      'raise'  fail the job on any backend/dimension error (E1 default)
+      'mark'   per-batch failure isolation (W8, class-indexer.php:437-443):
+               a failing batch yields NULL vectors + ``embed_error`` for
+               just its rows; other batches continue. Callers route
+               marked rows to status='error' in the ledger (W3) — the
+               next scan re-queues them at priority 1 (T8 dead-letter).
+    """
+    if on_error not in ("raise", "mark"):
+        raise ValueError("on_error must be 'raise' or 'mark'")
     backend = backend or DeterministicEmbedder()
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         df = df.repartition(target)
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()), False)]
-    )
+    fields = list(df.schema.fields) + [
+        T.StructField(out_col, T.ArrayType(T.FloatType()), True)
+    ]
+    if on_error == "mark":
+        fields.append(T.StructField("embed_error", T.StringType(), True))
+    out_schema = T.StructType(fields)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts = pdf[text_col].fillna("").tolist()
-            vectors: list[list[float]] = []
+            vectors: list[list[float] | None] = []
+            errors: list[str | None] = []
             for i in range(0, len(texts), batch_size):
-                vectors.extend(_validated(backend, texts[i : i + batch_size]))
+                chunk = texts[i : i + batch_size]
+                if on_error == "raise":
+                    vectors.extend(_validated(backend, chunk))
+                else:
+                    try:
+                        vectors.extend(_validated(backend, chunk))
+                        errors.extend([None] * len(chunk))
+                    except Exception as e:  # noqa: BLE001 — batch isolation
+                        vectors.extend([None] * len(chunk))
+                        errors.extend([f"{type(e).__name__}: {e}"[:200]] * len(chunk))
             out = pdf.copy()
             out[out_col] = vectors
+            if on_error == "mark":
+                out["embed_error"] = errors
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
