@@ -1,0 +1,86 @@
+"""Generalized as-of join / sessionization + IVF ANN recall."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.operators.ivf import IVFIndex
+from wc_vector_indexing_spark.operators.relational import asof_join, session_stats, sessionize
+from wc_vector_indexing_spark.operators.similarity import knn_exact
+from wc_vector_indexing_spark.sources.readers import load
+
+T0 = datetime(2025, 6, 1, 12, 0, 0)
+
+
+def test_asof_join_backward(spark):
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", ts=T0, px=10.0),
+            Row(sym="A", ts=T0 + timedelta(seconds=30), px=11.0),
+            Row(sym="B", ts=T0 + timedelta(seconds=10), px=5.0),
+        ]
+    )
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", ts=T0 + timedelta(seconds=5), qty=100),
+            Row(sym="A", ts=T0 + timedelta(seconds=30), qty=200),  # tie → inclusive
+            Row(sym="B", ts=T0 + timedelta(seconds=5), qty=300),  # before any quote
+        ]
+    )
+    out = asof_join(trades, quotes, on="sym", left_ts="ts", right_ts="ts").collect()
+    by_qty = {r.qty: r.px_right for r in out}
+    assert by_qty[100] == 10.0  # latest quote at or before t+5
+    assert by_qty[200] == 11.0  # tie is inclusive
+    assert by_qty[300] is None  # no earlier quote → NULL (left join)
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([Row(k="x", ts=T0, v=1)])
+    right = spark.createDataFrame(
+        [Row(k="x", ts=T0 - timedelta(seconds=5), w=1), Row(k="x", ts=T0 + timedelta(seconds=7), w=2)]
+    )
+    out = asof_join(left, right, on="k", direction="forward").collect()
+    assert out[0].w_right == 2  # least ts >= T0
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        Row(user_id=1, ts=T0, event_id=1),
+        Row(user_id=1, ts=T0 + timedelta(minutes=10), event_id=2),
+        Row(user_id=1, ts=T0 + timedelta(minutes=50), event_id=3),  # >30min gap
+        Row(user_id=2, ts=T0, event_id=4),
+    ]
+    df = spark.createDataFrame(rows)
+    s = {r.event_id: r.session_id for r in sessionize(df, order_tiebreak="event_id").collect()}
+    assert s[1] == 0 and s[2] == 0 and s[3] == 1 and s[4] == 0
+    stats = {r.user_id: r.n_sessions for r in session_stats(df, order_tiebreak="event_id").collect()}
+    assert stats == {1: 2, 2: 1}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, "embeddings", "/root/testdata/sf0.001").cache()
+
+
+def test_ivf_deterministic_and_recall(spark, emb):
+    ivf1 = IVFIndex.train(emb, nlist=8)
+    ivf2 = IVFIndex.train(emb, nlist=8)
+    assert ivf1.centroids == ivf2.centroids  # fixed seed → same quantizer
+
+    indexed = ivf1.assign(emb).cache()
+    sizes = indexed.groupBy("list_id").count().collect()
+    assert len(sizes) == 8 and sum(r["count"] for r in sizes) == emb.count()
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
+    exact = [r.vec_id for r in knn_exact(emb, qv, k=10).collect()]
+    # full probe == exact scan
+    full = [r.vec_id for r in ivf1.search(indexed, qv, k=10, nprobe=8).collect()]
+    assert full == exact
+    # partial probe: top-1 must survive (query's own list), recall@10 decent
+    part = [r.vec_id for r in ivf1.search(indexed, qv, k=10, nprobe=4).collect()]
+    assert part[0] == exact[0]
+    assert len(set(part) & set(exact)) >= 5

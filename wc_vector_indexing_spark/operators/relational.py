@@ -1,0 +1,108 @@
+"""Generalized relational operators Spark lacks natively: as-of join and
+gap sessionization (training-pipeline / event-analytics surface).
+
+Both use the single-window pattern — one shuffle on the key, one
+per-partition sort — which scales linearly and avoids per-group pandas
+or range-explosion joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, the single right row with the greatest
+    right_ts <= left_ts (direction='backward'; 'forward' = least
+    right_ts >= left_ts) within the same ``on`` key. Left rows with no
+    match keep NULLs — i.e. an ASOF LEFT JOIN.
+
+    Implementation: tag and union both sides, sort per key by time with
+    right rows first on ties (inclusive semantics), carry right values
+    forward with last(ignorenulls) — one shuffle + one sort regardless
+    of key skew between sides.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lcols = [c for c in left.columns if c != on]
+    rcols = [c for c in right.columns if c != on]
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in rcols],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(c + suffix) for c in rcols],
+    )
+    unioned = l.unionByName(r)
+
+    if direction == "backward":
+        # right rows sort before left at equal _t → <= is inclusive
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.asc("_t"), F.asc("_is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.desc("_t"), F.asc("_is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    carried = unioned
+    for c in rcols:
+        carried = carried.withColumn(
+            c + suffix, F.last(F.col(c + suffix), ignorenulls=True).over(w)
+        )
+    return carried.filter(F.col("_is_left") == 1).drop("_is_left", "_t")
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign a 0-based ``session_id`` per key: a new session starts
+    when the gap since the previous event exceeds ``gap_seconds``
+    (lag + running sum; batch twin of streaming session_window)."""
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col).cast("long")).over(w)
+    new_session = F.when(
+        F.col(ts_col).cast("long") - prev > gap_seconds, 1
+    ).otherwise(0)
+    return df.withColumn("session_id", F.sum(new_session).over(w))
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key session summary: session count, event count, mean session
+    length in events."""
+    s = sessionize(df, key_col, ts_col, gap_seconds, order_tiebreak)
+    return s.groupBy(key_col).agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

@@ -183,6 +183,254 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def q4_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi condition."""
+    orders = load(spark, "orders", sf).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, "lineitem", sf)
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.make_interval(days=F.lit(30))
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join + top-20 revenue accounting for
+    returned items."""
+    cust = load(spark, "customer", sf)
+    nation = load(spark, "nation", sf)
+    orders = load(spark, "orders", sf).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load(spark, "lineitem", sf).filter(F.col("l_returnflag") == "R")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q12_priority_class(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation."""
+    li = load(spark, "lineitem", sf).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, "orders", sf)
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q14_promo_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue ratio over a join."""
+    li = load(spark, "lineitem", sf).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = load(spark, "part", sf)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped subquery joined back."""
+    li = load(spark, "lineitem", sf)
+    orders = load(spark, "orders", sf)
+    cust = load(spark, "customer", sf)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM (
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >30-min gaps
+    (operators.relational.sessionize — lag + running sum, the batch twin
+    of streaming session_window)."""
+    from wc_vector_indexing_spark.operators.relational import session_stats
+
+    ev = load(spark, "events", sf)
+    return session_stats(
+        ev, key_col="user_id", ts_col="ts", gap_seconds=1800, order_tiebreak="event_id"
+    ).orderBy("user_id")
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), s AS (
+    SELECT user_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM g
+)
+SELECT user_id, max(session_id) + 1 AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+def asof_click_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for each purchase, the
+    latest click by the same user at or before it.
+
+    Implementation is the scalable single-window pattern: union both
+    streams, sort per user by time, carry the last click id forward with
+    last(ignorenulls), keep purchase rows. One shuffle + one sort — no
+    per-group pandas, no range explosion.
+    """
+    from wc_vector_indexing_spark.operators.relational import asof_join
+
+    ev = load(spark, "events", sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="ts")
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("click_id_right").alias("click_id"),
+    ).orderBy("purchase_id")
+
+
+ASOF_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE aggregation over (status, priority) — subtotal lattice rows
+    marked by NULL dims (beyond-reference relational surface)."""
+    orders = load(spark, "orders", sf)
+    return (
+        orders.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # --------------------------------------------------------------------------
 # Reference scans S3-S5, S10 (class-storage.php) — part≙products,
 # lineitem≙sync-state, events≙event log
@@ -782,6 +1030,19 @@ def doc_fingerprint_op(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.doc_fingerprint(load(spark, "documents", sf))
 
 
+def ivf_search_op(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: train (seeded) → assign lists → probe
+    half the lists for the top-10 (operators/ivf.py)."""
+    from wc_vector_indexing_spark.operators.ivf import IVFIndex
+
+    emb = load(spark, "embeddings", sf)
+    ivf = IVFIndex.train(emb, nlist=8)
+    indexed = ivf.assign(emb)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
+    res = ivf.search(indexed, qv, k=10, nprobe=4)
+    return res.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
 # --------------------------------------------------------------------------
 
 REGISTRY: dict[str, QuerySpec] = {
@@ -789,6 +1050,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "3-way join + agg + top-10"),
     "q5_region_volume": QuerySpec(q5_region_volume, Q5_SQL, "star join through dims"),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "pushdown filter + agg"),
+    "q4_priority_exists": QuerySpec(q4_priority_exists, Q4_SQL, "EXISTS semi-join"),
+    "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL, "4-way join top-20"),
+    "q12_priority_class": QuerySpec(q12_priority_class, Q12_SQL, "conditional CASE agg"),
+    "q14_promo_ratio": QuerySpec(q14_promo_ratio, Q14_SQL, "conditional ratio"),
+    "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL, "HAVING subquery join-back"),
+    "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL, "gap sessionization"),
+    "asof_click_attribution": QuerySpec(asof_click_attribution, ASOF_SQL, "as-of join"),
+    "cube_order_stats": QuerySpec(cube_order_stats, CUBE_SQL, "CUBE lattice agg"),
     "s3_never_synced": QuerySpec(s3_never_synced, S3_SQL, "anti-join initial-sync scan"),
     "s4_modified_since": QuerySpec(s4_modified_since, S4_SQL, "staleness left-join scan"),
     "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
@@ -816,5 +1085,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_op, None, "minhash+LSH near-dup"),
     "dedup_simhash": QuerySpec(dedup_simhash_op, None, "simhash fingerprints"),
     "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
+    "ivf_search_top10": QuerySpec(ivf_search_op, None, "IVF coarse-quantizer ANN"),
     "doc_fingerprint": QuerySpec(doc_fingerprint_op, None, "rolling-hash fingerprint"),
 }
