@@ -84,3 +84,13 @@ def test_ivf_deterministic_and_recall(spark, emb):
     part = [r.vec_id for r in ivf1.search(indexed, qv, k=10, nprobe=4).collect()]
     assert part[0] == exact[0]
     assert len(set(part) & set(exact)) >= 5
+
+
+def test_salted_join_matches_plain(spark):
+    from wc_vector_indexing_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame([Row(k=i % 3, v=i) for i in range(100)])
+    right = spark.createDataFrame([Row(k=0, w="a"), Row(k=1, w="b"), Row(k=2, w="c")])
+    plain = {(r.k, r.v, r.w) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.v, r.w) for r in salted_join(left, right, on="k", salt=8).collect()}
+    assert salted == plain

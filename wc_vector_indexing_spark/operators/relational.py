@@ -73,6 +73,30 @@ def asof_join(
     return carried.filter(F.col("_is_left") == 1).drop("_is_left", "_t")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (large, skewed) left side with
+    a random-free deterministic salt derived from a unique-ish column
+    set, replicate the right side `salt` ways, join on (key, salt).
+
+    Use when one key dominates (AQE's skew split handles moderate skew;
+    salting handles the one-key-is-half-the-table case). Deterministic:
+    the salt is a hash of the whole left row, not a random draw.
+    """
+    l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(salt))
+    )
+    r = right.join(
+        right.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt")), how="cross"
+    )
+    return l.join(r, [on, "_salt"], how).drop("_salt")
+
+
 def sessionize(
     df: DataFrame,
     key_col: str = "user_id",
