@@ -1,0 +1,205 @@
+"""Remote vector-store sinks (SURVEY §2.9 W5-W7) — the adapter contract,
+re-expressed for executors.
+
+Reference behavior (class-pinecone-adapter.php / class-openai-vectorstore-
+adapter.php): client-side dimension check per vector; upserts in batches
+of ``upsert_batch`` (clamp 10-500); deletes by explicit ids or by
+metadata filter (product_id/site_id); transient HTTP failures (0/429/5xx)
+retried 3× with exponential backoff + jitter (0.25·3^k s + 50-200 ms).
+
+Spark restatement: a sink is driven by ``foreachPartition`` — each
+partition opens its own adapter (connections are per-executor, never
+pickled), slices its rows into batches, and pushes with the retry
+policy. The engine's own index stays the local columnar table
+(state/store.py); these sinks exist for fan-out to external stores and
+are exercised in tests through the injectable fake (the reference's
+adapter-injection test strategy, dev-plan:1242-1269).
+
+Retry jitter note: backoff sleep uses a deterministic per-attempt jitter
+derived from the batch content hash — retries are reproducible, no RNG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Protocol
+
+from pyspark.sql import DataFrame
+
+TRANSIENT_CODES = (0, 429, 500, 502, 503, 504)  # class-pinecone-adapter.php:357-372
+MAX_ATTEMPTS = 3
+BASE_BACKOFF_S = 0.25
+
+
+class SinkError(RuntimeError):
+    def __init__(self, message: str, code: int = 0, transient: bool | None = None):
+        super().__init__(message)
+        self.code = code
+        self.transient = transient if transient is not None else code in TRANSIENT_CODES
+
+
+class VectorSink(Protocol):
+    """Adapter contract (class-adapter-interface.php:24-34)."""
+
+    name: str
+    dimension: int
+
+    def upsert(self, vectors: list[dict]) -> None: ...
+    def delete_by_ids(self, ids: list[str]) -> None: ...
+    def delete_by_filter(self, metadata_filter: dict) -> None: ...
+
+
+def _with_retry(fn, payload_key: str) -> None:
+    """3 attempts, 0.25·3^k s + deterministic jitter on transient errors
+    (class-pinecone-adapter.php:348-381)."""
+    for attempt in range(MAX_ATTEMPTS):
+        try:
+            fn()
+            return
+        except SinkError as e:
+            if not e.transient or attempt == MAX_ATTEMPTS - 1:
+                raise
+            jitter_ms = 50 + int(
+                hashlib.sha256(f"{payload_key}:{attempt}".encode()).hexdigest()[:4], 16
+            ) % 150
+            time.sleep(BASE_BACKOFF_S * (3**attempt) + jitter_ms / 1000.0)
+
+
+@dataclass
+class FileVectorSink:
+    """Deterministic fake remote store: one JSONL dir per target, with an
+    optional scripted failure (fail first N upsert calls with a transient
+    code) to exercise the retry path. Safe to construct inside
+    foreachPartition — appends are per-partition files."""
+
+    root: str
+    name: str = "fake-remote"
+    dimension: int = 64
+    fail_first_n: int = 0
+    fail_code: int = 503
+
+    def _dir(self) -> str:
+        os.makedirs(self.root, exist_ok=True)
+        return self.root
+
+    def _attempt_file(self) -> str:
+        return os.path.join(self._dir(), "_attempts")
+
+    def _bump_attempts(self) -> int:
+        # per-process attempt counter (scripted failures)
+        path = self._attempt_file()
+        n = 0
+        if os.path.exists(path):
+            with open(path) as f:
+                n = int(f.read().strip() or 0)
+        with open(path, "w") as f:
+            f.write(str(n + 1))
+        return n
+
+    def upsert(self, vectors: list[dict]) -> None:
+        for v in vectors:
+            if len(v["values"]) != self.dimension:
+                raise SinkError(
+                    f"dimension mismatch: got {len(v['values'])}, want {self.dimension}",
+                    code=400,
+                    transient=False,
+                )
+        if self._bump_attempts() < self.fail_first_n:
+            raise SinkError("scripted transient failure", code=self.fail_code)
+        out = os.path.join(self._dir(), f"up-{uuid.uuid4().hex}.jsonl")
+        with open(out, "w") as f:
+            for v in vectors:
+                f.write(json.dumps(v, default=float) + "\n")
+
+    def delete_by_ids(self, ids: list[str]) -> None:
+        out = os.path.join(self._dir(), f"del-{uuid.uuid4().hex}.jsonl")
+        with open(out, "w") as f:
+            f.write(json.dumps({"ids": sorted(ids)}) + "\n")
+
+    def delete_by_filter(self, metadata_filter: dict) -> None:
+        out = os.path.join(self._dir(), f"del-{uuid.uuid4().hex}.jsonl")
+        with open(out, "w") as f:
+            f.write(json.dumps({"filter": metadata_filter}) + "\n")
+
+    # -- read-back helpers for tests --------------------------------------
+
+    def read_upserted(self) -> list[dict]:
+        rows = []
+        if not os.path.isdir(self.root):
+            return rows
+        for name in sorted(os.listdir(self.root)):
+            if name.startswith("up-"):
+                with open(os.path.join(self.root, name)) as f:
+                    rows.extend(json.loads(line) for line in f)
+        return rows
+
+    def read_deletes(self) -> list[dict]:
+        rows = []
+        if not os.path.isdir(self.root):
+            return rows
+        for name in sorted(os.listdir(self.root)):
+            if name.startswith("del-"):
+                with open(os.path.join(self.root, name)) as f:
+                    rows.extend(json.loads(line) for line in f)
+        return rows
+
+
+def push_payloads(
+    payloads: DataFrame,
+    sink_factory,
+    batch_size: int = 100,
+) -> None:
+    """W5/W8: stream payload rows (vector_id, values, metadata) into a
+    sink, batched per partition, retries inside the partition. The sink
+    is built per partition via ``sink_factory()`` — adapters hold
+    connections and must never cross the pickling boundary alive."""
+    batch_size = max(10, min(500, batch_size))
+    cols = payloads.select("vector_id", "values", "metadata")
+
+    def run(rows) -> None:
+        sink = sink_factory()
+        batch: list[dict] = []
+
+        def flush() -> None:
+            if not batch:
+                return
+            key = hashlib.sha256(
+                ",".join(v["id"] for v in batch).encode()
+            ).hexdigest()[:12]
+            _with_retry(lambda: sink.upsert(list(batch)), key)
+            batch.clear()
+
+        for row in rows:
+            batch.append(
+                {
+                    "id": row.vector_id,
+                    "values": list(row.values),
+                    "metadata": row.metadata.asDict() if row.metadata else None,
+                }
+            )
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+
+    cols.foreachPartition(run)
+
+
+def delete_product_vectors(sink: VectorSink, site_id: int, product_id: int) -> None:
+    """W6 metadata-filter delete (delete_by_product)."""
+    _with_retry(
+        lambda: sink.delete_by_filter({"site_id": site_id, "product_id": product_id}),
+        f"delprod:{site_id}:{product_id}",
+    )
+
+
+def purge_site_vectors(sink: VectorSink, site_id: int) -> None:
+    """W6/W7 site purge via metadata filter."""
+    _with_retry(
+        lambda: sink.delete_by_filter({"site_id": {"$eq": site_id}}),
+        f"purge:{site_id}",
+    )
