@@ -89,3 +89,27 @@ def test_cli_embed_deterministic():
     assert r1.returncode == 0, r1.stderr
     assert "dimension: 64" in r1.stdout
     assert r1.stdout == r2.stdout
+
+
+def test_sync_telemetry_rows(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.config import ChunkingConfig, EngineConfig
+    from wc_vector_indexing_spark.operators.delta_sync import sync_products
+    from wc_vector_indexing_spark.operators.embed import DeterministicEmbedder
+    from wc_vector_indexing_spark.state.store import sync_state_store, vector_index_store
+
+    log = EventLog(spark, str(tmp_path / "logs"))
+    config = EngineConfig(
+        model="fake-deterministic-64", chunking=ChunkingConfig(size=25, overlap=4)
+    )
+    state = sync_state_store(spark, str(tmp_path / "s"))
+    index = vector_index_store(spark, str(tmp_path / "i"))
+    products = spark.createDataFrame([Row(product_id=1, text="telemetry doc one.")])
+    sync_products(products, state, index, config, DeterministicEmbedder(),
+                  text_col="text", event_log=log)
+    rows = log.page(action="sync_batch").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.outcome == "success" and r.target == "local"
+    assert "upserted=" in r.message and r.duration_ms > 0

@@ -248,19 +248,23 @@ def apply_sync(
             )
         )
 
-    # 4) unchanged products: touch timestamps only (W4, zero remote work)
-    unchanged_ids = [r.product_id for r in plan.unchanged.collect()]
-    if unchanged_ids:
-        state.update_where(
-            (F.col("target") == target) & F.col("product_id").isin(unchanged_ids),
+    # 4) unchanged products: touch timestamps only (W4, zero remote
+    # work) — keyed join update, no driver-side id collection
+    unchanged_keys = plan.unchanged.select("product_id").withColumn("target", F.lit(target))
+    unchanged_keys = unchanged_keys.cache()
+    n_unchanged = unchanged_keys.count()
+    if n_unchanged:
+        state.update_keys(
+            unchanged_keys,
             {"last_synced_at": now, "updated_at": now},
+            key_cols=["target", "product_id"],
         )
 
     return SyncSummary(
         target=target,
         upserted=n_upsert,
         deleted=n_delete,
-        skipped_products=len(unchanged_ids),
+        skipped_products=n_unchanged,
         errored=n_failed,
     )
 
@@ -305,17 +309,39 @@ def sync_products(
     backend: EmbeddingBackend,
     text_col: str | None = None,
     force: bool = False,
+    event_log=None,
 ) -> dict[str, SyncSummary]:
     """End-to-end incremental sync of a product batch to every configured
-    target (SURVEY §3.1): build chunks once, then per-target diff+apply."""
+    target (SURVEY §3.1): build chunks once, then per-target diff+apply.
+    Pass an ``logs.EventLog`` to record per-target telemetry rows (U5,
+    class-job-index-product.php:108-128 outcome events)."""
+    import time as _time
+
     from wc_vector_indexing_spark.operators.indexer import build_chunks
 
     chunks = build_chunks(products, config, text_col=text_col).cache()
     summaries: dict[str, SyncSummary] = {}
     for target in config.targets:
+        t0 = _time.time()
         existing = state.read().filter(F.col("target") == target)
         plan = diff(chunks, existing, config, force=force)
-        summaries[target] = apply_sync(
+        s = apply_sync(
             plan, state, index, config, backend, target=target, product_cols=products.columns
         )
+        summaries[target] = s
+        if event_log is not None:
+            event_log.append(
+                [
+                    {
+                        "site_id": config.site_id,
+                        "target": target,
+                        "action": "sync_batch",
+                        "outcome": "error" if s.errored else "success",
+                        "message": f"upserted={s.upserted} deleted={s.deleted} "
+                        f"skipped={s.skipped_products} errored={s.errored}",
+                        "duration_ms": int((_time.time() - t0) * 1000),
+                        "count": s.upserted,
+                    }
+                ]
+            )
     return summaries

@@ -217,6 +217,20 @@ class ParquetMergeStore:
             updated = updated.withColumn(col, F.when(condition, expr).otherwise(F.col(col)))
         return self._publish(updated)
 
+    def update_keys(
+        self, keys_df: DataFrame, assignments: dict[str, F.Column], key_cols: list[str]
+    ) -> int:
+        """UPDATE rows whose key tuple appears in ``keys_df`` — the
+        distributed form of `UPDATE ... WHERE key IN (...)`: a left-semi
+        marker join instead of a driver-side id list, so a corpus-wide
+        timestamp touch never collects keys."""
+        marker = keys_df.select(*key_cols).distinct().withColumn("__hit", F.lit(True))
+        updated = self.read().join(marker, key_cols, "left")
+        cond = F.col("__hit").isNotNull()
+        for col, expr in assignments.items():
+            updated = updated.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
+        return self._publish(updated.drop("__hit"))
+
     # -- helpers -----------------------------------------------------------
 
     def _conform(self, df: DataFrame) -> DataFrame:
