@@ -35,13 +35,11 @@ def main() -> None:
     # warm-ups: one JVM action + one tiny pandas-UDF pass so JVM/codegen
     # startup and python-worker spin-up aren't billed to the first queries
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
-    import pandas as pd  # noqa: F401
-    from pyspark.sql.functions import pandas_udf
+    # (no type hints: `from __future__ import annotations` stringizes
+    # them, which pandas_udf's signature inference rejects)
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    @pandas_udf("long")
-    def _warm(s: "pd.Series") -> "pd.Series":
-        return s
-
+    _warm = pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
     spark.range(1000).select(_warm("id")).count()
 
     times: dict[str, float] = {}

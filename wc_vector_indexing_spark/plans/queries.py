@@ -998,6 +998,89 @@ LIMIT 10
 """
 
 
+def knn_join_top3(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs kNN join: for each of 10 query vectors, its 3 nearest
+    neighbors (operators.similarity.knn_similarity_join)."""
+    emb = load(spark, "embeddings", sf)
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = similarity.knn_similarity_join(queries, emb, k=3)
+    return res.select(
+        "query_id", "neighbor_id", F.round(F.col("score"), 4).alias("score"), "rank"
+    )
+
+
+KNN_JOIN_SQL = """
+SELECT query_id, neighbor_id, round(score, 4) AS score, rank
+FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                        e.vec_id
+           ) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+    CROSS JOIN embeddings e
+)
+WHERE rank <= 3
+"""
+
+
+def pivot_order_status(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per status."""
+    orders = load(spark, "orders", sf)
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .orderBy("priority")
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority AS priority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def quality_pass_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Curation-pipeline shape: quality-score the corpus, then per
+    language report pass rates at a 0.5 threshold (filter feeding a
+    training-data selection)."""
+    scored = textstats.text_quality(load(spark, "documents", sf))
+    docs = load(spark, "documents", sf).select("doc_id", "lang")
+    return (
+        scored.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("quality_score") >= 0.5, 1).otherwise(0)).alias("n_pass"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUALITY_PASS_SQL = """
+WITH scored AS (
+    SELECT doc_id, lang,
+           round(least(1.0, len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 100.0) * 0.4
+                 + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.3
+                 + (1.0 - least(1.0, length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) * 5.0)) * 0.3,
+                 4) AS quality_score
+    FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END) AS n_pass,
+       round(avg(quality_score), 4) AS avg_quality
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check, pytest-verified)
 # --------------------------------------------------------------------------
@@ -1080,6 +1163,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "textstats_quality": QuerySpec(textstats_quality, QUALITY_SQL, "quality scoring"),
     "lang_id_stopwords": QuerySpec(lang_id_stopwords, _lang_sql(), "stopword lang-id"),
     "knn_exact_top10": QuerySpec(knn_exact_top10, KNN_SQL, "exact cosine kNN"),
+    "knn_join_top3": QuerySpec(knn_join_top3, KNN_JOIN_SQL, "all-pairs kNN join"),
+    "pivot_order_status": QuerySpec(pivot_order_status, PIVOT_SQL, "pivoted status counts"),
+    "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
     # rows-only (non-SQL-expressible)
     "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_op, None, "minhash+LSH near-dup"),
