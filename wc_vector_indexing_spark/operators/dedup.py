@@ -80,23 +80,47 @@ def ngram_jaccard_pairs(
     return _jaccard_from_shingles(sh, threshold)
 
 
+def _shingle_hash_udf(k: int):
+    """Distinct word k-gram shingles → 64-bit blake2b hashes, computed
+    in one Arrow-batched pass. Python string slicing beats the
+    equivalent Catalyst higher-order chain (transform+slice+array_join
+    is interpreted per element, ~40µs/shingle; this is ~1µs) — and the
+    hash function doesn't matter for Jaccard as long as it's
+    collision-free at corpus scale (64 bits: P≈n²/2⁶⁴)."""
+    import hashlib
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> list[int]:
+            toks = (t or "").lower().split()
+            if len(toks) < k:
+                return []
+            seen = {
+                int.from_bytes(
+                    hashlib.blake2b(
+                        " ".join(toks[i : i + k]).encode("utf-8"), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+                - (1 << 63)
+                for i in range(len(toks) - k + 1)
+            }
+            return list(seen)
+
+        return texts.map(one)
+
+    return sh
+
+
 def shingle_table(
     docs: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc, n, shingle_hash) inverted index over distinct word k-grams.
-
-    Shingles are xxhash64-hashed before the self-join so the shuffle
-    carries 8-byte keys instead of ~25-byte strings (collision odds at
-    64 bits are ~|shingles|²/2⁶⁴ — irrelevant). The join key being a
-    long also makes the sort-merge compare branchless.
-    """
-    toks = docs.select(F.col(id_col).alias("doc"), _tokens(text_col).alias("ts")).filter(
-        F.size("ts") >= k
-    )
-    exploded = toks.select(
-        "doc", _shingles(F.col("ts"), k).alias("shs")
-    ).select("doc", F.size("shs").alias("n"), F.explode("shs").alias("_s"))
-    return exploded.select("doc", "n", F.xxhash64("_s").alias("shingle"))
+    """(doc, n, shingle) inverted index over distinct word k-grams,
+    shingles as 8-byte hashes (small shuffle keys, branchless compares)."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc"), _shingle_hash_udf(k)(F.col(text_col)).alias("hs")
+    ).filter(F.size("hs") > 0)
+    return hashed.select("doc", F.size("hs").alias("n"), F.explode("hs").alias("shingle"))
 
 
 def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
@@ -116,20 +140,33 @@ def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-_MINHASH_SCHEMA = T.ArrayType(T.LongType())
-
-
-def _minhash_udf(num_hashes: int, k: int):
-    """MinHash signature over word k-gram shingles.
+def _band_bucket_udf(num_hashes: int, bands: int, k: int):
+    """MinHash signature + banded bucketing in ONE Arrow pass: returns
+    the array of ``bands`` bucket hashes per document.
 
     Hash family: h_i(s) = (a_i * crc32(s) + b_i) mod p — deterministic
-    (no process-seeded state), cheap, and identical on every executor.
+    (no process-seeded state), cheap, identical on every executor.
+    Vectorized with numpy: the (num_hashes × shingles) product is one
+    broadcasted matrix op per document. Band bucket = blake2b of the
+    band's signature rows (+ band index so bands never cross-match).
     """
-    p = (1 << 61) - 1
-    rng_a = [(2 * i + 1) * 2654435761 % p or 1 for i in range(num_hashes)]
-    rng_b = [(i * 40503 + 12345) * 2246822519 % p for i in range(num_hashes)]
+    import hashlib
 
-    @pandas_udf(_MINHASH_SCHEMA)
+    import numpy as np
+
+    # Mersenne-31 modulus: a,b,h < 2³¹ so a*h+b < 2⁶² — the whole
+    # (num_hashes × shingles) permutation matrix is ONE int64 numpy op
+    # per document, no python inner loop.
+    p = (1 << 31) - 1
+    rows = num_hashes // bands
+    a = np.array(
+        [((2 * i + 1) * 2654435761) % p or 1 for i in range(num_hashes)], dtype=np.int64
+    ).reshape(-1, 1)
+    b = np.array(
+        [((i * 40503 + 12345) * 2246822519) % p for i in range(num_hashes)], dtype=np.int64
+    ).reshape(-1, 1)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
         def one(text: str) -> list[int]:
             toks = (text or "").lower().split()
@@ -137,8 +174,18 @@ def _minhash_udf(num_hashes: int, k: int):
                 shingles = set(toks) or {""}
             else:
                 shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-            hs = [zlib.crc32(s.encode("utf-8")) for s in shingles]
-            return [min((a * h + b) % p for h in hs) for a, b in zip(rng_a, rng_b)]
+            hs = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) % p for s in shingles),
+                dtype=np.int64,
+                count=len(shingles),
+            )
+            mins = ((a * hs + b) % p).min(axis=1)
+            out = []
+            for band in range(bands):
+                key = f"{band}:" + ",".join(map(str, mins[band * rows : (band + 1) * rows]))
+                h = hashlib.blake2b(key.encode(), digest_size=8).digest()
+                out.append(int.from_bytes(h, "big") - (1 << 63))
+            return out
 
         return texts.map(one)
 
@@ -162,44 +209,14 @@ def minhash_lsh_pairs(
     share no band-bucket are never scored — the property that makes this
     linear-ish at 100 TB (vs the quadratic exact join).
     """
-    rows_per_band = num_hashes // bands
-    sigs = docs.select(
+    band_rows = docs.select(
         F.col(id_col).alias("doc"),
-        F.col(text_col).alias("_text"),
-        _minhash_udf(num_hashes, k)(F.col(text_col)).alias("sig"),
+        F.explode(_band_bucket_udf(num_hashes, bands, k)(F.col(text_col))).alias("bucket"),
     )
-    band_rows = sigs.select(
-        "doc",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.sha2(
-                        F.concat_ws(
-                            ",",
-                            b.cast("string"),
-                            F.array_join(
-                                F.transform(
-                                    F.sequence(F.lit(1), F.lit(rows_per_band)),
-                                    lambda r: F.element_at(F.col("sig"), b * rows_per_band + r).cast(
-                                        "string"
-                                    ),
-                                ),
-                                ",",
-                            ),
-                        ),
-                        256,
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    l = band_rows.select(F.col("doc").alias("doc_a"), "band", "bucket")
-    r = band_rows.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    l = band_rows.select(F.col("doc").alias("doc_a"), "bucket")
+    r = band_rows.select(F.col("doc").alias("doc_b"), "bucket")
     candidates = (
-        l.join(r, ["band", "bucket"])
+        l.join(r, ["bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
