@@ -1,0 +1,62 @@
+"""Curation pipeline: every drop is audited, survivors are clean, the
+pipeline is deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from wc_vector_indexing_spark.operators.curation import (
+    CurationConfig,
+    curate,
+    curation_report,
+)
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and keeps going with many "
+    "plain english words that score well on the quality gate today. "
+) * 3
+
+
+def mk_docs(spark):
+    rows = [
+        Row(doc_id=1, text=GOOD),
+        Row(doc_id=2, text=GOOD),  # exact duplicate of 1
+        Row(doc_id=3, text=GOOD + " A tiny extra tail sentence of filler."),  # near dup
+        Row(doc_id=4, text="1234567890 " * 30),  # digits → low quality
+        Row(doc_id=5, text="el la de los las que y en un una " * 12),  # spanish
+        Row(doc_id=6, text="A totally different and unrelated document about the sea, "
+                           "the tide, and a long walk on the shore in the morning. " * 3),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_curate_audit_and_survivors(spark):
+    docs = mk_docs(spark)
+    curated, audit = curate(docs, CurationConfig(near_dup_threshold=0.5))
+    kept = {r.doc_id for r in curated.collect()}
+    reasons = {r.doc_id: r.reject_reason for r in audit.collect()}
+
+    assert kept == {1, 6}
+    assert reasons[2] == "exact_duplicate"  # min-id canonical survives
+    assert reasons[3] == "near_duplicate"
+    assert reasons[4] == "low_quality"
+    assert reasons[5] == "wrong_language"
+    # audit covers exactly the dropped set, once each
+    assert set(reasons) == {2, 3, 4, 5}
+    assert curated.columns == docs.columns  # original shape preserved
+
+    report = {r.reject_reason: r.n for r in curation_report(docs, audit).collect()}
+    assert report["kept"] == 2 and report["exact_duplicate"] == 1
+
+
+def test_curate_deterministic(spark):
+    docs = mk_docs(spark)
+    k1 = {r.doc_id for r in curate(docs)[0].collect()}
+    k2 = {r.doc_id for r in curate(docs)[0].collect()}
+    assert k1 == k2
+
+
+def test_curate_keep_all_languages(spark):
+    docs = mk_docs(spark)
+    curated, _ = curate(docs, CurationConfig(languages=None, near_dup_threshold=0.5))
+    assert {r.doc_id for r in curated.collect()} == {1, 5, 6}

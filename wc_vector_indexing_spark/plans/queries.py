@@ -1113,6 +1113,20 @@ def doc_fingerprint_op(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.doc_fingerprint(load(spark, "documents", sf))
 
 
+def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus curation (operators/curation.py): quality gate →
+    language filter → exact + near dedup, emitting the audit report."""
+    from wc_vector_indexing_spark.operators.curation import (
+        CurationConfig,
+        curate,
+        curation_report,
+    )
+
+    docs = load(spark, "documents", sf)
+    curated, audit = curate(docs, CurationConfig(min_quality=0.5, languages=("en",)))
+    return curation_report(docs, audit)
+
+
 def ivf_search_op(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse-quantizer ANN: train (seeded) → assign lists → probe
     half the lists for the top-10 (operators/ivf.py)."""
@@ -1172,5 +1186,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(dedup_simhash_op, None, "simhash fingerprints"),
     "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
     "ivf_search_top10": QuerySpec(ivf_search_op, None, "IVF coarse-quantizer ANN"),
+    "curation_pipeline": QuerySpec(curation_pipeline_op, None, "quality+lang+dedup curation audit"),
     "doc_fingerprint": QuerySpec(doc_fingerprint_op, None, "rolling-hash fingerprint"),
 }
