@@ -194,3 +194,25 @@ def test_discover_meta_keys(spark, catalog):
     assert "_private_key" in with_private
     filtered = [r.meta_key for r in discover_meta_keys(meta, search="spec").collect()]
     assert filtered == ["spec_json"]
+
+
+def test_text_transform_hook_changes_fingerprint(spark):
+    """U2 hook (wcvec/final_normalized_text): the transform participates
+    in fingerprints, so changing it triggers re-embedding."""
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.config import ChunkingConfig, EngineConfig
+    from wc_vector_indexing_spark.operators.indexer import build_chunks
+
+    config = EngineConfig(
+        model="fake-deterministic-64", chunking=ChunkingConfig(size=100, overlap=10)
+    )
+    docs = spark.createDataFrame([Row(product_id=1, text="hook target text.")])
+    plain_rows = build_chunks(docs, config, text_col="text").collect()
+    hooked_rows = build_chunks(
+        docs, config, text_col="text",
+        text_transform=lambda c: F.concat(F.lit("PREFIX "), c),
+    ).collect()
+    assert hooked_rows[0].chunk_text.startswith("PREFIX ")
+    assert plain_rows[0].product_sha != hooked_rows[0].product_sha
+    assert plain_rows[0].chunk_sha != hooked_rows[0].chunk_sha

@@ -57,7 +57,9 @@ def curate(
     lang = textstats.lang_id(docs, text_col=text_col, id_col=id_col).select(
         id_col, "predicted_lang"
     )
-    base = docs.join(scored, id_col).join(lang, id_col)
+    # base feeds four audit branches + the survivor chain — persist it
+    # once instead of re-scoring the corpus per branch
+    base = docs.join(scored, id_col).join(lang, id_col).persist()
 
     low_q = base.filter(F.col("quality_score") < config.min_quality)
     kept = base.filter(F.col("quality_score") >= config.min_quality)
@@ -68,6 +70,7 @@ def curate(
     else:
         wrong_lang = kept.limit(0)
 
+    kept = kept.persist()
     # exact dedup: keep the canonical (min-id) row per distinct text
     groups = dedup.exact_duplicates(kept, text_col=text_col, id_col=id_col)
     canon = groups.select(F.col("canonical_id").alias(id_col))

@@ -64,6 +64,7 @@ def build_chunks(
     products: DataFrame,
     config: EngineConfig,
     text_col: str | None = None,
+    text_transform=None,
 ) -> DataFrame:
     """The cheap half of the build: products → normalized doc →
     product_sha → chunk rows → chunk_sha. NO embedding — the delta diff
@@ -73,6 +74,12 @@ def build_chunks(
 
     If ``text_col`` is given the normalization step is skipped and that
     column is the document text directly (the documents-table path).
+
+    ``text_transform`` is the U2 extension hook (≙ the reference's
+    wcvec/final_normalized_text filter, class-indexer.php:131-137): a
+    Column → Column function applied to the document text BEFORE
+    fingerprinting, so a changed transform changes the shas and triggers
+    re-embedding — exactly like editing the text.
     """
     if text_col is None:
         df = normalize_products(products, config)
@@ -80,6 +87,8 @@ def build_chunks(
     else:
         df = products
 
+    if text_transform is not None:
+        df = df.withColumn(text_col, text_transform(F.col(text_col)))
     df = df.withColumn("product_sha", sha_product(F.col(text_col), config))
     chunks = chunk_documents(df, text_col=text_col, size=config.chunking.size,
                              overlap=config.chunking.overlap)
