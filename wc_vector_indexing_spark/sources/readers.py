@@ -34,6 +34,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; known: {TABLES}")
+    # Defensive session confs: the caller may hand us a session built
+    # without the engine defaults (e.g. the correctness driver). Both are
+    # runtime-settable SQL confs. nanosAsLong is required to read the
+    # nanosecond event timestamps at all; UTC is the engine's timestamp
+    # contract (all reference timestamps are UTC) and what the DuckDB
+    # oracle comparison assumes.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS); with legacy nanosAsLong it arrives as
     # a long of epoch-nanos — convert to a proper timestamp (µs, floor),
