@@ -1,0 +1,76 @@
+"""Physical-plan regression guards: the perf properties SCALE.md claims
+must actually appear in the plans — pushed filters, pruned ReadSchema,
+broadcast dims, top-K via TakeOrderedAndProject."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from wc_vector_indexing_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "PushedFilters:" in plan and "IsNotNull" in plan
+    (schema,) = read_schemas(plan)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    # exactly the 4 referenced columns — no over-read
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q3_broadcasts_filtered_customer(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # customer scan reads only the join+filter columns
+    assert any(
+        {"c_custkey", "c_mktsegment"} == {c.split(":")[0] for c in s.split(",")}
+        for s in read_schemas(plan)
+    )
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    plan = plan_of(spark, "q5_region_volume")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+
+
+def test_s3_anti_join_shape(spark):
+    plan = plan_of(spark, "s3_never_synced")
+    assert "LeftAnti" in plan
+    assert "PushedFilters:" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    for name in ("knn_exact_top10", "s10_logs_page", "q10_returned_revenue"):
+        assert "TakeOrderedAndProject" in plan_of(spark, name), name
+
+
+def test_knn_reads_only_id_and_vector(spark):
+    plan = plan_of(spark, "knn_exact_top10")
+    assert any(
+        {"vec_id", "embedding"} == {c.split(":")[0] for c in s.split(",")}
+        for s in read_schemas(plan)
+    )
+
+
+def test_j7_priority_union_is_aggregate_not_window(spark):
+    plan = plan_of(spark, "j7_priority_union")
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "Window" not in plan  # min-agg replaced the row_number window
