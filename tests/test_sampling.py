@@ -1,0 +1,46 @@
+"""Content-addressed splitting: deterministic, engine-portable, group-safe."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from wc_vector_indexing_spark.operators.sampling import (
+    group_aware_split,
+    hash_split,
+    stratified_sample,
+)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    s2 = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    assert s1 == s2
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert 0.75 < c["train"] / 5000 < 0.85
+    assert 0.07 < c["val"] / 5000 < 0.13
+    assert 0.07 < c["test"] / 5000 < 0.13
+    # a different salt reshuffles assignments
+    s3 = {r.doc_id: r.split for r in hash_split(df, "doc_id", salt="v2").collect()}
+    assert s3 != s1
+
+
+def test_group_aware_no_leakage(spark):
+    rows = [Row(doc_id=i, group=i // 10) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    out = group_aware_split(df, "group").collect()
+    by_group: dict[int, set] = {}
+    for r in out:
+        by_group.setdefault(r.group, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_group.values())  # whole group, one split
+
+
+def test_stratified_sample_fractions(spark):
+    rows = [Row(doc_id=i, lang="en" if i % 5 else "de") for i in range(5000)]
+    df = spark.createDataFrame(rows)
+    out = stratified_sample(df, "lang", {"en": 0.1, "de": 1.0}, seed=7)
+    counts = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert counts["de"] == 1000  # fraction 1.0 keeps all
+    assert 250 < counts["en"] < 550  # ~10% of 4000

@@ -998,6 +998,36 @@ LIMIT 10
 """
 
 
+def train_test_split_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-addressed train/val/test split (operators/sampling.py):
+    the assignment is sha256-bucket arithmetic, so the DuckDB oracle
+    reproduces it exactly — engine-portable reproducible splits."""
+    from wc_vector_indexing_spark.operators.sampling import hash_split
+
+    docs = load(spark, "documents", sf)
+    split = hash_split(docs, key_col="doc_id")
+    return (
+        split.groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+SPLIT_SQL = """
+WITH b AS (
+    SELECT lang,
+           (('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT % 10000)::INT AS bucket
+    FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
 def knn_join_top3(spark: SparkSession, sf: str) -> DataFrame:
     """All-pairs kNN join: for each of 10 query vectors, its 3 nearest
     neighbors (operators.similarity.knn_similarity_join)."""
@@ -1180,6 +1210,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "knn_join_top3": QuerySpec(knn_join_top3, KNN_JOIN_SQL, "all-pairs kNN join"),
     "pivot_order_status": QuerySpec(pivot_order_status, PIVOT_SQL, "pivoted status counts"),
     "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
+    "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
     # rows-only (non-SQL-expressible)
     "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_op, None, "minhash+LSH near-dup"),
