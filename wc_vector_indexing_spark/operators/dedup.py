@@ -44,14 +44,6 @@ def _tokens(text_col: str) -> F.Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
-def _shingles(tokens: F.Column, k: int) -> F.Column:
-    """Distinct word k-gram shingles; caller must filter size(tokens) >= k
-    (sequence() needs a non-descending range)."""
-    idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, k), " "))
-    )
-
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text with its
