@@ -74,3 +74,39 @@ def test_j7_priority_union_is_aggregate_not_window(spark):
     plan = plan_of(spark, "j7_priority_union")
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
     assert "Window" not in plan  # min-agg replaced the row_number window
+
+
+def test_q19_disjunction_derives_per_side_prefilters(spark):
+    """The OR-of-ANDs must reach BOTH scans as pushed disjunctive
+    prefilters (Catalyst extracts the per-side conjunct hulls)."""
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed)
+    assert any("p_brand" in p and "Or(" in p for p in pushed)
+
+
+def test_q16_blacklist_is_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+
+
+def test_q20_semi_join_shape(spark):
+    plan = plan_of(spark, "q20_excess_suppliers")
+    assert "LeftSemi" in plan
+    # part-name LIKE filter is pushed to the part scan
+    assert "StringStartsWith(p_name,small)" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    plan = plan_of(spark, "q22_idle_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q21_exists_collapsed_to_one_aggregate(spark):
+    """EXISTS + NOT-EXISTS expressed as one per-order countDistinct
+    aggregate — no self-join explosion (≤1 join with lineitem on both
+    sides), and the returnflag filter reaches the scan."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2

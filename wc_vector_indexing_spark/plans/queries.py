@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from wc_vector_indexing_spark.operators import dedup, similarity, textstats
 from wc_vector_indexing_spark.operators.chunker import chunk_documents
+from wc_vector_indexing_spark.plans import relational2 as r2
 from wc_vector_indexing_spark.sources.readers import load
 
 
@@ -1182,6 +1183,19 @@ REGISTRY: dict[str, QuerySpec] = {
     "q12_priority_class": QuerySpec(q12_priority_class, Q12_SQL, "conditional CASE agg"),
     "q14_promo_ratio": QuerySpec(q14_promo_ratio, Q14_SQL, "conditional ratio"),
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL, "HAVING subquery join-back"),
+    "q2_min_cost_supplier": QuerySpec(r2.q2_min_cost_supplier, r2.Q2_SQL, "correlated-min supplier pick"),
+    "q7_nation_volume": QuerySpec(r2.q7_nation_volume, r2.Q7_SQL, "bilateral volume by year"),
+    "q8_market_share": QuerySpec(r2.q8_market_share, r2.Q8_SQL, "conditional-sum market share"),
+    "q9_product_profit": QuerySpec(r2.q9_product_profit, r2.Q9_SQL, "profit by nation/year"),
+    "q11_important_parts": QuerySpec(r2.q11_important_parts, r2.Q11_SQL, "HAVING vs scalar total"),
+    "q13_order_distribution": QuerySpec(r2.q13_order_distribution, r2.Q13_SQL, "outer-join count histogram"),
+    "q15_top_supplier": QuerySpec(r2.q15_top_supplier, r2.Q15_SQL, "scalar-max subquery"),
+    "q16_supplier_part_counts": QuerySpec(r2.q16_supplier_part_counts, r2.Q16_SQL, "NOT-IN + count distinct"),
+    "q17_small_qty_revenue": QuerySpec(r2.q17_small_qty_revenue, r2.Q17_SQL, "correlated-avg tail revenue"),
+    "q19_disjunctive_revenue": QuerySpec(r2.q19_disjunctive_revenue, r2.Q19_SQL, "OR-of-ANDs pushdown"),
+    "q20_excess_suppliers": QuerySpec(r2.q20_excess_suppliers, r2.Q20_SQL, "nested semi-joins"),
+    "q21_waiting_suppliers": QuerySpec(r2.q21_waiting_suppliers, r2.Q21_SQL, "EXISTS/NOT-EXISTS self-join"),
+    "q22_idle_customers": QuerySpec(r2.q22_idle_customers, r2.Q22_SQL, "anti-join + scalar avg"),
     "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL, "gap sessionization"),
     "asof_click_attribution": QuerySpec(asof_click_attribution, ASOF_SQL, "as-of join"),
     "cube_order_stats": QuerySpec(cube_order_stats, CUBE_SQL, "CUBE lattice agg"),
