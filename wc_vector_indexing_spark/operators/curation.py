@@ -37,17 +37,44 @@ class CurationConfig:
     shingle_k: int = 4
 
 
+class CurationResult:
+    """(curated, audit) plus a handle on the pipeline's persisted
+    intermediates. Unpacks like the 2-tuple it replaced; call
+    ``unpersist()`` once the outputs are materialized — a long-lived
+    session that curates many corpora without releasing these
+    accumulates executor storage until every later job pays for it."""
+
+    def __init__(self, curated: DataFrame, audit: DataFrame, cached: tuple = ()):
+        self.curated = curated
+        self.audit = audit
+        self._cached = cached
+
+    def __iter__(self):
+        return iter((self.curated, self.audit))
+
+    def __getitem__(self, i):
+        return (self.curated, self.audit)[i]
+
+    def unpersist(self) -> None:
+        for df in self._cached:
+            df.unpersist()
+
+
 def curate(
     docs: DataFrame,
     config: CurationConfig | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[DataFrame, DataFrame]:
-    """Returns (curated, audit):
+) -> CurationResult:
+    """Returns a :class:`CurationResult` (unpacks as ``curated, audit``):
 
       curated — the surviving rows of ``docs`` (all original columns)
       audit   — (doc_id, reject_reason) for every dropped row, reason ∈
                 {low_quality, wrong_language, exact_duplicate, near_duplicate}
+
+    The four audit branches are DISJOINT subsets of ``docs`` (each stage
+    only examines the previous stage's survivors), so
+    ``|curated| = |docs| - |audit|`` — curation_report relies on this.
     """
     config = config or CurationConfig()
 
@@ -71,6 +98,7 @@ def curate(
         wrong_lang = kept.limit(0)
 
     kept = kept.persist()
+    filtered = kept  # the persisted post-filter survivors (for cleanup)
     # exact dedup: keep the canonical (min-id) row per distinct text
     groups = dedup.exact_duplicates(kept, text_col=text_col, id_col=id_col)
     canon = groups.select(F.col("canonical_id").alias(id_col))
@@ -96,15 +124,19 @@ def curate(
         .unionByName(exact_dropped.withColumn("reject_reason", F.lit("exact_duplicate")))
         .unionByName(near_dropped.withColumn("reject_reason", F.lit("near_duplicate")))
     )
-    return kept.select(*docs.columns), audit
+    return CurationResult(kept.select(*docs.columns), audit, cached=(base, filtered))
 
 
 def curation_report(docs: DataFrame, audit: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Per-reason counts + survivor count — the audit summary."""
-    total = docs.select(id_col)
-    reasons = audit.groupBy("reject_reason").agg(F.count("*").alias("n"))
-    survivors = total.join(audit.select(id_col), id_col, "left_anti").count()
-    spark = docs.sparkSession
-    return reasons.unionByName(
-        spark.createDataFrame([("kept", survivors)], "reject_reason string, n long")
-    ).orderBy("reject_reason")
+    """Per-reason counts + survivor count — the audit summary.
+
+    Eager, and evaluates the audit chain exactly ONCE: the per-reason
+    aggregate is collected (≤4 rows) and the survivor count is derived
+    as |docs| - Σ rejected — valid because the audit branches are
+    disjoint subsets of docs (see ``curate``). The previous
+    formulation's second action (a left_anti count against the audit)
+    re-ran the whole MinHash/LSH chain."""
+    reason_rows = audit.groupBy("reject_reason").agg(F.count("*").alias("n")).collect()
+    survivors = docs.count() - sum(r.n for r in reason_rows)
+    rows = sorted([(r.reject_reason, r.n) for r in reason_rows] + [("kept", survivors)])
+    return docs.sparkSession.createDataFrame(rows, "reject_reason string, n long")

@@ -1154,8 +1154,10 @@ def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = load(spark, "documents", sf)
-    curated, audit = curate(docs, CurationConfig(min_quality=0.5, languages=("en",)))
-    return curation_report(docs, audit)
+    result = curate(docs, CurationConfig(min_quality=0.5, languages=("en",)))
+    report = curation_report(docs, result.audit)  # eager — safe to release now
+    result.unpersist()
+    return report
 
 
 def ivf_search_op(spark: SparkSession, sf: str) -> DataFrame:
@@ -1169,6 +1171,36 @@ def ivf_search_op(spark: SparkSession, sf: str) -> DataFrame:
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
     res = ivf.search(indexed, qv, k=10, nprobe=4)
     return res.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
+def data_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass per-column profile of the documents corpus
+    (operators/profile.py; exact cardinality so the oracle matches —
+    the 100 TB default is the HLL++ sketch path)."""
+    from wc_vector_indexing_spark.operators.profile import profile_table
+
+    return profile_table(load(spark, "documents", sf), exact=True).orderBy("col_name")
+
+
+def _profile_sql() -> str:
+    numeric = {"doc_id", "n_chars"}
+    selects = []
+    for c in ("doc_id", "text", "lang", "source", "n_chars"):
+        mean = f"round(avg({c}), 4)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        p50 = f"round(quantile_cont({c}, 0.5), 4)" if c in numeric else "CAST(NULL AS DOUBLE)"
+        selects.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows,\n"
+            f"  count(*) FILTER ({c} IS NULL) AS n_null,\n"
+            f"  count(DISTINCT {c}) AS n_distinct,\n"
+            f"  CAST(min({c}) AS VARCHAR) AS min_str,\n"
+            f"  CAST(max({c}) AS VARCHAR) AS max_str,\n"
+            f"  {mean} AS mean_val, {p50} AS p50\n"
+            f"FROM documents"
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY col_name"
+
+
+PROFILE_SQL = _profile_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1225,6 +1257,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pivot_order_status": QuerySpec(pivot_order_status, PIVOT_SQL, "pivoted status counts"),
     "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
     "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
+    "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
     # rows-only (non-SQL-expressible)
     "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_op, None, "minhash+LSH near-dup"),
