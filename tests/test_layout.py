@@ -1,0 +1,79 @@
+"""Bucketed layout: the zero-shuffle co-located join SCALE.md's ledger
+design depends on must actually plan without an Exchange."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.sources.layout import (
+    colocated_join,
+    write_bucketed,
+    write_date_partitioned,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark):
+    # warehouse dir is a static conf — managed tables land in the
+    # session default; DROP TABLE below removes their files.
+    # Auto-broadcast off: these tables are test-tiny, and a broadcast
+    # join would sidestep the bucketed-SMJ path under test.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("product_id"), (F.col("id") % 7).alias("v")
+    )
+    right = spark.range(0, 1000, 2).select(
+        F.col("id").alias("product_id"), F.sha2(F.col("id").cast("string"), 256).alias("sha")
+    )
+    write_bucketed(left, "t_products", "product_id", buckets=4)
+    write_bucketed(right, "t_state", "product_id", buckets=4)
+    yield "t_products", "t_state"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS t_products")
+    spark.sql("DROP TABLE IF EXISTS t_state")
+
+
+def test_colocated_join_has_no_exchange(spark, bucketed_pair):
+    lt, rt = bucketed_pair
+    joined = colocated_join(spark, lt, rt, "product_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 500
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
+    lt, _ = bucketed_pair
+    agged = spark.table(lt).groupBy("product_id").agg(F.sum("v").alias("s"))
+    plan = agged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_unbucketed_join_shuffles_for_contrast(spark, bucketed_pair):
+    """Sanity: the same join WITHOUT bucketing does shuffle — proves the
+    assertion above is measuring the layout, not a trivial plan."""
+    lt, rt = bucketed_pair
+    left = spark.table(lt).repartition(4)  # strip bucket distribution
+    right = spark.table(rt).repartition(4)
+    plan = (
+        left.join(right, "product_id")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" in plan
+
+
+def test_date_partitioned_prunes(spark, tmp_path_factory):
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.date_add(F.lit("2026-01-01").cast("date"), (F.col("id") % 10).cast("int")).alias("d"),
+    )
+    write_date_partitioned(df, "t_events_p", "d")
+    try:
+        q = spark.table("t_events_p").filter(F.col("d") == "2026-01-03")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # partition filter present, and only one partition's rows survive
+        assert q.count() == 10
+        assert "PartitionFilters" in plan and "isnotnull(d" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_events_p")

@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketed layouts, sources/layout.py) go to a
+        # scratch warehouse, not the working directory; static conf —
+        # only applies when this builder actually creates the session
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
     )
     if not os.environ.get("SPARK_GRAFT_CLUSTER"):
         b = b.master(f"local[{cpus}]")
