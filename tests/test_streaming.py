@@ -90,3 +90,68 @@ def test_windowed_event_aggregate_matches_batch(spark):
     assert agg
     total = sum(r.n_events for r in agg)
     assert total == ev.count()
+
+
+def test_deduped_document_stream(spark, tmp_path):
+    """Streaming exact dedup: duplicate content arriving across
+    micro-batches is dropped; first occurrence survives."""
+    from pyspark.sql import types as T
+
+    from wc_vector_indexing_spark.streaming.incremental import deduped_document_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("event_ts", T.TimestampType(), False),
+        ]
+    )
+    docs_dir = str(tmp_path / "docs")
+    # two files → two micro-batches with maxFilesPerTrigger=1; the dup
+    # of "alpha" sits in the second batch so dedup must cross batches
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha", event_ts=T0),
+            Row(doc_id=2, text="beta", event_ts=T0 + timedelta(seconds=1)),
+        ],
+        schema,
+    ).write.parquet(docs_dir + "/f1")
+    spark.createDataFrame(
+        [
+            Row(doc_id=3, text="alpha", event_ts=T0 + timedelta(seconds=2)),
+            Row(doc_id=4, text="gamma", event_ts=T0 + timedelta(seconds=3)),
+        ],
+        schema,
+    ).write.parquet(docs_dir + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+    )
+    q = (
+        deduped_document_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    assert {r.text for r in out} == {"alpha", "beta", "gamma"}
+    assert len(out) == 3  # the duplicate alpha was dropped across batches
+
+    # batch path: same call, same semantics
+    static = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha", event_ts=T0),
+            Row(doc_id=3, text="alpha", event_ts=T0 + timedelta(seconds=2)),
+        ],
+        schema,
+    )
+    assert deduped_document_stream(static).count() == 1

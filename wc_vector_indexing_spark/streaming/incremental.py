@@ -137,3 +137,32 @@ def windowed_event_aggregate(
             "total_value",
         )
     )
+
+
+def deduped_document_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "event_ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup for a document ingest pipeline: fingerprint
+    content (sha256) and keep only first-seen fingerprints.
+
+    Streaming path uses ``dropDuplicatesWithinWatermark`` — dedup state
+    is evicted once the watermark passes, so state size is bounded by
+    the ingest rate × horizon instead of growing with the corpus (the
+    plain streaming ``dropDuplicates`` never evicts and OOMs at 100 TB).
+    Duplicates arriving later than ``watermark_delay`` are out of
+    contract here; the batch dedup chain (operators/dedup.py) is the
+    periodic catch-all, mirroring how the reference pairs real-time
+    hooks with a recurring scan (class-scheduler.php:35-66).
+
+    On a static frame the same call degrades to exact global dedup, so
+    tests and backfills share the code path.
+    """
+    keyed = docs.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+    if docs.isStreaming:
+        return keyed.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            ["content_sha"]
+        )
+    return keyed.dropDuplicates(["content_sha"])
