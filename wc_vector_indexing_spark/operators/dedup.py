@@ -61,15 +61,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, via an inverted shingle
-    index self-join (docs sharing zero shingles never pair up).
+    index grouped by shingle (docs sharing zero shingles never pair up;
+    the corpus-wide shingle UDF is evaluated exactly once).
 
     |J(A,B)| = shared / (|A| + |B| - shared) over *distinct* shingles.
     Output: doc_a, doc_b (doc_a < doc_b), jaccard — rounded to 4.
+    ``max_df``: drop shingles appearing in more than this many docs
+    (boilerplate; see _jaccard_from_shingles).
     """
     sh = shingle_table(docs, k, text_col, id_col)
-    return _jaccard_from_shingles(sh, threshold)
+    return _jaccard_from_shingles(sh, threshold, max_df=max_df)
 
 
 def _shingle_hash_udf(k: int):
@@ -115,12 +119,42 @@ def shingle_table(
     return hashed.select("doc", F.size("hs").alias("n"), F.explode("hs").alias("shingle"))
 
 
-def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
-    a = sh.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"), "shingle")
+def _pairs_in_group(ds: str) -> F.Column:
+    """All ordered pairs (x before y in the sorted array) within one
+    posting-list array of struct(doc, n) — the in-group substitute for
+    an inverted-index self-join."""
+    return F.explode(
+        F.expr(
+            f"flatten(transform({ds}, (x, i) -> "
+            f"transform(slice({ds}, i + 2, size({ds}) - i - 1), "
+            "y -> struct(x.doc AS doc_a, x.n AS na, y.doc AS doc_b, y.n AS nb))))"
+        )
+    )
+
+
+def _jaccard_from_shingles(
+    sh: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    """Exact Jaccard from an inverted shingle index, WITHOUT a
+    self-join: group the index by shingle (ONE shuffle, and the UDF
+    feeding ``sh`` is evaluated once — a self-join would re-run the
+    whole upstream on both sides) and generate the co-occurring pairs
+    inside each posting list.
+
+    ``max_df`` is the hot-shingle cap (SCALE.md §Skew): a boilerplate
+    shingle shared by d docs contributes d²/2 pairs while carrying no
+    near-dup signal; capping document frequency bounds the worst group
+    AND the skew of the subsequent pair aggregation. None = exact
+    (the oracle-matched default at test scale)."""
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("ds")
+    )
+    grouped = grouped.filter(F.size("ds") > 1)
+    if max_df is not None:
+        grouped = grouped.filter(F.size("ds") <= max_df)
     pairs = (
-        a.join(b, ["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(_pairs_in_group("ds").alias("p"))
+        .select("p.*")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"), F.min("na").alias("na"), F.min("nb").alias("nb"))
     )
@@ -195,7 +229,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection.
 
-    signature(64) → 16 bands of 4 rows → band-hash bucket join for
+    signature(64) → 16 bands of 4 rows → group by band-hash bucket for
     candidates → candidates verified with exact n-gram Jaccard (so the
     output threshold is exact, LSH only affects recall). Pairs whose docs
     share no band-bucket are never scored — the property that makes this
@@ -205,12 +239,23 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc"),
         F.explode(_band_bucket_udf(num_hashes, bands, k)(F.col(text_col))).alias("bucket"),
     )
-    l = band_rows.select(F.col("doc").alias("doc_a"), "bucket")
-    r = band_rows.select(F.col("doc").alias("doc_b"), "bucket")
+    # candidate pairs by grouping the bucket index (one shuffle, ONE
+    # evaluation of the signature UDF — the former self-join re-ran the
+    # minhash over the whole corpus for each side)
+    buckets = band_rows.groupBy("bucket").agg(
+        F.sort_array(F.collect_set("doc")).alias("ds")
+    ).filter(F.size("ds") > 1)
     candidates = (
-        l.join(r, ["bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .distinct()
     )
     # verify ONLY the candidate pairs with exact jaccard: restrict the
