@@ -1,0 +1,54 @@
+"""ngram_jaccard_pairs: grouped pair generation and the hot-shingle
+document-frequency cap (SCALE.md skew mitigation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from wc_vector_indexing_spark.operators.dedup import ngram_jaccard_pairs
+
+BOILER = "standard legal footer applies to every document here"
+
+
+def mk(spark):
+    # docs 1/2 near-identical; 3 unrelated; ALL share the boilerplate tail
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta " + BOILER),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon eta " + BOILER),
+        Row(doc_id=3, text="one two three four five six seven eight " + BOILER),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_pairs_without_cap(spark):
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(mk(spark), threshold=0.1).collect()}
+    assert (1, 2) in out
+    # boilerplate alone links 3 to the others above jaccard 0.1? compute:
+    # shared shingles are only the footer k-grams — low but present
+    for pair, j in out.items():
+        assert 0 < j <= 1
+
+
+def test_max_df_drops_boilerplate_links(spark):
+    """With df cap 2, shingles present in all 3 docs are dropped: doc 3
+    shares nothing else, so only the true near-dup pair remains."""
+    out = ngram_jaccard_pairs(mk(spark), threshold=0.01, max_df=2).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
+
+
+def test_two_doc_posting_list(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="w x y z w x y z"),
+            Row(doc_id=20, text="w x y z w x y z"),
+        ]
+    )
+    out = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert len(out) == 1 and out[0].jaccard == 1.0
+
+
+def test_short_docs_produce_no_shingles(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="too short"), Row(doc_id=2, text="too short")]
+    )
+    assert ngram_jaccard_pairs(docs, k=4).count() == 0
