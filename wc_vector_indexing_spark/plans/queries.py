@@ -1173,6 +1173,45 @@ def ivf_search_op(spark: SparkSession, sf: str) -> DataFrame:
     return res.select("vec_id", F.round(F.col("score"), 4).alias("score"))
 
 
+def rollup_timeseries(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (continuous-aggregate
+    pattern): hourly buckets aggregate the raw events ONCE; the daily
+    tier re-aggregates the hourly tier — at 100 TB the coarse tiers are
+    materialized incrementally from the fine tier, never from raw.
+    Output: both tiers, tagged by resolution."""
+    ev = load(spark, "events", sf)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.round(F.sum("sum_value"), 2).alias("sum_value"))
+    return (
+        hourly.withColumn("resolution", F.lit("hour"))
+        .unionByName(daily.withColumn("resolution", F.lit("day")))
+        .select("resolution", "bucket_ts", "event_type", "n", "sum_value")
+        .orderBy("resolution", "bucket_ts", "event_type")
+    )
+
+
+ROLLUP_TS_SQL = """
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT CAST(date_trunc('day', bucket_ts) AS TIMESTAMP) AS bucket_ts, event_type,
+         sum(n) AS n, round(sum(sum_value), 2) AS sum_value
+  FROM hourly GROUP BY 1, 2
+)
+SELECT 'hour' AS resolution, bucket_ts, event_type, n, sum_value FROM hourly
+UNION ALL
+SELECT 'day' AS resolution, bucket_ts, event_type, n, sum_value FROM daily
+ORDER BY resolution, bucket_ts, event_type
+"""
+
+
 def data_profile(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass per-column profile of the documents corpus
     (operators/profile.py; exact cardinality so the oracle matches —
@@ -1258,6 +1297,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
     "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
     "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
+    "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
     # rows-only (non-SQL-expressible)
     "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_op, None, "minhash+LSH near-dup"),
