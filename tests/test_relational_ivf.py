@@ -61,6 +61,31 @@ def test_sessionize_gap(spark):
     assert stats == {1: 2, 2: 1}
 
 
+def test_sessionize_subsecond_gap(spark):
+    """Gaps are compared at microsecond resolution (unix_micros), not
+    whole-second truncation: a 1800.5s gap MUST split at gap=1800 while
+    1799.5s must not — matching DuckDB epoch_us() oracle semantics on
+    the nanosecond-timestamped events table."""
+    rows = [
+        Row(user_id=1, ts=T0, event_id=1),
+        Row(user_id=1, ts=T0 + timedelta(seconds=1800, milliseconds=500), event_id=2),
+        Row(user_id=2, ts=T0, event_id=3),
+        Row(user_id=2, ts=T0 + timedelta(seconds=1799, milliseconds=500), event_id=4),
+    ]
+    df = spark.createDataFrame(rows)
+    s = {r.event_id: r.session_id for r in sessionize(df, order_tiebreak="event_id").collect()}
+    assert s[1] == 0 and s[2] == 1, "1800.5s gap must start a new session"
+    assert s[3] == 0 and s[4] == 0, "1799.5s gap must stay in-session"
+    # exactly-at-gap is inclusive (not a new session): > not >=
+    df_edge = spark.createDataFrame(
+        [Row(user_id=3, ts=T0, event_id=5),
+         Row(user_id=3, ts=T0 + timedelta(seconds=1800), event_id=6)]
+    )
+    s_edge = {r.event_id: r.session_id
+              for r in sessionize(df_edge, order_tiebreak="event_id").collect()}
+    assert s_edge[6] == 0
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     return load(spark, "embeddings", "/root/testdata/sf0.001").cache()

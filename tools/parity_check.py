@@ -1,12 +1,27 @@
 """Local stand-in for the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() on DuckDB at the given sf, compare
-row count, column names, and order-insensitive value multiset.
+row count, column names, Arrow-level type classes, and the
+order-insensitive multiset of *typed* values.
+
+Type-aware on purpose: round 1 shipped oracles whose integer ``sum()``
+came back from DuckDB as HUGEINT (Arrow decimal128) while Spark emitted
+bigint — identical numerals, different typed hash — and the old
+stringifying comparison reported 60/60 while the driver failed 3.  Both
+sides are now fetched as Arrow tables; a decimal on one side and an
+integer on the other is a FAIL here even when the digits match.
+
+Benign physical differences are still tolerated (they hash equal after
+python conversion on the driver too): integer width (int32 vs int64),
+float32 vs float64, timestamp unit/timezone (values are normalized to
+naive UTC microseconds).
 
 Usage: python tools/parity_check.py [sf_dir] [name ...]
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal
 import math
 import sys
 import time
@@ -15,27 +30,80 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
 
 from wc_vector_indexing_spark.plans.queries import REGISTRY  # noqa: E402
 from wc_vector_indexing_spark.session import get_spark  # noqa: E402
 from wc_vector_indexing_spark.sources.readers import TABLES  # noqa: E402
 
 
+def canon_type(t: pa.DataType) -> str:
+    """Collapse an Arrow type to the python-object class the driver's
+    value hash sees: int widths merge, float widths merge, timestamps
+    merge across unit/tz — but decimal stays distinct from int/float."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{canon_type(t.key_type)},{canon_type(t.item_type)}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
 def norm_cell(v):
+    """Typed canonical form: the type CLASS is part of the key, so
+    Decimal('33') != 33 even though str() would agree."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
-    if hasattr(v, "isoformat"):
-        return v.isoformat(sep=" ").split("+")[0].rstrip("0").rstrip(".")
-    return str(v)
+            return "float:NaN"
+        return f"float:{v:.6g}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return "ts:" + v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return f"date:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={norm_cell(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, bytes):
+        return f"bytes:{v.hex()}"
+    return f"{type(v).__name__}:{v}"
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+def canon_rows(tbl: pa.Table) -> list[tuple]:
+    cols = sorted(tbl.column_names)
+    pylists = {c: tbl.column(c).to_pylist() for c in cols}
+    n = tbl.num_rows
+    return sorted(tuple(norm_cell(pylists[c][i]) for c in cols) for i in range(n))
 
 
 def main() -> int:
@@ -54,40 +122,48 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_tbl = sdf.toArrow()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         if spec.sql is None:
-            print(f"ok   {name}: rows-only, {len(s_rows)} rows ({time.time()-t0:.1f}s)")
-            if len(s_rows) == 0 and name != "dedup_minhash_lsh":
+            print(f"ok   {name}: rows-only, {s_tbl.num_rows} rows ({time.time()-t0:.1f}s)")
+            if s_tbl.num_rows == 0 and name != "dedup_minhash_lsh":
                 print(f"     WARNING: {name} returned 0 rows")
             continue
         try:
-            res = con.execute(spec.sql)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_tbl = con.execute(spec.sql).arrow()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         ok = True
-        if sorted(s_cols) != sorted(d_cols):
-            print(f"FAIL {name}: columns {sorted(s_cols)} != {sorted(d_cols)}")
+        s_cols, d_cols = sorted(s_tbl.column_names), sorted(d_tbl.column_names)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns {s_cols} != {d_cols}")
             ok = False
-        elif len(s_rows) != len(d_rows):
-            print(f"FAIL {name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        elif s_tbl.num_rows != d_tbl.num_rows:
+            print(f"FAIL {name}: rowcount spark={s_tbl.num_rows} duckdb={d_tbl.num_rows}")
             ok = False
         else:
-            cs, cd = canon(s_rows, s_cols), canon(d_rows, d_cols)
-            if cs != cd:
-                diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
-                print(f"FAIL {name}: value mismatch; first diffs: {diff}")
+            type_diffs = []
+            for c in s_cols:
+                st = canon_type(s_tbl.schema.field(c).type)
+                dt = canon_type(d_tbl.schema.field(c).type)
+                if st != dt:
+                    type_diffs.append(f"{c}: spark={st} duckdb={dt}")
+            if type_diffs:
+                print(f"FAIL {name}: type mismatch: {'; '.join(type_diffs)}")
                 ok = False
+            else:
+                cs, cd = canon_rows(s_tbl), canon_rows(d_tbl)
+                if cs != cd:
+                    diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+                    print(f"FAIL {name}: value mismatch; first diffs: {diff}")
+                    ok = False
         if ok:
-            print(f"ok   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
+            print(f"ok   {name}: {s_tbl.num_rows} rows match ({time.time()-t0:.1f}s)")
         else:
             failures.append(name)
     print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} pass")

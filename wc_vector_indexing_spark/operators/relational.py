@@ -109,9 +109,13 @@ def sessionize(
     (lag + running sum; batch twin of streaming session_window)."""
     order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(key_col).orderBy(*order)
-    prev = F.lag(F.col(ts_col).cast("long")).over(w)
+    # Compare gaps at microsecond resolution: cast("long") truncates to
+    # whole seconds, so a 1800.4s gap would (wrongly) not split at
+    # gap_seconds=1800 while an epoch()-based oracle keeps fractions.
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(ts_us).over(w)
     new_session = F.when(
-        F.col(ts_col).cast("long") - prev > gap_seconds, 1
+        ts_us - prev > F.lit(int(gap_seconds * 1_000_000)), 1
     ).otherwise(0)
     return df.withColumn("session_id", F.sum(new_session).over(w))
 

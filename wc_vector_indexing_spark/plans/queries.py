@@ -273,8 +273,8 @@ def q12_priority_class(spark: SparkSession, sf: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -361,7 +361,7 @@ def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
 SESSIONIZE_SQL = """
 WITH g AS (
     SELECT user_id, event_id, ts,
-           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
                 THEN 1 ELSE 0 END AS new_session
     FROM events
 ), s AS (
@@ -370,7 +370,7 @@ WITH g AS (
                                   ROWS UNBOUNDED PRECEDING) AS session_id
     FROM g
 )
-SELECT user_id, max(session_id) + 1 AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id ORDER BY user_id
 """
 
@@ -1106,7 +1106,7 @@ WITH scored AS (
     FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END) AS n_pass,
+       CAST(sum(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
        round(avg(quality_score), 4) AS avg_quality
 FROM scored GROUP BY lang ORDER BY lang
 """
@@ -1202,7 +1202,7 @@ WITH hourly AS (
 ),
 daily AS (
   SELECT CAST(date_trunc('day', bucket_ts) AS TIMESTAMP) AS bucket_ts, event_type,
-         sum(n) AS n, round(sum(sum_value), 2) AS sum_value
+         CAST(sum(n) AS BIGINT) AS n, round(sum(sum_value), 2) AS sum_value
   FROM hourly GROUP BY 1, 2
 )
 SELECT 'hour' AS resolution, bucket_ts, event_type, n, sum_value FROM hourly
