@@ -163,6 +163,25 @@ def test_created_at_immutable(spark, env):
             assert after[vid] == ts
 
 
+def test_vacuum_respects_read_leases(spark, tmp_path):
+    import os
+
+    store = sync_state_store(spark, str(tmp_path / "st"))
+    row = {f.name: None for f in store.schema.fields}
+    row.update(site_id=1, product_id=1, target="local", chunk_index=0,
+               vector_id="v1", status="synced")
+    store.overwrite(spark.createDataFrame([Row(**row)], store.schema))  # v1
+    lazy = store.read()  # leases v1
+    for i in range(5):  # v2..v6 — without the lease, keep=3 would drop v1
+        store.update_where(F.lit(True), {"error_code": F.lit(f"touch{i}")})
+    assert os.path.isdir(store._version_dir(1))
+    # the leased snapshot is still fully recomputable (not just cached)
+    assert lazy.count() == 1
+    store.release_leases()
+    assert not os.path.isdir(store._version_dir(1))
+    assert os.path.isdir(store._version_dir(store.current_version()))
+
+
 def test_delete_products_and_purge(spark, env):
     config, state, index, _ = env
     run_sync(spark, env, {1: mklong(1), 2: "keep me."})

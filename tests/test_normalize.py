@@ -140,6 +140,23 @@ def test_rollup_block(spark, catalog):
     assert "SKUs: PAR-1-B, +1 more" in block.rollup_text
 
 
+def test_rollup_block_all_null_prices(spark):
+    # all children priceless: the count line must still render (the
+    # reference emits it unconditionally; only the price-range line is
+    # conditional on prices existing)
+    children = spark.createDataFrame(
+        [
+            Row(parent_id=7, product_id=71, price=None, sku="A-1"),
+            Row(parent_id=7, product_id=72, price=None, sku="A-2"),
+        ],
+        "parent_id int, product_id int, price double, sku string",
+    )
+    block = rollup_variations(children).head()
+    assert "Variations: 2" in block.rollup_text
+    assert "Price range" not in block.rollup_text
+    assert "SKUs: A-1, A-2" in block.rollup_text
+
+
 def test_variation_strategies(spark, catalog):
     products, terms, _ = catalog
     sep = apply_variation_strategy(products, "separate")

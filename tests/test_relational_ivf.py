@@ -111,6 +111,20 @@ def test_ivf_deterministic_and_recall(spark, emb):
     assert len(set(part) & set(exact)) >= 5
 
 
+def test_ivf_save_load_roundtrip(spark, emb, tmp_path):
+    path = str(tmp_path / "centroids.json")
+    trained = IVFIndex.train_or_load(emb, path, nlist=8)  # trains + persists
+    loaded = IVFIndex.train_or_load(emb, path, nlist=8)   # pure load
+    assert loaded.centroids == trained.centroids
+    assert loaded.seed == trained.seed
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
+    indexed = loaded.assign(emb)
+    via_trained = [r.vec_id for r in trained.search(indexed, qv, k=10, nprobe=4).collect()]
+    via_loaded = [r.vec_id for r in loaded.search(indexed, qv, k=10, nprobe=4).collect()]
+    assert via_loaded == via_trained
+
+
 def test_salted_join_matches_plain(spark):
     from wc_vector_indexing_spark.operators.relational import salted_join
 

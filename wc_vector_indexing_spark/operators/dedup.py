@@ -76,32 +76,37 @@ def ngram_jaccard_pairs(
     return _jaccard_from_shingles(sh, threshold, max_df=max_df)
 
 
-def _shingle_hash_udf(k: int):
+def _shingle_hash_udf(k: int, short_doc_unigrams: bool = False):
     """Distinct word k-gram shingles → 64-bit blake2b hashes, computed
     in one Arrow-batched pass. Python string slicing beats the
     equivalent Catalyst higher-order chain (transform+slice+array_join
     is interpreted per element, ~40µs/shingle; this is ~1µs) — and the
     hash function doesn't matter for Jaccard as long as it's
-    collision-free at corpus scale (64 bits: P≈n²/2⁶⁴)."""
+    collision-free at corpus scale (64 bits: P≈n²/2⁶⁴).
+
+    ``short_doc_unigrams``: docs with fewer than k tokens fall back to
+    their distinct-unigram universe instead of the empty set — the SAME
+    fallback the minhash band UDF uses, so LSH candidates involving
+    short docs are verifiable rather than silently dropped. Off by
+    default: the exact ngram path (and its oracle) defines short docs
+    as out of scope."""
     import hashlib
+
+    def h64(s: str) -> int:
+        return (
+            int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+            - (1 << 63)
+        )
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sh(texts: pd.Series) -> pd.Series:
         def one(t: str) -> list[int]:
             toks = (t or "").lower().split()
             if len(toks) < k:
-                return []
-            seen = {
-                int.from_bytes(
-                    hashlib.blake2b(
-                        " ".join(toks[i : i + k]).encode("utf-8"), digest_size=8
-                    ).digest(),
-                    "big",
-                )
-                - (1 << 63)
-                for i in range(len(toks) - k + 1)
-            }
-            return list(seen)
+                if not short_doc_unigrams:
+                    return []
+                return [h64(s) for s in (set(toks) or {""})]
+            return list({h64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)})
 
         return texts.map(one)
 
@@ -109,12 +114,14 @@ def _shingle_hash_udf(k: int):
 
 
 def shingle_table(
-    docs: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id",
+    short_doc_unigrams: bool = False,
 ) -> DataFrame:
     """(doc, n, shingle) inverted index over distinct word k-grams,
     shingles as 8-byte hashes (small shuffle keys, branchless compares)."""
     hashed = docs.select(
-        F.col(id_col).alias("doc"), _shingle_hash_udf(k)(F.col(text_col)).alias("hs")
+        F.col(id_col).alias("doc"),
+        _shingle_hash_udf(k, short_doc_unigrams)(F.col(text_col)).alias("hs"),
     ).filter(F.size("hs") > 0)
     return hashed.select("doc", F.size("hs").alias("n"), F.explode("hs").alias("shingle"))
 
@@ -266,7 +273,11 @@ def minhash_lsh_pairs(
         .unionByName(candidates.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    sh = shingle_table(docs, k, text_col, id_col).join(cand_docs, "doc", "left_semi")
+    # short_doc_unigrams matches the band UDF's fallback universe, so
+    # candidates involving sub-k-token docs verify instead of vanishing
+    sh = shingle_table(docs, k, text_col, id_col, short_doc_unigrams=True).join(
+        cand_docs, "doc", "left_semi"
+    )
     exact = _jaccard_from_shingles(sh, threshold)
     return candidates.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 

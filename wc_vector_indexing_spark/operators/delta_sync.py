@@ -328,6 +328,10 @@ def sync_products(
         s = apply_sync(
             plan, state, index, config, backend, target=target, product_cols=products.columns
         )
+        # the plan's lazy reads of the diff-time snapshot are dead now —
+        # release the version leases so vacuum can reclaim the dirs
+        state.release_leases()
+        index.release_leases()
         summaries[target] = s
         if event_log is not None:
             event_log.append(

@@ -21,6 +21,9 @@ buckets skew.
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,6 +36,48 @@ class IVFIndex:
         self.centroids = centroids
         self.nlist = len(centroids)
         self.seed = seed
+
+    # -- persistence -------------------------------------------------------
+    #
+    # The coarse quantizer is a train-once artifact: at 100 TB you fit
+    # KMeans on a sample during index build and every subsequent search
+    # loads the (tiny — nlist × dim floats) centroid matrix. Query-time
+    # training would bill minutes of ML fit to every lookup.
+
+    def save(self, path: str) -> None:
+        """Persist the centroid matrix (atomic rename so a concurrent
+        reader never sees a torn file)."""
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"seed": self.seed, "centroids": self.centroids}, f)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(d["centroids"], seed=d.get("seed", 42))
+
+    @classmethod
+    def train_or_load(
+        cls,
+        vectors: DataFrame,
+        path: str,
+        nlist: int = 16,
+        vec_col: str = "embedding",
+        seed: int = 42,
+        sample_fraction: float | None = None,
+    ) -> "IVFIndex":
+        """Load the persisted quantizer if ``path`` exists, else train and
+        persist it — the search path never pays the KMeans fit twice."""
+        if os.path.exists(path):
+            return cls.load(path)
+        idx = cls.train(
+            vectors, nlist=nlist, vec_col=vec_col, seed=seed,
+            sample_fraction=sample_fraction,
+        )
+        idx.save(path)
+        return idx
 
     @staticmethod
     def train(

@@ -90,15 +90,23 @@ def rollup_variations(
         F.max("price").alias("max_price"),
         F.array_sort(F.collect_set("sku")).alias("skus"),
     )
+    # The count line always renders; the price-range line only when the
+    # group produced a price (all-null children would otherwise
+    # null-propagate through concat and erase the whole head — the
+    # reference emits the count unconditionally and the range only when
+    # prices exist, class-variation-rollup.php:95-107).
+    price_line = F.when(
+        F.col("min_price").isNotNull(),
+        F.concat(
+            F.lit("Price range: "), money("min_price"), F.lit(" – "), money("max_price")
+        ),
+    )
     base = base.select(
         "parent_id",
-        F.concat(
-            F.lit("Variations: "),
-            F.col("n_variations").cast("string"),
-            F.lit("\nPrice range: "),
-            money("min_price"),
-            F.lit(" – "),
-            money("max_price"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("Variations: "), F.col("n_variations").cast("string")),
+            price_line,
         ).alias("_head"),
         _render_capped(F.col("skus"), values_cap).alias("_skus"),
     )

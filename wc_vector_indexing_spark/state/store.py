@@ -111,6 +111,15 @@ class ParquetMergeStore:
         self.schema = schema
         self.keys = keys
         self.partition_by = partition_by or []
+        # Versions handed out by read() and possibly still referenced by
+        # live lazy plans. A sync cycle publishes several snapshots while
+        # its DeltaPlan DataFrames lazily re-read the version seen at
+        # diff time; without the lease, _vacuum(keep=3) deletes that dir
+        # after the 3rd publish and any recompute (executor loss, cache
+        # eviction) of the 4th write fails. Process-local by design —
+        # there is one driver; cross-driver retention is a Delta/Iceberg
+        # concern, not this store's.
+        self._leased: set[int] = set()
         os.makedirs(root, exist_ok=True)
 
     # -- snapshot plumbing -------------------------------------------------
@@ -145,11 +154,23 @@ class ParquetMergeStore:
 
     def _vacuum(self, keep: int) -> None:
         """Drop snapshot dirs older than the newest ``keep`` (≙ Delta
-        VACUUM; readers of dropped snapshots would fail, so keep a few)."""
+        VACUUM; readers of dropped snapshots would fail, so keep a few).
+        Versions leased out by read() are never dropped — a lazy plan may
+        still recompute against them (release_leases() when the plans
+        are dead)."""
         live = self.current_version()
         for name in os.listdir(self.root):
-            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= live - keep:
+            if not (name.startswith("v") and name[1:].isdigit()):
+                continue
+            v = int(name[1:])
+            if v <= live - keep and v not in self._leased:
                 shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+    def release_leases(self) -> None:
+        """Declare all previously read() snapshots dead (no live plan
+        references them) and vacuum whatever the leases were pinning."""
+        self._leased.clear()
+        self._vacuum(keep=3)
 
     # -- reads -------------------------------------------------------------
 
@@ -157,6 +178,7 @@ class ParquetMergeStore:
         v = self.current_version()
         if v == 0:
             return self.spark.createDataFrame([], self.schema)
+        self._leased.add(v)
         return self.spark.read.schema(self.schema).parquet(self._version_dir(v))
 
     def is_empty(self) -> bool:
