@@ -12,9 +12,10 @@ language) run before anything that shuffles (dedup), so the shuffled
 volume is already reduced.
 
 Dedup policy: exact dups collapse to the min-id canonical row; near-dup
-pairs (MinHash+LSH verified by exact Jaccard) drop the HIGHER id of each
-pair — deterministic, order-free, and transitive enough for corpus work
-(a full union-find pass is the documented upgrade if clusters matter).
+pairs (MinHash+LSH verified by exact Jaccard) are clustered with
+connected components (operators/components.py) and each cluster keeps
+its min-id representative — transitively consistent: pairs (1,3) and
+(2,3) drop BOTH 2 and 3, where a pair-local rule would leave 2 behind.
 """
 
 from __future__ import annotations
@@ -25,6 +26,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wc_vector_indexing_spark.operators import dedup, textstats
+from wc_vector_indexing_spark.operators.components import (
+    cluster_representatives,
+    connected_components,
+)
 
 
 @dataclass
@@ -115,7 +120,11 @@ def curate(
         text_col=text_col,
         id_col=id_col,
     )
-    near_dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    # cluster the verified pairs and keep each cluster's min-id
+    # representative (components is eagerly materialized by the
+    # iteration, so the audit branch and the anti-join don't re-run it)
+    components = connected_components(pairs, id_a="doc_a", id_b="doc_b")
+    near_dropped = cluster_representatives(components).select(F.col("doc").alias(id_col))
     kept = kept.join(near_dropped, id_col, "left_anti")
 
     audit = (

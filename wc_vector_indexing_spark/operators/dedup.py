@@ -331,13 +331,17 @@ def simhash_near_pairs(
 def embedding_cosine_pairs(
     vectors: DataFrame,
     threshold: float = 0.3,
-    block_col: str = "label",
+    block_col: str | None = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    lsh_bits: int = 4,
+    lsh_tables: int = 8,
 ) -> DataFrame:
-    """Semantic near-dup pairs: cosine >= threshold within a blocking key
-    (block on LSH bucket when no natural key exists — see
-    similarity.lsh_signature). Output: id_a, id_b, block, cosine(4dp).
+    """Semantic near-dup pairs: cosine >= threshold within a blocking key.
+    Pass ``block_col=None`` when no natural key exists — blocking then
+    falls back to multi-table sign-LSH buckets
+    (:func:`lsh_cosine_pairs`), approximate but corpus-scale-safe.
+    Output: id_a, id_b, block, cosine(4dp).
 
     Norms are precomputed per ROW before the self-join (|corpus| norm
     evaluations) so each of the |pairs| comparisons evaluates a single
@@ -345,6 +349,12 @@ def embedding_cosine_pairs(
     are the interpreted hot path, so this is ~3× on the pair stage.
     """
     from wc_vector_indexing_spark.functions.vectors import dot, l2_norm
+
+    if block_col is None:
+        return lsh_cosine_pairs(
+            vectors, threshold, vec_col=vec_col, id_col=id_col,
+            bits=lsh_bits, tables=lsh_tables,
+        )
 
     with_norm = vectors.withColumn("_norm", l2_norm(F.col(vec_col)))
     a = with_norm.select(
@@ -362,5 +372,107 @@ def embedding_cosine_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(cos, 4))
         .filter(cos >= threshold)
+        .select("id_a", "id_b", "block", "cosine")
+    )
+
+
+def lsh_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-dup pairs with NO natural blocking key: block on
+    multi-table sign-LSH buckets (similarity.lsh_signature, one
+    independent hyperplane set per table).
+
+    OR-amplification: a pair is a candidate if it shares a bucket in ANY
+    of the ``tables`` signatures — recall ≈ 1 - (1 - p^bits)^tables with
+    p = 1 - θ/π, so high-cosine pairs are found with near-certainty
+    while each join only pairs rows inside a ~|corpus|/2^bits bucket.
+    Approximate by design (the exact blocked path needs a natural key);
+    the cosine reported per surviving pair IS exact.
+
+    Plan: one stacked (table, bucket) index — signatures are pure column
+    expressions, no UDF — then per-bucket scoring via applyInPandas: the
+    whole bucket's cosine matrix is blocked numpy matmuls (one Arrow
+    batch in, the above-threshold pairs out). An expression self-join
+    would evaluate an INTERPRETED higher-order dot per candidate pair
+    (~19M folds at sf0.1, ~30s); the gemm form is ~100 vectorized
+    matmuls. Memory inside a group is bounded by the row-block size
+    (1024 × bucket), not bucket² — pick ``bits`` so buckets stay ~1e4
+    rows at your corpus size. Finally pairs are deduped across tables
+    with a pair-level groupBy. Output: id_a, id_b, block (the winning
+    table:bucket), cosine(4dp).
+    """
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.similarity import _hyperplanes
+
+    dim_row = vectors.select(F.size(F.col(vec_col)).alias("d")).head()
+    if dim_row is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, block string, cosine double"
+        )
+    dim = dim_row.d
+
+    # all tables' hyperplanes as ONE (tables*bits × dim) matrix: every
+    # signature bit of every table is a single gemm per Arrow batch
+    # (the per-table lsh_signature expression chain evaluates tables*bits
+    # interpreted folds per row — ~10× slower at corpus scale)
+    planes = np.vstack(
+        [np.array(_hyperplanes(dim, bits, seed + t)) for t in range(tables)]
+    )  # (tables*bits, dim)
+    weights = (1 << np.arange(bits)).astype("int64")
+
+    def signatures(batches):
+        for pdf in batches:
+            V = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            bitmat = (V @ planes.T > 0).astype("int64")  # (n, tables*bits)
+            buckets = bitmat.reshape(len(V), tables, bits) @ weights  # (n, tables)
+            out = pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf["_id"].to_numpy(), tables),
+                    "_v": pdf["_v"].to_numpy().repeat(tables),
+                    "block": [
+                        f"{t}:{b}" for row in buckets for t, b in enumerate(row)
+                    ],
+                }
+            )
+            yield out
+
+    stacked = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(signatures, schema="_id long, _v array<float>, block string")
+
+    def score_bucket(pdf: pd.DataFrame):
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors score 0 against everything
+        Vn = V / norms[:, None]
+        block = pdf["block"].iloc[0]
+        out = []
+        for lo in range(0, len(ids), 1024):
+            hi = min(lo + 1024, len(ids))
+            C = Vn[lo:hi] @ Vn.T  # (block × all) — O(block·m·dim)
+            for r in range(hi - lo):
+                i = lo + r
+                cols = np.nonzero(C[r, i + 1 :] >= threshold)[0] + i + 1
+                for j in cols:
+                    out.append((int(ids[i]), int(ids[j]), block, float(C[r, j])))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "block", "cosine"])
+
+    scored = stacked.groupBy("block").applyInPandas(
+        score_bucket, schema="id_a long, id_b long, block string, cosine double"
+    )
+    # a close pair collides in several tables: keep one row per pair
+    return (
+        scored.groupBy("id_a", "id_b")
+        .agg(F.min("block").alias("block"), F.round(F.first("cosine"), 4).alias("cosine"))
         .select("id_a", "id_b", "block", "cosine")
     )

@@ -918,6 +918,51 @@ FROM pairs WHERE shared::DOUBLE / (na + nb - shared) >= 0.2
 """
 
 
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified ngram
+    pair set (operators/components.py min-label propagation); cluster_id
+    is the min doc id of the component. The transitive upgrade of the
+    pairwise dedup output — pairs (1,3)+(2,3) yield ONE cluster {1,2,3}."""
+    from wc_vector_indexing_spark.operators.components import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, "documents", sf), k=4, threshold=0.2, max_df=64
+    )
+    return connected_components(pairs).orderBy("doc")
+
+
+# DuckDB side: transitive closure by recursive CTE — each node reaches
+# its whole component through the symmetric edge list; min(reached) is
+# the cluster id. Quadratic in component size, fine at oracle scale.
+DEDUP_CLUSTERS_SQL = (
+    """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM documents
+), sh AS (
+    SELECT doc_id,
+           len(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS n,
+           unnest(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS shingle
+    FROM toks WHERE len(ts) >= 4
+), co AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared, min(a.n) AS na, min(b.n) AS nb
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT doc_a, doc_b FROM co WHERE shared::DOUBLE / (na + nb - shared) >= 0.2
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(node, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT node AS doc, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY doc
+"""
+)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(load(spark, "embeddings", sf), threshold=0.3)
 
@@ -929,6 +974,18 @@ FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
 """
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine near-dup pairs with NO natural blocking key: multi-table
+    sign-LSH blocking (operators/dedup.lsh_cosine_pairs). Approximate
+    (recall ≈ 1-(1-p^bits)^tables, deterministic via fixed seed), so
+    rows-only — the exactness of each reported cosine is pinned by
+    tests/test_embedding_lsh.py against the brute-force truth."""
+    return dedup.embedding_cosine_pairs(
+        load(spark, "embeddings", sf), threshold=0.4, block_col=None,
+        lsh_bits=3, lsh_tables=12,
+    ).orderBy("id_a", "id_b")
 
 
 def textstats_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -1307,6 +1364,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
+    "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMB_COSINE_SQL, "cosine near-dup pairs"),
     "textstats_quality": QuerySpec(textstats_quality, QUALITY_SQL, "quality scoring"),
     "lang_id_stopwords": QuerySpec(lang_id_stopwords, _lang_sql(), "stopword lang-id"),
@@ -1320,6 +1378,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # rows-only (non-SQL-expressible)
     "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_op, None, "minhash+LSH near-dup"),
+    "dedup_embedding_lsh": QuerySpec(dedup_embedding_lsh, None, "auto-LSH-blocked cosine pairs"),
     "dedup_simhash": QuerySpec(dedup_simhash_op, None, "simhash fingerprints"),
     "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
     "ivf_search_top10": QuerySpec(ivf_search_op, None, "IVF coarse-quantizer ANN"),
