@@ -142,6 +142,69 @@ class EventLog:
         return out_dir
 
 
+# Column order mirrors the reference's fputcsv header row
+# (class-admin-page-logs.php:189-199); `id` is dropped — the state store has
+# no surrogate key, vector_id is the row identity.
+STATE_CSV_COLUMNS = [
+    "site_id",
+    "product_id",
+    "target",
+    "chunk_index",
+    "vector_id",
+    "product_sha",
+    "chunk_sha",
+    "model",
+    "dimension",
+    "status",
+    "error_code",
+    "error_msg",
+    "last_synced_at",
+    "created_at",
+    "updated_at",
+]
+
+_STATE_TARGETS = ("pinecone", "openai", "local")
+_STATE_STATUSES = ("synced", "pending", "error", "deleted")
+
+
+def export_state_csv(
+    state: DataFrame,
+    out_dir: str,
+    site_id: int | None = None,
+    product_id: int | None = None,
+    target: str | None = None,
+    status: str | None = None,
+    per_page: int = 50,
+    page: int = 1,
+) -> str:
+    """W10 (state side): the reference exports BOTH tables — events AND the
+    sync-state page (class-admin-page-logs.php:125-200). Filters mirror
+    query_rows(): site/product equality, target/status validated against the
+    reference enums; error_msg truncated to 300 chars (SUBSTRING at :162);
+    ordering ``updated_at DESC, id DESC`` with vector_id as the tiebreak;
+    per_page clamped 10-200, page >= 1 (:216-217)."""
+    per_page = max(10, min(200, per_page))
+    page = max(1, page)
+    df = state
+    if site_id is not None:
+        df = df.filter(F.col("site_id") == site_id)
+    if product_id is not None:
+        df = df.filter(F.col("product_id") == product_id)
+    if target is not None and target in _STATE_TARGETS:
+        df = df.filter(F.col("target") == target)
+    if status is not None and status in _STATE_STATUSES:
+        df = df.filter(F.col("status") == status)
+    df = (
+        df.withColumn("error_msg", F.substring("error_msg", 1, 300))
+        .select(*STATE_CSV_COLUMNS)
+        .orderBy(F.desc("updated_at"), F.desc("vector_id"))
+        .offset((page - 1) * per_page)
+        .limit(per_page)
+    )
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(out_dir)
+    return out_dir
+
+
 def queue_metrics(state: DataFrame, events: DataFrame | None = None) -> dict:
     """A4: status counts + windowed 24h success/error counts + backlog
     estimate (class-scheduler.php:259-327)."""

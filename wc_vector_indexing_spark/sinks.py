@@ -126,6 +126,30 @@ class FileVectorSink:
         with open(out, "w") as f:
             f.write(json.dumps({"filter": metadata_filter}) + "\n")
 
+    # -- remote-listing surface (S11/W7) -----------------------------------
+
+    def list_page(self, limit: int = 1000, after: str | None = None) -> tuple[list[dict], str | None]:
+        """Cursor-paginated listing of live vectors, mirroring the remote
+        list call the purge fallback walks (class-openai-vectorstore-
+        adapter.php:244-252: page of up to ``limit``, opaque ``after``
+        cursor, empty cursor terminates). Live = upserted minus ids the
+        store has recorded deleted."""
+        deleted_ids: set[str] = set()
+        for rec in self.read_deletes():
+            deleted_ids.update(rec.get("ids") or [])
+        live = sorted(
+            {v["id"]: v for v in self.read_upserted() if v["id"] not in deleted_ids}.values(),
+            key=lambda v: v["id"],
+        )
+        start = 0
+        if after is not None:
+            # cursor = last id of the previous page; resolve positionally so a
+            # cursor whose vector was deleted mid-pagination still advances
+            start = sum(1 for v in live if v["id"] <= after)
+        page = live[start : start + max(1, limit)]
+        next_after = page[-1]["id"] if page and start + len(page) < len(live) else None
+        return page, next_after
+
     # -- read-back helpers for tests --------------------------------------
 
     def read_upserted(self) -> list[dict]:
@@ -197,9 +221,65 @@ def delete_product_vectors(sink: VectorSink, site_id: int, product_id: int) -> N
     )
 
 
-def purge_site_vectors(sink: VectorSink, site_id: int) -> None:
-    """W6/W7 site purge via metadata filter."""
-    _with_retry(
-        lambda: sink.delete_by_filter({"site_id": {"$eq": site_id}}),
-        f"purge:{site_id}",
-    )
+def purge_site_vectors(
+    sink: VectorSink,
+    site_id: int,
+    page_limit: int = 1000,
+    batch_delete_limit: int = 500,
+) -> dict:
+    """W6/W7 site purge. Prefer a server-side metadata-filter delete; when
+    the adapter doesn't support one, fall back to the reference's
+    list → client-side filter on metadata.site_id → delete-by-ids in
+    batches of 500 (class-openai-vectorstore-adapter.php:229-273).
+    Returns ``{"deleted": n}`` (n is None for the filter path — the remote
+    doesn't report a count)."""
+    if callable(getattr(sink, "delete_by_filter", None)):
+        _with_retry(
+            lambda: sink.delete_by_filter({"site_id": {"$eq": site_id}}),
+            f"purge:{site_id}",
+        )
+        return {"deleted": None}
+
+    deleted = 0
+    after: str | None = None
+    while True:
+        page, after = sink.list_page(limit=page_limit, after=after)
+        candidates = [
+            str(v["id"])
+            for v in page
+            if int((v.get("metadata") or {}).get("site_id", -1)) == int(site_id)
+        ]
+        while candidates:
+            chunk = candidates[:batch_delete_limit]
+            del candidates[:batch_delete_limit]
+            _with_retry(
+                lambda c=chunk: sink.delete_by_ids(c),
+                f"purge:{site_id}:{deleted}",
+            )
+            deleted += len(chunk)
+        if not after:
+            break
+    return {"deleted": deleted}
+
+
+def ensure_store(root: str, name_hint: str = "wcvec") -> str:
+    """W7: resolve-or-create the backing store, caching its id — the
+    reference caches the OpenAI vector-store id in an option, GETs it to
+    verify it still exists, and creates+caches a fresh one when the id is
+    missing or the store is gone (class-openai-vectorstore-adapter.php
+    ensure_store, :286-335). Local analogue: ``root/_store_id`` holds the
+    cached id; the store is a subdirectory of ``root``; a dangling id is
+    replaced. Returns the store directory path (the "store id")."""
+    os.makedirs(root, exist_ok=True)
+    opt = os.path.join(root, "_store_id")
+    if os.path.exists(opt):
+        with open(opt) as f:
+            store_id = f.read().strip()
+        if store_id and os.path.isdir(os.path.join(root, store_id)):
+            return os.path.join(root, store_id)
+        # fall through: store gone, create a new one (reference :308-310)
+    store_id = f"{name_hint}_{uuid.uuid4().hex[:12]}"
+    os.makedirs(os.path.join(root, store_id), exist_ok=True)
+    with open(opt, "w") as f:
+        f.write(store_id)
+    return os.path.join(root, store_id)
