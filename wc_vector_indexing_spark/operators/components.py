@@ -60,10 +60,14 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # initialize label(v) = min(v, neighbors(v)) — the mirrored edge set
+    # already lists every node as src, so this single aggregation both
+    # enumerates the nodes AND performs what would otherwise be the
+    # first propagation round (one join + checkpoint + probe saved)
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(F.col("src").alias("node"), F.least("src", "nbr_min").alias("label"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
