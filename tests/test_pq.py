@@ -1,0 +1,73 @@
+"""Product quantization (operators/pq.py): code compactness, ADC
+ranking quality vs the exact scan, artifact persistence, and the
+no-fp32-at-search plan property."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.operators.pq import PQCodebook
+from wc_vector_indexing_spark.operators.similarity import knn_exact
+from wc_vector_indexing_spark.sources.readers import load
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, "embeddings", SF).cache()
+
+
+@pytest.fixture(scope="module")
+def book(emb):
+    return PQCodebook.train(emb, m=16, ksub=128, seed=42)
+
+
+def test_codes_are_m_bytes(emb, book):
+    enc = book.encode(emb)
+    row = enc.select(F.length("pq_code").alias("n")).distinct().collect()
+    assert [r.n for r in row] == [16]  # 64 fp32 floats -> 16 bytes (16x)
+
+
+def test_encode_deterministic(emb, book):
+    a = {r.vec_id: r.pq_code for r in book.encode(emb).select("vec_id", "pq_code").collect()}
+    b = {r.vec_id: r.pq_code for r in book.encode(emb).select("vec_id", "pq_code").collect()}
+    assert a == b
+
+
+def test_adc_recall_vs_exact(emb, book, spark):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
+    exact = [r.vec_id for r in knn_exact(emb, qv, k=10).collect()]
+    enc = book.encode(emb).cache()
+    approx = [r.vec_id for r in book.search(enc, qv, k=10).collect()]
+    # PQ at 16x128 codes on 64-dim near-random data measured 0.9
+    # recall@10; pin a 0.7 floor, and the true nearest neighbor (the
+    # query itself) must rank first
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.7, (overlap, exact, approx)
+    assert approx[0] == 1
+
+
+def test_search_never_reads_fp32(emb, book, spark, tmp_path):
+    # the scale layout: the encoded table is persisted once, search reads
+    # ONLY (vec_id, pq_code) — column pruning must drop the fp32 column
+    path = str(tmp_path / "encoded")
+    book.encode(emb).write.parquet(path)
+    enc = spark.read.parquet(path)
+    qv = [0.1] * 64
+    q = book.search(enc, qv)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "pq_code" in scan and "embedding" not in scan
+    assert q.columns == ["vec_id", "score"]
+
+
+def test_persistence_roundtrip(tmp_path, emb, book):
+    path = str(tmp_path / "pq.json")
+    book.save(path)
+    loaded = PQCodebook.load(path)
+    assert np.array_equal(loaded.codebooks, book.codebooks)
+    assert PQCodebook.train_or_load(emb, path, m=16, ksub=128).seed == book.seed

@@ -1295,13 +1295,25 @@ def _ivf_artifact_path(sf: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"wcvi_ivf_{key}.json")
 
 
-def warm_build_artifacts(spark: SparkSession, sf: str) -> None:
-    """Pre-train the build-time artifacts (the IVF coarse quantizer) so a
-    query benchmark measures the search path — index builds are amortized
-    one-time jobs at scale, not per-query costs."""
-    from wc_vector_indexing_spark.operators.ivf import IVFIndex
+def _pq_artifact_path(sf: str) -> str:
+    import hashlib
+    import os
+    import tempfile
 
-    IVFIndex.train_or_load(load(spark, "embeddings", sf), _ivf_artifact_path(sf), nlist=8)
+    key = hashlib.sha256(f"{os.path.realpath(sf)}|m=16|ksub=128|seed=42".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"wcvi_pq_{key}.json")
+
+
+def warm_build_artifacts(spark: SparkSession, sf: str) -> None:
+    """Pre-train the build-time artifacts (IVF coarse quantizer, PQ
+    codebooks) so a query benchmark measures the search path — index
+    builds are amortized one-time jobs at scale, not per-query costs."""
+    from wc_vector_indexing_spark.operators.ivf import IVFIndex
+    from wc_vector_indexing_spark.operators.pq import PQCodebook
+
+    emb = load(spark, "embeddings", sf)
+    IVFIndex.train_or_load(emb, _ivf_artifact_path(sf), nlist=8)
+    PQCodebook.train_or_load(emb, _pq_artifact_path(sf), m=16, ksub=128)
 
 
 def ivf_search_op(spark: SparkSession, sf: str) -> DataFrame:
@@ -1318,6 +1330,22 @@ def ivf_search_op(spark: SparkSession, sf: str) -> DataFrame:
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
     res = ivf.search(indexed, qv, k=10, nprobe=4)
     return res.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
+def pq_search_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized ADC search (operators/pq.py): load (or
+    train-once, persist) the codebooks, encode to 16-byte codes, rank by
+    asymmetric distance — the compressed-search path that makes a 100 TB
+    embedding corpus scannable (16x smaller column, no fp32 reads at
+    query time). Approximate by construction → rows-only; ranking
+    quality pinned by tests/test_pq.py against the exact scan."""
+    from wc_vector_indexing_spark.operators.pq import PQCodebook
+
+    emb = load(spark, "embeddings", sf)
+    book = PQCodebook.train_or_load(emb, _pq_artifact_path(sf), m=16, ksub=128)
+    enc = book.encode(emb)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
+    return book.search(enc, qv, k=10)
 
 
 def rollup_timeseries(spark: SparkSession, sf: str) -> DataFrame:
@@ -1456,6 +1484,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(dedup_simhash_op, None, "simhash fingerprints"),
     "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
     "ivf_search_top10": QuerySpec(ivf_search_op, None, "IVF coarse-quantizer ANN"),
+    "pq_search_top10": QuerySpec(pq_search_op, None, "product-quantized ADC search"),
     "curation_pipeline": QuerySpec(curation_pipeline_op, None, "quality+lang+dedup curation audit"),
     "doc_fingerprint": QuerySpec(doc_fingerprint_op, None, "rolling-hash fingerprint"),
 }
