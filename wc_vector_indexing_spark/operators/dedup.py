@@ -199,9 +199,61 @@ def _band_bucket_udf(num_hashes: int, bands: int, k: int):
         [((i * 40503 + 12345) * 2246822519) % p for i in range(num_hashes)], dtype=np.int64
     ).reshape(-1, 1)
 
+    def one_doc(text: str) -> tuple[list[int], list[int]]:
+        toks = (text or "").lower().split()
+        if len(toks) < k:
+            shingles = set(toks) or {""}
+        else:
+            shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+        hs = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) % p for s in shingles),
+            dtype=np.int64,
+            count=len(shingles),
+        )
+        mins = ((a * hs + b) % p).min(axis=1)
+        out = []
+        for band in range(bands):
+            key = f"{band}:" + ",".join(map(str, mins[band * rows : (band + 1) * rows]))
+            h = hashlib.blake2b(key.encode(), digest_size=8).digest()
+            out.append(int.from_bytes(h, "big") - (1 << 63))
+        return [int(x) for x in mins], out
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        def one(text: str) -> list[int]:
+        return texts.map(lambda t: one_doc(t)[1])
+
+    return sig
+
+
+def sig_and_buckets_udf(num_hashes: int, bands: int, k: int):
+    """Full minhash signature AND band buckets in one Arrow pass —
+    struct(sig, buckets). Same hash family as ``_band_bucket_udf`` (the
+    band hashes are byte-identical), so a store built with this matches
+    candidates produced by ``minhash_lsh_pairs``."""
+    import hashlib
+
+    import numpy as np
+
+    p = (1 << 31) - 1
+    rows = num_hashes // bands
+    a = np.array(
+        [((2 * i + 1) * 2654435761) % p or 1 for i in range(num_hashes)], dtype=np.int64
+    ).reshape(-1, 1)
+    b = np.array(
+        [((i * 40503 + 12345) * 2246822519) % p for i in range(num_hashes)], dtype=np.int64
+    ).reshape(-1, 1)
+
+    out_type = T.StructType(
+        [
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("buckets", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @pandas_udf(out_type)
+    def both(texts: pd.Series) -> pd.DataFrame:
+        sigs, bucks = [], []
+        for text in texts:
             toks = (text or "").lower().split()
             if len(toks) < k:
                 shingles = set(toks) or {""}
@@ -213,16 +265,16 @@ def _band_bucket_udf(num_hashes: int, bands: int, k: int):
                 count=len(shingles),
             )
             mins = ((a * hs + b) % p).min(axis=1)
-            out = []
+            band_hashes = []
             for band in range(bands):
                 key = f"{band}:" + ",".join(map(str, mins[band * rows : (band + 1) * rows]))
                 h = hashlib.blake2b(key.encode(), digest_size=8).digest()
-                out.append(int.from_bytes(h, "big") - (1 << 63))
-            return out
+                band_hashes.append(int.from_bytes(h, "big") - (1 << 63))
+            sigs.append([int(x) for x in mins])
+            bucks.append(band_hashes)
+        return pd.DataFrame({"sig": sigs, "buckets": bucks})
 
-        return texts.map(one)
-
-    return sig
+    return both
 
 
 def minhash_lsh_pairs(

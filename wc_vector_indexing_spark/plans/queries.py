@@ -1315,6 +1315,14 @@ def warm_build_artifacts(spark: SparkSession, sf: str) -> None:
     IVFIndex.train_or_load(emb, _ivf_artifact_path(sf), nlist=8)
     PQCodebook.train_or_load(emb, _pq_artifact_path(sf), m=16, ksub=128)
 
+    import os
+
+    from wc_vector_indexing_spark.operators.incremental_dedup import SignatureStore
+
+    store = SignatureStore(spark, _sigstore_path(sf))
+    if not os.path.isdir(os.path.join(store.root, "signatures")):
+        store.append(load(spark, "documents", sf).filter(F.col("doc_id") % 5 != 0))
+
 
 def ivf_search_op(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse-quantizer ANN search path: load (or train-once,
@@ -1330,6 +1338,34 @@ def ivf_search_op(spark: SparkSession, sf: str) -> DataFrame:
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
     res = ivf.search(indexed, qv, k=10, nprobe=4)
     return res.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
+def _sigstore_path(sf: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha256(f"{os.path.realpath(sf)}|nh=64|b=16|k=4".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"wcvi_sigstore_{key}")
+
+
+def dedup_incremental_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental batch-vs-corpus near-dup match
+    (operators/incremental_dedup.py): the corpus signature store is a
+    build-time artifact (docs with doc_id % 5 != 0); the query computes
+    signatures for the remaining 20% "daily batch" ONLY and joins band
+    buckets against the store. Hash-estimate verification → rows-only;
+    estimate quality pinned by tests/test_incremental_dedup.py."""
+    import os
+
+    from wc_vector_indexing_spark.operators.incremental_dedup import SignatureStore
+
+    docs = load(spark, "documents", sf)
+    store = SignatureStore(spark, _sigstore_path(sf))
+    if not os.path.isdir(os.path.join(store.root, "signatures")):
+        store.append(docs.filter(F.col("doc_id") % 5 != 0))
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return store.match_new(batch, threshold=0.3).orderBy("new_id", "store_id")
 
 
 def pq_search_op(spark: SparkSession, sf: str) -> DataFrame:
@@ -1485,6 +1521,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
     "ivf_search_top10": QuerySpec(ivf_search_op, None, "IVF coarse-quantizer ANN"),
     "pq_search_top10": QuerySpec(pq_search_op, None, "product-quantized ADC search"),
+    "dedup_incremental": QuerySpec(
+        dedup_incremental_op, None, "batch-vs-corpus signature-store dedup"
+    ),
     "curation_pipeline": QuerySpec(curation_pipeline_op, None, "quality+lang+dedup curation audit"),
     "doc_fingerprint": QuerySpec(doc_fingerprint_op, None, "rolling-hash fingerprint"),
 }
