@@ -60,3 +60,28 @@ def test_curate_keep_all_languages(spark):
     docs = mk_docs(spark)
     curated, _ = curate(docs, CurationConfig(languages=None, near_dup_threshold=0.5))
     assert {r.doc_id for r in curated.collect()} == {1, 5, 6}
+
+
+def test_curate_repetition_stage(spark):
+    clean = (
+        "The quick brown fox jumps over the lazy dog while seventeen sailors "
+        "watch from a distant pier in the calm morning light with coffee, maps, "
+        "charts, and a very long list of singular unrepeated words nearby."
+    )
+    spam = "buy now " * 60  # every 5-gram is a duplicate
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=clean), Row(doc_id=2, text=spam)]
+    )
+    # languages=None isolates the repetition gate (spam has no stopwords
+    # and would otherwise drop as wrong_language first)
+    curated, audit = curate(
+        docs, CurationConfig(languages=None, repetition_thresholds={})
+    )
+    assert [r.doc_id for r in curated.collect()] == [1]
+    assert [(r.doc_id, r.reject_reason) for r in audit.collect()] == [(2, "repetitive")]
+
+
+def test_curate_repetition_off_by_default(spark):
+    docs = mk_docs(spark)
+    _, audit = curate(docs, CurationConfig(near_dup_threshold=0.5))
+    assert "repetitive" not in {r.reject_reason for r in audit.collect()}

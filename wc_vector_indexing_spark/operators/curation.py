@@ -40,6 +40,9 @@ class CurationConfig:
     minhash_hashes: int = 64
     minhash_bands: int = 16
     shingle_k: int = 4
+    # None = stage off; {} = Gopher defaults; partial dicts override
+    # individual thresholds (operators/repetition.DEFAULT_THRESHOLDS)
+    repetition_thresholds: dict | None = None
 
 
 class CurationResult:
@@ -75,9 +78,10 @@ def curate(
 
       curated — the surviving rows of ``docs`` (all original columns)
       audit   — (doc_id, reject_reason) for every dropped row, reason ∈
-                {low_quality, wrong_language, exact_duplicate, near_duplicate}
+                {low_quality, wrong_language, repetitive, exact_duplicate,
+                near_duplicate}
 
-    The four audit branches are DISJOINT subsets of ``docs`` (each stage
+    The audit branches are DISJOINT subsets of ``docs`` (each stage
     only examines the previous stage's survivors), so
     ``|curated| = |docs| - |audit|`` — curation_report relies on this.
     """
@@ -101,6 +105,25 @@ def curate(
         kept = kept.filter(F.col("predicted_lang").isin(*config.languages))
     else:
         wrong_lang = kept.limit(0)
+
+    # repetition gate (Gopher filters) — after the pure-projection gates
+    # (it shuffles on doc-keyed aggregations), before anything corpus-wide
+    if config.repetition_thresholds is not None:
+        from wc_vector_indexing_spark.operators.repetition import (
+            DEFAULT_THRESHOLDS,
+            repetition_signals,
+        )
+
+        th = {**DEFAULT_THRESHOLDS, **config.repetition_thresholds}
+        sig = repetition_signals(kept, text_col=text_col, id_col=id_col)
+        over = None
+        for col, bound in th.items():
+            cond = F.col(col) > bound
+            over = cond if over is None else (over | cond)
+        rep_dropped = sig.filter(over).select(id_col)
+        kept = kept.join(rep_dropped, id_col, "left_anti")
+    else:
+        rep_dropped = kept.limit(0).select(id_col)
 
     kept = kept.persist()
     filtered = kept  # the persisted post-filter survivors (for cleanup)
@@ -130,6 +153,7 @@ def curate(
     audit = (
         low_q.select(id_col).withColumn("reject_reason", F.lit("low_quality"))
         .unionByName(wrong_lang.select(id_col).withColumn("reject_reason", F.lit("wrong_language")))
+        .unionByName(rep_dropped.withColumn("reject_reason", F.lit("repetitive")))
         .unionByName(exact_dropped.withColumn("reject_reason", F.lit("exact_duplicate")))
         .unionByName(near_dropped.withColumn("reject_reason", F.lit("near_duplicate")))
     )
