@@ -108,20 +108,34 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
-def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def doc_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """Content fingerprints: full-text sha256 + a polynomial rolling hash
     of the token stream (order-sensitive, whitespace-insensitive — the
     'same words, same order' identity).
 
     Arithmetic stays in [0, 2^31) so it is ANSI-safe (no long overflow):
-    acc' = (acc * 1000003 + (xxhash64(tok) mod 2^31)) mod 2^31.
+    acc' = (acc * 1000003 + (h(tok) mod 2^31)) mod 2^31.
+
+    ``token_hash``: "xxhash64" (default — fastest, Spark-native) or
+    "md5" (first 8 hex digits as an integer — bit-identical in any
+    engine with md5, which is what the DuckDB oracle runs).
     """
     toks = tokens_col(text_col)
     mod = F.lit(2**31)
+    if token_hash == "md5":
+        def h(x):
+            return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64
     rolling = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, x: F.pmod(acc * F.lit(1000003) + F.pmod(F.xxhash64(x), mod), mod),
+        lambda acc, x: F.pmod(acc * F.lit(1000003) + F.pmod(h(x), mod), mod),
     )
     return docs.select(
         F.col(id_col),

@@ -1265,7 +1265,23 @@ def knn_lsh_op(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def doc_fingerprint_op(spark: SparkSession, sf: str) -> DataFrame:
-    return textstats.doc_fingerprint(load(spark, "documents", sf))
+    """md5 token-hash mode: bit-identical cross-engine, so the rolling
+    hash itself is oracle-verified (the xxhash64 default is the fast
+    path for production, same recurrence)."""
+    return textstats.doc_fingerprint(load(spark, "documents", sf), token_hash="md5")
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       sha256(text) AS text_sha,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+                   t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 2147483648)),
+           (acc, x) -> (acc * 1000003 + x) % 2147483648) AS rolling_hash
+FROM documents
+ORDER BY doc_id
+"""
 
 
 def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
@@ -1525,5 +1541,7 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup_incremental_op, None, "batch-vs-corpus signature-store dedup"
     ),
     "curation_pipeline": QuerySpec(curation_pipeline_op, None, "quality+lang+dedup curation audit"),
-    "doc_fingerprint": QuerySpec(doc_fingerprint_op, None, "rolling-hash fingerprint"),
+    "doc_fingerprint": QuerySpec(
+        doc_fingerprint_op, FINGERPRINT_SQL, "rolling-hash fingerprint"
+    ),
 }
