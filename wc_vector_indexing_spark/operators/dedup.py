@@ -334,7 +334,12 @@ def minhash_lsh_pairs(
     return candidates.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash fingerprint per document, all JVM-side:
     token → xxhash64 → per-bit ±1 votes → sign.
 
@@ -345,7 +350,15 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok")).filter(
         F.col("tok") != ""
     )
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    if token_hash == "md5":
+        # 15 hex digits = 60 bits, always < 2^63 (a full 16-digit parse
+        # can exceed LongType and null out under non-ANSI casts); bits
+        # 60-63 then vote uniformly negative and never set — identical
+        # in any engine with md5, which is what the oracle runs
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
+    hashed = toks.select(id_col, h.alias("h"))
     # vote per bit: +1 if bit set else -1; sum votes; bit set iff sum > 0
     votes = hashed.groupBy(id_col).agg(
         *[

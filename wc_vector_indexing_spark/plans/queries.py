@@ -1254,7 +1254,31 @@ def dedup_minhash_op(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dedup_simhash_op(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash64(load(spark, "documents", sf))
+    """md5 token-hash mode so the bit votes are reproducible in the
+    DuckDB oracle (xxhash64 stays the production default)."""
+    return dedup.simhash64(load(spark, "documents", sf), token_hash="md5")
+
+
+SIMHASH_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              x -> x != '')) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
+), bitvotes AS (
+    SELECT doc_id, bits.b,
+           sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bits
+    GROUP BY doc_id, bits.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bitvotes
+GROUP BY doc_id
+ORDER BY doc_id
+"""
 
 
 def knn_lsh_op(spark: SparkSession, sf: str) -> DataFrame:
@@ -1533,7 +1557,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_op, None, "minhash+LSH near-dup"),
     "dedup_embedding_lsh": QuerySpec(dedup_embedding_lsh, None, "auto-LSH-blocked cosine pairs"),
-    "dedup_simhash": QuerySpec(dedup_simhash_op, None, "simhash fingerprints"),
+    "dedup_simhash": QuerySpec(dedup_simhash_op, SIMHASH_SQL, "simhash fingerprints"),
     "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
     "ivf_search_top10": QuerySpec(ivf_search_op, None, "IVF coarse-quantizer ANN"),
     "pq_search_top10": QuerySpec(pq_search_op, None, "product-quantized ADC search"),
