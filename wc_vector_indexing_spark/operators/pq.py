@@ -198,3 +198,30 @@ class PQCodebook:
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k)
         )
+
+
+def ivf_pq_search(
+    indexed_encoded: DataFrame,
+    ivf,
+    book: PQCodebook,
+    query_vector: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    code_col: str = "pq_code",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN layout (Jégou et al. §VI) over a
+    table carrying BOTH build-time columns (list_id partition + pq_code).
+    A search (1) ranks centroids driver-side, (2) prunes to the nprobe
+    lists — partition pruning when the table is partitioned by list_id —
+    and (3) ADC-ranks the probed lists' codes. Bytes touched per query:
+    ~(nprobe/nlist) * corpus * (16-byte codes), vs the full fp32 column
+    for the exact scan — a ~1000x I/O reduction at 768-dim/nlist=1024.
+
+    ``ivf`` is an operators.ivf.IVFIndex (duck-typed to avoid a hard
+    import cycle); flat PQ codes (no residual encoding) keep encode
+    independent of list assignment, so the two artifacts compose freely.
+    """
+    lists = ivf.probe_lists(query_vector, nprobe)
+    pruned = indexed_encoded.filter(F.col("list_id").isin(lists))
+    return book.search(pruned, query_vector, k=k, code_col=code_col, id_col=id_col)

@@ -1356,6 +1356,18 @@ def _pq_artifact_path(sf: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"wcvi_pq_{key}.json")
 
 
+def _ivfpq_table_path(sf: str) -> str:
+    """The composed ANN layout: embeddings + list_id + pq_code,
+    partitioned by list_id — probes prune partitions AND rank on the
+    16-byte codes without touching the fp32 column."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha256(f"{os.path.realpath(sf)}|ivfpq|v1".encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"wcvi_ivfpqtab_{key}")
+
+
 def warm_build_artifacts(spark: SparkSession, sf: str) -> None:
     """Pre-train the build-time artifacts (IVF coarse quantizer, PQ
     codebooks) so a query benchmark measures the search path — index
@@ -1370,7 +1382,10 @@ def warm_build_artifacts(spark: SparkSession, sf: str) -> None:
     table = _ivf_table_path(sf)
     if not os.path.isdir(table):
         ivf.assign(emb).write.partitionBy("list_id").parquet(table)
-    PQCodebook.train_or_load(emb, _pq_artifact_path(sf), m=16, ksub=128)
+    book = PQCodebook.train_or_load(emb, _pq_artifact_path(sf), m=16, ksub=128)
+    ivfpq = _ivfpq_table_path(sf)
+    if not os.path.isdir(ivfpq):
+        book.encode(ivf.assign(emb)).write.partitionBy("list_id").parquet(ivfpq)
 
     from wc_vector_indexing_spark.operators.incremental_dedup import SignatureStore
 
@@ -1440,6 +1455,29 @@ def pq_search_op(spark: SparkSession, sf: str) -> DataFrame:
     enc = book.encode(emb)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
     return book.search(enc, qv, k=10)
+
+
+def ivfpq_search_op(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composed search (operators/pq.ivf_pq_search): partition-
+    pruned probes + ADC over 16-byte codes — per query, bytes touched ≈
+    (nprobe/nlist) x corpus x code bytes. Approximate → rows-only;
+    recall floor pinned by tests/test_pq.py."""
+    import os
+
+    from wc_vector_indexing_spark.operators.ivf import IVFIndex
+    from wc_vector_indexing_spark.operators.pq import PQCodebook, ivf_pq_search
+
+    emb = load(spark, "embeddings", sf)
+    ivf = IVFIndex.train_or_load(emb, _ivf_artifact_path(sf), nlist=8)
+    book = PQCodebook.train_or_load(emb, _pq_artifact_path(sf), m=16, ksub=128)
+    table = _ivfpq_table_path(sf)
+    indexed = (
+        spark.read.parquet(table)
+        if os.path.isdir(table)
+        else book.encode(ivf.assign(emb))
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).head().embedding]
+    return ivf_pq_search(indexed, ivf, book, qv, k=10, nprobe=4)
 
 
 def rollup_timeseries(spark: SparkSession, sf: str) -> DataFrame:
@@ -1579,6 +1617,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
     "ivf_search_top10": QuerySpec(ivf_search_op, None, "IVF coarse-quantizer ANN"),
     "pq_search_top10": QuerySpec(pq_search_op, None, "product-quantized ADC search"),
+    "ivfpq_search_top10": QuerySpec(
+        ivfpq_search_op, None, "IVF-PQ pruned compressed search"
+    ),
     "dedup_incremental": QuerySpec(
         dedup_incremental_op, None, "batch-vs-corpus signature-store dedup"
     ),
