@@ -1,0 +1,58 @@
+"""Source-mixture reweighting (operators/mixing.py): achieved mixture
+tracks the target, determinism, unlisted-source drop, audit report."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from wc_vector_indexing_spark.operators.mixing import mix_report, source_mix
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = (
+        [Row(doc_id=i, source="web", text=f"w{i}") for i in range(600)]
+        + [Row(doc_id=1000 + i, source="books", text=f"b{i}") for i in range(200)]
+        + [Row(doc_id=2000 + i, source="junk", text=f"j{i}") for i in range(100)]
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_mixture_tracks_target(spark, docs):
+    # books is the binding source: N* = 200/0.5 = 400 -> web keeps 200/600
+    mixed = source_mix(docs, {"web": 0.5, "books": 0.5})
+    rep = {r.source: r for r in mix_report(docs, mixed).collect()}
+    assert "junk" not in {r.source for r in mixed.select("source").distinct().collect()}
+    assert rep["books"].n_after >= 195  # f=1.0 (minus <=0.01% floor slack)
+    # web downsampled to ~200 of 600; hash sampling is binomial around
+    # the threshold — allow 3 sigma (~sqrt(200*2/3) ~ 12)
+    assert abs(rep["web"].n_after - 200) <= 40
+    assert abs(rep["web"].achieved_weight - 0.5) <= 0.06
+
+
+def test_deterministic_and_content_addressed(spark, docs):
+    a = sorted(r.doc_id for r in source_mix(docs, {"web": 0.6, "books": 0.4}).collect())
+    b = sorted(r.doc_id for r in source_mix(docs, {"web": 0.6, "books": 0.4}).collect())
+    assert a == b
+    # repartitioning cannot change membership (content-addressed)
+    c = sorted(
+        r.doc_id
+        for r in source_mix(docs.repartition(7), {"web": 0.6, "books": 0.4}).collect()
+    )
+    assert a == c
+
+
+def test_weights_must_sum_to_one(spark, docs):
+    with pytest.raises(ValueError):
+        source_mix(docs, {"web": 0.5, "books": 0.4})
+
+
+def test_report_accounts_everything(spark, docs):
+    mixed = source_mix(docs, {"web": 0.5, "books": 0.5})
+    rep = mix_report(docs, mixed).collect()
+    assert {r.source for r in rep} == {"web", "books", "junk"}
+    junk = next(r for r in rep if r.source == "junk")
+    assert junk.n_after == 0 and junk.n_before == 100
+    total_after = sum(r.n_after for r in rep)
+    assert total_after == mixed.count()

@@ -1153,6 +1153,35 @@ FROM b GROUP BY 1, 2 ORDER BY lang, split
 """
 
 
+MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.3}
+
+
+def data_mixing_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-mixture reweighting (operators/mixing.py): deterministic
+    content-addressed downsampling to a target source mixture; unlisted
+    sources drop. Row-identical across engines (same sha256 bucket
+    filter as train_test_split), so the oracle verifies exact rows."""
+    from wc_vector_indexing_spark.operators.mixing import source_mix
+
+    return source_mix(load(spark, "documents", sf), MIX_WEIGHTS).orderBy("doc_id")
+
+
+def _mix_sql() -> str:
+    vals = ", ".join(f"('{s}', {w!r}::DOUBLE)" for s, w in MIX_WEIGHTS.items())
+    return f"""
+WITH w(source, w_s) AS (VALUES {vals}),
+c AS (SELECT source, count(*)::DOUBLE AS n_s FROM documents GROUP BY source),
+cw AS (SELECT c.source, c.n_s, w.w_s FROM c JOIN w USING (source)),
+n AS (SELECT min(n_s / w_s) AS n_star FROM cw),
+thr AS (SELECT source, CAST(floor(((w_s * n_star) / n_s) * 10000) AS INT) AS thr
+        FROM cw CROSS JOIN n)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN thr USING (source)
+WHERE (('0x' || substr(sha256(d.doc_id::VARCHAR), 1, 8))::UBIGINT % 10000)::INT < thr.thr
+ORDER BY d.doc_id
+"""
+
+
 def knn_join_top3(spark: SparkSession, sf: str) -> DataFrame:
     """All-pairs kNN join: for each of 10 query vectors, its 3 nearest
     neighbors (operators.similarity.knn_similarity_join)."""
@@ -1607,6 +1636,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "pivot_order_status": QuerySpec(pivot_order_status, PIVOT_SQL, "pivoted status counts"),
     "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
     "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
+    "data_mixing": QuerySpec(data_mixing_op, _mix_sql(), "source-mixture reweighting"),
     "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
     "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
     # rows-only (non-SQL-expressible)
