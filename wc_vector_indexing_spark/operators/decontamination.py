@@ -1,0 +1,76 @@
+"""Eval-set decontamination — find training documents that share long
+word n-grams with an evaluation set, the standard pre-training hygiene
+step (e.g. GPT-3's 13-gram overlap filter, Brown et al. 2020 §C —
+public): a training corpus contaminated with eval text inflates
+benchmark numbers, so contaminated docs are flagged/dropped before
+training.
+
+Scale shape: the eval side is SMALL by construction (benchmarks are
+thousands of docs, the corpus is billions), so its distinct n-gram set
+broadcasts — the 100 TB training side is scanned once, its grams
+stream through a broadcast hash join, and ONLY matching (train, eval)
+gram hits shuffle into the per-pair count. No corpus-side shuffle, no
+skew key (gram joins hit the broadcast map, not a partitioner).
+
+At real scale hash the gram strings to 8 bytes before the join
+(xxhash64) to shrink the broadcast; the string form here keeps the
+operator oracle-exact (the DuckDB mirror joins the same strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.operators.repetition import _word_ngrams
+from wc_vector_indexing_spark.operators.textstats import tokens_col
+
+
+def _gram_rows(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(_word_ngrams(tokens_col(text_col), n))).alias(
+            "gram"
+        ),
+    ).where(F.col("gram").isNotNull())
+
+
+def contamination_pairs(
+    train: DataFrame,
+    evals: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """(train_id, eval_id, n_hits): per (train doc, eval doc) pair, the
+    number of DISTINCT eval n-grams appearing in the train doc; pairs
+    below ``min_hits`` drop. n=13 is the published default; shorter n
+    trades precision for recall."""
+    ev = _gram_rows(evals, n, text_col, id_col).select(
+        F.col(id_col).alias("eval_id"), "gram"
+    )
+    tr = _gram_rows(train, n, text_col, id_col).select(
+        F.col(id_col).alias("train_id"), "gram"
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """``train`` minus every doc contaminated by any eval doc."""
+    bad = contamination_pairs(train, evals, n, text_col, id_col, min_hits).select(
+        F.col("train_id").alias(id_col)
+    )
+    return train.join(bad, id_col, "left_anti")

@@ -1153,6 +1153,38 @@ FROM b GROUP BY 1, 2 ORDER BY lang, split
 """
 
 
+def decontamination_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination (operators/decontamination.py): docs
+    with doc_id < 25 play the benchmark, the rest the training corpus;
+    n=4 suits the synthetic corpus's template text (production uses the
+    published 13-gram default). Eval grams broadcast; the corpus side
+    never shuffles."""
+    from wc_vector_indexing_spark.operators.decontamination import contamination_pairs
+
+    docs = load(spark, "documents", sf)
+    return contamination_pairs(
+        docs.filter(F.col("doc_id") >= 25), docs.filter(F.col("doc_id") < 25), n=4
+    ).orderBy("train_id", "eval_id")
+
+
+CONTAM_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]
+                       for i in generate_series(1, len(t) - 3)]) AS g
+        FROM toks)
+)
+SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_hits
+FROM grams tr JOIN grams ev ON tr.g = ev.g
+WHERE tr.doc_id >= 25 AND ev.doc_id < 25
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.3}
 
 
@@ -1637,6 +1669,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
     "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
     "data_mixing": QuerySpec(data_mixing_op, _mix_sql(), "source-mixture reweighting"),
+    "decontamination": QuerySpec(
+        decontamination_op, CONTAM_SQL, "eval-set n-gram decontamination"
+    ),
     "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
     "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
     # rows-only (non-SQL-expressible)
