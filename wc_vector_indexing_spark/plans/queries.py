@@ -1185,6 +1185,40 @@ ORDER BY 1, 2
 """
 
 
+def line_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus-wide line dedup (operators/linededup.py): lines
+    >= 30 chars survive only at their first (doc_id, pos) occurrence."""
+    from wc_vector_indexing_spark.operators.linededup import corpus_line_dedup
+
+    return corpus_line_dedup(load(spark, "documents", sf)).orderBy("doc_id")
+
+
+LINE_DEDUP_SQL = r"""
+WITH lines AS (
+    SELECT doc_id, u.idx AS pos, u.line FROM (
+        SELECT doc_id,
+               unnest([{'idx': i, 'line': l[i]} for i in generate_series(1, len(l))]) AS u
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents))
+), survivors AS (
+    SELECT doc_id, pos, line FROM (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM lines WHERE length(line) >= 30)
+    WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, pos, line FROM lines WHERE length(line) < 30
+), reassembled AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+           count(*) AS kept
+    FROM survivors GROUP BY doc_id
+), totals AS (SELECT doc_id, count(*) AS total FROM lines GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+       CAST(t.total - coalesce(r.kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN reassembled r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.3}
 
 
@@ -1672,6 +1706,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "decontamination": QuerySpec(
         decontamination_op, CONTAM_SQL, "eval-set n-gram decontamination"
     ),
+    "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
     "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
     "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
     # rows-only (non-SQL-expressible)
