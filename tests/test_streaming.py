@@ -155,3 +155,62 @@ def test_deduped_document_stream(spark, tmp_path):
         schema,
     )
     assert deduped_document_stream(static).count() == 1
+
+
+def test_curated_document_stream(spark, tmp_path):
+    """Ingest-time curation: quality + language gates are pure column
+    expressions on the stream; dedup still crosses micro-batches."""
+    from pyspark.sql import types as T
+
+    from wc_vector_indexing_spark.streaming.incremental import curated_document_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("event_ts", T.TimestampType(), False),
+        ]
+    )
+    good = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for walking in the park with a good long book to read "
+    ) * 2
+    spanish = "el la de los las que y en un una " * 12
+    digits = "1234567890 " * 30
+    docs_dir = str(tmp_path / "cdocs")
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good, event_ts=T0),
+            Row(doc_id=2, text=spanish, event_ts=T0 + timedelta(seconds=1)),
+        ],
+        schema,
+    ).write.parquet(docs_dir + "/f1")
+    spark.createDataFrame(
+        [
+            Row(doc_id=3, text=digits, event_ts=T0 + timedelta(seconds=2)),
+            Row(doc_id=4, text=good, event_ts=T0 + timedelta(seconds=3)),  # dup of 1
+        ],
+        schema,
+    ).write.parquet(docs_dir + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+    )
+    q = (
+        curated_document_stream(stream)
+        .writeStream.format("memory")
+        .queryName("curated_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    out = spark.sql("SELECT doc_id FROM curated_out").collect()
+    # 2 fails language, 3 fails quality, 4 is a cross-batch dup of 1
+    assert [r.doc_id for r in out] == [1]

@@ -48,6 +48,20 @@ def _char_class_count(c: Column, pattern: str) -> Column:
     return F.length(F.regexp_replace(c, pattern, ""))
 
 
+def quality_score_col(text_col: str | Column) -> Column:
+    """The composite quality score as a standalone column expression —
+    usable directly on a stream (no join, no state)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_tokens = token_count(c)
+    digit_ratio = _char_class_count(c, r"[^0-9]") / F.length(c)
+    punct_ratio = _char_class_count(c, r"[^.,;:!?]") / F.length(c)
+    return (
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
+        + (1.0 - digit_ratio) * 0.3
+        + (1.0 - F.least(F.lit(1.0), punct_ratio * 5.0)) * 0.3
+    )
+
+
 def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics (length / digit / punctuation /
     uppercase ratios + a composite score). Deterministic rational
@@ -61,11 +75,7 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     digit_ratio = digits / n_chars
     punct_ratio = punct / n_chars
     upper_ratio = upper / n_chars
-    score = (
-        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
-        + (1.0 - digit_ratio) * 0.3
-        + (1.0 - F.least(F.lit(1.0), punct_ratio * 5.0)) * 0.3
-    )
+    score = quality_score_col(c)
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -78,26 +88,38 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit-ratio language ID. For each language L:
-    ratio_L = |tokens ∈ stopwords_L| / |tokens|; predict argmax if it
-    clears LANG_MIN_RATIO, else 'other' (CJK text without spaces lands
-    in 'other' by construction)."""
+def _lang_ratios(text_col: str | Column) -> dict[str, Column]:
     toks = tokens_col(text_col)
     n = F.size(toks)
-    ratios = {
+    return {
         lang: F.size(F.filter(toks, lambda x: x.isin(words))) / n
         for lang, words in STOPWORDS.items()
     }
-    en, es, de, fr = ratios["en"], ratios["es"], ratios["de"], ratios["fr"]
+
+
+def predicted_lang_col(text_col: str | Column) -> Column:
+    """The argmax language prediction as a standalone column expression
+    (stream-safe, no join)."""
+    r = _lang_ratios(text_col)
+    en, es, de, fr = r["en"], r["es"], r["de"], r["fr"]
     m = F.lit(LANG_MIN_RATIO)
-    predicted = (
+    return (
         F.when((en >= es) & (en >= de) & (en >= fr) & (en >= m), "en")
         .when((es >= de) & (es >= fr) & (es >= m), "es")
         .when((de >= fr) & (de >= m), "de")
         .when(fr >= m, "fr")
         .otherwise("other")
     )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit-ratio language ID. For each language L:
+    ratio_L = |tokens ∈ stopwords_L| / |tokens|; predict argmax if it
+    clears LANG_MIN_RATIO, else 'other' (CJK text without spaces lands
+    in 'other' by construction)."""
+    ratios = _lang_ratios(text_col)
+    en, es, de, fr = ratios["en"], ratios["es"], ratios["de"], ratios["fr"]
+    predicted = predicted_lang_col(text_col)
     return docs.select(
         F.col(id_col),
         F.round(en, 4).alias("en_ratio"),

@@ -166,3 +166,36 @@ def deduped_document_stream(
             ["content_sha"]
         )
     return keyed.dropDuplicates(["content_sha"])
+
+
+def curated_document_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "event_ts",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] | None = ("en",),
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """The streaming front half of the curation pipeline: quality gate →
+    language gate → watermark-bounded exact dedup, applied AT INGEST so
+    garbage never reaches storage. All three gates are stateless column
+    expressions except the dedup (whose state the watermark bounds), so
+    the operator runs identically on a stream and on a static backfill
+    frame — the same contract as ``deduped_document_stream``.
+
+    The batch pipeline (operators/curation.py) remains the periodic
+    deep-clean (near-dup clustering needs corpus-wide joins that
+    streaming state cannot hold); this stage exists to cut what the
+    batch pass must read. Corpus-wide stages (MinHash, components) are
+    deliberately absent here. Both gates are standalone column
+    expressions (textstats.quality_score_col / predicted_lang_col), so
+    no stream-stream join and no extra state is introduced."""
+    from wc_vector_indexing_spark.operators.textstats import (
+        predicted_lang_col,
+        quality_score_col,
+    )
+
+    gated = docs.filter(quality_score_col(text_col) >= min_quality)
+    if languages is not None:
+        gated = gated.filter(predicted_lang_col(text_col).isin(*languages))
+    return deduped_document_stream(gated, text_col, ts_col, watermark_delay)
