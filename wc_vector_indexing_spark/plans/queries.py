@@ -1219,6 +1219,30 @@ ORDER BY doc_id
 """
 
 
+def sequence_packing_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): docs laid
+    end-to-end per source in doc_id order; bin = cumulative-offset //
+    budget. Window partitions by source — parallel across groups, no
+    global order."""
+    from wc_vector_indexing_spark.operators.packing import sequence_packing
+
+    return sequence_packing(load(spark, "documents", sf), budget=2048).orderBy("doc_id")
+
+
+PACKING_SQL = r"""
+SELECT doc_id, source, n_tokens,
+       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id
+FROM (
+    SELECT doc_id, source,
+           len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+           sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+    FROM documents)
+ORDER BY doc_id
+"""
+
+
 MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.3}
 
 
@@ -1707,6 +1731,9 @@ REGISTRY: dict[str, QuerySpec] = {
         decontamination_op, CONTAM_SQL, "eval-set n-gram decontamination"
     ),
     "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
+    "sequence_packing": QuerySpec(
+        sequence_packing_op, PACKING_SQL, "token-budget sequence packing"
+    ),
     "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
     "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
     # rows-only (non-SQL-expressible)
