@@ -233,3 +233,47 @@ def test_text_transform_hook_changes_fingerprint(spark):
     assert hooked_rows[0].chunk_text.startswith("PREFIX ")
     assert plain_rows[0].product_sha != hooked_rows[0].product_sha
     assert plain_rows[0].chunk_sha != hooked_rows[0].chunk_sha
+
+
+def test_natural_sort_k6(spark):
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.functions.text import (
+        natural_array_sort,
+        natural_sort_key,
+    )
+
+    df = spark.createDataFrame([Row(xs=["item10", "item2", "Item1", "b", "a2", "a10"])])
+    out = df.select(natural_array_sort(F.col("xs")).alias("s")).head().s
+    # digit runs compare numerically; case-sensitive form sorts 'I' < 'a'
+    assert out == ["Item1", "a2", "a10", "b", "item2", "item10"]
+    ci = df.select(
+        natural_array_sort(F.col("xs"), case_insensitive=True).alias("s")
+    ).head().s
+    assert ci == ["a2", "a10", "b", "Item1", "item2", "item10"]
+    k = df.select(natural_sort_key(F.lit("v2"))).head()[0]
+    assert k == "v000000000002"
+
+
+def test_rollup_values_natural_order(spark):
+    from pyspark.sql import Row
+
+    from datetime import datetime
+
+    t = datetime(2026, 1, 1)
+    children = spark.createDataFrame(
+        [
+            Row(parent_id=1, product_id=10, price=1.0, sku="SKU-2", modified_at=t),
+            Row(parent_id=1, product_id=11, price=2.0, sku="SKU-10", modified_at=t),
+        ]
+    )
+    terms = spark.createDataFrame(
+        [
+            Row(product_id=10, taxonomy="pa_size", term_name="size10"),
+            Row(product_id=11, taxonomy="pa_size", term_name="size2"),
+        ]
+    )
+    block = rollup_variations(children, terms).head().rollup_text
+    # natural order: 2 before 10, in both the SKU list and the values
+    assert "SKU-2, SKU-10" in block
+    assert "size2, size10" in block

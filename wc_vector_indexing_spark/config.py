@@ -87,11 +87,22 @@ class Selection:
         never changes the fingerprint (dev-plan acceptance :867-870).
         """
 
+        def natural_key(s: str) -> str:
+            # python twin of functions/text.natural_sort_key (K6,
+            # SORT_NATURAL | SORT_FLAG_CASE): pad digit runs so numeric
+            # runs order numerically
+            import re
+
+            return "".join(
+                r.zfill(12) if r.isdigit() and len(r) < 12 else r
+                for r in re.findall(r"[0-9]+|[^0-9]+", s)
+            )
+
         def sort_dedupe(xs: list[str]) -> list[str]:
             seen: dict[str, str] = {}
             for x in xs:
                 seen.setdefault(str(x).strip().lower(), str(x).strip())
-            return [seen[k] for k in sorted(seen)]
+            return [seen[k] for k in sorted(seen, key=natural_key)]
 
         meta = {
             str(k).strip(): ("json" if str(v).lower() == "json" else "text")

@@ -67,3 +67,39 @@ def mask_secret(col: Column | str, keep: int = 4) -> Column:
 def error_snippet(col: Column | str, max_len: int = 200) -> Column:
     """Tag-strip + truncate error text (class-embeddings.php:152-162, P14)."""
     return F.substring(plain(col), 1, max_len)
+
+
+def natural_sort_key(col: Column | str, case_insensitive: bool = False) -> Column:
+    """Sort key reproducing PHP SORT_NATURAL (K6,
+    class-variation-rollup.php:98,112 / class-fingerprint.php:77,88):
+    split into digit / non-digit runs (regexp_extract_all — pure
+    Catalyst), left-pad digit runs to 12 so numeric runs order
+    numerically under plain lexicographic comparison ("item2" <
+    "item10"). SORT_FLAG_CASE = lowercase first. Digit runs longer than
+    12 keep their own length (still mutually ordered by magnitude since
+    longer > padded). Approximation note: strnatcmp's whitespace
+    skipping and leading-zero tie rules are not reproduced — ties break
+    on the original string instead."""
+    c = F.col(col) if isinstance(col, str) else col
+    if case_insensitive:
+        c = F.lower(c)
+    runs = F.regexp_extract_all(c, F.lit("[0-9]+|[^0-9]+"), 0)
+    padded = F.transform(
+        runs,
+        lambda x: F.when(
+            x.rlike("^[0-9]+$") & (F.length(x) < 12), F.lpad(x, 12, "0")
+        ).otherwise(x),
+    )
+    return F.array_join(padded, "")
+
+
+def natural_array_sort(arr: Column, case_insensitive: bool = False) -> Column:
+    """array_sort under the natural-sort key (K6): decorate with the
+    key, sort structs (key first, original value as tiebreak), strip."""
+    keyed = F.transform(
+        arr,
+        lambda x: F.struct(
+            natural_sort_key(x, case_insensitive).alias("k"), x.alias("v")
+        ),
+    )
+    return F.transform(F.array_sort(keyed), lambda s: s["v"])

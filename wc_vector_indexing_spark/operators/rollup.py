@@ -16,7 +16,10 @@ per-group value caps the reference enforces (values_cap default 20,
 
 Determinism note (K6): value sets render in lexicographic array_sort
 order, not PHP SORT_NATURAL order — pinned by our golden tests
-(SURVEY §7.4 risk: natural-sort parity is a non-goal).
+(K6: value sets render under the natural-sort key — "item2" before
+"item10" — matching the reference's SORT_NATURAL renders; see
+functions/text.natural_sort_key for the documented strnatcmp
+approximation).
 
 Scale: collect_set per (parent, attribute) is bounded by the attribute
 cardinality, not the corpus: the cap is applied after a distinct-set agg
@@ -33,6 +36,7 @@ from wc_vector_indexing_spark.config import (
     DEFAULT_ROLLUP_MAX_VARIATIONS,
     DEFAULT_ROLLUP_VALUES_CAP,
 )
+from wc_vector_indexing_spark.functions.text import natural_array_sort
 
 
 def _render_capped(values_sorted, cap: int):
@@ -88,7 +92,7 @@ def rollup_variations(
         F.count("*").alias("n_variations"),
         F.min("price").alias("min_price"),
         F.max("price").alias("max_price"),
-        F.array_sort(F.collect_set("sku")).alias("skus"),
+        natural_array_sort(F.collect_set("sku")).alias("skus"),  # sort($skuList, SORT_NATURAL), :126
     )
     # The count line always renders; the price-range line only when the
     # group produced a price (all-null children would otherwise
@@ -121,7 +125,8 @@ def rollup_variations(
                 "vid",
             )
             .groupBy("parent_id", "taxonomy")
-            .agg(F.array_sort(F.collect_set("term_name")).alias("vals"))
+            # sort($vals, SORT_NATURAL | SORT_FLAG_CASE), :112
+            .agg(natural_array_sort(F.collect_set("term_name"), case_insensitive=True).alias("vals"))
             .withColumn(
                 "line",
                 F.concat(
@@ -132,7 +137,7 @@ def rollup_variations(
             )
             # ksort attrs: deterministic attribute order in the block
             .groupBy("parent_id")
-            .agg(F.array_join(F.array_sort(F.collect_list("line")), "\n").alias("_attrs"))
+            .agg(F.array_join(natural_array_sort(F.collect_list("line")), "\n").alias("_attrs"))  # ksort(SORT_NATURAL), :97
         )
         base = base.join(attr_vals, "parent_id", "left")
     else:
