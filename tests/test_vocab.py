@@ -1,0 +1,49 @@
+"""Vocabulary / heavy hitters (operators/vocab.py): exact counts,
+deterministic cut, count-min sketch estimate quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from wc_vector_indexing_spark.operators.vocab import (
+    token_counts,
+    token_sketch,
+    vocab_topk,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana apple cherry apple"),
+            Row(doc_id=2, text="banana cherry banana date"),
+        ]
+    )
+
+
+def test_exact_counts(spark):
+    counts = {r.token: r.n for r in token_counts(_docs(spark)).collect()}
+    assert counts == {"apple": 3, "banana": 3, "cherry": 2, "date": 1}
+
+
+def test_topk_deterministic_tiebreak(spark):
+    top = [(r.token, r.n) for r in vocab_topk(_docs(spark), k=3).collect()]
+    # apple and banana tie at 3 -> token asc breaks it
+    assert top == [("apple", 3), ("banana", 3), ("cherry", 2)]
+
+
+def test_sketch_tracks_exact(spark):
+    sketch_row = token_sketch(_docs(spark), eps=0.001, confidence=0.99).head()
+    assert sketch_row.sketch is not None and len(sketch_row.sketch) > 0
+    # point-query the sketch through Spark's own CountMinSketch reader
+    from py4j.java_gateway import java_import
+
+    spark_jvm = spark.sparkContext._jvm
+    java_import(spark_jvm, "org.apache.spark.util.sketch.CountMinSketch")
+    jsketch = spark_jvm.CountMinSketch.readFrom(
+        spark._jvm.java.io.ByteArrayInputStream(bytes(sketch_row.sketch))
+    )
+    for token, exact in [("apple", 3), ("banana", 3), ("date", 1)]:
+        est = jsketch.estimateCount(token)
+        assert est >= exact  # CMS never underestimates
+        assert est <= exact + 2  # eps * stream-length slack (tiny here)

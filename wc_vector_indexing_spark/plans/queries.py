@@ -1219,6 +1219,25 @@ ORDER BY doc_id
 """
 
 
+def vocab_topk_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary top-100 (operators/vocab.py): exact token
+    frequency with a deterministic (n desc, token asc) cut."""
+    from wc_vector_indexing_spark.operators.vocab import vocab_topk
+
+    return vocab_topk(load(spark, "documents", sf), k=100)
+
+
+VOCAB_SQL = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      FROM documents)
+WHERE token != ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100
+"""
+
+
 def sequence_packing_op(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget sequence packing (operators/packing.py): docs laid
     end-to-end per source in doc_id order; bin = cumulative-offset //
@@ -1734,6 +1753,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sequence_packing": QuerySpec(
         sequence_packing_op, PACKING_SQL, "token-budget sequence packing"
     ),
+    "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
     "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
     # rows-only (non-SQL-expressible)
