@@ -113,3 +113,38 @@ def test_sync_telemetry_rows(spark, tmp_path):
     r = rows[0]
     assert r.outcome == "success" and r.target == "local"
     assert "upserted=" in r.message and r.duration_ms > 0
+
+
+def test_cli_curate_and_mix(spark, tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+
+    rc = main(
+        [
+            "curate",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "curated"),
+        ]
+    )
+    assert rc == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    reasons = {d["reject_reason"]: d["n"] for d in lines}
+    assert "kept" in reasons and sum(reasons.values()) == 500
+    assert (tmp_path / "curated" / "curated").is_dir()
+    curated = spark.read.parquet(str(tmp_path / "curated" / "curated"))
+    assert curated.count() == reasons["kept"]
+
+    rc = main(
+        [
+            "mix",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "mixed"),
+            "--weights", "src0=0.5,src1=0.5",
+        ]
+    )
+    assert rc == 0
+    out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    by_source = {d["source"]: d for d in out}
+    assert by_source["src0"]["n_after"] > 0
+    assert by_source["src2"]["n_after"] == 0  # unlisted source dropped

@@ -143,6 +143,66 @@ def cmd_status(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Run the batch curation pipeline over a documents table and write
+    the curated corpus + audit; prints the per-reason report as JSON."""
+    from wc_vector_indexing_spark.operators.curation import (
+        CurationConfig,
+        curate,
+        curation_report,
+    )
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.readers import load
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load(spark, "documents", args.sf_dir)
+    config = CurationConfig(
+        min_quality=args.min_quality,
+        languages=tuple(args.languages.split(",")) if args.languages else None,
+        near_dup_threshold=args.near_dup_threshold,
+        repetition_thresholds={} if args.repetition else None,
+    )
+    result = curate(docs, config)
+    result.curated.write.mode("overwrite").parquet(args.out + "/curated")
+    result.audit.write.mode("overwrite").parquet(args.out + "/audit")
+    report = curation_report(docs, result.audit)
+    for r in report.collect():
+        print(json.dumps({"reject_reason": r.reject_reason, "n": r.n}))
+    result.unpersist()
+    return 0
+
+
+def cmd_mix(args: argparse.Namespace) -> int:
+    """Reweight a documents table to a target source mixture; writes the
+    mixed corpus and prints the before/after report as JSON."""
+    from wc_vector_indexing_spark.operators.mixing import mix_report, source_mix
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.readers import load
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    weights = {}
+    for part in args.weights.split(","):
+        source, w = part.split("=")
+        weights[source.strip()] = float(w)
+    docs = load(spark, "documents", args.sf_dir)
+    mixed = source_mix(docs, weights)
+    mixed.write.mode("overwrite").parquet(args.out)
+    for r in mix_report(docs, mixed).collect():
+        print(
+            json.dumps(
+                {
+                    "source": r.source,
+                    "n_before": r.n_before,
+                    "n_after": r.n_after,
+                    "achieved_weight": r.achieved_weight,
+                }
+            )
+        )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="wcvec", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -176,6 +236,21 @@ def build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("status", help="engine + ledger status")
     st.add_argument("--state", required=True)
     st.set_defaults(fn=cmd_status)
+
+    cu = sub.add_parser("curate", help="batch curation: quality/lang/repetition/dedup")
+    cu.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--min-quality", type=float, default=0.5)
+    cu.add_argument("--languages", default="en", help="comma list; empty = keep all")
+    cu.add_argument("--near-dup-threshold", type=float, default=0.5)
+    cu.add_argument("--repetition", action="store_true", help="enable Gopher repetition gate")
+    cu.set_defaults(fn=cmd_curate)
+
+    m = sub.add_parser("mix", help="reweight corpus to a target source mixture")
+    m.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    m.add_argument("--out", required=True)
+    m.add_argument("--weights", required=True, help="e.g. src0=0.5,src1=0.5")
+    m.set_defaults(fn=cmd_mix)
     return p
 
 
