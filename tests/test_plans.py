@@ -110,3 +110,37 @@ def test_q21_exists_collapsed_to_one_aggregate(spark):
     plan = plan_of(spark, "q21_waiting_suppliers")
     assert "EqualTo(l_returnflag,R)" in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
+
+
+def test_mixing_corpus_path_broadcasts_thresholds(spark):
+    plan = plan_of(spark, "data_mixing")
+    # the corpus side joins the (tiny) per-source thresholds via
+    # broadcast — the only Exchanges belong to the source-count agg
+    assert "BroadcastHashJoin" in plan
+    # documents scan reads only what the output + filter need
+    assert any("text" in s for s in read_schemas(plan))
+
+
+def test_vocab_topk_take_ordered(spark):
+    plan = plan_of(spark, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    # one scan, token column only materialized post-explode
+    (schema,) = read_schemas(plan)
+    assert "text" in schema and "lang" not in schema
+
+
+def test_packing_single_group_shuffle(spark):
+    plan = plan_of(spark, "sequence_packing")
+    # one window over the packing group: exactly one HASH exchange (by
+    # source); the only other exchange is the catalog wrapper's
+    # orderBy (range partitioning, oracle-comparison only)
+    assert len(re.findall(r"hashpartitioning\(source", plan)) == 1
+    assert "Window" in plan
+
+
+def test_repetition_doc_keyed_shuffles(spark):
+    plan = plan_of(spark, "repetition_signals")
+    # every hashpartitioning key list contains doc_id — skew bounded by
+    # the largest single document
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys and all("doc_id" in k for k in keys)
