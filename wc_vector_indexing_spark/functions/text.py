@@ -75,11 +75,11 @@ def natural_sort_key(col: Column | str, case_insensitive: bool = False) -> Colum
     split into digit / non-digit runs (regexp_extract_all — pure
     Catalyst), left-pad digit runs to 12 so numeric runs order
     numerically under plain lexicographic comparison ("item2" <
-    "item10"). SORT_FLAG_CASE = lowercase first. Digit runs longer than
-    12 keep their own length (still mutually ordered by magnitude since
-    longer > padded). Approximation note: strnatcmp's whitespace
-    skipping and leading-zero tie rules are not reproduced — ties break
-    on the original string instead."""
+    "item10"). SORT_FLAG_CASE = lowercase first. Approximation notes:
+    digit runs of 12+ digits compare lexicographically (beyond any
+    realistic attribute/SKU numeral); strnatcmp's whitespace skipping
+    and leading-zero tie rules are not reproduced — ties break on the
+    original string instead."""
     c = F.col(col) if isinstance(col, str) else col
     if case_insensitive:
         c = F.lower(c)

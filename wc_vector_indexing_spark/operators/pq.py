@@ -146,6 +146,8 @@ class PQCodebook:
 
         @F.pandas_udf(T.BinaryType())
         def enc(col: pd.Series) -> pd.Series:
+            if len(col) == 0:  # empty Arrow batch (empty partition)
+                return pd.Series([], dtype=object)
             x = np.array(col.tolist(), dtype=np.float32)
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             codes = np.empty((x.shape[0], m), dtype=np.uint8)
