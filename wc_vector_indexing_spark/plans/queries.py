@@ -1689,6 +1689,153 @@ PROFILE_SQL = _profile_sql()
 
 # --------------------------------------------------------------------------
 
+def pii_scrub_op(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detect + redact (operators/pii.py). The synthetic corpus has
+    no natural PII, so the query deterministically enriches each doc
+    from its id (emails on ids ≡0 mod 3, IPs mod 5, cards mod 7, SSNs
+    mod 11, phones mod 13) — the identical enrichment runs in the
+    oracle, so detection counts and the scrubbed text (sha-pinned) are
+    verified end-to-end. Zero-shuffle map-only pass."""
+    from wc_vector_indexing_spark.operators import pii
+
+    d = load(spark, "documents", sf)
+    did = F.col("doc_id")
+    tag = lambda m, parts: F.when(did % m == 0, F.concat(*parts)).otherwise(F.lit(""))  # noqa: E731
+    rich = F.concat(
+        F.col("text"),
+        tag(3, [F.lit(" contact user"), did.cast("string"), F.lit("@example.com")]),
+        tag(5, [F.lit(" from 10."), (did % 200).cast("string"), F.lit(".0."), (did % 250).cast("string")]),
+        tag(7, [F.lit(" card 4111-1111-1111-"), F.lpad((did % 10000).cast("string"), 4, "0")]),
+        tag(11, [F.lit(" ssn 123-45-"), F.lpad((did % 10000).cast("string"), 4, "0")]),
+        tag(13, [F.lit(" call +1 555 "), F.lpad((did % 10000).cast("string"), 4, "0")]),
+    )
+    out = pii.pii_scrub(d.select("doc_id", rich.alias("text")))
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_cc16", "n_ssn", "n_phone", "n_pii",
+        F.sha2(F.col("scrubbed"), 256).alias("scrubbed_sha"),
+    )
+
+
+def _pii_sql() -> str:
+    from wc_vector_indexing_spark.operators.pii import PII_PATTERNS
+
+    enrich = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+           AS t0
+    FROM documents"""
+    # chain the per-family count+scrub stages exactly as pii_count_cols does
+    stages = [f"s0 AS ({enrich})"]
+    for i, (name, pat) in enumerate(PII_PATTERNS):
+        prev, cur = f"t{i}", f"t{i + 1}"
+        carried = ", ".join(f"n_{n}" for n, _ in PII_PATTERNS[:i])
+        carried = carried + ", " if carried else ""
+        stages.append(
+            f"s{i + 1} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all({prev}, '{pat}')) AS n_{name}, "
+            f"regexp_replace({prev}, '{pat}', '[{name.upper()}]', 'g') AS {cur} "
+            f"FROM s{i})"
+        )
+    counts = ", ".join(f"n_{n}" for n, _ in PII_PATTERNS)
+    total = " + ".join(f"n_{n}" for n, _ in PII_PATTERNS)
+    last = f"t{len(PII_PATTERNS)}"
+    return (
+        "WITH " + ",\n".join(stages)
+        + f"\nSELECT doc_id, {counts}, {total} AS n_pii, sha256({last}) AS scrubbed_sha"
+        + f"\nFROM s{len(PII_PATTERNS)}"
+    )
+
+
+def unigram_logprob_op(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity quality filter in unigram form
+    (operators/lm_score.py): train ln(count/N) over the corpus, score
+    each doc by mean negative log-prob via a broadcast model join."""
+    from wc_vector_indexing_spark.operators import lm_score
+
+    return lm_score.unigram_score(load(spark, "documents", sf))
+
+
+UNIGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+    FROM documents
+),
+model AS (
+    SELECT tok, ln(count(*) / (SELECT count(*)::DOUBLE FROM toks)) AS logp
+    FROM toks GROUP BY tok
+)
+SELECT t.doc_id, count(*) AS n_scored, round(avg(-m.logp), 4) AS avg_neg_logp
+FROM toks t JOIN model m USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+def events_json_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column (get_json_object → JVM Jackson path, no UDF),
+    filter on it, aggregate by event_type. The JSON parse happens
+    after pushdown-able column pruning — the scan reads only
+    (event_type, props, value)."""
+    ev = load(spark, "events", sf)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, count(*) AS n_events, round(avg(k), 4) AS avg_k,
+       round(sum(value), 2) AS sum_value
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+      FROM events)
+WHERE k >= 50
+GROUP BY event_type
+"""
+
+
+def quantiles_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated quantiles of event value per type — the
+    profiling companion to data_profile. Exact ``percentile`` here so
+    the oracle (quantile_cont) matches bit-for-bit after rounding; the
+    100 TB path swaps in approx_percentile (t-digest, mergeable,
+    map-side partial) — same plan shape, no sort."""
+    ev = load(spark, "events", sf)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.percentile("value", 0.25), 4).alias("p25"),
+            F.round(F.percentile("value", 0.5), 4).alias("p50"),
+            F.round(F.percentile("value", 0.75), 4).alias("p75"),
+            F.round(F.percentile("value", 0.95), 4).alias("p95"),
+        )
+    )
+
+
+QUANTILES_SQL = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events
+GROUP BY event_type
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 wide aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "3-way join + agg + top-10"),
@@ -1755,6 +1902,14 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
+    "pii_scrub": QuerySpec(pii_scrub_op, _pii_sql(), "PII detect + redact"),
+    "unigram_logprob": QuerySpec(
+        unigram_logprob_op, UNIGRAM_SQL, "unigram-LM perplexity quality score"
+    ),
+    "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
+    "quantiles_by_type": QuerySpec(
+        quantiles_by_type, QUANTILES_SQL, "exact interpolated value quantiles"
+    ),
     "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
     # rows-only (non-SQL-expressible)
     "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
