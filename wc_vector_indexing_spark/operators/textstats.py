@@ -130,6 +130,66 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def winnow_fingerprint(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    scheme): hash every token k-gram, slide a window of w consecutive
+    hashes, keep each window's minimum; the fingerprint is the distinct
+    set of selected hashes per document. Guarantees any shared run of
+    w + k - 1 tokens between two documents shares at least one selected
+    hash — the local-similarity complement to ``doc_fingerprint``'s
+    whole-document identity.
+
+    Output: (id, fp) rows, one per selected hash, ordered within doc.
+    Plan: explode k-grams → one doc-keyed window (single shuffle) →
+    distinct (partial-aggregated on the same partitioning, no second
+    exchange).
+
+    ``token_hash``: "xxhash64" (fast default) or "md5" (engine-portable,
+    what the DuckDB oracle mirrors).
+    """
+    toks = tokens_col(text_col)
+    # total expression: Catalyst infers `size(grams) > 0` from the
+    # non-outer posexplode below and may push it past the size>=k
+    # filter, evaluating grams on short docs — so the short-doc case
+    # must be handled IN the expression, not only by the filter
+    grams = F.expr(
+        f"CASE WHEN size(__toks) >= {k} "
+        f"THEN transform(sequence(0, size(__toks) - {k}), "
+        f"i -> concat_ws(' ', slice(__toks, i + 1, {k}))) "
+        f"ELSE array() END"
+    )
+    if token_hash == "md5":
+        h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("gram"))
+    exploded = (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size(F.col("__toks")) >= k)
+        .select(F.col(id_col), F.size(F.col("__toks")).alias("__n"), grams.alias("__gs"))
+        .select(F.col(id_col), F.col("__n"), F.posexplode(F.col("__gs")).alias("pos", "gram"))
+        .select(F.col(id_col), F.col("__n"), "pos", h.alias("h"))
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    n_grams = F.col("__n") - (k - 1)
+    return (
+        exploded.withColumn("mh", F.min("h").over(win))
+        # window starts: pos ∈ [0, n_grams - w]; docs with fewer than w
+        # grams still fingerprint (pos 0's clipped window = all grams)
+        .filter(F.col("pos") <= F.greatest(n_grams - w, F.lit(0)))
+        .select(F.col(id_col), F.col("mh").alias("fp"))
+        .distinct()
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame,
     text_col: str = "text",

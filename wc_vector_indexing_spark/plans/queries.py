@@ -1836,6 +1836,68 @@ GROUP BY event_type
 """
 
 
+def tfidf_keywords_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF keywords (operators/keywords.py). The
+    (rounded tfidf desc, tok asc) ordering is total, so the selected
+    top-K set is engine-exact."""
+    from wc_vector_indexing_spark.operators.keywords import top_keywords
+
+    return top_keywords(load(spark, "documents", sf), k=5)
+
+
+TFIDF_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+           round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, rank, tok, tf, df, tfidf FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+def winnow_fingerprint_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints, md5 token-hash mode so the DuckDB
+    oracle reproduces the selected-hash set bit-for-bit (xxhash64 stays
+    the production default)."""
+    return textstats.winnow_fingerprint(
+        load(spark, "documents", sf), k=3, w=4, token_hash="md5"
+    )
+
+
+WINNOW_SQL = r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts FROM documents
+),
+g AS (
+    SELECT doc_id, len(ts) - 2 AS n_grams,
+           unnest(list_transform(range(1, len(ts) - 1),
+               i -> struct_pack(pos := i - 1,
+                   h := CAST(('0x' || substr(md5(array_to_string(list_slice(ts, i, i + 2), ' ')), 1, 15)) AS BIGINT)))) AS s
+    FROM t WHERE len(ts) >= 3
+),
+flat AS (SELECT doc_id, n_grams, s.pos AS pos, s.h AS h FROM g),
+sel AS (
+    SELECT doc_id, pos, n_grams,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+    FROM flat
+)
+SELECT DISTINCT doc_id, mh AS fp
+FROM sel WHERE pos <= greatest(n_grams - 4, 0)
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 wide aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "3-way join + agg + top-10"),
@@ -1907,6 +1969,10 @@ REGISTRY: dict[str, QuerySpec] = {
         unigram_logprob_op, UNIGRAM_SQL, "unigram-LM perplexity quality score"
     ),
     "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
+    "tfidf_keywords": QuerySpec(tfidf_keywords_op, TFIDF_SQL, "per-doc top-5 TF-IDF terms"),
+    "winnow_fingerprint": QuerySpec(
+        winnow_fingerprint_op, WINNOW_SQL, "winnowing (MOSS) k-gram fingerprints"
+    ),
     "quantiles_by_type": QuerySpec(
         quantiles_by_type, QUANTILES_SQL, "exact interpolated value quantiles"
     ),
