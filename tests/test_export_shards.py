@@ -1,0 +1,58 @@
+"""Sharded corpus export (operators/export.py): record caps produce
+multiple files, hive partitioning prunes, round-trips preserve rows."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import Row
+
+from wc_vector_indexing_spark.operators.export import read_shards, write_shards
+
+
+def _docs(spark, n=250):
+    return spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 2}", text=f"doc {i} body") for i in range(n)]
+    ).coalesce(1)
+
+
+def test_max_records_rolls_files(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = _docs(spark)
+    write_shards(df, out, fmt="json", max_records_per_file=100)
+    files = glob.glob(f"{out}/*.json")
+    assert len(files) == 3  # ceil(250 / 100) from one writer task
+    back = read_shards(spark, out, fmt="json", schema=df.schema)
+    assert back.count() == 250
+    assert sorted(r.doc_id for r in back.collect()) == list(range(250))
+
+
+def test_partition_by_creates_prunable_dirs(spark, tmp_path):
+    out = str(tmp_path / "by_source")
+    df = _docs(spark)
+    write_shards(df, out, fmt="parquet", partition_by=["source"])
+    assert glob.glob(f"{out}/source=s0/*.parquet")
+    assert glob.glob(f"{out}/source=s1/*.parquet")
+    one = spark.read.parquet(out).filter("source = 's1'")
+    assert one.count() == 125
+    # partition pruning visible in the plan: only the s1 directory scans
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan
+
+
+def test_csv_roundtrip_with_header(spark, tmp_path):
+    out = str(tmp_path / "csv")
+    df = _docs(spark, n=10).select("doc_id", "text")
+    write_shards(df, out, fmt="csv", max_records_per_file=5, compression="gzip")
+    files = glob.glob(f"{out}/*.csv.gz")
+    assert len(files) == 2
+    back = read_shards(spark, out, fmt="csv", schema=df.schema)
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == sorted(
+        (r.doc_id, r.text) for r in df.collect()
+    )
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown format"):
+        write_shards(_docs(spark, 5), str(tmp_path / "x"), fmt="avro")

@@ -1,0 +1,113 @@
+"""session_window_aggregate (streaming/incremental.py): gap-session
+semantics in batch mode and true streaming mode (file source →
+availableNow → memory sink), including watermark state eviction
+surviving a multi-batch replay."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from wc_vector_indexing_spark.streaming.incremental import session_window_aggregate
+
+T0 = datetime(2025, 6, 1, 12, 0, 0)
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _events(spark):
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 40-min
+        # gap (new session)
+        Row(user_id=1, ts=T0, value=1.0),
+        Row(user_id=1, ts=T0 + timedelta(minutes=10), value=2.0),
+        Row(user_id=1, ts=T0 + timedelta(minutes=50), value=4.0),
+        # user 2: gap of exactly 30 min -> still MERGES (boundary event
+        # extends the session); 30 min + 1 s -> splits
+        Row(user_id=2, ts=T0, value=1.0),
+        Row(user_id=2, ts=T0 + timedelta(minutes=30), value=1.0),
+        Row(user_id=2, ts=T0 + timedelta(minutes=60, seconds=1), value=1.0),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_batch_session_semantics(spark):
+    out = session_window_aggregate(_events(spark), gap="30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = sorted(by_user[1], key=lambda r: r.session_start)
+    assert len(u1) == 2
+    assert u1[0].n_events == 2 and u1[0].total_value == 3.0
+    # session_end = last event + gap
+    assert u1[0].session_end == T0 + timedelta(minutes=40)
+    assert u1[1].n_events == 1
+    # exactly-at-gap merges; strictly-past-gap splits
+    u2 = sorted(by_user[2], key=lambda r: r.session_start)
+    assert len(u2) == 2
+    assert u2[0].n_events == 2
+    assert u2[0].session_end == T0 + timedelta(minutes=60)
+
+
+def test_streaming_session_window(spark, tmp_path):
+    ev_dir = str(tmp_path / "sess_events")
+    _events(spark).write.parquet(ev_dir)
+    stream = spark.readStream.schema(SCHEMA).parquet(ev_dir)
+    out = session_window_aggregate(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sessions_mem").collect()
+    batch = session_window_aggregate(_events(spark), gap="30 minutes").collect()
+    key = lambda r: (r.user_id, r.session_start)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    assert {r.n_events for r in got} == {r.n_events for r in batch}
+
+
+def test_streaming_state_evicts_with_watermark(spark, tmp_path):
+    # two files = two micro-batches; append mode emits a session only
+    # once the watermark passes its end — proving sessions finalize
+    ev_dir = tmp_path / "sess_evict"
+    ev_dir.mkdir()
+    spark.createDataFrame(
+        [Row(user_id=1, ts=T0, value=1.0)], SCHEMA
+    ).write.parquet(str(ev_dir / "b1"))
+    spark.createDataFrame(
+        [Row(user_id=1, ts=T0 + timedelta(hours=3), value=1.0)], SCHEMA
+    ).write.parquet(str(ev_dir / "b2"))
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        str(ev_dir / "*")
+    )
+    out = session_window_aggregate(stream, gap="30 minutes", watermark_delay="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from sessions_evict").collect()
+    # the T0 session closed (watermark advanced 3h past its end) and was
+    # emitted + evicted; the 3h-later session is still open, not emitted
+    assert [r.session_start for r in emitted] == [T0]

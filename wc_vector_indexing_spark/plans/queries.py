@@ -1898,6 +1898,103 @@ FROM sel WHERE pos <= greatest(n_grams - 4, 0)
 """
 
 
+def session_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session_window gap sessions (streaming/incremental.py) on
+    the batch events frame — proves the streaming operator's session
+    semantics against a lag-based SQL mirror (split when gap is STRICTLY
+    greater than 30 min — an event at exactly last_ts + gap still merges,
+    verified empirically in tests/test_session_window.py; end =
+    last_ts + gap)."""
+    from wc_vector_indexing_spark.streaming.incremental import session_window_aggregate
+
+    return session_window_aggregate(load(spark, "events", sf), gap="30 minutes")
+
+
+SESSION_WINDOW_SQL = """
+WITH g AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+    FROM g
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, sess
+"""
+
+
+def events_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type z-score outliers: one grouped aggregate builds the
+    (type, mu, sd) stats table, broadcast back against the stream —
+    never a corpus-wide window. The filter runs on the 4dp-rounded z so
+    the survivor set is boundary-stable across engines."""
+    ev = load(spark, "events", sf)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 3)
+    )
+
+
+ANOMALY_SQL = """
+WITH stats AS (
+    SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+    FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value, round((value - mu) / sd, 4) AS z
+FROM events e JOIN stats USING (event_type)
+WHERE abs(round((value - mu) / sd, 4)) > 3
+"""
+
+
+_QUALITY_SCORE_EXPR = """
+round(least(1.0, len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 100.0) * 0.4
+      + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.3
+      + (1.0 - least(1.0, length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) * 5.0)) * 0.3,
+      4)
+"""
+
+
+def quality_quantile_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-relative quality gate: drop docs below the corpus p10
+    quality score. The global statistic is a 1-row exact-percentile
+    aggregate broadcast back over the scan (the 100 TB path swaps
+    approx_percentile into the same shape). Deterministic because the
+    percentile runs over already-4dp-rounded scores — both engines
+    interpolate identical inputs."""
+    from wc_vector_indexing_spark.operators.textstats import text_quality
+
+    q = text_quality(load(spark, "documents", sf)).select("doc_id", "quality_score")
+    p = q.agg(F.percentile("quality_score", 0.10).alias("p10"))
+    return (
+        q.crossJoin(F.broadcast(p))
+        .filter(F.col("quality_score") >= F.col("p10"))
+        .select("doc_id", "quality_score", F.round("p10", 4).alias("p10"))
+    )
+
+
+QUANTILE_FILTER_SQL = f"""
+WITH q AS (
+    SELECT doc_id, {_QUALITY_SCORE_EXPR} AS quality_score FROM documents
+), p AS (
+    SELECT quantile_cont(quality_score, 0.10) AS p10 FROM q
+)
+SELECT doc_id, quality_score, round(p10, 4) AS p10
+FROM q, p WHERE quality_score >= p10
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 wide aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "3-way join + agg + top-10"),
@@ -1970,6 +2067,13 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
     "tfidf_keywords": QuerySpec(tfidf_keywords_op, TFIDF_SQL, "per-doc top-5 TF-IDF terms"),
+    "session_window_events": QuerySpec(
+        session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
+    ),
+    "events_anomaly": QuerySpec(events_anomaly, ANOMALY_SQL, "per-type z-score outliers"),
+    "quality_quantile_filter": QuerySpec(
+        quality_quantile_filter, QUANTILE_FILTER_SQL, "corpus-p10 quality gate"
+    ),
     "winnow_fingerprint": QuerySpec(
         winnow_fingerprint_op, WINNOW_SQL, "winnowing (MOSS) k-gram fingerprints"
     ),

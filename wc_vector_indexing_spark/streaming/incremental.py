@@ -139,6 +139,45 @@ def windowed_event_aggregate(
     )
 
 
+def session_window_aggregate(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Native gap-session aggregation via ``session_window`` — the
+    streaming twin of operators.relational.sessionize (which does the
+    same merge with lag + running sum for batch frames).
+
+    In a stream, state is one open session per key, merged as events
+    arrive and EVICTED once the watermark passes session_end — bounded
+    by concurrent-active keys, not corpus size. On a static frame the
+    identical call runs as a batch aggregate (one shuffle on the
+    session-window key), so tests and backfills share the code path.
+
+    Session semantics (what the oracle must mirror): an event extends
+    the session iff ts <= last_ts + gap (an event at exactly the gap
+    boundary still merges — verified empirically in
+    tests/test_session_window.py); session_end = last_ts + gap.
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark_delay)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def deduped_document_stream(
     docs: DataFrame,
     text_col: str = "text",
