@@ -148,3 +148,24 @@ def test_cli_curate_and_mix(spark, tmp_path, capsys):
     by_source = {d["source"]: d for d in out}
     assert by_source["src0"]["n_after"] > 0
     assert by_source["src2"]["n_after"] == 0  # unlisted source dropped
+
+
+def test_cli_export_shards(spark, tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+
+    rc = main(
+        [
+            "export",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "shards"),
+            "--partition-by", "source",
+            "--max-records", "50",
+        ]
+    )
+    assert rc == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["n_shards"] >= 10  # 500 docs / 50 cap across sources
+    back = spark.read.json(str(tmp_path / "shards"))
+    assert back.count() == 500

@@ -203,6 +203,33 @@ def cmd_mix(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Export a table as size-bounded training shards (JSONL/CSV/
+    parquet), optionally hive-partitioned; prints the shard manifest."""
+    import glob as _glob
+
+    from wc_vector_indexing_spark.operators.export import write_shards
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.readers import load
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = load(spark, args.table, args.sf_dir)
+    write_shards(
+        df,
+        args.out,
+        fmt=args.format,
+        max_records_per_file=args.max_records,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+        compression=args.compression,
+    )
+    ext = {"json": "json", "csv": "csv", "parquet": "parquet"}[args.format]
+    pattern = f"{args.out}/**/*.{ext}*" if args.partition_by else f"{args.out}/*.{ext}*"
+    files = sorted(_glob.glob(pattern, recursive=True))
+    print(json.dumps({"table": args.table, "format": args.format, "n_shards": len(files)}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="wcvec", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -251,6 +278,16 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--out", required=True)
     m.add_argument("--weights", required=True, help="e.g. src0=0.5,src1=0.5")
     m.set_defaults(fn=cmd_mix)
+
+    ex = sub.add_parser("export", help="export a table as training shards")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument("--table", default="documents")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--format", choices=["json", "csv", "parquet"], default="json")
+    ex.add_argument("--max-records", type=int, default=100_000)
+    ex.add_argument("--partition-by", default=None, help="comma-separated columns")
+    ex.add_argument("--compression", default=None)
+    ex.set_defaults(fn=cmd_export)
     return p
 
 

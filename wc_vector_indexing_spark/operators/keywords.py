@@ -31,11 +31,10 @@ def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     tok (≥1, so idf ≥ 0 and corpus-wide terms score 0)."""
     toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
-    df = (
-        toks.distinct()
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-    )
+    # df derives from tf (already one row per distinct (doc, tok)) — no
+    # second distinct+shuffle over the full token stream, and Catalyst
+    # reuses tf's exchange for both branches
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "tok")

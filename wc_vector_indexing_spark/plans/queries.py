@@ -1898,6 +1898,19 @@ FROM sel WHERE pos <= greatest(n_grams - 4, 0)
 """
 
 
+def semdedup_op(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup survivors (operators/semdedup.py) over the embeddings
+    table, reusing the persisted IVF coarse quantizer — rows-only (KMeans
+    is not SQL-expressible); the keep-rule semantics are pinned by
+    tests/test_semdedup.py on planted duplicate fixtures."""
+    from wc_vector_indexing_spark.operators.ivf import IVFIndex
+    from wc_vector_indexing_spark.operators.semdedup import semdedup
+
+    emb = load(spark, "embeddings", sf)
+    index = IVFIndex.train_or_load(emb, _ivf_artifact_path(sf), nlist=8)
+    return semdedup(emb, index=index, threshold=0.4).orderBy("vec_id")
+
+
 def session_window_events(spark: SparkSession, sf: str) -> DataFrame:
     """Native session_window gap sessions (streaming/incremental.py) on
     the batch events frame — proves the streaming operator's session
@@ -2091,6 +2104,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "pq_search_top10": QuerySpec(pq_search_op, None, "product-quantized ADC search"),
     "ivfpq_search_top10": QuerySpec(
         ivfpq_search_op, None, "IVF-PQ pruned compressed search"
+    ),
+    "semdedup_embeddings": QuerySpec(
+        semdedup_op, None, "SemDeDup cluster-then-prune semantic dedup"
     ),
     "dedup_incremental": QuerySpec(
         dedup_incremental_op, None, "batch-vs-corpus signature-store dedup"
