@@ -111,3 +111,65 @@ def test_streaming_state_evicts_with_watermark(spark, tmp_path):
     # the T0 session closed (watermark advanced 3h past its end) and was
     # emitted + evicted; the 3h-later session is still open, not emitted
     assert [r.session_start for r in emitted] == [T0]
+
+
+def test_range_join_count_boundaries(spark):
+    """range_join_count (operators/relational.py): exclusive lookback
+    start, inclusive end, bin-boundary crossing, zero-match rows."""
+    from wc_vector_indexing_spark.operators.relational import range_join_count
+
+    left = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=T0, value=0.0),
+            Row(user_id=2, ts=T0, value=0.0),
+        ],
+        SCHEMA,
+    )
+    right_rows = [
+        # user 1: exactly at ts (counts), exactly lookback before
+        # (exclusive -> does NOT count), 1 us inside the window (counts),
+        # and far outside (no)
+        Row(user_id=1, ts=T0, value=0.0),
+        Row(user_id=1, ts=T0 - timedelta(seconds=600), value=0.0),
+        Row(user_id=1, ts=T0 - timedelta(seconds=599, microseconds=999999), value=0.0),
+        Row(user_id=1, ts=T0 - timedelta(seconds=4000), value=0.0),
+        # user 2: nothing in range
+        Row(user_id=2, ts=T0 + timedelta(seconds=1), value=0.0),
+    ]
+    right = spark.createDataFrame(right_rows, SCHEMA).select("user_id", "ts")
+    out = {
+        r.user_id: r.n_in_range
+        for r in range_join_count(
+            left.select("user_id", "ts"), right, on="user_id",
+            lookback_seconds=600,
+        ).collect()
+    }
+    assert out == {1: 2, 2: 0}
+
+
+def test_range_join_matches_naive(spark):
+    """Property: the bin-bucketed plan equals the naive theta-join on a
+    deterministic pseudo-random fixture (including bin-crossing pairs)."""
+    from wc_vector_indexing_spark.operators.relational import range_join_count
+
+    rows_l, rows_r = [], []
+    for i in range(60):
+        rows_l.append(Row(user_id=i % 5, ts=T0 + timedelta(seconds=(i * 977) % 3600), value=0.0))
+        rows_r.append(Row(user_id=i % 5, ts=T0 + timedelta(seconds=(i * 613) % 3600), value=0.0))
+    left = spark.createDataFrame(rows_l, SCHEMA).select("user_id", "ts").distinct()
+    right = spark.createDataFrame(rows_r, SCHEMA).select("user_id", "ts")
+    got = range_join_count(left, right, on="user_id", lookback_seconds=300)
+    l, r = left.alias("l"), right.alias("r")
+    naive = (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.unix_micros(F.col("r.ts")) > F.unix_micros(F.col("l.ts")) - 300 * 1_000_000)
+            & (F.unix_micros(F.col("r.ts")) <= F.unix_micros(F.col("l.ts"))),
+            "left",
+        )
+        .groupBy(F.col("l.user_id").alias("user_id"), F.col("l.ts").alias("ts"))
+        .agg(F.count(F.col("r.ts")).alias("n_in_range"))
+    )
+    key = lambda x: (x.user_id, x.ts, x.n_in_range)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))

@@ -134,3 +134,57 @@ def session_stats(
         (F.max("session_id") + 1).alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback_seconds: int = 600,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Bin-bucketed time-range join: for each left row, count right rows
+    with the same key whose timestamp falls in
+    ``(left_ts - lookback, left_ts]``.
+
+    A naive theta-join (``l.key = r.key AND r.ts BETWEEN l.ts - d AND
+    l.ts``) plans as an equi-join on key with the range as a residual
+    filter — fine until one key is hot, and catastrophic if the key is
+    dropped (cross product). The scale-safe shape used here buckets BOTH
+    sides into ``lookback``-sized time bins and equi-joins on
+    ``(key, bin)``, with the left side exploded to its two candidate
+    bins (a range of width d spans at most 2 bins of width d). The join
+    is then a pure equi-join — shuffle keyed by (key, bin), broadcast-
+    or sort-merge-planned like any other — and the exact range predicate
+    runs as a cheap residual on the ~2x candidate rows.
+
+    Returns ``left`` with ``count_alias`` appended (0 when no right rows
+    in range).
+    """
+    us = int(lookback_seconds) * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    # integer `div` (not double /) so bin ids stay exact at epoch-µs scale
+    l_bin = F.expr(f"unix_micros({left_ts}) div {us}")
+    # left explodes to the two bins a width-d window can touch
+    lb = left.withColumn("_bin", F.explode(F.array(l_bin, l_bin - 1))).withColumn(
+        "_l_us", l_us
+    )
+    rb = right.select(
+        F.col(on), F.expr(f"unix_micros({right_ts}) div {us}").alias("_bin"),
+        r_us.alias("_r_us"),
+    )
+    joined = lb.join(rb, [on, "_bin"], "left")
+    # the range check lives in the aggregate, not a filter: filtering
+    # would drop a left row whose candidate-bin matches are ALL out of
+    # range (no NULL row survives to represent it)
+    in_range = (F.col("_r_us") > F.col("_l_us") - us) & (
+        F.col("_r_us") <= F.col("_l_us")
+    )
+    group_cols = [c for c in left.columns]
+    counted = joined.groupBy(*group_cols).agg(
+        F.sum(F.when(in_range, 1).otherwise(0)).cast("long").alias(count_alias)
+    )
+    return counted

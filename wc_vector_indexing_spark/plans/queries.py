@@ -1898,6 +1898,37 @@ FROM sel WHERE pos <= greatest(n_grams - 4, 0)
 """
 
 
+def range_join_clicks(spark: SparkSession, sf: str) -> DataFrame:
+    """Bin-bucketed time-range join (operators/relational.py
+    range_join_count): per purchase event, clicks by the same user in
+    the preceding 10 minutes. The oracle runs the naive inequality join;
+    the Spark plan is the 2-bin equi-join that survives hot keys at
+    100 TB."""
+    from wc_vector_indexing_spark.operators.relational import range_join_count
+
+    ev = load(spark, "events", sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_join_count(
+        purchases, clicks, on="user_id", lookback_seconds=600,
+        count_alias="n_prior_clicks",
+    )
+    return out.select("event_id", "user_id", "n_prior_clicks")
+
+
+RANGE_JOIN_SQL = """
+SELECT p.event_id, p.user_id, count(c.ts) AS n_prior_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND epoch_us(c.ts) > epoch_us(p.ts) - 600 * 1000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+GROUP BY p.event_id, p.user_id
+"""
+
+
 def semdedup_op(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup survivors (operators/semdedup.py) over the embeddings
     table, reusing the persisted IVF coarse quantizer — rows-only (KMeans
@@ -2084,6 +2115,9 @@ REGISTRY: dict[str, QuerySpec] = {
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
     ),
     "events_anomaly": QuerySpec(events_anomaly, ANOMALY_SQL, "per-type z-score outliers"),
+    "range_join_clicks": QuerySpec(
+        range_join_clicks, RANGE_JOIN_SQL, "bin-bucketed time-range join"
+    ),
     "quality_quantile_filter": QuerySpec(
         quality_quantile_filter, QUANTILE_FILTER_SQL, "corpus-p10 quality gate"
     ),
