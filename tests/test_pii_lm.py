@@ -82,3 +82,40 @@ def test_scrub_is_plan_only(spark):
     plan = pii_scrub(_pii_docs(spark))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scrub_idempotent_and_count_exact(spark):
+    """Property on a generated corpus: scrubbing twice equals scrubbing
+    once (tags never re-match), and n_pii equals the number of PII
+    fragments injected."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = []
+    for i in range(50):
+        parts, n_injected = [], 0
+        for _ in range(rng.randint(1, 8)):
+            parts.append(rng.choice(words))
+            roll = rng.random()
+            if roll < 0.2:
+                parts.append(f"user{i}@test.org")
+                n_injected += 1
+            elif roll < 0.3:
+                parts.append(f"10.0.{rng.randint(0, 255)}.{rng.randint(1, 254)}")
+                n_injected += 1
+            elif roll < 0.4:
+                parts.append(f"{rng.randint(100, 999)}-{rng.randint(10, 99)}-{rng.randint(1000, 9999)}")
+                n_injected += 1
+        rows.append(Row(doc_id=i, text=" ".join(parts), expected=n_injected))
+    docs = spark.createDataFrame(rows)
+    once = pii_scrub(docs.select("doc_id", "text"))
+    for r in once.join(docs.select("doc_id", "expected"), "doc_id").collect():
+        assert r.n_pii == r.expected, f"doc {r.doc_id}: {r.n_pii} != {r.expected}"
+    twice = pii_scrub(once.select("doc_id", F.col("scrubbed").alias("text")))
+    joined = once.select("doc_id", "scrubbed").join(
+        twice.select("doc_id", F.col("scrubbed").alias("scrubbed2"), "n_pii"), "doc_id"
+    )
+    for r in joined.collect():
+        assert r.scrubbed == r.scrubbed2
+        assert r.n_pii == 0

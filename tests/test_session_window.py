@@ -173,3 +173,35 @@ def test_range_join_matches_naive(spark):
     )
     key = lambda x: (x.user_id, x.ts, x.n_in_range)  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
+
+
+def test_enriched_event_stream(spark, tmp_path):
+    """Stream-static broadcast enrichment: dim columns appear on every
+    micro-batch row; plan is a BroadcastHashJoin; no shuffle on the
+    stream side."""
+    from wc_vector_indexing_spark.streaming.incremental import enriched_event_stream
+
+    ev_dir = str(tmp_path / "enrich_events")
+    _events(spark).write.parquet(ev_dir)
+    dim = spark.createDataFrame(
+        [Row(user_id=1, segment="a"), Row(user_id=2, segment="b")]
+    )
+    # batch plan: broadcast join, zero exchanges on the fact side
+    batch = enriched_event_stream(_events(spark), dim, dim_cols=("segment",))
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+    stream = spark.readStream.schema(SCHEMA).parquet(ev_dir)
+    out = enriched_event_stream(stream, dim, dim_cols=("segment",))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from enriched_mem").collect()
+    assert len(got) == 6
+    assert {(r.user_id, r.segment) for r in got} == {(1, "a"), (2, "b")}

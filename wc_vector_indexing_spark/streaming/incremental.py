@@ -207,6 +207,33 @@ def deduped_document_stream(
     return keyed.dropDuplicates(["content_sha"])
 
 
+def enriched_event_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    dim_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Stream-static broadcast enrichment: join a (possibly streaming)
+    event frame against a small static dimension table.
+
+    The static side is explicitly ``broadcast()`` so the plan is a
+    BroadcastHashJoin in every micro-batch — the stream side never
+    shuffles and no join state accumulates (stream-static joins are
+    stateless by construction; Spark re-reads the static side per
+    batch, picking up dim updates between batches). This is the
+    streaming analogue of the engine's batch dim joins (q3/q5/q10...),
+    and the pattern the reference's per-product metadata lookups map to
+    under a continuous ingest.
+
+    ``dim_cols``: project the dimension to these columns (plus the key)
+    before broadcasting — never ship unneeded dim columns to every
+    executor.
+    """
+    if dim_cols is not None:
+        dim = dim.select(on, *dim_cols)
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def curated_document_stream(
     docs: DataFrame,
     text_col: str = "text",
