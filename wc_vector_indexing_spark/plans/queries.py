@@ -1929,6 +1929,43 @@ GROUP BY p.event_id, p.user_id
 """
 
 
+def moving_average_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE window frame: per event, the mean value of same-type
+    events in the trailing 1 hour (rangeBetween on epoch-µs, NOT a row
+    frame — irregular event spacing makes row frames wrong). One
+    shuffle keyed by event_type; skew bounded by type cardinality, the
+    same envelope as sessionize.
+
+    Rounded to 6dp, not the catalog's usual 4: values are exact 2dp, so
+    trailing averages over small windows land EXACTLY on 4dp half-way
+    points (sum/8 has 5 decimals) where cross-engine summation-order
+    noise flips the rounded digit; at 6dp the round is an identity on
+    the exact value and noise (~1e-10) cannot reach it."""
+    ev = load(spark, "events", sf)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
+        F.count("*").over(w).alias("n_trailing"),
+    )
+
+
+MOVING_AVG_SQL = """
+SELECT event_id, event_type,
+       round(avg(value) OVER w, 6) AS trailing_avg,
+       count(*) OVER w AS n_trailing
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000::BIGINT PRECEDING AND CURRENT ROW)
+"""
+
+
 def semdedup_op(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup survivors (operators/semdedup.py) over the embeddings
     table, reusing the persisted IVF coarse quantizer — rows-only (KMeans
@@ -2117,6 +2154,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "events_anomaly": QuerySpec(events_anomaly, ANOMALY_SQL, "per-type z-score outliers"),
     "range_join_clicks": QuerySpec(
         range_join_clicks, RANGE_JOIN_SQL, "bin-bucketed time-range join"
+    ),
+    "moving_average_events": QuerySpec(
+        moving_average_events, MOVING_AVG_SQL, "trailing time-RANGE window average"
     ),
     "quality_quantile_filter": QuerySpec(
         quality_quantile_filter, QUANTILE_FILTER_SQL, "corpus-p10 quality gate"
