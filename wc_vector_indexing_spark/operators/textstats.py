@@ -146,47 +146,45 @@ def winnow_fingerprint(
     hash — the local-similarity complement to ``doc_fingerprint``'s
     whole-document identity.
 
-    Output: (id, fp) rows, one per selected hash, ordered within doc.
-    Plan: explode k-grams → one doc-keyed window (single shuffle) →
-    distinct (partial-aggregated on the same partitioning, no second
-    exchange).
+    Output: (id, fp) rows, one per selected hash.
+    Plan: ZERO shuffles — the document's k-gram hashes are already an
+    in-row array, so the sliding min is ``array_min(slice(...))`` per
+    window start, the per-doc fingerprint set is ``array_distinct``
+    (doc_id is in every output row, so per-doc distinct equals global
+    distinct), and the only operator left is a generator — a pure map
+    over the scan. At 100 TB this winnows every partition independently
+    with no exchange at all (the earlier version paid a doc-keyed window
+    shuffle + a distinct exchange for the same result).
 
     ``token_hash``: "xxhash64" (fast default) or "md5" (engine-portable,
     what the DuckDB oracle mirrors).
     """
     toks = tokens_col(text_col)
-    # total expression: Catalyst infers `size(grams) > 0` from the
-    # non-outer posexplode below and may push it past the size>=k
-    # filter, evaluating grams on short docs — so the short-doc case
-    # must be handled IN the expression, not only by the filter
-    grams = F.expr(
+    gram = f"concat_ws(' ', slice(__toks, i + 1, {k}))"
+    if token_hash == "md5":
+        h_expr = f"CAST(conv(substring(md5({gram}), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        h_expr = f"xxhash64({gram})"
+    # total expression: guarded by the size>=k filter below, but kept
+    # total anyway (sequence(0, negative) would throw if Catalyst ever
+    # reordered the projection past the filter)
+    hashes = F.expr(
         f"CASE WHEN size(__toks) >= {k} "
-        f"THEN transform(sequence(0, size(__toks) - {k}), "
-        f"i -> concat_ws(' ', slice(__toks, i + 1, {k}))) "
+        f"THEN transform(sequence(0, size(__toks) - {k}), i -> {h_expr}) "
         f"ELSE array() END"
     )
-    if token_hash == "md5":
-        h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
-    else:
-        h = F.xxhash64(F.col("gram"))
-    exploded = (
+    # window starts: pos ∈ [0, max(n_grams - w, 0)]; docs with fewer
+    # than w grams still fingerprint (slice clips at the array end, so
+    # pos 0's window = all grams)
+    selected = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(__hs) - {w}, 0)), "
+        f"i -> array_min(slice(__hs, i + 1, {w}))))"
+    )
+    return (
         docs.select(F.col(id_col), toks.alias("__toks"))
         .filter(F.size(F.col("__toks")) >= k)
-        .select(F.col(id_col), F.size(F.col("__toks")).alias("__n"), grams.alias("__gs"))
-        .select(F.col(id_col), F.col("__n"), F.posexplode(F.col("__gs")).alias("pos", "gram"))
-        .select(F.col(id_col), F.col("__n"), "pos", h.alias("h"))
-    )
-    from pyspark.sql import Window as W
-
-    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    n_grams = F.col("__n") - (k - 1)
-    return (
-        exploded.withColumn("mh", F.min("h").over(win))
-        # window starts: pos ∈ [0, n_grams - w]; docs with fewer than w
-        # grams still fingerprint (pos 0's clipped window = all grams)
-        .filter(F.col("pos") <= F.greatest(n_grams - w, F.lit(0)))
-        .select(F.col(id_col), F.col("mh").alias("fp"))
-        .distinct()
+        .select(F.col(id_col), hashes.alias("__hs"))
+        .select(F.col(id_col), F.explode(selected).alias("fp"))
     )
 
 
