@@ -107,16 +107,28 @@ class IVFIndex:
         """Append ``list_id`` = argmin centroid distance. Pure column
         expressions: the centroid matrix folds into the plan; per row it
         is nlist dot-products inside codegen — no python."""
-        # ||v - c||² = ||v||² - 2 v·c + ||c||²; rank by (||c||² - 2 v·c)
-        best = F.lit(None).cast("int")
-        best_score = F.lit(float("inf"))
-        for i, c in enumerate(self.centroids):
-            cnorm2 = float(np.dot(c, c))
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            score = F.lit(cnorm2) - 2.0 * dot(F.col(vec_col), carr)
-            best = F.when(score < best_score, F.lit(i)).otherwise(best)
-            best_score = F.least(best_score, score)
-        return vectors.withColumn("list_id", best)
+        # ||v - c||² = ||v||² - 2 v·c + ||c||²; rank by (||c||² - 2 v·c).
+        # One (score, i) struct per centroid gathered into a single array
+        # and reduced with array_min: each dot-product fold appears ONCE
+        # in the expression tree (linear in nlist). The previous nested
+        # when/least chain re-inlined every prior score into each step —
+        # an O(nlist²) tree that cost more in analysis + interpreted
+        # evaluation than the data itself. array_min on struct compares
+        # lexicographically: min score first, then min i on ties — the
+        # same strict-less/keep-earlier semantics as the fold it replaces.
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(float(np.dot(c, c)))
+                        - 2.0 * dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                    ).alias("s"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(self.centroids)
+            ]
+        )
+        return vectors.withColumn("list_id", F.array_min(scored)["i"])
 
     # -- search ------------------------------------------------------------
 

@@ -19,28 +19,31 @@ clusters (operators/curation.py); the paper's greedy scan would keep C.
 Documented rather than hidden: stricter is the safe direction for
 dedup.
 
-Plan shape: assign() is codegen-only (nlist dot products per row);
-pairs are a block-keyed self-join (one shuffle on list_id); ranking is
-one window per cluster. No corpus-wide window, no driver loop.
+Plan shape (two Arrow-batched Python stages, ONE shuffle):
+
+1. ``mapInPandas`` — assignment + centroid similarity as a single gemm
+   per batch against the (nlist × dim) centroid matrix. The expression
+   form (IVFIndex.assign) evaluates nlist interpreted aggregate-folds
+   per row; one numpy matmul per Arrow batch is ~100× cheaper and is
+   exactly what a cluster run wants.
+2. ``groupBy(list_id).applyInPandas`` — per-cluster prune. Members are
+   sorted into rank order, the cosine matrix is computed in 1024-row
+   blocked matmuls (memory is block × cluster, never cluster²), and a
+   member is dropped iff ANY earlier-ranked member scores >= threshold
+   against it. Pairs never materialize; the boolean OR folds into the
+   blocked sweep.
+
+No corpus-wide window, no driver loop, no pair explosion.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from wc_vector_indexing_spark.functions.vectors import cosine
-from wc_vector_indexing_spark.operators.dedup import embedding_cosine_pairs
 from wc_vector_indexing_spark.operators.ivf import IVFIndex
-
-
-def _centroid_sim(index: IVFIndex, vec_col: str) -> F.Column:
-    """cosine(vec, centroid[list_id]) as a pure column expression — the
-    centroid matrix folds into the plan as a nested array literal."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in index.centroids]
-    )
-    return cosine(F.col(vec_col), F.element_at(cents, F.col("list_id") + 1))
 
 
 def semdedup(
@@ -61,34 +64,65 @@ def semdedup(
     """
     if index is None:
         index = IVFIndex.train(vectors, nlist=nlist, vec_col=vec_col)
-    assigned = index.assign(vectors, vec_col=vec_col)
-    ranked = assigned.withColumn(
-        "centroid_sim", F.round(_centroid_sim(index, vec_col), 6)
-    ).withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("list_id").orderBy(
-                F.asc("centroid_sim"), F.asc(id_col)
+
+    cents = np.array(index.centroids, dtype="float64")  # (nlist, dim)
+    cnorm2 = (cents * cents).sum(axis=1)  # ||c||²
+    cnorm = np.sqrt(cnorm2)
+    cnorm_safe = np.where(cnorm == 0.0, 1.0, cnorm)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            dots = V @ cents.T  # (n, nlist) — one gemm per Arrow batch
+            # argmin ||v-c||² == argmin (||c||² - 2 v·c); ties → lowest i
+            # (np.argmin returns the first minimum, matching the
+            # strict-less/keep-earlier fold in IVFIndex.assign)
+            scores = cnorm2[None, :] - 2.0 * dots
+            list_id = scores.argmin(axis=1)
+            vnorm = np.linalg.norm(V, axis=1)
+            vnorm_safe = np.where(vnorm == 0.0, 1.0, vnorm)
+            sim = dots[np.arange(len(V)), list_id] / (
+                vnorm_safe * cnorm_safe[list_id]
             )
-        ),
+            sim[(vnorm == 0.0) | (cnorm[list_id] == 0.0)] = 0.0
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "_v": pdf["_v"].to_numpy(),
+                    "list_id": list_id.astype("int32"),
+                    "centroid_sim": np.round(sim, 6),
+                }
+            )
+
+    assigned = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(
+        assign_batches,
+        schema="_id long, _v array<float>, list_id int, centroid_sim double",
     )
-    pairs = embedding_cosine_pairs(
-        assigned, threshold=threshold, block_col="list_id",
-        vec_col=vec_col, id_col=id_col,
-    )
-    r = ranked.select(F.col(id_col), F.col("rank"))
-    with_ranks = (
-        pairs.join(r.withColumnRenamed(id_col, "id_a").withColumnRenamed("rank", "rank_a"), "id_a")
-        .join(r.withColumnRenamed(id_col, "id_b").withColumnRenamed("rank", "rank_b"), "id_b")
-    )
-    drops = with_ranks.select(
-        F.when(F.col("rank_a") > F.col("rank_b"), F.col("id_a"))
-        .otherwise(F.col("id_b"))
-        .alias(id_col)
-    ).distinct()
-    return (
-        ranked.join(drops, id_col, "left_anti")
-        .select(id_col, "list_id", "centroid_sim")
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["centroid_sim", "_id"]).reset_index(drop=True)
+        V = np.stack(pdf["_v"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(V, axis=1)
+        zero = norms == 0.0
+        norms[zero] = 1.0  # zero vectors cosine 0 vs everything
+        Vn = V / norms[:, None]
+        n = len(pdf)
+        dropped = np.zeros(n, dtype=bool)
+        for lo in range(0, n, 1024):
+            hi = min(lo + 1024, n)
+            C = Vn[lo:hi] @ Vn.T  # (block × cluster)
+            for r in range(hi - lo):
+                i = lo + r
+                dropped[i + 1 :] |= C[r, i + 1 :] >= threshold
+        keep = pdf.loc[~dropped, ["_id", "list_id", "centroid_sim"]]
+        return keep.rename(columns={"_id": id_col})
+
+    return assigned.groupBy("list_id").applyInPandas(
+        prune, schema=f"{id_col} long, list_id int, centroid_sim double"
     )
 
 
