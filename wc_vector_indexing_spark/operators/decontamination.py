@@ -27,6 +27,11 @@ from wc_vector_indexing_spark.operators.textstats import tokens_col
 
 
 def _gram_rows(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    # the n-gram explode emits ~n× the text volume; a single-partition
+    # input would serialize it onto one core
+    docs = fan_out(docs)
     return docs.select(
         F.col(id_col),
         F.explode_outer(F.array_distinct(_word_ngrams(tokens_col(text_col), n))).alias(

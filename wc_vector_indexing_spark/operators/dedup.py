@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from wc_vector_indexing_spark.functions.hashing import sha_text
+from wc_vector_indexing_spark.functions.partitioning import fan_out
 from wc_vector_indexing_spark.functions.vectors import cosine
 
 
@@ -119,6 +120,7 @@ def shingle_table(
 ) -> DataFrame:
     """(doc, n, shingle) inverted index over distinct word k-grams,
     shingles as 8-byte hashes (small shuffle keys, branchless compares)."""
+    docs = fan_out(docs)  # shingle UDF cost >> scan cost; don't run it on 1 core
     hashed = docs.select(
         F.col(id_col).alias("doc"),
         _shingle_hash_udf(k, short_doc_unigrams)(F.col(text_col)).alias("hs"),
@@ -294,7 +296,7 @@ def minhash_lsh_pairs(
     share no band-bucket are never scored — the property that makes this
     linear-ish at 100 TB (vs the quadratic exact join).
     """
-    band_rows = docs.select(
+    band_rows = fan_out(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(_band_bucket_udf(num_hashes, bands, k)(F.col(text_col))).alias("bucket"),
     )
@@ -347,7 +349,7 @@ def simhash64(
     16 bits gives a blocked join at scale (bit_count(a ^ b) <= d filter
     within buckets).
     """
-    toks = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok")).filter(
+    toks = fan_out(docs).select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok")).filter(
         F.col("tok") != ""
     )
     if token_hash == "md5":
@@ -509,7 +511,7 @@ def lsh_cosine_pairs(
             )
             yield out
 
-    stacked = vectors.select(
+    stacked = fan_out(vectors).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).mapInPandas(signatures, schema="_id long, _v array<float>, block string")
 

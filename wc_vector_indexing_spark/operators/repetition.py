@@ -58,6 +58,9 @@ def repetition_signals(
     """Per-doc repetition metrics (rounded to 4 decimals, ratios in
     [0,1]); docs with no qualifying units get 0.0, not NULL, so the
     downstream gate can use plain ``<`` comparisons."""
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    docs = fan_out(docs)  # three explode branches re-scan the text; parallelize them
     c = F.col(text_col)
 
     # -- line branch -------------------------------------------------------

@@ -96,7 +96,9 @@ def semdedup(
                 }
             )
 
-    assigned = vectors.select(
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    assigned = fan_out(vectors).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).mapInPandas(
         assign_batches,
