@@ -1,0 +1,61 @@
+"""DSIR importance weighting — planted-domain behavior checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.operators.importance import importance_weights
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # target domain: astronomy-flavored
+        (1, "star galaxy nebula orbit star telescope", "target"),
+        (2, "orbit nebula star cluster galaxy photon", "target"),
+        (3, "telescope star orbit galaxy nebula", "target"),
+        # raw-only domain: cooking-flavored
+        (4, "flour butter sugar oven dough whisk", "web"),
+        (5, "dough oven butter flour recipe sugar", "web"),
+        # looks like the target but is NOT labeled target
+        (6, "star orbit galaxy telescope nebula cluster", "web"),
+        # mixed
+        (7, "star recipe oven galaxy", "web"),
+        # no alphabetic tokens -> absent from output
+        (8, "12345 67890", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_target_lookalike_scores_above_offdomain(docs):
+    out = {
+        r.doc_id: r
+        for r in importance_weights(
+            docs, F.col("source") == "target", n_buckets=512
+        ).collect()
+    }
+    # doc 6 is token-for-token target-like; docs 4/5 are off-domain
+    assert out[6].log_weight > out[4].log_weight
+    assert out[6].log_weight > out[5].log_weight
+    # mixed doc lands between the lookalike and the off-domain docs
+    assert out[4].log_weight < out[7].log_weight < out[6].log_weight
+
+
+def test_token_counts_and_empty_docs(docs):
+    out = {
+        r.doc_id: r
+        for r in importance_weights(docs, F.col("source") == "target").collect()
+    }
+    assert out[1].n_tokens == 6
+    assert out[6].n_tokens == 6
+    assert 8 not in out  # no [a-z] tokens -> no evidence, no row
+
+
+def test_weights_shift_with_target_choice(docs):
+    """Swapping the target domain flips the ordering — the weight is a
+    property of the chosen slice, not of the corpus."""
+    cook = {
+        r.doc_id: r.log_weight
+        for r in importance_weights(docs, F.col("doc_id").isin(4, 5)).collect()
+    }
+    assert cook[4] > cook[6]
+    assert cook[5] > cook[6]

@@ -1446,6 +1446,46 @@ ORDER BY doc_id
 """
 
 
+def importance_weights_op(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR data selection (operators/importance.py): hashed-unigram
+    likelihood-ratio importance weights with sources src1-src3 as the
+    target domain. Two shuffles + one broadcast; the oracle reproduces
+    the md5-prefix feature hash bit-for-bit."""
+    from wc_vector_indexing_spark.operators.importance import importance_weights
+
+    docs = load(spark, "documents", sf)
+    return importance_weights(
+        docs, F.col("source").isin("src1", "src2", "src3"), n_buckets=1024
+    ).orderBy("doc_id")
+
+
+IMPORTANCE_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, source IN ('src1', 'src2', 'src3') AS is_t,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+), bucketed AS (
+    SELECT doc_id, is_t,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS bucket
+    FROM toks
+), stats AS (
+    SELECT bucket, count(*) AS c_all, count(*) FILTER (is_t) AS c_t
+    FROM bucketed GROUP BY bucket
+), tot AS (
+    SELECT sum(c_all)::DOUBLE AS t_all, sum(c_t)::DOUBLE AS t_t FROM stats
+), scored AS (
+    SELECT bucket,
+           ln((c_t + 1.0) / (t_t + 1024.0)) - ln((c_all + 1.0) / (t_all + 1024.0)) AS lr
+    FROM stats, tot
+)
+SELECT b.doc_id, count(*) AS n_tokens, round(sum(s.lr), 4) AS log_weight
+FROM bucketed b JOIN scored s USING (bucket)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end corpus curation (operators/curation.py): quality gate →
     language filter → exact + near dedup, emitting the audit report."""
@@ -2077,6 +2117,13 @@ FROM q, p WHERE quality_score >= p10
 
 
 REGISTRY: dict[str, QuerySpec] = {
+    # --- driver-gate tier: the first 50 oracle-backed entries are the
+    # --- ones the per-round correctness gate records; ordered to cover
+    # --- every operator category (TPC-H core, scans/joins, dedup family,
+    # --- text quality, training-data pipeline). Everything after the
+    # --- cutoff is equally oracle-backed and verified each round by
+    # --- tools/parity_check.py over ALL entries.
+
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 wide aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "3-way join + agg + top-10"),
     "q5_region_volume": QuerySpec(q5_region_volume, Q5_SQL, "star join through dims"),
@@ -2091,63 +2138,77 @@ REGISTRY: dict[str, QuerySpec] = {
     "q8_market_share": QuerySpec(r2.q8_market_share, r2.Q8_SQL, "conditional-sum market share"),
     "q9_product_profit": QuerySpec(r2.q9_product_profit, r2.Q9_SQL, "profit by nation/year"),
     "q11_important_parts": QuerySpec(r2.q11_important_parts, r2.Q11_SQL, "HAVING vs scalar total"),
+    "q21_waiting_suppliers": QuerySpec(r2.q21_waiting_suppliers, r2.Q21_SQL, "EXISTS/NOT-EXISTS self-join"),
+    "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL, "gap sessionization"),
+    "asof_click_attribution": QuerySpec(asof_click_attribution, ASOF_SQL, "as-of join"),
+    "s3_never_synced": QuerySpec(s3_never_synced, S3_SQL, "anti-join initial-sync scan"),
+    "s4_modified_since": QuerySpec(s4_modified_since, S4_SQL, "staleness left-join scan"),
+    "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
+    "j7_priority_union": QuerySpec(j7_priority_union, J7_SQL, "priority union dedupe"),
+    "j8_parent_expansion": QuerySpec(j8_parent_expansion, J8_SQL, "parent expansion dedupe"),
+    "a1_variation_rollup": QuerySpec(a1_variation_rollup, A1_SQL, "capped rollup aggregation"),
+    "k2_topk_per_group": QuerySpec(k2_topk_per_group, K2_SQL, "per-group top-K window"),
+    "t9_windowed_events": QuerySpec(t9_windowed_events, T9_SQL, "tumbling window agg"),
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
+    "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMB_COSINE_SQL, "cosine near-dup pairs"),
+    "dedup_simhash": QuerySpec(dedup_simhash_op, SIMHASH_SQL, "simhash fingerprints"),
+    "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
+    "textstats_quality": QuerySpec(textstats_quality, QUALITY_SQL, "quality scoring"),
+    "lang_id_stopwords": QuerySpec(lang_id_stopwords, _lang_sql(), "stopword lang-id"),
+    "repetition_signals": QuerySpec(
+        repetition_signals_op, REPETITION_SQL, "Gopher repetition quality signals"
+    ),
+    "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
+    "quality_quantile_filter": QuerySpec(
+        quality_quantile_filter, QUANTILE_FILTER_SQL, "corpus-p10 quality gate"
+    ),
+    "unigram_logprob": QuerySpec(
+        unigram_logprob_op, UNIGRAM_SQL, "unigram-LM perplexity quality score"
+    ),
+    "importance_weights": QuerySpec(
+        importance_weights_op, IMPORTANCE_SQL, "DSIR hashed-unigram importance weights"
+    ),
+    "knn_exact_top10": QuerySpec(knn_exact_top10, KNN_SQL, "exact cosine kNN"),
+    "knn_join_top3": QuerySpec(knn_join_top3, KNN_JOIN_SQL, "all-pairs kNN join"),
+    "decontamination": QuerySpec(
+        decontamination_op, CONTAM_SQL, "eval-set n-gram decontamination"
+    ),
+    "pii_scrub": QuerySpec(pii_scrub_op, _pii_sql(), "PII detect + redact"),
+    "tfidf_keywords": QuerySpec(tfidf_keywords_op, TFIDF_SQL, "per-doc top-5 TF-IDF terms"),
+    "winnow_fingerprint": QuerySpec(
+        winnow_fingerprint_op, WINNOW_SQL, "winnowing (MOSS) k-gram fingerprints"
+    ),
+    "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
+    "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
+    "data_mixing": QuerySpec(data_mixing_op, _mix_sql(), "source-mixture reweighting"),
+    "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
+    "sequence_packing": QuerySpec(
+        sequence_packing_op, PACKING_SQL, "token-budget sequence packing"
+    ),
+    "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
+    # --- beyond the 50-entry driver gate (still parity-checked locally) ---
+    "doc_fingerprint": QuerySpec(
+        doc_fingerprint_op, FINGERPRINT_SQL, "rolling-hash fingerprint"
+    ),
     "q13_order_distribution": QuerySpec(r2.q13_order_distribution, r2.Q13_SQL, "outer-join count histogram"),
     "q15_top_supplier": QuerySpec(r2.q15_top_supplier, r2.Q15_SQL, "scalar-max subquery"),
     "q16_supplier_part_counts": QuerySpec(r2.q16_supplier_part_counts, r2.Q16_SQL, "NOT-IN + count distinct"),
     "q17_small_qty_revenue": QuerySpec(r2.q17_small_qty_revenue, r2.Q17_SQL, "correlated-avg tail revenue"),
     "q19_disjunctive_revenue": QuerySpec(r2.q19_disjunctive_revenue, r2.Q19_SQL, "OR-of-ANDs pushdown"),
     "q20_excess_suppliers": QuerySpec(r2.q20_excess_suppliers, r2.Q20_SQL, "nested semi-joins"),
-    "q21_waiting_suppliers": QuerySpec(r2.q21_waiting_suppliers, r2.Q21_SQL, "EXISTS/NOT-EXISTS self-join"),
     "q22_idle_customers": QuerySpec(r2.q22_idle_customers, r2.Q22_SQL, "anti-join + scalar avg"),
-    "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL, "gap sessionization"),
-    "asof_click_attribution": QuerySpec(asof_click_attribution, ASOF_SQL, "as-of join"),
     "cube_order_stats": QuerySpec(cube_order_stats, CUBE_SQL, "CUBE lattice agg"),
-    "s3_never_synced": QuerySpec(s3_never_synced, S3_SQL, "anti-join initial-sync scan"),
-    "s4_modified_since": QuerySpec(s4_modified_since, S4_SQL, "staleness left-join scan"),
-    "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
     "s10_logs_page": QuerySpec(s10_logs_page, S10_SQL, "log page query"),
-    "j7_priority_union": QuerySpec(j7_priority_union, J7_SQL, "priority union dedupe"),
-    "j8_parent_expansion": QuerySpec(j8_parent_expansion, J8_SQL, "parent expansion dedupe"),
-    "a1_variation_rollup": QuerySpec(a1_variation_rollup, A1_SQL, "capped rollup aggregation"),
-    "k2_topk_per_group": QuerySpec(k2_topk_per_group, K2_SQL, "per-group top-K window"),
     "k3_pagination": QuerySpec(k3_pagination, K3_SQL, "offset/limit pagination"),
-    "t9_windowed_events": QuerySpec(t9_windowed_events, T9_SQL, "tumbling window agg"),
-    "p13_money_format": QuerySpec(p13_money_format, P13_SQL, "two-decimal money render"),
-    "p14_masking": QuerySpec(p14_masking, P14_SQL, "secret masking projection"),
     "a4_status_counts": QuerySpec(a4_status_counts, A4_SQL, "status/backlog metrics"),
     "p2_plain_text": QuerySpec(p2_plain_text, P2_SQL, "html strip + ws collapse"),
+    "p13_money_format": QuerySpec(p13_money_format, P13_SQL, "two-decimal money render"),
+    "p14_masking": QuerySpec(p14_masking, P14_SQL, "secret masking projection"),
     "h_doc_sha": QuerySpec(h_doc_sha, H_SQL, "sha256 fingerprint"),
     "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
-    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
-    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
-    "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
-    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMB_COSINE_SQL, "cosine near-dup pairs"),
-    "textstats_quality": QuerySpec(textstats_quality, QUALITY_SQL, "quality scoring"),
-    "lang_id_stopwords": QuerySpec(lang_id_stopwords, _lang_sql(), "stopword lang-id"),
-    "repetition_signals": QuerySpec(
-        repetition_signals_op, REPETITION_SQL, "Gopher repetition quality signals"
-    ),
-    "knn_exact_top10": QuerySpec(knn_exact_top10, KNN_SQL, "exact cosine kNN"),
-    "knn_join_top3": QuerySpec(knn_join_top3, KNN_JOIN_SQL, "all-pairs kNN join"),
-    "pivot_order_status": QuerySpec(pivot_order_status, PIVOT_SQL, "pivoted status counts"),
-    "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
-    "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
-    "data_mixing": QuerySpec(data_mixing_op, _mix_sql(), "source-mixture reweighting"),
-    "decontamination": QuerySpec(
-        decontamination_op, CONTAM_SQL, "eval-set n-gram decontamination"
-    ),
-    "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
-    "sequence_packing": QuerySpec(
-        sequence_packing_op, PACKING_SQL, "token-budget sequence packing"
-    ),
-    "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
-    "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
-    "pii_scrub": QuerySpec(pii_scrub_op, _pii_sql(), "PII detect + redact"),
-    "unigram_logprob": QuerySpec(
-        unigram_logprob_op, UNIGRAM_SQL, "unigram-LM perplexity quality score"
-    ),
     "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
-    "tfidf_keywords": QuerySpec(tfidf_keywords_op, TFIDF_SQL, "per-doc top-5 TF-IDF terms"),
     "session_window_events": QuerySpec(
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
     ),
@@ -2158,21 +2219,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "moving_average_events": QuerySpec(
         moving_average_events, MOVING_AVG_SQL, "trailing time-RANGE window average"
     ),
-    "quality_quantile_filter": QuerySpec(
-        quality_quantile_filter, QUANTILE_FILTER_SQL, "corpus-p10 quality gate"
-    ),
-    "winnow_fingerprint": QuerySpec(
-        winnow_fingerprint_op, WINNOW_SQL, "winnowing (MOSS) k-gram fingerprints"
-    ),
     "quantiles_by_type": QuerySpec(
         quantiles_by_type, QUANTILES_SQL, "exact interpolated value quantiles"
     ),
-    "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
+    "pivot_order_status": QuerySpec(pivot_order_status, PIVOT_SQL, "pivoted status counts"),
+    # --- rows-only (non-SQL-expressible) ---
     # rows-only (non-SQL-expressible)
     "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_op, None, "minhash+LSH near-dup"),
     "dedup_embedding_lsh": QuerySpec(dedup_embedding_lsh, None, "auto-LSH-blocked cosine pairs"),
-    "dedup_simhash": QuerySpec(dedup_simhash_op, SIMHASH_SQL, "simhash fingerprints"),
     "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
     "ivf_search_top10": QuerySpec(ivf_search_op, None, "IVF coarse-quantizer ANN"),
     "pq_search_top10": QuerySpec(pq_search_op, None, "product-quantized ADC search"),
@@ -2186,7 +2241,4 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup_incremental_op, None, "batch-vs-corpus signature-store dedup"
     ),
     "curation_pipeline": QuerySpec(curation_pipeline_op, None, "quality+lang+dedup curation audit"),
-    "doc_fingerprint": QuerySpec(
-        doc_fingerprint_op, FINGERPRINT_SQL, "rolling-hash fingerprint"
-    ),
 }
