@@ -38,7 +38,6 @@ from pyspark.sql.functions import pandas_udf
 
 from wc_vector_indexing_spark.functions.hashing import sha_text
 from wc_vector_indexing_spark.functions.partitioning import fan_out
-from wc_vector_indexing_spark.functions.vectors import cosine
 
 
 def _tokens(text_col: str) -> F.Column:
@@ -410,36 +409,58 @@ def embedding_cosine_pairs(
     (:func:`lsh_cosine_pairs`), approximate but corpus-scale-safe.
     Output: id_a, id_b, block, cosine(4dp).
 
-    Norms are precomputed per ROW before the self-join (|corpus| norm
-    evaluations) so each of the |pairs| comparisons evaluates a single
-    dot-product fold instead of dot + two norms — higher-order aggregates
-    are the interpreted hot path, so this is ~3× on the pair stage.
+    Scoring is the shared per-block gemm (``_gemm_block_pairs``): one
+    shuffle on the blocking key, then each block's cosine matrix is
+    blocked numpy matmuls — the former expression self-join evaluated an
+    INTERPRETED higher-order dot fold per candidate pair, ~10× slower
+    at any scale. Rows with a NULL block never pair (join semantics of
+    the expression form, kept explicitly here).
     """
-    from wc_vector_indexing_spark.functions.vectors import dot, l2_norm
-
     if block_col is None:
         return lsh_cosine_pairs(
             vectors, threshold, vec_col=vec_col, id_col=id_col,
             bits=lsh_bits, tables=lsh_tables,
         )
 
-    with_norm = vectors.withColumn("_norm", l2_norm(F.col(vec_col)))
-    a = with_norm.select(
-        F.col(id_col).alias("id_a"), F.col(block_col).alias("block"),
-        F.col(vec_col).alias("_va"), F.col("_norm").alias("_na"),
+    block_type = dict(vectors.dtypes)[block_col]
+    stacked = vectors.filter(F.col(block_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.col(block_col).alias("block"),
     )
-    b = with_norm.select(
-        F.col(id_col).alias("id_b"), F.col(block_col).alias("block"),
-        F.col(vec_col).alias("_vb"), F.col("_norm").alias("_nb"),
+    return _gemm_block_pairs(stacked, threshold, block_type).withColumn(
+        "cosine", F.round("cosine", 4)
     )
-    denom = F.col("_na") * F.col("_nb")
-    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(F.col("_va"), F.col("_vb")) / denom)
-    return (
-        a.join(b, ["block"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cos, 4))
-        .filter(cos >= threshold)
-        .select("id_a", "id_b", "block", "cosine")
+
+
+def _gemm_block_pairs(stacked: DataFrame, threshold: float, block_type: str) -> DataFrame:
+    """Above-threshold cosine pairs within each block of a
+    (_id, _v, block) frame. One applyInPandas per block: members sorted
+    by id (so id_a < id_b), cosine matrix in 1024-row blocked matmuls —
+    memory is row-block × block size, never block². Cosine is RAW
+    double; callers round for presentation."""
+    import numpy as np
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors score 0 against everything
+        Vn = V / norms[:, None]
+        block = pdf["block"].iloc[0]
+        out = []
+        for lo in range(0, len(ids), 1024):
+            hi = min(lo + 1024, len(ids))
+            C = Vn[lo:hi] @ Vn.T
+            for r in range(hi - lo):
+                i = lo + r
+                cols = np.nonzero(C[r, i + 1 :] >= threshold)[0] + i + 1
+                for j in cols:
+                    out.append((int(ids[i]), int(ids[j]), block, float(C[r, j])))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "block", "cosine"])
+
+    return stacked.groupBy("block").applyInPandas(
+        score_block, schema=f"id_a long, id_b long, block {block_type}, cosine double"
     )
 
 
@@ -515,28 +536,7 @@ def lsh_cosine_pairs(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).mapInPandas(signatures, schema="_id long, _v array<float>, block string")
 
-    def score_bucket(pdf: pd.DataFrame):
-        pdf = pdf.sort_values("_id")
-        ids = pdf["_id"].to_numpy()
-        V = np.stack(pdf["_v"].to_numpy()).astype("float64")
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0.0] = 1.0  # zero vectors score 0 against everything
-        Vn = V / norms[:, None]
-        block = pdf["block"].iloc[0]
-        out = []
-        for lo in range(0, len(ids), 1024):
-            hi = min(lo + 1024, len(ids))
-            C = Vn[lo:hi] @ Vn.T  # (block × all) — O(block·m·dim)
-            for r in range(hi - lo):
-                i = lo + r
-                cols = np.nonzero(C[r, i + 1 :] >= threshold)[0] + i + 1
-                for j in cols:
-                    out.append((int(ids[i]), int(ids[j]), block, float(C[r, j])))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "block", "cosine"])
-
-    scored = stacked.groupBy("block").applyInPandas(
-        score_bucket, schema="id_a long, id_b long, block string, cosine double"
-    )
+    scored = _gemm_block_pairs(stacked, threshold, "string")
     # a close pair collides in several tables: keep one row per pair
     return (
         scored.groupBy("id_a", "id_b")
