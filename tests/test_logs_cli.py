@@ -169,3 +169,33 @@ def test_cli_export_shards(spark, tmp_path, capsys):
     assert manifest["n_shards"] >= 10  # 500 docs / 50 cap across sources
     back = spark.read.json(str(tmp_path / "shards"))
     assert back.count() == 500
+
+
+def test_cli_select_dsir(spark, tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+
+    rc = main(
+        [
+            "select",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "selected"),
+            "--target-sources", "src1,src2",
+            "--fraction", "0.4",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["total"] == 500
+    # approx-percentile threshold: kept within a tolerant band of 40%
+    assert 0.25 * out["total"] <= out["kept"] <= 0.55 * out["total"]
+    sel = spark.read.parquet(str(tmp_path / "selected"))
+    assert sel.count() == out["kept"]
+    # the selected slice skews toward the target sources vs the corpus
+    frac_target = (
+        sel.filter(sel.source.isin("src1", "src2")).count() / sel.count()
+    )
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base_frac = base.filter(base.source.isin("src1", "src2")).count() / base.count()
+    assert frac_target > base_frac

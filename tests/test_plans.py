@@ -138,9 +138,29 @@ def test_packing_single_group_shuffle(spark):
     assert "Window" in plan
 
 
-def test_repetition_doc_keyed_shuffles(spark):
+def test_repetition_is_pure_map(spark):
     plan = plan_of(spark, "repetition_signals")
-    # every hashpartitioning key list contains doc_id — skew bounded by
-    # the largest single document
+    # per-doc-local metrics must never hash-shuffle: the only exchanges
+    # are the fan_out round-robin and the catalog wrapper's orderBy
+    # (range partitioning, oracle-comparison only)
+    assert not re.findall(r"hashpartitioning\(", plan)
+    assert "MapInPandas" in plan
+    # no join, no aggregate anywhere in the operator
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_semdedup_two_python_stages_one_shuffle(spark):
+    plan = plan_of(spark, "semdedup_embeddings")
+    # gemm assignment (map) + per-cluster prune (grouped map): exactly
+    # one hash exchange, keyed by the cluster id
     keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
-    assert keys and all("doc_id" in k for k in keys)
+    assert keys and all("list_id" in k for k in keys)
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+
+
+def test_importance_broadcasts_bucket_stats(spark):
+    plan = plan_of(spark, "importance_weights")
+    # the vocabulary-hash-sized stats frame joins back via broadcast —
+    # the corpus token table is never the build side of a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

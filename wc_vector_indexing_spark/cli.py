@@ -173,6 +173,38 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_select(args: argparse.Namespace) -> int:
+    """DSIR data selection: score every document by hashed-unigram
+    importance weight against a target slice, write the top fraction;
+    prints kept/total and the selection threshold as JSON."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.importance import importance_weights
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.readers import load
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load(spark, "documents", args.sf_dir)
+    target = F.col("source").isin(*args.target_sources.split(","))
+    weights = importance_weights(docs, target, n_buckets=args.buckets)
+    # keep the top `fraction` by log_weight: corpus-quantile threshold,
+    # same global-statistic broadcast pattern as quality_quantile_filter
+    thr = weights.agg(
+        F.percentile_approx("log_weight", 1.0 - args.fraction).alias("t")
+    ).head()[0]
+    selected = docs.join(
+        weights.filter(F.col("log_weight") >= thr).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    selected.write.mode("overwrite").parquet(args.out)
+    n_total = docs.count()
+    n_kept = selected.count()
+    print(json.dumps({"kept": n_kept, "total": n_total, "threshold": thr}))
+    return 0
+
+
 def cmd_mix(args: argparse.Namespace) -> int:
     """Reweight a documents table to a target source mixture; writes the
     mixed corpus and prints the before/after report as JSON."""
@@ -278,6 +310,14 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--out", required=True)
     m.add_argument("--weights", required=True, help="e.g. src0=0.5,src1=0.5")
     m.set_defaults(fn=cmd_mix)
+
+    se = sub.add_parser("select", help="DSIR importance-weighted data selection")
+    se.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    se.add_argument("--out", required=True)
+    se.add_argument("--target-sources", required=True, help="e.g. src1,src2")
+    se.add_argument("--fraction", type=float, default=0.5)
+    se.add_argument("--buckets", type=int, default=4096)
+    se.set_defaults(fn=cmd_select)
 
     ex = sub.add_parser("export", help="export a table as training shards")
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")

@@ -87,15 +87,20 @@ def curate(
     """
     config = config or CurationConfig()
 
-    scored = textstats.text_quality(docs, text_col=text_col, id_col=id_col).select(
-        id_col, "quality_score"
+    # quality and language are pure column expressions over each row —
+    # appended in place, NOT computed as separate frames joined back
+    # (two shuffles of the corpus for values derivable in the scan
+    # projection). base feeds four audit branches + the survivor chain —
+    # persist it once instead of re-scoring the corpus per branch.
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    base = (
+        fan_out(docs).withColumn(
+            "quality_score", F.round(textstats.quality_score_col(F.col(text_col)), 4)
+        )
+        .withColumn("predicted_lang", textstats.predicted_lang_col(F.col(text_col)))
+        .persist()
     )
-    lang = textstats.lang_id(docs, text_col=text_col, id_col=id_col).select(
-        id_col, "predicted_lang"
-    )
-    # base feeds four audit branches + the survivor chain — persist it
-    # once instead of re-scoring the corpus per branch
-    base = docs.join(scored, id_col).join(lang, id_col).persist()
 
     low_q = base.filter(F.col("quality_score") < config.min_quality)
     kept = base.filter(F.col("quality_score") >= config.min_quality)
@@ -131,7 +136,15 @@ def curate(
     groups = dedup.exact_duplicates(kept, text_col=text_col, id_col=id_col)
     canon = groups.select(F.col("canonical_id").alias(id_col))
     exact_dropped = kept.join(canon, id_col, "left_anti").select(id_col)
-    kept = kept.join(canon, id_col, "left_semi")
+    # Stage boundary: truncate lineage before the near-dup stage. The
+    # minhash chain references this frame from several branches (band
+    # UDF, jaccard verify, final anti-join) and the component iteration
+    # runs many actions over it — each would otherwise re-plan the whole
+    # scan→score→filter→dedup DAG on the driver (seconds of Catalyst
+    # work per action, independent of data size). The cluster-scale
+    # analogue is writing the filtered corpus between pipeline stages,
+    # which every real curation pipeline does anyway.
+    kept = kept.join(canon, id_col, "left_semi").localCheckpoint(eager=True)
 
     # near-dup removal on the survivors only
     pairs = dedup.minhash_lsh_pairs(

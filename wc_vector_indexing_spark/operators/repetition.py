@@ -22,12 +22,11 @@ Per-document signals:
                       not de-duplicated — documented approximation; the
                       signal is monotone in repetition either way)
 
-Scale shape: two explode → groupBy(doc_id, unit) → groupBy(doc_id)
-aggregations joined on doc_id. Every shuffle key includes doc_id, so
-skew is bounded by the largest single document, not by corpus-wide hot
-keys; partial aggregation (map-side combine) applies at every level.
-The n-gram branch is pure Catalyst (transform/slice/array_join) — no
-Python in the pipeline.
+Scale shape: ZERO shuffles — every signal is per-document local, so the
+whole computation is one Arrow-batched map over the scan (unit splitting
+stays in Catalyst so boundaries match the SQL oracle bit-for-bit; the
+counting is per-row python over that doc's own units). Skew is bounded
+by the largest single document.
 """
 
 from __future__ import annotations
@@ -57,82 +56,105 @@ def repetition_signals(
 ) -> DataFrame:
     """Per-doc repetition metrics (rounded to 4 decimals, ratios in
     [0,1]); docs with no qualifying units get 0.0, not NULL, so the
-    downstream gate can use plain ``<`` comparisons."""
+    downstream gate can use plain ``<`` comparisons.
+
+    Every metric is PER-DOCUMENT LOCAL, so the right plan is a pure
+    map, not the explode -> groupBy(doc, unit) -> groupBy(doc) -> join
+    cascade (6 shuffles whose keys all contain doc_id — shuffling data
+    to regroup rows that were never apart). One Arrow pass computes all
+    five signals; splitting stays in Catalyst (F.split / tokens_col) so
+    unit boundaries are bit-identical to the SQL oracle's, and rounding
+    replicates Spark's Round(double) exactly (shortest-decimal repr,
+    HALF_UP — ``_r4``). Zero shuffles at any scale; skew bound is the
+    largest single document."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
     from wc_vector_indexing_spark.functions.partitioning import fan_out
 
-    docs = fan_out(docs)  # three explode branches re-scan the text; parallelize them
     c = F.col(text_col)
-
-    # -- line branch -------------------------------------------------------
-    lines = docs.select(
-        F.col(id_col), F.explode(F.split(c, r"\n")).alias("line")
-    )
-    line_counts = lines.groupBy(id_col, "line").agg(F.count("*").alias("c"))
-    line_stats = line_counts.groupBy(id_col).agg(
-        F.sum("c").alias("n_lines"),
-        F.round(
-            (F.sum("c") - F.count("*")) / F.sum("c"), 4
-        ).alias("dup_line_frac"),
-        F.coalesce(
-            F.round(
-                F.sum((F.col("c") - 1) * F.length("line"))
-                / F.nullif(F.sum(F.col("c") * F.length("line")), F.lit(0)),
-                4,
-            ),
-            F.lit(0.0),
-        ).alias("dup_line_char_frac"),
+    prepped = fan_out(docs).select(
+        F.col(id_col).alias("_id"),
+        F.length(c).alias("_n_chars"),
+        F.split(c, r"\n").alias("_lines"),
+        tokens_col(c).alias("_toks"),
     )
 
-    # -- n-gram branch -----------------------------------------------------
-    toks = docs.select(
-        F.col(id_col),
-        F.length(c).alias("n_chars"),
-        tokens_col(c).alias("t"),
-    )
-    grams = toks.select(
-        id_col,
-        "n_chars",
-        F.explode(_word_ngrams(F.col("t"), top_ngram_n)).alias("g2"),
-    )
-    g2_counts = grams.groupBy(id_col, "n_chars", "g2").agg(F.count("*").alias("c"))
-    g2_stats = g2_counts.groupBy(id_col, "n_chars").agg(
-        F.round(
-            F.max(F.col("c") * F.length("g2")) / F.nullif(F.col("n_chars"), F.lit(0)),
-            4,
-        ).alias("top_2gram_char_frac")
-    ).drop("n_chars")
+    q4 = Decimal("0.0001")
 
-    g5 = toks.select(
-        id_col,
-        "n_chars",
-        F.explode(_word_ngrams(F.col("t"), dup_ngram_n)).alias("g5"),
-    )
-    g5_counts = g5.groupBy(id_col, "n_chars", "g5").agg(F.count("*").alias("c"))
-    g5_stats = g5_counts.groupBy(id_col, "n_chars").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("g5")).otherwise(
-                    F.lit(0)
-                )
-            )
-            / F.nullif(F.col("n_chars"), F.lit(0)),
-            4,
-        ).alias("dup_5gram_char_frac")
-    ).drop("n_chars")
+    def _r4(x: float) -> float:
+        # Spark Round(double) = BigDecimal.valueOf(d).setScale(4, HALF_UP):
+        # shortest-roundtrip decimal repr, then half-up — repr() is the
+        # same shortest-roundtrip algorithm on the python side
+        return float(Decimal(repr(x)).quantize(q4, rounding=ROUND_HALF_UP))
 
-    return (
-        docs.select(id_col)
-        .join(line_stats, id_col, "left")
-        .join(g2_stats, id_col, "left")
-        .join(g5_stats, id_col, "left")
-        .select(
-            id_col,
-            F.col("n_lines").cast("long").alias("n_lines"),
-            "dup_line_frac",
-            "dup_line_char_frac",
-            F.coalesce("top_2gram_char_frac", F.lit(0.0)).alias("top_2gram_char_frac"),
-            F.coalesce("dup_5gram_char_frac", F.lit(0.0)).alias("dup_5gram_char_frac"),
+    def _ngram_stats(toks, n_chars, n, want_top):
+        from collections import Counter
+
+        counts = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
         )
+        if not counts or not n_chars:
+            return None
+        if want_top:
+            return _r4(max(cnt * len(g) for g, cnt in counts.items()) / n_chars)
+        return _r4(
+            sum((cnt - 1) * len(g) for g, cnt in counts.items() if cnt > 1) / n_chars
+        )
+
+    def compute(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            out = []
+            for _id, n_chars, lines, toks in zip(
+                pdf["_id"], pdf["_n_chars"], pdf["_lines"], pdf["_toks"]
+            ):
+                if lines is None:  # null text: mirror the left-join NULLs
+                    out.append((_id, None, None, None, 0.0, 0.0))
+                    continue
+                lines = list(lines)
+                lc = Counter(lines)
+                n_lines = len(lines)
+                dup_line_frac = _r4((n_lines - len(lc)) / n_lines)
+                char_total = sum(cnt * len(ln) for ln, cnt in lc.items())
+                dup_chars = sum((cnt - 1) * len(ln) for ln, cnt in lc.items())
+                dup_line_char_frac = (
+                    _r4(dup_chars / char_total) if char_total else 0.0
+                )
+                toks = list(toks) if toks is not None else []
+                top_g = _ngram_stats(toks, n_chars, top_ngram_n, want_top=True)
+                dup_g = _ngram_stats(toks, n_chars, dup_ngram_n, want_top=False)
+                out.append(
+                    (
+                        _id,
+                        n_lines,
+                        dup_line_frac,
+                        dup_line_char_frac,
+                        top_g if top_g is not None else 0.0,
+                        dup_g if dup_g is not None else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col,
+                    "n_lines",
+                    "dup_line_frac",
+                    "dup_line_char_frac",
+                    "top_2gram_char_frac",
+                    "dup_5gram_char_frac",
+                ],
+            )
+
+    return prepped.mapInPandas(
+        compute,
+        schema=(
+            f"{id_col} long, n_lines long, dup_line_frac double, "
+            "dup_line_char_frac double, top_2gram_char_frac double, "
+            "dup_5gram_char_frac double"
+        ),
     )
 
 

@@ -66,6 +66,9 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """Per-document quality metrics (length / digit / punctuation /
     uppercase ratios + a composite score). Deterministic rational
     arithmetic — mirrors the DuckDB oracle exactly."""
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    docs = fan_out(docs)  # regexp counts over every char; parallelize them
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tokens = token_count(c)
@@ -117,6 +120,9 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     ratio_L = |tokens ∈ stopwords_L| / |tokens|; predict argmax if it
     clears LANG_MIN_RATIO, else 'other' (CJK text without spaces lands
     in 'other' by construction)."""
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    docs = fan_out(docs)  # interpreted stopword-set filters per token ×4 langs
     ratios = _lang_ratios(text_col)
     en, es, de, fr = ratios["en"], ratios["es"], ratios["de"], ratios["fr"]
     predicted = predicted_lang_col(text_col)

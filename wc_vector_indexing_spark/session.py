@@ -37,6 +37,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces by BYTES; stages whose per-row cost is CPU (Arrow
+        # UDF dedup/scoring stages) would collapse onto one core when the
+        # shuffled text is only a few MB. A small floor keeps
+        # parallelismFirst effective at test scale and is invisible at
+        # cluster scale, where total/parallelism >> 64k anyway.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime bloom-filter pushdown: a selective join side prunes the
         # big side's scan — free win for the ledger joins at scale

@@ -50,6 +50,12 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
         if f.name == "ts" and f.dataType.typeName() == "long":
             # integer division — double division loses precision at 1e18
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and f.dataType.typeName() == "timestamp_ntz":
+            # µs-precision files arrive as TIMESTAMP_NTZ; normalize to
+            # TIMESTAMP so epoch functions (unix_micros &c.) resolve.
+            # Session tz is UTC, so the cast is value-identity — the
+            # same wall-clock contract the DuckDB oracle assumes.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
