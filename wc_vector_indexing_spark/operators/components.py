@@ -70,30 +70,45 @@ def connected_components(
         .select(F.col("src").alias("node"), F.least("src", "nbr_min").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    cached: list = []
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # carry the change flag through the checkpoint so the
-        # convergence probe is a filter over the materialized rows, not
-        # another join per round
-        new_labels = (
-            labels.join(nbr_min.select(F.col("src").alias("node"), "nbr_label"), "node", "left")
-            .select(
-                "node",
-                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
+        new_labels = labels.join(
+            nbr_min.select(F.col("src").alias("node"), "nbr_label"), "node", "left"
+        ).select(
+            "node",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            (F.col("nbr_label") < F.col("label")).alias("_changed"),
         )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        # ONE action per round: the count_if aggregate both materializes
+        # the persisted round result (it scans every partition — no
+        # limit short-circuit) and answers the convergence probe.
+        # Periodic localCheckpoint bounds lineage growth — even with the
+        # cache, Catalyst re-ANALYZES the accumulated join nest each
+        # round, which dominates past ~3 levels; near-dup graphs
+        # converge in 2-3 rounds, inside a single persist window.
+        if (it + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
+            cached.append(new_labels)
+        changed = new_labels.agg(F.count_if(F.col("_changed")).alias("c")).head()[0]
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("node").alias(out_id), F.col("label").alias(out_cluster))
+    # hand back an eagerly-materialized frame with no live persist
+    # handles: callers iterate over it from several branches
+    out = labels.select(
+        F.col("node").alias(out_id), F.col("label").alias(out_cluster)
+    ).localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def cluster_representatives(
