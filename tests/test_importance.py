@@ -59,3 +59,27 @@ def test_weights_shift_with_target_choice(docs):
     }
     assert cook[4] > cook[6]
     assert cook[5] > cook[6]
+
+
+def test_script_mix_dominant(spark):
+    from wc_vector_indexing_spark.operators.textstats import script_mix
+
+    rows = [
+        (1, "hello plain ascii words"),
+        (2, "привет мир как дела сегодня"),
+        (3, "世界你好今天怎么样"),
+        (4, "مرحبا بالعالم اليوم"),
+        (5, "12345 !!! ???"),
+        (6, "hello привет"),  # cyrillic wins 6 chars to 5
+        (7, "abcd жзий"),  # exact tie: latin wins by SCRIPTS precedence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_mix(df).collect()}
+    assert out[1].dominant_script == "latin" and out[1].latin_ratio > 0.8
+    assert out[2].dominant_script == "cyrillic"
+    assert out[3].dominant_script == "han" and out[3].han_ratio == 1.0
+    assert out[4].dominant_script == "arabic"
+    assert out[5].dominant_script == "other"
+    assert out[5].latin_ratio == 0.0
+    assert out[6].dominant_script == "cyrillic"
+    assert out[7].dominant_script == "latin"

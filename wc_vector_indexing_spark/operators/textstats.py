@@ -136,6 +136,47 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+SCRIPTS = ("latin", "cyrillic", "han", "arabic")
+
+_SCRIPT_RE = {
+    # Java (Spark) script properties; the DuckDB oracle uses RE2's
+    # \p{Latin} etc. — verified count-identical on mixed-script text
+    "latin": r"\p{IsLatin}",
+    "cyrillic": r"\p{IsCyrillic}",
+    "han": r"\p{IsHan}",
+    "arabic": r"\p{IsArabic}",
+}
+
+
+def script_mix(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unicode-script composition per document: per-script character
+    ratios + the dominant script — the charset-level complement to the
+    stopword ``lang_id`` (CJK/Cyrillic corpora have no stopword hits to
+    vote with; their script ratio identifies them anyway).
+
+    Zero shuffles: regexp_count per script is a codegen projection over
+    the scan. Dominant = first max in SCRIPTS order, 'other' when no
+    script character occurs (ratios measured against ALL chars, so
+    digits/punctuation dilute every script equally)."""
+    c = F.col(text_col)
+    n = F.length(c)
+    cnt = {s: F.regexp_count(c, F.lit(rx)) for s, rx in _SCRIPT_RE.items()}
+    lat, cyr, han, ara = (cnt[s] for s in SCRIPTS)
+    dominant = (
+        F.when((lat >= cyr) & (lat >= han) & (lat >= ara) & (lat > 0), "latin")
+        .when((cyr >= han) & (cyr >= ara) & (cyr > 0), "cyrillic")
+        .when((han >= ara) & (han > 0), "han")
+        .when(ara > 0, "arabic")
+        .otherwise("other")
+    )
+    ratio = {s: F.round(cnt[s] / F.nullif(n, F.lit(0)), 4) for s in SCRIPTS}
+    return docs.select(
+        F.col(id_col),
+        *[F.coalesce(ratio[s], F.lit(0.0)).alias(f"{s}_ratio") for s in SCRIPTS],
+        dominant.alias("dominant_script"),
+    )
+
+
 def winnow_fingerprint(
     docs: DataFrame,
     k: int = 3,

@@ -1012,6 +1012,37 @@ def lang_id_stopwords(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.lang_id(load(spark, "documents", sf))
 
 
+def script_mix_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-script composition (textstats.script_mix): per-script
+    char ratios + dominant script, zero shuffles. Java \\p{IsX} and
+    RE2 \\p{X} script classes count identically (verified)."""
+    return textstats.script_mix(load(spark, "documents", sf)).orderBy("doc_id")
+
+
+SCRIPT_MIX_SQL = r"""
+WITH counts AS (
+    SELECT doc_id, length(text) AS n,
+           len(regexp_extract_all(text, '\p{Latin}')) AS lat,
+           len(regexp_extract_all(text, '\p{Cyrillic}')) AS cyr,
+           len(regexp_extract_all(text, '\p{Han}')) AS han,
+           len(regexp_extract_all(text, '\p{Arabic}')) AS ara
+    FROM documents
+)
+SELECT doc_id,
+       coalesce(round(lat / nullif(n, 0)::DOUBLE, 4), 0.0) AS latin_ratio,
+       coalesce(round(cyr / nullif(n, 0)::DOUBLE, 4), 0.0) AS cyrillic_ratio,
+       coalesce(round(han / nullif(n, 0)::DOUBLE, 4), 0.0) AS han_ratio,
+       coalesce(round(ara / nullif(n, 0)::DOUBLE, 4), 0.0) AS arabic_ratio,
+       CASE WHEN lat >= cyr AND lat >= han AND lat >= ara AND lat > 0 THEN 'latin'
+            WHEN cyr >= han AND cyr >= ara AND cyr > 0 THEN 'cyrillic'
+            WHEN han >= ara AND han > 0 THEN 'han'
+            WHEN ara > 0 THEN 'arabic'
+            ELSE 'other' END AS dominant_script
+FROM counts
+ORDER BY doc_id
+"""
+
+
 def _lang_sql() -> str:
     from wc_vector_indexing_spark.operators.textstats import LANG_MIN_RATIO, STOPWORDS
 
@@ -2208,6 +2239,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "p14_masking": QuerySpec(p14_masking, P14_SQL, "secret masking projection"),
     "h_doc_sha": QuerySpec(h_doc_sha, H_SQL, "sha256 fingerprint"),
     "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
+    "script_mix": QuerySpec(
+        script_mix_op, SCRIPT_MIX_SQL, "unicode-script ratios + dominant script"
+    ),
     "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
     "session_window_events": QuerySpec(
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
