@@ -52,3 +52,27 @@ def test_short_docs_produce_no_shingles(spark):
         [Row(doc_id=1, text="too short"), Row(doc_id=2, text="too short")]
     )
     assert ngram_jaccard_pairs(docs, k=4).count() == 0
+
+
+def test_containment_catches_snippet_reuse(spark):
+    from wc_vector_indexing_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    snippet = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "totally unrelated preamble text goes here for a while now . "
+        + snippet
+        + " and then much more unrelated trailing content follows "
+        + "with plenty of additional filler words to dilute the union"
+    )
+    df = spark.createDataFrame(
+        [(1, snippet), (2, long_doc)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(df, k=4, threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    # jaccard misses the same pair at any moderate threshold: the union
+    # is dominated by the long doc
+    jac = ngram_jaccard_pairs(df, k=4, threshold=0.5).collect()
+    assert jac == []

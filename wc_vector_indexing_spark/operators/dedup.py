@@ -76,6 +76,46 @@ def ngram_jaccard_pairs(
     return _jaccard_from_shingles(sh, threshold, max_df=max_df)
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by n-gram CONTAINMENT: shared / |smaller doc's
+    shingle set| — the asymmetric complement to Jaccard. A short doc
+    quoted inside a long one scores ~1.0 here but near 0 on Jaccard
+    (the union is dominated by the long doc), which is exactly the
+    snippet-reuse case corpus dedup needs to catch.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (one
+    shuffle, posting-list pair generation, ``max_df`` hot-shingle cap);
+    only the final ratio differs. Output: doc_a, doc_b (doc_a < doc_b),
+    containment — rounded to 4.
+    """
+    sh = shingle_table(docs, k, text_col, id_col)
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc", "n"))).alias("ds")
+    )
+    grouped = grouped.filter(F.size("ds") > 1)
+    if max_df is not None:
+        grouped = grouped.filter(F.size("ds") <= max_df)
+    pairs = (
+        grouped.select(_pairs_in_group("ds").alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"), F.min("na").alias("na"), F.min("nb").alias("nb"))
+    )
+    cont = F.col("shared") / F.least("na", "nb")
+    return (
+        pairs.withColumn("containment", F.round(cont, 4))
+        .filter(cont >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def _shingle_hash_udf(k: int, short_doc_unigrams: bool = False):
     """Distinct word k-gram shingles → 64-bit blake2b hashes, computed
     in one Arrow-batched pass. Python string slicing beats the

@@ -918,6 +918,34 @@ FROM pairs WHERE shared::DOUBLE / (na + nb - shared) >= 0.2
 """
 
 
+def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (dedup.ngram_containment_pairs):
+    shared / |smaller shingle set| — catches a short doc quoted inside a
+    long one, which Jaccard's union denominator hides. Same inverted
+    index and max_df skew cap as the jaccard query."""
+    return dedup.ngram_containment_pairs(
+        load(spark, "documents", sf), k=4, threshold=0.5, max_df=64
+    )
+
+
+NGRAM_CONTAINMENT_SQL = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM documents
+), sh AS (
+    SELECT doc_id,
+           len(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS n,
+           unnest(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS shingle
+    FROM toks WHERE len(ts) >= 4
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared, min(a.n) AS na, min(b.n) AS nb
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, round(shared::DOUBLE / least(na, nb), 4) AS containment
+FROM pairs WHERE shared::DOUBLE / least(na, nb) >= 0.5
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the verified ngram
     pair set (operators/components.py min-label propagation); cluster_id
@@ -2239,6 +2267,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "p14_masking": QuerySpec(p14_masking, P14_SQL, "secret masking projection"),
     "h_doc_sha": QuerySpec(h_doc_sha, H_SQL, "sha256 fingerprint"),
     "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
+    "dedup_ngram_containment": QuerySpec(
+        dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
+    ),
     "script_mix": QuerySpec(
         script_mix_op, SCRIPT_MIX_SQL, "unicode-script ratios + dominant script"
     ),
