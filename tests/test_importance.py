@@ -83,3 +83,69 @@ def test_script_mix_dominant(spark):
     assert out[5].latin_ratio == 0.0
     assert out[6].dominant_script == "cyrillic"
     assert out[7].dominant_script == "latin"
+
+
+def test_stream_scorer_matches_batch_weights(docs, spark):
+    """The in-row scorer (stream path) reproduces the batch join path's
+    log_weight on the fit corpus itself."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.importance import (
+        fit_importance_model,
+        importance_weights,
+    )
+    from wc_vector_indexing_spark.streaming.incremental import scored_document_stream
+
+    target = F.col("source") == "target"
+    batch = {
+        r.doc_id: r.log_weight
+        for r in importance_weights(docs, target, n_buckets=512).collect()
+    }
+    model = fit_importance_model(docs, target, n_buckets=512)
+    scored = {
+        r.doc_id: r.log_weight
+        for r in scored_document_stream(docs, model).collect()
+    }
+    for doc_id, w in batch.items():
+        assert abs(scored[doc_id] - w) < 1e-3, doc_id
+    # empty-token doc: absent from batch output, scores 0.0 in-row
+    assert scored[8] == 0.0
+
+
+def test_stream_scorer_on_real_stream(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wc_vector_indexing_spark.operators.importance import fit_importance_model
+    from wc_vector_indexing_spark.streaming.incremental import scored_document_stream
+
+    fit = spark.createDataFrame(
+        [(1, "star galaxy nebula", "t"), (2, "flour butter dough", "w")],
+        "doc_id long, text string, source string",
+    )
+    model = fit_importance_model(fit, F.col("source") == "t", n_buckets=128)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(10, "star nebula galaxy star"), (11, "butter dough flour")], schema
+    ).write.parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        scored_document_stream(stream, model)
+        .writeStream.format("memory")
+        .queryName("dsir_scored")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    out = {r.doc_id: r.log_weight for r in spark.sql("SELECT * FROM dsir_scored").collect()}
+    assert out[10] > 0 > out[11]  # target-like scores high, off-domain low

@@ -101,3 +101,90 @@ def importance_weights(
             F.round(F.sum("log_ratio"), 4).alias("log_weight"),
         )
     )
+
+
+class ImportanceModel:
+    """Fitted DSIR model: the train-once artifact (cf. IVFIndex). Holds
+    the per-bucket log likelihood-ratios plus the smoothed default for
+    buckets unseen at fit time — vocabulary-hash-sized (n_buckets), so
+    collecting it to the driver is bounded by construction and the
+    scorer can fold it into a literal map expression (stream-safe, no
+    join, no state)."""
+
+    def __init__(
+        self, log_ratio: dict[int, float], default: float, n_buckets: int
+    ):
+        self.log_ratio = log_ratio
+        self.default = default
+        self.n_buckets = n_buckets
+
+
+def fit_importance_model(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ImportanceModel:
+    """Fit the hashed-unigram likelihood-ratio model on a static corpus.
+    One pass (the same dual-count aggregation as importance_weights);
+    the result is the broadcastable scoring artifact."""
+    toks = (
+        fan_out(docs)
+        .withColumn("_is_target", target.cast("boolean"))
+        .select(
+            F.col("_is_target"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+                )
+            ).alias("tok"),
+        )
+        .withColumn("bucket", _bucket(F.col("tok"), n_buckets))
+    )
+    stats = (
+        toks.groupBy("bucket")
+        .agg(
+            F.count("*").alias("c_all"),
+            F.count_if(F.col("_is_target")).alias("c_t"),
+        )
+        .collect()
+    )
+    t_all = sum(r.c_all for r in stats)
+    t_t = sum(r.c_t for r in stats)
+    import math
+
+    def lr(c_t: int, c_all: int) -> float:
+        return math.log((c_t + alpha) / (t_t + alpha * n_buckets)) - math.log(
+            (c_all + alpha) / (t_all + alpha * n_buckets)
+        )
+
+    return ImportanceModel(
+        {r.bucket: lr(r.c_t, r.c_all) for r in stats}, lr(0, 0), n_buckets
+    )
+
+
+def importance_score_col(model: ImportanceModel, text_col: str | Column = "text") -> Column:
+    """In-row DSIR score: Σ log-ratio over the document's tokens, as a
+    pure column expression (map-literal lookup per token — stream-safe,
+    identical on a static backfill frame; same contract as
+    textstats.quality_score_col). Empty-token docs score 0.0."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(F.lower(c), "[^a-z]+"), lambda x: x != "")
+    if model.log_ratio:
+        items = sorted(model.log_ratio.items())
+        lut = F.map_from_arrays(
+            F.array(*[F.lit(int(k)) for k, _ in items]),
+            F.array(*[F.lit(float(v)) for _, v in items]),
+        )
+        per_tok = lambda t: F.coalesce(  # noqa: E731
+            F.element_at(lut, _bucket(t, model.n_buckets).cast("int")),
+            F.lit(model.default),
+        )
+    else:
+        per_tok = lambda t: F.lit(model.default)  # noqa: E731
+    scores = F.transform(toks, per_tok)
+    return F.round(
+        F.aggregate(scores, F.lit(0.0), lambda acc, x: acc + x), 4
+    )

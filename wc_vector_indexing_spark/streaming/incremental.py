@@ -265,3 +265,22 @@ def curated_document_stream(
     if languages is not None:
         gated = gated.filter(predicted_lang_col(text_col).isin(*languages))
     return deduped_document_stream(gated, text_col, ts_col, watermark_delay)
+
+
+def scored_document_stream(
+    docs: DataFrame,
+    model,
+    text_col: str = "text",
+    score_col: str = "log_weight",
+) -> DataFrame:
+    """Stream-time DSIR scoring: append the importance log-weight to a
+    document stream using a model fitted offline on a static corpus
+    (operators.importance.fit_importance_model — the train-once
+    artifact, same lifecycle as the IVF quantizer). The scorer is a
+    pure in-row expression (map-literal bucket lookup per token), so
+    there is no join, no state, and the operator runs identically on a
+    static backfill frame. Downstream, gate on the score exactly like
+    curated_document_stream gates on quality."""
+    from wc_vector_indexing_spark.operators.importance import importance_score_col
+
+    return docs.withColumn(score_col, importance_score_col(model, text_col))
