@@ -357,15 +357,17 @@ def minhash_lsh_pairs(
         )
         .select("p.*")
         .distinct()
+        # candidate-pair-scale (near-dup rate, not corpus): materialize
+        # once — THREE consumers (cand_docs + the verify join) would
+        # otherwise each re-run the signature UDF over the corpus
+        .localCheckpoint(eager=False)
     )
     # verify ONLY the candidate pairs with exact jaccard: restrict the
     # shingle inverted index to candidate docs first, so verification
     # cost scales with the near-dup rate, not the corpus size
-    cand_docs = (
-        candidates.select(F.col("doc_a").alias("doc"))
-        .unionByName(candidates.select(F.col("doc_b").alias("doc")))
-        .distinct()
-    )
+    cand_docs = candidates.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc")
+    ).distinct()
     # short_doc_unigrams matches the band UDF's fallback universe, so
     # candidates involving sub-k-token docs verify instead of vanishing
     sh = shingle_table(docs, k, text_col, id_col, short_doc_unigrams=True).join(
