@@ -1040,6 +1040,54 @@ def lang_id_stopwords(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.lang_id(load(spark, "documents", sf))
 
 
+def corpus_health(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus health report: doc counts, mean quality, mean
+    token length, exact-dup rate — the operations dashboard a curation
+    pipeline reviews before/after each pass. ONE aggregation over a
+    pure-projection scan (quality is a column expression, dup rate a
+    count-distinct of the content sha); shuffle keyed by source."""
+    from wc_vector_indexing_spark.functions.hashing import sha_text
+
+    docs = load(spark, "documents", sf)
+    per = docs.select(
+        "source",
+        F.round(textstats.quality_score_col(F.col("text")), 4).alias("q"),
+        textstats.token_count(F.col("text")).alias("toks"),
+        sha_text("text").alias("sha"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.round(F.avg("toks"), 2).alias("avg_tokens"),
+            F.count_distinct("sha").alias("distinct_texts"),
+            F.round(
+                F.lit(1.0) - F.count_distinct("sha") / F.count("*"), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_HEALTH_SQL = """
+WITH per AS (
+    SELECT source, sha256(text) AS sha,
+           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks,
+           round(least(1.0, len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 100.0) * 0.4
+                 + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.3
+                 + (1.0 - least(1.0, length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) * 5.0)) * 0.3,
+                 4) AS q
+    FROM documents
+)
+SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
+       round(avg(toks), 2) AS avg_tokens,
+       count(DISTINCT sha) AS distinct_texts,
+       round(1.0 - count(DISTINCT sha)::DOUBLE / count(*), 4) AS dup_rate
+FROM per GROUP BY source ORDER BY source
+"""
+
+
 def script_mix_op(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode-script composition (textstats.script_mix): per-script
     char ratios + dominant script, zero shuffles. Java \\p{IsX} and
@@ -2267,6 +2315,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "p14_masking": QuerySpec(p14_masking, P14_SQL, "secret masking projection"),
     "h_doc_sha": QuerySpec(h_doc_sha, H_SQL, "sha256 fingerprint"),
     "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
+    "corpus_health": QuerySpec(
+        corpus_health, CORPUS_HEALTH_SQL, "per-source quality/dup-rate dashboard"
+    ),
     "dedup_ngram_containment": QuerySpec(
         dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
     ),
