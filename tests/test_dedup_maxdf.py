@@ -76,3 +76,34 @@ def test_containment_catches_snippet_reuse(spark):
     # is dominated by the long doc
     jac = ngram_jaccard_pairs(df, k=4, threshold=0.5).collect()
     assert jac == []
+
+
+def test_containment_dominates_jaccard(spark):
+    """Invariant: for every pair, containment >= jaccard (min(na,nb) <=
+    na+nb-shared always). Seeded random corpus, threshold 0 on both."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 40))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from wc_vector_indexing_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, k=3, threshold=0.0).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(df, k=3, threshold=0.0).collect()
+    }
+    assert set(jac) == set(cont) and jac  # same candidate pairs, non-empty
+    for pair, j in jac.items():
+        assert cont[pair] >= j - 1e-9, pair
+        assert 0.0 <= cont[pair] <= 1.0
