@@ -383,38 +383,58 @@ def simhash64(
     id_col: str = "doc_id",
     token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash fingerprint per document, all JVM-side:
-    token → xxhash64 → per-bit ±1 votes → sign.
+    """64-bit SimHash fingerprint per document: token hash → per-bit ±1
+    votes → sign.
+
+    The fingerprint is DOCUMENT-LOCAL, so the plan is a pure map with
+    ZERO shuffles: token hashing stays a JVM in-row expression
+    (``transform`` over the token array — xxhash64 or the md5-prefix
+    oracle mode), and the 64-bit vote/sign reduction is one Arrow batch
+    of numpy bit math per partition. The former explode → 64-column
+    groupBy shuffled every token hash to regroup rows that were never
+    apart. Docs with no non-empty tokens are absent (explode semantics
+    preserved).
 
     Near-dups are rows with small Hamming distance; bucketing by the top
     16 bits gives a blocked join at scale (bit_count(a ^ b) <= d filter
     within buckets).
     """
-    toks = fan_out(docs).select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok")).filter(
-        F.col("tok") != ""
-    )
+    import numpy as np
+
     if token_hash == "md5":
         # 15 hex digits = 60 bits, always < 2^63 (a full 16-digit parse
         # can exceed LongType and null out under non-ANSI casts); bits
         # 60-63 then vote uniformly negative and never set — identical
         # in any engine with md5, which is what the oracle runs
-        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        def hx(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     else:
-        h = F.xxhash64("tok")
-    hashed = toks.select(id_col, h.alias("h"))
-    # vote per bit: +1 if bit set else -1; sum votes; bit set iff sum > 0
-    votes = hashed.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
+        def hx(t):
+            return F.xxhash64(t)
+
+    hashed = fan_out(docs).select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.filter(_tokens(text_col), lambda x: x != ""), hx
+        ).alias("_hs"),
     )
-    fp = F.lit(0).cast("long")
-    for b in range(64):
-        fp = fp + F.shiftleft((F.col(f"b{b}") > 0).cast("long"), b)
-    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+    def votes(batches):
+        bitpos = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            out_ids, out_fp = [], []
+            for _id, hs in zip(pdf["_id"], pdf["_hs"]):
+                if hs is None or len(hs) == 0:
+                    continue  # explode-drop semantics for empty docs
+                h = np.asarray(hs, dtype=np.int64)[:, None]
+                bits = (h >> bitpos) & 1  # arithmetic shift == Spark shiftright
+                v = (2 * bits - 1).sum(axis=0)
+                fp = int(((v > 0).astype(np.int64) << bitpos).sum())
+                out_ids.append(_id)
+                out_fp.append(fp)
+            yield pd.DataFrame({id_col: out_ids, "simhash": out_fp})
+
+    return hashed.mapInPandas(votes, schema=f"{id_col} long, simhash long")
 
 
 def simhash_near_pairs(
