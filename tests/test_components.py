@@ -71,3 +71,24 @@ def test_curate_drops_whole_cluster(spark):
     result.unpersist()
     assert kept == {1, 4}
     assert (2, "near_duplicate") in audit and (3, "near_duplicate") in audit
+
+
+def test_small_and_iterative_paths_agree(spark):
+    """The union-find fast path and the distributed propagation produce
+    identical labels — chains (worst case for iteration) included."""
+    from wc_vector_indexing_spark.operators.components import connected_components
+
+    rows = []
+    for c in range(10):
+        base = c * 100
+        for i in range(7):
+            rows.append((base + i, base + i + 1))
+    rows += [(5000, 6000), (6000, 7000), (5000, 7000)]  # triangle
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    small = connected_components(pairs)
+    big = connected_components(pairs, small_graph_edges=0)
+    assert small.exceptAll(big).count() == 0
+    assert big.exceptAll(small).count() == 0
+    labels = {r.doc: r.cluster_id for r in small.collect()}
+    assert labels[6000] == labels[7000] == 5000
+    assert labels[107] == 100

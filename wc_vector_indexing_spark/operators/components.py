@@ -19,8 +19,11 @@ Scale notes:
     plan doubles per iteration and Catalyst analysis time explodes. On
     a real cluster with reliable storage prefer ``checkpoint()`` so an
     executor loss doesn't force a full restart.
-  * the convergence probe is a LIMIT 1 count on the changed set — a
-    cheap early-exit action, not a full materialization.
+  * each round runs ONE action: a count_if aggregate that materializes
+    the round's persisted labels AND answers the convergence probe.
+  * small graphs (the common near-dup case: the verified-pair list is a
+    bounded, tiny fraction of the corpus) skip iteration entirely —
+    exact union-find in a single grouped-map task.
 
 Alternative for adversarial (high-diameter) graphs: the large-star /
 small-star algorithm (Kiveris et al., "Connected Components in MapReduce
@@ -41,6 +44,7 @@ def connected_components(
     out_id: str = "doc",
     out_cluster: str = "cluster_id",
     max_iter: int = 50,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``, where
     cluster_id is the minimum node id of the node's connected component.
@@ -48,6 +52,14 @@ def connected_components(
     The result is eagerly materialized (localCheckpoint) — iteration
     already forced the work, so callers get a stable, cheap-to-reuse
     DataFrame rather than a 50-join lineage.
+
+    Adaptive strategy: the near-dup edge list is a verified-pair set —
+    a tiny, pair-stage-BOUNDED fraction of the corpus — so when it fits
+    comfortably in one task (``small_graph_edges``; the checkpointed
+    count is already paid) the whole labeling runs as union-find with
+    path compression inside ONE grouped-map task: exact, one job, no
+    iteration. Graphs above the bound take the distributed min-label
+    propagation below. Both paths produce identical labels.
     """
     # materialize the pair set ONCE before mirroring it: the union's two
     # branches would otherwise each re-run the (expensive) upstream
@@ -55,6 +67,8 @@ def connected_components(
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint(
         eager=True
     )
+    if half.count() <= small_graph_edges:
+        return _single_task_components(half, out_id, out_cluster)
     edges = (
         half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -117,3 +131,40 @@ def cluster_representatives(
     """Rows of ``components`` to DROP under keep-min-representative
     policy: every member whose id differs from its cluster id."""
     return components.filter(F.col(out_id) != F.col(out_cluster)).select(out_id)
+
+
+def _single_task_components(half: DataFrame, out_id: str, out_cluster: str) -> DataFrame:
+    """Union-find over the whole (small) edge list in one grouped-map
+    task. Deterministic: cluster id = min node id per component. The
+    input is already checkpointed, so the single task reads materialized
+    partitions, not the pair-generation lineage."""
+    import pandas as pd
+
+    def label(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["src"], pdf["dst"]):
+            a, b = int(a), int(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = set(map(int, pdf["src"])) | set(map(int, pdf["dst"]))
+        return pd.DataFrame(
+            {"node": sorted(nodes), "label": [find(n) for n in sorted(nodes)]}
+        )
+
+    out = (
+        half.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(label, schema="node long, label long")
+        .localCheckpoint(eager=True)
+    )
+    return out.select(F.col("node").alias(out_id), F.col("label").alias(out_cluster))
