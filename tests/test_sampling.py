@@ -44,3 +44,23 @@ def test_stratified_sample_fractions(spark):
     counts = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
     assert counts["de"] == 1000  # fraction 1.0 keeps all
     assert 250 < counts["en"] < 550  # ~10% of 4000
+
+
+def test_gumbel_top_k_properties(spark):
+    """Deterministic, k-bounded, temperature-sensitive: T→0 approaches
+    pure top-k by weight, and reruns reproduce the same draw."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.sampling import gumbel_top_k
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(200)], "doc_id long, w double"
+    )
+    a = sorted(r.doc_id for r in gumbel_top_k(df, "w", k=30).collect())
+    b = sorted(r.doc_id for r in gumbel_top_k(df, "w", k=30).collect())
+    assert a == b and len(a) == 30  # reproducible draw
+    c = sorted(r.doc_id for r in gumbel_top_k(df, "w", k=30, seed="other").collect())
+    assert a != c  # a different seed is a different draw
+    # near-zero temperature: selection is dominated by the weight
+    cold = gumbel_top_k(df, "w", k=30, temperature=1e-6).collect()
+    assert all(r.w == 6.0 for r in cold[:20])  # top stratum only

@@ -76,3 +76,43 @@ def stratified_sample(
     NOT partition-stable like hash_split — use for exploration, not for
     reproducible splits."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def gumbel_top_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    temperature: float = 1.0,
+    seed: str = "42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement as a top-K: the Gumbel-max
+    trick (sampling ∝ exp(weight/T) ≡ argmax of weight/T + Gumbel
+    noise), which is how DSIR importance RESAMPLING composes with the
+    importance weights — selection pressure rises as T falls, T→∞
+    approaches uniform.
+
+    Content-addressed noise: u = (md5(id:seed) as 60-bit int + 0.5)/2^60,
+    g = -ln(-ln(u)) — deterministic per (id, seed), engine-portable
+    (same md5-prefix trick as hash_split), partition-stable, and
+    reproducible across runs/backfills, unlike rand(). The plan is a
+    projection + TakeOrderedAndProject: no shuffle beyond the top-K
+    reduction, safe at any corpus size.
+
+    Returns the selected rows of ``df`` with ``sample_score`` appended
+    (rounded to 6 — far above ln() cross-engine ulp noise).
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col(id_col), F.lit(seed))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 60))
+    score = F.col(weight_col) / temperature + (-F.log(-F.log(u)))
+    return (
+        df.withColumn("sample_score", F.round(score, 6))
+        .orderBy(F.desc("sample_score"), F.col(id_col))
+        .limit(k)
+    )

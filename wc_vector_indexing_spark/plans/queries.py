@@ -1593,6 +1593,58 @@ ORDER BY b.doc_id
 """
 
 
+def importance_resample_op(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance RESAMPLING (operators/sampling.gumbel_top_k over
+    operators/importance weights): Gumbel-max weighted top-200 without
+    replacement, content-addressed noise so the draw is reproducible and
+    engine-portable. Plan: projection + TakeOrderedAndProject."""
+    from wc_vector_indexing_spark.operators.importance import importance_weights
+    from wc_vector_indexing_spark.operators.sampling import gumbel_top_k
+
+    docs = load(spark, "documents", sf)
+    w = importance_weights(
+        docs, F.col("source").isin("src1", "src2", "src3"), n_buckets=1024
+    )
+    return gumbel_top_k(w, "log_weight", k=200, temperature=1.0).orderBy("doc_id")
+
+
+IMPORTANCE_RESAMPLE_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, source IN ('src1', 'src2', 'src3') AS is_t,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+), bucketed AS (
+    SELECT doc_id, is_t,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS bucket
+    FROM toks
+), stats AS (
+    SELECT bucket, count(*) AS c_all, count(*) FILTER (is_t) AS c_t
+    FROM bucketed GROUP BY bucket
+), tot AS (
+    SELECT sum(c_all)::DOUBLE AS t_all, sum(c_t)::DOUBLE AS t_t FROM stats
+), scored AS (
+    SELECT bucket,
+           ln((c_t + 1.0) / (t_t + 1024.0)) - ln((c_all + 1.0) / (t_all + 1024.0)) AS lr
+    FROM stats, tot
+), weights AS (
+    SELECT b.doc_id, count(*) AS n_tokens, round(sum(s.lr), 4) AS log_weight
+    FROM bucketed b JOIN scored s USING (bucket)
+    GROUP BY b.doc_id
+), noised AS (
+    SELECT doc_id, n_tokens, log_weight,
+           round(log_weight / 1.0
+                 - ln(-ln((CAST(('0x' || substr(md5(doc_id || ':42'), 1, 15)) AS BIGINT) + 0.5)
+                          / 1152921504606846976.0)), 6) AS sample_score
+    FROM weights
+)
+SELECT * FROM (
+    SELECT doc_id, n_tokens, log_weight, sample_score
+    FROM noised ORDER BY sample_score DESC, doc_id LIMIT 200
+) ORDER BY doc_id
+"""
+
+
 def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end corpus curation (operators/curation.py): quality gate →
     language filter → exact + near dedup, emitting the audit report."""
@@ -2315,6 +2367,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "p14_masking": QuerySpec(p14_masking, P14_SQL, "secret masking projection"),
     "h_doc_sha": QuerySpec(h_doc_sha, H_SQL, "sha256 fingerprint"),
     "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
+    "importance_resample": QuerySpec(
+        importance_resample_op, IMPORTANCE_RESAMPLE_SQL, "Gumbel top-k importance resampling"
+    ),
     "corpus_health": QuerySpec(
         corpus_health, CORPUS_HEALTH_SQL, "per-source quality/dup-rate dashboard"
     ),
