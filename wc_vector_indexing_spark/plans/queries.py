@@ -1593,6 +1593,43 @@ ORDER BY b.doc_id
 """
 
 
+def training_data_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
+    """THE end-to-end prep composition a training run needs, one lazy
+    program: curate (quality → language → exact + near dedup) → DSIR
+    importance gate (keep the top 60% most target-like survivors) →
+    content-addressed train/val/test split → per-split summary. Every
+    stage is an existing operator; rows-only (MinHash inside). The
+    summary row counts prove the stages composed (audit + selection +
+    split fractions all visible)."""
+    from wc_vector_indexing_spark.operators.curation import CurationConfig, curate
+    from wc_vector_indexing_spark.operators.importance import importance_weights
+    from wc_vector_indexing_spark.operators.sampling import hash_split
+    from wc_vector_indexing_spark.operators.textstats import token_count
+
+    docs = load(spark, "documents", sf)
+    result = curate(docs, CurationConfig(min_quality=0.5, languages=("en",)))
+    curated = result.curated
+    w = importance_weights(
+        curated, F.col("source").isin("src1", "src2", "src3"), n_buckets=1024
+    )
+    thr = w.agg(F.percentile_approx("log_weight", 0.4).alias("t")).head()[0]
+    selected = curated.join(
+        w.filter(F.col("log_weight") >= thr).select("doc_id"), "doc_id", "left_semi"
+    )
+    summary = (
+        hash_split(selected, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(token_count(F.col("text"))), 2).alias("avg_tokens"),
+        )
+        .orderBy("split")
+    )
+    rows = summary.collect()  # eager: release the curation caches after
+    result.unpersist()
+    return spark.createDataFrame(rows, "split string, n_docs long, avg_tokens double")
+
+
 def importance_resample_op(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance RESAMPLING (operators/sampling.gumbel_top_k over
     operators/importance weights): Gumbel-max weighted top-200 without
@@ -2412,4 +2449,7 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup_incremental_op, None, "batch-vs-corpus signature-store dedup"
     ),
     "curation_pipeline": QuerySpec(curation_pipeline_op, None, "quality+lang+dedup curation audit"),
+    "training_data_pipeline": QuerySpec(
+        training_data_pipeline_op, None, "curate -> DSIR gate -> split, end to end"
+    ),
 }
