@@ -47,3 +47,27 @@ def test_sketch_tracks_exact(spark):
         est = jsketch.estimateCount(token)
         assert est >= exact  # CMS never underestimates
         assert est <= exact + 2  # eps * stream-length slack (tiny here)
+
+
+def test_encode_tokens_roundtrip_and_oov(spark):
+    from wc_vector_indexing_spark.operators.vocab import encode_tokens, vocab_with_ids
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog zzz ran"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = vocab_with_ids(docs, k=7)  # "zzz" sorts last among n=1 ties
+    v = {r.token: r.token_id for r in vocab.collect()}
+    assert v["the"] == 0  # most frequent token takes id 0
+    out = {r.doc_id: r for r in encode_tokens(docs, vocab).collect()}
+    inv = {i: t for t, i in v.items()}
+    # order-preserving round trip through the vocabulary
+    assert [inv[i] for i in out[1].token_ids] == "the cat sat on the mat".split()
+    assert out[1].n_tokens == 6
+    assert -1 in out[2].token_ids  # OOV marked, position preserved
+    assert out[2].token_ids[0] == v["the"]
+    assert 3 not in out  # whitespace-only doc absent (explode semantics)

@@ -53,3 +53,57 @@ def token_sketch(docs: DataFrame, text_col: str = "text", eps: float = 0.001, co
             "sketch"
         )
     )
+
+
+def vocab_with_ids(docs: DataFrame, k: int = 1000, text_col: str = "text") -> DataFrame:
+    """(token, n, token_id): the top-K vocabulary with dense ids
+    assigned by (frequency desc, token asc) rank — deterministic, so a
+    vocabulary rebuilt from the same corpus maps identically. The
+    window runs over the already-LIMITed K rows, not the corpus."""
+    from pyspark.sql import Window
+
+    return vocab_topk(docs, k, text_col).withColumn(
+        "token_id",
+        F.row_number().over(
+            Window.orderBy(F.desc("n"), F.asc("token"))
+        ) - 1,
+    )
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Text → token-id sequences against a fitted vocabulary: the step
+    that turns a curated corpus into model input. Out-of-vocabulary
+    tokens map to ``unk_id``; token order is preserved.
+
+    Plan: posexplode → broadcast vocab join (the vocabulary is K rows
+    by construction) → one groupBy(doc) reassembly via array_sort on
+    (pos, id) structs. One shuffle keyed by doc id — skew bounded by
+    the longest single document. Docs with no tokens are absent
+    (explode semantics), matching the chunker's skip-empty contract.
+
+    Returns (id_col, n_tokens, token_ids array<int>).
+    """
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    toks = fan_out(docs).select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(tokens_col(text_col), lambda x: x != "")
+        ).alias("pos", "token"),
+    )
+    mapped = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).withColumn("token_id", F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int"))
+    return mapped.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+            lambda x: x["token_id"],
+        ).alias("token_ids"),
+    )

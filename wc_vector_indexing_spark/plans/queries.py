@@ -1593,6 +1593,40 @@ ORDER BY b.doc_id
 """
 
 
+def encode_tokens_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary encoding (operators/vocab.encode_tokens): top-1000
+    vocab with deterministic dense ids, corpus re-encoded against it,
+    emitted as exploded (doc_id, pos, token_id) rows for the oracle
+    compare. OOV → -1."""
+    from wc_vector_indexing_spark.operators.vocab import encode_tokens, vocab_with_ids
+
+    docs = load(spark, "documents", sf)
+    vocab = vocab_with_ids(docs, k=1000)
+    enc = encode_tokens(docs, vocab)
+    return (
+        enc.select(
+            "doc_id", F.posexplode("token_ids").alias("pos", "token_id")
+        ).orderBy("doc_id", "pos")
+    )
+
+
+ENCODE_TOKENS_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token,
+           unnest(generate_series(0, len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) - 1)) AS pos
+    FROM documents
+), vocab AS (
+    SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+    FROM (SELECT token, count(*) AS n FROM toks GROUP BY token
+          ORDER BY n DESC, token LIMIT 1000)
+)
+SELECT t.doc_id, t.pos, CAST(coalesce(v.token_id, -1) AS INTEGER) AS token_id
+FROM toks t LEFT JOIN vocab v USING (token)
+ORDER BY t.doc_id, t.pos
+"""
+
+
 def training_data_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     """THE end-to-end prep composition a training run needs, one lazy
     program: curate (quality → language → exact + near dedup) → DSIR
@@ -2404,6 +2438,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "p14_masking": QuerySpec(p14_masking, P14_SQL, "secret masking projection"),
     "h_doc_sha": QuerySpec(h_doc_sha, H_SQL, "sha256 fingerprint"),
     "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
+    "encode_tokens": QuerySpec(
+        encode_tokens_op, ENCODE_TOKENS_SQL, "vocab-id sequence encoding (OOV=-1)"
+    ),
     "importance_resample": QuerySpec(
         importance_resample_op, IMPORTANCE_RESAMPLE_SQL, "Gumbel top-k importance resampling"
     ),
