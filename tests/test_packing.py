@@ -46,3 +46,30 @@ def test_packing_stats(spark):
     # bin 0 holds 12 tokens (capped at 10), bin 1 holds 10 -> avg fill 1.0
     assert stats["a"].avg_fill == 1.0
     assert stats["b"].n_bins == 1 and stats["b"].avg_fill == 1.0
+
+
+def test_pack_encoded_order_and_budget(spark):
+    from wc_vector_indexing_spark.operators.packing import pack_encoded
+    from wc_vector_indexing_spark.operators.vocab import encode_tokens, vocab_with_ids
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),   # 3 tokens
+            (2, "d e", "s1"),     # crosses into bin 0 (cum start 3)
+            (3, "f g h i", "s1"), # starts at cum 5 -> bin 1
+            (4, "a a", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    vocab = vocab_with_ids(docs, k=20)
+    enc = encode_tokens(docs, vocab)
+    packed = {
+        (r.source, r.bin_id): r
+        for r in pack_encoded(enc, docs, budget=4).collect()
+    }
+    v = {r.token: r.token_id for r in vocab.collect()}
+    # docs 1+2 start inside bin 0 (first-token rule); doc 3 starts at 5 -> bin 1
+    assert packed[("s1", 0)].n_docs == 2
+    assert packed[("s1", 0)].seq == [v[t] for t in ["a", "b", "c", "d", "e"]]
+    assert packed[("s1", 1)].seq == [v[t] for t in ["f", "g", "h", "i"]]
+    assert packed[("s2", 0)].bin_tokens == 2

@@ -62,3 +62,46 @@ def packing_stats(packed: DataFrame, budget: int = 2048, group_col: str = "sourc
             "avg_fill"
         ),
     )
+
+
+def pack_encoded(
+    enc: DataFrame,
+    groups: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Packed MODEL-INPUT sequences: join vocab-encoded docs
+    (vocab.encode_tokens output: id, n_tokens, token_ids) to their
+    packing group, assign bins by the same cumulative-offset rule as
+    ``sequence_packing`` (but over the ENCODED token counts, so the
+    budget is measured in actual model tokens), and concatenate each
+    bin's id arrays in doc order.
+
+    Returns (group, bin_id, n_docs, bin_tokens, seq array<int>) — seq
+    is the training sequence, docs laid end-to-end deterministically.
+    One window + one groupBy, both keyed by the packing group.
+    """
+    with_grp = enc.join(groups.select(id_col, group_col), id_col)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = with_grp.withColumn("_cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(float(budget))).cast("long"),
+    )
+    return (
+        binned.groupBy(group_col, "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(id_col, "token_ids"))),
+                    lambda x: x["token_ids"],
+                )
+            ).alias("seq"),
+        )
+    )

@@ -1627,6 +1627,66 @@ ORDER BY t.doc_id, t.pos
 """
 
 
+def packed_sequences_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Packed model-input sequences (operators/packing.pack_encoded over
+    vocab.encode_tokens): per (source, bin) doc count, token count and a
+    position-weighted checksum of the concatenated id sequence — the
+    checksum pins the exact token ORDER cross-engine without emitting
+    every token as a row."""
+    from wc_vector_indexing_spark.operators.packing import pack_encoded
+    from wc_vector_indexing_spark.operators.vocab import encode_tokens, vocab_with_ids
+
+    docs = load(spark, "documents", sf)
+    enc = encode_tokens(docs, vocab_with_ids(docs, k=1000))
+    packed = pack_encoded(enc, docs, budget=512)
+    checksum = F.expr(
+        "aggregate(zip_with(seq, sequence(1, size(seq)), (x, i) -> cast(i as bigint) * cast(x as bigint)), 0L, (a, b) -> a + b)"
+    )
+    return packed.select(
+        "source",
+        "bin_id",
+        "n_docs",
+        "bin_tokens",
+        checksum.alias("seq_checksum"),
+    ).orderBy("source", "bin_id")
+
+
+PACKED_SEQ_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token,
+           unnest(generate_series(0, len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) - 1)) AS pos
+    FROM documents
+), vocab AS (
+    SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+    FROM (SELECT token, count(*) AS n FROM toks GROUP BY token
+          ORDER BY n DESC, token LIMIT 1000)
+), enc AS (
+    SELECT t.doc_id, count(*) AS n_tokens,
+           list(CAST(coalesce(v.token_id, -1) AS INTEGER) ORDER BY t.pos) AS ids
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+), src AS (
+    SELECT e.doc_id, e.n_tokens, e.ids, d.source
+    FROM enc e JOIN documents d USING (doc_id)
+), binned AS (
+    SELECT *, CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT) AS bin_id
+    FROM src
+    WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), packed AS (
+    SELECT source, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           flatten(list(ids ORDER BY doc_id)) AS seq
+    FROM binned GROUP BY source, bin_id
+)
+SELECT source, bin_id, n_docs, bin_tokens,
+       CAST(list_sum(list_transform(seq, (x, i) -> CAST(i AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS seq_checksum
+FROM packed
+ORDER BY source, bin_id
+"""
+
+
 def training_data_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     """THE end-to-end prep composition a training run needs, one lazy
     program: curate (quality → language → exact + near dedup) → DSIR
@@ -2440,6 +2500,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
     "encode_tokens": QuerySpec(
         encode_tokens_op, ENCODE_TOKENS_SQL, "vocab-id sequence encoding (OOV=-1)"
+    ),
+    "packed_sequences": QuerySpec(
+        packed_sequences_op, PACKED_SEQ_SQL, "packed model-input sequences + order checksum"
     ),
     "importance_resample": QuerySpec(
         importance_resample_op, IMPORTANCE_RESAMPLE_SQL, "Gumbel top-k importance resampling"
