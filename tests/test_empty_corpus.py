@@ -54,3 +54,24 @@ def test_importance_empty(empty, spark):
     assert model.default == 0.0 and model.log_ratio == {}
     scored = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     assert scored.select(importance_score_col(model).alias("w")).head().w == 0.0
+
+
+def test_single_megadoc_skew_bound(spark):
+    """SCALE.md claims per-doc operators bound skew by the largest
+    single document — prove one 200k-token doc flows through the
+    doc-local operators without corpus-shaped blowups."""
+    from wc_vector_indexing_spark.operators.chunker import chunk_documents
+    from wc_vector_indexing_spark.operators.repetition import repetition_signals
+
+    big = ("lorem ipsum dolor sit amet " * 40_000).strip()  # 200k tokens
+    docs = spark.createDataFrame(
+        [(1, big), (2, "tiny doc here")], "doc_id long, text string"
+    )
+    sig = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert sig[1].dup_5gram_char_frac > 0.9  # a loop IS repetition
+    assert sig[2].dup_5gram_char_frac == 0.0
+    fp = dedup.simhash64(docs).collect()
+    assert len(fp) == 2 and len({r.simhash for r in fp}) == 2
+    chunks = chunk_documents(docs, size=800, overlap=100)
+    n = chunks.filter(chunks.doc_id == 1).count()
+    assert n > 200  # ~250 chunks of ~3200 chars from ~1.04M chars
