@@ -21,9 +21,12 @@ Five strategies, cheapest first:
                               embedding column, blocked on a key to bound
                               the pair count.
 
-All-Spark-built-ins except the MinHash signature (a vectorized pandas UDF
-— per-doc min over hashed shingles isn't expressible as a fold that beats
-Arrow batching).
+Python appears only as Arrow-batched stages where it beats the
+expression engine: the MinHash signature and shingle hashing (per-doc
+set construction), the per-block cosine gemm (`_gemm_block_pairs` —
+numpy matmul vs interpreted higher-order folds), and SimHash's bit-vote
+reduction (doc-local numpy over JVM-computed token hashes). Everything
+else — including every shuffle-side aggregation — is built-in Catalyst.
 """
 
 from __future__ import annotations
