@@ -214,3 +214,54 @@ def test_curated_document_stream(spark, tmp_path):
     out = spark.sql("SELECT doc_id FROM curated_out").collect()
     # 2 fails language, 3 fails quality, 4 is a cross-batch dup of 1
     assert [r.doc_id for r in out] == [1]
+
+
+def test_prep_document_stream(spark, tmp_path):
+    """Ingest-time prep: gates + DSIR score + vocab encoding on a real
+    stream, artifacts fitted offline."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wc_vector_indexing_spark.operators.importance import fit_importance_model
+    from wc_vector_indexing_spark.operators.vocab import vocab_with_ids
+    from wc_vector_indexing_spark.streaming.incremental import prep_document_stream
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for walking in the park with a good long book to read "
+    ) * 2
+    fit = spark.createDataFrame(
+        [(100, good, "t"), (101, "flour butter dough oven", "w")],
+        "doc_id long, text string, source string",
+    )
+    model = fit_importance_model(fit, F.col("source") == "t", n_buckets=256)
+    vocab_ids = {
+        r.token: r.token_id for r in vocab_with_ids(fit, k=50).collect()
+    }
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("event_ts", T.TimestampType(), False),
+        ]
+    )
+    d = str(tmp_path / "pdocs")
+    spark.createDataFrame([Row(doc_id=1, text=good, event_ts=T0)], schema).write.parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        prep_document_stream(stream, model=model, vocab_ids=vocab_ids)
+        .writeStream.format("memory")
+        .queryName("prep_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    out = spark.sql("SELECT * FROM prep_out").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.log_weight > 0  # target-like doc scores positive
+    assert len(row.token_ids) > 20 and -1 not in row.token_ids[:5]

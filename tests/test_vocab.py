@@ -71,3 +71,30 @@ def test_encode_tokens_roundtrip_and_oov(spark):
     assert -1 in out[2].token_ids  # OOV marked, position preserved
     assert out[2].token_ids[0] == v["the"]
     assert 3 not in out  # whitespace-only doc absent (explode semantics)
+
+
+def test_encode_tokens_col_matches_batch(spark):
+    """The in-row (stream-safe) encoder reproduces the join-based
+    encoder's sequences on the fit corpus."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.vocab import (
+        encode_tokens,
+        encode_tokens_col,
+        vocab_with_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog zzz ran"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    vocab = vocab_with_ids(docs, k=7)
+    batch = {r.doc_id: list(r.token_ids) for r in encode_tokens(docs, vocab).collect()}
+    ids = {r.token: r.token_id for r in vocab.collect()}
+    inrow = {
+        r.doc_id: list(r.ids)
+        for r in docs.select("doc_id", encode_tokens_col(ids).alias("ids")).collect()
+    }
+    for d, seq in batch.items():
+        assert inrow[d] == seq
+    assert inrow[3] == []  # whitespace doc: empty sequence, not absent

@@ -107,3 +107,27 @@ def encode_tokens(
             lambda x: x["token_id"],
         ).alias("token_ids"),
     )
+
+
+def encode_tokens_col(
+    vocab_ids: dict[str, int], text_col: str = "text", unk_id: int = -1
+):
+    """In-row vocabulary encoding as a pure column expression: the
+    stream-safe twin of :func:`encode_tokens` (same contract as the
+    DSIR in-row scorer — no join, no state, identical on a static
+    backfill frame). ``vocab_ids`` is the collected K-bounded
+    vocabulary ({token: id}, e.g. from ``vocab_with_ids``); it folds
+    into a literal map, so K must be vocabulary-sized (10⁴ish), which
+    it is by construction."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(tokens_col(c), lambda x: x != "")
+    if not vocab_ids:
+        return F.transform(toks, lambda t: F.lit(unk_id))
+    items = sorted(vocab_ids.items())
+    lut = F.map_from_arrays(
+        F.array(*[F.lit(k) for k, _ in items]),
+        F.array(*[F.lit(int(v)) for _, v in items]),
+    )
+    return F.transform(
+        toks, lambda t: F.coalesce(F.element_at(lut, t), F.lit(unk_id)).cast("int")
+    )

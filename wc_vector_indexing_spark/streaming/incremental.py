@@ -284,3 +284,39 @@ def scored_document_stream(
     from wc_vector_indexing_spark.operators.importance import importance_score_col
 
     return docs.withColumn(score_col, importance_score_col(model, text_col))
+
+
+def prep_document_stream(
+    docs: DataFrame,
+    model=None,
+    vocab_ids: dict | None = None,
+    text_col: str = "text",
+    ts_col: str = "event_ts",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] | None = ("en",),
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """The full ingest-time prep composition: quality gate → language
+    gate → watermark-bounded exact dedup (curated_document_stream) →
+    DSIR importance score (``model``, fitted offline) → vocabulary-id
+    encoding (``vocab_ids``, fitted offline). Every added stage is a
+    pure in-row expression over broadcast-size fitted artifacts, so the
+    composition stays stateless beyond the dedup watermark and runs
+    identically on a static backfill frame.
+
+    Skip a stage by passing None for its artifact. Output columns:
+    the input's, plus ``log_weight`` and/or ``token_ids``."""
+    out = curated_document_stream(
+        docs, text_col, ts_col, min_quality, languages, watermark_delay
+    )
+    if model is not None:
+        from wc_vector_indexing_spark.operators.importance import (
+            importance_score_col,
+        )
+
+        out = out.withColumn("log_weight", importance_score_col(model, text_col))
+    if vocab_ids is not None:
+        from wc_vector_indexing_spark.operators.vocab import encode_tokens_col
+
+        out = out.withColumn("token_ids", encode_tokens_col(vocab_ids, text_col))
+    return out
