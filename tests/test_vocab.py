@@ -98,3 +98,26 @@ def test_encode_tokens_col_matches_batch(spark):
     for d, seq in batch.items():
         assert inrow[d] == seq
     assert inrow[3] == []  # whitespace doc: empty sequence, not absent
+
+
+def test_decode_roundtrip(spark):
+    from wc_vector_indexing_spark.operators.vocab import (
+        decode_tokens_col,
+        encode_tokens_col,
+        vocab_with_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog zzz ran")],
+        "doc_id long, text string",
+    )
+    ids = {r.token: r.token_id for r in vocab_with_ids(docs, k=7).collect()}
+    out = {
+        r.doc_id: r.decoded
+        for r in docs.select(
+            "doc_id",
+            decode_tokens_col(ids, encode_tokens_col(ids)).alias("decoded"),
+        ).collect()
+    }
+    assert out[1] == "the cat sat on the mat"
+    assert out[2] == "the dog <unk> ran"  # OOV round-trips as unk marker

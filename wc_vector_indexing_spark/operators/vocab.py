@@ -131,3 +131,25 @@ def encode_tokens_col(
     return F.transform(
         toks, lambda t: F.coalesce(F.element_at(lut, t), F.lit(unk_id)).cast("int")
     )
+
+
+def decode_tokens_col(
+    vocab_ids: dict[str, int], ids_col: str = "token_ids", unk_token: str = "<unk>"
+):
+    """Inverse of the encoders, for debugging/inspection: token-id
+    arrays back to text. In-row literal-map lookup (id → token), OOV
+    ids render as ``unk_token``. Round-trips with encode for in-vocab
+    tokens; whitespace normalization is lossy by design (the tokenizer
+    lowercased and collapsed whitespace)."""
+    c = F.col(ids_col) if isinstance(ids_col, str) else ids_col
+    if not vocab_ids:
+        return F.array_join(F.transform(c, lambda _: F.lit(unk_token)), " ")
+    items = sorted(vocab_ids.items(), key=lambda kv: kv[1])
+    lut = F.map_from_arrays(
+        F.array(*[F.lit(int(v)) for _, v in items]),
+        F.array(*[F.lit(k) for k, _ in items]),
+    )
+    return F.array_join(
+        F.transform(c, lambda i: F.coalesce(F.element_at(lut, i.cast("int")), F.lit(unk_token))),
+        " ",
+    )
