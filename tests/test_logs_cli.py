@@ -199,3 +199,26 @@ def test_cli_select_dsir(spark, tmp_path, capsys):
     base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     base_frac = base.filter(base.source.isin("src1", "src2")).count() / base.count()
     assert frac_target > base_frac
+
+
+def test_cli_prep_backfill(spark, tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+
+    rc = main(
+        [
+            "prep",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "prepped"),
+            "--target-sources", "src1,src2",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["input"] == 500 and 0 < out["prepped"] <= 500
+    prepped = spark.read.parquet(str(tmp_path / "prepped"))
+    cols = set(prepped.columns)
+    assert {"doc_id", "text", "log_weight", "token_ids"} <= cols
+    row = prepped.orderBy("doc_id").head()
+    assert isinstance(row.log_weight, float) and len(row.token_ids) > 0

@@ -205,6 +205,38 @@ def cmd_select(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_prep(args: argparse.Namespace) -> int:
+    """Backfill run of the ingest-prep composition: fit the DSIR model
+    and vocabulary on the corpus, then gate + score + encode every doc
+    (the same code path the stream runs) and write the prepped corpus."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.importance import fit_importance_model
+    from wc_vector_indexing_spark.operators.vocab import vocab_with_ids
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.readers import load
+    from wc_vector_indexing_spark.streaming.incremental import prep_document_stream
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load(spark, "documents", args.sf_dir)
+    model = fit_importance_model(
+        docs, F.col("source").isin(*args.target_sources.split(",")),
+        n_buckets=args.buckets,
+    )
+    vocab_ids = {
+        r.token: r.token_id for r in vocab_with_ids(docs, k=args.vocab).collect()
+    }
+    # static frames lack the stream's event_ts; dedup needs one — derive
+    # a stable stand-in so the backfill uses the identical code path
+    staged = docs.withColumn("event_ts", F.timestamp_seconds(F.col("doc_id")))
+    prepped = prep_document_stream(staged, model=model, vocab_ids=vocab_ids)
+    prepped.write.mode("overwrite").parquet(args.out)
+    n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
+    print(json.dumps({"input": n_in, "prepped": n_out, "vocab": len(vocab_ids)}))
+    return 0
+
+
 def cmd_mix(args: argparse.Namespace) -> int:
     """Reweight a documents table to a target source mixture; writes the
     mixed corpus and prints the before/after report as JSON."""
@@ -310,6 +342,14 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--out", required=True)
     m.add_argument("--weights", required=True, help="e.g. src0=0.5,src1=0.5")
     m.set_defaults(fn=cmd_mix)
+
+    pr = sub.add_parser("prep", help="gate + DSIR score + vocab-encode a corpus")
+    pr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--target-sources", required=True, help="e.g. src1,src2")
+    pr.add_argument("--buckets", type=int, default=4096)
+    pr.add_argument("--vocab", type=int, default=1000)
+    pr.set_defaults(fn=cmd_prep)
 
     se = sub.add_parser("select", help="DSIR importance-weighted data selection")
     se.add_argument("--sf-dir", default="/root/testdata/sf0.001")
