@@ -164,3 +164,22 @@ def test_importance_broadcasts_bucket_stats(spark):
     # the corpus token table is never the build side of a shuffle join
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_driver_gate_category_coverage():
+    """The correctness driver records only the FIRST 50 oracle-backed
+    registry entries; pin that the window keeps spanning every operator
+    category so an insertion can't silently demote one."""
+    gate = [k for k, s in REGISTRY.items() if s.sql is not None][:50]
+    gs = set(gate)
+    assert sum(k.startswith("q") for k in gate) >= 12      # TPC-H core
+    assert sum(k.startswith("dedup") for k in gate) >= 5   # dedup family
+    assert {"s3_never_synced", "s4_modified_since", "j7_priority_union"} <= gs
+    assert {"textstats_quality", "lang_id_stopwords", "repetition_signals"} <= gs
+    assert {"knn_exact_top10", "knn_join_top3"} <= gs
+    assert {
+        "decontamination", "pii_scrub", "train_test_split",
+        "data_profile", "data_mixing", "importance_weights",
+        "rollup_timeseries", "sequence_packing",
+    } <= gs
+    assert {"sessionize_events", "asof_click_attribution", "t9_windowed_events"} <= gs
