@@ -73,18 +73,66 @@ def knn_similarity_join(
     i_vec: str = "embedding",
     i_id: str = "vec_id",
 ) -> DataFrame:
-    """For each query row, its k nearest index rows (cosine).
+    """For each query row, its k nearest index rows (cosine). EXACT.
 
-    Brute force: broadcast the smaller side when it fits (Catalyst
-    decides via AQE); the per-query top-k is a window rank. At 100 TB one
-    uses the LSH path below to cut the cross product first.
+    Scale shape — no cross join ever materializes: the query side is
+    the PROBE BATCH (bounded by contract — tens to thousands of
+    vectors), collected once and shipped into an Arrow stage where each
+    index partition scores its rows against the whole query matrix with
+    one gemm and emits only its LOCAL top-k per query. The global
+    reduction is a per-query window over partitions × |queries| × k
+    candidate rows — index scan stays fully parallel, shuffle volume is
+    independent of index size. Local and global top-k use the same
+    total order (score desc, id asc), so the merge is exact.
+
+    For huge probe batches use the LSH/IVF paths below instead.
     """
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
-    i = index.select(F.col(i_id).alias("neighbor_id"), F.col(i_vec).alias("_iv"))
-    pairs = q.crossJoin(i).withColumn("score", cosine(F.col("_qv"), F.col("_iv")))
+    import numpy as np
+    import pandas as pd
+
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    qrows = queries.select(F.col(q_id), F.col(q_vec)).collect()
+    spark = queries.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    qzero = qn == 0.0
+    qn[qzero] = 1.0
+    Qn = Q / qn[:, None]  # zero-norm queries score 0 vs everything
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            V = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0.0] = 1.0
+            S = (V / n[:, None]) @ Qn.T  # (rows × queries)
+            out = []
+            kk = min(k, len(ids))
+            for qi in range(len(qids)):
+                col = S[:, qi]
+                # total order (score desc, id asc) — same as the global
+                # merge, so tie-breaking at the local k boundary is exact
+                sel = np.lexsort((ids, -col))[:kk]
+                for r in sel:
+                    out.append((int(qids[qi]), int(ids[r]), float(col[r])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+
+    cand = (
+        fan_out(index)
+        .select(F.col(i_id).alias("_id"), F.col(i_vec).alias("_v"))
+        .mapInPandas(local_topk, schema="query_id long, neighbor_id long, score double")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
