@@ -1040,6 +1040,43 @@ def lang_id_stopwords(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.lang_id(load(spark, "documents", sf))
 
 
+def token_length_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-length distribution (exact p25/p50/p90/max) —
+    the sequence-length planning input for packing budgets and batch
+    shapes. One aggregation over a pure-projection scan; exact
+    percentile for the oracle, approx_percentile is the 100 TB swap-in
+    (same pattern as quantiles_by_type)."""
+    docs = load(spark, "documents", sf)
+    n = textstats.token_count(F.col("text"))
+    per = docs.select("source", n.alias("toks"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(toks, 0.25)"), 2).alias("p25"),
+            F.round(F.expr("percentile(toks, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(toks, 0.9)"), 2).alias("p90"),
+            F.max("toks").cast("long").alias("max_toks"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_LENGTH_SQL = """
+WITH per AS (
+    SELECT source,
+           len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+    FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(toks, 0.25), 2) AS p25,
+       round(quantile_cont(toks, 0.5), 2) AS p50,
+       round(quantile_cont(toks, 0.9), 2) AS p90,
+       CAST(max(toks) AS BIGINT) AS max_toks
+FROM per GROUP BY source ORDER BY source
+"""
+
+
 def corpus_health(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source corpus health report: doc counts, mean quality, mean
     token length, exact-dup rate — the operations dashboard a curation
@@ -2509,6 +2546,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "corpus_health": QuerySpec(
         corpus_health, CORPUS_HEALTH_SQL, "per-source quality/dup-rate dashboard"
+    ),
+    "token_length_dist": QuerySpec(
+        token_length_dist, TOKEN_LENGTH_SQL, "per-source token-length percentiles"
     ),
     "dedup_ngram_containment": QuerySpec(
         dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
