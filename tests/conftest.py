@@ -19,7 +19,11 @@ from wc_vector_indexing_spark.session import get_spark  # noqa: E402
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    # per-run warehouse: managed-table files die with the run, so a
+    # stale /tmp warehouse from a prior session can never collide with
+    # this session's fresh in-memory metastore
+    os.environ["SPARK_GRAFT_WAREHOUSE"] = str(tmp_path_factory.mktemp("warehouse"))
     s = get_spark("tests", cpus=4, shuffle_partitions=4)
     s.sparkContext.setLogLevel("ERROR")
     yield s

@@ -63,6 +63,28 @@ def test_unbucketed_join_shuffles_for_contrast(spark, bucketed_pair):
     assert "Exchange" in plan
 
 
+def test_stale_warehouse_location_recovered(spark):
+    """A leftover warehouse dir with no metastore entry (stale /tmp from
+    a dead session) must not break saveAsTable: write_bucketed clears the
+    orphaned location before writing."""
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urlparse(warehouse)
+    root = Path(parsed.path if parsed.scheme == "file" else warehouse)
+    stale = root / "t_stale_check"
+    stale.mkdir(parents=True, exist_ok=True)
+    (stale / "part-orphan.parquet").write_bytes(b"junk")
+    assert not spark.catalog.tableExists("t_stale_check")
+    df = spark.range(0, 10).select(F.col("id").alias("product_id"))
+    try:
+        write_bucketed(df, "t_stale_check", "product_id", buckets=2)
+        assert spark.table("t_stale_check").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stale_check")
+
+
 def test_date_partitioned_prunes(spark, tmp_path_factory):
     df = spark.range(0, 100).select(
         F.col("id"),

@@ -16,7 +16,35 @@ requires ``spark.sql.sources.bucketing.enabled`` (default true).
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """Remove a leftover warehouse directory for ``table`` when the
+    metastore has no entry for it.
+
+    A managed table's files live under ``spark.sql.warehouse.dir`` while
+    its metadata lives in the metastore; when the two fall out of sync
+    (scratch warehouse on a shared /tmp surviving a fresh in-memory
+    Derby metastore), ``saveAsTable`` fails with LOCATION_ALREADY_EXISTS
+    even in ``overwrite`` mode. Deleting the orphaned directory is safe
+    precisely because the catalog does not know about it."""
+    if spark.catalog.tableExists(table):
+        return  # overwrite mode handles a registered table itself
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    parsed = urlparse(warehouse)
+    if parsed.scheme not in ("", "file"):
+        return  # remote warehouse: never delete blindly
+    root = Path(parsed.path if parsed.scheme == "file" else warehouse)
+    # managed-table dirs are lowercased; qualified names nest under db.db
+    name = table.split(".")[-1].lower()
+    loc = root / name
+    if loc.exists():
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
@@ -36,6 +64,7 @@ def write_bucketed(
     of a co-located join must agree on it (SCALE.md uses 4096 for the
     100 TB ledger; tests use small counts)."""
     keys = [key] if isinstance(key, str) else list(key)
+    _clear_stale_location(df.sparkSession, table)
     writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
@@ -51,6 +80,7 @@ def write_date_partitioned(
     """Write partitioned by a date-derived column so time-range scans
     (the modified-since watermark, log retention drops) become partition
     pruning + partition-drop instead of full scans."""
+    _clear_stale_location(df.sparkSession, table)
     df.write.format("parquet").mode(mode).partitionBy(date_col).saveAsTable(table)
 
 
