@@ -8,6 +8,7 @@ import pytest
 from wc_vector_indexing_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     FakeCodec,
+    decode_audio,
     decode_image,
     extract_features,
     media_stats,
@@ -54,6 +55,104 @@ def test_media_stats_prunes_content(spark):
     assert stats == {"image": 2, "audio": 1, "video": 1}
 
 
-def test_decode_stub_raises():
+def test_decode_unknown_format_raises():
     with pytest.raises(NotImplementedError):
-        decode_image(b"anything")
+        decode_image(b"\x89PNG-not-decodable-here")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3mp3-not-decodable-here")
+
+
+# --- real stdlib decode: golden-value tests -------------------------------
+
+
+def _ppm_p6() -> bytes:
+    # 2x2 RGB: red, green / blue, white — with a header comment
+    return (
+        b"P6\n# test comment\n2 2\n255\n"
+        + bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    )
+
+
+def _wav_pcm16(samples, rate=8000, channels=1) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_decode_ppm_golden_pixels():
+    import numpy as np
+
+    img = decode_image(_ppm_p6())
+    assert img.shape == (2, 2, 3) and img.dtype == np.uint8
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+    assert img[1, 0].tolist() == [0, 0, 255]
+    assert img[1, 1].tolist() == [255, 255, 255]
+
+
+def test_decode_pgm_binary_16bit_and_ascii():
+    import numpy as np
+
+    # P5 16-bit: big-endian per netpbm spec
+    p5 = b"P5 2 1 65535\n" + (1000).to_bytes(2, "big") + (64000).to_bytes(2, "big")
+    img = decode_image(p5)
+    assert img.shape == (1, 2) and img.tolist() == [[1000, 64000]]
+    # P2 ASCII with comment
+    p2 = b"P2\n# c\n3 1\n255\n0 128 255\n"
+    img2 = decode_image(p2)
+    assert img2.dtype == np.uint8 and img2.tolist() == [[0, 128, 255]]
+
+
+def test_decode_wav_golden_samples():
+    from wc_vector_indexing_spark.operators.multimodal import decode_audio
+
+    want = [0, 1000, -1000, 32767, -32768]
+    samples, rate = decode_audio(_wav_pcm16(want, rate=16000))
+    assert rate == 16000
+    assert samples.shape == (5, 1)
+    assert samples[:, 0].tolist() == want
+    # stereo: frames x channels shape
+    st, _ = decode_audio(_wav_pcm16([1, 2, 3, 4], channels=2))
+    assert st.shape == (2, 2) and st.tolist() == [[1, 2], [3, 4]]
+
+
+def test_resize_image_nearest():
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.multimodal import resize_image
+
+    img = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    up = resize_image(img, (4, 4))
+    assert up.shape == (4, 4)
+    assert up[0].tolist() == [1, 1, 2, 2] and up[3].tolist() == [3, 3, 4, 4]
+    down = resize_image(up, (2, 2))
+    assert down.tolist() == img.tolist()
+
+
+def test_stdlib_codec_features_content_derived(spark):
+    """extract_features with the REAL codec: features come from decoded
+    pixels/samples, through the same Spark mapInPandas plan."""
+    from wc_vector_indexing_spark.operators.multimodal import StdlibCodec
+
+    white = b"P5 1 1 255\n" + bytes([255])
+    black = b"P5 1 1 255\n" + bytes([0])
+    loud = _wav_pcm16([20000, -20000] * 50)
+    rows = [
+        (1, "image", "image/x-portable-graymap", white, (1, 1, None, None, None)),
+        (2, "image", "image/x-portable-graymap", black, (1, 1, None, None, None)),
+        (3, "audio", "audio/wav", loud, (None, None, 12, 8000, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r.features for r in extract_features(media, dim=4, codec=StdlibCodec()).collect()}
+    assert out[1][0] == pytest.approx(1.0)  # white pixel → 255/255
+    assert out[2][0] == pytest.approx(0.0)  # black pixel
+    assert any(v > 0.5 for v in out[3])  # loud RMS envelope near peak-normalised 1

@@ -2,12 +2,13 @@
 columns with typed metadata (north-star extension surface).
 
 Real at this layer: schemas, partition-aware batch iteration
-(mapInPandas), UDF signatures, Arrow batch shapes, deterministic
-fake feature extraction for tests. STUBBED (this container ships no
-image/audio codecs): the actual decode — ``decode_image``/
-``decode_audio`` raise NotImplementedError unless given the
-deterministic fake codec, and the seam to plug Pillow/torchaudio/ffmpeg
-is one function.
+(mapInPandas), UDF signatures, Arrow batch shapes, AND real decode for
+the formats the standard library + numpy can handle — netpbm images
+(P2/P3 ASCII, P5/P6 binary) via a pure numpy parse and PCM WAV audio
+via stdlib ``wave``. Formats needing external codecs (PNG/JPEG/MP3/MP4)
+raise NotImplementedError at the same one-function seam where
+Pillow/torchaudio/ffmpeg would plug in; ``FakeCodec`` remains the
+deterministic stand-in for those in tests.
 
 Scale notes baked into the design:
   * media bytes travel in their own column so column pruning keeps them
@@ -68,13 +69,127 @@ class FakeCodec:
         return self.image_features(b"audio:" + (content or b""), dim)
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub seam
-    """Plug point for a real decoder (e.g. Pillow). Not available in
-    this environment."""
-    raise NotImplementedError(
-        "image codecs not available in this environment; use FakeCodec "
-        "or plug a real decoder here"
-    )
+def _netpbm_tokens(data: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated integer header tokens starting at
+    ``start``, skipping ``#`` comments (netpbm spec)."""
+    tokens: list[int] = []
+    i = start
+    while len(tokens) < n:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i : i + 1] == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        tokens.append(int(data[i:j]))
+        i = j
+    return tokens, i
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode an image to a numpy array — grayscale ``(h, w)`` for PGM,
+    ``(h, w, 3)`` for PPM — using nothing but numpy.
+
+    Supports the netpbm family: P5/P6 (binary PGM/PPM, 8- or 16-bit
+    big-endian per spec) and P2/P3 (ASCII). Anything else (PNG, JPEG, …)
+    needs an external codec and raises NotImplementedError at this seam;
+    plug Pillow here (``np.asarray(PIL.Image.open(io.BytesIO(content)))``)
+    on a cluster that ships it."""
+    magic = (content or b"")[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise NotImplementedError(
+            "only netpbm (P2/P3/P5/P6) decodes without external codecs in "
+            "this environment; plug a real decoder (e.g. Pillow) at "
+            "decode_image, or use FakeCodec for opaque bytes"
+        )
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    (w, h, maxval), i = _netpbm_tokens(content, 3, 2)
+    if not (0 < maxval < 65536 and w > 0 and h > 0):
+        raise ValueError(f"bad netpbm header: {w}x{h} maxval={maxval}")
+    n_vals = w * h * channels
+    if magic in (b"P5", b"P6"):
+        i += 1  # exactly one whitespace byte separates header and raster
+        dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+        raster = np.frombuffer(content, dtype=dtype, count=n_vals, offset=i)
+    else:
+        vals, _ = _netpbm_tokens(content, n_vals, i)
+        raster = np.array(vals, dtype=np.uint16 if maxval > 255 else np.uint8)
+    img = raster.astype(np.uint16 if maxval > 255 else np.uint8)
+    return img.reshape((h, w, 3)) if channels == 3 else img.reshape((h, w))
+
+
+def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM WAV to ``(samples, sample_rate)`` with stdlib ``wave``;
+    ``samples`` is ``(n_frames, n_channels)`` int. 8-bit WAV is unsigned
+    per spec and is re-centred to signed. Compressed audio (MP3/OGG/…)
+    raises NotImplementedError at this seam — plug torchaudio/soundfile
+    here on a cluster that ships them."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content or b""), "rb") as wf:
+            rate = wf.getframerate()
+            n_ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as exc:
+        raise NotImplementedError(
+            f"only PCM WAV decodes without external codecs ({exc}); plug a "
+            "real decoder at decode_audio, or use FakeCodec for opaque bytes"
+        ) from exc
+    if width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4")
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    return samples.reshape(-1, n_ch), rate
+
+
+def resize_image(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbour resize to ``(out_h, out_w)`` via pure numpy
+    index sampling — no interpolation libraries needed. Works for both
+    grayscale ``(h, w)`` and colour ``(h, w, c)`` arrays."""
+    out_h, out_w = size
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[rows][:, cols]
+
+
+class StdlibCodec(FakeCodec):
+    """Codec backed by the real stdlib/numpy decoders: netpbm pixels and
+    WAV samples become actual content-derived features. Formats the
+    environment can't decode raise (strict) — compose with FakeCodec
+    explicitly if opaque bytes should still flow."""
+
+    def image_features(self, content: bytes, dim: int) -> np.ndarray:
+        img = decode_image(content)
+        gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+        g = max(1, int(dim**0.5))
+        thumb = resize_image(gray, (g, g)).astype(np.float64).ravel() / 255.0
+        out = np.zeros(dim, dtype=np.float32)
+        out[: min(dim, thumb.size)] = thumb[: min(dim, thumb.size)]
+        return out
+
+    def audio_features(self, content: bytes, dim: int) -> np.ndarray:
+        samples, _rate = decode_audio(content)
+        mono = samples.mean(axis=1).astype(np.float64)
+        if mono.size == 0:
+            return np.zeros(dim, dtype=np.float32)
+        # dim-bucket RMS energy envelope, scale-normalised
+        buckets = np.array_split(mono, dim)
+        rms = np.array([np.sqrt(np.mean(b**2)) if b.size else 0.0 for b in buckets])
+        peak = np.abs(mono).max() or 1.0
+        return (rms / peak).astype(np.float32)
 
 
 def extract_features(

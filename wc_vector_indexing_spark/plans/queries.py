@@ -1829,6 +1829,67 @@ def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     return report
 
 
+def multimodal_features_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Real-decode multimodal round trip: documents are rendered into
+    actual netpbm (P5) image bytes / PCM WAV audio bytes, decoded back by
+    ``StdlibCodec`` through the Arrow-batched ``extract_features`` plan,
+    and the recovered features aggregated per kind. Rows-only (binary
+    rendering + numpy decode are not SQL-expressible); the decoders
+    themselves are golden-tested in test_multimodal.py."""
+    from wc_vector_indexing_spark.operators import multimodal as mm
+
+    docs = load(spark, "documents", sf).select("doc_id", "text").limit(256)
+
+    def render(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = (text or "").encode("utf-8", "ignore")[:64]
+                data = data + b"\x00" * (64 - len(data))
+                if doc_id % 2 == 0:
+                    content = b"P5 8 8 255\n" + data
+                    out.append((int(doc_id), "image", "image/x-portable-graymap",
+                                content, {"width": 8, "height": 8, "duration_ms": None,
+                                          "sample_rate": None, "n_frames": None}))
+                else:
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+                        wf.writeframes(samples.astype("<i2").tobytes())
+                    out.append((int(doc_id), "audio", "audio/wav", buf.getvalue(),
+                                {"width": None, "height": None, "duration_ms": 8,
+                                 "sample_rate": 8000, "n_frames": None}))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "mime", "content", "meta"]
+            )
+
+    media = docs.mapInPandas(render, schema=mm.MEDIA_SCHEMA)
+    feats = mm.extract_features(media, dim=16, codec=mm.StdlibCodec())
+    return (
+        feats.select(
+            "media_id", "kind",
+            F.element_at("features", 1).alias("f0"),
+            F.sqrt(F.aggregate("features", F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("f0"), 6).alias("avg_f0"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+        )
+        .orderBy("kind")
+    )
+
+
 def _ivf_artifact_path(sf: str) -> str:
     """Quantizer cache keyed by (dataset dir, nlist, seed): static test
     data, so a persisted quantizer is valid across processes/bench runs."""
@@ -2591,5 +2652,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "curation_pipeline": QuerySpec(curation_pipeline_op, None, "quality+lang+dedup curation audit"),
     "training_data_pipeline": QuerySpec(
         training_data_pipeline_op, None, "curate -> DSIR gate -> split, end to end"
+    ),
+    "multimodal_features": QuerySpec(
+        multimodal_features_op, None, "netpbm/WAV render -> real decode -> feature stats"
     ),
 }
