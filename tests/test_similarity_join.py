@@ -1,0 +1,78 @@
+"""knn_similarity_join: exactness vs brute force, the probe-batch
+guard, and schema derivation for non-long id types."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from wc_vector_indexing_spark.operators.similarity import knn_similarity_join
+
+
+def _emb(spark, n, dim=6, seed=3, id_fn=None):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = [
+        Row(
+            vec_id=id_fn(i) if id_fn else i,
+            embedding=[float(x) for x in rng.standard_normal(dim)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_knn_join_matches_bruteforce(spark):
+    queries = _emb(spark, 7, seed=1)
+    index = _emb(spark, 60, seed=2)
+    got = knn_similarity_join(queries, index, k=4).collect()
+    qv = {r.vec_id: np.array(r.embedding) for r in queries.collect()}
+    iv = {r.vec_id: np.array(r.embedding) for r in index.collect()}
+    for qid, q in qv.items():
+        scores = sorted(
+            (
+                (-float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), i)
+                for i, v in iv.items()
+            )
+        )[:4]
+        want = [i for _, i in scores]
+        have = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+        assert have == want, qid
+
+
+def test_probe_batch_guard_raises(spark):
+    queries = _emb(spark, 12, seed=1)
+    index = _emb(spark, 20, seed=2)
+    with pytest.raises(ValueError, match="max_probe_rows"):
+        knn_similarity_join(queries, index, k=2, max_probe_rows=10)
+    # the error message routes to the distributed alternatives
+    with pytest.raises(ValueError, match="lsh_cosine_pairs|ivf"):
+        knn_similarity_join(queries, index, k=2, max_probe_rows=10)
+    # raising the cap restores the path
+    assert knn_similarity_join(queries, index, k=2, max_probe_rows=12).count() == 24
+
+
+def test_string_ids_schema_derived(spark):
+    queries = _emb(spark, 3, seed=1, id_fn=lambda i: f"q{i:02d}")
+    index = _emb(spark, 15, seed=2, id_fn=lambda i: f"doc{i:03d}")
+    out = knn_similarity_join(queries, index, k=3, max_probe_rows=100)
+    schema = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert schema["query_id"] == "string" and schema["neighbor_id"] == "string"
+    rows = out.collect()
+    assert len(rows) == 9
+    assert all(r.neighbor_id.startswith("doc") for r in rows)
+    # id-ascending tiebreak holds for string ids too: duplicate vectors
+    dup = spark.createDataFrame(
+        [Row(vec_id=name, embedding=[1.0, 0.0]) for name in ["b", "a", "c"]]
+    )
+    q = spark.createDataFrame([Row(vec_id="q", embedding=[1.0, 0.0])])
+    top = knn_similarity_join(q, dup, k=2, max_probe_rows=10).collect()
+    assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)] == ["a", "b"]
+
+
+def test_empty_query_frame_keeps_schema(spark):
+    queries = _emb(spark, 5, seed=1).filter("vec_id < 0")
+    index = _emb(spark, 10, seed=2)
+    out = knn_similarity_join(queries, index, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "score", "rank"]

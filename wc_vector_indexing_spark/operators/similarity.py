@@ -72,33 +72,62 @@ def knn_similarity_join(
     q_id: str = "vec_id",
     i_vec: str = "embedding",
     i_id: str = "vec_id",
+    max_probe_rows: int = 4096,
 ) -> DataFrame:
     """For each query row, its k nearest index rows (cosine). EXACT.
 
     Scale shape — no cross join ever materializes: the query side is
-    the PROBE BATCH (bounded by contract — tens to thousands of
-    vectors), collected once and shipped into an Arrow stage where each
-    index partition scores its rows against the whole query matrix with
-    one gemm and emits only its LOCAL top-k per query. The global
-    reduction is a per-query window over partitions × |queries| × k
-    candidate rows — index scan stays fully parallel, shuffle volume is
-    independent of index size. Local and global top-k use the same
-    total order (score desc, id asc), so the merge is exact.
+    the PROBE BATCH (bounded and ENFORCED: more than ``max_probe_rows``
+    query rows raises instead of silently OOMing the driver), collected
+    once and shipped into an Arrow stage where each index partition
+    scores its rows against the whole query matrix with one gemm and
+    emits only its LOCAL top-k per query. The global reduction is a
+    per-query window over partitions × |queries| × k candidate rows —
+    index scan stays fully parallel, shuffle volume is independent of
+    index size. Local and global top-k use the same total order
+    (score desc, id asc), so the merge is exact.
 
-    For huge probe batches use the LSH/IVF paths below instead.
+    Id columns keep their input types (long, string, …) — the output
+    schema is derived from the input schemas, not hardcoded.
+
+    For probe sets beyond ``max_probe_rows`` use the distributed paths:
+    ``lsh_cosine_pairs``/``dedup.embedding_cosine_pairs`` for all-pairs
+    shapes, or the IVF index (operators/ivf.py) for repeated lookups.
     """
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import types as T
+
     from wc_vector_indexing_spark.functions.partitioning import fan_out
 
-    qrows = queries.select(F.col(q_id), F.col(q_vec)).collect()
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[q_id].dataType, True),
+            T.StructField("neighbor_id", index.schema[i_id].dataType, True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    out_schema = T.StructType(
+        cand_schema.fields + [T.StructField("rank", T.IntegerType(), True)]
+    )
+    # limit(max+1): the driver fetch itself is bounded even when the
+    # caller hands us an unboundedly large query frame
+    qrows = queries.select(F.col(q_id), F.col(q_vec)).limit(max_probe_rows + 1).collect()
     spark = queries.sparkSession
-    if not qrows:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, score double, rank int"
+    if len(qrows) > max_probe_rows:
+        raise ValueError(
+            f"knn_similarity_join probe batch exceeds max_probe_rows="
+            f"{max_probe_rows}: the query side is collected to the driver "
+            "by design (gemm probe batch). For large probe sets use the "
+            "distributed paths instead: similarity.lsh_signature bucketed "
+            "join / dedup.lsh_cosine_pairs for all-pairs, or the IVF index "
+            "(operators/ivf.py) for repeated lookups; or raise "
+            "max_probe_rows explicitly if the driver can hold the batch."
         )
-    qids = np.array([r[0] for r in qrows], dtype="int64")
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qids = [r[0] for r in qrows]
     Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
     qn = np.linalg.norm(Q, axis=1)
     qzero = qn == 0.0
@@ -111,6 +140,11 @@ def knn_similarity_join(
                 continue
             ids = pdf["_id"].to_numpy()
             V = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            # pre-sort rows by id so a stable sort on -score breaks ties
+            # id-ascending — works for any orderable id type (long, str)
+            base = np.argsort(ids, kind="stable")
+            ids = ids[base]
+            V = V[base]
             n = np.linalg.norm(V, axis=1)
             n[n == 0.0] = 1.0
             S = (V / n[:, None]) @ Qn.T  # (rows × queries)
@@ -120,15 +154,15 @@ def knn_similarity_join(
                 col = S[:, qi]
                 # total order (score desc, id asc) — same as the global
                 # merge, so tie-breaking at the local k boundary is exact
-                sel = np.lexsort((ids, -col))[:kk]
+                sel = np.argsort(-col, kind="stable")[:kk]
                 for r in sel:
-                    out.append((int(qids[qi]), int(ids[r]), float(col[r])))
+                    out.append((qids[qi], ids[r], float(col[r])))
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
 
     cand = (
         fan_out(index)
         .select(F.col(i_id).alias("_id"), F.col(i_vec).alias("_v"))
-        .mapInPandas(local_topk, schema="query_id long, neighbor_id long, score double")
+        .mapInPandas(local_topk, schema=cand_schema)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
