@@ -172,8 +172,8 @@ def test_driver_gate_category_coverage():
     category so an insertion can't silently demote one."""
     gate = [k for k, s in REGISTRY.items() if s.sql is not None][:50]
     gs = set(gate)
-    assert sum(k.startswith("q") for k in gate) >= 12      # TPC-H core
-    assert sum(k.startswith("dedup") for k in gate) >= 5   # dedup family
+    assert sum(k.startswith("q") for k in gate) >= 9       # TPC-H core
+    assert sum(k.startswith("dedup") for k in gate) >= 6   # dedup family
     assert {"s3_never_synced", "s4_modified_since", "j7_priority_union"} <= gs
     assert {"textstats_quality", "lang_id_stopwords", "repetition_signals"} <= gs
     assert {"knn_exact_top10", "knn_join_top3"} <= gs
@@ -183,3 +183,11 @@ def test_driver_gate_category_coverage():
         "rollup_timeseries", "sequence_packing",
     } <= gs
     assert {"sessionize_events", "asof_click_attribution", "t9_windowed_events"} <= gs
+    # the newest oracle-backed queries must be gate-visible, not only
+    # locally parity-checked (round-4 advisor finding): a latent oracle
+    # mismatch in fresh operators should be caught by the driver
+    assert {
+        "encode_tokens", "packed_sequences", "importance_resample",
+        "corpus_health", "token_length_dist", "dedup_ngram_containment",
+        "script_mix",
+    } <= gs

@@ -2515,12 +2515,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 wide aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "3-way join + agg + top-10"),
     "q5_region_volume": QuerySpec(q5_region_volume, Q5_SQL, "star join through dims"),
-    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "pushdown filter + agg"),
-    "q4_priority_exists": QuerySpec(q4_priority_exists, Q4_SQL, "EXISTS semi-join"),
-    "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL, "4-way join top-20"),
-    "q12_priority_class": QuerySpec(q12_priority_class, Q12_SQL, "conditional CASE agg"),
-    "q14_promo_ratio": QuerySpec(q14_promo_ratio, Q14_SQL, "conditional ratio"),
-    "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL, "HAVING subquery join-back"),
     "q2_min_cost_supplier": QuerySpec(r2.q2_min_cost_supplier, r2.Q2_SQL, "correlated-min supplier pick"),
     "q7_nation_volume": QuerySpec(r2.q7_nation_volume, r2.Q7_SQL, "bilateral volume by year"),
     "q8_market_share": QuerySpec(r2.q8_market_share, r2.Q8_SQL, "conditional-sum market share"),
@@ -2542,9 +2536,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMB_COSINE_SQL, "cosine near-dup pairs"),
     "dedup_simhash": QuerySpec(dedup_simhash_op, SIMHASH_SQL, "simhash fingerprints"),
+    "dedup_ngram_containment": QuerySpec(
+        dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
+    ),
     "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
     "textstats_quality": QuerySpec(textstats_quality, QUALITY_SQL, "quality scoring"),
     "lang_id_stopwords": QuerySpec(lang_id_stopwords, _lang_sql(), "stopword lang-id"),
+    "script_mix": QuerySpec(
+        script_mix_op, SCRIPT_MIX_SQL, "unicode-script ratios + dominant script"
+    ),
     "repetition_signals": QuerySpec(
         repetition_signals_op, REPETITION_SQL, "Gopher repetition quality signals"
     ),
@@ -2558,6 +2558,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "importance_weights": QuerySpec(
         importance_weights_op, IMPORTANCE_SQL, "DSIR hashed-unigram importance weights"
     ),
+    "importance_resample": QuerySpec(
+        importance_resample_op, IMPORTANCE_RESAMPLE_SQL, "Gumbel top-k importance resampling"
+    ),
     "knn_exact_top10": QuerySpec(knn_exact_top10, KNN_SQL, "exact cosine kNN"),
     "knn_join_top3": QuerySpec(knn_join_top3, KNN_JOIN_SQL, "all-pairs kNN join"),
     "decontamination": QuerySpec(
@@ -2568,15 +2571,36 @@ REGISTRY: dict[str, QuerySpec] = {
     "winnow_fingerprint": QuerySpec(
         winnow_fingerprint_op, WINNOW_SQL, "winnowing (MOSS) k-gram fingerprints"
     ),
-    "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
     "data_mixing": QuerySpec(data_mixing_op, _mix_sql(), "source-mixture reweighting"),
     "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
+    "corpus_health": QuerySpec(
+        corpus_health, CORPUS_HEALTH_SQL, "per-source quality/dup-rate dashboard"
+    ),
+    "token_length_dist": QuerySpec(
+        token_length_dist, TOKEN_LENGTH_SQL, "per-source token-length percentiles"
+    ),
     "sequence_packing": QuerySpec(
         sequence_packing_op, PACKING_SQL, "token-budget sequence packing"
     ),
+    "encode_tokens": QuerySpec(
+        encode_tokens_op, ENCODE_TOKENS_SQL, "vocab-id sequence encoding (OOV=-1)"
+    ),
+    "packed_sequences": QuerySpec(
+        packed_sequences_op, PACKED_SEQ_SQL, "packed model-input sequences + order checksum"
+    ),
     "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
-    # --- beyond the 50-entry driver gate (still parity-checked locally) ---
+    # --- beyond the 50-entry driver gate (still parity-checked locally).
+    # --- Battle-tested entries live here: gated green in earlier rounds
+    # --- (TPC-H q4/q6/q10/q12/q14/q18 r1-r4, vocab_topk r2-r4), demoted
+    # --- to make gate room for newer, less-proven oracle queries.
+    "q4_priority_exists": QuerySpec(q4_priority_exists, Q4_SQL, "EXISTS semi-join"),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "pushdown filter + agg"),
+    "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL, "4-way join top-20"),
+    "q12_priority_class": QuerySpec(q12_priority_class, Q12_SQL, "conditional CASE agg"),
+    "q14_promo_ratio": QuerySpec(q14_promo_ratio, Q14_SQL, "conditional ratio"),
+    "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL, "HAVING subquery join-back"),
+    "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "doc_fingerprint": QuerySpec(
         doc_fingerprint_op, FINGERPRINT_SQL, "rolling-hash fingerprint"
     ),
@@ -2596,27 +2620,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "p14_masking": QuerySpec(p14_masking, P14_SQL, "secret masking projection"),
     "h_doc_sha": QuerySpec(h_doc_sha, H_SQL, "sha256 fingerprint"),
     "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
-    "encode_tokens": QuerySpec(
-        encode_tokens_op, ENCODE_TOKENS_SQL, "vocab-id sequence encoding (OOV=-1)"
-    ),
-    "packed_sequences": QuerySpec(
-        packed_sequences_op, PACKED_SEQ_SQL, "packed model-input sequences + order checksum"
-    ),
-    "importance_resample": QuerySpec(
-        importance_resample_op, IMPORTANCE_RESAMPLE_SQL, "Gumbel top-k importance resampling"
-    ),
-    "corpus_health": QuerySpec(
-        corpus_health, CORPUS_HEALTH_SQL, "per-source quality/dup-rate dashboard"
-    ),
-    "token_length_dist": QuerySpec(
-        token_length_dist, TOKEN_LENGTH_SQL, "per-source token-length percentiles"
-    ),
-    "dedup_ngram_containment": QuerySpec(
-        dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
-    ),
-    "script_mix": QuerySpec(
-        script_mix_op, SCRIPT_MIX_SQL, "unicode-script ratios + dominant script"
-    ),
     "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
     "session_window_events": QuerySpec(
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
