@@ -222,3 +222,31 @@ def test_cli_prep_backfill(spark, tmp_path, capsys):
     assert {"doc_id", "text", "log_weight", "token_ids"} <= cols
     row = prepped.orderBy("doc_id").head()
     assert isinstance(row.log_weight, float) and len(row.token_ids) > 0
+
+
+def test_cli_prep_hash_sized_doc_ids(spark, tmp_path, capsys):
+    """Corpora whose doc_ids are large hashes must not overflow the
+    event_ts stand-in (timestamp_seconds domain is ~±9.2e12 s)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.cli import main
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hashed = base.withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(7 * 10**17)).cast("long")
+    )
+    sf = tmp_path / "sf_hash"
+    hashed.write.parquet(str(sf / "documents.parquet"))
+    rc = main(
+        [
+            "prep",
+            "--sf-dir", str(sf),
+            "--out", str(tmp_path / "prepped_hash"),
+            "--target-sources", "src1,src2",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["input"] == 500 and 0 < out["prepped"] <= 500

@@ -200,7 +200,9 @@ def cmd_select(args: argparse.Namespace) -> int:
     )
     selected.write.mode("overwrite").parquet(args.out)
     n_total = docs.count()
-    n_kept = selected.count()
+    # count the written output — recounting `selected` would re-run the
+    # whole importance pipeline a second time
+    n_kept = spark.read.parquet(args.out).count()
     print(json.dumps({"kept": n_kept, "total": n_total, "threshold": thr}))
     return 0
 
@@ -228,8 +230,13 @@ def cmd_prep(args: argparse.Namespace) -> int:
         r.token: r.token_id for r in vocab_with_ids(docs, k=args.vocab).collect()
     }
     # static frames lack the stream's event_ts; dedup needs one — derive
-    # a stable stand-in so the backfill uses the identical code path
-    staged = docs.withColumn("event_ts", F.timestamp_seconds(F.col("doc_id")))
+    # a stable stand-in so the backfill uses the identical code path.
+    # Only relative ordering inside the watermark matters, so large hash
+    # doc_ids are folded into a safe epoch range instead of overflowing
+    # the timestamp domain
+    staged = docs.withColumn(
+        "event_ts", F.timestamp_seconds(F.pmod(F.col("doc_id"), F.lit(2_000_000_000)))
+    )
     prepped = prep_document_stream(staged, model=model, vocab_ids=vocab_ids)
     prepped.write.mode("overwrite").parquet(args.out)
     n_in, n_out = docs.count(), spark.read.parquet(args.out).count()

@@ -17,9 +17,27 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism iff its
-    current partition count is below ``min_fraction`` of it. Cheap to
-    call: reading the partition count plans the RDD but runs no job."""
+    current partition count is below ``min_fraction`` of it.
+
+    Streaming frames pass through untouched: micro-batch sizing is the
+    scheduler's job there, and ``.rdd`` doesn't exist on a streaming
+    plan — the short-circuit keeps frame-level operators (shingle_table,
+    simhash64, text quality, …) usable in their stream twins.
+
+    Reading the partition count runs no job but does force physical
+    planning, which is seconds on deep cached/join lineages — so the
+    count is memoized on the DataFrame instance for operators that call
+    fan_out more than once on the same frame."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
+    n = getattr(df, "_wcvi_num_partitions", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        try:
+            df._wcvi_num_partitions = n
+        except AttributeError:  # slotted/frozen wrapper: skip the memo
+            pass
+    if n < max(2, int(target * min_fraction)):
         return df.repartition(target)
     return df
