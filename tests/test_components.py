@@ -92,3 +92,36 @@ def test_small_and_iterative_paths_agree(spark):
     labels = {r.doc: r.cluster_id for r in small.collect()}
     assert labels[6000] == labels[7000] == 5000
     assert labels[107] == 100
+
+
+def test_star_components_matches_propagation(spark):
+    """large-star/small-star labels == min-label propagation labels on a
+    mixed graph (chains + triangle + singleton edges)."""
+    from wc_vector_indexing_spark.operators.components import star_components
+
+    rows = [(c * 100 + i, c * 100 + i + 1) for c in range(6) for i in range(5)]
+    rows += [(900, 901), (901, 902), (900, 902), (950, 999)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    star = {r.doc: r.cluster_id for r in star_components(pairs).collect()}
+    prop = {
+        r.doc: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert star == prop
+
+
+def test_adversarial_path_graph_converges_via_star_fallback(spark):
+    """A 10k-node path graph has diameter 10k — propagation with a small
+    round budget must hand off to the O(log² n) star fallback and still
+    produce exact labels."""
+    n = 10_000
+    pairs = spark.range(0, n - 1).selectExpr("id as doc_a", "id + 1 as doc_b")
+    out = connected_components(pairs, max_iter=5, small_graph_edges=0)
+    assert out.count() == n
+    assert out.filter("cluster_id != 0").count() == 0
+
+
+def test_star_components_empty_input(spark):
+    from wc_vector_indexing_spark.operators.components import star_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert star_components(empty).count() == 0

@@ -25,10 +25,14 @@ Scale notes:
     bounded, tiny fraction of the corpus) skip iteration entirely —
     exact union-find in a single grouped-map task.
 
-Alternative for adversarial (high-diameter) graphs: the large-star /
-small-star algorithm (Kiveris et al., "Connected Components in MapReduce
-and Beyond", SoCC'14) converges in O(log² n) rounds; not needed for
-near-dup clustering where diameter is bounded by construction.
+Adversarial (high-diameter) graphs — long chains, lattices — would need
+diameter rounds of propagation; when ``max_iter`` exhausts without
+convergence the operator switches to the large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14), which contracts any graph to per-component stars in
+O(log² n) rounds regardless of diameter (``star_components``). Near-dup
+graphs never hit this (diameter 2-3 by construction); the fallback makes
+the operator safe as a general-purpose graph primitive.
 """
 
 from __future__ import annotations
@@ -85,6 +89,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     cached: list = []
+    converged = False
     for it in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
@@ -113,7 +118,21 @@ def connected_components(
         changed = new_labels.agg(F.count_if(F.col("_changed")).alias("c")).head()[0]
         labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # diameter exceeds the propagation budget (adversarial chain/
+        # lattice shape): restart on the star-contraction algorithm,
+        # whose round count is O(log² n) independent of diameter
+        out = star_components(
+            half.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")),
+            out_id=out_id,
+            out_cluster=out_cluster,
+        )
+        edges.unpersist()
+        for df in cached:
+            df.unpersist()
+        return out
     edges.unpersist()
     # hand back an eagerly-materialized frame with no live persist
     # handles: callers iterate over it from several branches
@@ -123,6 +142,97 @@ def connected_components(
     for df in cached:
         df.unpersist()
     return out
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly-larger
+    neighbors to the minimum of its closed neighborhood. Output edges
+    are canonical (src > dst)."""
+    nbr = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = (
+        nbr.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least("src", "_mn").alias("_m"))
+    )
+    return (
+        nbr.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round over canonical (src > dst) edges: each node
+    links its smaller-or-equal neighborhood (itself included) to that
+    neighborhood's minimum. Keeps edges canonical."""
+    m = edges.groupBy("src").agg(F.min("dst").alias("_m"))
+    relink = (
+        edges.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    self_link = m.select("src", F.col("_m").alias("dst"))
+    return (
+        relink.unionByName(self_link)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def star_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    out_id: str = "doc",
+    out_cluster: str = "cluster_id",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., SoCC'14): converges in O(log² n)
+    rounds for ANY graph shape — the diameter-proof path that
+    ``connected_components`` falls back to when min-label propagation
+    exhausts its round budget.
+
+    Each round is two grouped minima + joins over the current edge set;
+    the edge set only shrinks toward per-component stars whose center is
+    the component minimum, so shuffle volume is bounded by the input
+    edge count. Labels match min-label propagation exactly.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = pairs.sparkSession
+    if edges.isEmpty():
+        return spark.createDataFrame([], f"{out_id} long, {out_cluster} long")
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # convergence = edge set fixpoint; one aggregate materializes the
+        # checkpoint and fingerprints the set (order-insensitive)
+        sig = edges.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-insensitive, overflow-free under ANSI mode
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).head()
+        if (sig.n, sig.h) == prev_sig:
+            break
+        prev_sig = (sig.n, sig.h)
+    # fixpoint edges are stars (member, center): members label to the
+    # center, centers label to themselves
+    members = edges.select(F.col("src").alias(out_id), F.col("dst").alias(out_cluster))
+    centers = edges.select(
+        F.col("dst").alias(out_id), F.col("dst").alias(out_cluster)
+    ).distinct()
+    return members.unionByName(centers).localCheckpoint(eager=True)
 
 
 def cluster_representatives(
