@@ -90,3 +90,98 @@ def test_incremental_equals_rebuild_seed1(spark, tmp_path):
 
 def test_incremental_equals_rebuild_seed2(spark, tmp_path):
     run_script(spark, tmp_path, seed=202, steps=6)
+
+
+# --------------------------------------------------------------------------
+# Query-level equivalence for the TRAINING-DATA pipeline: the full prep
+# composition (curate → DSIR score → vocab encode) plus near-dup dedup run
+# once over the whole corpus must keep exactly the same doc_ids as the
+# same pipeline run as successive incremental batches against a
+# SignatureStore — the daily-batch-vs-100 TB-corpus operating shape.
+# --------------------------------------------------------------------------
+
+_WORDS = (
+    "the quick brown fox jumps over the lazy dog while the old miller "
+    "watches from the hill and the river runs slowly past the village"
+).split()
+
+
+def _sentence(seed: int, n: int = 40) -> str:
+    rng = random.Random(seed)
+    return " ".join(rng.choice(_WORDS) for _ in range(n)) + "."
+
+
+def _prep_corpus(spark):
+    """Docs crossing every gate: exact-dup group (101-103), a near-dup
+    clique split across the batch boundary (110 vs 210), junk that the
+    quality gate drops, and unique keepers in both halves."""
+    rows = []
+    for i, doc_id in enumerate([100, 120, 130, 220, 230, 240]):
+        rows.append((doc_id, _sentence(doc_id), "src1"))
+    exact = _sentence(7)
+    rows += [(101, exact, "src1"), (102, exact, "src2"), (103, exact, "src1")]
+    near = _sentence(9, n=60)
+    rows += [(110, near, "src1"), (210, near + " appended tail word.", "src2")]
+    rows += [(115, "9 9 9 9", "src1")]  # digits + too short: quality-gated
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _run_prep_batches(spark, tmp_path, name, model, vocab_ids, batches):
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.components import (
+        cluster_representatives,
+        connected_components,
+    )
+    from wc_vector_indexing_spark.operators.dedup import minhash_lsh_pairs
+    from wc_vector_indexing_spark.operators.incremental_dedup import SignatureStore
+    from wc_vector_indexing_spark.streaming.incremental import prep_document_stream
+
+    store = SignatureStore(spark, str(tmp_path / name))
+    kept: list[int] = []
+    encoded: dict[int, list[int]] = {}
+    for batch in batches:
+        staged = batch.withColumn("event_ts", F.timestamp_seconds(F.col("doc_id")))
+        prepped = prep_document_stream(
+            staged, model=model, vocab_ids=vocab_ids
+        ).localCheckpoint(eager=True)
+        pairs = minhash_lsh_pairs(prepped, threshold=0.5)
+        drop = cluster_representatives(connected_components(pairs)).withColumnRenamed(
+            "doc", "doc_id"
+        )
+        in_batch = prepped.join(drop, "doc_id", "left_anti")
+        accepted, _dups = store.ingest(in_batch, threshold=0.5)
+        for r in accepted.select("doc_id", "token_ids", "log_weight").collect():
+            kept.append(r.doc_id)
+            encoded[r.doc_id] = (list(r.token_ids), round(r.log_weight, 6))
+    return sorted(kept), encoded
+
+
+def test_full_prep_pipeline_incremental_equals_whole(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.importance import fit_importance_model
+    from wc_vector_indexing_spark.operators.vocab import vocab_with_ids
+
+    docs = _prep_corpus(spark)
+    # offline-fitted artifacts, shared by both runs (fitting is a
+    # separate batch concern; equivalence is about the APPLY path)
+    model = fit_importance_model(docs, F.col("source") == "src1", n_buckets=256)
+    vocab_ids = {r.token: r.token_id for r in vocab_with_ids(docs, k=50).collect()}
+
+    whole, enc_whole = _run_prep_batches(
+        spark, tmp_path, "store_whole", model, vocab_ids, [docs]
+    )
+    batch1 = docs.filter("doc_id < 200")
+    batch2 = docs.filter("doc_id >= 200")
+    incr, enc_incr = _run_prep_batches(
+        spark, tmp_path, "store_incr", model, vocab_ids, [batch1, batch2]
+    )
+
+    assert whole == incr, f"whole={whole} incr={incr}"
+    assert enc_whole == enc_incr  # token ids + DSIR scores identical too
+    # the interesting cases actually happened:
+    assert 101 in whole and 102 not in whole and 103 not in whole  # exact dups
+    assert 110 in whole and 210 not in whole  # near-dup caught ACROSS batches
+    assert 115 not in whole  # quality gate
+    assert {100, 120, 130, 220, 230, 240} <= set(whole)
