@@ -1,0 +1,166 @@
+"""Skewed-corpus bench: proves SCALE.md's skew reasoning with numbers.
+
+Generates a deliberately hostile variant of the sf0.1 corpus —
+
+  * zipfian ``source`` distribution (one source holds ~80% of docs:
+    stresses any per-source groupBy),
+  * a corpus-wide boilerplate sentence appended to 60% of docs (one
+    shingle/n-gram with df ≈ 0.6·N: the posting-list blowup case the
+    max_df cap exists for),
+  * one hot line duplicated into 70% of docs (line_dedup's worst key),
+  * a mega-document ~300k chars (single-row straggler for every
+    Arrow/text stage),
+  * a hot embedding cluster: 10% of vectors near-identical (one LSH
+    bucket / cosine block holds 10% of the index)
+
+— then times the dedup-family catalog queries on the uniform and the
+skewed corpus and writes ``BENCH_SKEW.json`` with per-query ratios.
+Acceptance bar (SCALE.md): no query >3× its uniform-data time.
+
+Usage: python tools/skew_bench.py [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from wc_vector_indexing_spark.plans.queries import REGISTRY  # noqa: E402
+from wc_vector_indexing_spark.session import get_spark  # noqa: E402
+
+UNIFORM = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SKEWED = "/tmp/wcvi_skew_sf0.1"
+
+DEDUP_QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
+    "semdedup_embeddings",
+    "line_dedup",
+    "doc_fingerprint",
+    "winnow_fingerprint",
+]
+
+BOILER = (
+    " This content is provided as is without any warranty of any kind"
+    " either express or implied including fitness for purpose."
+)
+HOT_LINE = "All rights reserved by the original publisher of this work."
+
+
+def generate(spark) -> None:
+    """Deterministic skewed twin of the uniform corpus (seeded hashes,
+    no RNG): same row counts, hostile distributions."""
+    if os.path.exists(SKEWED):
+        shutil.rmtree(SKEWED)
+    os.makedirs(SKEWED)
+    # non-text tables are irrelevant to the dedup family: link them
+    for f in os.listdir(UNIFORM):
+        if f not in ("documents.parquet", "embeddings.parquet"):
+            os.symlink(os.path.join(UNIFORM, f), os.path.join(SKEWED, f))
+
+    docs = spark.read.parquet(f"{UNIFORM}/documents.parquet")
+    h = F.abs(F.xxhash64("doc_id"))
+    # zipf-ish: 80% src_hot, then a tail of the original sources
+    source = (
+        F.when(h % 100 < 80, F.lit("src_hot"))
+        .otherwise(F.concat(F.lit("src_tail_"), (h % 7).cast("string")))
+    )
+    # 60% of docs share one boilerplate sentence; 70% share one hot line
+    text = F.col("text")
+    text = F.when(h % 10 < 6, F.concat(text, F.lit(BOILER))).otherwise(text)
+    text = F.when(h % 10 < 7, F.concat(text, F.lit("\n" + HOT_LINE))).otherwise(text)
+    # one mega-document: doc_id 0 repeated to ~300k chars
+    mega = F.repeat(F.concat(F.col("text"), F.lit(" ")), 1000)
+    text = F.when(F.col("doc_id") == 0, mega).otherwise(text)
+    skew_docs = docs.select(
+        "doc_id",
+        text.alias("text"),
+        "lang",
+        source.alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+    skew_docs.coalesce(4).write.mode("overwrite").parquet(f"{SKEWED}/documents.parquet")
+
+    emb = spark.read.parquet(f"{UNIFORM}/embeddings.parquet")
+    eh = F.abs(F.xxhash64("vec_id"))
+    # 10% of vectors collapse onto (almost) one point: a hot LSH bucket
+    # and a hot cosine block. Tiny per-id jitter keeps them distinct.
+    jitter = (eh % 997).cast("double") / 1e7
+    hot_vec = F.transform(
+        F.sequence(F.lit(1), F.size("embedding")),
+        lambda i: (F.lit(0.1) * i.cast("double") + jitter).cast("float"),
+    )
+    skew_emb = emb.select(
+        "vec_id",
+        F.when(eh % 10 == 0, hot_vec).otherwise(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    skew_emb.coalesce(4).write.mode("overwrite").parquet(f"{SKEWED}/embeddings.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name in DEDUP_QUERIES:
+        t0 = time.time()
+        try:
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"skew bench error in {name} @ {sf_dir}: {e}", file=sys.stderr)
+            times[name] = -1.0
+    return times
+
+
+def main() -> None:
+    spark = get_spark("skew-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--regen" in sys.argv or not os.path.exists(SKEWED):
+        generate(spark)
+    # warm python workers so spin-up isn't billed to the first query
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+
+    uniform = time_queries(spark, UNIFORM)
+    skewed = time_queries(spark, SKEWED)
+    report = {
+        name: {
+            "uniform_sec": uniform[name],
+            "skewed_sec": skewed[name],
+            "ratio": (
+                round(skewed[name] / uniform[name], 2)
+                if uniform[name] > 0 and skewed[name] > 0
+                else None
+            ),
+        }
+        for name in DEDUP_QUERIES
+    }
+    worst = max((r["ratio"] or 0) for r in report.values())
+    out = {
+        "sf": 0.1,
+        "skew": "zipf-source-80pct + boilerplate-df0.6 + hotline-0.7 + megadoc-300k + hot-embedding-10pct",
+        "queries": report,
+        "worst_ratio": worst,
+        "bar": "no query > 3x uniform",
+        "pass": worst <= 3.0 and all(r["skewed_sec"] > 0 for r in report.values()),
+    }
+    with open(Path(__file__).resolve().parent.parent / "BENCH_SKEW.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps({"worst_ratio": worst, "pass": out["pass"]}))
+
+
+if __name__ == "__main__":
+    main()

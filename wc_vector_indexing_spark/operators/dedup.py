@@ -329,6 +329,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 256,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection.
 
@@ -337,6 +338,18 @@ def minhash_lsh_pairs(
     output threshold is exact, LSH only affects recall). Pairs whose docs
     share no band-bucket are never scored — the property that makes this
     linear-ish at 100 TB (vs the quadratic exact join).
+
+    ``max_bucket`` bounds skew: a band bucket hit by more than this many
+    docs (corpus-wide boilerplate dominating all rows of a band) would
+    contribute O(|bucket|²) candidate pairs on its own; such degenerate
+    buckets are dropped, the same df-cap reasoning as ``max_df`` on the
+    shingle index. Genuine near-dup pairs still collide in their other,
+    more selective bands, so the recall cost is confined to pairs whose
+    ONLY agreement is the boilerplate band — pairs below threshold
+    anyway. The one real casualty is an exact-duplicate cluster larger
+    than the cap (every band bucket saturates): run exact dedup FIRST —
+    the curation pipeline does — so minhash only sees near-dups. None
+    disables the cap.
     """
     band_rows = fan_out(docs).select(
         F.col(id_col).alias("doc"),
@@ -348,6 +361,8 @@ def minhash_lsh_pairs(
     buckets = band_rows.groupBy("bucket").agg(
         F.sort_array(F.collect_set("doc")).alias("ds")
     ).filter(F.size("ds") > 1)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
     candidates = (
         buckets.select(
             F.explode(

@@ -98,10 +98,16 @@ class SignatureStore:
         threshold: float = 0.5,
         text_col: str = "text",
         id_col: str = "doc_id",
+        max_bucket: int = 256,
     ) -> DataFrame:
         """(new_id, store_id, est_jaccard) for every new doc whose
         estimated Jaccard against a stored doc clears ``threshold``.
-        The signature UDF runs over the NEW batch only."""
+        The signature UDF runs over the NEW batch only.
+
+        ``max_bucket`` drops band buckets whose corpus-side width exceeds
+        the cap (boilerplate bands: each contributes O(width × batch)
+        candidates on its own) — same skew reasoning as
+        ``minhash_lsh_pairs``; None disables."""
         new_sigs = self.signatures_of(new_docs, text_col, id_col).localCheckpoint(eager=True)
         store = self.read()
 
@@ -111,6 +117,14 @@ class SignatureStore:
         store_bands = store.select(
             F.col("doc_id").alias("store_id"), F.explode("buckets").alias("bucket")
         )
+        if max_bucket is not None:
+            hot = (
+                store_bands.groupBy("bucket")
+                .count()
+                .filter(F.col("count") > max_bucket)
+                .select("bucket")
+            )
+            store_bands = store_bands.join(hot, "bucket", "left_anti")
         candidates = (
             new_bands.join(store_bands, "bucket")
             .select("new_id", "store_id")

@@ -1532,7 +1532,12 @@ def chunk_documents_op(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def dedup_minhash_op(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(load(spark, "documents", sf), threshold=0.2)
+    """max_bucket=64 mirrors the ngram entries' max_df=64: boilerplate
+    band buckets wider than any plausible near-dup cluster at this SF
+    are degenerate and only manufacture sub-threshold candidates."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, "documents", sf), threshold=0.2, max_bucket=64
+    )
 
 
 def dedup_simhash_op(spark: SparkSession, sf: str) -> DataFrame:
