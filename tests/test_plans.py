@@ -189,5 +189,6 @@ def test_driver_gate_category_coverage():
     assert {
         "encode_tokens", "packed_sequences", "importance_resample",
         "corpus_health", "token_length_dist", "dedup_ngram_containment",
-        "script_mix",
+        "script_mix", "c4_line_filter", "gopher_quality",
+        "stratified_sample_counts",
     } <= gs

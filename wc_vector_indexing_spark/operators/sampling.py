@@ -78,6 +78,35 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    content-addressed ``hash_bucket(key, salt)`` falls under the
+    stratum's fraction threshold. Unlike ``stratified_sample``
+    (sampleBy), the kept set is a pure function of (key, salt) —
+    partition-stable, reproducible across engines and backfills, and
+    expressible in ANSI SQL for oracle verification. The plan is a
+    zero-shuffle scan + filter."""
+    bucket = hash_bucket(key_col, salt)
+    thr = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        val = F.lit(int(round(frac * N_BUCKETS)))
+        thr = F.when(cond, val) if thr is None else thr.when(cond, val)
+    thr = (
+        F.lit(int(round(default_fraction * N_BUCKETS)))
+        if thr is None
+        else thr.otherwise(int(round(default_fraction * N_BUCKETS)))
+    )
+    return df.filter(bucket < thr)
+
+
 def gumbel_top_k(
     df: DataFrame,
     weight_col: str,

@@ -1834,6 +1834,154 @@ def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     return report
 
 
+def c4_line_filter_op(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line cleaning (operators/heuristics.py): per-doc line
+    survival stats. Pure higher-order-function codegen, zero shuffle."""
+    from wc_vector_indexing_spark.operators.heuristics import c4_line_clean
+
+    docs = load(spark, "documents", sf)
+    return (
+        c4_line_clean(docs)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            F.length("clean_text").alias("clean_len"),
+            "c4_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+C4_SQL = r"""
+WITH l AS (
+    SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+), k AS (
+    SELECT doc_id, len(lines) AS n_lines,
+           list_filter(lines, ln ->
+               regexp_matches(ln, '[.!?"]\s*$')
+               AND len(list_filter(regexp_split_to_array(trim(ln), '\s+'),
+                                   w -> w != '')) >= 5
+               AND NOT (contains(lower(ln), 'javascript')
+                        OR contains(lower(ln), 'cookie')
+                        OR contains(lower(ln), 'privacy policy')
+                        OR contains(lower(ln), '{'))
+           ) AS kept
+    FROM l
+)
+SELECT doc_id, n_lines, len(kept) AS n_kept,
+       COALESCE(length(array_to_string(kept, chr(10))), 0) AS clean_len,
+       len(kept) >= 1 AS c4_keep
+FROM k ORDER BY doc_id
+"""
+
+
+def gopher_quality_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher document-rule signals + conjunctive pass flag
+    (operators/heuristics.py). Zero-shuffle codegen map pass."""
+    from wc_vector_indexing_spark.operators.heuristics import gopher_rules
+
+    docs = load(spark, "documents", sf)
+    return gopher_rules(docs).orderBy("doc_id")
+
+
+GOPHER_SQL = r"""
+WITH w AS (
+    SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> x != '') AS words,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+), s AS (
+    SELECT doc_id,
+        len(words) AS n_words,
+        round(COALESCE(list_sum(list_transform(words, x -> length(x))), 0)::DOUBLE
+              / greatest(len(words), 1), 4) AS mean_word_len,
+        round(((len(string_split(text, '#')) - 1)
+               + (len(string_split(text, '...')) - 1))::DOUBLE
+              / greatest(len(words), 1), 4) AS symbol_ratio,
+        round(len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]')))::DOUBLE
+              / greatest(len(lines), 1), 4) AS bullet_ratio,
+        round(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+              / greatest(len(words), 1), 4) AS alpha_ratio
+    FROM w
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_ratio <= 0.9
+        AND alpha_ratio >= 0.8) AS gopher_pass
+FROM s ORDER BY doc_id
+"""
+
+
+def stratified_sample_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-addressed per-source downsampling
+    (operators/sampling.py stratified_hash_sample): kept counts per
+    source under uneven fractions. The kept set is a pure function of
+    (doc_id, salt) — reproducible across engines, zero-shuffle filter."""
+    from wc_vector_indexing_spark.operators.sampling import stratified_hash_sample
+
+    docs = load(spark, "documents", sf)
+    fractions = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    kept = stratified_hash_sample(
+        docs, "source", fractions, salt="strat", default_fraction=0.05
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept")).orderBy("source")
+
+
+STRATIFIED_SQL = """
+WITH b AS (
+    SELECT source,
+           (('0x' || substr(sha256('strat' || doc_id::VARCHAR), 1, 8))::UBIGINT
+            % 10000)::INT AS bucket
+    FROM documents
+), t AS (
+    SELECT source, bucket,
+           CASE source WHEN 'src0' THEN 8000 WHEN 'src1' THEN 5000
+                       WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
+                       ELSE 500 END AS thr
+    FROM b
+)
+SELECT source, count(*) AS n_kept FROM t WHERE bucket < thr
+GROUP BY source ORDER BY source
+"""
+
+
+def dedup_survivors_op(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup dedup as ONE operator: minhash+LSH pairs →
+    connected components → keep-min survivors, reported per source.
+    Rows-only (MinHash inside); the stages are individually
+    oracle/pytest-verified."""
+    from wc_vector_indexing_spark.operators.components import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    docs = load(spark, "documents", sf)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2, max_bucket=64)
+    drop = cluster_representatives(connected_components(pairs)).withColumnRenamed(
+        "doc", "doc_id"
+    )
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .join(
+            kept.groupBy("source").agg(F.count("*").alias("n_kept")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def multimodal_features_op(spark: SparkSession, sf: str) -> DataFrame:
     """Real-decode multimodal round trip: documents are rendered into
     actual netpbm (P5) image bytes / PCM WAV audio bytes, decoded back by
@@ -2530,7 +2678,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "asof_click_attribution": QuerySpec(asof_click_attribution, ASOF_SQL, "as-of join"),
     "s3_never_synced": QuerySpec(s3_never_synced, S3_SQL, "anti-join initial-sync scan"),
     "s4_modified_since": QuerySpec(s4_modified_since, S4_SQL, "staleness left-join scan"),
-    "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
     "j7_priority_union": QuerySpec(j7_priority_union, J7_SQL, "priority union dedupe"),
     "j8_parent_expansion": QuerySpec(j8_parent_expansion, J8_SQL, "parent expansion dedupe"),
     "a1_variation_rollup": QuerySpec(a1_variation_rollup, A1_SQL, "capped rollup aggregation"),
@@ -2553,9 +2700,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "repetition_signals": QuerySpec(
         repetition_signals_op, REPETITION_SQL, "Gopher repetition quality signals"
     ),
-    "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
-    "quality_quantile_filter": QuerySpec(
-        quality_quantile_filter, QUANTILE_FILTER_SQL, "corpus-p10 quality gate"
+    "c4_line_filter": QuerySpec(
+        c4_line_filter_op, C4_SQL, "C4 line-level cleaning stats"
+    ),
+    "gopher_quality": QuerySpec(
+        gopher_quality_op, GOPHER_SQL, "Gopher document-rule filter"
     ),
     "unigram_logprob": QuerySpec(
         unigram_logprob_op, UNIGRAM_SQL, "unigram-LM perplexity quality score"
@@ -2577,6 +2726,9 @@ REGISTRY: dict[str, QuerySpec] = {
         winnow_fingerprint_op, WINNOW_SQL, "winnowing (MOSS) k-gram fingerprints"
     ),
     "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
+    "stratified_sample_counts": QuerySpec(
+        stratified_sample_counts, STRATIFIED_SQL, "per-source hash downsampling"
+    ),
     "data_mixing": QuerySpec(data_mixing_op, _mix_sql(), "source-mixture reweighting"),
     "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
     "corpus_health": QuerySpec(
@@ -2606,6 +2758,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "q14_promo_ratio": QuerySpec(q14_promo_ratio, Q14_SQL, "conditional ratio"),
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL, "HAVING subquery join-back"),
     "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
+    "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
+    "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
+    "quality_quantile_filter": QuerySpec(
+        quality_quantile_filter, QUANTILE_FILTER_SQL, "corpus-p10 quality gate"
+    ),
     "doc_fingerprint": QuerySpec(
         doc_fingerprint_op, FINGERPRINT_SQL, "rolling-hash fingerprint"
     ),
@@ -2663,5 +2820,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "multimodal_features": QuerySpec(
         multimodal_features_op, None, "netpbm/WAV render -> real decode -> feature stats"
+    ),
+    "dedup_survivors": QuerySpec(
+        dedup_survivors_op, None, "minhash -> components -> keep-min survivors per source"
     ),
 }
