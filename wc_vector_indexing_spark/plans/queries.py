@@ -1982,6 +1982,22 @@ def dedup_survivors_op(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def bpe_merges_op(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py): ONE distributed word
+    count, then the driver-local Sennrich merge loop over the bounded
+    word-frequency table — the split production trainers use. Rows-only
+    (iterative merge loop is not SQL-expressible); the merge sequence is
+    golden-tested in test_bpe.py."""
+    from wc_vector_indexing_spark.operators.bpe import train_bpe
+
+    docs = load(spark, "documents", sf)
+    merges = train_bpe(docs, num_merges=40, min_pair_count=2)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, left string, right string",
+    )
+
+
 def multimodal_features_op(spark: SparkSession, sf: str) -> DataFrame:
     """Real-decode multimodal round trip: documents are rendered into
     actual netpbm (P5) image bytes / PCM WAV audio bytes, decoded back by
@@ -2823,5 +2839,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_survivors": QuerySpec(
         dedup_survivors_op, None, "minhash -> components -> keep-min survivors per source"
+    ),
+    "bpe_merges": QuerySpec(
+        bpe_merges_op, None, "distributed-count + local-loop BPE tokenizer training"
     ),
 }
