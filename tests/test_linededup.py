@@ -48,3 +48,38 @@ def test_fully_boilerplate_doc_empties(spark):
     out = {r.doc_id: r for r in corpus_line_dedup(docs).collect()}
     assert out[1].text_clean == BOILER
     assert out[2].text_clean == "" and out[2].n_removed == 1
+
+
+def test_window_duplication_fractions(spark):
+    from wc_vector_indexing_spark.operators.linededup import window_duplication
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared + " unique1 tail1 end1"),
+            Row(doc_id=2, text="prefix2 " + shared + " other2"),
+            Row(doc_id=3, text="totally different words here nothing shared at all nine"),
+            Row(doc_id=4, text="too short"),  # < 8 tokens: no windows
+        ]
+    )
+    out = {r.doc_id: r for r in window_duplication(docs, window_tokens=8).collect()}
+    # doc1: 11 tokens -> 4 windows; window[0] == shared 8-gram (also in doc2)
+    assert out[1].n_windows == 4 and out[1].n_dup == 1
+    assert out[1].dup_frac == round(1 / 4, 4)
+    # doc2: 10 tokens -> 3 windows; window starting at token 2 is shared
+    assert out[2].n_windows == 3 and out[2].n_dup == 1
+    # doc3: nothing shared
+    assert out[3].n_dup == 0 and out[3].dup_frac == 0.0
+    # doc4 emits no windows at all
+    assert 4 not in out
+
+
+def test_window_duplication_within_doc_repeat_not_cross_doc(spark):
+    """A window repeated INSIDE one doc only (min_docs=2 distinct docs)
+    doesn't count as duplicated."""
+    from wc_vector_indexing_spark.operators.linededup import window_duplication
+
+    eight = "a b c d e f g h"
+    docs = spark.createDataFrame([Row(doc_id=1, text=eight + " " + eight)])
+    out = window_duplication(docs, window_tokens=8).head()
+    assert out.n_dup == 0

@@ -190,5 +190,5 @@ def test_driver_gate_category_coverage():
         "encode_tokens", "packed_sequences", "importance_resample",
         "corpus_health", "token_length_dist", "dedup_ngram_containment",
         "script_mix", "c4_line_filter", "gopher_quality",
-        "stratified_sample_counts",
+        "stratified_sample_counts", "window_dedup",
     } <= gs

@@ -65,3 +65,59 @@ def corpus_line_dedup(
             (F.col("_total") - F.coalesce("_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def window_duplication(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication screen (the window-granular form of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": suffix-array ExactSubstr re-expressed as rolling token
+    windows): per doc, the fraction of its ``window_tokens``-token
+    windows that also appear in >= ``min_docs`` distinct documents.
+
+    Plan: window explode (in-row transform over the token array, md5
+    window keys) -> df count per window (hash agg, map-side combine) ->
+    join back on the window hash -> per-doc agg. Three shuffles, all
+    keyed by hash/doc — no corpus self-join. At 100 TB the window table
+    is ~tokens-sized: run it per-shard behind a Bloom/top-K prefilter of
+    hot windows, or on a sampled corpus — the screen's precision degrades
+    gracefully under sampling because memorization-grade duplication is
+    frequent by definition.
+
+    Output: (doc_id, n_windows, n_dup, dup_frac) for docs with >= 1
+    window; dup windows are those whose text occurs in >= min_docs docs.
+    """
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+    )
+    n_win = F.size(ws) - window_tokens + 1
+    idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                idx, lambda i: F.md5(F.array_join(F.slice(ws, i, window_tokens), " "))
+            )
+        ).alias("h"),
+    )
+    df_counts = wins.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("_ndocs")
+    )
+    return (
+        wins.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count_if(F.col("_ndocs") >= min_docs).alias("n_dup"),
+            F.round(
+                F.count_if(F.col("_ndocs") >= min_docs).cast("double") / F.count("*"), 4
+            ).alias("dup_frac"),
+        )
+    )

@@ -1337,6 +1337,36 @@ def line_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_line_dedup(load(spark, "documents", sf)).orderBy("doc_id")
 
 
+def window_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication screen (operators/linededup.py
+    window_duplication): per-doc fraction of 8-token windows shared with
+    other documents."""
+    from wc_vector_indexing_spark.operators.linededup import window_duplication
+
+    return window_duplication(load(spark, "documents", sf)).orderBy("doc_id")
+
+
+WINDOW_DEDUP_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> x != '') AS ws
+    FROM documents
+), wins AS (
+    SELECT doc_id, md5(array_to_string(ws[i.i:i.i+7], ' ')) AS h
+    FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+    ) i
+), df AS (
+    SELECT h, count(DISTINCT doc_id) AS ndocs FROM wins GROUP BY h
+)
+SELECT w.doc_id, count(*) AS n_windows,
+       count(*) FILTER (WHERE df.ndocs >= 2) AS n_dup,
+       round(count(*) FILTER (WHERE df.ndocs >= 2)::DOUBLE / count(*), 4) AS dup_frac
+FROM wins w JOIN df USING (h) GROUP BY w.doc_id ORDER BY w.doc_id
+"""
+
+
 LINE_DEDUP_SQL = r"""
 WITH lines AS (
     SELECT doc_id, u.idx AS pos, u.line FROM (
@@ -2707,7 +2737,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_containment": QuerySpec(
         dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
     ),
-    "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
+    "window_dedup": QuerySpec(
+        window_dedup_op, WINDOW_DEDUP_SQL, "exact-substring 8-token window screen"
+    ),
     "textstats_quality": QuerySpec(textstats_quality, QUALITY_SQL, "quality scoring"),
     "lang_id_stopwords": QuerySpec(lang_id_stopwords, _lang_sql(), "stopword lang-id"),
     "script_mix": QuerySpec(
@@ -2775,6 +2807,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q18_large_orders": QuerySpec(q18_large_orders, Q18_SQL, "HAVING subquery join-back"),
     "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
+    "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
     "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
     "quality_quantile_filter": QuerySpec(
         quality_quantile_filter, QUANTILE_FILTER_SQL, "corpus-p10 quality gate"
