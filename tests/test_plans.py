@@ -192,3 +192,35 @@ def test_driver_gate_category_coverage():
         "script_mix", "c4_line_filter", "gopher_quality",
         "stratified_sample_counts", "window_dedup",
     } <= gs
+
+
+def test_c4_and_gopher_are_zero_shuffle_map_passes(spark):
+    """The heuristic filters must stay scan -> project: any Exchange
+    means a regression from pure codegen."""
+    for name in ("c4_line_filter", "gopher_quality"):
+        plan = plan_of(spark, name)
+        body = plan.split("AdaptiveSparkPlan")[0]
+        assert "Exchange" not in body.replace("Sort", ""), (name, plan)
+        # only the text scan columns are read
+        schemas = read_schemas(plan)
+        assert schemas and all("text" in s for s in schemas), (name, schemas)
+
+
+def test_stratified_sample_filter_reaches_scan(spark):
+    """The hash-bucket filter is a pure row predicate: the plan must be
+    scan -> filter -> agg with no join."""
+    plan = plan_of(spark, "stratified_sample_counts")
+    assert "Join" not in plan
+    # groupBy's hash exchange + the oracle-ordering range exchange only
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1
+    assert len(re.findall(r"rangepartitioning\(", plan)) == 1
+    # the bucket predicate is a scan-adjacent row filter (no shuffle
+    # upstream of it)
+    assert "Filter" in plan and "sha2" in plan
+
+
+def test_window_dedup_reads_text_only(spark):
+    plan = plan_of(spark, "window_dedup")
+    schemas = read_schemas(plan)
+    assert schemas and all(("doc_id" in s and "text" in s) for s in schemas)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

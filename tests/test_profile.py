@@ -52,3 +52,33 @@ def test_profile_approx_mode(docs):
     """HLL path: cardinalities are approximate but exact here at n=4."""
     rows = {r.col_name: r for r in profile_table(docs, exact=False).collect()}
     assert rows["name"].n_distinct == 2
+
+
+def test_profile_sketch_accuracy_vs_exact(spark):
+    """The sketch profile's estimates stay within published error bounds
+    of the exact answers (HLL++ rsd default 5%; percentile_approx with
+    accuracy 1000 is exact-ish at test cardinalities)."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.plans.queries import sketch_profile_op
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.source: r for r in sketch_profile_op(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    exact = {
+        r.source: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("text").alias("nd"),
+            F.percentile(F.length("text"), F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for src, e in exact.items():
+        g = got[src]
+        assert g.n_docs == e.n_docs
+        assert abs(g.approx_distinct_texts - e.nd) <= max(2, 0.1 * e.nd)
+        # percentile_approx returns a real data value near the median
+        assert abs(g.len_p50 - e.p50) <= 0.1 * e.p50 + 5

@@ -2012,6 +2012,34 @@ def dedup_survivors_op(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def sketch_profile_op(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB profiling swap-ins ACTUALLY exercised (data_profile's
+    docstring promises them): HLL++ ``approx_count_distinct`` replaces
+    exact distinct and ``percentile_approx`` (bounded-memory quantile
+    sketch) replaces exact percentiles — both are single-pass,
+    mergeable, fixed-size aggregation states, so the plan is identical
+    at any scale. Rows-only: sketch estimates are engine-specific by
+    design; accuracy bounds vs exact are pinned in test_profile_sketch."""
+    docs = load(spark, "documents", sf)
+    ln = F.length("text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.approx_count_distinct(F.md5("text")).alias("approx_distinct_texts"),
+            F.percentile_approx(ln, [0.5, 0.9], 1000).alias("len_p50_p90"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "approx_distinct_texts",
+            F.element_at("len_p50_p90", 1).alias("len_p50"),
+            F.element_at("len_p50_p90", 2).alias("len_p90"),
+        )
+        .orderBy("source")
+    )
+
+
 def bpe_merges_op(spark: SparkSession, sf: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py): ONE distributed word
     count, then the driver-local Sennrich merge loop over the bounded
@@ -2875,5 +2903,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "bpe_merges": QuerySpec(
         bpe_merges_op, None, "distributed-count + local-loop BPE tokenizer training"
+    ),
+    "sketch_profile": QuerySpec(
+        sketch_profile_op, None, "HLL++/quantile-sketch profiling (100 TB swap-in)"
     ),
 }
