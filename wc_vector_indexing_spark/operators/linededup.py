@@ -92,6 +92,8 @@ def window_duplication(
     Output: (doc_id, n_windows, n_dup, dup_frac) for docs with >= 1
     window; dup windows are those whose text occurs in >= min_docs docs.
     """
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
     ws = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
     )
@@ -99,13 +101,22 @@ def window_duplication(
     idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
         F.array().cast("array<int>")
     )
-    wins = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(
-                idx, lambda i: F.md5(F.array_join(F.slice(ws, i, window_tokens), " "))
-            )
-        ).alias("h"),
+    # fan_out: the window explode is the CPU stage and a small parquet
+    # input arrives single-partition; lazy checkpoint: `wins` feeds both
+    # the df-count branch and the join-back branch — without it the
+    # explode (md5 over every window) evaluates twice
+    wins = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.md5(F.array_join(F.slice(ws, i, window_tokens), " ")),
+                )
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=False)
     )
     df_counts = wins.groupBy("h").agg(
         F.count_distinct("doc_id").alias("_ndocs")
