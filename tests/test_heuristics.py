@@ -90,3 +90,48 @@ def test_stratified_hash_sample_deterministic(spark):
     # different salt → different (but still deterministic) kept set
     c = stratified_hash_sample(docs, "source", fr, salt="other")
     assert sorted(r.doc_id for r in c.collect()) != ids_a
+
+def test_gate_columns_are_stream_safe(spark):
+    """c4_keep_col / gopher_pass_col are pure per-row expressions: they
+    must apply to a STREAMING frame without analysis errors (the same
+    contract as quality_score_col)."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.heuristics import (
+        c4_keep_col,
+        gopher_pass_col,
+    )
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .withColumn("text", F.lit("A sentence with enough words to pass."))
+    )
+    gated = stream.filter(c4_keep_col("text")).filter(gopher_pass_col("text", min_words=3))
+    assert gated.isStreaming  # plan analyzed clean, no batch-only op
+
+    # batch semantics: the column twins agree with the frame operators
+    from wc_vector_indexing_spark.operators.heuristics import c4_line_clean, gopher_rules
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="This line has plenty of words and ends well."),
+            Row(doc_id=2, text="no terminal punctuation so c4 drops it"),
+        ]
+    )
+    via_col = {
+        r.doc_id: (r.c4, r.gp)
+        for r in docs.select(
+            "doc_id",
+            c4_keep_col("text").alias("c4"),
+            gopher_pass_col("text", min_words=3).alias("gp"),
+        ).collect()
+    }
+    via_frame_c4 = {r.doc_id: r.c4_keep for r in c4_line_clean(docs).collect()}
+    via_frame_gp = {
+        r.doc_id: r.gopher_pass for r in gopher_rules(docs, min_words=3).collect()
+    }
+    for d in (1, 2):
+        assert via_col[d] == (via_frame_c4[d], via_frame_gp[d])

@@ -43,6 +43,18 @@ def c4_keep_line(line: Column, min_words: int = C4_MIN_WORDS) -> Column:
     return terminal & enough & ~blocked
 
 
+def c4_keep_col(
+    text_col: str | Column = "text",
+    min_words: int = C4_MIN_WORDS,
+    min_lines: int = C4_MIN_LINES,
+) -> Column:
+    """Document-level C4 keep predicate as a standalone column — usable
+    directly in a streaming filter (pure per-row expression, no state)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    kept = F.filter(F.split(c, "\n"), lambda ln: c4_keep_line(ln, min_words))
+    return F.size(kept) >= min_lines
+
+
 def c4_line_clean(
     docs: DataFrame,
     text_col: str = "text",
@@ -75,6 +87,57 @@ GOPHER_MAX_BULLET_RATIO = 0.9
 GOPHER_MIN_ALPHA_RATIO = 0.8
 
 
+def _gopher_signals(text_col: str | Column) -> dict[str, Column]:
+    """The five Gopher signal columns (rounded) as pure expressions."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(tokens_col(c), lambda w: w != "")
+    n_words = F.size(words)
+    denom = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_len = F.round(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / denom,
+        4,
+    )
+    n_symbols = F.size(F.split(c, "#")) - 1 + F.size(F.split(c, r"\.\.\.")) - 1
+    lines = F.split(c, "\n")
+    bullet_lines = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "symbol_ratio": F.round(n_symbols.cast("double") / denom, 4),
+        "bullet_ratio": F.round(
+            bullet_lines.cast("double")
+            / F.greatest(F.size(lines), F.lit(1)).cast("double"),
+            4,
+        ),
+        "alpha_ratio": F.round(alpha_words.cast("double") / denom, 4),
+    }
+
+
+def _gopher_pass(s: dict[str, Column], min_words: int, max_words: int) -> Column:
+    return (
+        s["n_words"].between(min_words, max_words)
+        & s["mean_word_len"].between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (s["symbol_ratio"] <= GOPHER_MAX_SYMBOL_RATIO)
+        & (s["bullet_ratio"] <= GOPHER_MAX_BULLET_RATIO)
+        & (s["alpha_ratio"] >= GOPHER_MIN_ALPHA_RATIO)
+    )
+
+
+def gopher_pass_col(
+    text_col: str | Column = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> Column:
+    """The conjunctive Gopher pass flag as a standalone column — the
+    stream-safe twin of ``gopher_rules`` (same contract as
+    textstats.quality_score_col: pure per-row expression, no state)."""
+    return _gopher_pass(_gopher_signals(text_col), min_words, max_words)
+
+
 def gopher_rules(
     docs: DataFrame,
     text_col: str = "text",
@@ -86,45 +149,12 @@ def gopher_rules(
     word count bounds, mean word length in [3, 10], hash/ellipsis symbol
     ratio <= 0.1, bullet-led line ratio <= 0.9, and >= 80% of words
     containing an alphabetic character."""
-    words = F.filter(tokens_col(text_col), lambda w: w != "")
-    n_words = F.size(words)
-    mean_len = F.round(
-        F.aggregate(
-            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-        ).cast("double")
-        / F.greatest(n_words, F.lit(1)).cast("double"),
-        4,
-    )
-    n_symbols = (
-        F.size(F.split(F.col(text_col), "#")) - 1
-        + F.size(F.split(F.col(text_col), r"\.\.\.")) - 1
-    )
-    symbol_ratio = F.round(
-        n_symbols.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"), 4
-    )
-    lines = F.split(F.col(text_col), "\n")
-    bullet_lines = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")))
-    bullet_ratio = F.round(
-        bullet_lines.cast("double") / F.greatest(F.size(lines), F.lit(1)).cast("double"),
-        4,
-    )
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
-    alpha_ratio = F.round(
-        alpha_words.cast("double") / F.greatest(n_words, F.lit(1)).cast("double"), 4
-    )
+    sig = _gopher_signals(text_col)
     out = docs.select(
         F.col(id_col).alias("doc_id"),
-        n_words.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_ratio.alias("bullet_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
+        *[col.alias(name) for name, col in sig.items()],
     )
-    passed = (
-        F.col("n_words").between(min_words, max_words)
-        & F.col("mean_word_len").between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
-        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
-        & (F.col("bullet_ratio") <= GOPHER_MAX_BULLET_RATIO)
-        & (F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO)
-    )
-    return out.withColumn("gopher_pass", passed)
+    # recompute the predicate over the OUTPUT columns so the reported
+    # (rounded) signals and the flag can never disagree
+    named = {name: F.col(name) for name in sig}
+    return out.withColumn("gopher_pass", _gopher_pass(named, min_words, max_words))
