@@ -85,3 +85,50 @@ def test_curate_repetition_off_by_default(spark):
     docs = mk_docs(spark)
     _, audit = curate(docs, CurationConfig(near_dup_threshold=0.5))
     assert "repetitive" not in {r.reject_reason for r in audit.collect()}
+
+
+def test_curate_heuristic_gates(spark):
+    """The optional C4/Gopher stage drops docs with disjoint audit
+    reasons, after quality/lang and before anything corpus-wide."""
+    good = (
+        "The steady captain watched the harbor as the evening settled in. "
+        "The crew of the small vessel worked the lines with practiced care. "
+        "The old pilot told a story about the northern passage and the ice. "
+        "Every sailor in the tavern listened while the rain kept falling on "
+        "the roof and the lamps burned low over the long wooden tables. "
+        "Nobody interrupted the tale before the very end of the night."
+    )
+    no_punct = (
+        "this long line is full of the words and the stopwords of english "
+        "but it is never terminated so the c4 filter must reject the line"
+    )
+    bullets = "\n".join(
+        ["- the bullet item with the words of a list."] * 6
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good),
+            Row(doc_id=2, text=no_punct),
+            Row(doc_id=3, text=bullets),
+        ]
+    )
+    curated, audit = curate(
+        docs,
+        CurationConfig(
+            languages=None, heuristics=("c4", "gopher"), near_dup_threshold=0.99
+        ),
+    )
+    reasons = {r.doc_id: r.reject_reason for r in audit.collect()}
+    assert [r.doc_id for r in curated.collect()] == [1]
+    assert reasons[2] == "c4_boilerplate"
+    # bullets pass c4 (terminal punct, >=5 words) but fail the Gopher
+    # bullet-ratio rule
+    assert reasons[3] == "gopher_rules"
+
+
+def test_curate_heuristics_off_by_default(spark):
+    docs = mk_docs(spark)
+    _, audit = curate(docs, CurationConfig(near_dup_threshold=0.5))
+    assert {"c4_boilerplate", "gopher_rules"}.isdisjoint(
+        {r.reject_reason for r in audit.collect()}
+    )

@@ -162,6 +162,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
         languages=tuple(args.languages.split(",")) if args.languages else None,
         near_dup_threshold=args.near_dup_threshold,
         repetition_thresholds={} if args.repetition else None,
+        heuristics=tuple(args.heuristics.split(",")) if getattr(args, "heuristics", "") else None,
     )
     result = curate(docs, config)
     result.curated.write.mode("overwrite").parquet(args.out + "/curated")
@@ -342,6 +343,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--languages", default="en", help="comma list; empty = keep all")
     cu.add_argument("--near-dup-threshold", type=float, default=0.5)
     cu.add_argument("--repetition", action="store_true", help="enable Gopher repetition gate")
+    cu.add_argument(
+        "--heuristics",
+        default="",
+        help="comma list of heuristic gates to enable: c4,gopher (default off)",
+    )
     cu.set_defaults(fn=cmd_curate)
 
     m = sub.add_parser("mix", help="reweight corpus to a target source mixture")

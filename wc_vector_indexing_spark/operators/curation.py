@@ -43,6 +43,10 @@ class CurationConfig:
     # None = stage off; {} = Gopher defaults; partial dicts override
     # individual thresholds (operators/repetition.DEFAULT_THRESHOLDS)
     repetition_thresholds: dict | None = None
+    # heuristic gate stage (operators/heuristics.py): any subset of
+    # ("c4", "gopher"); None/() = stage off. Pure column predicates,
+    # evaluated right after quality/language (cheap-first ordering).
+    heuristics: tuple[str, ...] | None = None
 
 
 class CurationResult:
@@ -111,6 +115,23 @@ def curate(
     else:
         wrong_lang = kept.limit(0)
 
+    # heuristic gates: still pure per-row predicates, so they run before
+    # anything that shuffles; each is its own disjoint audit branch
+    if config.heuristics and "c4" in config.heuristics:
+        from wc_vector_indexing_spark.operators.heuristics import c4_keep_col
+
+        c4_dropped = kept.filter(~c4_keep_col(text_col)).select(id_col)
+        kept = kept.filter(c4_keep_col(text_col))
+    else:
+        c4_dropped = kept.limit(0).select(id_col)
+    if config.heuristics and "gopher" in config.heuristics:
+        from wc_vector_indexing_spark.operators.heuristics import gopher_pass_col
+
+        gopher_dropped = kept.filter(~gopher_pass_col(text_col)).select(id_col)
+        kept = kept.filter(gopher_pass_col(text_col))
+    else:
+        gopher_dropped = kept.limit(0).select(id_col)
+
     # repetition gate (Gopher filters) — after the pure-projection gates
     # (it shuffles on doc-keyed aggregations), before anything corpus-wide
     if config.repetition_thresholds is not None:
@@ -166,6 +187,8 @@ def curate(
     audit = (
         low_q.select(id_col).withColumn("reject_reason", F.lit("low_quality"))
         .unionByName(wrong_lang.select(id_col).withColumn("reject_reason", F.lit("wrong_language")))
+        .unionByName(c4_dropped.withColumn("reject_reason", F.lit("c4_boilerplate")))
+        .unionByName(gopher_dropped.withColumn("reject_reason", F.lit("gopher_rules")))
         .unionByName(rep_dropped.withColumn("reject_reason", F.lit("repetitive")))
         .unionByName(exact_dropped.withColumn("reject_reason", F.lit("exact_duplicate")))
         .unionByName(near_dropped.withColumn("reject_reason", F.lit("near_duplicate")))
