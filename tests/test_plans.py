@@ -191,6 +191,7 @@ def test_driver_gate_category_coverage():
         "corpus_health", "token_length_dist", "dedup_ngram_containment",
         "script_mix", "c4_line_filter", "gopher_quality",
         "stratified_sample_counts", "window_dedup",
+        "bm25_search", "bigram_logprob", "bloom_decontamination",
     } <= gs
 
 

@@ -1,0 +1,146 @@
+"""BM25 retrieval (operators/retrieval.py) and interpolated bigram LM
+scoring (operators/lm_score.bigram_*): hand-computed goldens, ranking
+properties, plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from wc_vector_indexing_spark.operators.lm_score import (
+    bigram_model,
+    bigram_score,
+    unigram_score,
+)
+from wc_vector_indexing_spark.operators.retrieval import bm25_index, bm25_search
+
+DOCS = [
+    Row(doc_id=1, text="spark shuffle join spark spark"),
+    Row(doc_id=2, text="spark join"),
+    Row(doc_id=3, text="window sort limit window"),
+    Row(doc_id=4, text="join join join join join join"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS)
+
+
+def _bm25_ref(query_terms, k1=1.2, b=0.75):
+    """Driver-side reference implementation over DOCS."""
+    toks = {r.doc_id: r.text.split() for r in DOCS}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    scores = {}
+    for term in query_terms:
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf:
+                dl = len(t)
+                scores[d] = scores.get(d, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl / avgdl)
+                )
+    return {d: round(s, 4) for d, s in scores.items()}
+
+
+def test_bm25_golden_scores(spark):
+    got = {r.doc_id: r.score for r in bm25_search(_docs(spark), "spark join", k=10).collect()}
+    assert got == _bm25_ref(["spark", "join"])
+
+
+def test_bm25_ranking_order_is_total(spark):
+    rows = bm25_search(_docs(spark), "spark join", k=10).collect()
+    keys = [(-r.score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_bm25_term_saturation(spark):
+    # doc 4 has 6x 'join' but BM25 saturates tf: it must NOT score 6x
+    # doc 2's single 'join'
+    got = {r.doc_id: r.score for r in bm25_search(_docs(spark), "join", k=10).collect()}
+    assert got[4] < 3 * got[2]
+    assert got[4] > got[2]  # but more is still more
+
+
+def test_bm25_prebuilt_index_matches_inline(spark):
+    docs = _docs(spark)
+    idx = bm25_index(docs)
+    a = {(r.doc_id, r.score) for r in bm25_search(docs, "spark join", k=10).collect()}
+    b = {
+        (r.doc_id, r.score)
+        for r in bm25_search(docs, "spark join", k=10, index=idx).collect()
+    }
+    assert a == b
+
+
+def test_bm25_empty_query_raises(spark):
+    with pytest.raises(ValueError):
+        bm25_search(_docs(spark), "!!! 123", k=5)
+
+
+def test_bm25_unseen_terms_ignored(spark):
+    got = {r.doc_id for r in bm25_search(_docs(spark), "spark zzz", k=10).collect()}
+    assert got == {1, 2}
+
+
+def test_bm25_topk_plan_is_take_ordered(spark):
+    plan = (
+        bm25_search(_docs(spark), "spark", k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_model_golden(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b a b a c")])
+    m = {(r.prev, r.tok): r.logp_cond for r in bigram_model(docs).collect()}
+    # counts: (a,b)=2 (a,c)=1 (b,a)=2 ; c(a)=3, c(b)=2
+    assert m[("a", "b")] == pytest.approx(math.log(2 / 3))
+    assert m[("a", "c")] == pytest.approx(math.log(1 / 3))
+    assert m[("b", "a")] == pytest.approx(math.log(2 / 2))
+    assert set(m) == {("a", "b"), ("a", "c"), ("b", "a")}
+
+
+def test_bigram_score_golden(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b a b")])
+    lam = 0.7
+    # tokens: a b a b -> bigrams (a,b),(b,a),(a,b)
+    # c2: (a,b)=2, (b,a)=1; c1: a=2 b=2; N=4
+    def p(c2, c1prev, c1tok):
+        return lam * c2 / c1prev + (1 - lam) * c1tok / 4
+    exp = -(2 * math.log(p(2, 2, 2)) + math.log(p(1, 2, 2))) / 3
+    row = bigram_score(docs, lam=lam).collect()[0]
+    assert row.n_scored == 3
+    assert row.avg_neg_logp == pytest.approx(round(exp, 4))
+
+
+def test_bigram_catches_scrambled_text(spark):
+    # same unigram distribution, destroyed word order: unigram scoring
+    # ties, bigram scoring must separate
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    toks = natural.split()
+    scrambled = " ".join(toks[::2] + toks[1::2])
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=natural), Row(doc_id=2, text=natural),
+         Row(doc_id=3, text=scrambled)]
+    )
+    uni = {r.doc_id: r.avg_neg_logp for r in unigram_score(docs).collect()}
+    assert uni[1] == uni[3]  # unigram is blind to order
+    bi = {r.doc_id: r.avg_neg_logp for r in bigram_score(docs).collect()}
+    assert bi[3] > bi[1]  # bigram is not
+
+
+def test_bigram_single_token_doc_drops_out(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="solo"), Row(doc_id=2, text="two words here")]
+    )
+    got = {r.doc_id for r in bigram_score(docs).collect()}
+    assert got == {2}

@@ -66,6 +66,83 @@ def contamination_pairs(
     )
 
 
+def bloom_contaminated(
+    train: DataFrame,
+    evals: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(train_id, n_hits): train docs with ≥1 n-gram whose Bloom-filter
+    probe over the eval gram set is positive. The constant-size
+    alternative to the exact broadcast set: the filter is
+    ``m_bits/8`` bytes (128 KB at the default) REGARDLESS of eval-set
+    size, so the broadcast never grows — the trade is a bounded
+    false-positive rate (~(q/m · k)ᵏ with q set bits), which for
+    decontamination errs on the safe side (FPs drop extra docs, FNs are
+    impossible: every true eval gram sets its bits).
+
+    Hash family: position_i = md5(i || '|' || gram) mod m_bits — pure
+    codegen on both sides, and engine-portable (the DuckDB oracle
+    reproduces md5 bit-for-bit; production would swap in xxhash64 for
+    speed, same semantics). The membership test itself is a semi-join
+    of train positions against the eval position set, i.e. the Bloom
+    probe expressed relationally — which keeps it ANSI-expressible for
+    the oracle. At 100 TB, materialize the eval side once as the m-bit
+    bitmap and swap the semi-join for a broadcast-bitmap Arrow UDF;
+    semantics (and this operator's output) are identical because the
+    join IS the bitmap probe."""
+
+    def bit_col(seed: int):
+        h = F.md5(F.concat(F.lit(f"{seed}|"), F.col("gram")))
+        return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(m_bits))
+
+    def positions(df: DataFrame, out_id: str) -> DataFrame:
+        grams = _gram_rows(df, n, text_col, id_col).select(
+            F.col(id_col).alias(out_id), "gram"
+        )
+        return grams.select(
+            out_id, "gram", F.array(*[bit_col(s) for s in range(n_hashes)]).alias("pos")
+        )
+
+    ev_bits = (
+        positions(evals, "eval_id")
+        .select(F.explode("pos").alias("bit"))
+        .distinct()
+    )
+    # grams are array_distinct per doc, so (train_id, gram) is a unique
+    # key — the per-gram bit count groups on it directly
+    tr_bits = positions(train, "train_id").select(
+        "train_id", "gram", F.explode("pos").alias("bit")
+    )
+    hits = (
+        tr_bits.join(F.broadcast(ev_bits), "bit")
+        .groupBy("train_id", "gram")
+        .agg(F.count("*").alias("k_set"))
+        .filter(F.col("k_set") >= n_hashes)
+    )
+    return hits.groupBy("train_id").agg(F.count("*").alias("n_hits"))
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``train`` minus every bloom-positive doc. Superset of the exact
+    `decontaminate` drop set (Bloom filters have no false negatives)."""
+    bad = bloom_contaminated(
+        train, evals, n, m_bits, n_hashes, text_col, id_col
+    ).select(F.col("train_id").alias(id_col))
+    return train.join(bad, id_col, "left_anti")
+
+
 def decontaminate(
     train: DataFrame,
     evals: DataFrame,

@@ -49,6 +49,90 @@ def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(prev, tok, logp_cond): ln(c(prev, tok) / c(prev)) — the
+    maximum-likelihood conditional bigram table. c(prev) is the plain
+    unigram count (the standard approximation; exact context counts
+    would subtract one per doc-final token — both engines use the same
+    definition so the oracle stays bit-exact).
+
+    Scale: one posexplode + per-doc lag (shuffle keyed by doc id — the
+    same exchange the per-doc score aggregate needs anyway, so Catalyst
+    reuses it), then a (prev, tok)-keyed count. Output is
+    bigram-vocabulary-sized: Zipf-bounded in practice, and the natural
+    candidate for a `min_count` floor at 100 TB."""
+    from pyspark.sql import Window
+
+    # _rid must be assigned BEFORE the explode: inside a generator
+    # projection each exploded row would get its own id and every
+    # bigram group would be a singleton
+    rows = docs.select(F.monotonically_increasing_id().alias("_rid"), F.col(text_col))
+    toks = rows.select("_rid", F.posexplode(_tokens(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy("_rid").orderBy("pos")
+    big = toks.withColumn("prev", F.lag("tok").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    c2 = big.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    c1 = docs.select(F.explode(_tokens(text_col)).alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("c1")
+    )
+    return c2.join(
+        F.broadcast(c1.withColumnRenamed("tok", "prev")), "prev"
+    ).select("prev", "tok", F.log(F.col("c2") / F.col("c1")).alias("logp_cond"))
+
+
+def bigram_score(
+    docs: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document (id, n_scored, avg_neg_logp) under a Jelinek-Mercer
+    interpolated bigram model trained on ``docs`` itself:
+
+        p(tok | prev) = lam · c(prev,tok)/c(prev) + (1−lam) · c(tok)/N
+
+    scored over positions 1..n−1 (the first token has no context).
+    Lower = more in-distribution; the bigram term catches scrambled /
+    template text that a unigram model scores as perfectly normal —
+    the standard step from CCNet's unigram proxy toward KenLM.
+
+    Scale: the corpus bigram stream joins the MODEL on (prev, tok) —
+    at catalog scale the model broadcasts; at 100 TB swap to a plain
+    shuffle-hash join (both sides keyed identically) plus a `min_count`
+    floor on the model table. The unigram leg broadcasts always
+    (vocab-sized)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = toks.withColumn("prev", F.lag("tok").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    c2 = big.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    c1 = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    n = toks.agg(F.count("*").cast("double").alias("n_toks"))
+    cond = c2.join(F.broadcast(c1.withColumnRenamed("tok", "prev")), "prev").select(
+        "prev", "tok", (F.col("c2") / F.col("c1")).alias("p_cond")
+    )
+    scored = (
+        big.join(F.broadcast(cond), ["prev", "tok"], "left")
+        .join(F.broadcast(c1), "tok", "left")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "p",
+            F.lit(lam) * F.coalesce(F.col("p_cond"), F.lit(0.0))
+            + F.lit(1.0 - lam) * F.coalesce(F.col("c1"), F.lit(0)) / F.col("n_toks"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_scored"),
+        F.round(F.avg(-F.log("p")), 4).alias("avg_neg_logp"),
+    )
+
+
 def unigram_score(
     docs: DataFrame,
     model: DataFrame | None = None,

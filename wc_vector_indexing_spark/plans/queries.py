@@ -2731,6 +2731,147 @@ FROM q, p WHERE quality_score >= p10
 """
 
 
+def bm25_search_op(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/retrieval.py): top-10 docs for
+    a fixed 3-term query. The tf/dl/df tables all derive from ONE
+    corpus tokenize; query terms slice the tf table before any scoring
+    work; final top-k is TakeOrderedAndProject."""
+    from wc_vector_indexing_spark.operators.retrieval import bm25_search
+
+    return bm25_search(load(spark, "documents", sf), "vector hash stream", k=10)
+
+
+BM25_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+hits AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, dl.dl FROM tf JOIN dl USING (doc_id)
+    WHERE tf.tok IN ('hash', 'stream', 'vector')
+),
+df AS (SELECT tok, count(*) AS df FROM hits GROUP BY tok)
+SELECT doc_id,
+       round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+FROM hits JOIN df USING (tok) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def bigram_logprob_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated bigram LM scoring (operators/lm_score.bigram_score):
+    per-doc mean negative log-prob under a Jelinek-Mercer bigram/unigram
+    mix trained on the corpus itself — the order-sensitive step up from
+    `unigram_logprob`."""
+    from wc_vector_indexing_spark.operators.lm_score import bigram_score
+
+    return bigram_score(load(spark, "documents", sf)).orderBy("doc_id")
+
+
+BIGRAM_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS ts
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ts) + 1),
+                      i -> struct_pack(pos := i - 1, tok := ts[i]))) AS s
+        FROM t)
+),
+big AS (
+    SELECT doc_id, pos, tok,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM toks
+),
+bigf AS (SELECT * FROM big WHERE prev IS NOT NULL),
+c2 AS (SELECT prev, tok, count(*) AS c2 FROM bigf GROUP BY prev, tok),
+c1 AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+n AS (SELECT count(*)::DOUBLE AS n FROM toks)
+SELECT b.doc_id, count(*) AS n_scored,
+       round(avg(-ln(0.7 * (c2.c2::DOUBLE / c1p.c1) + 0.3 * (c1t.c1 / n.n))), 4) AS avg_neg_logp
+FROM bigf b
+JOIN c2 ON b.prev = c2.prev AND b.tok = c2.tok
+JOIN c1 c1p ON b.prev = c1p.tok
+JOIN c1 c1t ON b.tok = c1t.tok
+CROSS JOIN n
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+def bloom_decontamination_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/decontamination.py
+    bloom_contaminated): same train/eval split and n=4 grams as the
+    exact `decontamination` entry, but membership goes through a
+    2-hash, 2^20-bit Bloom position set — the constant-size broadcast
+    variant. The oracle mirrors the md5 position hashes bit-for-bit, so
+    even false positives (if any) match across engines."""
+    from wc_vector_indexing_spark.operators.decontamination import bloom_contaminated
+
+    docs = load(spark, "documents", sf)
+    return bloom_contaminated(
+        docs.filter(F.col("doc_id") >= 25), docs.filter(F.col("doc_id") < 25), n=4
+    ).orderBy("train_id")
+
+
+BLOOM_DECONTAM_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+), grams AS (
+    SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]
+                       for i in generate_series(1, len(t) - 3)]) AS g
+        FROM toks)
+), pos AS (
+    SELECT doc_id, g,
+           CAST(('0x' || substr(md5(gs.s::VARCHAR || '|' || g), 1, 15)) AS BIGINT) % 1048576 AS bit
+    FROM grams, generate_series(0, 1) AS gs(s)
+), ev_bits AS (SELECT DISTINCT bit FROM pos WHERE doc_id < 25),
+hits AS (
+    SELECT p.doc_id, p.g, count(*) AS k_set
+    FROM pos p JOIN ev_bits e USING (bit)
+    WHERE p.doc_id >= 25
+    GROUP BY p.doc_id, p.g
+    HAVING count(*) >= 2
+)
+SELECT doc_id AS train_id, count(*) AS n_hits
+FROM hits GROUP BY doc_id ORDER BY train_id
+"""
+
+
+def compression_ratio_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Deflate-ratio quality signal (operators/compressibility.py):
+    zero-shuffle Arrow-batched map pass. Rows-only (DuckDB has no
+    compress()); golden equality vs driver zlib pinned in
+    tests/test_compressibility.py."""
+    from wc_vector_indexing_spark.operators.compressibility import compression_ratio
+
+    return compression_ratio(load(spark, "documents", sf)).orderBy("doc_id")
+
+
+def pca_projection_op(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA reduction of the embedding column (operators/pca.py): exact
+    one-pass moment fit (k=8) + Arrow-batched projection. Rows-only
+    (eigendecomposition is not SQL-expressible); exactness vs numpy is
+    pinned in tests/test_pca.py."""
+    from wc_vector_indexing_spark.operators.pca import PCAModel, project_pca
+
+    emb = load(spark, "embeddings", sf)
+    model = PCAModel.fit(emb, k=8)
+    return project_pca(emb, model).select("vec_id", "pca").orderBy("vec_id")
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # --- driver-gate tier: the first 50 oracle-backed entries are the
     # --- ones the per-round correctness gate records; ordered to cover
@@ -2753,9 +2894,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "s3_never_synced": QuerySpec(s3_never_synced, S3_SQL, "anti-join initial-sync scan"),
     "s4_modified_since": QuerySpec(s4_modified_since, S4_SQL, "staleness left-join scan"),
     "j7_priority_union": QuerySpec(j7_priority_union, J7_SQL, "priority union dedupe"),
-    "j8_parent_expansion": QuerySpec(j8_parent_expansion, J8_SQL, "parent expansion dedupe"),
-    "a1_variation_rollup": QuerySpec(a1_variation_rollup, A1_SQL, "capped rollup aggregation"),
-    "k2_topk_per_group": QuerySpec(k2_topk_per_group, K2_SQL, "per-group top-K window"),
+    # newest oracle-backed entries sit INSIDE the gated window (round-4
+    # advisor rule: fresh operators get driver-gate visibility; the
+    # long-stable j8/a1/k2 rows moved below the cutoff in exchange)
+    "bm25_search": QuerySpec(bm25_search_op, BM25_SQL, "BM25 lexical top-10 retrieval"),
+    "bigram_logprob": QuerySpec(
+        bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
+    ),
+    "bloom_decontamination": QuerySpec(
+        bloom_decontamination_op, BLOOM_DECONTAM_SQL, "Bloom-filter decontamination"
+    ),
     "t9_windowed_events": QuerySpec(t9_windowed_events, T9_SQL, "tumbling window agg"),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
@@ -2827,6 +2975,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- Battle-tested entries live here: gated green in earlier rounds
     # --- (TPC-H q4/q6/q10/q12/q14/q18 r1-r4, vocab_topk r2-r4), demoted
     # --- to make gate room for newer, less-proven oracle queries.
+    "j8_parent_expansion": QuerySpec(j8_parent_expansion, J8_SQL, "parent expansion dedupe"),
+    "a1_variation_rollup": QuerySpec(a1_variation_rollup, A1_SQL, "capped rollup aggregation"),
+    "k2_topk_per_group": QuerySpec(k2_topk_per_group, K2_SQL, "per-group top-K window"),
     "q4_priority_exists": QuerySpec(q4_priority_exists, Q4_SQL, "EXISTS semi-join"),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, "pushdown filter + agg"),
     "q10_returned_revenue": QuerySpec(q10_returned_revenue, Q10_SQL, "4-way join top-20"),
@@ -2903,6 +3054,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "bpe_merges": QuerySpec(
         bpe_merges_op, None, "distributed-count + local-loop BPE tokenizer training"
+    ),
+    "compression_ratio": QuerySpec(
+        compression_ratio_op, None, "zlib deflate-ratio quality signal"
+    ),
+    "pca_projection": QuerySpec(
+        pca_projection_op, None, "exact one-pass PCA embedding reduction"
     ),
     "sketch_profile": QuerySpec(
         sketch_profile_op, None, "HLL++/quantile-sketch profiling (100 TB swap-in)"
