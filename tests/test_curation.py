@@ -132,3 +132,28 @@ def test_curate_heuristics_off_by_default(spark):
     assert {"c4_boilerplate", "gopher_rules"}.isdisjoint(
         {r.reject_reason for r in audit.collect()}
     )
+
+
+def test_curate_compress_band_stage(spark):
+    """The optional compressibility gate drops the template tail with
+    its own audit reason; off by default."""
+    natural = (
+        "The harbor master logged every arrival with a careful note about "
+        "cargo, draft, and the weather over the outer banks that day. "
+        "Seven vessels came in before noon and none required assistance. "
+        "The afternoon brought a slow ferry and two fishing boats home."
+    )
+    template = "click here to subscribe now " * 60
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=natural), Row(doc_id=2, text=template)]
+    )
+    curated, audit = curate(
+        docs,
+        CurationConfig(min_quality=0.0, compress_band=(0.25, 1.1)),
+    )
+    assert [r.doc_id for r in curated.collect()] == [1]
+    reasons = {r.doc_id: r.reject_reason for r in audit.collect()}
+    assert reasons == {2: "compress_outlier"}
+    # off by default
+    _, audit2 = curate(docs, CurationConfig(min_quality=0.0))
+    assert "compress_outlier" not in {r.reject_reason for r in audit2.collect()}

@@ -192,6 +192,7 @@ def test_driver_gate_category_coverage():
         "script_mix", "c4_line_filter", "gopher_quality",
         "stratified_sample_counts", "window_dedup",
         "bm25_search", "bigram_logprob", "bloom_decontamination",
+        "fuzzy_self_join",
     } <= gs
 
 

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from wc_vector_indexing_spark.operators.pq import PQCodebook
+from wc_vector_indexing_spark.operators.pq import PQCodebook, SQ8Codebook
 from wc_vector_indexing_spark.operators.similarity import knn_exact
 from wc_vector_indexing_spark.sources.readers import load
 
@@ -98,3 +98,57 @@ def test_ivf_pq_composition(emb, book, spark, tmp_path):
     assert "PartitionFilters: [list_id" in plan
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "pq_code" in scan and "embedding" not in scan
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sq(emb):
+    return SQ8Codebook.train(emb)
+
+
+def test_sq8_codes_are_dim_bytes(emb, sq):
+    enc = sq.encode(emb)
+    row = enc.select(F.length("sq_code").alias("n")).distinct().collect()
+    assert [r.n for r in row] == [64]  # 64 fp32 floats -> 64 bytes (4x)
+
+
+def test_sq8_recall_beats_pq(emb, sq, book, spark):
+    # SQ8 keeps 8 bits/dim vs PQ's 1 byte per 4 dims: near-exact recall
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head().embedding]
+    exact = [r.vec_id for r in knn_exact(emb, qv, k=10).collect()]
+    enc = sq.encode(emb).cache()
+    approx = [r.vec_id for r in sq.search(enc, qv, k=10).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.9, (overlap, exact, approx)
+    assert approx[0] == 7  # the query itself ranks first
+
+
+def test_sq8_train_is_partitioning_invariant(emb):
+    a = SQ8Codebook.train(emb.coalesce(1))
+    b = SQ8Codebook.train(emb.repartition(8))
+    np.testing.assert_allclose(a.vmin, b.vmin, atol=1e-7)
+    np.testing.assert_allclose(a.vstep, b.vstep, atol=1e-9)
+
+
+def test_sq8_persistence_roundtrip(tmp_path, emb, sq):
+    p = str(tmp_path / "sq8.json")
+    sq.save(p)
+    loaded = SQ8Codebook.train_or_load(emb.limit(1), p)  # must load, not retrain
+    np.testing.assert_array_equal(loaded.vmin, sq.vmin)
+    np.testing.assert_array_equal(loaded.vstep, sq.vstep)
+
+
+def test_sq8_search_never_reads_fp32(emb, sq, spark, tmp_path):
+    path = str(tmp_path / "sq_encoded")
+    sq.encode(emb).select("vec_id", "sq_code").write.parquet(path)
+    enc = spark.read.parquet(path)
+    qv = [float(x) for x in emb.head().embedding]
+    plan = (
+        sq.search(enc, qv, k=5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "embedding" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -163,6 +163,11 @@ def cmd_curate(args: argparse.Namespace) -> int:
         near_dup_threshold=args.near_dup_threshold,
         repetition_thresholds={} if args.repetition else None,
         heuristics=tuple(args.heuristics.split(",")) if getattr(args, "heuristics", "") else None,
+        compress_band=(
+            tuple(float(x) for x in args.compress_band.split(","))
+            if getattr(args, "compress_band", "")
+            else None
+        ),
     )
     result = curate(docs, config)
     result.curated.write.mode("overwrite").parquet(args.out + "/curated")
@@ -347,6 +352,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--heuristics",
         default="",
         help="comma list of heuristic gates to enable: c4,gopher (default off)",
+    )
+    cu.add_argument(
+        "--compress-band",
+        default="",
+        help="min,max zlib deflate-ratio band, e.g. 0.25,1.1 (default off)",
     )
     cu.set_defaults(fn=cmd_curate)
 

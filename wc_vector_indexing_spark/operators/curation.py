@@ -47,6 +47,12 @@ class CurationConfig:
     # ("c4", "gopher"); None/() = stage off. Pure column predicates,
     # evaluated right after quality/language (cheap-first ordering).
     heuristics: tuple[str, ...] | None = None
+    # compressibility gate (operators/compressibility.py): None = off;
+    # (min_ratio, max_ratio) = drop docs whose zlib deflate ratio falls
+    # outside the band (boilerplate/template low tail, binary-garbage
+    # high tail). Arrow-batched map pass, placed with the other
+    # per-row gates — before anything that shuffles.
+    compress_band: tuple[float, float] | None = None
 
 
 class CurationResult:
@@ -132,6 +138,23 @@ def curate(
     else:
         gopher_dropped = kept.limit(0).select(id_col)
 
+    # compressibility gate: still per-row, but it crosses into Python
+    # (Arrow-batched zlib) — so it runs AFTER the pure-codegen gates
+    # have already shrunk the row stream
+    if config.compress_band is not None:
+        from wc_vector_indexing_spark.operators.compressibility import (
+            deflate_size_col,
+        )
+
+        lo, hi = config.compress_band
+        ratio = deflate_size_col(text_col) / F.greatest(
+            F.octet_length(F.col(text_col)), F.lit(1)
+        )
+        compress_dropped = kept.filter(~ratio.between(lo, hi)).select(id_col)
+        kept = kept.filter(ratio.between(lo, hi))
+    else:
+        compress_dropped = kept.limit(0).select(id_col)
+
     # repetition gate (Gopher filters) — after the pure-projection gates
     # (it shuffles on doc-keyed aggregations), before anything corpus-wide
     if config.repetition_thresholds is not None:
@@ -189,6 +212,7 @@ def curate(
         .unionByName(wrong_lang.select(id_col).withColumn("reject_reason", F.lit("wrong_language")))
         .unionByName(c4_dropped.withColumn("reject_reason", F.lit("c4_boilerplate")))
         .unionByName(gopher_dropped.withColumn("reject_reason", F.lit("gopher_rules")))
+        .unionByName(compress_dropped.withColumn("reject_reason", F.lit("compress_outlier")))
         .unionByName(rep_dropped.withColumn("reject_reason", F.lit("repetitive")))
         .unionByName(exact_dropped.withColumn("reject_reason", F.lit("exact_duplicate")))
         .unionByName(near_dropped.withColumn("reject_reason", F.lit("near_duplicate")))
