@@ -192,7 +192,7 @@ def test_driver_gate_category_coverage():
         "script_mix", "c4_line_filter", "gopher_quality",
         "stratified_sample_counts", "window_dedup",
         "bm25_search", "bigram_logprob", "bloom_decontamination",
-        "fuzzy_self_join",
+        "fuzzy_self_join", "collocations_pmi", "value_histogram",
     } <= gs
 
 
@@ -231,3 +231,44 @@ def test_window_dedup_hash_keyed_no_cross_join(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     keys = re.findall(r"hashpartitioning\((\w+)", plan)
     assert keys and set(keys) <= {"h", "doc_id"}
+
+
+def test_bm25_plan_shape(spark):
+    """BM25: dims broadcast, top-k via TakeOrdered, zero Python, and
+    the scan reads only (doc_id, text)."""
+    plan = plan_of(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan  # fully JVM-side
+    assert "SortMergeJoin" not in plan  # df/stats broadcast
+    schemas = read_schemas(plan)
+    assert schemas and all(set(s.split(",")) <= {"doc_id:bigint", "text:string"} for s in schemas)
+
+
+def test_bigram_plan_model_broadcasts(spark):
+    """Bigram LM: the model/count joins broadcast back — the corpus
+    token stream never shuffles for a join."""
+    plan = plan_of(spark, "bigram_logprob")
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_bloom_decontamination_probe_broadcasts(spark):
+    """The eval position set broadcasts; train grams stream through."""
+    plan = plan_of(spark, "bloom_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_fuzzy_join_no_cross_join(spark):
+    """Fuzzy join: pairs are born inside posting lists — no join
+    operator of any kind appears, let alone a cartesian."""
+    plan = plan_of(spark, "fuzzy_self_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
+    # one exchange for the variant grouping + one for the pair distinct
+    # (+ the oracle-ordering range exchange)
+    assert len(re.findall(r"hashpartitioning\(", plan)) <= 2

@@ -82,3 +82,47 @@ def test_profile_sketch_accuracy_vs_exact(spark):
         assert abs(g.approx_distinct_texts - e.nd) <= max(2, 0.1 * e.nd)
         # percentile_approx returns a real data value near the median
         assert abs(g.len_p50 - e.p50) <= 0.1 * e.p50 + 5
+
+
+def test_value_histogram_golden(spark):
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame([Row(v=float(x)) for x in range(11)])  # 0..10
+    got = {r.bin: (r.lo, r.hi, r.cnt) for r in value_histogram(df, "v", bins=5).collect()}
+    # width 2: [0,2) [2,4) [4,6) [6,8) [8,10]; v=10 clamps into bin 5
+    assert got == {
+        1: (0.0, 2.0, 2),
+        2: (2.0, 4.0, 2),
+        3: (4.0, 6.0, 2),
+        4: (6.0, 8.0, 2),
+        5: (8.0, 10.0, 3),
+    }
+
+
+def test_value_histogram_explicit_bounds_clamp(spark):
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame([Row(v=-5.0), Row(v=0.5), Row(v=99.0)])
+    got = {r.bin: r.cnt for r in value_histogram(df, "v", bins=2, lo=0.0, hi=1.0).collect()}
+    # bins are [0,0.5) and [0.5,1]: -5 clamps into bin 1, 0.5 lands in
+    # bin 2, 99 clamps into bin 2
+    assert got == {1: 1, 2: 2}
+
+
+def test_value_histogram_single_agg_plan(spark):
+    from wc_vector_indexing_spark.operators.profile import value_histogram
+    from wc_vector_indexing_spark.sources.readers import load
+
+    ev = load(spark, "events", "/root/testdata/sf0.001")
+    plan = (
+        value_histogram(ev, "value", bins=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan  # bounds broadcast back
+    assert "EvalPython" not in plan

@@ -81,6 +81,56 @@ def bigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("prev", "tok", F.log(F.col("c2") / F.col("c1")).alias("logp_cond"))
 
 
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations (prev, tok, c2, pmi): pointwise mutual
+    information over adjacent word pairs,
+
+        pmi = ln( N · c(prev, tok) / (c(prev) · c(tok)) )
+
+    — the word2vec-phrases / NLTK collocation shape for mining
+    multi-word terms ("new york", "machine learning") from a corpus.
+    ``min_count`` drops noise pairs (PMI is unstable at tiny counts);
+    ordering is total ((rounded pmi) desc, prev, tok) so any engine
+    reproduces the exact top-k.
+
+    Scale: the same one-pass bigram/unigram aggregates as
+    `bigram_model` (corpus shuffles once, keyed by doc for the lag
+    window, once for the pair count); unigram counts broadcast back;
+    top-k is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    rows = docs.select(F.monotonically_increasing_id().alias("_rid"), F.col(text_col))
+    toks = rows.select("_rid", F.posexplode(_tokens(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy("_rid").orderBy("pos")
+    big = toks.withColumn("prev", F.lag("tok").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    c2 = big.groupBy("prev", "tok").agg(F.count("*").alias("c2")).filter(
+        F.col("c2") >= min_count
+    )
+    c1 = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    n = toks.agg(F.count("*").cast("double").alias("n_toks"))
+    scored = (
+        c2.join(F.broadcast(c1.withColumnRenamed("tok", "prev").withColumnRenamed("c1", "c_prev")), "prev")
+        .join(F.broadcast(c1), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "prev",
+            "tok",
+            "c2",
+            F.round(
+                F.log(F.col("n_toks") * F.col("c2") / (F.col("c_prev") * F.col("c1"))), 4
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("prev"), F.asc("tok")).limit(k)
+
+
 def bigram_score(
     docs: DataFrame,
     lam: float = 0.7,

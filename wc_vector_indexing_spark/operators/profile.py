@@ -93,3 +93,58 @@ def profile_table(
         "col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str",
         "mean_val", "p50",
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, cnt) for
+    ``bins`` buckets over [lo, hi] (corpus min/max when not given —
+    fetched in the same job via a 1-row broadcast, no driver collect).
+    Bucket rule: bin = floor((v − lo) / (hi − lo) · bins) + 1, clamped
+    to [1, bins] — width_bucket semantics with at-upper-bound values in
+    the last bucket. The formula is spelled out (rather than calling
+    `width_bucket`) so the DuckDB oracle can run the IDENTICAL double
+    arithmetic — same ops, same order, bit-equal bucket boundaries.
+
+    Scale: one scan → bucket expression in codegen → one bins-sized
+    count aggregate with map-side combine. Empty buckets are absent
+    (the caller densifies if it wants zeros). This is the EXACT
+    histogram; for streaming/sketched percentiles see
+    `sketch_profile`."""
+    c = F.col(col).cast("double")
+    if lo is None or hi is None:
+        bounds = df.agg(
+            F.min(c).cast("double").alias("_lo"), F.max(c).cast("double").alias("_hi")
+        )
+        src = df.crossJoin(F.broadcast(bounds))
+        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+    else:
+        src = df
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    b = F.floor((c - lo_c) / (hi_c - lo_c) * F.lit(float(bins))) + 1
+    b = F.least(F.greatest(b, F.lit(1)), F.lit(bins))
+    counts = (
+        src.select(
+            b.alias("bin"),
+            lo_c.alias("_lo"),
+            ((hi_c - lo_c) / bins).alias("_w"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("_lo").alias("_lo"),
+            F.first("_w").alias("_w"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("_lo") + (F.col("bin") - 1) * F.col("_w"), 6).alias("lo"),
+            F.round(F.col("_lo") + F.col("bin") * F.col("_w"), 6).alias("hi"),
+            "cnt",
+        )
+    )
+    return counts.orderBy("bin")
