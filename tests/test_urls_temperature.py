@@ -1,0 +1,174 @@
+"""URL curation toolkit (operators/urls.py) + temperature sampling
+(operators/sampling.py) + lexical diversity (operators/textstats.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.operators.sampling import (
+    temperature_fractions,
+    temperature_sample,
+)
+from wc_vector_indexing_spark.operators.textstats import lexical_diversity
+from wc_vector_indexing_spark.operators.urls import (
+    canonicalize_url,
+    domain_cap,
+    registrable_domain,
+    url_dedup,
+    url_features,
+    url_host,
+)
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonicalize_url("url").alias("c")).head()["c"]
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # scheme+host lowered, path case preserved, :443 stripped
+        ("HTTPS://Example.COM:443/Docs/A", "https://example.com/Docs/A"),
+        # www + fragment + trailing slash
+        ("http://www.site.org/a/b/#frag", "http://site.org/a/b"),
+        # tracking params dropped, the rest sorted
+        (
+            "https://x.io/p?utm_source=nl&b=2&a=1&fbclid=zzz",
+            "https://x.io/p?a=1&b=2",
+        ),
+        # empty query after tracking strip drops the '?'
+        ("https://x.io/p?utm_campaign=c", "https://x.io/p"),
+        # non-default explicit port stripped too (host identity)
+        ("https://x.io:8443/p", "https://x.io/p"),
+        # root path: '' ≡ '/'
+        ("https://x.io/", "https://x.io"),
+    ],
+)
+def test_canonicalize_cases(spark, raw, expected):
+    assert _canon(spark, raw) == expected
+
+
+def test_registrable_domain(spark):
+    rows = spark.createDataFrame(
+        [
+            ("a.b.example.com",),
+            ("news.bbc.co.uk",),
+            ("example.com",),
+            ("x.gov.au",),  # 2-label host under a 2-level suffix: last two
+        ],
+        "host string",
+    ).select(registrable_domain("host").alias("d")).collect()
+    assert [r["d"] for r in rows] == [
+        "example.com",
+        "bbc.co.uk",
+        "example.com",
+        "x.gov.au",
+    ]
+
+
+def test_url_dedup_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://A.com/x?utm_source=a"),
+            (2, "https://a.com/x"),  # same canonical → dup of 1
+            (3, "https://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_url_features_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "HTTP://WWW.Shop.Example.co.uk:80/a/b/c?id=9&utm_x=1#top")],
+        "doc_id long, url string",
+    )
+    row = url_features(df).head()
+    assert row["canonical_url"] == "http://shop.example.co.uk/a/b/c?id=9"
+    assert row["host"] == "www.shop.example.co.uk"
+    assert row["domain"] == "example.co.uk"
+    assert row["path_depth"] == 3
+    assert row["n_params"] == 2
+
+
+def test_domain_cap_best_first(spark):
+    rows = [
+        (i, f"https://{'big' if i < 8 else 'small'}.com/p{i}", float(i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, quality double")
+    out = domain_cap(df, max_per_domain=3, order_col="quality")
+    by_dom = {}
+    for r in out.collect():
+        by_dom.setdefault(url_host_py(r["url"]), []).append(r["doc_id"])
+    # big.com keeps its 3 highest-quality docs (ids 7,6,5)
+    assert sorted(by_dom["big.com"]) == [5, 6, 7]
+    assert sorted(by_dom["small.com"]) == [8, 9]
+
+
+def url_host_py(u: str) -> str:
+    return u.split("://")[1].split("/")[0].lower()
+
+
+def test_temperature_fractions_alpha_endpoints(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 80 else "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    # α=1: tempered share == natural share
+    f1 = {
+        r["lang"]: r for r in temperature_fractions(df, "lang", 1.0, 50).collect()
+    }
+    assert f1["en"]["tempered_share"] == pytest.approx(0.8, abs=1e-6)
+    # α=0: uniform across strata regardless of size
+    f0 = {
+        r["lang"]: r for r in temperature_fractions(df, "lang", 0.0, 50).collect()
+    }
+    assert f0["en"]["tempered_share"] == pytest.approx(0.5, abs=1e-6)
+    assert f0["fr"]["tempered_share"] == pytest.approx(0.5, abs=1e-6)
+    # low-resource keep_frac caps at 1 when target exceeds stratum size
+    assert f0["fr"]["keep_frac"] == 1.0
+
+
+def test_temperature_sample_deterministic_and_rebalanced(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 900 else "fr") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    kept = temperature_sample(df, "lang", alpha=0.3, total_target=200)
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # α=0.3 pulls the en share of the SAMPLE well below its 0.9 natural share
+    en_share = counts["en"] / (counts["en"] + counts["fr"])
+    assert en_share < 0.75
+    # content-addressed: a second run keeps the identical id set
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in temperature_sample(df, "lang", alpha=0.3, total_target=200).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_lexical_diversity_golden(spark):
+    # "a a b" → n=3, types {a,b}, counts a:2 b:1
+    df = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    r = lexical_diversity(df).head()
+    assert r["n_tokens"] == 3 and r["n_types"] == 2
+    assert r["ttr"] == pytest.approx(round(2 / 3, 4))
+    h = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert r["entropy"] == pytest.approx(round(h, 4))
+    assert r["norm_entropy"] == pytest.approx(round(h / math.log(2), 4))
+    assert r["hapax_ratio"] == 0.5
+
+
+def test_lexical_diversity_degenerate(spark):
+    # single repeated token: entropy 0, norm_entropy 0 (u == 1 guard)
+    df = spark.createDataFrame([(1, "x x x x")], "doc_id long, text string")
+    r = lexical_diversity(df).head()
+    assert r["entropy"] == 0.0 and r["norm_entropy"] == 0.0
+    assert r["ttr"] == 0.25 and r["hapax_ratio"] == 0.0

@@ -145,3 +145,78 @@ def gumbel_top_k(
         .orderBy(F.desc("sample_score"), F.col(id_col))
         .limit(k)
     )
+
+
+def temperature_fractions(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    total_target: int,
+) -> DataFrame:
+    """Per-stratum keep fractions for temperature-based rebalancing
+    (the multilingual-LM sampling rule: p_s ∝ n_s^α, α∈[0,1] — α=1
+    keeps natural proportions, α=0 is uniform across strata; used to
+    up-weight low-resource languages/sources, mBERT/XLM-R style).
+
+    Returns a TINY frame (one row per stratum): n rows, the natural
+    share, the tempered target share, and the realized keep fraction
+    frac = min(1, target_share·T / n) — capped because sampling is
+    without replacement.
+
+    One map-side-combined count agg over the corpus; everything after
+    operates on the stratum table (|strata| rows).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total_n"),
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(alpha))).alias("pow_sum"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(strata_col),
+            F.col("n"),
+            F.round(F.col("n") / F.col("total_n"), 6).alias("natural_share"),
+            F.round(
+                F.pow(F.col("n").cast("double"), F.lit(alpha)) / F.col("pow_sum"), 6
+            ).alias("tempered_share"),
+            F.least(
+                F.lit(1.0),
+                F.pow(F.col("n").cast("double"), F.lit(alpha))
+                / F.col("pow_sum")
+                * F.lit(float(total_target))
+                / F.col("n"),
+            ).alias("keep_frac"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    total_target: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-rebalanced downsampling: keep each row iff its
+    content-addressed ``hash_bucket(key, salt)`` clears its stratum's
+    tempered keep fraction (see ``temperature_fractions``).
+
+    Deterministic and engine-portable like ``stratified_hash_sample``;
+    the plan is scan → broadcast join against the |strata|-row fraction
+    table → filter, so the corpus itself is never shuffled (the count
+    agg reduces map-side). Fraction thresholds quantize to the
+    N_BUCKETS grid, matching the oracle exactly.
+    """
+    fr = temperature_fractions(df, strata_col, alpha, total_target).select(
+        strata_col,
+        # floor(x+0.5), not round(): engines disagree on half-rounding
+        F.floor(F.col("keep_frac") * N_BUCKETS + F.lit(0.5)).cast("int").alias("_thr"),
+    )
+    bucket = hash_bucket(key_col, salt)
+    return (
+        df.join(F.broadcast(fr), strata_col)
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -269,3 +269,52 @@ def doc_fingerprint(
         F.sha2(F.col(text_col), 256).alias("text_sha"),
         rolling.alias("rolling_hash"),
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity signals: type/token counts,
+    type-token ratio, unigram Shannon entropy (nats), normalized
+    entropy, and hapax ratio (fraction of types occurring exactly once).
+
+    Low-diversity text (keyword stuffing, boilerplate, template spam)
+    collapses all four signals at once, which single-ratio heuristics
+    miss — this is the in-row complement to the Gopher repetition
+    fractions in ``operators/repetition.py``.
+
+    All in-row higher-order-function arithmetic — zero shuffle, the
+    whole pass is scan → project, stream-safe. Per-row cost is
+    O(types × tokens) which is bounded by document length; the
+    ``fan_out`` guard keeps tiny inputs parallel.
+
+    Determinism: types are sorted (``array_sort ∘ array_distinct``)
+    before the entropy fold so the floating-point summation order is
+    identical in any engine; the DuckDB oracle mirrors the same
+    sorted-fold shape.
+    """
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    docs = fan_out(docs)  # O(u·n) in-row loops: parallelize small frames
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    types = F.array_sort(F.array_distinct(toks))
+    counts = F.transform(types, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    u = F.size(types)
+    nd = n.cast("double")
+    entropy = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / nd) * F.log(c / nd),
+    )
+    norm_entropy = F.when(u > 1, entropy / F.log(u.cast("double"))).otherwise(F.lit(0.0))
+    hapax = F.size(F.filter(counts, lambda c: c == 1))
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        u.alias("n_types"),
+        F.round(u / nd, 4).alias("ttr"),
+        F.round(entropy, 4).alias("entropy"),
+        F.round(norm_entropy, 4).alias("norm_entropy"),
+        F.round(hapax / u.cast("double"), 4).alias("hapax_ratio"),
+    )
