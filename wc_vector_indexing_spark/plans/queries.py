@@ -3172,6 +3172,83 @@ SELECT lang, count(*) AS n_kept FROM k GROUP BY lang ORDER BY lang
 """
 
 
+
+
+def quality_classifier_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Fasttext-style model-based quality gate (operators/classifier.py):
+    fit a hashed-bigram logistic model on a content-addressed sample
+    (driver-local, the fasttext production split), score the corpus as
+    a zero-shuffle Arrow map pass. Labels here are a deterministic
+    length heuristic (the synthetic corpus has no gold labels); the
+    production label source is a curated-vs-crawl slice pair.
+    Rows-only: the fitted weights are a training artifact, not
+    SQL-expressible; distributed-vs-driver score equality is pinned in
+    tests/test_classifier_wet.py."""
+    from wc_vector_indexing_spark.operators.classifier import (
+        QualityClassifier,
+        score_documents,
+    )
+
+    docs = load(spark, "documents", sf).withColumn(
+        "label", (F.col("n_chars") > 300).cast("int")
+    )
+    model = QualityClassifier.fit(
+        docs, "label", n_buckets=256, max_sample=2000, iters=100
+    )
+    return (
+        score_documents(docs, model)
+        .select("doc_id", F.round("quality_prob", 6).alias("quality_prob"))
+        .orderBy("doc_id")
+    )
+
+
+def wet_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
+    """WET-format source roundtrip (sources/wet.py): export a document
+    slice as a spec-shaped Common Crawl WET shard, read it back through
+    the lineSep-framed reader, and report per-host record counts +
+    byte totals. Rows-only (file-format I/O); golden-payload fidelity
+    is pinned in tests/test_classifier_wet.py."""
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.operators.urls import url_host
+    from wc_vector_indexing_spark.sources.wet import read_wet, to_wet_bytes
+
+    docs = (
+        load(spark, "documents", sf)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "source", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    recs = [
+        {
+            "url": f"https://{r['source']}.example.com/doc/{r['doc_id']}",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "record_id": f"<urn:uuid:{r['doc_id']}>",
+            "text": r["text"],
+        }
+        for r in docs
+    ]
+    import hashlib as _hl
+
+    key = _hl.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_wet_{key}")
+    os.makedirs(out, exist_ok=True)
+    shard = os.path.join(out, "shard-00000.warc.wet")
+    with open(shard, "wb") as f:
+        f.write(to_wet_bytes(recs))
+    wet = read_wet(spark, shard)
+    return (
+        wet.groupBy(url_host("url").alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("content_length").alias("total_bytes"),
+        )
+        .orderBy("host")
+    )
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # --- driver-gate tier: the first 50 oracle-backed entries are the
     # --- ones the per-round correctness gate records; ordered to cover
@@ -3385,5 +3462,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sketch_profile": QuerySpec(
         sketch_profile_op, None, "HLL++/quantile-sketch profiling (100 TB swap-in)"
+    ),
+    "quality_classifier": QuerySpec(
+        quality_classifier_op, None, "fasttext-style hashed-bigram quality model"
+    ),
+    "wet_roundtrip": QuerySpec(
+        wet_roundtrip_op, None, "Common Crawl WET shard export + framed read-back"
     ),
 }
