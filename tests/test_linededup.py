@@ -83,3 +83,65 @@ def test_window_duplication_within_doc_repeat_not_cross_doc(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text=eight + " " + eight)])
     out = window_duplication(docs, window_tokens=8).head()
     assert out.n_dup == 0
+
+
+def test_remove_duplicated_spans_first_occurrence_survives(spark):
+    from wc_vector_indexing_spark.operators.linededup import remove_duplicated_spans
+
+    span = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} tail1 tail2"),
+            (2, f"head1 head2 {span}"),  # duplicated span, later occurrence
+            (3, "totally unrelated text with fewer than eight shared tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, 8).collect()}
+    assert out[1]["text_clean"] == f"{span} tail1 tail2"  # canonical copy intact
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "head1 head2"  # span excised
+    assert out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+
+
+def test_remove_duplicated_spans_overlap_merge(spark):
+    from wc_vector_indexing_spark.operators.linededup import remove_duplicated_spans
+
+    # doc 2 repeats a 10-token run of doc 1: three overlapping dup
+    # windows merge into ONE 10-token removal, not 3x8 tokens
+    run = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, f"{run} x y"), (2, f"p q {run} r s")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, 8).collect()}
+    assert out[2]["text_clean"] == "p q r s"
+    assert out[2]["n_removed"] == 10
+    assert out[2]["n_dup_windows"] == 3  # starts 2,3,4 — covers [2, 12)
+
+
+def test_remove_duplicated_spans_short_and_empty_docs(spark):
+    from wc_vector_indexing_spark.operators.linededup import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "short doc"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, 8).collect()}
+    assert out[1]["text_clean"] == "short doc" and out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "" and out[2]["n_tokens"] == 0
+    assert out[3]["text_clean"] == "" and out[3]["n_tokens"] == 0
+
+
+def test_remove_duplicated_spans_within_doc_repeat(spark):
+    from wc_vector_indexing_spark.operators.linededup import remove_duplicated_spans
+
+    # the same 8-token phrase twice INSIDE one doc: second copy removed
+    span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [(1, f"{span} mid {span}")], "doc_id long, text string"
+    )
+    r = remove_duplicated_spans(docs, 8).head()
+    assert r["text_clean"] == f"{span} mid"
+    assert r["n_removed"] == 8

@@ -132,3 +132,86 @@ def window_duplication(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    window_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring REMOVAL — the rewrite half of Lee et al. 2022's
+    ExactSubstr dedup (``window_duplication`` is the screen half): every
+    ``window_tokens``-token window that occurs more than once in the
+    corpus is removed from all occurrences EXCEPT the globally-first one
+    (min (doc_id, pos)), overlapping removals merge, and documents are
+    reassembled from their surviving tokens.
+
+    Token-level semantics: case-sensitive whitespace tokens; output
+    joins surviving tokens with single spaces (original inter-token
+    whitespace is not preserved — the training-corpus form). Removal can
+    create new token adjacencies; like the suffix-array original, those
+    are not re-deduplicated in the same pass (run a second pass if the
+    corpus demands it).
+
+    Plan: in-row window hashing (same md5 rolling windows as
+    window_duplication) → ONE corpus-wide shuffle keyed by window hash
+    (row_number picks the canonical first occurrence) → doc-keyed
+    aggregation of removal starts → broadcast-free join back to the doc
+    row → in-row interval-cover rebuild. Skew: a corpus-wide hot window
+    is one hash key whose partition holds its occurrence list — bounded
+    by occurrence count, and AQE splits stragglers; the rebuild is
+    O(tokens × removal-spans) per row, doc-local.
+    """
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    k = window_tokens
+    toks_expr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    base = fan_out(docs).select(F.col(id_col).alias("doc_id"), toks_expr.alias("toks"))
+    n = F.size("toks")
+    n_win = n - k + 1
+    idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    (i - 1).alias("pos"),
+                    F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+
+    w_first = Window.partitionBy("h").orderBy("doc_id", "pos")
+    removals = (
+        wins.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") > 1)  # duplicated occurrence, not the canonical first
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("starts"))
+    )
+
+    joined = base.join(removals, "doc_id", "left").withColumn(
+        "starts", F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("starts"), lambda r: (i >= r) & (i < r + k)
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 1),
+            lambda i: F.when(~covered(i), F.element_at(F.col("toks"), i + 1)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    kept = F.when(F.size("toks") > 0, kept).otherwise(F.array().cast("array<string>"))
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+        F.size("starts").alias("n_dup_windows"),
+    )

@@ -3249,6 +3249,57 @@ def wet_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def exact_substring_removal_op(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr span removal (linededup.remove_duplicated_spans):
+    every duplicated 8-token window is removed from all but its
+    globally-first occurrence and docs are rebuilt from surviving
+    tokens — the rewrite half of Lee et al. 2022 (window_dedup is the
+    screen half). One window-hash shuffle + one doc-keyed agg."""
+    from wc_vector_indexing_spark.operators.linededup import remove_duplicated_spans
+
+    return remove_duplicated_spans(load(spark, "documents", sf)).orderBy("doc_id")
+
+
+EXACT_SUBSTR_SQL = r"""
+WITH base AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS toks
+    FROM documents
+), wins AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(toks) - 8 + 1, 0) + 1),
+                  i -> {'pos': i - 1, 'h': md5(array_to_string(list_slice(toks, i, i + 7), ' '))})) AS w
+    FROM base
+), wins2 AS (
+    SELECT doc_id, w.pos AS pos, w.h AS h FROM wins
+), marked AS (
+    SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM wins2
+), removals AS (
+    SELECT doc_id, list_sort(list_distinct(list(pos))) AS starts
+    FROM marked WHERE rn > 1 GROUP BY doc_id
+), joined AS (
+    SELECT b.doc_id, toks, coalesce(starts, []::BIGINT[]) AS starts
+    FROM base b LEFT JOIN removals r ON b.doc_id = r.doc_id
+), rebuilt AS (
+    SELECT doc_id, toks, starts,
+           list_filter(list_transform(range(0, len(toks)),
+               i -> CASE WHEN len(list_filter(starts, r -> i >= r AND i < r + 8)) = 0
+                         THEN toks[i + 1] END),
+               x -> x IS NOT NULL) AS kept
+    FROM joined
+)
+SELECT doc_id,
+       coalesce(array_to_string(kept, ' '), '') AS text_clean,
+       len(toks) AS n_tokens,
+       len(toks) - len(kept) AS n_removed,
+       len(starts) AS n_dup_windows
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # --- driver-gate tier: the first 50 oracle-backed entries are the
     # --- ones the per-round correctness gate records; ordered to cover
@@ -3297,6 +3348,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "temperature_mix": QuerySpec(
         temperature_mix_op, TEMPERATURE_SQL, "alpha-temperature language rebalancing"
+    ),
+    "exact_substring_removal": QuerySpec(
+        exact_substring_removal_op, EXACT_SUBSTR_SQL, "ExactSubstr duplicated-span removal"
     ),
     "t9_windowed_events": QuerySpec(t9_windowed_events, T9_SQL, "tumbling window agg"),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
