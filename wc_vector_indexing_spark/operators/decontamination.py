@@ -156,3 +156,63 @@ def decontaminate(
         F.col("train_id").alias(id_col)
     )
     return train.join(bad, id_col, "left_anti")
+
+
+def semantic_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(train_id, eval_id, max_cos): embedding-space contamination —
+    the semantic complement of the n-gram filter above (paraphrased
+    eval leakage that shares no 13-gram still lands nearby in embedding
+    space). For each train vector whose best eval cosine ≥ ``threshold``,
+    emit that best match (ties broken by lowest eval id).
+
+    Scale shape mirrors the n-gram path exactly: the eval side is small
+    by construction and rides along as a broadcast (here: a collected
+    float64 matrix inside an Arrow-batched gemm — the same build-side
+    contract as a broadcast hash join), the 100 TB train side streams
+    through ONE map pass with no shuffle at all: per Arrow batch, one
+    (batch × eval) matrix multiply, a row-wise argmax, a threshold
+    filter. Math runs in float64 so the DuckDB oracle (DOUBLE cosine)
+    reproduces values bit-for-bit at 4dp.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    rows = sorted(
+        evals.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )  # eval-side collect == broadcast-join build side; see docstring
+    if not rows:
+        raise ValueError("empty eval set")
+    eval_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    mt = (m / np.linalg.norm(m, axis=1, keepdims=True)).T  # (dim, n_eval)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ mt  # (batch, n_eval)
+            best = sims.argmax(axis=1)  # first max == lowest eval id (rows sorted)
+            mc = sims[np.arange(len(pdf)), best]
+            keep = mc >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "train_id": pdf[id_col].to_numpy()[keep],
+                        "eval_id": eval_ids[best[keep]],
+                        "max_cos": np.round(mc[keep], 4),
+                    }
+                )
+
+    return fan_out(train.select(id_col, vec_col)).mapInPandas(
+        score, schema="train_id long, eval_id long, max_cos double"
+    )

@@ -1,0 +1,112 @@
+"""Graph analytics over event streams — transition edges + PageRank.
+
+North-star surface for a training-data pipeline: crawl/host graphs and
+clickstream transition graphs both need (a) distributed edge extraction
+from an ordered log and (b) an iterative rank fixpoint. The reference
+has no graph path (its nearest analog is the per-site sync-priority
+ordering, class-delta-sync.php); this module is brief-driven scope like
+`operators/components.py` (connected components), which already owns
+the label-propagation machinery for dedup clusters.
+
+Scale design (100 TB event log):
+  * Edge extraction is ONE shuffle on the partition key (`user_id`):
+    a window `lead()` within (key, order) then a map-side-combined
+    count aggregate on (src, dst). The edge table is |V|²-bounded for
+    categorical nodes and long-tail-bounded for host graphs — always
+    orders of magnitude smaller than the log.
+  * PageRank iterates rank⊳edges joins. Out-weight normalization is
+    computed ONCE and the normalized edge table is persisted + hash-
+    partitioned on `src`, so every iteration's join reuses one side's
+    layout; only the (node, rank) frame — |V| rows, not |E| — moves
+    per round. `localCheckpoint` after each round cuts the lineage so
+    round t+1 doesn't replan rounds 1..t (same discipline as
+    `components.py`).
+  * Dangling mass: nodes with no out-edges contribute nothing (the
+    classic simplified formulation rank = (1-d)/N + d·Σ_in r·w). This
+    keeps every round expressible as join→agg with no extra global
+    aggregate; documented so the DuckDB oracle can mirror it exactly.
+  * `iterations` is fixed (not convergence-tested) so the operator is
+    deterministic and oracle-checkable; at 100 TB you'd run ~20 rounds
+    — the per-round plan is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_edges(
+    events: DataFrame,
+    part_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    node_col: str = "event_type",
+) -> DataFrame:
+    """(src, dst, weight): weighted directed edges from consecutive
+    rows within each ``part_col`` stream ordered by ``order_cols``.
+
+    One shuffle (the window on ``part_col``); the (src, dst) count
+    aggregate partial-aggregates map-side on top of it."""
+    w = Window.partitionBy(part_col).orderBy(*[F.asc(c) for c in order_cols])
+    nxt = events.select(
+        F.col(node_col).alias("src"),
+        F.lead(node_col).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return nxt.groupBy("src", "dst").agg(
+        F.count("*").cast("double").alias("weight")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """(node, rank): ``iterations`` rounds of weighted PageRank,
+
+        rank₀(v)    = 1/N
+        rankₜ₊₁(v) = (1-d)/N + d · Σ_{(u,v)∈E} rankₜ(u) · w(u,v)/out(u)
+
+    where out(u) = Σ_v w(u,v). Dangling nodes (no out-edges) simply
+    stop contributing — see module docstring. Ranks are rounded to 6dp
+    for engine-portable comparison; the fixpoint math runs in double."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # normalized edges: computed once, partitioned by the join key so
+    # every iteration's rank⊳edge join reuses this layout
+    en = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("wn"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # one O(1) scalar action; the (1-d)/N constant
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(en, ranks["node"] == en["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("wn")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce("s", F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage: round t+1 must not replan 1..t
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -101,3 +101,120 @@ def _py_tokens(text: str) -> list[str]:
     import re
 
     return [t for t in re.split(r"[^a-z]+", text.lower()) if t]
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+
+        rrf(d) = Σ_lists 1 / (rrf_k + rank_list(d))
+
+    the standard lexical+vector hybrid-retrieval combiner. Each input
+    must be a TOP-N SLICE carrying (id_col, score) — rank is assigned
+    here by (score desc, id asc) with an unpartitioned window, which is
+    fine precisely because the inputs are already limit()-ed candidate
+    lists (tens of rows), not corpora. The corpus-sized work happens
+    inside the upstream retrievers (bm25_search / knn paths); fusion
+    itself is O(Σ|lists|) and joins tiny frames.
+
+    Output: (id_col, rrf round 6, rank_0..rank_{N-1} — null where a
+    list missed the doc), top-``k`` by (rrf desc, id asc)."""
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("need at least one ranked list")
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    fused = None
+    for i, lst in enumerate(ranked):
+        r = lst.select(
+            F.col(id_col),
+            F.row_number().over(w).cast("long").alias(f"rank_{i}"),
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    contrib = [
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col(f"rank_{i}")), F.lit(0.0))
+        for i in range(len(ranked))
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    return (
+        fused.withColumn("rrf", F.round(total, 6))
+        .select(id_col, "rrf", *[f"rank_{i}" for i in range(len(ranked))])
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def mmr_rerank(
+    index: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    fetch: int = 50,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    greedily build a top-``k`` that trades query relevance against
+    redundancy with what's already selected,
+
+        mmr(d) = λ·cos(q, d) − (1−λ)·max_{s ∈ selected} cos(d, s)
+
+    The DISTRIBUTED stage is the candidate fetch — an exact cosine
+    top-``fetch`` (scan → TakeOrderedAndProject, zero shuffle, same
+    plan as knn_exact). The greedy loop is inherently sequential and
+    runs driver-side over the fetched candidates — bounded by
+    ``fetch`` (a knob, not data volume), the same contract as the kNN
+    probe batch. Math in float64 for engine-portable scores (4dp).
+
+    Output: (id_col, position 1..k, relevance, mmr) in selection order.
+    """
+    import numpy as np
+
+    from wc_vector_indexing_spark.functions.vectors import cosine
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= np.linalg.norm(q)
+    cands = (
+        index.select(id_col, vec_col)
+        .withColumn("relevance", cosine(F.lit(q.tolist()), vec_col))
+        .orderBy(F.desc("relevance"), F.asc(id_col))
+        .limit(fetch)
+        .collect()
+    )
+    ids = np.array([r[0] for r in cands], dtype=np.int64)
+    m = np.array([r[1] for r in cands], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    rel = m @ q
+    sims = m @ m.T
+    selected: list[int] = []
+    scores: list[float] = []
+    avail = np.ones(len(ids), dtype=bool)
+    for _ in range(min(k, len(ids))):
+        if selected:
+            penalty = sims[:, selected].max(axis=1)
+        else:
+            penalty = np.zeros(len(ids))
+        mmr = lam * rel - (1.0 - lam) * penalty
+        mmr[~avail] = -np.inf
+        # ties → lowest candidate position (stable argmax), matching
+        # the deterministic (relevance desc, id asc) candidate order
+        pick = int(mmr.argmax())
+        selected.append(pick)
+        scores.append(float(mmr[pick]))
+        avail[pick] = False
+    spark = index.sparkSession
+    out = [
+        (int(ids[p]), i + 1, round(float(rel[p]), 4), round(s, 4))
+        for i, (p, s) in enumerate(zip(selected, scores))
+    ]
+    return spark.createDataFrame(
+        out, schema=f"{id_col} long, position int, relevance double, mmr double"
+    )
