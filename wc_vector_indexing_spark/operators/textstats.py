@@ -318,3 +318,31 @@ def lexical_diversity(
         F.round(norm_entropy, 4).alias("norm_entropy"),
         F.round(hapax / u.cast("double"), 4).alias("hapax_ratio"),
     )
+
+
+def token_fertility(
+    docs: DataFrame,
+    text_col: str = "text",
+    by: str = "lang",
+) -> DataFrame:
+    """Per-``by`` tokenizer-fertility stats: docs, token/char totals and
+    chars-per-token — the multilingual budgeting number (how many chars
+    one token "buys" per language drives per-language sampling budgets;
+    cf. fertility analyses in multilingual-tokenizer work, public).
+
+    Whitespace tokens (`tokens_col`) so the oracle can mirror the split
+    exactly; swap in `bpe_ish_token_count` for subword-level fertility.
+    One map-side-combined aggregate on a low-cardinality key — no other
+    shuffle, and only (text, by) are read."""
+    return (
+        docs.groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(text_col)).alias("n_tokens"),
+            F.sum(F.length(text_col)).alias("n_chars"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.round(F.col("n_chars") / F.col("n_tokens"), 4),
+        )
+    )

@@ -3462,6 +3462,122 @@ ORDER BY train_id
 """
 
 
+def hard_negatives_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives):
+    anchors = vec_id < 8; per anchor, the 5 most-cosine-similar vectors
+    with a DIFFERENT label. The label mask runs inside the Arrow gemm
+    stage before the local top-k, so the window merge stays exact."""
+    from wc_vector_indexing_spark.operators.similarity import hard_negatives
+
+    emb = load(spark, "embeddings", sf)
+    out = hard_negatives(emb.filter(F.col("vec_id") < 8), emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+HARD_NEGATIVES_SQL = r"""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8),
+s AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS c,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                        e.vec_id
+           ) AS rank
+    FROM q JOIN embeddings e ON e.label <> q.label
+)
+SELECT query_id, neighbor_id, round(c, 4) AS score, rank
+FROM s WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def token_fertility_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer fertility (operators/textstats.
+    token_fertility): one map-side-combined aggregate on `lang`."""
+    from wc_vector_indexing_spark.operators.textstats import token_fertility
+
+    return token_fertility(load(spark, "documents", sf)).orderBy("lang")
+
+
+TOKEN_FERTILITY_SQL = r"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))::BIGINT AS n_tokens,
+       sum(length(text))::BIGINT AS n_chars,
+       round(sum(length(text))::DOUBLE
+             / sum(len(regexp_split_to_array(lower(trim(text)), '\s+'))), 4)
+           AS chars_per_token
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def corpus_drift_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source unigram KL drift vs the corpus distribution
+    (operators/profile.corpus_drift): one corpus tokenize; slice
+    totals and corpus counts both derive from the (source, token)
+    count table."""
+    from wc_vector_indexing_spark.operators.profile import corpus_drift
+
+    return corpus_drift(load(spark, "documents", sf)).orderBy("source")
+
+
+CORPUS_DRIFT_SQL = r"""
+WITH toks AS (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+    FROM documents
+),
+cst AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY source, tok),
+ns AS (SELECT source, sum(c_st) AS n_s FROM cst GROUP BY source),
+ct AS (SELECT tok, sum(c_st) AS c_t FROM cst GROUP BY tok),
+n AS (SELECT sum(n_s)::DOUBLE AS n FROM ns)
+SELECT cst.source,
+       any_value(n_s)::BIGINT AS n_tokens,
+       round(sum((c_st / n_s::DOUBLE) * ln((c_st / n_s::DOUBLE) / (c_t / n.n))), 4) AS kl_nats
+FROM cst JOIN ns USING (source) JOIN ct USING (tok) CROSS JOIN n
+GROUP BY cst.source
+ORDER BY cst.source
+"""
+
+
+def embedding_outliers_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Centroid-distance outlier scan (operators/outliers.py): top-20
+    vectors by z-scored distance to their own label centroid —
+    mislabeled/noisy-sample pruning. Centroids and moments broadcast;
+    the corpus side never shuffles."""
+    from wc_vector_indexing_spark.operators.outliers import embedding_outliers
+
+    return embedding_outliers(load(spark, "embeddings", sf), k=20)
+
+
+EMBEDDING_OUTLIERS_SQL = r"""
+WITH p AS (
+    SELECT vec_id, label, s.pos AS pos, s.v AS v FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(pos := i - 1, v := embedding[i]::DOUBLE))) AS s
+        FROM embeddings)
+),
+cent AS (SELECT label, pos, avg(v) AS c FROM p GROUP BY label, pos),
+d AS (
+    SELECT p.vec_id, p.label, sqrt(sum((p.v - cent.c) ^ 2)) AS dist
+    FROM p JOIN cent USING (label, pos) GROUP BY p.vec_id, p.label
+),
+st AS (SELECT label, avg(dist) AS mu, stddev(dist) AS sd FROM d GROUP BY label)
+SELECT d.vec_id, d.label, round(d.dist, 4) AS dist,
+       round((d.dist - st.mu) / st.sd, 4) AS z
+FROM d JOIN st USING (label)
+ORDER BY (d.dist - st.mu) / st.sd DESC, d.vec_id
+LIMIT 20
+"""
+
+
 def mmr_rerank_op(spark: SparkSession, sf: str) -> DataFrame:
     """MMR diversified rerank (operators/retrieval.mmr_rerank): exact
     cosine top-50 candidate fetch (TakeOrderedAndProject) then the
@@ -3486,8 +3602,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 wide aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "3-way join + agg + top-10"),
     "q5_region_volume": QuerySpec(q5_region_volume, Q5_SQL, "star join through dims"),
-    "q2_min_cost_supplier": QuerySpec(r2.q2_min_cost_supplier, r2.Q2_SQL, "correlated-min supplier pick"),
-    "q21_waiting_suppliers": QuerySpec(r2.q21_waiting_suppliers, r2.Q21_SQL, "EXISTS/NOT-EXISTS self-join"),
     "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL, "gap sessionization"),
     "s3_never_synced": QuerySpec(s3_never_synced, S3_SQL, "anti-join initial-sync scan"),
     "s4_modified_since": QuerySpec(s4_modified_since, S4_SQL, "staleness left-join scan"),
@@ -3508,6 +3622,18 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "mmr_rerank_top10": QuerySpec(
         mmr_rerank_op, None, "MMR diversified rerank (greedy; rows-only)"
+    ),
+    "hard_negatives": QuerySpec(
+        hard_negatives_op, HARD_NEGATIVES_SQL, "label-masked hard-negative mining"
+    ),
+    "token_fertility": QuerySpec(
+        token_fertility_op, TOKEN_FERTILITY_SQL, "per-language chars-per-token fertility"
+    ),
+    "corpus_drift": QuerySpec(
+        corpus_drift_op, CORPUS_DRIFT_SQL, "per-source unigram KL drift"
+    ),
+    "embedding_outliers": QuerySpec(
+        embedding_outliers_op, EMBEDDING_OUTLIERS_SQL, "centroid-distance outlier scan"
     ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
@@ -3543,7 +3669,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
-    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMB_COSINE_SQL, "cosine near-dup pairs"),
     "dedup_simhash": QuerySpec(dedup_simhash_op, SIMHASH_SQL, "simhash fingerprints"),
     "dedup_ngram_containment": QuerySpec(
         dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
@@ -3577,7 +3702,6 @@ REGISTRY: dict[str, QuerySpec] = {
         decontamination_op, CONTAM_SQL, "eval-set n-gram decontamination"
     ),
     "pii_scrub": QuerySpec(pii_scrub_op, _pii_sql(), "PII detect + redact"),
-    "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
     "stratified_sample_counts": QuerySpec(
         stratified_sample_counts, STRATIFIED_SQL, "per-source hash downsampling"
     ),
@@ -3603,6 +3727,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sequence_packing": QuerySpec(
         sequence_packing_op, PACKING_SQL, "token-budget sequence packing"
     ),
+    "q2_min_cost_supplier": QuerySpec(r2.q2_min_cost_supplier, r2.Q2_SQL, "correlated-min supplier pick"),
+    "q21_waiting_suppliers": QuerySpec(r2.q21_waiting_suppliers, r2.Q21_SQL, "EXISTS/NOT-EXISTS self-join"),
+    "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
     "q7_nation_volume": QuerySpec(r2.q7_nation_volume, r2.Q7_SQL, "bilateral volume by year"),
     "q8_market_share": QuerySpec(r2.q8_market_share, r2.Q8_SQL, "conditional-sum market share"),
     "q9_product_profit": QuerySpec(r2.q9_product_profit, r2.Q9_SQL, "profit by nation/year"),
@@ -3630,6 +3757,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
     "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMB_COSINE_SQL, "cosine near-dup pairs"),
     "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
     "quality_quantile_filter": QuerySpec(
         quality_quantile_filter, QUANTILE_FILTER_SQL, "corpus-p10 quality gate"
