@@ -283,3 +283,59 @@ def test_fuzzy_join_no_cross_join(spark):
     # one exchange for the variant grouping + one for the pair distinct
     # (+ the oracle-ordering range exchange)
     assert len(re.findall(r"hashpartitioning\(", plan)) <= 2
+
+
+def test_semantic_decontamination_is_one_map_pass(spark):
+    """Eval matrix broadcasts inside the gemm closure; the train side
+    must stream through with NO shuffle at all."""
+    plan = plan_of(spark, "semantic_decontamination")
+    body = plan.split("AdaptiveSparkPlan")[0]
+    # sort for the orderBy output contract is allowed; no hash exchange
+    assert "hashpartitioning" not in body
+    assert "MapInPandas" in plan
+    schemas = read_schemas(plan)
+    assert schemas and all(
+        set(s.split(",")[0].split(":")[:1]) <= {"vec_id"} or "embedding" in s
+        for s in schemas
+    )
+
+
+def test_corpus_drift_single_tokenize_and_broadcast_totals(spark):
+    """Slice totals (|sources| rows) must broadcast back, and the
+    downstream aggregates must all read the CHECKPOINTED (slice, token)
+    count table — zero Generate / parquet re-scan in the final plan
+    (without the materialization the lazy derivation chain re-tokenized
+    the corpus four times)."""
+    plan = plan_of(spark, "corpus_drift")
+    assert plan.count("Generate") == 0
+    assert "Scan parquet" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_outliers_broadcasts_centroids_and_moments(spark):
+    """Both the |labels|×dim centroid table and the per-label moment
+    table join back via broadcast — the vector corpus is never the
+    build side and never sort-merge-joined."""
+    plan = plan_of(spark, "embedding_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negatives_shuffle_independent_of_index(spark):
+    """Candidates are partitions × |queries| × k rows: the only hash
+    exchange keys on query_id (the merge window), never on index rows."""
+    plan = plan_of(spark, "hard_negatives")
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keys and all("query_id" in k for k in keys)
+    assert "MapInPandas" in plan
+
+
+def test_token_fertility_is_single_agg(spark):
+    plan = plan_of(spark, "token_fertility")
+    assert "Join" not in plan
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1
+    (schema,) = read_schemas(plan)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"lang", "text"}  # only the referenced columns read

@@ -176,7 +176,16 @@ def corpus_drift(
     toks = fan_out(docs).select(
         F.col(by), F.explode(_tokens(text_col)).alias("tok")
     )
-    cst = toks.groupBy(by, "tok").agg(F.count("*").alias("c_st"))
+    # materialize the (slice, token) counts ONCE: three downstream
+    # aggregates derive from this table, and without the checkpoint
+    # each re-plans the full corpus tokenize (4 scans + 4 explodes in
+    # the physical plan — the 100 TB killer this operator exists to
+    # avoid)
+    cst = (
+        toks.groupBy(by, "tok")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
     ns = cst.groupBy(by).agg(F.sum("c_st").alias("n_s"))
     ct = cst.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
     n = ns.agg(F.sum("n_s").alias("n"))
