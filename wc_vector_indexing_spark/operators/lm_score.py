@@ -210,3 +210,62 @@ def unigram_score(
             F.round(F.avg(-logp), 4).alias("avg_neg_logp"),
         )
     )
+
+
+# ---------------------------------------------------------------- drift ref
+
+import math as _math
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class UnigramRef:
+    """Fitted reference unigram distribution for stream-time drift
+    monitoring: top-V token log-probs plus an OOV floor. Bounded,
+    picklable, broadcastable — same artifact lifecycle as
+    `importance.ImportanceModel` / the IVF quantizer."""
+
+    log_p: dict[str, float]
+    floor: float
+
+
+def fit_unigram_ref(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_v: int = 2048,
+    floor_scale: float = 0.1,
+) -> UnigramRef:
+    """Fit the reference distribution on a static corpus: one token
+    count aggregate, top-``top_v`` via TakeOrderedAndProject, collected
+    as the bounded artifact. The OOV floor is ``floor_scale`` × the
+    rarest kept token's probability, so unseen tokens are penalized
+    but finite."""
+    counts = (
+        docs.select(F.explode(_tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    total = counts.agg(F.sum("c")).head()[0]
+    if not total:
+        raise ValueError("empty reference corpus")
+    top = counts.orderBy(F.desc("c"), F.asc("tok")).limit(top_v).collect()
+    log_p = {r["tok"]: _math.log(r["c"] / total) for r in top}
+    min_p = min(r["c"] for r in top) / total
+    return UnigramRef(log_p=log_p, floor=_math.log(floor_scale * min_p))
+
+
+def ref_nll_cols(ref: UnigramRef, text_col: str | Column = "text") -> tuple[Column, Column]:
+    """(sum_nll, n_tokens) as pure in-row column expressions: the
+    document's total negative log-likelihood under the reference, and
+    its token count. Stream-safe (map-literal lookup per token, no join,
+    no state); aggregate sum(sum_nll)/sum(n_tokens) downstream to get
+    token-weighted cross-entropy per window/slice."""
+    toks = _tokens(text_col)
+    items = sorted(ref.log_p.items())
+    lut = F.map_from_arrays(
+        F.array(*[F.lit(k) for k, _ in items]),
+        F.array(*[F.lit(float(v)) for _, v in items]),
+    )
+    per_tok = lambda t: -F.coalesce(F.element_at(lut, t), F.lit(ref.floor))  # noqa: E731
+    sum_nll = F.aggregate(F.transform(toks, per_tok), F.lit(0.0), lambda a, x: a + x)
+    return sum_nll, F.size(toks)

@@ -320,3 +320,37 @@ def prep_document_stream(
 
         out = out.withColumn("token_ids", encode_tokens_col(vocab_ids, text_col))
     return out
+
+
+def drift_monitor_stream(
+    docs: DataFrame,
+    ref,
+    ts_col: str = "event_ts",
+    window: str = "1 hour",
+    by: str = "source",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Windowed distribution-drift monitor: per (event-time window,
+    ``by``-slice) token-weighted cross-entropy of the arriving text
+    under a reference unigram distribution fitted OFFLINE
+    (`lm_score.fit_unigram_ref`). A slice whose cross-entropy jumps got
+    topically/generatively different from the reference corpus — the
+    stream-native complement of the batch `profile.corpus_drift` KL
+    (KL needs the slice's own distribution, i.e. a second aggregation
+    level streaming append mode can't hold; cross-entropy collapses to
+    ONE watermark-evicted windowed aggregate over in-row per-doc NLL
+    columns, so state is bounded by open windows × slices).
+
+    Runs identically on a static backfill frame (same contract as
+    `curated_document_stream`)."""
+    from wc_vector_indexing_spark.operators.lm_score import ref_nll_cols
+
+    sum_nll, n_tok = ref_nll_cols(ref, "text")
+    scored = docs.withColumn("_nll", sum_nll).withColumn("_ntok", n_tok)
+    if scored.isStreaming:
+        scored = scored.withWatermark(ts_col, watermark_delay)
+    return scored.groupBy(F.window(ts_col, window), by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_ntok").alias("n_tokens"),
+        F.round(F.sum("_nll") / F.sum("_ntok"), 4).alias("cross_entropy_nats"),
+    )
