@@ -3578,6 +3578,47 @@ LIMIT 20
 """
 
 
+def unicode_normalize_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode hygiene pass (operators/unicode_clean.py): NFC
+    composition (Arrow pandas UDF ↔ DuckDB nfc_normalize, both
+    canonical composition) + zero-width/control strip (pure codegen).
+    The test corpus is pure ASCII, so — like `_synth_url` — the query
+    injects a deterministic dirty prefix/suffix per doc_id class in
+    BOTH engines: combining-acute 'cafe´' + ZWSP for doc_id%3==0, a C0
+    control for %3==1, untouched otherwise (was_dirty stays false)."""
+    from wc_vector_indexing_spark.operators.unicode_clean import unicode_clean
+
+    docs = load(spark, "documents", sf)
+    d = F.col("doc_id")
+    mutated = (
+        F.when(d % 3 == 0, F.concat(F.lit("cafe\u0301\u200b "), F.col("text")))
+        .when(d % 3 == 1, F.concat(F.col("text"), F.lit("\x07")))
+        .otherwise(F.col("text"))
+    )
+    out = unicode_clean(docs.withColumn("text", mutated), repair_mojibake=False)
+    return out.select("doc_id", "text", "was_dirty").orderBy("doc_id")
+
+
+UNICODE_SQL = r"""
+WITH mut AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'cafe' || chr(769) || chr(8203) || ' ' || text
+                WHEN doc_id % 3 = 1 THEN text || chr(7)
+                ELSE text END AS t
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(nfc_normalize(t), '[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'),
+           '[\x{00}-\x{08}\x{0b}-\x{1f}\x{7f}]', '', 'g') AS text,
+       regexp_replace(
+           regexp_replace(nfc_normalize(t), '[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'),
+           '[\x{00}-\x{08}\x{0b}-\x{1f}\x{7f}]', '', 'g') <> t AS was_dirty
+FROM mut
+ORDER BY doc_id
+"""
+
+
 def mmr_rerank_op(spark: SparkSession, sf: str) -> DataFrame:
     """MMR diversified rerank (operators/retrieval.mmr_rerank): exact
     cosine top-50 candidate fetch (TakeOrderedAndProject) then the
@@ -3602,7 +3643,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, "TPC-H Q1 wide aggregation"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, "3-way join + agg + top-10"),
     "q5_region_volume": QuerySpec(q5_region_volume, Q5_SQL, "star join through dims"),
-    "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL, "gap sessionization"),
     "s3_never_synced": QuerySpec(s3_never_synced, S3_SQL, "anti-join initial-sync scan"),
     "s4_modified_since": QuerySpec(s4_modified_since, S4_SQL, "staleness left-join scan"),
     "j7_priority_union": QuerySpec(j7_priority_union, J7_SQL, "priority union dedupe"),
@@ -3634,6 +3674,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "embedding_outliers": QuerySpec(
         embedding_outliers_op, EMBEDDING_OUTLIERS_SQL, "centroid-distance outlier scan"
+    ),
+    "unicode_normalize": QuerySpec(
+        unicode_normalize_op, UNICODE_SQL, "NFC + zero-width/control hygiene pass"
     ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
@@ -3730,6 +3773,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q2_min_cost_supplier": QuerySpec(r2.q2_min_cost_supplier, r2.Q2_SQL, "correlated-min supplier pick"),
     "q21_waiting_suppliers": QuerySpec(r2.q21_waiting_suppliers, r2.Q21_SQL, "EXISTS/NOT-EXISTS self-join"),
     "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
+    "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL, "gap sessionization"),
     "q7_nation_volume": QuerySpec(r2.q7_nation_volume, r2.Q7_SQL, "bilateral volume by year"),
     "q8_market_share": QuerySpec(r2.q8_market_share, r2.Q8_SQL, "conditional-sum market share"),
     "q9_product_profit": QuerySpec(r2.q9_product_profit, r2.Q9_SQL, "profit by nation/year"),
