@@ -157,3 +157,28 @@ def test_curate_compress_band_stage(spark):
     # off by default
     _, audit2 = curate(docs, CurationConfig(min_quality=0.0))
     assert "compress_outlier" not in {r.reject_reason for r in audit2.collect()}
+
+
+def test_curate_unicode_fix_stage(spark):
+    """unicode_fix repairs text BEFORE hashing so a mojibake'd or
+    zero-width-polluted duplicate is caught by exact dedup."""
+    dirty_dup = GOOD[:-1] + "​ "  # ZWSP wedged into a duplicate
+    rows = [
+        Row(doc_id=1, text=GOOD),
+        Row(doc_id=2, text=dirty_dup),
+        Row(doc_id=6, text="A totally different and unrelated document about the sea, "
+                           "the tide, and a long walk on the shore in the morning. " * 3),
+    ]
+    docs = spark.createDataFrame(rows)
+    # without the fix the polluted duplicate hashes differently: exact
+    # dedup misses it and only the (more expensive) near-dup stage nets it
+    res_off = curate(docs, CurationConfig(unicode_fix=False))
+    audit_off = {r.doc_id: r.reject_reason for r in res_off.audit.collect()}
+    assert audit_off.get(2) == "near_duplicate"
+    res_off.unpersist()
+    # with the fix it is repaired to byte-equality and exact-deduped
+    res_on = curate(docs, CurationConfig(unicode_fix=True))
+    audit = {r.doc_id: r.reject_reason for r in res_on.audit.collect()}
+    assert audit.get(2) == "exact_duplicate"
+    assert "was_dirty" not in res_on.curated.columns
+    res_on.unpersist()

@@ -168,6 +168,7 @@ def cmd_curate(args: argparse.Namespace) -> int:
             if getattr(args, "compress_band", "")
             else None
         ),
+        unicode_fix=bool(getattr(args, "unicode_fix", False)),
     )
     result = curate(docs, config)
     result.curated.write.mode("overwrite").parquet(args.out + "/curated")
@@ -247,6 +248,51 @@ def cmd_prep(args: argparse.Namespace) -> int:
     prepped.write.mode("overwrite").parquet(args.out)
     n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
     print(json.dumps({"input": n_in, "prepped": n_out, "vocab": len(vocab_ids)}))
+    return 0
+
+
+def cmd_drift(args: argparse.Namespace) -> int:
+    """Distribution-drift report: fit the unigram reference on one
+    corpus slice and score another (the batch-backfill form of
+    streaming.incremental.drift_monitor_stream); prints per-(window,
+    slice) cross-entropy as JSON lines, highest first."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.lm_score import fit_unigram_ref
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.readers import load
+    from wc_vector_indexing_spark.streaming.incremental import drift_monitor_stream
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load(spark, "documents", args.sf_dir)
+    ref_docs = (
+        docs.filter(F.col("source").isin(*args.ref_sources.split(",")))
+        if args.ref_sources
+        else docs
+    )
+    ref = fit_unigram_ref(ref_docs, top_v=args.vocab)
+    # same event_ts stand-in as cmd_prep: backfill frames lack the
+    # stream's timestamp; only windowing needs one
+    staged = docs.withColumn(
+        "event_ts", F.timestamp_seconds(F.pmod(F.col("doc_id"), F.lit(2_000_000_000)))
+    )
+    out = drift_monitor_stream(staged, ref, window=args.window)
+    rows = sorted(
+        out.collect(), key=lambda r: -(r.cross_entropy_nats or 0.0)
+    )
+    for r in rows:
+        print(
+            json.dumps(
+                {
+                    "window_start": str(r.window.start),
+                    "source": r.source,
+                    "n_docs": r.n_docs,
+                    "n_tokens": r.n_tokens,
+                    "cross_entropy_nats": r.cross_entropy_nats,
+                }
+            )
+        )
     return 0
 
 
@@ -358,7 +404,22 @@ def build_parser() -> argparse.ArgumentParser:
         default="",
         help="min,max zlib deflate-ratio band, e.g. 0.25,1.1 (default off)",
     )
+    cu.add_argument(
+        "--unicode-fix",
+        action="store_true",
+        help="repair text in place first: mojibake -> NFC -> zero-width/control strip",
+    )
     cu.set_defaults(fn=cmd_curate)
+
+    dr = sub.add_parser("drift", help="per-slice cross-entropy drift report")
+    dr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    dr.add_argument(
+        "--ref-sources", default="",
+        help="comma list of sources to fit the reference on (default: whole corpus)",
+    )
+    dr.add_argument("--vocab", type=int, default=2048, help="reference top-V size")
+    dr.add_argument("--window", default="1 hour")
+    dr.set_defaults(fn=cmd_drift)
 
     m = sub.add_parser("mix", help="reweight corpus to a target source mixture")
     m.add_argument("--sf-dir", default="/root/testdata/sf0.001")

@@ -53,6 +53,12 @@ class CurationConfig:
     # high tail). Arrow-batched map pass, placed with the other
     # per-row gates — before anything that shuffles.
     compress_band: tuple[float, float] | None = None
+    # unicode hygiene (operators/unicode_clean.py): repair text IN
+    # PLACE (mojibake → NFC → zero-width/control strip) before any
+    # scoring or hashing — content hashes and shingles computed on
+    # un-normalized text silently miss duplicates. A repair, not a
+    # filter: no audit branch.
+    unicode_fix: bool = False
 
 
 class CurationResult:
@@ -103,6 +109,11 @@ def curate(
     # projection). base feeds four audit branches + the survivor chain —
     # persist it once instead of re-scoring the corpus per branch.
     from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    if config.unicode_fix:
+        from wc_vector_indexing_spark.operators.unicode_clean import unicode_clean
+
+        docs = unicode_clean(docs, text_col).drop("was_dirty")
 
     base = (
         fan_out(docs).withColumn(
