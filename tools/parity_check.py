@@ -106,14 +106,59 @@ def canon_rows(tbl: pa.Table) -> list[tuple]:
     return sorted(tuple(norm_cell(pylists[c][i]) for c in cols) for i in range(n))
 
 
+def open_oracle(sf: str) -> "duckdb.DuckDBPyConnection":
+    """DuckDB connection with the test tables registered as views —
+    exactly what the correctness driver does."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    return con
+
+
+def check_query(spark, con, spec, sf: str) -> tuple[str | None, int]:
+    """Run one registry entry on Spark and (if oracle-backed) its SQL on
+    DuckDB; compare count / columns / canonical types / typed value
+    multisets. Returns (error-or-None, spark rowcount). Importable so
+    pytest can run the SAME comparison the tool and driver run."""
+    try:
+        s_tbl = spec.fn(spark, sf).toArrow()
+    except Exception as e:  # noqa: BLE001
+        return f"spark error: {e}", -1
+    if spec.sql is None:
+        return None, s_tbl.num_rows
+    try:
+        d_tbl = con.execute(spec.sql).arrow()
+    except Exception as e:  # noqa: BLE001
+        return f"duckdb error: {e}", s_tbl.num_rows
+    s_cols, d_cols = sorted(s_tbl.column_names), sorted(d_tbl.column_names)
+    if s_cols != d_cols:
+        return f"columns {s_cols} != {d_cols}", s_tbl.num_rows
+    if s_tbl.num_rows != d_tbl.num_rows:
+        return (
+            f"rowcount spark={s_tbl.num_rows} duckdb={d_tbl.num_rows}",
+            s_tbl.num_rows,
+        )
+    type_diffs = []
+    for c in s_cols:
+        st = canon_type(s_tbl.schema.field(c).type)
+        dt = canon_type(d_tbl.schema.field(c).type)
+        if st != dt:
+            type_diffs.append(f"{c}: spark={st} duckdb={dt}")
+    if type_diffs:
+        return "type mismatch: " + "; ".join(type_diffs), s_tbl.num_rows
+    cs, cd = canon_rows(s_tbl), canon_rows(d_tbl)
+    if cs != cd:
+        diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
+        return f"value mismatch; first diffs: {diff}", s_tbl.num_rows
+    return None, s_tbl.num_rows
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("parity-check", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    con = open_oracle(sf)
 
     failures = []
     ran = 0
@@ -122,52 +167,17 @@ def main() -> int:
             continue
         ran += 1
         t0 = time.time()
-        try:
-            sdf = spec.fn(spark, sf)
-            s_tbl = sdf.toArrow()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {e}")
+        err, n_rows = check_query(spark, con, spec, sf)
+        if err is not None:
+            print(f"FAIL {name}: {err}")
             failures.append(name)
             continue
         if spec.sql is None:
-            print(f"ok   {name}: rows-only, {s_tbl.num_rows} rows ({time.time()-t0:.1f}s)")
-            if s_tbl.num_rows == 0 and name != "dedup_minhash_lsh":
+            print(f"ok   {name}: rows-only, {n_rows} rows ({time.time()-t0:.1f}s)")
+            if n_rows == 0 and name != "dedup_minhash_lsh":
                 print(f"     WARNING: {name} returned 0 rows")
-            continue
-        try:
-            d_tbl = con.execute(spec.sql).arrow()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
-            failures.append(name)
-            continue
-        ok = True
-        s_cols, d_cols = sorted(s_tbl.column_names), sorted(d_tbl.column_names)
-        if s_cols != d_cols:
-            print(f"FAIL {name}: columns {s_cols} != {d_cols}")
-            ok = False
-        elif s_tbl.num_rows != d_tbl.num_rows:
-            print(f"FAIL {name}: rowcount spark={s_tbl.num_rows} duckdb={d_tbl.num_rows}")
-            ok = False
         else:
-            type_diffs = []
-            for c in s_cols:
-                st = canon_type(s_tbl.schema.field(c).type)
-                dt = canon_type(d_tbl.schema.field(c).type)
-                if st != dt:
-                    type_diffs.append(f"{c}: spark={st} duckdb={dt}")
-            if type_diffs:
-                print(f"FAIL {name}: type mismatch: {'; '.join(type_diffs)}")
-                ok = False
-            else:
-                cs, cd = canon_rows(s_tbl), canon_rows(d_tbl)
-                if cs != cd:
-                    diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
-                    print(f"FAIL {name}: value mismatch; first diffs: {diff}")
-                    ok = False
-        if ok:
-            print(f"ok   {name}: {s_tbl.num_rows} rows match ({time.time()-t0:.1f}s)")
-        else:
-            failures.append(name)
+            print(f"ok   {name}: {n_rows} rows match ({time.time()-t0:.1f}s)")
     print(f"\n{ran - len(failures)}/{ran} pass")
     return 1 if failures else 0
 
