@@ -156,3 +156,53 @@ def test_stdlib_codec_features_content_derived(spark):
     assert out[1][0] == pytest.approx(1.0)  # white pixel → 255/255
     assert out[2][0] == pytest.approx(0.0)  # black pixel
     assert any(v > 0.5 for v in out[3])  # loud RMS envelope near peak-normalised 1
+
+
+# ------------------------------------------------- perceptual image dedup
+
+def _pgm(pixels) -> bytes:
+    """Binary PGM from a 2-D list of 0-255 ints."""
+    import numpy as np
+
+    arr = np.array(pixels, dtype=np.uint8)
+    h, w = arr.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _gradient(w, h, shift=0):
+    return [[min(255, c * (255 // max(1, w - 1)) + shift) for c in range(w)] for r in range(h)]
+
+
+def test_dhash_is_brightness_invariant_and_content_sensitive():
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.multimodal import dhash64
+
+    base = np.array(_gradient(16, 16), dtype=np.uint8)
+    brighter = np.clip(base.astype(int) + 30, 0, 255).astype(np.uint8)
+    # gradient-sign structure unchanged → identical hash
+    assert dhash64(base) == dhash64(brighter)
+    flipped = base[:, ::-1].copy()
+    h1, h2 = dhash64(base), dhash64(flipped)
+    assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") > 16  # structure reversed
+
+
+def test_image_near_pairs_finds_resized_duplicate(spark):
+    from wc_vector_indexing_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_near_pairs,
+    )
+
+    rng_rows = _gradient(32, 32)
+    small = _gradient(16, 16)  # same gradient, half resolution
+    noise = [[(r * 97 + c * 31) % 256 for c in range(32)] for r in range(32)]
+    rows = [
+        (1, "image", "image/x-pgm", _pgm(rng_rows), (32, 32, None, None, None)),
+        (2, "image", "image/x-pgm", _pgm(small), (16, 16, None, None, None)),
+        (3, "image", "image/x-pgm", _pgm(noise), (32, 32, None, None, None)),
+        (4, "audio", "audio/wav", b"RIFFnotimage", (None, None, 1, 1, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {(r.media_a, r.media_b): r.hamming for r in image_near_pairs(media, max_hamming=6).collect()}
+    assert (1, 2) in pairs  # resized duplicate caught
+    assert all(3 not in p for p in pairs)  # unrelated image not paired

@@ -249,3 +249,72 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.sum(F.length(F.col("content"))).alias("total_bytes"),
         F.avg(F.coalesce(F.col("meta.duration_ms"), F.lit(0))).alias("avg_duration_ms"),
     )
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: grayscale → 9×8 nearest-neighbour thumb →
+    bit i set iff pixel[r, c] > pixel[r, c+1] (row-major). The standard
+    perceptual fingerprint — resize/re-encode/brightness-shift keep the
+    horizontal-gradient signs, so near-identical images land within a
+    few Hamming bits (public dHash construction, widely documented)."""
+    gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    thumb = resize_image(gray, (8, 9)).astype(np.float64)
+    bits = (thumb[:, :-1] > thumb[:, 1:]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # two's-complement into Spark's signed long
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, dhash): Arrow-batched perceptual fingerprints for the
+    image rows. Zero shuffle — decode + hash are per-row; non-image rows
+    are filtered before the Python stage so bytes never cross for them."""
+    imgs = media.filter(F.col("kind") == "image").select(id_col, content_col)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dhash": [
+                        dhash64(decode_image(c)) for c in pdf[content_col]
+                    ],
+                }
+            )
+
+    return imgs.mapInPandas(run, schema=f"{id_col} long, dhash long")
+
+
+def image_near_pairs(
+    media: DataFrame,
+    max_hamming: int = 10,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate image pairs: Hamming(dhash_a, dhash_b) ≤
+    ``max_hamming``, blocked on the top-16-bit prefix — the same
+    prefix-block + bit_count join shape as `dedup.simhash_near_pairs`,
+    applied to perceptual fingerprints instead of token fingerprints.
+    At corpus scale swap the single prefix block for 4 rotated 16-bit
+    bands (any pair within Hamming 3 shares ≥1 exact band — the
+    pigeonhole guarantee simhash docs describe)."""
+    fps = image_dhash(media, content_col, id_col).withColumn(
+        "block", F.shiftrightunsigned(F.col("dhash"), 48)
+    )
+    a = fps.select(F.col(id_col).alias("media_a"), F.col("dhash").alias("ha"), "block")
+    b = fps.select(F.col(id_col).alias("media_b"), F.col("dhash").alias("hb"), "block")
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )

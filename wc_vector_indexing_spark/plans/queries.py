@@ -3619,6 +3619,47 @@ ORDER BY doc_id
 """
 
 
+def image_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image dedup (operators/multimodal.image_dhash /
+    image_near_pairs): documents are rendered into deterministic PGM
+    gradient images — doc_ids sharing ``doc_id % 32`` get the same
+    gradient at different brightness/resolution, so they are TRUE
+    perceptual near-dups with different bytes. The dHash prefix-block
+    join must recover exactly those groups. Rows-only (binary render +
+    numpy decode aren't SQL-expressible); the hash itself is
+    golden-tested in test_multimodal.py."""
+    from wc_vector_indexing_spark.operators.multimodal import image_near_pairs
+
+    docs = load(spark, "documents", sf).select("doc_id").limit(128)
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                pat = int(doc_id) % 32
+                shift = (int(doc_id) // 32 % 3) * 20
+                # high-contrast 8×9 block pattern per pat; rendered at
+                # two resolutions whose nearest-neighbour 9×8 thumbs
+                # recover the SAME grid — true perceptual duplicates
+                # with different bytes
+                grid = np.random.RandomState(1000 + pat).randint(0, 2, (8, 9)) * 255
+                scale = 2 if int(doc_id) % 2 == 0 else 4
+                img = np.clip(
+                    np.kron(grid, np.ones((scale, scale), dtype=int)) + shift, 0, 255
+                ).astype(np.uint8)
+                h, w = img.shape
+                blobs.append(b"P5\n%d %d\n255\n" % (w, h) + img.tobytes())
+                ids.append(int(doc_id))
+                kinds.append("image")
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "content": blobs})
+
+    media = docs.mapInPandas(render, schema="media_id long, kind string, content binary")
+    return image_near_pairs(media, max_hamming=4).orderBy("media_a", "media_b")
+
+
 def mmr_rerank_op(spark: SparkSession, sf: str) -> DataFrame:
     """MMR diversified rerank (operators/retrieval.mmr_rerank): exact
     cosine top-50 candidate fetch (TakeOrderedAndProject) then the
@@ -3662,6 +3703,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "mmr_rerank_top10": QuerySpec(
         mmr_rerank_op, None, "MMR diversified rerank (greedy; rows-only)"
+    ),
+    "image_dedup_dhash": QuerySpec(
+        image_dedup_op, None, "perceptual dHash image near-dup pairs (rows-only)"
     ),
     "hard_negatives": QuerySpec(
         hard_negatives_op, HARD_NEGATIVES_SQL, "label-masked hard-negative mining"
