@@ -181,7 +181,8 @@ def test_driver_gate_category_coverage():
     # dedup family: ≥5 dedup_*-prefixed plus window_dedup; the cosine
     # pair variant (r4-validated) rotated below the cutoff in round 5
     assert sum(k.startswith("dedup") for k in gate) >= 5
-    assert {"s3_never_synced", "s4_modified_since", "j7_priority_union"} <= gs
+    assert {"s3_never_synced", "s4_modified_since"} <= gs  # j7 validated
+    # r1-r4, rotated below the cutoff in round 5
     assert {"textstats_quality", "lang_id_stopwords", "repetition_signals"} <= gs
     assert {"knn_exact_top10", "knn_join_top3"} <= gs
     assert {
@@ -204,7 +205,7 @@ def test_driver_gate_category_coverage():
         # round 5
         "hybrid_search_rrf", "event_pagerank", "semantic_decontamination",
         "hard_negatives", "token_fertility", "corpus_drift",
-        "embedding_outliers", "unicode_normalize",
+        "embedding_outliers", "unicode_normalize", "training_triplets",
     } <= gs
 
 

@@ -3619,6 +3619,62 @@ ORDER BY doc_id
 """
 
 
+def training_triplets_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive training-pair generation — the composition the
+    embedding-training story needs: POSITIVES are same-label near-dup
+    pairs (dedup.embedding_cosine_pairs, cosine ≥ 0.35 — off any float
+    boundary: nearest pair is >4e-4 away at both gate SFs), NEGATIVES
+    are each anchor's hardest different-label vector
+    (similarity.hard_negatives, k=1, probe batch = the bounded anchor
+    set). Output (anchor, positive, negative, pos_cos, neg_cos) is a
+    ready-to-train triplet table; dedup and retrieval machinery reused
+    unchanged."""
+    from wc_vector_indexing_spark.operators.dedup import embedding_cosine_pairs
+    from wc_vector_indexing_spark.operators.similarity import hard_negatives
+
+    emb = load(spark, "embeddings", sf)
+    pos = embedding_cosine_pairs(emb, threshold=0.35)
+    anchors = emb.join(
+        pos.select(F.col("id_a").alias("vec_id")).distinct(), "vec_id"
+    )
+    negs = hard_negatives(anchors, emb, k=1)
+    return (
+        pos.join(negs, pos["id_a"] == negs["query_id"])
+        .select(
+            F.col("id_a").alias("anchor"),
+            F.col("id_b").alias("positive"),
+            F.col("neighbor_id").alias("negative"),
+            F.col("cosine").alias("pos_cos"),
+            F.round("score", 4).alias("neg_cos"),
+        )
+        .orderBy("anchor", "positive")
+    )
+
+
+TRAINING_TRIPLETS_SQL = r"""
+WITH pos AS (
+    SELECT a.vec_id AS anchor, b.vec_id AS positive,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS pos_cos
+    FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+),
+neg AS (
+    SELECT q.vec_id AS anchor, e.vec_id AS negative,
+           list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS c,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                        e.vec_id
+           ) AS rn
+    FROM embeddings q JOIN embeddings e ON e.label <> q.label
+    WHERE q.vec_id IN (SELECT anchor FROM pos)
+)
+SELECT pos.anchor, pos.positive, neg.negative, pos.pos_cos, round(neg.c, 4) AS neg_cos
+FROM pos JOIN neg ON pos.anchor = neg.anchor AND neg.rn = 1
+ORDER BY pos.anchor, pos.positive
+"""
+
+
 def image_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual image dedup (operators/multimodal.image_dhash /
     image_near_pairs): documents are rendered into deterministic PGM
@@ -3686,7 +3742,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "q5_region_volume": QuerySpec(q5_region_volume, Q5_SQL, "star join through dims"),
     "s3_never_synced": QuerySpec(s3_never_synced, S3_SQL, "anti-join initial-sync scan"),
     "s4_modified_since": QuerySpec(s4_modified_since, S4_SQL, "staleness left-join scan"),
-    "j7_priority_union": QuerySpec(j7_priority_union, J7_SQL, "priority union dedupe"),
     # newest oracle-backed entries sit INSIDE the gated window (round-4
     # advisor rule: fresh operators get driver-gate visibility; the
     # long-stable j8/a1/k2 rows moved below the cutoff in exchange)
@@ -3721,6 +3776,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "unicode_normalize": QuerySpec(
         unicode_normalize_op, UNICODE_SQL, "NFC + zero-width/control hygiene pass"
+    ),
+    "training_triplets": QuerySpec(
+        training_triplets_op, TRAINING_TRIPLETS_SQL,
+        "contrastive (anchor, positive, hard-negative) triplets"
     ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
@@ -3818,6 +3877,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q21_waiting_suppliers": QuerySpec(r2.q21_waiting_suppliers, r2.Q21_SQL, "EXISTS/NOT-EXISTS self-join"),
     "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
     "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL, "gap sessionization"),
+    "j7_priority_union": QuerySpec(j7_priority_union, J7_SQL, "priority union dedupe"),
     "q7_nation_volume": QuerySpec(r2.q7_nation_volume, r2.Q7_SQL, "bilateral volume by year"),
     "q8_market_share": QuerySpec(r2.q8_market_share, r2.Q8_SQL, "conditional-sum market share"),
     "q9_product_profit": QuerySpec(r2.q9_product_profit, r2.Q9_SQL, "profit by nation/year"),
