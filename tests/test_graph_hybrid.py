@@ -164,3 +164,9 @@ def test_semantic_contamination_empty_eval_raises(spark):
     train = _emb(spark, [[1.0, 0.0]])
     with pytest.raises(ValueError):
         semantic_contamination(train, train.filter("vec_id < 0"), 0.5)
+
+
+def test_semantic_contamination_eval_bound(spark):
+    train = _emb(spark, [[1.0, 0.0]] * 3)
+    with pytest.raises(ValueError, match="max_eval_rows"):
+        semantic_contamination(train, train, 0.5, max_eval_rows=2)

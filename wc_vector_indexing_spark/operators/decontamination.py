@@ -164,6 +164,7 @@ def semantic_contamination(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_eval_rows: int = 65536,
 ) -> DataFrame:
     """(train_id, eval_id, max_cos): embedding-space contamination —
     the semantic complement of the n-gram filter above (paraphrased
@@ -185,9 +186,19 @@ def semantic_contamination(
 
     from wc_vector_indexing_spark.functions.partitioning import fan_out
 
-    rows = sorted(
-        evals.select(id_col, vec_col).collect(), key=lambda r: r[0]
-    )  # eval-side collect == broadcast-join build side; see docstring
+    # eval-side collect == broadcast-join build side; bounded and
+    # ENFORCED (same contract as knn_similarity_join's probe batch):
+    # an oversized eval set raises instead of silently OOMing the driver
+    rows = evals.select(id_col, vec_col).limit(max_eval_rows + 1).collect()
+    if len(rows) > max_eval_rows:
+        raise ValueError(
+            f"semantic_contamination eval set exceeds max_eval_rows="
+            f"{max_eval_rows}: the eval side broadcasts as a dense matrix "
+            "by design (benchmarks are small by construction). For "
+            "corpus-vs-corpus shapes use dedup.embedding_cosine_pairs / "
+            "lsh_cosine_pairs instead, or raise max_eval_rows explicitly."
+        )
+    rows = sorted(rows, key=lambda r: r[0])
     if not rows:
         raise ValueError("empty eval set")
     eval_ids = np.array([r[0] for r in rows], dtype=np.int64)
