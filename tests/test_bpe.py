@@ -77,3 +77,24 @@ def test_bpe_encode_col(spark):
     assert out[2] == []
     # frequent suffix 'est</w>' should have merged into one piece
     assert any(p.endswith("est" + END_WORD) or p == "est" + END_WORD for p in out[1])
+
+def test_tokenizer_eval_scorecard(spark):
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.bpe import tokenizer_eval
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="low low lower"), Row(doc_id=2, text="lowest low")]
+    )
+    # merges that rebuild 'low' fully: l+o, lo+w
+    merges = [("l", "o"), ("lo", "w")]
+    rows = {r.tokenizer: r for r in tokenizer_eval(docs, merges).collect()}
+    assert set(rows) == {"whitespace", "regex_bpeish", "trained_bpe"}
+    assert rows["whitespace"].n_tokens == 5
+    # every tokenizer sees the same bytes
+    assert len({r.n_bytes for r in rows.values()}) == 1
+    # segment_word appends the </w> marker: 'low'×3 → [low,</w>] (2 each);
+    # 'lower' → [low,e,r,</w>] (4); 'lowest' → [low,e,s,t,</w>] (5)
+    assert rows["trained_bpe"].n_tokens == 3 * 2 + 4 + 5
+    for r in rows.values():
+        assert r.bytes_per_token == round(r.n_bytes / r.n_tokens, 4)

@@ -147,3 +147,49 @@ def bpe_encode_col(merges: list[tuple[str, str]], text_col: str | Column) -> Col
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return enc(c)
+
+
+def tokenizer_eval(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per tokenizer — (tokenizer, n_tokens, n_bytes,
+    bytes_per_token): the compression scorecard that decides whether a
+    trained BPE earns its place (more bytes per token = fewer sequence
+    positions per document = cheaper training; the standard tokenizer-
+    comparison metric, cf. public tokenizer-fertility analyses).
+
+    Compares three rungs over the SAME corpus scan lineage:
+      * whitespace  — `textstats.token_count`
+      * regex BPE-ish — `textstats.bpe_ish_token_count` (untrained)
+      * trained BPE — `bpe_encode_col(merges)` (Arrow-batched)
+    Each rung is a per-row column + one scalar aggregate; the three
+    1-row aggregates union into the scorecard. No shuffle beyond the
+    map-side-combined scalar aggs."""
+    from wc_vector_indexing_spark.operators.textstats import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    nbytes = F.octet_length(text_col)
+    rungs = {
+        "whitespace": token_count(text_col),
+        "regex_bpeish": bpe_ish_token_count(text_col),
+        "trained_bpe": F.size(bpe_encode_col(merges, text_col)),
+    }
+    parts = []
+    for name, col in rungs.items():
+        parts.append(
+            docs.agg(
+                F.lit(name).alias("tokenizer"),
+                F.sum(col).alias("n_tokens"),
+                F.sum(nbytes).alias("n_bytes"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "bytes_per_token", F.round(F.col("n_bytes") / F.col("n_tokens"), 4)
+    )

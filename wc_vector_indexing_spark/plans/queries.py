@@ -3675,6 +3675,18 @@ ORDER BY pos.anchor, pos.positive
 """
 
 
+def tokenizer_eval_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer compression scorecard (operators/bpe.tokenizer_eval):
+    whitespace vs regex-BPE-ish vs the corpus-trained 40-merge BPE, as
+    bytes-per-token over the same scan. Rows-only (trained-BPE encode is
+    not SQL-expressible)."""
+    from wc_vector_indexing_spark.operators.bpe import tokenizer_eval, train_bpe
+
+    docs = load(spark, "documents", sf)
+    merges = train_bpe(docs, num_merges=40, min_pair_count=2)
+    return tokenizer_eval(docs, merges).orderBy("tokenizer")
+
+
 def image_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual image dedup (operators/multimodal.image_dhash /
     image_near_pairs): documents are rendered into deterministic PGM
@@ -3761,6 +3773,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "image_dedup_dhash": QuerySpec(
         image_dedup_op, None, "perceptual dHash image near-dup pairs (rows-only)"
+    ),
+    "tokenizer_eval": QuerySpec(
+        tokenizer_eval_op, None, "tokenizer bytes-per-token scorecard (rows-only)"
     ),
     "hard_negatives": QuerySpec(
         hard_negatives_op, HARD_NEGATIVES_SQL, "label-masked hard-negative mining"
