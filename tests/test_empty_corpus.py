@@ -75,3 +75,27 @@ def test_single_megadoc_skew_bound(spark):
     chunks = chunk_documents(docs, size=800, overlap=100)
     n = chunks.filter(chunks.doc_id == 1).count()
     assert n > 200  # ~250 chunks of ~3200 chars from ~1.04M chars
+
+
+def test_round5_operators_empty(empty, spark):
+    from wc_vector_indexing_spark.operators.graph import pagerank, transition_edges
+    from wc_vector_indexing_spark.operators.outliers import embedding_outliers
+    from wc_vector_indexing_spark.operators.profile import corpus_drift
+    from wc_vector_indexing_spark.operators.similarity import hard_negatives
+    from wc_vector_indexing_spark.operators.textstats import token_fertility
+    from wc_vector_indexing_spark.operators.unicode_clean import unicode_clean
+
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    edges = transition_edges(empty_events)
+    assert edges.count() == 0
+    assert pagerank(edges).count() == 0  # empty graph, no div-by-zero
+    assert token_fertility(empty).count() == 0
+    assert corpus_drift(empty).count() == 0
+    assert unicode_clean(empty).count() == 0
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert embedding_outliers(empty_emb).count() == 0
+    assert hard_negatives(empty_emb, empty_emb, k=3).count() == 0

@@ -93,6 +93,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # one O(1) scalar action; the (1-d)/N constant
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))  # empty graph → empty frame
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
