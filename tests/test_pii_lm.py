@@ -119,3 +119,26 @@ def test_scrub_idempotent_and_count_exact(spark):
     for r in joined.collect():
         assert r.scrubbed == r.scrubbed2
         assert r.n_pii == 0
+
+
+def test_ccnet_buckets_terciles(spark):
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.lm_score import ccnet_buckets
+
+    # 6 docs, one language: common-word docs score low NLL (head),
+    # rare-word docs high (tail)
+    rows = [
+        Row(doc_id=1, lang="en", text="the the the the"),
+        Row(doc_id=2, lang="en", text="the the the of"),
+        Row(doc_id=3, lang="en", text="the of of and"),
+        Row(doc_id=4, lang="en", text="of and and zz"),
+        Row(doc_id=5, lang="en", text="and zz qq ww"),
+        Row(doc_id=6, lang="en", text="zz qq ww yy"),
+    ]
+    out = {(r.lang, r.bucket): r for r in ccnet_buckets(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {("en", "head"), ("en", "middle"), ("en", "tail")}
+    assert sum(r.n_docs for r in out.values()) == 6
+    # tercile ordering: head strictly cheapest, tail strictly dearest
+    assert out[("en", "head")].mean_nll < out[("en", "middle")].mean_nll
+    assert out[("en", "middle")].mean_nll < out[("en", "tail")].mean_nll

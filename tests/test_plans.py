@@ -178,9 +178,10 @@ def test_driver_gate_category_coverage():
     # needed (they stay covered by tools/parity_check.py). TPC-H keeps a
     # 5-query core presence; q6-q22 were driver-validated in r1-r4.
     assert sum(k.startswith("q") for k in gate) >= 3       # TPC-H core
-    # dedup family: ≥5 dedup_*-prefixed plus window_dedup; the cosine
-    # pair variant (r4-validated) rotated below the cutoff in round 5
-    assert sum(k.startswith("dedup") for k in gate) >= 5
+    # dedup family: ≥4 dedup_*-prefixed plus window_dedup and the
+    # perceptual image pair entry; the cosine-pair and simhash variants
+    # (r4-validated) rotated below the cutoff in round 5
+    assert sum(k.startswith("dedup") for k in gate) >= 4
     assert {"s3_never_synced", "s4_modified_since"} <= gs  # j7 validated
     # r1-r4, rotated below the cutoff in round 5
     assert {"textstats_quality", "lang_id_stopwords", "repetition_signals"} <= gs
@@ -206,6 +207,7 @@ def test_driver_gate_category_coverage():
         "hybrid_search_rrf", "event_pagerank", "semantic_decontamination",
         "hard_negatives", "token_fertility", "corpus_drift",
         "embedding_outliers", "unicode_normalize", "training_triplets",
+        "ccnet_buckets",
     } <= gs
 
 

@@ -269,3 +269,45 @@ def ref_nll_cols(ref: UnigramRef, text_col: str | Column = "text") -> tuple[Colu
     per_tok = lambda t: -F.coalesce(F.element_at(lut, t), F.lit(ref.floor))  # noqa: E731
     sum_nll = F.aggregate(F.transform(toks, per_tok), F.lit(0.0), lambda a, x: a + x)
     return sum_nll, F.size(toks)
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    per-language head/middle/tail terciles of the unigram-LM negative
+    log-likelihood — head (lowest NLL) is the standard "keep" slice,
+    tail the discard candidate. Output (lang, bucket, n_docs, mean_nll).
+
+    Shape: the scoring join is `unigram_score`'s (model broadcasts
+    back, corpus never shuffles for it); the tercile thresholds are a
+    |langs|-row aggregate broadcast back over the scored frame; the
+    final count is map-side combinable on a 2-value key. Thresholds use
+    EXACT interpolated percentile so the DuckDB oracle (quantile_cont,
+    same (n-1)·p interpolation over identical 4dp-rounded scores)
+    reproduces bucket boundaries bit-for-bit; at 100 TB swap in
+    approx_percentile (t-digest) as documented for the other quantile
+    gates."""
+    scores = unigram_score(docs, text_col=text_col, id_col=id_col)
+    s = docs.select(id_col, lang_col).join(scores, id_col)
+    thr = s.groupBy(lang_col).agg(
+        F.expr("percentile(avg_neg_logp, 1.0D/3)").alias("t1"),
+        F.expr("percentile(avg_neg_logp, 2.0D/3)").alias("t2"),
+    )
+    nll = F.col("avg_neg_logp")
+    bucket = (
+        F.when(nll <= F.col("t1"), F.lit("head"))
+        .when(nll <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        s.join(F.broadcast(thr), lang_col)
+        .groupBy(lang_col, bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(nll), 4).alias("mean_nll"),
+        )
+    )

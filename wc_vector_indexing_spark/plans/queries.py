@@ -3675,6 +3675,50 @@ ORDER BY pos.anchor, pos.positive
 """
 
 
+def ccnet_buckets_op(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet perplexity terciles (operators/lm_score.ccnet_buckets):
+    per-language head/middle/tail split of unigram-LM NLL with exact
+    interpolated thresholds (oracle: quantile_cont on the same rounded
+    scores)."""
+    from wc_vector_indexing_spark.operators.lm_score import ccnet_buckets
+
+    return ccnet_buckets(load(spark, "documents", sf)).orderBy("lang", "bucket")
+
+
+CCNET_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+    FROM documents
+),
+model AS (
+    SELECT tok, ln(count(*) / (SELECT count(*)::DOUBLE FROM toks)) AS logp
+    FROM toks GROUP BY tok
+),
+sc AS (
+    SELECT t.doc_id, round(avg(-m.logp), 4) AS avg_neg_logp
+    FROM toks t JOIN model m USING (tok)
+    GROUP BY t.doc_id
+),
+s AS (SELECT d.lang, sc.avg_neg_logp FROM sc JOIN documents d USING (doc_id)),
+thr AS (
+    SELECT lang,
+           quantile_cont(avg_neg_logp, 1.0 / 3) AS t1,
+           quantile_cont(avg_neg_logp, 2.0 / 3) AS t2
+    FROM s GROUP BY lang
+)
+SELECT s.lang,
+       CASE WHEN avg_neg_logp <= t1 THEN 'head'
+            WHEN avg_neg_logp <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(avg_neg_logp), 4) AS mean_nll
+FROM s JOIN thr USING (lang)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def tokenizer_eval_op(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer compression scorecard (operators/bpe.tokenizer_eval):
     whitespace vs regex-BPE-ish vs the corpus-trained 40-merge BPE, as
@@ -3796,6 +3840,9 @@ REGISTRY: dict[str, QuerySpec] = {
         training_triplets_op, TRAINING_TRIPLETS_SQL,
         "contrastive (anchor, positive, hard-negative) triplets"
     ),
+    "ccnet_buckets": QuerySpec(
+        ccnet_buckets_op, CCNET_SQL, "CCNet perplexity head/middle/tail terciles"
+    ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
     ),
@@ -3830,7 +3877,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
-    "dedup_simhash": QuerySpec(dedup_simhash_op, SIMHASH_SQL, "simhash fingerprints"),
     "dedup_ngram_containment": QuerySpec(
         dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
     ),
@@ -3920,6 +3966,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
     "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
+    "dedup_simhash": QuerySpec(dedup_simhash_op, SIMHASH_SQL, "simhash fingerprints"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMB_COSINE_SQL, "cosine near-dup pairs"),
     "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
     "quality_quantile_filter": QuerySpec(
