@@ -205,3 +205,39 @@ def test_enriched_event_stream(spark, tmp_path):
     got = spark.sql("select * from enriched_mem").collect()
     assert len(got) == 6
     assert {(r.user_id, r.segment) for r in got} == {(1, "a"), (2, "b")}
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bin-bucketed interval join == naive theta-join for random
+    intervals, across bucket widths (incl. buckets much smaller and
+    much larger than the intervals)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from wc_vector_indexing_spark.operators.relational import interval_overlap_join
+
+    rng = random.Random(13)
+    t0 = datetime(2026, 2, 1)
+    ivals = []
+    for i in range(40):
+        s = t0 + timedelta(seconds=rng.randint(0, 50_000))
+        e = s + timedelta(seconds=rng.randint(0, 9_000))
+        ivals.append((i, s, e))
+    df = spark.createDataFrame(ivals, "iid long, start_ts timestamp, end_ts timestamp")
+
+    naive = {
+        (a[0], b[0]): (
+            min(a[2], b[2]) - max(a[1], b[1])
+        ) // timedelta(microseconds=1)
+        for a in ivals
+        for b in ivals
+        if a[0] != b[0] and a[1] < b[2] and b[1] < a[2]
+    }
+    for bucket in (600, 3600, 86_400):
+        got = {
+            (r.iid_l, r.iid_r): r.overlap_us
+            for r in interval_overlap_join(df, df, bucket_seconds=bucket)
+            .filter("iid_l <> iid_r")
+            .collect()
+        }
+        assert got == naive, f"bucket={bucket}"

@@ -188,3 +188,74 @@ def range_join_count(
         F.sum(F.when(in_range, 1).otherwise(0)).cast("long").alias(count_alias)
     )
     return counted
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "start_ts",
+    l_end: str = "end_ts",
+    r_start: str = "start_ts",
+    r_end: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join — every (left, right) pair whose
+    time spans intersect, with the overlap length appended
+    (``overlap_us``). The third member of the temporal-join family next
+    to `asof_join` (point→latest-point) and `range_join_count`
+    (point→window): both sides here are genuine intervals.
+
+    Scale shape: the naive theta-join (s_a < e_b AND s_b < e_a) plans
+    as a cross product. Instead BOTH sides explode to the
+    ``bucket_seconds``-wide time bins they cover and equi-join on the
+    bin — shuffle keyed by bin, planned like any equi-join — with the
+    exact overlap predicate as a residual. A pair sharing several bins
+    would duplicate, so each pair is emitted ONLY in the later of the
+    two start bins (the first bin where both intervals are present) —
+    in-row dedup, no distinct shuffle. Pick ``bucket_seconds`` near the
+    median interval length: row blow-up per interval is
+    ceil(len/bucket)+1, and a mega-interval's explosion is the skew to
+    cap (split such outliers or raise the bucket).
+
+    Output: all left columns (_l-suffixed on collision), all right
+    columns (_r-suffixed), plus ``overlap_us > 0``.
+    """
+    us = int(bucket_seconds) * 1_000_000
+
+    def binned(df: DataFrame, s: str, e: str, suffix: str) -> DataFrame:
+        s_us = F.unix_micros(F.col(s))
+        e_us = F.unix_micros(F.col(e))
+        out = df.select(
+            *[F.col(c).alias(c + suffix) for c in df.columns],
+            s_us.alias(f"_s{suffix}"),
+            e_us.alias(f"_e{suffix}"),
+        )
+        return out.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.col(f"_s{suffix}") - (F.col(f"_s{suffix}") % us),
+                    F.col(f"_e{suffix}") - (F.col(f"_e{suffix}") % us),
+                    F.lit(us),
+                )
+            ),
+        )
+    lb = binned(left, l_start, l_end, "_l")
+    rb = binned(right, r_start, r_end, "_r")
+    overlap = (F.col("_s_l") < F.col("_e_r")) & (F.col("_s_r") < F.col("_e_l"))
+    # emit only in the later start's bin — the first bin both cover
+    first_shared = F.col("_bin") == F.greatest(
+        F.col("_s_l") - (F.col("_s_l") % us), F.col("_s_r") - (F.col("_s_r") % us)
+    )
+    keep = [c for c in lb.columns if not c.startswith("_")] + [
+        c for c in rb.columns if not c.startswith("_")
+    ]
+    return (
+        lb.join(rb, "_bin")
+        .filter(overlap & first_shared)
+        .select(
+            *keep,
+            (F.least(F.col("_e_l"), F.col("_e_r"))
+             - F.greatest(F.col("_s_l"), F.col("_s_r"))).alias("overlap_us"),
+        )
+    )

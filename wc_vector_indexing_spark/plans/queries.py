@@ -3675,6 +3675,68 @@ ORDER BY pos.anchor, pos.positive
 """
 
 
+def overlapping_sessions_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval × interval overlap (operators/relational.
+    interval_overlap_join): gap-sessionize each user's stream, take
+    session [min ts, max ts] intervals, and find the 20 longest
+    cross-user session overlaps. The bin-bucketed equi-join shape —
+    both interval sides explode to covered hour bins, pairs emitted
+    only in the later start's bin (in-row dedup) — with the exact
+    overlap predicate residual; the oracle runs the naive theta-join."""
+    from wc_vector_indexing_spark.operators.relational import (
+        interval_overlap_join,
+        sessionize,
+    )
+
+    ev = load(spark, "events", sf)
+    sess = (
+        sessionize(ev, gap_seconds=1800, order_tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    pairs = interval_overlap_join(sess, sess, bucket_seconds=3600)
+    cross_user = pairs.filter(F.col("user_id_l") < F.col("user_id_r"))
+    return (
+        cross_user.select(
+            F.col("user_id_l").alias("user_a"),
+            F.col("session_id_l").alias("session_a"),
+            F.col("user_id_r").alias("user_b"),
+            F.col("session_id_r").alias("session_b"),
+            "overlap_us",
+        )
+        .orderBy(
+            F.desc("overlap_us"), "user_a", "session_a", "user_b", "session_b"
+        )
+        .limit(20)
+    )
+
+
+OVERLAP_SESSIONS_SQL = """
+WITH g AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), s AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+    FROM g
+), sess AS (
+    SELECT user_id, session_id,
+           min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+    FROM s GROUP BY user_id, session_id
+)
+SELECT a.user_id AS user_a, a.session_id AS session_a,
+       b.user_id AS user_b, b.session_id AS session_b,
+       (least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us))::BIGINT AS overlap_us
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.s_us < b.e_us AND b.s_us < a.e_us
+ORDER BY overlap_us DESC, user_a, session_a, user_b, session_b
+LIMIT 20
+"""
+
+
 def ccnet_buckets_op(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet perplexity terciles (operators/lm_score.ccnet_buckets):
     per-language head/middle/tail split of unigram-LM NLL with exact
@@ -3843,6 +3905,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "ccnet_buckets": QuerySpec(
         ccnet_buckets_op, CCNET_SQL, "CCNet perplexity head/middle/tail terciles"
     ),
+    "overlapping_sessions": QuerySpec(
+        overlapping_sessions_op, OVERLAP_SESSIONS_SQL,
+        "interval-overlap join over gap sessions"
+    ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
     ),
@@ -3883,7 +3949,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "window_dedup": QuerySpec(
         window_dedup_op, WINDOW_DEDUP_SQL, "exact-substring 8-token window screen"
     ),
-    "textstats_quality": QuerySpec(textstats_quality, QUALITY_SQL, "quality scoring"),
     "lang_id_stopwords": QuerySpec(lang_id_stopwords, _lang_sql(), "stopword lang-id"),
     "script_mix": QuerySpec(
         script_mix_op, SCRIPT_MIX_SQL, "unicode-script ratios + dominant script"
@@ -3966,6 +4031,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
     "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
+    "textstats_quality": QuerySpec(textstats_quality, QUALITY_SQL, "quality scoring"),
     "dedup_simhash": QuerySpec(dedup_simhash_op, SIMHASH_SQL, "simhash fingerprints"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMB_COSINE_SQL, "cosine near-dup pairs"),
     "quality_pass_rate": QuerySpec(quality_pass_rate, QUALITY_PASS_SQL, "per-lang quality gating"),
