@@ -56,3 +56,31 @@ def test_csv_roundtrip_with_header(spark, tmp_path):
 def test_unknown_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown format"):
         write_shards(_docs(spark, 5), str(tmp_path / "x"), fmt="avro")
+
+
+def test_shard_manifest_counts_and_sizes(spark, tmp_path):
+    from wc_vector_indexing_spark.operators.export import shard_manifest, write_shards
+
+    df = spark.range(100).selectExpr("id AS doc_id", "concat('t', id) AS text")
+    out = str(tmp_path / "shards")
+    write_shards(df, out, fmt="json", max_records_per_file=30, coalesce_to=1)
+    man = shard_manifest(spark, out, fmt="json").collect()
+    assert sum(r.n_rows for r in man) == 100
+    assert all(r.n_bytes > 0 for r in man)
+    assert len(man) >= 4  # 100 rows / 30 per file
+    assert all(r.file.endswith(".json") for r in man)
+
+
+def test_corpus_diff_statuses(spark):
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.export import corpus_diff
+
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text="a"), Row(doc_id=2, text="b"), Row(doc_id=3, text="c")]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=2, text="b"), Row(doc_id=3, text="C2"), Row(doc_id=4, text="d")]
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

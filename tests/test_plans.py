@@ -184,7 +184,7 @@ def test_driver_gate_category_coverage():
     assert sum(k.startswith("dedup") for k in gate) >= 4
     assert {"s3_never_synced", "s4_modified_since"} <= gs  # j7 validated
     # r1-r4, rotated below the cutoff in round 5
-    assert {"lang_id_stopwords", "repetition_signals"} <= gs  # textstats_quality
+    assert "repetition_signals" in gs  # textstats_quality/lang_id
     # validated r1-r4, rotated below the cutoff
     assert {"knn_exact_top10", "knn_join_top3"} <= gs
     assert {
@@ -208,7 +208,7 @@ def test_driver_gate_category_coverage():
         "hybrid_search_rrf", "event_pagerank", "semantic_decontamination",
         "hard_negatives", "token_fertility", "corpus_drift",
         "embedding_outliers", "unicode_normalize", "training_triplets",
-        "ccnet_buckets", "overlapping_sessions",
+        "ccnet_buckets", "overlapping_sessions", "corpus_diff",
     } <= gs
 
 

@@ -64,3 +64,75 @@ def read_shards(spark, path: str, fmt: str = "json", schema=None) -> DataFrame:
     if fmt == "csv":
         reader = reader.option("header", True)
     return reader.format(fmt).load(path)
+
+
+def shard_manifest(
+    spark,
+    path: str,
+    fmt: str = "json",
+) -> DataFrame:
+    """(file, n_rows, n_bytes): per-shard manifest for a corpus written
+    by `write_shards` — the reproducibility artifact a 100 TB pipeline
+    ships next to the data (what was written, how many rows per file,
+    which files exist). Row counts come from one distributed read
+    grouped by `input_file_name()`; byte sizes from the driver-side
+    listing (metadata only, no data read)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    reader = {"json": spark.read.json, "csv": lambda p: spark.read.option("header", True).csv(p),
+              "parquet": spark.read.parquet}[fmt]
+    # join on the shard BASENAME: input_file_name() returns a file: URI
+    # whose escaping differs from os.path, but part-file names are
+    # unique by construction (task UUIDs)
+    counts = (
+        reader(path)
+        .groupBy(
+            F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias("basename")
+        )
+        .agg(F.count("*").alias("n_rows"))
+    )
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")) or f.endswith(".crc"):
+                continue
+            full = os.path.join(root, f)
+            sizes.append((os.path.relpath(full, path), f, os.path.getsize(full)))
+    size_df = spark.createDataFrame(sizes, "file string, basename string, n_bytes long")
+    return (
+        counts.join(size_df, "basename")
+        .select("file", "n_rows", "n_bytes")
+        .orderBy("file")
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, status): version diff between two corpus snapshots —
+    status ∈ {added, removed, changed, unchanged} via a full outer join
+    on the id with a content-hash compare. The audit step before
+    promoting a new corpus version (how much churn did this crawl /
+    filter change introduce?) and the input to incremental re-embedding
+    (only `added`+`changed` need work — the same delta shape as the
+    reference's chunk-level diff, class-delta-sync.php).
+
+    One shuffle on the id; the hash is computed in the scan projection
+    (sha2 codegen), so the join carries 64-byte digests, not documents."""
+    from pyspark.sql import functions as F
+
+    o = old.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h_old"))
+    n = new.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("_h_new"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(id_col, status.alias("status"))

@@ -3675,6 +3675,50 @@ ORDER BY pos.anchor, pos.positive
 """
 
 
+def corpus_diff_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus version diff (operators/export.corpus_diff): two snapshots
+    derived deterministically from the documents table (doc_id%7==0
+    absent from old → added; %7==1 absent from new → removed; %7==2
+    text-mutated → changed), full-outer hash-compare join, per-status
+    counts."""
+    from wc_vector_indexing_spark.operators.export import corpus_diff
+
+    docs = load(spark, "documents", sf)
+    d = F.col("doc_id")
+    old = docs.filter(d % 7 != 0)
+    new = docs.filter(d % 7 != 1).withColumn(
+        "text",
+        F.when(d % 7 == 2, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return (
+        corpus_diff(old, new)
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+CORPUS_DIFF_SQL = """
+WITH old AS (
+    SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+    SELECT doc_id,
+           sha256(CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END) AS h
+    FROM documents WHERE doc_id % 7 <> 1
+), j AS (
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.h IS NULL THEN 'added'
+                WHEN new.h IS NULL THEN 'removed'
+                WHEN old.h = new.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+)
+SELECT status, count(*) AS n_docs FROM j GROUP BY status ORDER BY status
+"""
+
+
 def overlapping_sessions_op(spark: SparkSession, sf: str) -> DataFrame:
     """Interval × interval overlap (operators/relational.
     interval_overlap_join): gap-sessionize each user's stream, take
@@ -3909,6 +3953,9 @@ REGISTRY: dict[str, QuerySpec] = {
         overlapping_sessions_op, OVERLAP_SESSIONS_SQL,
         "interval-overlap join over gap sessions"
     ),
+    "corpus_diff": QuerySpec(
+        corpus_diff_op, CORPUS_DIFF_SQL, "snapshot version diff (added/removed/changed)"
+    ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
     ),
@@ -3949,7 +3996,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "window_dedup": QuerySpec(
         window_dedup_op, WINDOW_DEDUP_SQL, "exact-substring 8-token window screen"
     ),
-    "lang_id_stopwords": QuerySpec(lang_id_stopwords, _lang_sql(), "stopword lang-id"),
     "script_mix": QuerySpec(
         script_mix_op, SCRIPT_MIX_SQL, "unicode-script ratios + dominant script"
     ),
@@ -4031,6 +4077,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
     "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
+    "lang_id_stopwords": QuerySpec(lang_id_stopwords, _lang_sql(), "stopword lang-id"),
     "textstats_quality": QuerySpec(textstats_quality, QUALITY_SQL, "quality scoring"),
     "dedup_simhash": QuerySpec(dedup_simhash_op, SIMHASH_SQL, "simhash fingerprints"),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMB_COSINE_SQL, "cosine near-dup pairs"),
