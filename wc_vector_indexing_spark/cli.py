@@ -296,6 +296,31 @@ def cmd_drift(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Diff two corpus snapshots (parquet dirs with doc_id + text):
+    prints per-status counts and optionally writes the per-doc status
+    table for incremental re-processing."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.export import corpus_diff
+    from wc_vector_indexing_spark.session import get_spark
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    diff = corpus_diff(
+        spark.read.parquet(args.old), spark.read.parquet(args.new)
+    )
+    if args.out:
+        diff.write.mode("overwrite").parquet(args.out)
+        diff = spark.read.parquet(args.out)  # count what was written
+    counts = {
+        r.status: r.n
+        for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps(counts, sort_keys=True))
+    return 0
+
+
 def cmd_mix(args: argparse.Namespace) -> int:
     """Reweight a documents table to a target source mixture; writes the
     mixed corpus and prints the before/after report as JSON."""
@@ -410,6 +435,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="repair text in place first: mojibake -> NFC -> zero-width/control strip",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    df_ = sub.add_parser("diff", help="diff two corpus snapshots (parquet dirs)")
+    df_.add_argument("--old", required=True)
+    df_.add_argument("--new", required=True)
+    df_.add_argument("--out", default="", help="optional per-doc status parquet output")
+    df_.set_defaults(fn=cmd_diff)
 
     dr = sub.add_parser("drift", help="per-slice cross-entropy drift report")
     dr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
