@@ -188,8 +188,9 @@ def test_driver_gate_category_coverage():
     # validated r1-r4, rotated below the cutoff
     assert {"knn_exact_top10", "knn_join_top3"} <= gs
     assert {
-        "decontamination", "pii_scrub", "data_profile", "importance_weights",
-    } <= gs
+        "pii_scrub", "data_profile", "importance_weights",
+    } <= gs  # n-gram decontamination validated r1-r4, rotated below; its
+    # semantic sibling stays gated via the newest-entry set
     assert "t9_windowed_events" in gs  # temporal (sessionize/asof/range
     # all driver-validated r1-r4, rotated below the cutoff)
     # the newest oracle-backed queries must be gate-visible, not only
@@ -209,6 +210,7 @@ def test_driver_gate_category_coverage():
         "hard_negatives", "token_fertility", "corpus_drift",
         "embedding_outliers", "unicode_normalize", "training_triplets",
         "ccnet_buckets", "overlapping_sessions", "corpus_diff",
+        "funnel_stages",
     } <= gs
 
 

@@ -241,3 +241,32 @@ def test_interval_overlap_join_matches_naive(spark):
             .collect()
         }
         assert got == naive, f"bucket={bucket}"
+
+
+def test_funnel_stages_ordered_subsequence(spark):
+    """Stage requires IN-ORDER completion: click before view must not
+    advance past stage 1."""
+    from datetime import datetime, timedelta
+
+    from wc_vector_indexing_spark.operators.relational import funnel_stages
+
+    t0 = datetime(2026, 3, 1)
+    rows = []
+
+    def sess(user, types, base_min):
+        for i, et in enumerate(types):
+            rows.append((len(rows), t0 + timedelta(minutes=base_min, seconds=i), user, et))
+
+    sess(1, ["view", "click", "purchase"], 0)        # stage 3
+    sess(2, ["click", "view", "click"], 0)           # stage 2 (view then later click)
+    sess(3, ["purchase", "click", "view"], 0)        # stage 1 (view only, wrong order)
+    sess(4, ["signup", "error"], 0)                  # stage 0
+    sess(1, ["view"], 120)                           # 2nd session user 1: stage 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r.stage: (r.step, r.n_sessions) for r in funnel_stages(ev).collect()}
+    assert got == {
+        0: ("(none)", 1),
+        1: ("view", 2),
+        2: ("click", 1),
+        3: ("purchase", 1),
+    }

@@ -259,3 +259,56 @@ def interval_overlap_join(
              - F.greatest(F.col("_s_l"), F.col("_s_r"))).alias("overlap_us"),
         )
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """Session funnel analysis — per gap-session, the deepest ``steps``
+    prefix completed IN ORDER (ordered-subsequence match: a 'click'
+    counts only after a 'view', etc.), then sessions counted per stage.
+    Output (stage, step — the step name reached, '(none)' for stage 0,
+    n_sessions).
+
+    The MATCH_RECOGNIZE-ish pattern without a row-pattern engine: one
+    session window (shared with `sessionize`), one per-session
+    collect_list sorted in-row, then the subsequence scan is pure
+    Catalyst array arithmetic (array_position + slice per step — zero
+    Python, zero extra shuffle). Per-session lists are session-sized —
+    bounded by the gap, not the corpus."""
+    s = sessionize(events, key_col, ts_col, gap_seconds, order_tiebreak)
+    order_struct = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    ) + [F.col(type_col)]
+    per = s.groupBy(key_col, "session_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(*order_struct))),
+            lambda x: x[type_col],
+        ).alias("_types")
+    )
+    # fold the ordered-subsequence scan: track the remaining list slice
+    # and the stage counter as columns
+    rest = F.col("_types")
+    stage = F.lit(0)
+    for step in steps:
+        pos = F.array_position(rest, step)
+        advance = (pos > 0) & (stage == F.lit(steps.index(step)))
+        stage = F.when(advance, stage + 1).otherwise(stage)
+        rest = F.when(
+            advance, F.slice(rest, pos + 1, F.greatest(F.size(rest) - pos, F.lit(0)))
+        ).otherwise(rest)
+    labeled = per.select(stage.alias("stage"))
+    names = ["(none)"] + list(steps)
+    name_col = F.element_at(F.array(*[F.lit(n) for n in names]), F.col("stage") + 1)
+    return (
+        labeled.groupBy("stage")
+        .agg(F.count("*").alias("n_sessions"))
+        .select("stage", name_col.alias("step"), "n_sessions")
+        .orderBy("stage")
+    )

@@ -3675,6 +3675,59 @@ ORDER BY pos.anchor, pos.positive
 """
 
 
+def funnel_stages_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Session funnel (operators/relational.funnel_stages): deepest
+    view→click→purchase prefix completed in order per gap-session —
+    the MATCH_RECOGNIZE shape as pure Catalyst array arithmetic (one
+    session window + one per-session collect; the subsequence scan is
+    array_position/slice codegen)."""
+    from wc_vector_indexing_spark.operators.relational import funnel_stages
+
+    return funnel_stages(load(spark, "events", sf))
+
+
+FUNNEL_SQL = """
+WITH g AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), s AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM g
+), lst AS (
+    SELECT user_id, session_id,
+           list(event_type ORDER BY ts, event_id) AS types
+    FROM s GROUP BY user_id, session_id
+), scan AS (
+    SELECT types,
+           list_position(types, 'view') AS i1,
+           CASE WHEN list_position(types, 'view') > 0
+                THEN types[list_position(types, 'view') + 1:] END AS r1
+    FROM lst
+), scan2 AS (
+    SELECT i1, r1, coalesce(list_position(r1, 'click'), 0) AS i2 FROM scan
+), scan3 AS (
+    SELECT i1, i2,
+           CASE WHEN i2 > 0 THEN coalesce(list_position(r1[i2 + 1:], 'purchase'), 0)
+                ELSE 0 END AS i3
+    FROM scan2
+), st AS (
+    SELECT CASE WHEN i1 = 0 THEN 0
+                WHEN i2 = 0 THEN 1
+                WHEN i3 = 0 THEN 2
+                ELSE 3 END AS stage
+    FROM scan3
+)
+SELECT stage,
+       (['(none)', 'view', 'click', 'purchase'])[stage + 1] AS step,
+       count(*) AS n_sessions
+FROM st GROUP BY stage ORDER BY stage
+"""
+
+
 def corpus_diff_op(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus version diff (operators/export.corpus_diff): two snapshots
     derived deterministically from the documents table (doc_id%7==0
@@ -3956,6 +4009,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "corpus_diff": QuerySpec(
         corpus_diff_op, CORPUS_DIFF_SQL, "snapshot version diff (added/removed/changed)"
     ),
+    "funnel_stages": QuerySpec(
+        funnel_stages_op, FUNNEL_SQL, "session funnel: ordered-subsequence stages"
+    ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
     ),
@@ -4016,9 +4072,6 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "knn_exact_top10": QuerySpec(knn_exact_top10, KNN_SQL, "exact cosine kNN"),
     "knn_join_top3": QuerySpec(knn_join_top3, KNN_JOIN_SQL, "all-pairs kNN join"),
-    "decontamination": QuerySpec(
-        decontamination_op, CONTAM_SQL, "eval-set n-gram decontamination"
-    ),
     "pii_scrub": QuerySpec(pii_scrub_op, _pii_sql(), "PII detect + redact"),
     "stratified_sample_counts": QuerySpec(
         stratified_sample_counts, STRATIFIED_SQL, "per-source hash downsampling"
@@ -4077,6 +4130,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
     "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
+    "decontamination": QuerySpec(
+        decontamination_op, CONTAM_SQL, "eval-set n-gram decontamination"
+    ),
     "lang_id_stopwords": QuerySpec(lang_id_stopwords, _lang_sql(), "stopword lang-id"),
     "textstats_quality": QuerySpec(textstats_quality, QUALITY_SQL, "quality scoring"),
     "dedup_simhash": QuerySpec(dedup_simhash_op, SIMHASH_SQL, "simhash fingerprints"),
