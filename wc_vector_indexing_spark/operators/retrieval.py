@@ -74,10 +74,22 @@ def bm25_search(
     if not terms:
         raise ValueError("query has no indexable terms")
     idx = index if index is not None else bm25_index(docs, text_col, id_col)
-    stats = idx.groupBy(id_col).agg(F.first("dl").alias("_dl")).agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("_dl").alias("avgdl"),
-    )
+    if index is None:
+        # N/avgdl straight off the doc scan: dl == the doc's token count,
+        # so a codegen size(tokens) aggregate gives the same numbers as
+        # re-deriving them from the index — without re-running the
+        # (doc, tok) explode-aggregate a second time (the lazy idx
+        # lineage would otherwise tokenize the corpus twice per query)
+        ntok = F.size(_tokens(text_col))
+        stats = docs.select(ntok.alias("_dl")).filter(F.col("_dl") > 0).agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("_dl").alias("avgdl"),
+        )
+    else:
+        stats = idx.groupBy(id_col).agg(F.first("dl").alias("_dl")).agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("_dl").alias("avgdl"),
+        )
     hits = idx.filter(F.col("tok").isin(terms))
     df_tbl = hits.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log(
