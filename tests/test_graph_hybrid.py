@@ -170,3 +170,23 @@ def test_semantic_contamination_eval_bound(spark):
     train = _emb(spark, [[1.0, 0.0]] * 3)
     with pytest.raises(ValueError, match="max_eval_rows"):
         semantic_contamination(train, train, 0.5, max_eval_rows=2)
+
+
+def test_pagerank_conserves_mass_without_dangling_nodes(spark):
+    """With every node having out-edges, total rank is exactly the
+    stationary total: Σ rank = 1 at every iteration count."""
+    import itertools
+
+    # strongly-connected random-ish weighted digraph, no dangling nodes
+    nodes = list("abcdef")
+    edges = [
+        (a, b, float(1 + (i * 7 + j * 3) % 5))
+        for i, a in enumerate(nodes)
+        for j, b in enumerate(nodes)
+        if a != b and (i + j) % 2 == 0
+    ]
+    assert {a for a, _, _ in edges} == set(nodes)
+    e = spark.createDataFrame(edges, "src string, dst string, weight double")
+    for iters in (1, 3, 7):
+        total = sum(r.rank for r in pagerank(e, iterations=iters).collect())
+        assert total == pytest.approx(1.0, abs=1e-4)

@@ -296,6 +296,21 @@ def cmd_drift(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print the formatted physical plan of a catalog query — the same
+    plan the audit tool records in PLANS.md, for one query on demand."""
+    from wc_vector_indexing_spark.plans.queries import REGISTRY
+    from wc_vector_indexing_spark.session import get_spark
+
+    if args.query not in REGISTRY:
+        print(f"unknown query {args.query!r}; known: {', '.join(REGISTRY)}")
+        return 2
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    REGISTRY[args.query].fn(spark, args.sf_dir).explain("formatted")
+    return 0
+
+
 def cmd_diff(args: argparse.Namespace) -> int:
     """Diff two corpus snapshots (parquet dirs with doc_id + text):
     prints per-status counts and optionally writes the per-doc status
@@ -435,6 +450,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="repair text in place first: mojibake -> NFC -> zero-width/control strip",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    ex = sub.add_parser("explain", help="print a catalog query's physical plan")
+    ex.add_argument("query")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.set_defaults(fn=cmd_explain)
 
     df_ = sub.add_parser("diff", help="diff two corpus snapshots (parquet dirs)")
     df_.add_argument("--old", required=True)
