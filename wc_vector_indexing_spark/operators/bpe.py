@@ -193,3 +193,28 @@ def tokenizer_eval(
     return out.withColumn(
         "bytes_per_token", F.round(F.col("n_bytes") / F.col("n_tokens"), 4)
     )
+
+
+def train_or_load_bpe(
+    docs: DataFrame,
+    path: str,
+    num_merges: int = 200,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+    max_words: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Load the persisted merge list if ``path`` exists, else train and
+    persist — tokenizer training is an amortized one-time build like the
+    IVF quantizer (ivf.IVFIndex.train_or_load), not a per-query cost."""
+    import json
+    import os
+
+    if os.path.exists(path):
+        with open(path) as fh:
+            return [tuple(m) for m in json.load(fh)]
+    merges = train_bpe(docs, num_merges, min_pair_count, text_col, max_words)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump([list(m) for m in merges], fh)
+    os.replace(tmp, path)
+    return merges

