@@ -270,3 +270,58 @@ def test_funnel_stages_ordered_subsequence(spark):
         2: ("click", 1),
         3: ("purchase", 1),
     }
+
+
+def test_funnel_stages_matches_bruteforce_on_random_streams(spark):
+    """Differential test: Catalyst subsequence scan == a python
+    reference over random event streams."""
+    import random
+    from datetime import datetime, timedelta
+
+    from wc_vector_indexing_spark.operators.relational import funnel_stages
+
+    rng = random.Random(99)
+    types = ["view", "click", "purchase", "signup", "error"]
+    t0 = datetime(2026, 4, 1)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            (
+                eid,
+                t0 + timedelta(seconds=rng.randint(0, 20_000)),
+                rng.randint(1, 12),
+                rng.choice(types),
+            )
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+    # python reference: same gap sessionization + ordered-subsequence scan
+    per_user: dict = {}
+    for eid, ts, uid, et in rows:
+        per_user.setdefault(uid, []).append((ts, eid, et))
+    sessions = []
+    for uid, evs in per_user.items():
+        evs.sort()
+        cur = []
+        for i, (ts, eid, et) in enumerate(evs):
+            if cur and (ts - cur[-1][0]).total_seconds() > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append((ts, eid, et))
+        sessions.append(cur)
+    want: dict = {}
+    for sess_events in sessions:
+        seq = [et for _, _, et in sess_events]
+        stage, pos = 0, 0
+        for step in ("view", "click", "purchase"):
+            try:
+                pos = seq.index(step, pos) + 1
+                stage += 1
+            except ValueError:
+                break
+        want[stage] = want.get(stage, 0) + 1
+
+    got = {r.stage: r.n_sessions for r in funnel_stages(ev).collect()}
+    assert got == want
