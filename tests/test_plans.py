@@ -186,7 +186,8 @@ def test_driver_gate_category_coverage():
     # r1-r4, rotated below the cutoff in round 5
     assert "repetition_signals" in gs  # textstats_quality/lang_id
     # validated r1-r4, rotated below the cutoff
-    assert {"knn_exact_top10", "knn_join_top3"} <= gs
+    assert "knn_join_top3" in gs  # knn_exact validated r1-r4, rotated
+    # below; matryoshka_recall adds fresh kNN-family gate coverage
     assert {
         "pii_scrub", "data_profile", "importance_weights",
     } <= gs  # n-gram decontamination validated r1-r4, rotated below; its
@@ -210,7 +211,7 @@ def test_driver_gate_category_coverage():
         "hard_negatives", "token_fertility", "corpus_drift",
         "embedding_outliers", "unicode_normalize", "training_triplets",
         "ccnet_buckets", "overlapping_sessions", "corpus_diff",
-        "funnel_stages",
+        "funnel_stages", "matryoshka_recall",
     } <= gs
 
 

@@ -3698,6 +3698,85 @@ ORDER BY pos.anchor, pos.positive
 """
 
 
+def matryoshka_recall_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated-dimension retrieval eval (Matryoshka-style, Kusupati
+    et al. 2022, public): recall@10 of cosine kNN using only the first
+    d components vs the full-dim ground truth, for d ∈ {8, 16, 32, 64}
+    over 20 query vectors — the measurement that decides how far an
+    embedding column can be truncated (4-8× scan savings) before
+    retrieval quality pays. Pure Catalyst (slice + cosine fold + rank
+    windows; the 20×N brute force is the oracle-matched eval shape —
+    production search runs the gemm/IVF paths). d=64 is the sanity row
+    (recall 1.0 by construction)."""
+    from wc_vector_indexing_spark.functions.vectors import cosine
+
+    emb = load(spark, "embeddings", sf)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    dims = F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("dim")
+    scored = (
+        q.crossJoin(emb)
+        .select("qid", "vec_id", dims, "q_emb", "embedding")
+        .withColumn(
+            "score",
+            cosine(
+                F.slice("q_emb", 1, F.col("dim")),
+                F.slice("embedding", 1, F.col("dim")),
+            ),
+        )
+    )
+    w = Window.partitionBy("dim", "qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("dim", "qid", "vec_id")
+    )
+    truth = topk.filter(F.col("dim") == 64).select(
+        F.col("qid").alias("t_qid"), F.col("vec_id").alias("t_id")
+    )
+    hits = (
+        topk.join(
+            truth,
+            (F.col("qid") == F.col("t_qid")) & (F.col("vec_id") == F.col("t_id")),
+        )
+        .groupBy("dim", "qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        hits.groupBy("dim")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(F.avg(F.col("n_hit") / 10.0), 4).alias("mean_recall"),
+        )
+        .orderBy("dim")
+    )
+
+
+MATRYOSHKA_SQL = r"""
+WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+scored AS (
+    SELECT q.qid, e.vec_id, d.dim,
+           list_cosine_similarity(q.q_emb[1:d.dim]::DOUBLE[], e.embedding[1:d.dim]::DOUBLE[]) AS score
+    FROM q CROSS JOIN embeddings e CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS dim) d
+),
+topk AS (
+    SELECT dim, qid, vec_id FROM (
+        SELECT dim, qid, vec_id,
+               row_number() OVER (PARTITION BY dim, qid ORDER BY score DESC, vec_id) AS rnk
+        FROM scored) WHERE rnk <= 10
+),
+truth AS (SELECT qid, vec_id AS t_id FROM topk WHERE dim = 64),
+hits AS (
+    SELECT t.dim, t.qid, count(*) AS n_hit
+    FROM topk t JOIN truth ON t.qid = truth.qid AND t.vec_id = truth.t_id
+    GROUP BY t.dim, t.qid
+)
+SELECT dim, count(*) AS n_queries, round(avg(n_hit / 10.0), 4) AS mean_recall
+FROM hits GROUP BY dim ORDER BY dim
+"""
+
+
 def funnel_stages_op(spark: SparkSession, sf: str) -> DataFrame:
     """Session funnel (operators/relational.funnel_stages): deepest
     view→click→purchase prefix completed in order per gap-session —
@@ -4038,6 +4117,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "funnel_stages": QuerySpec(
         funnel_stages_op, FUNNEL_SQL, "session funnel: ordered-subsequence stages"
     ),
+    "matryoshka_recall": QuerySpec(
+        matryoshka_recall_op, MATRYOSHKA_SQL, "truncated-dim retrieval recall eval"
+    ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
     ),
@@ -4096,7 +4178,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "importance_resample": QuerySpec(
         importance_resample_op, IMPORTANCE_RESAMPLE_SQL, "Gumbel top-k importance resampling"
     ),
-    "knn_exact_top10": QuerySpec(knn_exact_top10, KNN_SQL, "exact cosine kNN"),
     "knn_join_top3": QuerySpec(knn_join_top3, KNN_JOIN_SQL, "all-pairs kNN join"),
     "pii_scrub": QuerySpec(pii_scrub_op, _pii_sql(), "PII detect + redact"),
     "stratified_sample_counts": QuerySpec(
@@ -4156,6 +4237,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
     "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
+    "knn_exact_top10": QuerySpec(knn_exact_top10, KNN_SQL, "exact cosine kNN"),
     "decontamination": QuerySpec(
         decontamination_op, CONTAM_SQL, "eval-set n-gram decontamination"
     ),
