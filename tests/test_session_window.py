@@ -325,3 +325,65 @@ def test_funnel_stages_matches_bruteforce_on_random_streams(spark):
 
     got = {r.stage: r.n_sessions for r in funnel_stages(ev).collect()}
     assert got == want
+
+
+def test_funnel_stage_stream_append_mode(spark, tmp_path):
+    """Streaming funnel: stage labels emitted per closed session in
+    append mode, matching the batch call on the same rows."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import types as T
+
+    from wc_vector_indexing_spark.streaming.incremental import funnel_stage_stream
+
+    t0 = datetime(2026, 5, 1, 9, 0, 0)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+        ]
+    )
+    rows = [
+        (1, t0, 1, "view"),
+        (2, t0 + timedelta(seconds=10), 1, "click"),
+        (3, t0 + timedelta(seconds=20), 1, "purchase"),
+        (4, t0, 2, "click"),
+        (5, t0 + timedelta(seconds=5), 2, "view"),
+        # far-future event per key advances the watermark so the
+        # sessions above finalize
+        (6, t0 + timedelta(hours=5), 1, "error"),
+        (7, t0 + timedelta(hours=5), 2, "error"),
+    ]
+    docs_dir = str(tmp_path / "ev")
+    spark.createDataFrame(rows[:5], schema).write.parquet(docs_dir + "/f1")
+    spark.createDataFrame(rows[5:], schema).write.parquet(docs_dir + "/f2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+    )
+    q = (
+        funnel_stage_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r.user_id, r.stage, r.step)
+        for r in spark.sql("SELECT * FROM funnel_out").collect()
+    }
+    assert (1, 3, "purchase") in got
+    assert (2, 1, "view") in got  # click-before-view stays stage 1
+
+    # batch twin: identical call on a static frame
+    batch = funnel_stage_stream(spark.createDataFrame(rows, schema))
+    b = {(r.user_id, r.stage, r.step) for r in batch.collect()}
+    assert {(1, 3, "purchase"), (2, 1, "view")} <= b

@@ -354,3 +354,53 @@ def drift_monitor_stream(
         F.sum("_ntok").alias("n_tokens"),
         F.round(F.sum("_nll") / F.sum("_ntok"), 4).alias("cross_entropy_nats"),
     )
+
+
+def funnel_stage_stream(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of operators.relational.funnel_stages: per
+    session_window gap-session, the deepest ``steps`` prefix completed
+    in order. One watermark-evicted session aggregate collecting the
+    (ts, event_type) list in-state; the ordered-subsequence scan is the
+    same pure array arithmetic, applied to the finalized list — so
+    stage labels stream out in append mode as sessions close. State is
+    one open event list per active key, bounded by the gap.
+
+    Emits (session_start, session_end, key, stage, step) per session;
+    aggregate downstream for the funnel report (counts need a second
+    aggregation level, which batch has and append-mode streams hand to
+    the sink side)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark_delay)
+    per = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), key_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ).alias("_types")
+        )
+    )
+    rest = F.col("_types")
+    stage = F.lit(0)
+    for i, step in enumerate(steps):
+        pos = F.array_position(rest, step)
+        advance = (pos > 0) & (stage == F.lit(i))
+        stage = F.when(advance, stage + 1).otherwise(stage)
+        rest = F.when(
+            advance, F.slice(rest, pos + 1, F.greatest(F.size(rest) - pos, F.lit(0)))
+        ).otherwise(rest)
+    names = ["(none)"] + list(steps)
+    name_col = F.element_at(F.array(*[F.lit(n) for n in names]), stage + 1)
+    return per.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        key_col,
+        stage.alias("stage"),
+        name_col.alias("step"),
+    )
