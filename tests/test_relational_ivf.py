@@ -133,3 +133,48 @@ def test_salted_join_matches_plain(spark):
     plain = {(r.k, r.v, r.w) for r in left.join(right, "k").collect()}
     salted = {(r.k, r.v, r.w) for r in salted_join(left, right, on="k", salt=8).collect()}
     assert salted == plain
+
+
+def test_ivf_search_batch_matches_per_query(spark):
+    """Batched IVF == the per-query search for every query and nprobe,
+    and degenerates to exact kNN at full probe."""
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.ivf import IVFIndex, search_batch
+    from wc_vector_indexing_spark.operators.similarity import knn_similarity_join
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    ivf = IVFIndex.train(emb, nlist=4)
+    indexed = ivf.assign(emb)
+    queries = [(i, [float(x) for x in vecs[i]]) for i in range(5)]
+
+    for nprobe in (1, 2, 4):
+        batched = {}
+        for r in search_batch(ivf, indexed, queries, k=5, nprobe=nprobe).collect():
+            batched.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+        for qid, qv in queries:
+            single = [
+                (i + 1, r.vec_id)
+                for i, r in enumerate(
+                    ivf.search(indexed, qv, k=5, nprobe=nprobe).collect()
+                )
+            ]
+            assert sorted(batched[qid]) == single, (nprobe, qid)
+
+    # full probe == exact kNN join
+    full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in search_batch(ivf, indexed, queries, k=5, nprobe=4).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_similarity_join(
+            emb.filter("vec_id < 5"), emb, k=5
+        ).collect()
+    }
+    assert full == exact

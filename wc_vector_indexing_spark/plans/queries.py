@@ -2224,6 +2224,45 @@ def ivf_search_op(spark: SparkSession, sf: str) -> DataFrame:
     return res.select("vec_id", F.round(F.col("score"), 4).alias("score"))
 
 
+def ivf_recall_curve_op(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVF recall/efficiency frontier — recall@10 vs the exact scan
+    for nprobe ∈ {1, 2, 4, 8} over 10 query vectors, using the same
+    persisted quantizer + list_id-partitioned index as the search path.
+    nprobe=8 probes every list (nlist=8) so its row pins recall 1.0; the
+    curve below it is the knob a deployment actually tunes (fraction of
+    index files read vs recall). Rows-only: iterative per-query probing
+    isn't SQL-expressible; the companion `matryoshka_recall` covers the
+    oracle-checked eval shape."""
+    import os
+
+    from wc_vector_indexing_spark.operators.ivf import IVFIndex
+    from wc_vector_indexing_spark.operators.ivf import search_batch as ivf_search_batch
+    from wc_vector_indexing_spark.operators.similarity import knn_similarity_join
+
+    emb = load(spark, "embeddings", sf)
+    ivf = IVFIndex.train_or_load(emb, _ivf_artifact_path(sf), nlist=8)
+    table = _ivf_table_path(sf)
+    indexed = spark.read.parquet(table) if os.path.isdir(table) else ivf.assign(emb)
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 10).collect()
+    ]
+    qdf = emb.filter(F.col("vec_id") < 10)
+    truth: dict[int, set] = {}
+    for r in knn_similarity_join(qdf, emb, k=10).collect():  # ONE exact job
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        got: dict[int, set] = {}
+        # one batched job per nprobe (ivf.search_batch) instead of a
+        # pruned scan per (query, nprobe)
+        for r in ivf_search_batch(ivf, indexed, queries, k=10, nprobe=nprobe).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hit = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        rows.append((nprobe, len(queries), round(hit / (10.0 * len(queries)), 4)))
+    return spark.createDataFrame(rows, "nprobe int, n_queries int, mean_recall double")
+
+
 def _sigstore_path(sf: str) -> str:
     import hashlib
     import os
@@ -4084,6 +4123,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "tokenizer_eval": QuerySpec(
         tokenizer_eval_op, None, "tokenizer bytes-per-token scorecard (rows-only)"
+    ),
+    "ivf_recall_curve": QuerySpec(
+        ivf_recall_curve_op, None, "IVF nprobe recall frontier (rows-only)"
     ),
     "hard_negatives": QuerySpec(
         hard_negatives_op, HARD_NEGATIVES_SQL, "label-masked hard-negative mining"
