@@ -347,3 +347,18 @@ def test_token_fertility_is_single_agg(spark):
     (schema,) = read_schemas(plan)
     cols = {c.split(":")[0] for c in schema.split(",")}
     assert cols == {"lang", "text"}  # only the referenced columns read
+
+
+def test_funnel_is_pure_catalyst(spark):
+    """The subsequence scan must stay array codegen — no Python stage —
+    and shuffle only for the session window + final tiny agg."""
+    plan = plan_of(spark, "funnel_stages")
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_matryoshka_truth_join_no_python(spark):
+    plan = plan_of(spark, "matryoshka_recall")
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+    # rank windows keyed by (dim, qid)
+    assert "Window" in plan
