@@ -39,6 +39,16 @@ from wc_vector_indexing_spark.session import get_spark  # noqa: E402
 UNIFORM = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SKEWED = "/tmp/wcvi_skew_sf0.1"
 
+TEMPORAL_QUERIES = [
+    "sessionize_events",
+    "session_window_events",
+    "t9_windowed_events",
+    "funnel_stages",
+    "event_pagerank",
+    "asof_click_attribution",
+    "range_join_clicks",
+]
+
 DEDUP_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -68,10 +78,21 @@ def generate(spark) -> None:
     if os.path.exists(SKEWED):
         shutil.rmtree(SKEWED)
     os.makedirs(SKEWED)
-    # non-text tables are irrelevant to the dedup family: link them
+    # tables not skewed below: link them
     for f in os.listdir(UNIFORM):
-        if f not in ("documents.parquet", "embeddings.parquet"):
+        if f not in ("documents.parquet", "embeddings.parquet", "events.parquet"):
             os.symlink(os.path.join(UNIFORM, f), os.path.join(SKEWED, f))
+
+    # mega-user event skew: 50% of all events re-keyed to ONE user —
+    # the hostile case for every user-keyed window (sessionize, funnel,
+    # as-of union, range-join buckets) and the transition-edge extract
+    ev = spark.read.parquet(f"{UNIFORM}/events.parquet")
+    evh = F.abs(F.xxhash64("event_id"))
+    skew_ev = ev.withColumn(
+        "user_id",
+        F.when(evh % 2 == 0, F.lit(424242)).otherwise(F.col("user_id")),
+    )
+    skew_ev.coalesce(4).write.mode("overwrite").parquet(f"{SKEWED}/events.parquet")
 
     docs = spark.read.parquet(f"{UNIFORM}/documents.parquet")
     h = F.abs(F.xxhash64("doc_id"))
@@ -119,7 +140,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     # 3.7x "skew regression" that steady-state runs showed was actually
     # FASTER on the skewed corpus
     times: dict[str, float] = {}
-    for name in DEDUP_QUERIES:
+    for name in DEDUP_QUERIES + TEMPORAL_QUERIES:
         best = -1.0
         for _ in range(2):
             t0 = time.time()
@@ -155,12 +176,12 @@ def main() -> None:
                 else None
             ),
         }
-        for name in DEDUP_QUERIES
+        for name in DEDUP_QUERIES + TEMPORAL_QUERIES
     }
     worst = max((r["ratio"] or 0) for r in report.values())
     out = {
         "sf": 0.1,
-        "skew": "zipf-source-80pct + boilerplate-df0.6 + hotline-0.7 + megadoc-300k + hot-embedding-10pct",
+        "skew": "zipf-source-80pct + boilerplate-df0.6 + hotline-0.7 + megadoc-300k + hot-embedding-10pct + megauser-50pct-events",
         "queries": report,
         "worst_ratio": worst,
         "bar": "no query > 3x uniform",
