@@ -127,3 +127,38 @@ def test_embedding_outliers_flags_the_planted_point(spark):
     # ordering is (z desc, id asc) and z matches dist z-scored per label
     zs = [r.z for r in out]
     assert zs == sorted(zs, reverse=True)
+
+
+# ------------------------------------------------- topics / readability
+
+def test_topic_tagging_dominant_and_ties(spark):
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.textstats import topic_tagging
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="price order data"),        # commerce 2, tech 1
+            Row(doc_id=2, text="data system game team game"),  # tech 2, sports 3
+            Row(doc_id=3, text="nothing matching here"),
+            Row(doc_id=4, text="price data"),              # tie 1-1 → first in seed order
+        ]
+    )
+    got = {r.doc_id: r for r in topic_tagging(docs).collect()}
+    assert got[1].topic == "commerce" and got[1].n_commerce == 2
+    assert got[2].topic == "sports"
+    assert got[3].topic == "other"
+    assert got[4].topic == "commerce"  # tie breaks to seed-dict order
+
+
+def test_readability_golden(spark):
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.textstats import readability
+
+    # 4 words, 2 sentences, syllable groups: the(1) cat(1) sat(1) down(1)
+    r = readability(
+        spark.createDataFrame([Row(doc_id=1, text="The cat sat. Down!")])
+    ).head()
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (4, 2, 4)
+    assert r.flesch == round(206.835 - 1.015 * (4 / 2) - 84.6 * (4 / 4), 4)

@@ -184,13 +184,13 @@ def test_driver_gate_category_coverage():
     assert sum(k.startswith("dedup") for k in gate) >= 4
     assert {"s3_never_synced", "s4_modified_since"} <= gs  # j7 validated
     # r1-r4, rotated below the cutoff in round 5
-    assert "repetition_signals" in gs  # textstats_quality/lang_id
-    # validated r1-r4, rotated below the cutoff
+    # textstats_quality/lang_id/repetition all validated r1-r4 and
+    # rotated below the cutoff; the family's gate presence is now the
+    # fresher entries (script_mix, token_fertility, topic_tagging,
+    # readability, lexical_diversity)
     assert "knn_join_top3" in gs  # knn_exact validated r1-r4, rotated
     # below; matryoshka_recall adds fresh kNN-family gate coverage
-    assert {
-        "pii_scrub", "data_profile", "importance_weights",
-    } <= gs  # n-gram decontamination validated r1-r4, rotated below; its
+    assert {"data_profile", "importance_weights"} <= gs  # n-gram decontamination validated r1-r4, rotated below; its
     # semantic sibling stays gated via the newest-entry set
     assert "t9_windowed_events" in gs  # temporal (sessionize/asof/range
     # all driver-validated r1-r4, rotated below the cutoff)
@@ -211,7 +211,7 @@ def test_driver_gate_category_coverage():
         "hard_negatives", "token_fertility", "corpus_drift",
         "embedding_outliers", "unicode_normalize", "training_triplets",
         "ccnet_buckets", "overlapping_sessions", "corpus_diff",
-        "funnel_stages", "matryoshka_recall",
+        "funnel_stages", "matryoshka_recall", "topic_tagging", "readability",
     } <= gs
 
 

@@ -346,3 +346,84 @@ def token_fertility(
             F.round(F.col("n_chars") / F.col("n_tokens"), 4),
         )
     )
+
+
+TOPIC_SEEDS: dict[str, tuple[str, ...]] = {
+    # deterministic seed wordlists — the operator under test is the
+    # broadcast-lexicon tagging machinery, not lexicon curation
+    "commerce": ("price", "order", "customer", "supplier", "discount", "revenue"),
+    "technology": ("data", "system", "network", "server", "code", "software"),
+    "science": ("research", "theory", "experiment", "energy", "cell", "species"),
+    "sports": ("game", "team", "player", "score", "season", "league"),
+}
+
+
+def topic_tagging(
+    docs: DataFrame,
+    seeds: dict[str, tuple[str, ...]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded-lexicon topic assignment (the IAB-taxonomy-style tagging
+    a mixture pipeline needs before it can balance domains): per doc,
+    count token hits against each topic's seed list, emit per-topic
+    counts + the dominant topic ('other' on zero hits everywhere; ties
+    break by seed-dict order). The lexicons ride in the task closure as
+    array literals — zero shuffle, pure codegen (array_intersect-free:
+    per-topic hit count = size(filter(tokens ∈ seed_set)) so repeated
+    hits count, matching tf-weighted tagging)."""
+    seeds = seeds or TOPIC_SEEDS
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col), "[^a-z]+"),
+        lambda x: x != "",
+    )
+    out = docs.select(F.col(id_col), toks.alias("_toks"))
+    names = list(seeds)
+    for name in names:
+        seed_arr = F.array(*[F.lit(w) for w in seeds[name]])
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(seed_arr, t))),
+        )
+    # dominant = FIRST max in seed order (walk backwards so earlier
+    # names overwrite on ties); 'other' when every count is zero
+    best = F.greatest(*[F.col(f"n_{n}") for n in names])
+    topic = F.lit("other")
+    for name in reversed(names):
+        c = F.col(f"n_{name}")
+        topic = F.when((c == best) & (best > 0), F.lit(name)).otherwise(topic)
+    return out.select(id_col, *[f"n_{n}" for n in names], topic.alias("topic"))
+
+
+def readability(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948, public):
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    with the standard vowel-group syllable heuristic (a run of
+    [aeiouy]+ per word ≈ one syllable — exact syllabification needs a
+    dictionary; the heuristic is the documented, engine-portable form).
+    Sentences = terminal-punctuation runs (min 1). Zero shuffle: three
+    regexp_count projections over the scan. Scores round to 4dp."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.greatest(
+        F.size(F.filter(F.split(F.lower(c), "[^a-z]+"), lambda x: x != "")), F.lit(1)
+    )
+    sentences = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.greatest(F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+")), F.lit(1))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(score, 4).alias("flesch"),
+    )

@@ -3737,6 +3737,67 @@ ORDER BY pos.anchor, pos.positive
 """
 
 
+def topic_tagging_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded-lexicon topic tagging (operators/textstats.topic_tagging):
+    per-topic tf hit counts + first-max dominant topic, pure codegen."""
+    from wc_vector_indexing_spark.operators.textstats import topic_tagging
+
+    return topic_tagging(load(spark, "documents", sf)).orderBy("doc_id")
+
+
+def _topic_sql() -> str:
+    from wc_vector_indexing_spark.operators.textstats import TOPIC_SEEDS
+
+    names = list(TOPIC_SEEDS)
+    hit_cols = ",\n           ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in TOPIC_SEEDS[n])
+        + f"], t))) AS n_{n}"
+        for n in names
+    )
+    best = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    first_max = "CASE " + " ".join(
+        f"WHEN n_{n} = {best} AND {best} > 0 THEN '{n}'" for n in names
+    ) + " ELSE 'other' END"
+    cols = ", ".join(f"n_{n}" for n in names)
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           {hit_cols}
+    FROM t
+)
+SELECT doc_id, {cols}, {first_max} AS topic
+FROM h ORDER BY doc_id
+"""
+
+
+def readability_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading ease (operators/textstats.readability): vowel-group
+    syllable heuristic, three regexp_count projections, zero shuffle."""
+    from wc_vector_indexing_spark.operators.textstats import readability
+
+    return readability(load(spark, "documents", sf)).orderBy("doc_id")
+
+
+READABILITY_SQL = r"""
+WITH m AS (
+    SELECT doc_id,
+           greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')), 1) AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+           greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syllables
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                     - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch
+FROM m ORDER BY doc_id
+"""
+
+
 def matryoshka_recall_op(spark: SparkSession, sf: str) -> DataFrame:
     """Truncated-dimension retrieval eval (Matryoshka-style, Kusupati
     et al. 2022, public): recall@10 of cosine kNN using only the first
@@ -4162,6 +4223,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "matryoshka_recall": QuerySpec(
         matryoshka_recall_op, MATRYOSHKA_SQL, "truncated-dim retrieval recall eval"
     ),
+    "topic_tagging": QuerySpec(
+        topic_tagging_op, _topic_sql(), "seeded-lexicon topic assignment"
+    ),
+    "readability": QuerySpec(
+        readability_op, READABILITY_SQL, "Flesch reading-ease scoring"
+    ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
     ),
@@ -4205,9 +4272,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "script_mix": QuerySpec(
         script_mix_op, SCRIPT_MIX_SQL, "unicode-script ratios + dominant script"
     ),
-    "repetition_signals": QuerySpec(
-        repetition_signals_op, REPETITION_SQL, "Gopher repetition quality signals"
-    ),
     "c4_line_filter": QuerySpec(
         c4_line_filter_op, C4_SQL, "C4 line-level cleaning stats"
     ),
@@ -4221,7 +4285,6 @@ REGISTRY: dict[str, QuerySpec] = {
         importance_resample_op, IMPORTANCE_RESAMPLE_SQL, "Gumbel top-k importance resampling"
     ),
     "knn_join_top3": QuerySpec(knn_join_top3, KNN_JOIN_SQL, "all-pairs kNN join"),
-    "pii_scrub": QuerySpec(pii_scrub_op, _pii_sql(), "PII detect + redact"),
     "stratified_sample_counts": QuerySpec(
         stratified_sample_counts, STRATIFIED_SQL, "per-source hash downsampling"
     ),
@@ -4279,6 +4342,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "vocab_topk": QuerySpec(vocab_topk_op, VOCAB_SQL, "corpus vocabulary heavy hitters"),
     "s5_error_scan": QuerySpec(s5_error_scan, S5_SQL, "distinct error scan"),
     "line_dedup": QuerySpec(line_dedup_op, LINE_DEDUP_SQL, "C4-style corpus line dedup"),
+    "pii_scrub": QuerySpec(pii_scrub_op, _pii_sql(), "PII detect + redact"),
+    "repetition_signals": QuerySpec(
+        repetition_signals_op, REPETITION_SQL, "Gopher repetition quality signals"
+    ),
     "knn_exact_top10": QuerySpec(knn_exact_top10, KNN_SQL, "exact cosine kNN"),
     "decontamination": QuerySpec(
         decontamination_op, CONTAM_SQL, "eval-set n-gram decontamination"
