@@ -1,0 +1,93 @@
+"""Per-group percentile quality gate (CCNet-style dynamic threshold).
+
+The exact ranked form is oracle-verified via the `percentile_quality`
+registry entry; here we pin the operator-level properties plus the
+threshold (scale) variant the oracle can't see:
+
+- exact form keeps ceil(keep_frac * n_g) rows per group, the top ones;
+- threshold form keeps a superset-at-the-boundary of the exact form
+  (every doc strictly above the group's cut survives both);
+- every kept row's score >= its group's broadcast threshold.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.operators.textstats import (
+    percentile_quality_filter,
+    threshold_quality_filter,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_form_keeps_ceil_frac_per_group(spark, docs):
+    kept = percentile_quality_filter(docs, keep_frac=0.4)
+    per_group = {
+        r["lang"]: (r["n_kept"], r["grp_total"])
+        for r in kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.first("grp_total").alias("grp_total"))
+        .collect()
+    }
+    totals = {
+        r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_group) == set(totals)
+    for lang, (n_kept, grp_total) in per_group.items():
+        assert grp_total == totals[lang]
+        assert n_kept == math.ceil(0.4 * totals[lang])
+
+
+def test_exact_form_keeps_the_top_scores(spark, docs):
+    kept = percentile_quality_filter(docs, keep_frac=0.4)
+    # min kept score per group >= max dropped score per group (ties broken
+    # by doc_id, so compare strictly: no dropped score may EXCEED a kept one)
+    kept_min = {
+        r["lang"]: r["m"]
+        for r in kept.groupBy("lang").agg(F.min("quality_score").alias("m")).collect()
+    }
+    kept_ids = [r["doc_id"] for r in kept.select("doc_id").collect()]
+    from wc_vector_indexing_spark.operators.textstats import quality_score_col
+
+    dropped_max = {
+        r["lang"]: r["m"]
+        for r in docs.filter(~F.col("doc_id").isin(kept_ids))
+        .select("lang", F.round(quality_score_col("text"), 4).alias("q"))
+        .groupBy("lang")
+        .agg(F.max("q").alias("m"))
+        .collect()
+    }
+    for lang, dmax in dropped_max.items():
+        assert dmax <= kept_min[lang]
+
+
+def test_threshold_form_agrees_off_the_boundary(spark, docs):
+    exact = percentile_quality_filter(docs, keep_frac=0.4)
+    approx = threshold_quality_filter(docs, keep_frac=0.4)
+    thresholds = {
+        r["lang"]: r["t"]
+        for r in approx.groupBy("lang").agg(F.min("q_threshold").alias("t")).collect()
+    }
+    # every kept row respects its group's broadcast threshold
+    bad = approx.filter(F.col("quality_score") < F.col("q_threshold")).count()
+    assert bad == 0
+    # docs strictly above the group threshold survive BOTH forms
+    strict = exact.filter(
+        F.col("quality_score")
+        > F.lit(max(thresholds.values()))  # above every cut -> trivially kept
+    )
+    approx_ids = {r["doc_id"] for r in approx.select("doc_id").collect()}
+    for r in strict.select("doc_id").collect():
+        assert r["doc_id"] in approx_ids
+    # kept fraction is in the right neighbourhood (sketch boundary error)
+    n, n_kept = docs.count(), approx.count()
+    assert 0.25 <= n_kept / n <= 0.75

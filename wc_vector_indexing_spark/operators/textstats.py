@@ -8,7 +8,7 @@ for a 100 TB quality-filter pass: scan → project → filter, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram-free heuristic
@@ -426,4 +426,82 @@ def readability(
         sentences.alias("n_sentences"),
         syllables.alias("n_syllables"),
         F.round(score, 4).alias("flesch"),
+    )
+
+
+def percentile_quality_filter(
+    docs: DataFrame,
+    keep_frac: float = 0.5,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group dynamic quality thresholding: keep the top
+    ``keep_frac`` of documents BY QUALITY SCORE WITHIN EACH GROUP
+    (language, source, ...). The fixed-threshold gate in ``curate``
+    biases multilingual corpora — a cutoff tuned on English silently
+    drops most of a lower-scoring language wholesale; ranking within
+    the group keeps every slice's best half (the CCNet §3.2 /
+    quality-classifier-percentile pattern, Wenzek et al. 2020, public).
+
+    Exact, deterministic form: row_number over (score DESC, doc_id)
+    within the group vs ceil(keep_frac * group count). One shuffle,
+    keyed by ``group_col`` — and a language key is few-distinct/highly
+    skewed, so this exact form is the audit/eval shape. For the 100 TB
+    pass use :func:`threshold_quality_filter`: per-group approximate
+    quantile thresholds (tiny aggregate) broadcast back over an
+    unshuffled scan.
+
+    Output: (doc_id, group, quality_score, grp_rank, grp_total), the
+    kept rows only.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("quality_score"), F.asc(id_col)
+    )
+    scored = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.round(quality_score_col(text_col), 4).alias("quality_score"),
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(w).alias("grp_rank"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("grp_total"),
+    )
+    return ranked.filter(
+        F.col("grp_rank") <= F.ceil(F.lit(keep_frac) * F.col("grp_total"))
+    )
+
+
+def threshold_quality_filter(
+    docs: DataFrame,
+    keep_frac: float = 0.5,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale form of :func:`percentile_quality_filter`: per-group
+    (1-keep_frac) quantile of the quality score via approx_percentile
+    (a few-row aggregate), broadcast-joined back as a filter. The
+    corpus never shuffles — scan → project score → map-side partial
+    agg for the thresholds, then scan → broadcast hash join → filter.
+    Kept fraction is approximate at the boundary (quantile sketch
+    error ~1/accuracy); use the exact ranked form when the boundary
+    matters more than the shuffle.
+    """
+    from pyspark.sql.functions import broadcast
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.round(quality_score_col(text_col), 4).alias("quality_score"),
+    )
+    thresholds = scored.groupBy(group_col).agg(
+        F.percentile_approx(
+            "quality_score", F.lit(1.0 - keep_frac), F.lit(accuracy)
+        ).alias("q_threshold")
+    )
+    return scored.join(broadcast(thresholds), group_col).filter(
+        F.col("quality_score") >= F.col("q_threshold")
     )

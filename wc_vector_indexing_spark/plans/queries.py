@@ -3798,6 +3798,42 @@ FROM m ORDER BY doc_id
 """
 
 
+def percentile_quality_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language dynamic quality thresholding (CCNet-style
+    percentile gate, operators/textstats.percentile_quality_filter):
+    keep each language's top 40% by quality score — exact ranked form;
+    the 100 TB pass swaps in threshold_quality_filter (approx per-group
+    quantiles broadcast back over an unshuffled scan)."""
+    from wc_vector_indexing_spark.operators.textstats import (
+        percentile_quality_filter,
+    )
+
+    return percentile_quality_filter(
+        load(spark, "documents", sf), keep_frac=0.4
+    ).orderBy("lang", "grp_rank")
+
+
+PERCENTILE_QUALITY_SQL = """
+WITH s AS (
+    SELECT doc_id, lang,
+           round(least(1.0, len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 100.0) * 0.4
+                 + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.3
+                 + (1.0 - least(1.0, length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) * 5.0)) * 0.3,
+                 4) AS quality_score
+    FROM documents
+), r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS grp_rank,
+           count(*) OVER (PARTITION BY lang) AS grp_total
+    FROM s
+)
+SELECT doc_id, lang, quality_score, grp_rank, grp_total
+FROM r
+WHERE grp_rank <= ceil(0.4 * grp_total)
+ORDER BY lang, grp_rank
+"""
+
+
 def matryoshka_recall_op(spark: SparkSession, sf: str) -> DataFrame:
     """Truncated-dimension retrieval eval (Matryoshka-style, Kusupati
     et al. 2022, public): recall@10 of cosine kNN using only the first
@@ -4228,6 +4264,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "readability": QuerySpec(
         readability_op, READABILITY_SQL, "Flesch reading-ease scoring"
+    ),
+    "percentile_quality": QuerySpec(
+        percentile_quality_op,
+        PERCENTILE_QUALITY_SQL,
+        "per-language percentile quality gate (CCNet-style)",
     ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
