@@ -135,3 +135,21 @@ def test_gate_columns_are_stream_safe(spark):
     }
     for d in (1, 2):
         assert via_col[d] == (via_frame_c4[d], via_frame_gp[d])
+
+
+def test_blocklist_gate_word_boundary_exact(spark):
+    from wc_vector_indexing_spark.operators.heuristics import blocklist_gate
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a clean page with Nothing listed"),
+            Row(doc_id=2, text="contains BANNED word"),          # case-folds
+            Row(doc_id=3, text="banned banned twice"),           # counts hits
+            Row(doc_id=4, text="unbanned is a different token"), # no substring FP
+        ]
+    )
+    out = {
+        r["doc_id"]: (r["n_blocked"], r["keep"])
+        for r in blocklist_gate(docs, blocklist=("banned", "forbidden")).collect()
+    }
+    assert out == {1: (0, True), 2: (1, False), 3: (2, False), 4: (0, True)}

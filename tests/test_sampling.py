@@ -64,3 +64,26 @@ def test_gumbel_top_k_properties(spark):
     # near-zero temperature: selection is dominated by the weight
     cold = gumbel_top_k(df, "w", k=30, temperature=1e-6).collect()
     assert all(r.w == 6.0 for r in cold[:20])  # top stratum only
+
+
+def test_epoch_order_deterministic_and_balanced(spark):
+    from wc_vector_indexing_spark.operators.sampling import epoch_order
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = epoch_order(docs, seed="s1", n_shards=4).collect()
+    b = epoch_order(docs, seed="s1", n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # same seed => same order
+    shards = {}
+    for r in a:
+        shards.setdefault(r["shard"], []).append(r["order_key"])
+    assert set(shards) == {0, 1, 2, 3}
+    # crypto-hash sharding: no shard more than 2x the smallest
+    sizes = sorted(len(v) for v in shards.values())
+    assert sizes[-1] <= 2 * sizes[0]
+    # a different seed is a genuinely different permutation
+    c = epoch_order(docs, seed="s2", n_shards=4).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    # within a shard the order key IS the physical order (collect preserves
+    # partition-local order after sortWithinPartitions)
+    for keys in shards.values():
+        assert keys == sorted(keys)

@@ -158,3 +158,38 @@ def gopher_rules(
     # (rounded) signals and the flag can never disagree
     named = {name: F.col(name) for name in sig}
     return out.withColumn("gopher_pass", _gopher_pass(named, min_words, max_words))
+
+
+def blocklist_hits(text_col: str | Column, blocklist: tuple[str, ...]) -> Column:
+    """Token-level blocklist hit count as a standalone column (stream-
+    safe, zero shuffle): size(filter(tokens ∈ blocklist))."""
+    toks = tokens_col(text_col)
+    return F.size(F.filter(toks, lambda t: t.isin(*blocklist)))
+
+
+def blocklist_gate(
+    docs: DataFrame,
+    blocklist: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4's page-level blocklist rule (Raffel et al. 2020 §2.2: drop
+    any page containing a word from a public blocklist — production
+    swaps in the LDNOOBW word list; the default here is caller-supplied
+    so the engine ships no embedded lexicon). Emits every document with
+    its hit count and keep flag rather than filtering, so the same pass
+    serves both the gate (``filter(keep)``) and the removal audit the
+    paper reports.
+
+    Token-level exact matching (lowercased whitespace tokens) — the
+    published rule's word-boundary form; substring matching would
+    false-positive on 'scunthorpe'. Pure higher-order-function codegen:
+    one text-column scan, zero shuffle, stream-safe.
+    """
+    hits = blocklist_hits(text_col, blocklist)
+    return docs.select(
+        F.col(id_col),
+        hits.alias("n_blocked"),
+        (hits <= max_hits).alias("keep"),
+    )

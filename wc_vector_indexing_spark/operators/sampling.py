@@ -220,3 +220,31 @@ def temperature_sample(
         .filter(bucket < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def epoch_order(
+    docs: DataFrame,
+    seed: str = "epoch-0",
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training order: shard assignment + within-shard
+    order as a pure function of (key, seed) — the reproducible global
+    shuffle a training run needs (same seed ⇒ byte-identical batch
+    order across runs, clusters, and engines; new seed per epoch ⇒ a
+    fresh permutation with zero RNG state to checkpoint).
+
+    shard = sha256-bucket(seed + key) % n_shards (the same
+    engine-portable arithmetic as hash_split), order_key = md5(seed +
+    key). At scale: write partitioned by shard, sorted within — one
+    hash-partitioned sort whose reducers are balanced by construction
+    (the key is a cryptographic hash), then readers stream shards
+    sequentially. No global ORDER BY ever runs.
+    """
+    c = F.col(key_col).cast("string")
+    shard = (hash_bucket(key_col, salt=seed) % n_shards).cast("int")
+    return docs.select(
+        F.col(key_col),
+        shard.alias("shard"),
+        F.md5(F.concat(F.lit(seed), c)).alias("order_key"),
+    ).repartition(n_shards, "shard").sortWithinPartitions("shard", "order_key")

@@ -3834,6 +3834,49 @@ ORDER BY lang, grp_rank
 """
 
 
+def blocklist_gate_op(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 page-level blocklist rule (operators/heuristics.blocklist_gate):
+    hit count + keep flag per document, pure codegen over the text scan.
+    Demo list uses corpus vocabulary; production swaps in LDNOOBW."""
+    from wc_vector_indexing_spark.operators.heuristics import blocklist_gate
+
+    return blocklist_gate(
+        load(spark, "documents", sf), blocklist=("slow", "dup")
+    ).orderBy("doc_id")
+
+
+BLOCKLIST_SQL = """
+WITH h AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> t IN ('slow', 'dup'))) AS n_blocked
+    FROM documents
+)
+SELECT doc_id, n_blocked, n_blocked <= 0 AS keep
+FROM h ORDER BY doc_id
+"""
+
+
+def epoch_order_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/sampling.epoch_order):
+    shard + within-shard order as a pure function of (doc_id, seed) —
+    reproducible training order with no global sort and no RNG state."""
+    from wc_vector_indexing_spark.operators.sampling import epoch_order
+
+    return epoch_order(
+        load(spark, "documents", sf), seed="r5", n_shards=8
+    ).orderBy("shard", "order_key")
+
+
+EPOCH_ORDER_SQL = """
+SELECT doc_id,
+       ((('0x' || substr(sha256('r5' || doc_id::VARCHAR), 1, 8))::UBIGINT % 10000) % 8)::INT AS shard,
+       md5('r5' || doc_id::VARCHAR) AS order_key
+FROM documents
+ORDER BY shard, order_key
+"""
+
+
 def matryoshka_recall_op(spark: SparkSession, sf: str) -> DataFrame:
     """Truncated-dimension retrieval eval (Matryoshka-style, Kusupati
     et al. 2022, public): recall@10 of cosine kNN using only the first
@@ -4269,6 +4312,12 @@ REGISTRY: dict[str, QuerySpec] = {
         percentile_quality_op,
         PERCENTILE_QUALITY_SQL,
         "per-language percentile quality gate (CCNet-style)",
+    ),
+    "blocklist_gate": QuerySpec(
+        blocklist_gate_op, BLOCKLIST_SQL, "C4 page-level blocklist rule"
+    ),
+    "epoch_order": QuerySpec(
+        epoch_order_op, EPOCH_ORDER_SQL, "deterministic epoch shuffle / training order"
     ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
