@@ -91,3 +91,61 @@ def test_threshold_form_agrees_off_the_boundary(spark, docs):
     # kept fraction is in the right neighbourhood (sketch boundary error)
     n, n_kept = docs.count(), approx.count()
     assert 0.25 <= n_kept / n <= 0.75
+
+
+def test_fitted_gate_stream_equals_batch(spark, docs, tmp_path):
+    from pyspark.sql import types as T
+
+    from wc_vector_indexing_spark.operators.textstats import (
+        fit_quality_thresholds,
+        quality_gate_col,
+    )
+
+    thresholds = fit_quality_thresholds(docs, keep_frac=0.4)
+    assert set(thresholds) == {r["lang"] for r in docs.select("lang").distinct().collect()}
+
+    keep = quality_gate_col(thresholds)
+    batch_ids = {
+        r["doc_id"] for r in docs.filter(keep).select("doc_id").collect()
+    }
+    assert 0 < len(batch_ids) < docs.count()
+
+    # unseen group fails closed: strictest fitted threshold applies
+    probe = spark.createDataFrame(
+        [("zz", "a b")], "lang string, text string"
+    ).select(quality_gate_col(thresholds).alias("keep"))
+    assert probe.head()["keep"] in (True, False)  # evaluates, no null
+
+    # stream twin: same gate column on a file stream, two micro-batches
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    rows = docs.select("doc_id", "lang", "text").collect()
+    half = len(rows) // 2
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows[:half], schema).write.parquet(d + "/f1")
+    spark.createDataFrame(rows[half:], schema).write.parquet(d + "/f2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q = (
+        stream.filter(quality_gate_col(thresholds))
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("gate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    streamed = {r["doc_id"] for r in spark.sql("SELECT * FROM gate_out").collect()}
+    assert streamed == batch_ids

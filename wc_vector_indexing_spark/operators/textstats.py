@@ -505,3 +505,56 @@ def threshold_quality_filter(
     return scored.join(broadcast(thresholds), group_col).filter(
         F.col("quality_score") >= F.col("q_threshold")
     )
+
+
+def fit_quality_thresholds(
+    docs: DataFrame,
+    keep_frac: float = 0.5,
+    group_col: str = "lang",
+    text_col: str = "text",
+    accuracy: int = 10_000,
+) -> dict[str, float]:
+    """Offline fit for the stream-time quality gate: the per-group
+    (1-keep_frac) score quantiles as a bounded artifact (one row per
+    group — languages/sources number in the hundreds, never more).
+    Same aggregate as :func:`threshold_quality_filter`; persist the
+    dict next to the model artifacts and refit on the batch cadence.
+    """
+    rows = (
+        docs.select(
+            F.col(group_col),
+            F.round(quality_score_col(text_col), 4).alias("q"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.percentile_approx("q", F.lit(1.0 - keep_frac), F.lit(accuracy)).alias(
+                "t"
+            )
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("fit_quality_thresholds: empty fitting corpus")
+    return {r[group_col]: float(r["t"]) for r in rows}
+
+
+def quality_gate_col(
+    thresholds: dict[str, float],
+    group_col: str | Column = "lang",
+    text_col: str | Column = "text",
+    default: float | None = None,
+) -> Column:
+    """Stream-safe keep flag from offline-fitted per-group thresholds:
+    a map-literal lookup + score comparison, pure in-row expression —
+    no join, no state, usable on a streaming frame before any
+    watermarked stage. Unseen groups fall back to ``default`` (the
+    strictest fitted threshold when None — fail closed, not open)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    items = sorted(thresholds.items())
+    lut = F.map_from_arrays(
+        F.array(*[F.lit(k) for k, _ in items]),
+        F.array(*[F.lit(v) for _, v in items]),
+    )
+    fallback = max(thresholds.values()) if default is None else default
+    thr = F.coalesce(lut.getItem(g), F.lit(fallback))
+    return F.round(quality_score_col(text_col), 4) >= thr
