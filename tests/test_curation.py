@@ -182,3 +182,53 @@ def test_curate_unicode_fix_stage(spark):
     assert audit.get(2) == "exact_duplicate"
     assert "was_dirty" not in res_on.curated.columns
     res_on.unpersist()
+
+
+def test_curate_blocklist_stage(spark):
+    docs = mk_docs(spark).union(
+        spark.createDataFrame(
+            [Row(doc_id=7, text=GOOD + " gambling content appended here.")]
+        )
+    )
+    curated, audit = curate(
+        docs,
+        CurationConfig(languages=None, blocklist=("gambling",), near_dup_threshold=0.5),
+    )
+    reasons = {r.doc_id: r.reject_reason for r in audit.collect()}
+    assert reasons[7] == "blocklisted"
+    assert 7 not in {r.doc_id for r in curated.collect()}
+    # off by default: same corpus, no blocklisted rows
+    _, audit2 = curate(docs, CurationConfig(languages=None, near_dup_threshold=0.5))
+    assert "blocklisted" not in {r.reject_reason for r in audit2.collect()}
+
+
+def test_curate_lang_percentile_stage(spark):
+    # 6 english docs with stepped quality (longer = higher score), plus
+    # spanish docs — per-language top-half keeps 3 en and ceil-half es
+    rows = [
+        Row(doc_id=i, text=f"the and of to in is that it for a tail{i} " * n)
+        for i, n in [(1, 2), (2, 4), (3, 6), (4, 8), (5, 10), (6, 12)]
+    ] + [
+        Row(doc_id=10 + i, text=f"el la de los las que y en un una cola{i} " * n)
+        for i, n in [(1, 3), (2, 9)]
+    ]
+    docs = spark.createDataFrame(rows)
+    curated, audit = curate(
+        docs,
+        CurationConfig(
+            min_quality=0.0,
+            languages=None,
+            lang_percentile=0.5,
+            near_dup_threshold=0.99,
+        ),
+    )
+    reasons = {r.doc_id: r.reject_reason for r in audit.collect()}
+    dropped_pct = {d for d, r in reasons.items() if r == "below_lang_percentile"}
+    kept_ids = {r.doc_id for r in curated.collect()}
+    # the lowest-score english docs fall below their language's median;
+    # the highest survive — and the spanish slice is judged on ITS OWN
+    # median, not english's
+    assert 1 in dropped_pct and 6 in kept_ids
+    assert 12 in kept_ids  # top spanish doc survives its own percentile
+    # disjoint audit invariant still holds
+    assert docs.count() == curated.count() + audit.count()

@@ -13,7 +13,7 @@ Generates a deliberately hostile variant of the sf0.1 corpus —
   * a hot embedding cluster: 10% of vectors near-identical (one LSH
     bucket / cosine block holds 10% of the index)
 
-— then times the dedup-family catalog queries on the uniform and the
+— then times the dedup, temporal, and lang-keyed-gate catalog queries on the uniform and the
 skewed corpus and writes ``BENCH_SKEW.json`` with per-query ratios.
 Acceptance bar (SCALE.md): no query >3× its uniform-data time.
 
@@ -38,6 +38,13 @@ from wc_vector_indexing_spark.session import get_spark  # noqa: E402
 
 UNIFORM = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SKEWED = "/tmp/wcvi_skew_sf0.1"
+
+GATE_QUERIES = [
+    # lang-keyed window/tercile ops: stressed by the 80%-one-language skew
+    "percentile_quality",
+    "ccnet_buckets",
+    "temperature_mix",
+]
 
 TEMPORAL_QUERIES = [
     "sessionize_events",
@@ -101,6 +108,10 @@ def generate(spark) -> None:
         F.when(h % 100 < 80, F.lit("src_hot"))
         .otherwise(F.concat(F.lit("src_tail_"), (h % 7).cast("string")))
     )
+    # 80% one language: the hostile case for any lang-partitioned
+    # window (percentile gate's exact ranked form = one reducer per
+    # language; CCNet terciles likewise)
+    lang = F.when(h % 100 < 80, F.lit("en")).otherwise(F.col("lang"))
     # 60% of docs share one boilerplate sentence; 70% share one hot line
     text = F.col("text")
     text = F.when(h % 10 < 6, F.concat(text, F.lit(BOILER))).otherwise(text)
@@ -111,7 +122,7 @@ def generate(spark) -> None:
     skew_docs = docs.select(
         "doc_id",
         text.alias("text"),
-        "lang",
+        lang.alias("lang"),
         source.alias("source"),
         F.length(text).alias("n_chars"),
     )
@@ -140,7 +151,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     # 3.7x "skew regression" that steady-state runs showed was actually
     # FASTER on the skewed corpus
     times: dict[str, float] = {}
-    for name in DEDUP_QUERIES + TEMPORAL_QUERIES:
+    for name in DEDUP_QUERIES + TEMPORAL_QUERIES + GATE_QUERIES:
         best = -1.0
         for _ in range(2):
             t0 = time.time()
@@ -176,12 +187,12 @@ def main() -> None:
                 else None
             ),
         }
-        for name in DEDUP_QUERIES + TEMPORAL_QUERIES
+        for name in DEDUP_QUERIES + TEMPORAL_QUERIES + GATE_QUERIES
     }
     worst = max((r["ratio"] or 0) for r in report.values())
     out = {
         "sf": 0.1,
-        "skew": "zipf-source-80pct + boilerplate-df0.6 + hotline-0.7 + megadoc-300k + hot-embedding-10pct + megauser-50pct-events",
+        "skew": "zipf-source-80pct + lang-80pct-en + boilerplate-df0.6 + hotline-0.7 + megadoc-300k + hot-embedding-10pct + megauser-50pct-events",
         "queries": report,
         "worst_ratio": worst,
         "bar": "no query > 3x uniform",

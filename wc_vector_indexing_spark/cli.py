@@ -169,6 +169,16 @@ def cmd_curate(args: argparse.Namespace) -> int:
             else None
         ),
         unicode_fix=bool(getattr(args, "unicode_fix", False)),
+        blocklist=(
+            tuple(args.blocklist.split(","))
+            if getattr(args, "blocklist", "")
+            else None
+        ),
+        lang_percentile=(
+            args.lang_percentile
+            if getattr(args, "lang_percentile", None) is not None
+            else None
+        ),
     )
     result = curate(docs, config)
     result.curated.write.mode("overwrite").parquet(args.out + "/curated")
@@ -448,6 +458,17 @@ def build_parser() -> argparse.ArgumentParser:
         "--unicode-fix",
         action="store_true",
         help="repair text in place first: mojibake -> NFC -> zero-width/control strip",
+    )
+    cu.add_argument(
+        "--blocklist",
+        default="",
+        help="comma list of blocked words: C4 page-level drop (default off)",
+    )
+    cu.add_argument(
+        "--lang-percentile",
+        type=float,
+        default=None,
+        help="keep this top fraction per predicted language by quality score (default off)",
     )
     cu.set_defaults(fn=cmd_curate)
 

@@ -59,6 +59,16 @@ class CurationConfig:
     # un-normalized text silently miss duplicates. A repair, not a
     # filter: no audit branch.
     unicode_fix: bool = False
+    # C4 page-level blocklist (operators/heuristics.blocklist_gate):
+    # None/() = stage off; a word tuple = drop any doc containing one.
+    # Pure per-row predicate, runs with the other codegen gates.
+    blocklist: tuple[str, ...] | None = None
+    # per-language percentile gate (CCNet-style): None = off; a float
+    # keeps that top fraction of each predicted language BY SCORE —
+    # replaces one-size-fits-all min_quality bias against low-scoring
+    # languages. Fit = one small per-group quantile agg over survivors;
+    # apply = pure map-literal filter (no corpus shuffle).
+    lang_percentile: float | None = None
 
 
 class CurationResult:
@@ -94,8 +104,9 @@ def curate(
 
       curated — the surviving rows of ``docs`` (all original columns)
       audit   — (doc_id, reject_reason) for every dropped row, reason ∈
-                {low_quality, wrong_language, repetitive, exact_duplicate,
-                near_duplicate}
+                {low_quality, wrong_language, c4_boilerplate, gopher_rules,
+                blocklisted, below_lang_percentile, compress_outlier,
+                repetitive, exact_duplicate, near_duplicate}
 
     The audit branches are DISJOINT subsets of ``docs`` (each stage
     only examines the previous stage's survivors), so
@@ -148,6 +159,39 @@ def curate(
         kept = kept.filter(gopher_pass_col(text_col))
     else:
         gopher_dropped = kept.limit(0).select(id_col)
+
+    if config.blocklist:
+        from wc_vector_indexing_spark.operators.heuristics import blocklist_hits
+
+        hits = blocklist_hits(text_col, config.blocklist)
+        block_dropped = kept.filter(hits > 0).select(id_col)
+        kept = kept.filter(hits <= 0)
+    else:
+        block_dropped = kept.limit(0).select(id_col)
+
+    # per-language percentile gate: fit is ONE bounded per-group
+    # quantile aggregate over the current survivors (languages number
+    # in the handfuls); apply is a pure map-literal predicate — the
+    # corpus itself never shuffles for this stage
+    if config.lang_percentile is not None:
+        from wc_vector_indexing_spark.operators.textstats import (
+            fit_quality_thresholds,
+            quality_gate_col,
+        )
+
+        thresholds = fit_quality_thresholds(
+            kept,
+            keep_frac=config.lang_percentile,
+            group_col="predicted_lang",
+            score_col="quality_score",
+        )
+        gate = quality_gate_col(
+            thresholds, group_col="predicted_lang", score_col="quality_score"
+        )
+        pct_dropped = kept.filter(~gate).select(id_col)
+        kept = kept.filter(gate)
+    else:
+        pct_dropped = kept.limit(0).select(id_col)
 
     # compressibility gate: still per-row, but it crosses into Python
     # (Arrow-batched zlib) — so it runs AFTER the pure-codegen gates
@@ -223,6 +267,8 @@ def curate(
         .unionByName(wrong_lang.select(id_col).withColumn("reject_reason", F.lit("wrong_language")))
         .unionByName(c4_dropped.withColumn("reject_reason", F.lit("c4_boilerplate")))
         .unionByName(gopher_dropped.withColumn("reject_reason", F.lit("gopher_rules")))
+        .unionByName(block_dropped.withColumn("reject_reason", F.lit("blocklisted")))
+        .unionByName(pct_dropped.withColumn("reject_reason", F.lit("below_lang_percentile")))
         .unionByName(compress_dropped.withColumn("reject_reason", F.lit("compress_outlier")))
         .unionByName(rep_dropped.withColumn("reject_reason", F.lit("repetitive")))
         .unionByName(exact_dropped.withColumn("reject_reason", F.lit("exact_duplicate")))

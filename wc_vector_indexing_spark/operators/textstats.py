@@ -513,18 +513,23 @@ def fit_quality_thresholds(
     group_col: str = "lang",
     text_col: str = "text",
     accuracy: int = 10_000,
+    score_col: str | None = None,
 ) -> dict[str, float]:
     """Offline fit for the stream-time quality gate: the per-group
     (1-keep_frac) score quantiles as a bounded artifact (one row per
     group — languages/sources number in the hundreds, never more).
     Same aggregate as :func:`threshold_quality_filter`; persist the
     dict next to the model artifacts and refit on the batch cadence.
+    ``score_col`` reuses an already-projected score instead of
+    recomputing it from the text (the curation pipeline's case).
     """
+    q = (
+        F.col(score_col)
+        if score_col
+        else F.round(quality_score_col(text_col), 4)
+    )
     rows = (
-        docs.select(
-            F.col(group_col),
-            F.round(quality_score_col(text_col), 4).alias("q"),
-        )
+        docs.select(F.col(group_col), q.alias("q"))
         .groupBy(group_col)
         .agg(
             F.percentile_approx("q", F.lit(1.0 - keep_frac), F.lit(accuracy)).alias(
@@ -543,6 +548,7 @@ def quality_gate_col(
     group_col: str | Column = "lang",
     text_col: str | Column = "text",
     default: float | None = None,
+    score_col: str | None = None,
 ) -> Column:
     """Stream-safe keep flag from offline-fitted per-group thresholds:
     a map-literal lookup + score comparison, pure in-row expression —
@@ -557,4 +563,9 @@ def quality_gate_col(
     )
     fallback = max(thresholds.values()) if default is None else default
     thr = F.coalesce(lut.getItem(g), F.lit(fallback))
-    return F.round(quality_score_col(text_col), 4) >= thr
+    score = (
+        F.col(score_col)
+        if score_col
+        else F.round(quality_score_col(text_col), 4)
+    )
+    return score >= thr
