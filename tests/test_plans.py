@@ -177,13 +177,15 @@ def test_driver_gate_category_coverage():
     # in a prior round's CORRECTNESS_r*.json rotate below the cutoff as
     # needed (they stay covered by tools/parity_check.py). TPC-H keeps a
     # 5-query core presence; q6-q22 were driver-validated in r1-r4.
-    assert sum(k.startswith("q") for k in gate) >= 3       # TPC-H core
-    # dedup family: ≥4 dedup_*-prefixed plus window_dedup and the
-    # perceptual image pair entry; the cosine-pair and simhash variants
-    # (r4-validated) rotated below the cutoff in round 5
-    assert sum(k.startswith("dedup") for k in gate) >= 4
-    assert {"s3_never_synced", "s4_modified_since"} <= gs  # j7 validated
-    # r1-r4, rotated below the cutoff in round 5
+    assert sum(k.startswith("q") for k in gate) >= 2       # TPC-H core
+    # (q5 rotated below in r5 — driver-validated r1-r4 — to make room
+    # for the never-recorded gate entries)
+    # dedup family: ≥3 dedup_*-prefixed plus window_dedup and the
+    # perceptual image pair entry; the cosine-pair, simhash, and exact
+    # variants (r1-r4-validated) rotated below the cutoff in round 5
+    assert sum(k.startswith("dedup") for k in gate) >= 3
+    assert "s3_never_synced" in gs  # j7 + s4 validated r1-r4, rotated
+    # below the cutoff in round 5
     # textstats_quality/lang_id/repetition all validated r1-r4 and
     # rotated below the cutoff; the family's gate presence is now the
     # fresher entries (script_mix, token_fertility, topic_tagging,
@@ -212,6 +214,7 @@ def test_driver_gate_category_coverage():
         "embedding_outliers", "unicode_normalize", "training_triplets",
         "ccnet_buckets", "overlapping_sessions", "corpus_diff",
         "funnel_stages", "matryoshka_recall", "topic_tagging", "readability",
+        "percentile_quality", "blocklist_gate", "epoch_order",
     } <= gs
 
 
