@@ -84,3 +84,30 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_epoch_ordered_export(spark, tmp_path):
+    """The --epoch-seed export path: hive-partitioned by shard, rows
+    inside every shard file sorted by the deterministic order key —
+    so a sequential reader replays the exact seeded training order."""
+    import json as _json
+
+    from wc_vector_indexing_spark.operators.sampling import epoch_order
+
+    docs = _docs(spark)
+    out = str(tmp_path / "epoch")
+    order = epoch_order(docs, seed="s1", n_shards=4)
+    ordered = (
+        docs.join(order, "doc_id")
+        .repartition(4, "shard")
+        .sortWithinPartitions("shard", "order_key")
+    )
+    write_shards(ordered, out, fmt="json", partition_by=["shard"])
+    files = glob.glob(f"{out}/shard=*/*.json")
+    assert len(files) >= 4
+    seen = 0
+    for f in files:
+        keys = [_json.loads(line)["order_key"] for line in open(f)]
+        assert keys == sorted(keys), f
+        seen += len(keys)
+    assert seen == 250

@@ -388,6 +388,23 @@ def cmd_export(args: argparse.Namespace) -> int:
     spark = get_spark("wcvec-cli", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     df = load(spark, args.table, args.sf_dir)
+    if getattr(args, "epoch_seed", ""):
+        # deterministic training order: join the (shard, order_key)
+        # assignment back, write partitioned by shard with rows sorted
+        # by order_key inside each shard file — readers stream shards
+        # sequentially and the batch order is a pure function of the
+        # seed (sampling.epoch_order)
+        from wc_vector_indexing_spark.operators.sampling import epoch_order
+
+        order = epoch_order(
+            df, seed=args.epoch_seed, n_shards=args.epoch_shards
+        )
+        df = (
+            df.join(order, "doc_id")
+            .repartition(args.epoch_shards, "shard")
+            .sortWithinPartitions("shard", "order_key")
+        )
+        args.partition_by = "shard"
     write_shards(
         df,
         args.out,
@@ -523,6 +540,12 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--max-records", type=int, default=100_000)
     ex.add_argument("--partition-by", default=None, help="comma-separated columns")
     ex.add_argument("--compression", default=None)
+    ex.add_argument(
+        "--epoch-seed",
+        default="",
+        help="deterministic training order: shard + sort by hash(seed, doc_id)",
+    )
+    ex.add_argument("--epoch-shards", type=int, default=8)
     ex.set_defaults(fn=cmd_export)
     return p
 
