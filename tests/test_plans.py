@@ -190,8 +190,9 @@ def test_driver_gate_category_coverage():
     # rotated below the cutoff; the family's gate presence is now the
     # fresher entries (script_mix, token_fertility, topic_tagging,
     # readability, lexical_diversity)
-    assert "knn_join_top3" in gs  # knn_exact validated r1-r4, rotated
-    # below; matryoshka_recall adds fresh kNN-family gate coverage
+    # knn family: knn_exact AND knn_join validated r1-r4, both rotated
+    # below; the family's gate presence is the fresher matryoshka_recall
+    # + the newly-oracle-backed mmr_rerank_top10 (recursive-CTE oracle)
     assert {"data_profile", "importance_weights"} <= gs  # n-gram decontamination validated r1-r4, rotated below; its
     # semantic sibling stays gated via the newest-entry set
     assert "t9_windowed_events" in gs  # temporal (sessionize/asof/range
@@ -215,6 +216,7 @@ def test_driver_gate_category_coverage():
         "ccnet_buckets", "overlapping_sessions", "corpus_diff",
         "funnel_stages", "matryoshka_recall", "topic_tagging", "readability",
         "percentile_quality", "blocklist_gate", "epoch_order",
+        "mmr_rerank_top10",
     } <= gs
 
 
