@@ -232,3 +232,16 @@ def test_curate_lang_percentile_stage(spark):
     assert 12 in kept_ids  # top spanish doc survives its own percentile
     # disjoint audit invariant still holds
     assert docs.count() == curated.count() + audit.count()
+
+
+def test_curate_lang_percentile_empty_survivors_is_noop(spark):
+    # min_quality=2.0 drops everything before the percentile stage; the
+    # fit has no distribution — stage must no-op, not raise
+    docs = mk_docs(spark)
+    curated, audit = curate(
+        docs,
+        CurationConfig(min_quality=2.0, languages=None, lang_percentile=0.5),
+    )
+    assert curated.count() == 0
+    assert docs.count() == audit.count()
+    assert {r.reject_reason for r in audit.collect()} == {"low_quality"}

@@ -179,17 +179,25 @@ def curate(
             quality_gate_col,
         )
 
-        thresholds = fit_quality_thresholds(
-            kept,
-            keep_frac=config.lang_percentile,
-            group_col="predicted_lang",
-            score_col="quality_score",
-        )
-        gate = quality_gate_col(
-            thresholds, group_col="predicted_lang", score_col="quality_score"
-        )
-        pct_dropped = kept.filter(~gate).select(id_col)
-        kept = kept.filter(gate)
+        try:
+            thresholds = fit_quality_thresholds(
+                kept,
+                keep_frac=config.lang_percentile,
+                group_col="predicted_lang",
+                score_col="quality_score",
+            )
+        except ValueError:
+            # nothing survived the earlier gates — no distribution to
+            # fit a percentile on; the stage is a no-op, not an error
+            thresholds = None
+        if thresholds:
+            gate = quality_gate_col(
+                thresholds, group_col="predicted_lang", score_col="quality_score"
+            )
+            pct_dropped = kept.filter(~gate).select(id_col)
+            kept = kept.filter(gate)
+        else:
+            pct_dropped = kept.limit(0).select(id_col)
     else:
         pct_dropped = kept.limit(0).select(id_col)
 
