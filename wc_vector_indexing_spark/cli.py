@@ -397,7 +397,7 @@ def cmd_export(args: argparse.Namespace) -> int:
         from wc_vector_indexing_spark.operators.sampling import epoch_order
 
         order = epoch_order(
-            df, seed=args.epoch_seed, n_shards=args.epoch_shards
+            df, seed=args.epoch_seed, n_shards=args.epoch_shards, layout=False
         )
         df = (
             df.join(order, "doc_id")

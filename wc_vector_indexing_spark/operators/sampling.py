@@ -227,6 +227,7 @@ def epoch_order(
     seed: str = "epoch-0",
     n_shards: int = 8,
     key_col: str = "doc_id",
+    layout: bool = True,
 ) -> DataFrame:
     """Deterministic training order: shard assignment + within-shard
     order as a pure function of (key, seed) — the reproducible global
@@ -240,11 +241,20 @@ def epoch_order(
     hash-partitioned sort whose reducers are balanced by construction
     (the key is a cryptographic hash), then readers stream shards
     sequentially. No global ORDER BY ever runs.
+
+    ``layout=False`` returns just the (key, shard, order_key)
+    assignment — a pure projection, zero shuffle — for callers that
+    join it back and lay out the full rows themselves (the export CLI).
     """
     c = F.col(key_col).cast("string")
     shard = (hash_bucket(key_col, salt=seed) % n_shards).cast("int")
-    return docs.select(
+    assigned = docs.select(
         F.col(key_col),
         shard.alias("shard"),
         F.md5(F.concat(F.lit(seed), c)).alias("order_key"),
-    ).repartition(n_shards, "shard").sortWithinPartitions("shard", "order_key")
+    )
+    if not layout:
+        return assigned
+    return assigned.repartition(n_shards, "shard").sortWithinPartitions(
+        "shard", "order_key"
+    )
