@@ -178,3 +178,43 @@ def test_ivf_search_batch_matches_per_query(spark):
         ).collect()
     }
     assert full == exact
+
+
+def test_quantizer_drift_flags_the_shifted_batch(spark):
+    """Index-staleness monitor: a batch drawn from the build-time
+    distribution reports ratios ~1; a batch collapsed onto one cluster
+    lights up that list's share_ratio and starves the others."""
+    from wc_vector_indexing_spark.operators.ivf import list_stats, quantizer_drift
+
+    # two tight clusters around (1,0,...) and (0,1,...)
+    def vec(axis, i, dim=8):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[(axis + 2) % dim] = (i % 7) / 100.0  # tiny spread
+        return v
+
+    build = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(i % 2, i)) for i in range(200)]
+    )
+    idx = IVFIndex.train(build, nlist=2, seed=7)
+    baseline = list_stats(build, idx)
+    b = {r.list_id: r for r in baseline.collect()}
+    assert set(b) == {0, 1}
+    assert all(abs(r.share - 0.5) < 0.05 for r in b.values())
+
+    # in-distribution batch: both ratios stay near 1
+    same = quantizer_drift(build, idx, baseline)
+    for r in same.collect():
+        assert r.share_ratio == pytest.approx(1.0, abs=0.05)
+        assert r.dist_ratio == pytest.approx(1.0, abs=0.05)
+
+    # drifted batch: everything lands on axis-0's cluster
+    drifted = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec(0, i)) for i in range(100)]
+    )
+    rep = {r.list_id: r for r in quantizer_drift(drifted, idx, baseline).collect()}
+    hot = max(rep.values(), key=lambda r: r.share)
+    cold = min(rep.values(), key=lambda r: r.share)
+    assert hot.share == pytest.approx(1.0)
+    assert hot.share_ratio > 1.8        # ~2x its baseline half-share
+    assert cold.n == 0 and cold.share == 0.0  # starved list still reported

@@ -116,7 +116,13 @@ class IVFIndex:
         # evaluation than the data itself. array_min on struct compares
         # lexicographically: min score first, then min i on ties — the
         # same strict-less/keep-earlier semantics as the fold it replaces.
-        scored = F.array(
+        return vectors.withColumn("list_id", F.array_min(self._scored(vec_col))["i"])
+
+    def _scored(self, vec_col: str):
+        """The (score, i) struct array over all centroids; min = nearest.
+        score = ||c||² − 2 v·c, i.e. squared distance minus the row's
+        own ||v||² (constant within a row, so the argmin is unchanged)."""
+        return F.array(
             *[
                 F.struct(
                     (
@@ -128,7 +134,6 @@ class IVFIndex:
                 for i, c in enumerate(self.centroids)
             ]
         )
-        return vectors.withColumn("list_id", F.array_min(scored)["i"])
 
     # -- search ------------------------------------------------------------
 
@@ -241,4 +246,86 @@ def search_batch(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def list_stats(
+    vectors: DataFrame, index: IVFIndex, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-list health aggregate for a vector set under the PERSISTED
+    quantizer: (list_id, n, share, mean_sq_dist). One scan + one tiny
+    (≤ nlist rows) hash agg — cost independent of index size. Persist
+    the build-time result next to the centroid artifact; it is the
+    baseline `quantizer_drift` compares against."""
+    from pyspark.sql import Window
+
+    best = F.array_min(index._scored(vec_col))
+    # full squared distance = score + ||v||² (the row constant the
+    # argmin dropped)
+    d2 = best["s"] + F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    assigned = vectors.select(best["i"].alias("list_id"), d2.alias("d2"))
+    stats = assigned.groupBy("list_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("d2"), 6).alias("mean_sq_dist"),
+    )
+    w = Window.partitionBy()  # ≤ nlist rows: a driver-trivial window
+    return stats.select(
+        "list_id",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+        "mean_sq_dist",
+    )
+
+
+def quantizer_drift(
+    batch: DataFrame,
+    index: IVFIndex,
+    baseline: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-staleness monitor: the retrain-or-not signal an
+    incrementally-grown vector index needs. The embedding distribution
+    moves as the corpus grows; a quantizer fitted last month funnels
+    new mass into few lists and nprobe recall decays silently — this
+    measures exactly that, without ever touching the stored index.
+
+    Assigns the incoming batch to the persisted quantizer, aggregates
+    per-list stats (`list_stats`), and joins the build-time baseline:
+
+        share_ratio = batch share / baseline share  (hot-list signal)
+        dist_ratio  = batch mean_sq_dist / baseline (fit-quality signal)
+
+    A list no batch vector hits keeps n=0 (baseline outer-joined), a
+    list the baseline never saw reports null baseline columns — both
+    are themselves drift evidence. Retrain policy stays with the
+    caller (e.g. retrain when max(share_ratio) > 3 or overall
+    dist_ratio > 1.5). Plan: one batch scan + two ≤ nlist-row frames
+    broadcast-joined — nothing corpus-sized shuffles."""
+    cur = list_stats(batch, index, vec_col=vec_col)
+    base = baseline.select(
+        "list_id",
+        F.col("n").alias("n_baseline"),
+        F.col("share").alias("share_baseline"),
+        F.col("mean_sq_dist").alias("dist_baseline"),
+    )
+    return (
+        base.join(cur, "list_id", "full_outer")
+        .select(
+            "list_id",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("share", F.lit(0.0)).alias("share"),
+            "mean_sq_dist",
+            "share_baseline",
+            F.round(
+                F.coalesce("share", F.lit(0.0)) / F.col("share_baseline"), 4
+            ).alias("share_ratio"),
+            F.round(F.col("mean_sq_dist") / F.col("dist_baseline"), 4).alias(
+                "dist_ratio"
+            ),
+        )
+        .orderBy("list_id")
     )

@@ -2224,6 +2224,27 @@ def ivf_search_op(spark: SparkSession, sf: str) -> DataFrame:
     return res.select("vec_id", F.round(F.col("score"), 4).alias("score"))
 
 
+def ivf_drift_report_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-staleness monitor (operators/ivf.quantizer_drift): per-list
+    share/distortion of a 'new data' batch (upper half of vec_ids)
+    against build-time baseline stats under the persisted quantizer —
+    the retrain-or-not signal for an incrementally-grown vector index.
+    Artifact-backed → rows-only; the planted-drift behavior is pinned
+    by tests/test_relational_ivf.py."""
+    from wc_vector_indexing_spark.operators.ivf import (
+        IVFIndex,
+        list_stats,
+        quantizer_drift,
+    )
+
+    emb = load(spark, "embeddings", sf)
+    ivf = IVFIndex.train_or_load(emb, _ivf_artifact_path(sf), nlist=8)
+    half = emb.agg(F.expr("percentile(vec_id, 0.5)")).head()[0]
+    baseline = list_stats(emb.filter(F.col("vec_id") <= half), ivf)
+    batch = emb.filter(F.col("vec_id") > half)
+    return quantizer_drift(batch, ivf, baseline)
+
+
 def ivf_recall_curve_op(spark: SparkSession, sf: str) -> DataFrame:
     """The IVF recall/efficiency frontier — recall@10 vs the exact scan
     for nprobe ∈ {1, 2, 4, 8} over 10 query vectors, using the same
@@ -4568,6 +4589,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_embedding_lsh": QuerySpec(dedup_embedding_lsh, None, "auto-LSH-blocked cosine pairs"),
     "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
     "ivf_search_top10": QuerySpec(ivf_search_op, None, "IVF coarse-quantizer ANN"),
+    "ivf_drift_report": QuerySpec(
+        ivf_drift_report_op, None, "IVF quantizer staleness / retrain signal"
+    ),
     "pq_search_top10": QuerySpec(pq_search_op, None, "product-quantized ADC search"),
     "sq8_search_top10": QuerySpec(sq8_search_op, None, "SQ8 scalar-quantized search (4x)"),
     "ivfpq_search_top10": QuerySpec(
