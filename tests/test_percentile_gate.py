@@ -149,3 +149,65 @@ def test_fitted_gate_stream_equals_batch(spark, docs, tmp_path):
     q.stop()
     streamed = {r["doc_id"] for r in spark.sql("SELECT * FROM gate_out").collect()}
     assert streamed == batch_ids
+
+
+def test_prep_stream_fitted_gate(spark, docs, tmp_path):
+    """prep_document_stream with offline-fitted thresholds: the
+    percentile gate composes with the other prep stages and behaves
+    identically on a stream (pure in-row predicate, no new state)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from wc_vector_indexing_spark.operators.textstats import (
+        fit_quality_thresholds,
+        predicted_lang_col,
+    )
+    from wc_vector_indexing_spark.streaming.incremental import prep_document_stream
+
+    staged = docs.limit(60).select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.col("doc_id")).alias("event_ts"),
+    )
+    thresholds = fit_quality_thresholds(
+        staged.withColumn("_plang", predicted_lang_col("text")),
+        keep_frac=0.5,
+        group_col="_plang",
+    )
+    batch = prep_document_stream(
+        staged, languages=None, quality_thresholds=thresholds
+    )
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    loose = prep_document_stream(staged, languages=None)
+    loose_ids = {r["doc_id"] for r in loose.select("doc_id").collect()}
+    assert batch_ids < loose_ids  # strictly tighter, never additive
+
+    # streaming twin over the same rows
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("event_ts", T.TimestampType(), False),
+        ]
+    )
+    d = str(tmp_path / "prep_docs")
+    spark.createDataFrame(staged.collect(), schema).write.parquet(d + "/f1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q = (
+        prep_document_stream(stream, languages=None, quality_thresholds=thresholds)
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("prep_gate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "prep_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    streamed = {r["doc_id"] for r in spark.sql("SELECT * FROM prep_gate_out").collect()}
+    assert streamed == batch_ids

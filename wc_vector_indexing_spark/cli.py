@@ -246,6 +246,20 @@ def cmd_prep(args: argparse.Namespace) -> int:
     vocab_ids = {
         r.token: r.token_id for r in vocab_with_ids(docs, k=args.vocab).collect()
     }
+    thresholds = None
+    if getattr(args, "lang_percentile", None) is not None:
+        from wc_vector_indexing_spark.operators.textstats import (
+            fit_quality_thresholds,
+            predicted_lang_col,
+        )
+
+        # fit per PREDICTED language — the stream only sees text, not a
+        # trusted lang column
+        thresholds = fit_quality_thresholds(
+            docs.withColumn("_plang", predicted_lang_col("text")),
+            keep_frac=args.lang_percentile,
+            group_col="_plang",
+        )
     # static frames lack the stream's event_ts; dedup needs one — derive
     # a stable stand-in so the backfill uses the identical code path.
     # Only relative ordering inside the watermark matters, so large hash
@@ -254,7 +268,9 @@ def cmd_prep(args: argparse.Namespace) -> int:
     staged = docs.withColumn(
         "event_ts", F.timestamp_seconds(F.pmod(F.col("doc_id"), F.lit(2_000_000_000)))
     )
-    prepped = prep_document_stream(staged, model=model, vocab_ids=vocab_ids)
+    prepped = prep_document_stream(
+        staged, model=model, vocab_ids=vocab_ids, quality_thresholds=thresholds
+    )
     prepped.write.mode("overwrite").parquet(args.out)
     n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
     print(json.dumps({"input": n_in, "prepped": n_out, "vocab": len(vocab_ids)}))
@@ -518,6 +534,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     pr = sub.add_parser("prep", help="gate + DSIR score + vocab-encode a corpus")
     pr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pr.add_argument(
+        "--lang-percentile",
+        type=float,
+        default=None,
+        help="fit per-language quality percentile offline; gate the stream with it",
+    )
     pr.add_argument("--out", required=True)
     pr.add_argument("--target-sources", required=True, help="e.g. src1,src2")
     pr.add_argument("--buckets", type=int, default=4096)

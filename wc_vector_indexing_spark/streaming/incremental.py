@@ -295,6 +295,7 @@ def prep_document_stream(
     min_quality: float = 0.5,
     languages: tuple[str, ...] | None = ("en",),
     watermark_delay: str = "10 minutes",
+    quality_thresholds: dict | None = None,
 ) -> DataFrame:
     """The full ingest-time prep composition: quality gate → language
     gate → watermark-bounded exact dedup (curated_document_stream) →
@@ -304,11 +305,29 @@ def prep_document_stream(
     composition stays stateless beyond the dedup watermark and runs
     identically on a static backfill frame.
 
+    ``quality_thresholds`` (textstats.fit_quality_thresholds, fitted
+    offline per language) adds the CCNet-style percentile gate as a
+    map-literal predicate — the dynamic-threshold complement to the
+    fixed ``min_quality``.
+
     Skip a stage by passing None for its artifact. Output columns:
     the input's, plus ``log_weight`` and/or ``token_ids``."""
     out = curated_document_stream(
         docs, text_col, ts_col, min_quality, languages, watermark_delay
     )
+    if quality_thresholds:
+        from wc_vector_indexing_spark.operators.textstats import (
+            predicted_lang_col,
+            quality_gate_col,
+        )
+
+        out = out.filter(
+            quality_gate_col(
+                quality_thresholds,
+                group_col=predicted_lang_col(text_col),
+                text_col=text_col,
+            )
+        )
     if model is not None:
         from wc_vector_indexing_spark.operators.importance import (
             importance_score_col,
