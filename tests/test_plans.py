@@ -193,8 +193,10 @@ def test_driver_gate_category_coverage():
     # knn family: knn_exact AND knn_join validated r1-r4, both rotated
     # below; the family's gate presence is the fresher matryoshka_recall
     # + the newly-oracle-backed mmr_rerank_top10 (recursive-CTE oracle)
-    assert {"data_profile", "importance_weights"} <= gs  # n-gram decontamination validated r1-r4, rotated below; its
-    # semantic sibling stays gated via the newest-entry set
+    assert "importance_weights" in gs  # data_profile driver-validated r4,
+    # rotated below in r5; n-gram decontamination validated r1-r4,
+    # rotated below; its semantic sibling stays gated via the
+    # newest-entry set
     assert "t9_windowed_events" in gs  # temporal (sessionize/asof/range
     # all driver-validated r1-r4, rotated below the cutoff)
     # the newest oracle-backed queries must be gate-visible, not only
@@ -216,7 +218,7 @@ def test_driver_gate_category_coverage():
         "ccnet_buckets", "overlapping_sessions", "corpus_diff",
         "funnel_stages", "matryoshka_recall", "topic_tagging", "readability",
         "percentile_quality", "blocklist_gate", "epoch_order",
-        "mmr_rerank_top10",
+        "mmr_rerank_top10", "soft_dedup_weights",
     } <= gs
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 
 from wc_vector_indexing_spark.operators.sampling import (
@@ -87,3 +89,28 @@ def test_epoch_order_deterministic_and_balanced(spark):
     # partition-local order after sortWithinPartitions)
     for keys in shards.values():
         assert keys == sorted(keys)
+
+
+def test_soft_dedup_weights_golden_and_composition(spark):
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha"),
+            Row(doc_id=2, text="alpha"),
+            Row(doc_id=3, text="alpha"),
+            Row(doc_id=4, text="beta"),
+        ]
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(docs).collect()}
+    assert {d: r.dup_count for d, r in out.items()} == {1: 3, 2: 3, 3: 3, 4: 1}
+    # cluster mass sums to 1 at alpha=1; singleton keeps full weight
+    assert sum(out[d].weight for d in (1, 2, 3)) == pytest.approx(1.0, abs=1e-5)
+    assert out[4].weight == 1.0 and out[4].log_weight == 0.0  # +0.0, not -0.0
+    # alpha=2 downweights harder
+    harder = {r.doc_id: r.weight for r in soft_dedup_weights(docs, alpha=2.0).collect()}
+    assert harder[1] == pytest.approx(1 / 9, abs=1e-5)
+    with pytest.raises(ValueError):
+        soft_dedup_weights(docs, alpha=0.0)

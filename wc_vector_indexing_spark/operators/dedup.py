@@ -623,3 +623,48 @@ def lsh_cosine_pairs(
         .agg(F.min("block").alias("block"), F.round(F.first("cosine"), 4).alias("cosine"))
         .select("id_a", "id_b", "block", "cosine")
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft deduplication — downweight duplicates instead of dropping
+    them (the SlimPajama/SoftDeDup sampling treatment, public): every
+    document keeps its row but its sampling weight becomes
+
+        w = dup_count^(−alpha)      (alpha=1 ⇒ each duplicate CLUSTER
+                                     carries total mass 1, however many
+                                     copies exist)
+
+    Dropping all-but-one copy loses the signal that a text was popular;
+    keeping all copies lets boilerplate dominate the mixture. The soft
+    weight keeps both properties — and ``log_weight`` composes
+    additively with the DSIR importance score in the selection stage
+    (gumbel_top_k ranks on summed log weights).
+
+    Plan: ONE shuffle keyed by the 256-bit content hash (a window
+    count over sha — no agg+join-back second shuffle); weights are
+    in-row arithmetic on the counted frame. Skew-free by construction:
+    the key is a cryptographic hash of full text, and a genuinely hot
+    key (a million-copy boilerplate) is exactly the row this operator
+    exists to downweight — its count is the output, not a blowup.
+
+    Output: (id_col, dup_count, weight, log_weight) for EVERY input row.
+    """
+    from pyspark.sql import Window
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    n = F.count("*").over(Window.partitionBy(sha_text(text_col)))
+    return docs.select(
+        F.col(id_col),
+        n.alias("dup_count"),
+        F.round(F.pow(n.cast("double"), F.lit(-alpha)), 6).alias("weight"),
+        # + 0.0 normalizes the -0.0 that -alpha*ln(1) produces
+        (F.round(-alpha * F.log(n.cast("double")), 6) + F.lit(0.0)).alias(
+            "log_weight"
+        ),
+    )

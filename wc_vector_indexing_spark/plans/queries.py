@@ -4321,6 +4321,27 @@ FROM sel ORDER BY position
 """
 
 
+def soft_dedup_weights_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft dedup (operators/dedup.soft_dedup_weights): per-doc sampling
+    weight dup_count^-1 from one content-hash window — the downweight-
+    don't-drop treatment whose log_weight composes with DSIR selection."""
+    from wc_vector_indexing_spark.operators.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(load(spark, "documents", sf)).orderBy("doc_id")
+
+
+SOFT_DEDUP_SQL = """
+WITH c AS (
+    SELECT doc_id, count(*) OVER (PARTITION BY sha256(text)) AS dup_count
+    FROM documents
+)
+SELECT doc_id, dup_count,
+       round(pow(dup_count, -1.0), 6) AS weight,
+       round(-1.0 * ln(dup_count), 6) + 0.0 AS log_weight
+FROM c ORDER BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # --- driver-gate tier: the first 50 oracle-backed entries are the
     # --- ones the per-round correctness gate records; ordered to cover
@@ -4467,7 +4488,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "stratified_sample_counts": QuerySpec(
         stratified_sample_counts, STRATIFIED_SQL, "per-source hash downsampling"
     ),
-    "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
+    "soft_dedup_weights": QuerySpec(
+        soft_dedup_weights_op, SOFT_DEDUP_SQL, "soft dedup: downweight duplicate clusters"
+    ),
     "corpus_health": QuerySpec(
         corpus_health, CORPUS_HEALTH_SQL, "per-source quality/dup-rate dashboard"
     ),
@@ -4481,6 +4504,9 @@ REGISTRY: dict[str, QuerySpec] = {
         packed_sequences_op, PACKED_SEQ_SQL, "packed model-input sequences + order checksum"
     ),
     "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
+    # data_profile driver-validated r4; rotated below in r5 to admit the
+    # never-recorded soft_dedup_weights into the gate window
+    "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
     # knn_join driver-validated r1-r4; rotated below in r5 to admit the
     # newly-oracle-backed mmr_rerank_top10 into the gate window
     "knn_join_top3": QuerySpec(knn_join_top3, KNN_JOIN_SQL, "all-pairs kNN join"),
