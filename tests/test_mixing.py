@@ -56,3 +56,30 @@ def test_report_accounts_everything(spark, docs):
     assert junk.n_after == 0 and junk.n_before == 100
     total_after = sum(r.n_after for r in rep)
     assert total_after == mixed.count()
+
+
+def test_mixing_recipe_fraction_xor_repeat(spark):
+    """Exactly one of (fraction, repeat_factor) differs from 1 per
+    source: a budget below the source subsamples, above it upsamples."""
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.mixing import mixing_recipe
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="big" if i < 90 else "small", text="w " * 100)
+         for i in range(100)]
+    )
+    # big: 9000 tokens available; small: 1000. budget 4000 at 50/50 ->
+    # big subsampled (2000/9000), small upsampled (2000/1000 = 2 epochs)
+    out = {r.source: r for r in mixing_recipe(
+        docs, {"big": 0.5, "small": 0.5}, budget_tokens=4000
+    ).collect()}
+    big, small = out["big"], out["small"]
+    assert big.n_tokens == 9000 and small.n_tokens == 1000
+    assert big.fraction == pytest.approx(2000 / 9000, abs=1e-6)
+    assert big.repeat_factor == 1.0
+    assert small.fraction == 1.0
+    assert small.repeat_factor == pytest.approx(2.0)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mixing_recipe(docs, {"big": 0.5}, budget_tokens=10)

@@ -197,8 +197,9 @@ def test_driver_gate_category_coverage():
     # rotated below in r5; n-gram decontamination validated r1-r4,
     # rotated below; its semantic sibling stays gated via the
     # newest-entry set
-    assert "t9_windowed_events" in gs  # temporal (sessionize/asof/range
-    # all driver-validated r1-r4, rotated below the cutoff)
+    # temporal: t9/sessionize/asof/range all driver-validated r1-r4 and
+    # rotated below the cutoff; gate coverage continues via the
+    # never-recorded overlapping_sessions + funnel_stages entries
     # the newest oracle-backed queries must be gate-visible, not only
     # locally parity-checked (round-4 advisor finding): a latent oracle
     # mismatch in fresh operators should be caught by the driver
@@ -218,7 +219,7 @@ def test_driver_gate_category_coverage():
         "ccnet_buckets", "overlapping_sessions", "corpus_diff",
         "funnel_stages", "matryoshka_recall", "topic_tagging", "readability",
         "percentile_quality", "blocklist_gate", "epoch_order",
-        "mmr_rerank_top10", "soft_dedup_weights",
+        "mmr_rerank_top10", "soft_dedup_weights", "mixing_recipe",
     } <= gs
 
 

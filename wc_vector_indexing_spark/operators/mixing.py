@@ -92,3 +92,54 @@ def mix_report(
         )
         .orderBy(source_col)
     )
+
+
+def mixing_recipe(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The PLANNING step `source_mix` executes: given target mixture
+    ``weights`` and a total token ``budget_tokens``, solve each source's
+    sampling fraction — or repeat factor where the budget EXCEEDS the
+    source (the multi-epoch upsampling every published mixture applies
+    to small high-quality sources while Common-Crawl-scale sources are
+    subsampled).
+
+    Per source: available docs/tokens, target_tokens = budget · w,
+    fraction = min(1, target/available), repeat_factor =
+    max(1, target/available) — exactly one of the two is ≠ 1. One
+    corpus scan + a |sources|-row aggregate; whitespace token counts
+    (the same cheap estimator the packer budgets with).
+    """
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights.values())}")
+    w_expr = None
+    for s, w in weights.items():
+        cond = F.col(source_col) == s
+        w_expr = F.when(cond, F.lit(float(w))) if w_expr is None else w_expr.when(
+            cond, F.lit(float(w))
+        )
+    from wc_vector_indexing_spark.operators.textstats import token_count
+
+    counts = (
+        docs.groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(text_col)).alias("n_tokens"),
+        )
+        .withColumn("w_s", w_expr)
+        .filter(F.col("w_s").isNotNull())
+    )
+    target = F.col("w_s") * F.lit(float(budget_tokens))
+    ratio = target / F.col("n_tokens").cast("double")
+    return counts.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(target, 2).alias("target_tokens"),
+        F.round(F.least(F.lit(1.0), ratio), 6).alias("fraction"),
+        F.round(F.greatest(F.lit(1.0), ratio), 6).alias("repeat_factor"),
+    ).orderBy(source_col)

@@ -4342,6 +4342,35 @@ FROM c ORDER BY doc_id
 """
 
 
+def mixing_recipe_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture planning (operators/mixing.mixing_recipe): per-source
+    fraction-or-repeat-factor from a token budget — the solve step
+    whose output source_mix/temperature_sample then execute."""
+    from wc_vector_indexing_spark.operators.mixing import mixing_recipe
+
+    return mixing_recipe(
+        load(spark, "documents", sf), MIX_WEIGHTS, budget_tokens=500_000
+    )
+
+
+def _mixing_recipe_sql() -> str:
+    vals = ", ".join(f"('{s}', {w!r}::DOUBLE)" for s, w in MIX_WEIGHTS.items())
+    return f"""
+WITH w(source, w_s) AS (VALUES {vals}),
+c AS (
+    SELECT d.source, count(*) AS n_docs,
+           sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))::BIGINT AS n_tokens
+    FROM documents d GROUP BY d.source
+)
+SELECT c.source, n_docs, n_tokens,
+       round(w.w_s * 500000.0, 2) AS target_tokens,
+       round(least(1.0, w.w_s * 500000.0 / n_tokens), 6) AS fraction,
+       round(greatest(1.0, w.w_s * 500000.0 / n_tokens), 6) AS repeat_factor
+FROM c JOIN w USING (source)
+ORDER BY source
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # --- driver-gate tier: the first 50 oracle-backed entries are the
     # --- ones the per-round correctness gate records; ordered to cover
@@ -4461,7 +4490,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "exact_substring_removal": QuerySpec(
         exact_substring_removal_op, EXACT_SUBSTR_SQL, "ExactSubstr duplicated-span removal"
     ),
-    "t9_windowed_events": QuerySpec(t9_windowed_events, T9_SQL, "tumbling window agg"),
+    "mixing_recipe": QuerySpec(
+        mixing_recipe_op, _mixing_recipe_sql(), "token-budget mixture recipe solver"
+    ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
     "dedup_ngram_containment": QuerySpec(
@@ -4504,6 +4535,10 @@ REGISTRY: dict[str, QuerySpec] = {
         packed_sequences_op, PACKED_SEQ_SQL, "packed model-input sequences + order checksum"
     ),
     "rollup_timeseries": QuerySpec(rollup_timeseries, ROLLUP_TS_SQL, "multi-resolution time rollup"),
+    # t9 driver-validated r1-r4 (4 straight rounds); rotated below in r5 —
+    # temporal gate coverage continues via overlapping_sessions +
+    # funnel_stages (never-recorded, in-window)
+    "t9_windowed_events": QuerySpec(t9_windowed_events, T9_SQL, "tumbling window agg"),
     # data_profile driver-validated r4; rotated below in r5 to admit the
     # never-recorded soft_dedup_weights into the gate window
     "data_profile": QuerySpec(data_profile, PROFILE_SQL, "one-pass per-column profile"),
