@@ -304,7 +304,9 @@ def quantizer_drift(
     are themselves drift evidence. Retrain policy stays with the
     caller (e.g. retrain when max(share_ratio) > 3 or overall
     dist_ratio > 1.5). Plan: one batch scan + two ≤ nlist-row frames
-    broadcast-joined — nothing corpus-sized shuffles."""
+    full-outer-joined (full outer can't broadcast, so this is a
+    sort-merge of two ~nlist-row frames — trivially cheap); nothing
+    corpus-sized shuffles."""
     cur = list_stats(batch, index, vec_col=vec_col)
     base = baseline.select(
         "list_id",
