@@ -111,3 +111,33 @@ def test_epoch_ordered_export(spark, tmp_path):
         assert keys == sorted(keys), f
         seen += len(keys)
     assert seen == 250
+
+
+def test_read_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from wc_vector_indexing_spark.sources.readers import read_jsonl_corpus
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "good row one"}',
+                '{"doc_id": 2, "text": "good row two"}',
+                '{"doc_id": 3, "text": "unterminated',   # broken JSON
+                "not json at all",                        # garbage line
+                '{"doc_id": 4, "text": "good row three"}',
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    good, quarantine = read_jsonl_corpus(spark, str(p), schema)
+    assert sorted(r.doc_id for r in good.collect()) == [1, 2, 4]
+    assert good.columns == ["doc_id", "text"]
+    bad = sorted(r[0] for r in quarantine.collect())
+    assert bad == ["not json at all", '{"doc_id": 3, "text": "unterminated']

@@ -119,3 +119,44 @@ def products(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
             ).alias("modified_at"),
         )
     )
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Web-scale JSONL ingest with corrupt-record quarantine: crawl
+    dumps and vendor feeds always carry some malformed lines, and the
+    default FAILFAST/DROPMALFORMED choices are both wrong at 100 TB
+    (one bad byte kills the job / bad rows vanish silently). PERMISSIVE
+    mode routes every unparseable line into ``corrupt_col`` instead;
+    this returns
+
+        (good, quarantine)  —  good: ``schema``-typed rows only;
+                               quarantine: (corrupt_col) raw lines,
+                               write them next to the corpus and fix
+                               the producer.
+
+    The explicit schema also skips inference (a second full scan of
+    100 TB). The scan is cached before splitting: Spark disallows
+    queries that reference ONLY the internal corrupt column on a raw
+    JSON scan, and the cache also keeps the two branches one read.
+    Release with ``good.unpersist()`` semantics via the returned
+    frames' shared parent — or just let the job end."""
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = raw.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, quarantine
