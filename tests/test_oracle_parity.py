@@ -1,12 +1,12 @@
 """CI-required oracle parity (round-4 advisor finding): the external
 driver gate records only the FIRST 50 oracle-backed registry entries, so
-a latent oracle mismatch in any entry past the cutoff would only be
-caught by a manually-run tool. This test runs the SAME comparison
+a latent oracle mismatch elsewhere would only be caught by a
+manually-run tool. This test runs the SAME comparison
 (tools.parity_check.check_query — count / columns / canonical Arrow
-types / typed value multisets) for every oracle-backed entry BEYOND the
-gate window, at sf0.001 to keep the suite's runtime bounded. The gated
-first-50 are the driver's job; `tools/parity_check.py` at sf0.01 remains
-the full pre-round sweep."""
+types / typed value multisets) for EVERY oracle-backed entry, at
+sf0.001 to keep the suite's runtime bounded — pytest alone now proves
+the whole catalog against DuckDB. `tools/parity_check.py` at sf0.01
+remains the full-scale pre-round sweep."""
 
 from __future__ import annotations
 
@@ -18,7 +18,6 @@ from wc_vector_indexing_spark.plans.queries import REGISTRY
 SF = "/root/testdata/sf0.001"
 
 _ORACLE_BACKED = [k for k, s in REGISTRY.items() if s.sql is not None]
-_PAST_GATE = _ORACLE_BACKED[50:]
 
 
 @pytest.fixture(scope="module")
@@ -28,8 +27,8 @@ def oracle():
     con.close()
 
 
-@pytest.mark.parametrize("name", _PAST_GATE)
-def test_past_gate_oracle_parity(spark, oracle, name):
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity(spark, oracle, name):
     err, n_rows = check_query(spark, oracle, REGISTRY[name], SF)
     assert err is None, f"{name}: {err}"
     assert n_rows >= 0
