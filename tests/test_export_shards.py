@@ -141,3 +141,44 @@ def test_read_jsonl_corpus_quarantines_corrupt_lines(spark, tmp_path):
     assert good.columns == ["doc_id", "text"]
     bad = sorted(r[0] for r in quarantine.collect())
     assert bad == ["not json at all", '{"doc_id": 3, "text": "unterminated']
+
+
+def test_shard_manifest_partitioned_output_keys_by_full_path(spark, tmp_path):
+    """Regression (r5 advice): hive-partitioned output writes files with
+    IDENTICAL basenames (part-00000-<uuid>) into every partition dir; a
+    basename-keyed join merged their counts and fanned out. The manifest
+    must key by the full relative path, one row per physical file, with
+    per-file counts that sum to the corpus."""
+    from wc_vector_indexing_spark.operators.export import shard_manifest, write_shards
+
+    df = spark.range(120).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text", "CAST(id % 3 AS int) AS shard"
+    ).coalesce(1)
+    out = str(tmp_path / "part_shards")
+    write_shards(df, out, fmt="json", partition_by=["shard"])
+    man = shard_manifest(spark, out, fmt="json").collect()
+    files = [r.file for r in man]
+    assert len(files) == len(set(files))
+    assert sum(r.n_rows for r in man) == 120  # no fan-out double count
+    # one file per partition dir, each with exactly its partition's rows
+    by_dir = {r.file.split("/")[0]: r.n_rows for r in man}
+    assert by_dir == {"shard=0": 40, "shard=1": 40, "shard=2": 40}
+
+
+def test_shard_manifest_zero_row_file_survives(spark, tmp_path):
+    """An empty shard file (written by a task that got zero rows) must
+    appear in the manifest with n_rows=0, not be dropped by the join."""
+    import json as _json
+
+    from wc_vector_indexing_spark.operators.export import shard_manifest
+
+    out = tmp_path / "mixed"
+    out.mkdir()
+    (out / "part-00000.json").write_text(
+        "\n".join(_json.dumps({"doc_id": i}) for i in range(7)) + "\n"
+    )
+    (out / "part-00001.json").write_text("")  # empty shard
+    man = {r.file: (r.n_rows, r.n_bytes) for r in
+           shard_manifest(spark, str(out), fmt="json").collect()}
+    assert man["part-00000.json"][0] == 7
+    assert man["part-00001.json"] == (0, 0)

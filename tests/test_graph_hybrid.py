@@ -190,3 +190,25 @@ def test_pagerank_conserves_mass_without_dangling_nodes(spark):
     for iters in (1, 3, 7):
         total = sum(r.rank for r in pagerank(e, iterations=iters).collect())
         assert total == pytest.approx(1.0, abs=1e-4)
+
+
+def test_semantic_contamination_zero_norm_guard(spark):
+    """Regression (r5 advice): one all-zero eval embedding produced NaN
+    similarities, argmax returned the NaN column, and NaN >= threshold
+    filtered EVERYTHING out — a fail-open safety filter. Zero-norm
+    vectors must score cos=0 and real contamination must still surface."""
+    from pyspark.sql import Row
+
+    train = spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0]),    # matches eval 10 exactly
+        Row(vec_id=2, embedding=[0.0, 1.0]),    # orthogonal
+        Row(vec_id=3, embedding=[0.0, 0.0]),    # zero-norm train row
+    ])
+    evals = spark.createDataFrame([
+        Row(vec_id=10, embedding=[1.0, 0.0]),
+        Row(vec_id=11, embedding=[0.0, 0.0]),   # zero-norm eval row
+    ])
+    got = {r.train_id: r for r in
+           semantic_contamination(train, evals, threshold=0.9).collect()}
+    assert set(got) == {1}
+    assert got[1].eval_id == 10 and got[1].max_cos == pytest.approx(1.0)

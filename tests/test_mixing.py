@@ -83,3 +83,26 @@ def test_mixing_recipe_fraction_xor_repeat(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         mixing_recipe(docs, {"big": 0.5}, budget_tokens=10)
+
+
+def test_mixing_recipe_missing_source_visible(spark):
+    """Regression (r5 advice): a weighted source with zero corpus docs
+    must surface as an n_docs=0 row with NULL fraction/repeat — not
+    silently vanish and leave budget unallocated."""
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.mixing import mixing_recipe
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="web", text="w " * 10) for i in range(10)]
+    )
+    out = {r.source: r for r in mixing_recipe(
+        docs, {"web": 0.6, "books": 0.4}, budget_tokens=1000
+    ).collect()}
+    assert set(out) == {"web", "books"}
+    b = out["books"]
+    assert b.n_docs == 0 and b.n_tokens == 0
+    assert b.target_tokens == pytest.approx(400.0)
+    assert b.fraction is None and b.repeat_factor is None
+    w = out["web"]
+    assert w.n_docs == 10 and w.fraction is not None

@@ -387,3 +387,26 @@ def test_funnel_stage_stream_append_mode(spark, tmp_path):
     batch = funnel_stage_stream(spark.createDataFrame(rows, schema))
     b = {(r.user_id, r.stage, r.step) for r in batch.collect()}
     assert {(1, 3, "purchase"), (2, 1, "view")} <= b
+
+
+def test_funnel_stages_repeated_step_names(spark):
+    """Regression (r5 advice): steps.index(step) resolved duplicates to
+    the first occurrence so ('view','click','view') never advanced past
+    the repeat; enumerate-gated stages must — matching the streaming
+    twin's semantics."""
+    from datetime import datetime, timedelta
+
+    from wc_vector_indexing_spark.operators.relational import funnel_stages
+
+    t0 = datetime(2026, 3, 1)
+    rows = []
+    for i, et in enumerate(["view", "click", "view"]):   # user 1: full funnel
+        rows.append((i, t0 + timedelta(seconds=i), 1, et))
+    for i, et in enumerate(["view", "click"]):           # user 2: stage 2
+        rows.append((10 + i, t0 + timedelta(seconds=i), 2, et))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r.stage: (r.step, r.n_sessions) for r in
+           funnel_stages(ev, steps=("view", "click", "view")).collect()}
+    assert got == {2: ("click", 1), 3: ("view", 1)}

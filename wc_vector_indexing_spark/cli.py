@@ -412,14 +412,33 @@ def cmd_export(args: argparse.Namespace) -> int:
         # seed (sampling.epoch_order)
         from wc_vector_indexing_spark.operators.sampling import epoch_order
 
+        # the shuffle key is table-specific: first column of the table
+        # unless the user names one (--key-col). doc_id was previously
+        # hardcoded, which broke --table embeddings (keyed by vec_id).
+        key_col = getattr(args, "key_col", "") or df.columns[0]
+        if key_col not in df.columns:
+            raise SystemExit(
+                f"--key-col {key_col!r} not in table {args.table!r} "
+                f"(columns: {df.columns})"
+            )
         order = epoch_order(
-            df, seed=args.epoch_seed, n_shards=args.epoch_shards, layout=False
+            df,
+            seed=args.epoch_seed,
+            n_shards=args.epoch_shards,
+            key_col=key_col,
+            layout=False,
         )
         df = (
-            df.join(order, "doc_id")
+            df.join(order, key_col)
             .repartition(args.epoch_shards, "shard")
             .sortWithinPartitions("shard", "order_key")
         )
+        if args.partition_by and args.partition_by != "shard":
+            print(
+                f"warning: --epoch-seed overrides --partition-by "
+                f"{args.partition_by!r} with 'shard'",
+                file=sys.stderr,
+            )
         args.partition_by = "shard"
     write_shards(
         df,
@@ -565,9 +584,14 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument(
         "--epoch-seed",
         default="",
-        help="deterministic training order: shard + sort by hash(seed, doc_id)",
+        help="deterministic training order: shard + sort by hash(seed, key-col)",
     )
     ex.add_argument("--epoch-shards", type=int, default=8)
+    ex.add_argument(
+        "--key-col",
+        default="",
+        help="shuffle key for --epoch-seed (default: first column of the table)",
+    )
     ex.set_defaults(fn=cmd_export)
     return p
 

@@ -203,14 +203,18 @@ def semantic_contamination(
         raise ValueError("empty eval set")
     eval_ids = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.array([r[1] for r in rows], dtype=np.float64)
-    mt = (m / np.linalg.norm(m, axis=1, keepdims=True)).T  # (dim, n_eval)
+    en = np.linalg.norm(m, axis=1, keepdims=True)
+    en[en == 0.0] = 1.0  # zero-norm guard: a 0-vector scores cos=0, never NaN
+    mt = (m / en).T  # (dim, n_eval)
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            vn = np.linalg.norm(v, axis=1, keepdims=True)
+            vn[vn == 0.0] = 1.0  # same guard as hard_negatives: fail-closed, not NaN
+            v /= vn
             sims = v @ mt  # (batch, n_eval)
             best = sims.argmax(axis=1)  # first max == lowest eval id (rows sorted)
             mc = sims[np.arange(len(pdf)), best]

@@ -76,36 +76,45 @@ def shard_manifest(
     ships next to the data (what was written, how many rows per file,
     which files exist). Row counts come from one distributed read
     grouped by `input_file_name()`; byte sizes from the driver-side
-    listing (metadata only, no data read)."""
+    listing (metadata only, no data read).
+
+    Rows are keyed by the FULL file path, not the basename: with
+    hive-partitioned output the same task writes identically-named
+    part-00000-<uuid> files into every partition directory, so a
+    basename key would merge counts across directories. The count
+    frame is one row per file (manifest-sized, metadata not data), so
+    it is collected and matched to the driver listing with proper URI
+    decoding; files the reader yields no rows for (empty shards)
+    still appear with n_rows=0."""
     import os
+    from urllib.parse import unquote, urlparse
 
     from pyspark.sql import functions as F
 
     reader = {"json": spark.read.json, "csv": lambda p: spark.read.option("header", True).csv(p),
               "parquet": spark.read.parquet}[fmt]
-    # join on the shard BASENAME: input_file_name() returns a file: URI
-    # whose escaping differs from os.path, but part-file names are
-    # unique by construction (task UUIDs)
     counts = (
         reader(path)
-        .groupBy(
-            F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias("basename")
-        )
+        .groupBy(F.input_file_name().alias("uri"))
         .agg(F.count("*").alias("n_rows"))
+        .collect()  # one row per shard FILE — bounded by file count
     )
-    sizes = []
-    for root, _dirs, files in os.walk(path):
+    root = os.path.realpath(path)
+    by_rel: dict[str, int] = {}
+    for r in counts:
+        p = unquote(urlparse(r["uri"]).path)
+        by_rel[os.path.relpath(os.path.realpath(p), root)] = r["n_rows"]
+    rows = []
+    for walk_root, _dirs, files in os.walk(root):
         for f in files:
             if f.startswith(("_", ".")) or f.endswith(".crc"):
                 continue
-            full = os.path.join(root, f)
-            sizes.append((os.path.relpath(full, path), f, os.path.getsize(full)))
-    size_df = spark.createDataFrame(sizes, "file string, basename string, n_bytes long")
-    return (
-        counts.join(size_df, "basename")
-        .select("file", "n_rows", "n_bytes")
-        .orderBy("file")
-    )
+            full = os.path.join(walk_root, f)
+            rel = os.path.relpath(full, root)
+            rows.append((rel, by_rel.get(rel, 0), os.path.getsize(full)))
+    return spark.createDataFrame(
+        rows, "file string, n_rows long, n_bytes long"
+    ).orderBy("file")
 
 
 def corpus_diff(

@@ -116,30 +116,34 @@ def mixing_recipe(
     """
     if abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {sum(weights.values())}")
-    w_expr = None
-    for s, w in weights.items():
-        cond = F.col(source_col) == s
-        w_expr = F.when(cond, F.lit(float(w))) if w_expr is None else w_expr.when(
-            cond, F.lit(float(w))
-        )
     from wc_vector_indexing_spark.operators.textstats import token_count
 
-    counts = (
-        docs.groupBy(source_col)
-        .agg(
+    # left join FROM the weight table so a weighted source absent from
+    # the corpus still yields a row (n_docs=0, fraction/repeat NULL) —
+    # silently dropping it would leave part of the token budget
+    # unallocated with no signal to the caller
+    keys = docs.sparkSession.createDataFrame(
+        [(str(s), float(w)) for s, w in weights.items()],
+        f"{source_col} string, w_s double",
+    )
+    counts = keys.join(
+        # join of two |sources|-row frames — the corpus work is all in
+        # the partial-agg groupBy upstream, the join itself is free
+        docs.groupBy(source_col).agg(
             F.count("*").alias("n_docs"),
             F.sum(token_count(text_col)).alias("n_tokens"),
-        )
-        .withColumn("w_s", w_expr)
-        .filter(F.col("w_s").isNotNull())
-    )
+        ),
+        source_col,
+        "left",
+    ).fillna(0, ["n_docs", "n_tokens"])
     target = F.col("w_s") * F.lit(float(budget_tokens))
+    has = F.col("n_tokens") > 0
     ratio = target / F.col("n_tokens").cast("double")
     return counts.select(
         source_col,
         "n_docs",
         "n_tokens",
         F.round(target, 2).alias("target_tokens"),
-        F.round(F.least(F.lit(1.0), ratio), 6).alias("fraction"),
-        F.round(F.greatest(F.lit(1.0), ratio), 6).alias("repeat_factor"),
+        F.when(has, F.round(F.least(F.lit(1.0), ratio), 6)).alias("fraction"),
+        F.when(has, F.round(F.greatest(F.lit(1.0), ratio), 6)).alias("repeat_factor"),
     ).orderBy(source_col)

@@ -296,9 +296,9 @@ def funnel_stages(
     # and the stage counter as columns
     rest = F.col("_types")
     stage = F.lit(0)
-    for step in steps:
+    for i, step in enumerate(steps):  # enumerate: repeated step names each advance
         pos = F.array_position(rest, step)
-        advance = (pos > 0) & (stage == F.lit(steps.index(step)))
+        advance = (pos > 0) & (stage == F.lit(i))
         stage = F.when(advance, stage + 1).otherwise(stage)
         rest = F.when(
             advance, F.slice(rest, pos + 1, F.greatest(F.size(rest) - pos, F.lit(0)))
