@@ -203,13 +203,18 @@ def test_driver_gate_category_coverage():
     # the newest oracle-backed queries must be gate-visible, not only
     # locally parity-checked (round-4 advisor finding): a latent oracle
     # mismatch in fresh operators should be caught by the driver
+    # (bigram_logprob / collocations_pmi / value_histogram hash-
+    # validated by the driver in r5 and rotated below the cutoff in r6
+    # to make room for the never-recorded encode_tokens /
+    # packed_sequences / token_length_dist plus the three entries that
+    # gained oracles in r6)
     assert {
         "encode_tokens", "packed_sequences", "importance_resample",
         "corpus_health", "token_length_dist", "dedup_ngram_containment",
         "script_mix", "c4_line_filter", "gopher_quality",
         "stratified_sample_counts", "window_dedup",
-        "bm25_search", "bigram_logprob", "bloom_decontamination",
-        "fuzzy_self_join", "collocations_pmi", "value_histogram",
+        "bm25_search", "bloom_decontamination",
+        "fuzzy_self_join",
         "lexical_diversity", "url_features", "domain_cap",
         "temperature_mix", "exact_substring_removal",
         # round 5
@@ -220,6 +225,9 @@ def test_driver_gate_category_coverage():
         "funnel_stages", "matryoshka_recall", "topic_tagging", "readability",
         "percentile_quality", "blocklist_gate", "epoch_order",
         "mmr_rerank_top10", "soft_dedup_weights", "mixing_recipe",
+        # round 6: rows-only entries that gained real oracles + the
+        # PSL eTLD+1 query — never hash-recorded, so gate-visible
+        "image_dedup_dhash", "tokenizer_eval", "psl_registrable_domain",
     } <= gs
 
 

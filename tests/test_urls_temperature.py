@@ -172,3 +172,50 @@ def test_lexical_diversity_degenerate(spark):
     r = lexical_diversity(df).head()
     assert r["entropy"] == 0.0 and r["norm_entropy"] == 0.0
     assert r["ttr"] == 0.25 and r["hapax_ratio"] == 0.0
+
+
+def test_registrable_domain_psl_rule_classes(spark):
+    """Real PSL semantics (r5 verdict item 3): wildcard, exception,
+    private-section, and host==public-suffix cases — not just the
+    last-2/last-3 approximation."""
+    cases = {
+        "news.bbc.co.uk": "bbc.co.uk",          # exact 2-label rule
+        "a.b.kobe.jp": "a.b.kobe.jp",           # *.kobe.jp wildcard
+        "b.kobe.jp": "b.kobe.jp",               # host IS a public suffix
+        "a.city.kawasaki.jp": "city.kawasaki.jp",  # exception rule
+        "city.kawasaki.jp": "city.kawasaki.jp",
+        "sub.www.ck": "www.ck",                 # !www.ck exception
+        "a.foo.ck": "a.foo.ck",                 # *.ck wildcard
+        "foo.ck": "foo.ck",                     # public suffix itself
+        "deep.user.github.io": "user.github.io",   # private section
+        "bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",  # 3-label rule
+        "co.uk": "co.uk",                       # bare public suffix
+        "localhost": "localhost",               # single label
+        "y.x.sch.uk": "y.x.sch.uk",             # *.sch.uk wildcard
+    }
+    got = {
+        r.host: r.d
+        for r in spark.createDataFrame(
+            [(h,) for h in cases], "host string"
+        ).select("host", registrable_domain("host").alias("d")).collect()
+    }
+    assert got == cases
+
+
+def test_psl_udf_matches_catalyst(spark):
+    """The broadcast-dict Arrow path (full-PSL swap-in) and the codegen
+    IN-list path implement the SAME longest-match algorithm."""
+    import random
+
+    from wc_vector_indexing_spark.operators.urls import psl_registrable_domain_udf
+
+    random.seed(11)
+    labels = ["a", "bb", "www", "city", "co", "com", "uk", "jp", "ck",
+              "io", "github", "sch", "kobe", "kawasaki", "bd"]
+    hosts = [".".join(random.choices(labels, k=random.randint(1, 5)))
+             for _ in range(200)]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    cat = {r.host: r.d for r in
+           df.select("host", registrable_domain("host").alias("d")).collect()}
+    udf = {r.host: r.domain for r in psl_registrable_domain_udf(df).collect()}
+    assert cat == udf

@@ -151,7 +151,7 @@ def bpe_encode_col(merges: list[tuple[str, str]], text_col: str | Column) -> Col
 
 def tokenizer_eval(
     docs: DataFrame,
-    merges: list[tuple[str, str]],
+    merges: list[tuple[str, str]] | None,
     text_col: str = "text",
 ) -> DataFrame:
     """One row per tokenizer — (tokenizer, n_tokens, n_bytes,
@@ -164,9 +164,15 @@ def tokenizer_eval(
       * whitespace  — `textstats.token_count`
       * regex BPE-ish — `textstats.bpe_ish_token_count` (untrained)
       * trained BPE — `bpe_encode_col(merges)` (Arrow-batched)
-    Each rung is a per-row column + one scalar aggregate; the three
+    Each rung is a per-row column + one scalar aggregate; the
     1-row aggregates union into the scorecard. No shuffle beyond the
-    map-side-combined scalar aggs."""
+    map-side-combined scalar aggs.
+
+    ``merges=None`` skips the trained rung: the remaining two rungs are
+    pure codegen regex arithmetic with an exact ANSI-SQL twin, which is
+    the DuckDB-oracle-backed form the driver gate records; the trained
+    rung (not SQL-expressible) is golden-tested in tests/test_bpe.py
+    and cataloged separately as a rows-only query."""
     from wc_vector_indexing_spark.operators.textstats import (
         bpe_ish_token_count,
         token_count,
@@ -176,8 +182,9 @@ def tokenizer_eval(
     rungs = {
         "whitespace": token_count(text_col),
         "regex_bpeish": bpe_ish_token_count(text_col),
-        "trained_bpe": F.size(bpe_encode_col(merges, text_col)),
     }
+    if merges is not None:
+        rungs["trained_bpe"] = F.size(bpe_encode_col(merges, text_col))
     parts = []
     for name, col in rungs.items():
         parts.append(
