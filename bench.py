@@ -68,22 +68,56 @@ def main() -> None:
         return times
 
     # The shared host this runs on shows >2x run-to-run noise; per-query
-    # best-of-two is the steady-state number. The second pass is skipped
-    # when the first already ate the time budget (driver timeout ~550 s).
+    # best-of-two is the steady-state number, but the r5 verdict asked
+    # for the variance to be VISIBLE rather than silently folded: the
+    # artifact records pass-1, pass-2, best, and the per-query p1/p2
+    # ratio, all from the same invocation the driver ingests. The second
+    # pass is skipped when the first already ate the time budget (driver
+    # timeout ~550 s).
     bench_start = time.time()
-    times = run_pass()
+    pass1 = run_pass()
+    times = dict(pass1)
+    pass2: dict[str, float] = {}
     passes = 1
     if time.time() - bench_start < 220:
-        second = run_pass()
+        pass2 = run_pass()
         passes = 2
         times = {
-            n: (min(a, b) if (a := times[n]) >= 0 and (b := second[n]) >= 0 else max(a, b))
-            for n in times
+            n: (min(a, b) if (a := pass1[n]) >= 0 and (b := pass2[n]) >= 0 else max(a, b))
+            for n in pass1
         }
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    # full per-query detail for local inspection / commit
+    total_p1 = round(sum(t for t in pass1.values() if t >= 0), 3)
+    detail = {
+        n: {
+            "best": times[n],
+            "pass1": pass1[n],
+            **({"pass2": pass2[n]} if pass2 else {}),
+            **(
+                {"ratio": round(max(pass1[n], pass2[n]) / max(min(pass1[n], pass2[n]), 1e-3), 2)}
+                if pass2 and pass1[n] >= 0 and pass2[n] >= 0
+                else {}
+            ),
+        }
+        for n in pass1
+    }
+    # full per-query detail for local inspection / commit — written by
+    # the SAME invocation that prints the driver line, so the committed
+    # artifact and BENCH_r{N}.json can never disagree about which run
+    # they describe
     with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as fh:
-        json.dump({"queries": times, "sf": sf, "passes": passes, "total": total}, fh, indent=1)
+        json.dump(
+            {
+                "queries": times,
+                "detail": detail,
+                "sf": sf,
+                "passes": passes,
+                "total_best": total,
+                "total_pass1": total_p1,
+            },
+            fh,
+            indent=1,
+        )
     # The driver captures only the LAST 2000 chars of stdout and parses the
     # JSON line out of that tail (BENCH_r02 was lost to an oversized line).
     # Emit a compact line and, if needed, fold the fastest queries into one
@@ -97,6 +131,7 @@ def main() -> None:
                 "queries": qs,
                 "sf": sf,
                 "passes": passes,
+                "value_pass1": total_p1,
             },
             separators=(",", ":"),
         )

@@ -265,3 +265,109 @@ def test_prep_document_stream(spark, tmp_path):
     row = out[0]
     assert row.log_weight > 0  # target-like doc scores positive
     assert len(row.token_ids) > 20 and -1 not in row.token_ids[:5]
+
+
+class _FlakyStateStore:
+    """Wraps the sync-state store: its MERGE raises while a marker file
+    exists — lets a test crash a streaming batch at the LAST write
+    (deletes + index upserts already landed, ledger MERGE did not), the
+    torn-state worst case for exactly-once."""
+
+    def __init__(self, inner, marker: str):
+        self._inner = inner
+        self._marker = marker
+
+    def merge(self, *a, **kw):
+        import os
+
+        if os.path.exists(self._marker):
+            raise RuntimeError("injected mid-batch failure before ledger MERGE")
+        return self._inner.merge(*a, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_checkpoint_restart_converges_to_single_run(spark, tmp_path):
+    """T4 exactly-once, end to end (r5 verdict item 7): the stream dies
+    MID-BATCH — after the batch's deletes and vector upserts landed but
+    before the ledger MERGE committed (torn state) — then restarts from
+    the same checkpoint. AvailableNow replays the uncommitted epoch; the
+    idempotent key-based MERGEs must converge to exactly the state of a
+    run that never failed."""
+    import os
+
+    from wc_vector_indexing_spark.operators.delta_sync import sync_products
+
+    def run_pipeline(root, fail_first: bool):
+        config = EngineConfig(
+            model="fake-deterministic-64", chunking=ChunkingConfig(size=25, overlap=4)
+        )
+        raw_state = sync_state_store(spark, str(root / "state"))
+        index = vector_index_store(spark, str(root / "index"))
+        marker = str(root / "FAIL")
+        state = _FlakyStateStore(raw_state, marker)
+        backend = DeterministicEmbedder()
+        products = spark.createDataFrame(
+            [Row(product_id=i, text=f"Checkpoint product {i} body text.") for i in range(1, 5)]
+        )
+        # seed product 4 (the stream deletes it) and product 2 (updated)
+        sync_products(
+            products.filter("product_id in (2, 4)"), state, index, config, backend,
+            text_col="text",
+        )
+        ev_dir = str(root / "events")
+        spark.createDataFrame(
+            [
+                Row(product_id=1, change_type="save", event_ts=T0),
+                Row(product_id=2, change_type="save", event_ts=T0 + timedelta(seconds=3)),
+                Row(product_id=4, change_type="delete", event_ts=T0 + timedelta(seconds=5)),
+            ],
+            CHANGE_EVENT_SCHEMA,
+        ).write.parquet(ev_dir)
+        ckpt = str(root / "ckpt")
+
+        def start():
+            stream = spark.readStream.schema(CHANGE_EVENT_SCHEMA).parquet(ev_dir)
+            return start_incremental_stream(
+                stream, products, state, index, config, backend,
+                checkpoint_dir=ckpt, text_col="text",
+            )
+
+        if fail_first:
+            open(marker, "w").close()
+            q = start()
+            try:
+                q.awaitTermination(120)
+            except Exception:
+                pass  # the injected failure surfaces here
+            assert q.exception() is not None  # query really died mid-batch
+            # torn state: the batch's deletes and vector upserts landed…
+            assert index.read().filter("product_id = 4").count() == 0
+            assert index.read().filter("product_id = 1").count() > 0
+            # …but the ledger MERGE never committed product 1
+            assert raw_state.read().filter("product_id = 1").count() == 0
+            os.remove(marker)  # heal the store
+        q = start()
+        q.awaitTermination(120)
+        q.stop()
+        return raw_state, index
+
+    s1, i1 = run_pipeline(tmp_path / "failed", fail_first=True)
+    s2, i2 = run_pipeline(tmp_path / "clean", fail_first=False)
+
+    def canon_state(store):
+        drop = {"last_synced_at", "created_at", "updated_at"}
+        cols = [c for c in store.schema.fieldNames() if c not in drop]
+        return sorted(tuple(r) for r in store.read().select(*cols).collect())
+
+    def canon_index(store):
+        return sorted(
+            (r.target, r.vector_id, r.product_id, r.chunk_index, r.chunk_sha,
+             tuple(r.values))
+            for r in store.read().collect()
+        )
+
+    assert canon_state(s1) == canon_state(s2)
+    assert canon_index(i1) == canon_index(i2)
+    assert len(canon_index(i1)) > 0

@@ -1,0 +1,272 @@
+"""Pure-numpy baseline JPEG (ITU-T T.81) decoder.
+
+Closes the r5 verdict's "the first real corpus is JPEG" gap without any
+external codec: baseline sequential DCT (SOF0), Huffman entropy coding,
+grayscale or YCbCr with any of the common subsampling layouts
+(4:4:4 / 4:2:2 / 4:2:0), restart markers, 0xFF00 byte stuffing. All of
+this is public knowledge — the T.81 spec's Annexes A (DCT), C (Huffman
+code construction) and F (decoder control flow) define every step, and
+the decoder follows them directly.
+
+Progressive (SOF2), arithmetic coding, and hierarchical modes raise
+``NotImplementedError`` — at that point a real codec (Pillow/libjpeg)
+should be plugged into ``multimodal.decode_image``, which dispatches
+JPEG magic bytes here.
+
+Scale shape: decoding runs inside the same zero-shuffle Arrow map pass
+as the netpbm path (multimodal.image_dhash / media_features) — one
+Python call per image, no per-pixel Python. The hot loops below are the
+Huffman bit reader (per-symbol) and the vectorized numpy IDCT
+(matrix-multiply per 8x8 block batch)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+# zigzag order (T.81 Figure A.6): index i of the stream -> (row, col)
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II basis; IDCT(block) = C.T @ block @ C
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _alpha = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _C[_u, _x] = _alpha * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+class _HuffTable:
+    """Canonical Huffman table per T.81 Annex C: codes assigned in
+    order of increasing length, then symbol order."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.max_len = max((l for l, _ in self.lookup), default=0)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    un-stuffing; stops at any real marker (RSTn handled by the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:  # stuffed 0xFF data byte
+                self.pos += 2
+            else:  # a real marker: T.81 F.2.2.5 pads with 1-bits
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    def align_to_marker(self) -> int:
+        """Discard partial bits, skip an expected RSTn, return its n."""
+        self.bitbuf = 0
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1  # tolerate stray bytes before the marker
+        marker = self.data[self.pos + 1]
+        if not (0xD0 <= marker <= 0xD7):
+            raise ValueError(f"expected restart marker, got FF{marker:02X}")
+        self.pos += 2
+        return marker - 0xD0
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to uint8 ``(h, w)`` (grayscale) or
+    ``(h, w, 3)`` (RGB, BT.601 YCbCr conversion per JFIF)."""
+    if not data or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
+    restart_interval = 0
+    frame = None
+    i = 2
+    while i < len(data):
+        if data[i] != 0xFF:
+            raise ValueError(f"marker expected at byte {i}")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        length = int.from_bytes(data[i + 2 : i + 4], "big")
+        seg = data[i + 4 : i + 2 + length]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                n = sum(counts)
+                huff[(tc, th)] = _HuffTable(counts, seg[p + 17 : p + 17 + n])
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(f"{precision}-bit JPEG not supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential (SOF0) JPEG decodes here; got "
+                f"SOF marker FF{marker:02X} — plug a real codec (Pillow) at "
+                "multimodal.decode_image for progressive/arithmetic files"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cs] = (tables >> 4, tables & 0x0F)
+            return _decode_scan(
+                data, i + 2 + length, frame, scan, qt, huff, restart_interval
+            )
+        i += 2 + length
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.align_to_marker()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_tbl = huff[(0, scan[c["id"]][0])]
+                ac_tbl = huff[(1, scan[c["id"]][1])]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = reader.decode(dc_tbl)
+                        diff = _extend(reader.bits(t), t) if t else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(ac_tbl)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            zz[k] = _extend(reader.bits(s), s)
+                            k += 1
+                        coeffs = np.zeros(64, dtype=np.float64)
+                        coeffs[_ZIGZAG] = zz * q
+                        block = _C.T @ coeffs.reshape(8, 8) @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_index += 1
+    # upsample each component to full frame resolution (sample
+    # replication — the nearest-neighbour upsampling JFIF allows)
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    if len(out) != 3:
+        raise NotImplementedError(f"{len(out)}-component JPEG not supported")
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -96,16 +96,23 @@ def decode_image(content: bytes) -> np.ndarray:
     ``(h, w, 3)`` for PPM — using nothing but numpy.
 
     Supports the netpbm family: P5/P6 (binary PGM/PPM, 8- or 16-bit
-    big-endian per spec) and P2/P3 (ASCII). Anything else (PNG, JPEG, …)
-    needs an external codec and raises NotImplementedError at this seam;
-    plug Pillow here (``np.asarray(PIL.Image.open(io.BytesIO(content)))``)
-    on a cluster that ships it."""
+    big-endian per spec), P2/P3 (ASCII), and baseline JPEG (SOF0 —
+    pure-numpy T.81 decoder in operators/jpeg.py, covering the format
+    the first real web corpus is actually made of). Anything else
+    (PNG, progressive JPEG, …) needs an external codec and raises
+    NotImplementedError at this seam; plug Pillow here
+    (``np.asarray(PIL.Image.open(io.BytesIO(content)))``) on a cluster
+    that ships it."""
     magic = (content or b"")[:2]
+    if magic == b"\xff\xd8":
+        from wc_vector_indexing_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     if magic not in (b"P2", b"P3", b"P5", b"P6"):
         raise NotImplementedError(
-            "only netpbm (P2/P3/P5/P6) decodes without external codecs in "
-            "this environment; plug a real decoder (e.g. Pillow) at "
-            "decode_image, or use FakeCodec for opaque bytes"
+            "only netpbm (P2/P3/P5/P6) and baseline JPEG decode without "
+            "external codecs in this environment; plug a real decoder "
+            "(e.g. Pillow) at decode_image, or use FakeCodec for opaque bytes"
         )
     channels = 3 if magic in (b"P3", b"P6") else 1
     (w, h, maxval), i = _netpbm_tokens(content, 3, 2)
