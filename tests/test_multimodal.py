@@ -206,3 +206,33 @@ def test_image_near_pairs_finds_resized_duplicate(spark):
     pairs = {(r.media_a, r.media_b): r.hamming for r in image_near_pairs(media, max_hamming=6).collect()}
     assert (1, 2) in pairs  # resized duplicate caught
     assert all(3 not in p for p in pairs)  # unrelated image not paired
+
+
+def test_cross_format_dedup_pgm_png_jpeg(spark):
+    """The format-bridging property real crawl dedup needs: the SAME
+    image stored as PGM, PNG, and (near-losslessly) JPEG decodes to the
+    same pixels, so dHash pairs them across container formats — re-encoded
+    copies of one image are found without any format-aware logic."""
+    import numpy as np
+
+    from tests.test_jpeg import encode_baseline
+    from tests.test_png import encode_png
+    from wc_vector_indexing_spark.operators.multimodal import image_near_pairs
+
+    rng = np.random.RandomState(42)
+    img = (rng.randint(0, 2, (16, 18)) * 255).astype(np.uint8)  # high contrast
+    other = (rng.randint(0, 2, (16, 18)) * 255).astype(np.uint8)
+    pgm = b"P5\n18 16\n255\n" + img.tobytes()
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(pgm)),
+            (2, "image", bytearray(encode_png(img, filters=4))),
+            (3, "image", bytearray(encode_baseline(img))),
+            (4, "image", bytearray(encode_png(other, filters=1))),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    pairs = {(r.media_a, r.media_b): r.hamming
+             for r in image_near_pairs(media, max_hamming=4).collect()}
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}  # all re-encodings pair up
+    assert pairs[(1, 2)] == 0  # PNG is lossless: identical hash

@@ -1,0 +1,100 @@
+"""Scaling-curvature benchmark (r5 verdict item 5): run the most
+expensive catalog queries at sf0.1 and at a synthesized sf1
+(tools/make_sfN.py, 10x data) and record the wall-time ratio. A
+linear-ish operator lands at ratio ≤ ~12 for 10x data on the same
+local[32] box (some superlinearity is expected from reduced cache
+locality + spill pressure); anything well past that is flagged — it
+means the plan's asymptotics, not the constant, moved.
+
+Usage: python tools/bench_sf1.py [--queries n1,n2,...]
+Writes BENCH_SF1.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from wc_vector_indexing_spark.plans.queries import (  # noqa: E402
+    REGISTRY,
+    warm_build_artifacts,
+)
+from wc_vector_indexing_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/wcvi_sf1"
+
+# the heavy tail of BENCH_DETAIL (r6): the queries whose asymptotics
+# matter most, spanning the pipeline/dedup/retrieval/TPC-H families
+DEFAULT_QUERIES = [
+    "training_data_pipeline",
+    "curation_pipeline",
+    "matryoshka_recall",
+    "ivf_recall_curve",
+    "dedup_survivors",
+    "fuzzy_self_join",
+    "dedup_minhash_lsh",
+    "q21_waiting_suppliers",
+    "exact_substring_removal",
+    "tokenizer_eval_bpe",
+    "q1_pricing_summary",  # the canonical scan-agg control: should be ~10x flat
+    "bm25_search",
+]
+
+RATIO_BAR = 14.0  # 10x data + cache/spill slack
+
+
+def run(names: list[str]) -> None:
+    if not Path(SF1).is_dir():
+        raise SystemExit(f"{SF1} missing — run tools/make_sfN.py first")
+    spark = get_spark("bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{SF01}/region.parquet").count()  # JVM warm
+    results: dict[str, dict] = {}
+    for sf_dir, key in ((SF01, "t_sf0.1"), (SF1, "t_sf1")):
+        warm_build_artifacts(spark, sf_dir)  # amortized index builds
+        for name in names:
+            spec = REGISTRY[name]
+            best = None
+            for _ in range(2 if sf_dir == SF01 else 1):
+                t0 = time.time()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[key] = round(best, 3)
+            print(f"{name} @ {sf_dir}: {best:.2f}s", file=sys.stderr)
+    flagged = []
+    for name, r in results.items():
+        r["ratio"] = round(r["t_sf1"] / max(r["t_sf0.1"], 1e-3), 2)
+        r["superlinear"] = r["ratio"] > RATIO_BAR
+        if r["superlinear"]:
+            flagged.append(name)
+    artifact = {
+        "sf_small": 0.1,
+        "sf_big": 1.0,
+        "data_factor": 10,
+        "ratio_bar": RATIO_BAR,
+        "queries": results,
+        "flagged_superlinear": flagged,
+        "note": (
+            "sf1 synthesized by tools/make_sfN.py: 10x key-shifted "
+            "replication, per-replica text rotation + embedding "
+            "perturbation so dedup/ANN workload shape is preserved"
+        ),
+    }
+    with open(ROOT / "BENCH_SF1.json", "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps({"flagged": flagged,
+                      "ratios": {n: results[n]["ratio"] for n in results}}))
+
+
+if __name__ == "__main__":
+    names = DEFAULT_QUERIES
+    if len(sys.argv) > 2 and sys.argv[1] == "--queries":
+        names = sys.argv[2].split(",")
+    run(names)

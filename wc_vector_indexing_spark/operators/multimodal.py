@@ -108,11 +108,16 @@ def decode_image(content: bytes) -> np.ndarray:
         from wc_vector_indexing_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if (content or b"")[:8] == b"\x89PNG\r\n\x1a\n":
+        from wc_vector_indexing_spark.operators.png import decode_png
+
+        return decode_png(content)
     if magic not in (b"P2", b"P3", b"P5", b"P6"):
         raise NotImplementedError(
-            "only netpbm (P2/P3/P5/P6) and baseline JPEG decode without "
-            "external codecs in this environment; plug a real decoder "
-            "(e.g. Pillow) at decode_image, or use FakeCodec for opaque bytes"
+            "only netpbm (P2/P3/P5/P6), baseline JPEG, and non-interlaced "
+            "PNG decode without external codecs in this environment; plug "
+            "a real decoder (e.g. Pillow) at decode_image, or use "
+            "FakeCodec for opaque bytes"
         )
     channels = 3 if magic in (b"P3", b"P6") else 1
     (w, h, maxval), i = _netpbm_tokens(content, 3, 2)
