@@ -108,6 +108,8 @@ def encode_baseline(
 ) -> bytes:
     gray = img.ndim == 2
     h, w = img.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("test encoder requires multiple-of-8 dimensions")
     if gray:
         comps = [{"id": 1, "h": 1, "v": 1, "plane": img.astype(np.float64)}]
     else:

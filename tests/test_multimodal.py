@@ -220,9 +220,17 @@ def test_cross_format_dedup_pgm_png_jpeg(spark):
     from wc_vector_indexing_spark.operators.multimodal import image_near_pairs
 
     rng = np.random.RandomState(42)
-    img = (rng.randint(0, 2, (16, 18)) * 255).astype(np.uint8)  # high contrast
-    other = (rng.randint(0, 2, (16, 18)) * 255).astype(np.uint8)
-    pgm = b"P5\n18 16\n255\n" + img.tobytes()
+
+    def tie_free(seed):
+        # 8x9 grid of DISTINCT values spaced >=3 apart: every dHash
+        # comparison has margin > the +-1 JPEG roundtrip error, so the
+        # hash is identical across lossless and near-lossless encodings
+        g = np.random.RandomState(seed).permutation(72).reshape(8, 9) * 3
+        return np.kron(g, np.ones((2, 8))).astype(np.uint8)  # 16x72
+
+    img = tie_free(1)
+    other = tie_free(2)
+    pgm = b"P5\n72 16\n255\n" + img.tobytes()
     media = spark.createDataFrame(
         [
             (1, "image", bytearray(pgm)),
