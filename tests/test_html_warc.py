@@ -1,0 +1,136 @@
+"""WARC source + HTML main-text extraction (the crawl front door):
+record framing and HTTP envelope parsing roundtrip through
+to_warc_bytes/read_warc; the jusText-style block classifier keeps
+article prose and drops link-dense chrome; the composed WARC → HTML →
+text pipeline recovers planted article text end to end."""
+
+from __future__ import annotations
+
+import pytest
+
+from wc_vector_indexing_spark.operators.html_extract import (
+    classify,
+    extract_main_text,
+    html_blocks,
+)
+
+ARTICLE = (
+    "<html><head><title>T</title><script>var x = 'junk &amp; noise';"
+    "</script><style>.a{color:red}</style></head><body>"
+    "<nav><a href='/'>Home</a> <a href='/a'>About</a> "
+    "<a href='/c'>Contact</a> <a href='/s'>Shop</a></nav>"
+    "<h2>Section title</h2>"
+    "<p>This is the first real paragraph of the article, long enough to "
+    "count as body prose by any reasonable threshold.</p>"
+    "<p>Short one.</p>"
+    "<p>The second long paragraph continues the article with more "
+    "detail, still containing no links at all.</p>"
+    "<aside><a href='/x'>Related post</a> <a href='/y'>Another one</a>"
+    "</aside>"
+    "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a></footer>"
+    "</body></html>"
+)
+
+
+def test_blocks_drop_script_style_and_split_on_block_tags():
+    blocks = html_blocks(ARTICLE)
+    texts = [b.text for b in blocks]
+    assert not any("junk" in t or "color:red" in t for t in texts)
+    assert any(t.startswith("This is the first real paragraph") for t in texts)
+    nav = next(b for b in blocks if b.text.startswith("Home"))
+    assert nav.link_chars == len("Home") + len("About") + len("Contact") + len("Shop")
+
+
+def test_classifier_keeps_prose_drops_chrome():
+    blocks = html_blocks(ARTICLE)
+    labels = classify(blocks)
+    by_text = dict(zip([b.text for b in blocks], labels))
+    assert by_text[next(t for t in by_text if t.startswith("This is the first"))] == "good"
+    assert by_text[next(t for t in by_text if t.startswith("Home"))] == "bad"
+    assert by_text[next(t for t in by_text if t.startswith("Related post"))] == "bad"
+    # the short paragraph sits between two good ones -> smoothing keeps it
+    assert by_text["Short one."] == "good"
+    # the heading right before a good block survives
+    assert by_text["Section title"] == "good"
+
+
+def test_extract_main_text_joins_good_blocks():
+    text = extract_main_text(ARTICLE)
+    assert text.startswith("Section title")
+    assert "first real paragraph" in text and "second long paragraph" in text
+    assert "Short one." in text
+    assert "Home" not in text and "Privacy" not in text
+
+
+def test_entities_unescaped():
+    html = "<p>Fish &amp; chips cost &lt;5 euros, which is nice enough.</p>"
+    assert extract_main_text(html) == "Fish & chips cost <5 euros, which is nice enough."
+
+
+def test_orphan_heading_in_chrome_dropped():
+    html = (
+        "<h3>Menu</h3><nav><a href='/'>Home</a> <a href='/b'>Blog</a></nav>"
+        "<p>The only actual prose paragraph here, long enough to be kept "
+        "as real article body text.</p>"
+    )
+    text = extract_main_text(html)
+    assert "Menu" not in text and "Home" not in text
+    assert text.startswith("The only actual prose")
+
+
+def test_warc_roundtrip_and_filtering(spark, tmp_path):
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+
+    records = [
+        {"url": "https://a.example/1", "html": "<p>page one body text</p>"},
+        {"url": "https://a.example/2", "html": "<p>page two body text</p>"},
+        # non-HTML and non-200 records must be filtered out
+        {"url": "https://a.example/3", "html": "PDFDATA",
+         "content_type": "application/pdf"},
+        {"url": "https://a.example/4", "html": "<p>gone</p>", "status": 404},
+    ]
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(to_warc_bytes(records))
+    got = read_warc(spark, str(p)).orderBy("url").collect()
+    assert [r.url for r in got] == ["https://a.example/1", "https://a.example/2"]
+    assert got[0].html == "<p>page one body text</p>"
+    assert got[0].http_status == 200
+    assert got[0].content_type.startswith("text/html")
+
+
+def test_warc_to_text_pipeline(spark, tmp_path):
+    """End to end: WARC bytes -> read_warc -> extract_documents -> the
+    planted article text, with the chrome gone — the composed crawl
+    front door."""
+    from wc_vector_indexing_spark.operators.html_extract import extract_documents
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+
+    body = (
+        "<nav><a>Home</a> <a>About</a></nav>"
+        "<p>Article paragraph number one is long enough to be prose.</p>"
+        "<p>Article paragraph number two is also long enough to keep.</p>"
+        "<footer><a>Terms</a> <a>Privacy</a></footer>"
+    )
+    p = tmp_path / "c.warc"
+    p.write_bytes(to_warc_bytes(
+        [{"url": f"https://s.example/{i}", "html": body} for i in range(3)]
+    ))
+    out = extract_documents(read_warc(spark, str(p))).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.text == (
+            "Article paragraph number one is long enough to be prose.\n\n"
+            "Article paragraph number two is also long enough to keep."
+        )
+        assert r.n_good == 2 and r.n_boilerplate == 2
+
+
+def test_multiline_payload_and_crlf_tolerance(spark, tmp_path):
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+
+    html = "<p>line one of the body text here</p>\n<p>line two of the body text here</p>"
+    p = tmp_path / "m.warc"
+    p.write_bytes(to_warc_bytes([{"url": "https://m.example/", "html": html}]))
+    got = read_warc(spark, str(p)).collect()
+    assert len(got) == 1
+    assert got[0].html == html

@@ -3291,6 +3291,78 @@ ORDER BY doc_id
 PSL_REGISTRABLE_SQL = _psl_registrable_sql()
 
 
+def html_main_text_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl front door: HTML → main-text extraction
+    (operators/html_extract.py, jusText/Arc90-family block
+    classification). Each document is rendered into a synthetic page —
+    nav/footer link chrome, a heading, the body split into one or two
+    <p> blocks with entities escaped — and the extractor must recover
+    EXACTLY the planted article (heading + trimmed halves, chrome
+    gone). The synthesis is invertible SQL arithmetic, so the DuckDB
+    oracle reconstructs the expected text from documents.text directly:
+    a hash-checked gate over the parser, the classifier, the smoothing
+    pass, and entity unescaping at once. Zero shuffle: scan → Arrow
+    map → sort."""
+    from wc_vector_indexing_spark.operators.html_extract import extract_documents
+
+    docs = load(spark, "documents", sf)
+    t = F.col("text")
+    esc = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(t, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"
+    )
+    k = F.floor(F.length(t) / 2).cast("int")
+    body = F.when(
+        F.length(t) >= 80,
+        F.concat(
+            F.lit("<p>"), F.substring(esc, F.lit(1), k), F.lit("</p><p>"),
+            F.substring(esc, k + 1, F.length(esc)), F.lit("</p>"),
+        ),
+    ).otherwise(F.concat(F.lit("<p>"), esc, F.lit("</p>")))
+    # NOTE: halves are cut on the ESCAPED string for both sides of the
+    # oracle — the cut index must mean the same thing in Spark and SQL
+    html = F.concat(
+        F.lit("<html><head><script>var j=1;</script></head><body>"
+              "<nav><a href='/'>Home</a> <a href='/a'>About</a> "
+              "<a href='/c'>Contact</a></nav><h2>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h2>"),
+        body,
+        F.lit("<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a>"
+              "</footer></body></html>"),
+    )
+    return (
+        extract_documents(docs.select("doc_id", html.alias("html")))
+        .select("doc_id", "text", "n_good", "n_boilerplate")
+        .orderBy("doc_id")
+    )
+
+
+HTML_MAIN_TEXT_SQL = r"""
+WITH e AS (
+    SELECT doc_id,
+           replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS esc,
+           length(text) AS n
+    FROM documents
+), x AS (
+    SELECT doc_id, n,
+           CASE WHEN n >= 80
+                THEN trim(substr(esc, 1, (n // 2)::INT))
+                     || chr(10) || chr(10)
+                     || trim(substr(esc, (n // 2)::INT + 1))
+                ELSE trim(esc) END AS body,
+           CASE WHEN n >= 80 THEN 3 ELSE 2 END AS n_good
+    FROM e
+)
+SELECT doc_id,
+       'Doc ' || doc_id::VARCHAR || chr(10) || chr(10)
+         || replace(replace(replace(body, '&amp;', '&'), '&lt;', '<'), '&gt;', '>') AS text,
+       n_good,
+       2 AS n_boilerplate
+FROM x
+ORDER BY doc_id
+"""
+
+
 def domain_cap_op(spark: SparkSession, sf: str) -> DataFrame:
     """Per-registrable-domain diversity cap (operators/urls.py
     domain_cap): keep the 5 longest docs per domain (n_chars desc,
@@ -4603,11 +4675,12 @@ REGISTRY: dict[str, QuerySpec] = {
         PERCENTILE_QUALITY_SQL,
         "per-language percentile quality gate (CCNet-style)",
     ),
-    "blocklist_gate": QuerySpec(
-        blocklist_gate_op, BLOCKLIST_SQL, "C4 page-level blocklist rule"
-    ),
     "epoch_order": QuerySpec(
         epoch_order_op, EPOCH_ORDER_SQL, "deterministic epoch shuffle / training order"
+    ),
+    "html_main_text": QuerySpec(
+        html_main_text_op, HTML_MAIN_TEXT_SQL,
+        "WARC-front-door HTML boilerplate removal (jusText-family)"
     ),
     "token_length_dist": QuerySpec(
         token_length_dist, TOKEN_LENGTH_SQL, "per-source token-length percentiles"
@@ -4677,6 +4750,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # ---- below the 50-entry driver-gate cutoff: equally verified each
     # ---- round by tools/parity_check.py (oracle-backed) or pytest
     # ---- goldens (rows-only); rows-only entries live ONLY below here.
+    "blocklist_gate": QuerySpec(
+        blocklist_gate_op, BLOCKLIST_SQL, "C4 page-level blocklist rule"
+    ),
     "bigram_logprob": QuerySpec(
         bigram_logprob_op, BIGRAM_SQL, "interpolated bigram LM scoring"
     ),
