@@ -1,0 +1,175 @@
+"""Audio DSP operators — real spectral analysis over PCM WAV, pure
+numpy (rfft), zero external codecs. Upgrades the audio half of the
+multimodal path from "decode + opaque features" to the measurements an
+audio-curation pipeline actually filters on, plus a perceptual
+fingerprint for audio near-dup detection.
+
+All quantities are textbook public DSP (spectral centroid/bandwidth/
+rolloff, zero-crossing rate, RMS), and the fingerprint is the
+band-energy-difference scheme of published audio-fingerprinting
+systems (Haitsma & Kalker 2002 "A highly robust audio fingerprint
+system"): per frame, compare adjacent log-spaced band energies; the
+sign pattern is robust to volume change and mild noise, so re-encoded
+/ re-leveled copies of one clip hash close in Hamming space.
+
+Spark shape mirrors the image path exactly: decode + analyze in one
+zero-shuffle Arrow pass (`audio_features`, `audio_fingerprint`), then
+`audio_near_pairs` reuses the prefix-block + bit_count Hamming join of
+`multimodal.image_near_pairs`."""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.operators.multimodal import decode_audio
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, duration_s double, rms double, zcr double, "
+    "spectral_centroid_hz double, spectral_bandwidth_hz double, "
+    "spectral_rolloff_hz double, dominant_hz double"
+)
+
+
+def signal_features(samples: np.ndarray, rate: int) -> dict:
+    """Clip-level DSP summary. ``samples``: (n_frames, n_channels) int;
+    analysis runs on the channel mean, normalized to [-1, 1]."""
+    x = samples.astype(np.float64).mean(axis=1)
+    peak = float(np.abs(x).max()) or 1.0
+    x = x / peak
+    n = len(x)
+    duration = n / float(rate)
+    rms = float(np.sqrt(np.mean(x**2))) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    power = spec**2
+    total = float(power.sum())
+    if total <= 0:
+        return {
+            "duration_s": duration, "rms": rms, "zcr": zcr,
+            "spectral_centroid_hz": 0.0, "spectral_bandwidth_hz": 0.0,
+            "spectral_rolloff_hz": 0.0, "dominant_hz": 0.0,
+        }
+    centroid = float((freqs * power).sum() / total)
+    bandwidth = float(np.sqrt(((freqs - centroid) ** 2 * power).sum() / total))
+    cumulative = np.cumsum(power)
+    rolloff = float(freqs[int(np.searchsorted(cumulative, 0.85 * total))])
+    dominant = float(freqs[int(power.argmax())])
+    return {
+        "duration_s": round(duration, 6), "rms": round(rms, 6),
+        "zcr": round(zcr, 6),
+        "spectral_centroid_hz": round(centroid, 3),
+        "spectral_bandwidth_hz": round(bandwidth, 3),
+        "spectral_rolloff_hz": round(rolloff, 3),
+        "dominant_hz": round(dominant, 3),
+    }
+
+
+def audio_features(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """(media_id, duration, rms, zcr, centroid, bandwidth, rolloff,
+    dominant): one zero-shuffle Arrow pass — decode + rfft per clip
+    where the bytes live, nothing but the summary row moves."""
+    import pandas as pd
+
+    def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                samples, rate = decode_audio(bytes(content))
+                rows.append({"media_id": int(mid), **signal_features(samples, rate)})
+            yield pd.DataFrame(
+                rows,
+                columns=[c.split(" ")[0] for c in AUDIO_FEATURES_SCHEMA.split(", ")],
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+N_BANDS = 17  # 16 adjacent-band comparisons per frame
+
+
+def fingerprint64(samples: np.ndarray, rate: int, n_frames: int = 4) -> int:
+    """64-bit clip fingerprint: split the clip into ``n_frames`` equal
+    windows; per window, measure energy in ``N_BANDS`` log-spaced bands
+    (300 Hz .. Nyquist) and emit one bit per adjacent-band comparison
+    (energy[b] > energy[b+1]) — 4 windows x 16 comparisons = 64 bits.
+    Volume scaling cancels in the comparisons (Haitsma-Kalker
+    robustness property), so level-shifted re-encodes hash identically
+    and unrelated audio differs in ~32 bits."""
+    x = samples.astype(np.float64).mean(axis=1)
+    peak = float(np.abs(x).max()) or 1.0
+    x = x / peak
+    n = len(x)
+    if n < n_frames:
+        return 0
+    lo = 300.0
+    hi = rate / 2.0
+    edges = np.geomspace(lo, max(hi, lo * 2), N_BANDS + 1)
+    bits = 0
+    step = n // n_frames
+    for f in range(n_frames):
+        seg = x[f * step : (f + 1) * step]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        freqs = np.fft.rfftfreq(len(seg), d=1.0 / rate)
+        energies = np.array(
+            [spec[(freqs >= a) & (freqs < b)].sum() for a, b in zip(edges, edges[1:])]
+        )
+        # deadband: comparisons between two near-empty bands (or two
+        # spectral-leakage tails) would be decided by quantization
+        # noise — sign flips between re-encodes of the same clip.
+        # Requiring the winner to lead by 0.1% of total energy makes
+        # noise-level comparisons deterministically 0 while leaving
+        # real band differences (percents of total) untouched.
+        delta = 1e-3 * float(energies.sum())
+        for b in range(N_BANDS - 1):
+            bits = (bits << 1) | int(energies[b] > energies[b + 1] + delta)
+    return bits
+
+
+def audio_fingerprint(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """(media_id, afp): 64-bit perceptual fingerprints, one Arrow pass."""
+    import pandas as pd
+
+    def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                samples, rate = decode_audio(bytes(content))
+                ids.append(int(mid))
+                # store as signed 64-bit (Spark long)
+                fps.append(np.int64(np.uint64(fingerprint64(samples, rate))))
+            yield pd.DataFrame({"media_id": ids, "afp": fps})
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema="media_id long, afp long"
+    )
+
+
+def audio_near_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate audio pairs: Hamming(afp_a, afp_b) ≤
+    ``max_hamming``, blocked on the top-16-bit prefix — the identical
+    join shape as `multimodal.image_near_pairs` / simhash. At corpus
+    scale swap the single prefix block for 4 rotated 16-bit bands
+    (pigeonhole: any pair within Hamming 3 shares ≥1 exact band)."""
+    fps = audio_fingerprint(media).withColumn(
+        "block", F.shiftrightunsigned(F.col("afp"), 48)
+    )
+    a = fps.select(F.col("media_id").alias("media_a"), F.col("afp").alias("ha"), "block")
+    b = fps.select(F.col("media_id").alias("media_b"), F.col("afp").alias("hb"), "block")
+    return (
+        a.join(b, ["block"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )

@@ -4490,6 +4490,71 @@ ORDER BY media_a, media_b
 """
 
 
+def audio_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual audio dedup (operators/audio.audio_near_pairs):
+    documents are rendered into deterministic two-tone WAV clips —
+    doc_ids sharing ``doc_id % 24`` get the SAME tone pair (placed at
+    distinct log-band centers, so every pattern has a unique band
+    signature) at a different per-copy gain, i.e. true re-leveled
+    re-encodes with different bytes. The Haitsma-Kalker band-comparison
+    fingerprint cancels gain, so the Hamming join must recover exactly
+    the same-pattern groups at distance 0 — pure doc_id arithmetic,
+    hence the DuckDB oracle. The fingerprint math itself is
+    golden-tested in test_audio.py."""
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.audio import audio_near_pairs
+
+    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(96)
+    edges = np.geomspace(300.0, 4000.0, 18)
+    centers = np.sqrt(edges[:-1] * edges[1:])
+
+    def render(batches):
+        import io
+        import wave
+
+        import pandas as pd
+
+        rate = 8000
+        t = np.arange(2000) / rate  # 0.25 s
+        ids, kinds, blobs = [], [], []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                pat = int(doc_id) % 24
+                b1, b2 = pat % 8, 8 + (3 * pat) % 7  # unique band pair
+                gain = 0.15 + (int(doc_id) // 24 % 4) * 0.2
+                x = gain * (
+                    0.5 * np.sin(2 * np.pi * centers[b1] * t)
+                    + 0.35 * np.sin(2 * np.pi * centers[b2] * t)
+                )
+                pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    wf.writeframes(pcm.tobytes())
+                ids.append(int(doc_id))
+                kinds.append("audio")
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "content": blobs})
+            ids, kinds, blobs = [], [], []
+
+    media = docs.mapInPandas(render, schema="media_id long, kind string, content binary")
+    return audio_near_pairs(media, max_hamming=4).orderBy("media_a", "media_b")
+
+
+AUDIO_DEDUP_SQL = r"""
+WITH ids AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 96
+)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b, 0 AS hamming
+FROM ids a JOIN ids b
+  ON a.doc_id % 24 = b.doc_id % 24 AND a.doc_id < b.doc_id
+ORDER BY media_a, media_b
+"""
+
+
 def mmr_rerank_op(spark: SparkSession, sf: str) -> DataFrame:
     """MMR diversified rerank (operators/retrieval.mmr_rerank): exact
     cosine top-50 candidate fetch (TakeOrderedAndProject) then the
@@ -4670,17 +4735,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "readability": QuerySpec(
         readability_op, READABILITY_SQL, "Flesch reading-ease scoring"
     ),
-    "percentile_quality": QuerySpec(
-        percentile_quality_op,
-        PERCENTILE_QUALITY_SQL,
-        "per-language percentile quality gate (CCNet-style)",
-    ),
     "epoch_order": QuerySpec(
         epoch_order_op, EPOCH_ORDER_SQL, "deterministic epoch shuffle / training order"
     ),
     "html_main_text": QuerySpec(
         html_main_text_op, HTML_MAIN_TEXT_SQL,
         "WARC-front-door HTML boilerplate removal (jusText-family)"
+    ),
+    "audio_dedup_fp": QuerySpec(
+        audio_dedup_op, AUDIO_DEDUP_SQL,
+        "perceptual audio near-dup pairs (planted-truth oracle)"
     ),
     "token_length_dist": QuerySpec(
         token_length_dist, TOKEN_LENGTH_SQL, "per-source token-length percentiles"
@@ -4750,6 +4814,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # ---- below the 50-entry driver-gate cutoff: equally verified each
     # ---- round by tools/parity_check.py (oracle-backed) or pytest
     # ---- goldens (rows-only); rows-only entries live ONLY below here.
+    "percentile_quality": QuerySpec(
+        percentile_quality_op,
+        PERCENTILE_QUALITY_SQL,
+        "per-language percentile quality gate (CCNet-style)",
+    ),
     "blocklist_gate": QuerySpec(
         blocklist_gate_op, BLOCKLIST_SQL, "C4 page-level blocklist rule"
     ),
