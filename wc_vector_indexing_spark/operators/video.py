@@ -1,0 +1,176 @@
+"""Video operators — real MJPEG-in-AVI decode, pure stdlib + the
+package's own baseline-JPEG decoder. Completes the media triad: with
+jpeg.py/png.py (images), audio.py (WAV DSP) and this module, all three
+``kind`` values of the multimodal column decode for real with zero
+external codecs.
+
+AVI is RIFF framing (public Microsoft/OpenDML spec, mirrored in every
+container-parsing tutorial): a RIFF 'AVI ' file holds LIST chunks;
+'movi' contains the stream data chunks, and for MJPEG each '00dc'
+(or '00db') chunk is one complete baseline JPEG image. So the reader
+is a chunk walk + per-frame `decode_jpeg`; no inter-frame state exists
+in MJPEG (every frame is a keyframe), which is exactly why it is the
+classic easy-ingest video format.
+
+Scale shape: everything is per-video independent — frame extraction,
+sampling, per-frame dHash — one zero-shuffle Arrow pass; only the
+sampled fingerprints (8 bytes/frame) leave the executor. Video
+near-dup = per-video ORDERED frame-fingerprint sequence hashing:
+re-muxed copies (same frames, new container bytes) collide exactly;
+`video_near_pairs` joins on the sequence hash. Inter-codec video
+(H.264 …) raises at the documented seam — plug PyAV/ffmpeg there."""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.operators.jpeg import decode_jpeg
+from wc_vector_indexing_spark.operators.multimodal import dhash64
+
+
+def avi_frames(data: bytes) -> list[bytes]:
+    """Walk the RIFF tree and return the MJPEG frame payloads in stream
+    order. Raises NotImplementedError for non-AVI containers and for
+    AVI files whose video chunks are not self-contained JPEGs."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "only MJPEG-in-AVI decodes without external codecs; plug a "
+            "real demuxer (PyAV/ffmpeg) for other containers"
+        )
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if fourcc in (b"RIFF", b"LIST"):
+                walk(buf, body_start + 4, body_start + size)  # skip list type
+            elif fourcc[2:4] in (b"dc", b"db") and size >= 2:
+                payload = buf[body_start : body_start + size]
+                if payload[:2] == b"\xff\xd8":
+                    frames.append(payload)
+                else:
+                    raise NotImplementedError(
+                        "AVI video chunk is not a self-contained JPEG "
+                        "(non-MJPEG codec) — external demuxer required"
+                    )
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(data, 12, len(data))
+    return frames
+
+
+def decode_video(content: bytes, every_n: int = 1) -> list[np.ndarray]:
+    """Decode every ``every_n``-th frame to a numpy image array."""
+    return [decode_jpeg(f) for f in avi_frames(content)[::every_n]]
+
+
+def video_frame_hashes(
+    media: DataFrame,
+    every_n: int = 1,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, frame_no, dhash): per-sampled-frame perceptual hash —
+    decode + dHash inside one Arrow pass; 8 bytes per frame is all that
+    leaves the scan."""
+    import pandas as pd
+
+    def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, nos, hs = [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                for i, frame in enumerate(avi_frames(bytes(content))):
+                    if i % every_n:
+                        continue
+                    ids.append(int(mid))
+                    nos.append(i)
+                    hs.append(np.int64(np.uint64(dhash64(decode_jpeg(frame)))))
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "dhash": hs})
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema="media_id long, frame_no int, dhash long"
+    )
+
+
+def video_signature(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """(media_id, n_frames, sig): order-sensitive 64-bit signature of
+    the sampled frame-hash SEQUENCE (xxhash of the concatenated frame
+    dhashes) — a re-muxed copy (same frames, different container bytes)
+    signs identically; any frame change, drop, or reorder does not.
+    One Arrow pass + one per-video agg."""
+    hashes = video_frame_hashes(media, every_n)
+    return (
+        hashes.groupBy("media_id")
+        .agg(
+            F.count("*").cast("int").alias("n_frames"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("frame_no", "dhash"))
+                        ),
+                        lambda s: s["dhash"].cast("string"),
+                    ),
+                )
+            ).alias("sig"),
+        )
+    )
+
+
+def video_near_pairs(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """Exact re-encode/re-mux video dedup: videos whose sampled frame
+    sequences hash identically. The join key is the 8-byte signature —
+    corpus-scale cost is one hash agg + one equi-join on a key whose
+    group sizes are the duplicate-cluster sizes."""
+    sigs = video_signature(media, every_n)
+    a = sigs.select(F.col("media_id").alias("media_a"), "sig")
+    b = sigs.select(F.col("media_id").alias("media_b"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b")
+    )
+
+
+def write_mjpeg_avi(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal spec-shaped MJPEG AVI writer (the fixture/export half —
+    the same role to_wet_bytes/to_warc_bytes play for the crawl
+    sources): RIFF('AVI ') → LIST hdrl(avih + strl) → LIST movi with
+    one '00dc' chunk per JPEG frame."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    n = len(jpeg_frames)
+    max_size = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<14I", 1_000_000 // max(fps, 1), max_size * fps, 0, 0x10, n, 0, 1,
+        max_size, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, n, max_size, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D,  # 'MJPG'
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

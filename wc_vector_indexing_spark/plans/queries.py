@@ -4555,6 +4555,63 @@ ORDER BY media_a, media_b
 """
 
 
+def video_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Re-mux video dedup (operators/video.py): documents are rendered
+    into MJPEG-AVI clips — doc_ids sharing ``doc_id % 12`` carry the
+    SAME three frames but are muxed at a different fps (different
+    container bytes, byte-identical frame payloads: the re-encoded-
+    upload case). The frame-sequence signature join must recover
+    exactly the same-pattern groups; pure doc_id arithmetic ⇒ DuckDB
+    oracle. RIFF walk, JPEG decode, and dHash are golden-tested in
+    test_video.py / test_jpeg.py."""
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.jpeg import encode_baseline
+    from wc_vector_indexing_spark.operators.video import (
+        video_near_pairs,
+        write_mjpeg_avi,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(48)
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                pat = int(doc_id) % 12
+                frames = []
+                for fno in range(3):
+                    g = np.random.RandomState(5000 + pat * 8 + fno)
+                    grid = g.permutation(72).reshape(8, 9) * 3
+                    frames.append(
+                        np.kron(grid, np.ones((2, 8))).astype(np.uint8)[:16, :24]
+                    )
+                fps = 5 + (int(doc_id) // 12 % 4) * 5  # container-only change
+                avi = write_mjpeg_avi(
+                    [encode_baseline(f) for f in frames], 24, 16, fps=fps
+                )
+                ids.append(int(doc_id))
+                kinds.append("video")
+                blobs.append(avi)
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "content": blobs})
+
+    media = docs.mapInPandas(render, schema="media_id long, kind string, content binary")
+    return video_near_pairs(media).orderBy("media_a", "media_b")
+
+
+VIDEO_DEDUP_SQL = r"""
+WITH ids AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48
+)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b
+FROM ids a JOIN ids b
+  ON a.doc_id % 12 = b.doc_id % 12 AND a.doc_id < b.doc_id
+ORDER BY media_a, media_b
+"""
+
+
 def mmr_rerank_op(spark: SparkSession, sf: str) -> DataFrame:
     """MMR diversified rerank (operators/retrieval.mmr_rerank): exact
     cosine top-50 candidate fetch (TakeOrderedAndProject) then the
@@ -4735,9 +4792,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "readability": QuerySpec(
         readability_op, READABILITY_SQL, "Flesch reading-ease scoring"
     ),
-    "epoch_order": QuerySpec(
-        epoch_order_op, EPOCH_ORDER_SQL, "deterministic epoch shuffle / training order"
-    ),
     "html_main_text": QuerySpec(
         html_main_text_op, HTML_MAIN_TEXT_SQL,
         "WARC-front-door HTML boilerplate removal (jusText-family)"
@@ -4745,6 +4799,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "audio_dedup_fp": QuerySpec(
         audio_dedup_op, AUDIO_DEDUP_SQL,
         "perceptual audio near-dup pairs (planted-truth oracle)"
+    ),
+    "video_dedup_remux": QuerySpec(
+        video_dedup_op, VIDEO_DEDUP_SQL,
+        "re-mux video dedup via frame-sequence signatures"
     ),
     "token_length_dist": QuerySpec(
         token_length_dist, TOKEN_LENGTH_SQL, "per-source token-length percentiles"
@@ -4814,6 +4872,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # ---- below the 50-entry driver-gate cutoff: equally verified each
     # ---- round by tools/parity_check.py (oracle-backed) or pytest
     # ---- goldens (rows-only); rows-only entries live ONLY below here.
+    "epoch_order": QuerySpec(
+        epoch_order_op, EPOCH_ORDER_SQL, "deterministic epoch shuffle / training order"
+    ),
     "percentile_quality": QuerySpec(
         percentile_quality_op,
         PERCENTILE_QUALITY_SQL,
