@@ -69,12 +69,29 @@ def encode_png(
         rows[:, 1::2] = (img.reshape(h, -1) & 0xFF).astype(np.uint8)
     else:
         rows = img.reshape(h, w * bpp).astype(np.uint8)
-    flist = filters if isinstance(filters, list) else [filters] * h
-    raw = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.uint8)
-    for y in range(h):
-        raw += _filter_row(flist[y % len(flist)], rows[y], prev, bpp)
-        prev = rows[y]
+    flist = filters if isinstance(filters, list) else [filters] * max(h, 1)
+
+    def filtered_stream(img_rows):
+        raw = bytearray()
+        prev = np.zeros(img_rows.shape[1], dtype=np.uint8) if len(img_rows) else None
+        for y in range(len(img_rows)):
+            raw += _filter_row(flist[y % len(flist)], img_rows[y], prev, bpp)
+            prev = img_rows[y]
+        return raw
+
+    if interlace:
+        # Adam7: each pass is an independently filtered sub-image
+        raw = bytearray()
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        px_rows = rows.reshape(h, w, bpp)
+        for x0, y0, dx, dy in passes:
+            sub = px_rows[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            raw += filtered_stream(sub.reshape(sub.shape[0], -1))
+    else:
+        raw = filtered_stream(rows)
     out = bytearray(b"\x89PNG\r\n\x1a\n")
     out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
     if palette is not None:
@@ -130,10 +147,24 @@ def test_16bit_depth():
     assert np.array_equal(got, img)
 
 
-def test_interlaced_raises_at_seam():
-    img = _img(4, 4, 3)
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(encode_png(img, interlace=1))
+@pytest.mark.parametrize("shape", [(16, 16, 3), (13, 11, 3), (7, 5, None), (3, 2, None)])
+def test_adam7_interlaced_roundtrip(shape):
+    """Adam7 files reassemble exactly — including non-multiple-of-8
+    dimensions where later passes are ragged and some passes can be
+    empty."""
+    h, w, c = shape
+    img = _img(h, w, c, seed=h * 31 + w)
+    got = decode_png(encode_png(img, filters=[0, 1, 2, 3, 4], interlace=1))
+    assert np.array_equal(got, img)
+
+
+def test_adam7_palette_and_16bit():
+    pal = _img(8, 3, seed=21)
+    idx = (_img(9, 10, seed=22) % 8).astype(np.uint8)
+    data = encode_png(idx[:, :, None], color=3, filters=1, palette=pal, interlace=1)
+    assert np.array_equal(decode_png(data), pal[idx])
+    img16 = _img(6, 9, 3, seed=23, dtype=np.uint16)
+    assert np.array_equal(decode_png(encode_png(img16, filters=4, interlace=1)), img16)
 
 
 def test_decode_image_dispatches_png():

@@ -96,3 +96,25 @@ def test_video_near_pairs_spark(spark):
     pairs = {(r.media_a, r.media_b)
              for r in video_near_pairs(media).collect()}
     assert pairs == {(1, 2)}  # copy pairs; edited and reordered do not
+
+
+def test_video_overlap_pairs_finds_clips(spark):
+    """Partial-copy case: a 3-frame clip cut from a 6-frame video
+    overlaps 100% of its own length; unrelated videos share nothing."""
+    from wc_vector_indexing_spark.operators.video import video_overlap_pairs
+
+    full = _frames(6, seed=3)
+    clip = full[2:5]                      # contiguous excerpt
+    unrelated = _frames(4, seed=8)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(_avi(full))),
+            (2, "video", bytearray(_avi(clip))),
+            (3, "video", bytearray(_avi(unrelated))),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    got = {(r.media_a, r.media_b): (r.shared_frames, r.overlap)
+           for r in video_overlap_pairs(media, min_overlap=0.5).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == (3, 1.0)  # every clip frame found in the source

@@ -3,12 +3,14 @@ columns with typed metadata (north-star extension surface).
 
 Real at this layer: schemas, partition-aware batch iteration
 (mapInPandas), UDF signatures, Arrow batch shapes, AND real decode for
-the formats the standard library + numpy can handle — netpbm images
-(P2/P3 ASCII, P5/P6 binary) via a pure numpy parse and PCM WAV audio
-via stdlib ``wave``. Formats needing external codecs (PNG/JPEG/MP3/MP4)
-raise NotImplementedError at the same one-function seam where
-Pillow/torchaudio/ffmpeg would plug in; ``FakeCodec`` remains the
-deterministic stand-in for those in tests.
+every common format numpy + the standard library can express — netpbm
+images (P2/P3 ASCII, P5/P6 binary), baseline JPEG (operators/jpeg.py),
+PNG incl. Adam7 (operators/png.py), PCM WAV audio via stdlib ``wave``
+(DSP features in operators/audio.py), and MJPEG-AVI video
+(operators/video.py). Formats still needing external codecs
+(progressive JPEG, MP3, H.264) raise NotImplementedError at the same
+one-function seam where Pillow/torchaudio/ffmpeg would plug in;
+``FakeCodec`` remains the deterministic stand-in for those in tests.
 
 Scale notes baked into the design:
   * media bytes travel in their own column so column pruning keeps them
@@ -96,10 +98,10 @@ def decode_image(content: bytes) -> np.ndarray:
     ``(h, w, 3)`` for PPM — using nothing but numpy.
 
     Supports the netpbm family: P5/P6 (binary PGM/PPM, 8- or 16-bit
-    big-endian per spec), P2/P3 (ASCII), and baseline JPEG (SOF0 —
-    pure-numpy T.81 decoder in operators/jpeg.py, covering the format
-    the first real web corpus is actually made of). Anything else
-    (PNG, progressive JPEG, …) needs an external codec and raises
+    big-endian per spec), P2/P3 (ASCII), baseline JPEG (SOF0 —
+    pure-numpy T.81 decoder in operators/jpeg.py), and PNG including
+    Adam7 interlace (operators/png.py). Anything else (progressive
+    JPEG, WebP, …) needs an external codec and raises
     NotImplementedError at this seam; plug Pillow here
     (``np.asarray(PIL.Image.open(io.BytesIO(content)))``) on a cluster
     that ships it."""
@@ -114,10 +116,10 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_png(content)
     if magic not in (b"P2", b"P3", b"P5", b"P6"):
         raise NotImplementedError(
-            "only netpbm (P2/P3/P5/P6), baseline JPEG, and non-interlaced "
-            "PNG decode without external codecs in this environment; plug "
-            "a real decoder (e.g. Pillow) at decode_image, or use "
-            "FakeCodec for opaque bytes"
+            "only netpbm (P2/P3/P5/P6), baseline JPEG, and PNG decode "
+            "without external codecs in this environment; plug a real "
+            "decoder (e.g. Pillow) at decode_image, or use FakeCodec "
+            "for opaque bytes"
         )
     channels = 3 if magic in (b"P3", b"P6") else 1
     (w, h, maxval), i = _netpbm_tokens(content, 3, 2)

@@ -140,6 +140,53 @@ def video_near_pairs(media: DataFrame, every_n: int = 1) -> DataFrame:
     )
 
 
+def video_overlap_pairs(
+    media: DataFrame,
+    every_n: int = 1,
+    min_overlap: float = 0.5,
+    max_frame_df: int = 1000,
+) -> DataFrame:
+    """Partial-copy detection: (media_a, media_b, shared_frames,
+    overlap) where overlap = |shared distinct frame hashes| /
+    min(|A|, |B|) ≥ ``min_overlap`` — catches the clip-of-a-longer-
+    video case the exact signature join misses.
+
+    Shape is the n-gram containment join applied to frame hashes:
+    candidate pairs are born inside per-hash posting lists (equi-join
+    on the 8-byte dhash, never an all-pairs comparison), then one
+    pair-keyed count agg. ``max_frame_df`` drops degenerate frames
+    shared by more than N videos (black frames, title cards — the
+    boilerplate-shingle cap from textual dedup, same skew story)."""
+    fh = video_frame_hashes(media, every_n).select("media_id", "dhash").distinct()
+    sizes = fh.groupBy("media_id").agg(F.count("*").alias("n"))
+    df_cap = (
+        fh.groupBy("dhash").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_frame_df)
+        .select("dhash")
+    )
+    fh = fh.join(df_cap, "dhash")
+    a = fh.select(F.col("media_id").alias("media_a"), "dhash")
+    b = fh.select(F.col("media_id").alias("media_b"), "dhash")
+    shared = (
+        a.join(b, "dhash")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count("*").alias("shared_frames"))
+    )
+    sa = sizes.select(F.col("media_id").alias("media_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("media_id").alias("media_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "media_a")
+        .join(F.broadcast(sb), "media_b")
+        .withColumn(
+            "overlap",
+            F.round(F.col("shared_frames") / F.least("na", "nb"), 4),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("media_a", "media_b", "shared_frames", "overlap")
+    )
+
+
 def write_mjpeg_avi(
     jpeg_frames: list[bytes], width: int, height: int, fps: int = 10
 ) -> bytes:
