@@ -244,3 +244,38 @@ def test_cross_format_dedup_pgm_png_jpeg(spark):
              for r in image_near_pairs(media, max_hamming=4).collect()}
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}  # all re-encodings pair up
     assert pairs[(1, 2)] == 0  # PNG is lossless: identical hash
+
+
+def test_collapse_exact_keeps_mega_group_linear(spark):
+    """The degenerate-block guard: 20 byte-identical images emit a
+    19-edge star (linear), not 190 pairs (quadratic), and near-dup
+    edges still reach the group through its representative."""
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.multimodal import image_near_pairs
+
+    yy, xx = np.mgrid[0:8, 0:9]
+    grid = (((yy + xx) % 2) * 255).astype(np.uint8)  # checkerboard
+    img = np.kron(grid, np.ones((2, 2), dtype=np.uint8))
+    base = b"P5\n18 16\n255\n" + img.tobytes()
+    # a near-dup: swapping two cells in the BOTTOM row flips a known
+    # handful of adjacent comparisons (0 < hamming <= 4) while leaving
+    # the top-16-bit prefix block identical, so the pair stays joinable
+    g2 = grid.copy()
+    g2[7, 0], g2[7, 1] = 0, 255
+    near = np.kron(g2, np.ones((2, 2), dtype=np.uint8))
+    near_b = b"P5\n18 16\n255\n" + near.tobytes()
+    rows = [(i, "image", bytearray(base)) for i in range(20)]
+    rows.append((99, "image", bytearray(near_b)))
+    media = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+
+    quadratic = image_near_pairs(media, max_hamming=4).collect()
+    assert len(quadratic) == 190 + 20  # every identical pair + near edges
+
+    linear = image_near_pairs(media, max_hamming=4, collapse_exact=True).collect()
+    stars = [r for r in linear if r.hamming == 0]
+    nears = [r for r in linear if r.hamming > 0]
+    assert len(stars) == 19            # one star edge per non-representative
+    assert all(r.media_a == 0 for r in stars)
+    assert len(nears) == 1             # rep(0) <-> 99 only
+    assert {(r.media_a, r.media_b) for r in nears} == {(0, 99)}

@@ -155,21 +155,16 @@ def audio_fingerprint(
     )
 
 
-def audio_near_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+def audio_near_pairs(
+    media: DataFrame, max_hamming: int = 8, collapse_exact: bool = False
+) -> DataFrame:
     """Near-duplicate audio pairs: Hamming(afp_a, afp_b) ≤
-    ``max_hamming``, blocked on the top-16-bit prefix — the identical
-    join shape as `multimodal.image_near_pairs` / simhash. At corpus
-    scale swap the single prefix block for 4 rotated 16-bit bands
-    (pigeonhole: any pair within Hamming 3 shares ≥1 exact band)."""
-    fps = audio_fingerprint(media).withColumn(
-        "block", F.shiftrightunsigned(F.col("afp"), 48)
-    )
-    a = fps.select(F.col("media_id").alias("media_a"), F.col("afp").alias("ha"), "block")
-    b = fps.select(F.col("media_id").alias("media_b"), F.col("afp").alias("hb"), "block")
-    return (
-        a.join(b, ["block"])
-        .filter(F.col("media_a") < F.col("media_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("media_a", "media_b", "hamming")
+    ``max_hamming`` over the shared prefix-blocked join
+    (`multimodal.hamming64_near_pairs` — same shape as image/simhash;
+    ``collapse_exact=True`` keeps a mega-group of identical clips —
+    silence, jingles — linear instead of quadratic)."""
+    from wc_vector_indexing_spark.operators.multimodal import hamming64_near_pairs
+
+    return hamming64_near_pairs(
+        audio_fingerprint(media), max_hamming, "media_id", "afp", collapse_exact
     )

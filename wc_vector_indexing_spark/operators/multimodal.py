@@ -307,28 +307,66 @@ def image_dhash(
     return imgs.mapInPandas(run, schema=f"{id_col} long, dhash long")
 
 
+def hamming64_near_pairs(
+    fps: DataFrame,
+    max_hamming: int,
+    id_col: str,
+    hash_col: str,
+    collapse_exact: bool = False,
+) -> DataFrame:
+    """Shared 64-bit-fingerprint near-pair join (images, audio, simhash
+    shapes): Hamming ≤ ``max_hamming`` pairs, blocked on the top-16-bit
+    prefix. At corpus scale swap the single prefix block for 4 rotated
+    16-bit bands (any pair within Hamming 3 shares ≥1 exact band — the
+    pigeonhole guarantee simhash docs describe).
+
+    ``collapse_exact=True`` is the degenerate-block guard: a fingerprint
+    shared by k items (all-black thumbnails, silence clips) would emit
+    k·(k-1)/2 pairs — quadratic in the hot block. Instead each exact
+    group emits a k-1-edge star to its min-id representative and ONLY
+    representatives enter the Hamming join, so output is linear in
+    duplicate multiplicity and downstream connected components recover
+    the identical clusters."""
+    pa, pb = f"{id_col}_a".replace("media_id_a", "media_a"),         f"{id_col}_b".replace("media_id_b", "media_b")
+    if collapse_exact:
+        groups = fps.groupBy(hash_col).agg(
+            F.min(id_col).alias("_rep"), F.count("*").alias("_n")
+        )
+        stars = (
+            fps.join(groups, hash_col)
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias(pa),
+                F.col(id_col).alias(pb),
+                F.lit(0).alias("hamming"),
+            )
+        )
+        reps = groups.select(F.col("_rep").alias(id_col), hash_col)
+        return stars.unionByName(
+            hamming64_near_pairs(reps, max_hamming, id_col, hash_col, False)
+        )
+    blocked = fps.withColumn("block", F.shiftrightunsigned(F.col(hash_col), 48))
+    a = blocked.select(F.col(id_col).alias(pa), F.col(hash_col).alias("ha"), "block")
+    b = blocked.select(F.col(id_col).alias(pb), F.col(hash_col).alias("hb"), "block")
+    return (
+        a.join(b, ["block"])
+        .filter(F.col(pa) < F.col(pb))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(pa, pb, "hamming")
+    )
+
+
 def image_near_pairs(
     media: DataFrame,
     max_hamming: int = 10,
     content_col: str = "content",
     id_col: str = "media_id",
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate image pairs: Hamming(dhash_a, dhash_b) ≤
-    ``max_hamming``, blocked on the top-16-bit prefix — the same
-    prefix-block + bit_count join shape as `dedup.simhash_near_pairs`,
-    applied to perceptual fingerprints instead of token fingerprints.
-    At corpus scale swap the single prefix block for 4 rotated 16-bit
-    bands (any pair within Hamming 3 shares ≥1 exact band — the
-    pigeonhole guarantee simhash docs describe)."""
-    fps = image_dhash(media, content_col, id_col).withColumn(
-        "block", F.shiftrightunsigned(F.col("dhash"), 48)
-    )
-    a = fps.select(F.col(id_col).alias("media_a"), F.col("dhash").alias("ha"), "block")
-    b = fps.select(F.col(id_col).alias("media_b"), F.col("dhash").alias("hb"), "block")
-    return (
-        a.join(b, ["block"])
-        .filter(F.col("media_a") < F.col("media_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("media_a", "media_b", "hamming")
-    )
+    ``max_hamming`` over the prefix-blocked join (see
+    `hamming64_near_pairs`; ``collapse_exact=True`` keeps a mega-group
+    of byte-identical thumbnails linear instead of quadratic)."""
+    fps = image_dhash(media, content_col, id_col)
+    return hamming64_near_pairs(fps, max_hamming, id_col, "dhash", collapse_exact)
