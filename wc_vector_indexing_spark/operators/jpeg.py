@@ -15,9 +15,16 @@ JPEG magic bytes here.
 
 Scale shape: decoding runs inside the same zero-shuffle Arrow map pass
 as the netpbm path (multimodal.image_dhash / media_features) — one
-Python call per image, no per-pixel Python. The hot loops below are the
-Huffman bit reader (per-symbol) and the vectorized numpy IDCT
-(matrix-multiply per 8x8 block batch)."""
+Python call per image, no per-pixel Python. Decode is two phases: a
+sequential Huffman walk (one 16-bit LUT access per symbol) collecting
+every block's coefficients, then ONE vectorized dequant + batched
+einsum IDCT + reshape-scatter over all blocks of a component. The
+remaining cost is per-symbol (~2M symbols/s): ~110 64x64 img/s on
+smooth content; worst-case unit-quant noise fixtures are ~10x denser
+in symbols than web-quality JPEGs. For bulk megapixel corpora the
+documented seam (Pillow/libjpeg-turbo) is still the production path —
+this decoder makes JPEG *correct and usable* with zero dependencies,
+not SIMD-fast."""
 
 from __future__ import annotations
 
@@ -44,7 +51,10 @@ for _u in range(8):
 
 class _HuffTable:
     """Canonical Huffman table per T.81 Annex C: codes assigned in
-    order of increasing length, then symbol order."""
+    order of increasing length, then symbol order. Decoding uses a
+    65536-entry table indexed by the next 16 bits of the stream — one
+    array access per symbol instead of a bit-by-bit walk (the standard
+    table-driven JPEG decode; max code length is 16 by spec)."""
 
     def __init__(self, counts: list[int], symbols: bytes):
         self.lookup: dict[tuple[int, int], int] = {}
@@ -57,11 +67,21 @@ class _HuffTable:
                 k += 1
             code <<= 1
         self.max_len = max((l for l, _ in self.lookup), default=0)
+        self.lut_sym = np.zeros(1 << 16, dtype=np.int32)
+        self.lut_len = np.zeros(1 << 16, dtype=np.int32)
+        for (length, c), sym in self.lookup.items():
+            shift = 16 - length
+            base = c << shift
+            self.lut_sym[base : base + (1 << shift)] = sym
+            self.lut_len[base : base + (1 << shift)] = length
 
 
 class _BitReader:
     """MSB-first bit reader over the entropy-coded segment with 0xFF00
-    un-stuffing; stops at any real marker (RSTn handled by the caller)."""
+    un-stuffing; stops at any real marker (RSTn handled by the caller).
+    Keeps a bit window so Huffman decode is ONE 16-bit peek + one LUT
+    access per symbol (not a per-bit loop) — the difference between a
+    reference decoder and a usable one in pure Python."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -69,44 +89,43 @@ class _BitReader:
         self.bitbuf = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:  # stuffed 0xFF data byte
-                self.pos += 2
-            else:  # a real marker: T.81 F.2.2.5 pads with 1-bits
-                self.bitbuf = (self.bitbuf << 8) | 0xFF
-                self.nbits += 8
-                return
-        else:
-            self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
-        self.nbits += 8
-
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.bitbuf >> self.nbits) & 1
+    def _refill(self, need: int) -> None:
+        while self.nbits < need:
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if nxt == 0x00:  # stuffed 0xFF data byte
+                    self.pos += 2
+                else:  # a real marker: T.81 F.2.2.5 pads with 1-bits
+                    self.bitbuf = (self.bitbuf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        self._refill(n)
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
         return v
 
     def decode(self, table: _HuffTable) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in entropy stream")
+        self._refill(16)
+        idx = (self.bitbuf >> (self.nbits - 16)) & 0xFFFF
+        length = table.lut_len[idx]
+        if length == 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        self.nbits -= int(length)
+        return int(table.lut_sym[idx])
 
     def align_to_marker(self) -> int:
-        """Discard partial bits, skip an expected RSTn, return its n."""
+        """Discard partial bits, skip an expected RSTn, return its n.
+        The window may hold marker-padding 1-bits plus the marker bytes
+        themselves were never consumed (only data bytes advance pos)."""
         self.bitbuf = 0
         self.nbits = 0
         while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
@@ -207,13 +226,17 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = []
-    for c in comps:
-        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
-        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
     reader = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu_index = 0
+    # phase 1 — entropy decode: per component, every block's zigzag
+    # coefficients into one (n_blocks, 64) matrix plus its block-grid
+    # position. The Huffman walk is inherently sequential; everything
+    # after it is not.
+    n_blocks = [mcus_y * mcus_x * c["v"] * c["h"] for c in comps]
+    zz_all = [np.zeros((n, 64), dtype=np.int32) for n in n_blocks]
+    slots = [np.zeros((n, 2), dtype=np.int64) for n in n_blocks]
+    fill = [0] * len(comps)
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
@@ -222,10 +245,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
             for ci, c in enumerate(comps):
                 dc_tbl = huff[(0, scan[c["id"]][0])]
                 ac_tbl = huff[(1, scan[c["id"]][1])]
-                q = qt[c["tq"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
+                        zz = zz_all[ci][fill[ci]]
                         t = reader.decode(dc_tbl)
                         diff = _extend(reader.bits(t), t) if t else 0
                         pred[ci] += diff
@@ -233,8 +255,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         k = 1
                         while k < 64:
                             rs = reader.decode(ac_tbl)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
                                 if r == 15:  # ZRL: 16 zeros
                                     k += 16
                                     continue
@@ -242,15 +264,26 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                             k += r
                             if k > 63:
                                 raise ValueError("AC run past end of block")
-                            zz[k] = _extend(reader.bits(s), s)
+                            zz[k] = _extend(reader.bits(sz), sz)
                             k += 1
-                        coeffs = np.zeros(64, dtype=np.float64)
-                        coeffs[_ZIGZAG] = zz * q
-                        block = _C.T @ coeffs.reshape(8, 8) @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                        slots[ci][fill[ci]] = (my * c["v"] + by, mx * c["h"] + bx)
+                        fill[ci] += 1
             mcu_index += 1
+    # phase 2 — vectorized dequant + batched IDCT + placement: one
+    # dezigzag gather, one einsum over ALL blocks of a component, one
+    # reshape-scatter into the plane (no per-block numpy calls)
+    planes = []
+    for ci, c in enumerate(comps):
+        bh, bw = mcus_y * c["v"], mcus_x * c["h"]
+        coeffs = np.zeros((n_blocks[ci], 64), dtype=np.float64)
+        coeffs[:, _ZIGZAG] = zz_all[ci] * qt[c["tq"]]
+        blocks = np.einsum(
+            "ij,bjk,kl->bil", _C.T, coeffs.reshape(-1, 8, 8), _C
+        ) + 128.0
+        by_idx, bx_idx = slots[ci][:, 0], slots[ci][:, 1]
+        grid = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+        grid[by_idx, bx_idx] = blocks
+        planes.append(grid.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
     # upsample each component to full frame resolution (sample
     # replication — the nearest-neighbour upsampling JFIF allows)
     out = []

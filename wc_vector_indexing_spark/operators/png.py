@@ -49,9 +49,11 @@ def _unfilter(raw: bytes, offset: int, h: int, stride: int, bpp: int):
         row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1).copy()
         if ftype == 0:  # None
             pass
-        elif ftype == 1:  # Sub — sequential in x (left-neighbour chain)
-            for x in range(bpp, stride):
-                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif ftype == 1:  # Sub: out[x] = raw[x] + out[x-bpp] is a
+            # per-byte-lane prefix sum; uint8 cumsum wraps mod 256 for
+            # free, so the whole row vectorizes
+            lanes = row.reshape(-1, bpp)
+            row = np.cumsum(lanes, axis=0, dtype=np.uint8).reshape(stride)
         elif ftype == 2:  # Up
             row = (row.astype(np.int32) + prev).astype(np.uint8)
         elif ftype == 3:  # Average
