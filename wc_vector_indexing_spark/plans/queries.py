@@ -4281,6 +4281,55 @@ SELECT status, count(*) AS n_docs FROM j GROUP BY status ORDER BY status
 """
 
 
+def purchase_attribution_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribution interval join (streaming/incremental.
+    interval_join_stream, batch form of the watermarked stream-stream
+    join): each purchase paired with the clicks by the same user in the
+    preceding 30 minutes, rolled up to (n_attributed_clicks,
+    last_click_gap_s) per purchase. The same function runs as a true
+    two-sided-watermark stream-stream join (equivalence-tested in
+    test_streaming.py); batch and SQL agree exactly. One shuffle per
+    side on user_id; the time range is a residual predicate inside the
+    key, never a blowup."""
+    from wc_vector_indexing_spark.streaming.incremental import interval_join_stream
+
+    ev = load(spark, "events", sf)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = interval_join_stream(purchases, clicks, gap_seconds=6 * 3600)
+    return (
+        joined.groupBy(F.col("l_event_id").alias("purchase_id"))
+        .agg(
+            F.count("*").alias("n_attributed_clicks"),
+            F.max(F.col("r_ts")).alias("_last_click"),
+            F.max(F.col("l_ts")).alias("_pts"),
+        )
+        .select(
+            "purchase_id",
+            "n_attributed_clicks",
+            F.round(
+                F.col("_pts").cast("double") - F.col("_last_click").cast("double"), 1
+            ).alias("last_click_gap_s"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = r"""
+SELECT p.event_id AS purchase_id,
+       count(*) AS n_attributed_clicks,
+       round(epoch(p.ts) - max(epoch(c.ts)), 1) AS last_click_gap_s
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 21600 SECONDS
+GROUP BY p.event_id, p.ts
+ORDER BY purchase_id
+"""
+
+
 def overlapping_sessions_op(spark: SparkSession, sf: str) -> DataFrame:
     """Interval × interval overlap (operators/relational.
     interval_overlap_join): gap-sessionize each user's stream, take
@@ -4789,9 +4838,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "topic_tagging": QuerySpec(
         topic_tagging_op, _topic_sql(), "seeded-lexicon topic assignment"
     ),
-    "readability": QuerySpec(
-        readability_op, READABILITY_SQL, "Flesch reading-ease scoring"
-    ),
     "html_main_text": QuerySpec(
         html_main_text_op, HTML_MAIN_TEXT_SQL,
         "WARC-front-door HTML boilerplate removal (jusText-family)"
@@ -4803,6 +4849,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "video_dedup_remux": QuerySpec(
         video_dedup_op, VIDEO_DEDUP_SQL,
         "re-mux video dedup via frame-sequence signatures"
+    ),
+    "purchase_attribution": QuerySpec(
+        purchase_attribution_op, PURCHASE_ATTRIBUTION_SQL,
+        "stream-stream interval-join attribution (batch twin)"
     ),
     "token_length_dist": QuerySpec(
         token_length_dist, TOKEN_LENGTH_SQL, "per-source token-length percentiles"
@@ -4874,6 +4924,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # ---- goldens (rows-only); rows-only entries live ONLY below here.
     "epoch_order": QuerySpec(
         epoch_order_op, EPOCH_ORDER_SQL, "deterministic epoch shuffle / training order"
+    ),
+    "readability": QuerySpec(
+        readability_op, READABILITY_SQL, "Flesch reading-ease scoring"
     ),
     "percentile_quality": QuerySpec(
         percentile_quality_op,

@@ -423,3 +423,45 @@ def funnel_stage_stream(
         stage.alias("stage"),
         name_col.alias("step"),
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    gap_seconds: int = 1800,
+    watermark_delay: str = "10 minutes",
+    prefix: tuple[str, str] = ("l_", "r_"),
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution shape
+    (each left event paired with the right events that preceded it
+    within ``gap_seconds`` on the same key): purchases x the clicks
+    that led to them, errors x the deploys before them.
+
+    Identical semantics on static frames (the batch twin used in the
+    equivalence test) and on streams, where BOTH sides carry watermarks
+    and the time-range predicate lets Spark bound the join state: a
+    buffered right-side row is droppable once the watermark passes its
+    ts + gap (the state-cleanup contract stream-stream joins require —
+    without the range condition the state would grow forever).
+
+    Columns come back prefixed (``l_``/``r_``) so self-joins of one
+    event stream work. One shuffle on the key for each side — the same
+    cost as the batch equi-join; the interval predicate is a residual,
+    not a blowup, because candidates pair only within the key."""
+    lp, rp = prefix
+    l = left.select([F.col(c).alias(f"{lp}{c}") for c in left.columns])
+    r = right.select([F.col(c).alias(f"{rp}{c}") for c in right.columns])
+    if l.isStreaming:
+        l = l.withWatermark(f"{lp}{left_ts}", watermark_delay)
+    if r.isStreaming:
+        r = r.withWatermark(f"{rp}{right_ts}", watermark_delay)
+    lt, rt = F.col(f"{lp}{left_ts}"), F.col(f"{rp}{right_ts}")
+    cond = (
+        (F.col(f"{lp}{key_col}") == F.col(f"{rp}{key_col}"))
+        & (rt <= lt)
+        & (rt >= lt - F.expr(f"INTERVAL {int(gap_seconds)} SECONDS"))
+    )
+    return l.join(r, cond, "inner")
