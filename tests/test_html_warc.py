@@ -134,3 +134,36 @@ def test_multiline_payload_and_crlf_tolerance(spark, tmp_path):
     got = read_warc(spark, str(p)).collect()
     assert len(got) == 1
     assert got[0].html == html
+
+
+def test_cli_crawl_command(tmp_path, capsys):
+    """wcvi crawl: WARC in, extracted parquet corpus out, JSON summary
+    on stdout — the one-command raw-crawl ingest."""
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+    from wc_vector_indexing_spark.sources.warc import to_warc_bytes
+
+    body = (
+        "<nav><a>Home</a> <a>About</a></nav>"
+        "<p>The article body paragraph, long enough to clear min-chars.</p>"
+        "<footer><a>Terms</a></footer>"
+    )
+    warc = tmp_path / "c.warc"
+    warc.write_bytes(to_warc_bytes(
+        [{"url": f"https://e.example/{i}", "html": body} for i in range(4)]
+        + [{"url": "https://e.example/short", "html": "<p>tiny</p>"}]
+    ))
+    out = str(tmp_path / "corpus")
+    rc = main(["crawl", "--warc", str(warc), "--out", out])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_written"] == 4           # the tiny page dropped
+    assert summary["boilerplate_blocks_dropped"] == 4 * 2
+
+    import duckdb
+
+    rows = duckdb.sql(f"SELECT url, text FROM read_parquet('{out}/*.parquet') ORDER BY url").fetchall()
+    assert len(rows) == 4
+    assert all(t == "The article body paragraph, long enough to clear min-chars."
+               for _, t in rows)

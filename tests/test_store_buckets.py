@@ -175,3 +175,30 @@ def test_vacuum_refcounts_shared_data_dirs(spark, tmp_path):
     assert os.path.isdir(os.path.join(store.root, seed_dir))
     assert any(f.startswith(seed_dir) for fs in _manifest(store).values() for f in fs)
     assert store.read().count() == 120
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    """Manifest snapshots give Delta-style VERSION AS OF: each retained
+    version reads back exactly as it was at publish time, vacuum
+    refuses only versions it actually dropped, and a leased old version
+    survives further publishes."""
+    store = sync_state_store(spark, str(tmp_path / "st"))
+    _seed(spark, store, n_products=6)                      # v1
+    store.merge(spark.createDataFrame([_row(2, 0, status="pending")], store.schema))  # v2
+    store.merge(spark.createDataFrame([_row(3, 0, status="error")], store.schema))    # v3
+
+    assert store.versions() == [1, 2, 3]
+    v1 = store.read(version=1)
+    assert v1.filter("status <> 'synced'").count() == 0      # pristine seed
+    assert store.read(version=2).filter("status = 'pending'").count() == 1
+    assert store.read(version=2).filter("status = 'error'").count() == 0
+    assert store.read().filter("status = 'error'").count() == 1
+
+    # v1 is leased by the read above: three more publishes (keep=3)
+    # must not break its recompute
+    for i in range(3):
+        store.merge(spark.createDataFrame([_row(4, 0, status=f"s{i}")], store.schema))
+    assert v1.count() == 12
+    store.release_leases()
+    with pytest.raises(ValueError, match="not retained"):
+        store.read(version=1)

@@ -455,6 +455,40 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_crawl(args: argparse.Namespace) -> int:
+    """Raw-crawl front door as one command: WARC file(s) → HTTP/HTML
+    response records → boilerplate-removed main text → parquet corpus
+    ready for every downstream text stage (dedup, quality, select).
+    Prints a JSON summary (pages read, docs written, boilerplate
+    blocks dropped)."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.html_extract import extract_documents
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.warc import read_warc
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = read_warc(spark, args.warc)
+    docs = extract_documents(pages).filter(
+        F.length(F.trim("text")) >= args.min_chars
+    )
+    docs.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    stats = out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_boilerplate").alias("boilerplate_blocks"),
+        F.sum("n_good").alias("kept_blocks"),
+    ).head()
+    print(json.dumps({
+        "docs_written": stats["docs"],
+        "kept_blocks": int(stats["kept_blocks"] or 0),
+        "boilerplate_blocks_dropped": int(stats["boilerplate_blocks"] or 0),
+        "out": args.out,
+    }))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="wcvec", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -593,6 +627,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="shuffle key for --epoch-seed (default: first column of the table)",
     )
     ex.set_defaults(fn=cmd_export)
+
+    cr = sub.add_parser("crawl", help="WARC → extracted-text parquet corpus")
+    cr.add_argument("--warc", required=True, help="WARC file/glob/dir")
+    cr.add_argument("--out", required=True)
+    cr.add_argument("--min-chars", type=int, default=25,
+                    help="drop pages whose extracted text is shorter")
+    cr.set_defaults(fn=cmd_crawl)
     return p
 
 

@@ -311,15 +311,35 @@ class ParquetMergeStore:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        v = self.current_version()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the live snapshot, or — time travel — any retained
+        ``version`` (≙ Delta ``VERSION AS OF``): manifests make old
+        snapshots first-class, since their files are immutable and
+        vacuum refcounts keep every referenced data dir alive. Reading
+        a version leases it, protecting it from vacuum until
+        release_leases()."""
+        v = self.current_version() if version is None else version
         if v == 0:
             return self.spark.createDataFrame([], self.schema)
+        if version is not None and not os.path.isdir(self._version_dir(v)):
+            raise ValueError(
+                f"version {v} not retained (vacuum keeps the newest 3 "
+                "plus leased snapshots)"
+            )
         self._leased.add(v)
         manifest = self._manifest(v)
         if manifest is None:  # legacy snapshot written pre-manifest
             return self.spark.read.schema(self.schema).parquet(self._version_dir(v))
         return self._read_files(self._files_of(manifest))
+
+    def versions(self) -> list[int]:
+        """Retained snapshot versions, oldest first (≙ DESCRIBE HISTORY)."""
+        out = [
+            int(name[1:])
+            for name in os.listdir(self.root)
+            if name.startswith("v") and name[1:].isdigit()
+        ]
+        return sorted(out)
 
     def is_empty(self) -> bool:
         return self.current_version() == 0 or self.read().isEmpty()
