@@ -114,9 +114,18 @@ def decode_image(content: bytes) -> np.ndarray:
         from wc_vector_indexing_spark.operators.png import decode_png
 
         return decode_png(content)
+    if (content or b"")[:6] in (b"GIF87a", b"GIF89a"):
+        from wc_vector_indexing_spark.operators.bmp_gif import decode_gif
+
+        return decode_gif(content)
+    if magic == b"BM":
+        from wc_vector_indexing_spark.operators.bmp_gif import decode_bmp
+
+        return decode_bmp(content)
     if magic not in (b"P2", b"P3", b"P5", b"P6"):
         raise NotImplementedError(
-            "only netpbm (P2/P3/P5/P6), baseline JPEG, and PNG decode "
+            "only netpbm (P2/P3/P5/P6), baseline JPEG, PNG, GIF, and BMP "
+            "decode "
             "without external codecs in this environment; plug a real "
             "decoder (e.g. Pillow) at decode_image, or use FakeCodec "
             "for opaque bytes"
