@@ -222,7 +222,7 @@ def test_driver_gate_category_coverage():
         "hard_negatives", "token_fertility", "corpus_drift",
         "embedding_outliers", "unicode_normalize", "training_triplets",
         "ccnet_buckets", "overlapping_sessions", "corpus_diff",
-        "funnel_stages", "matryoshka_recall", "topic_tagging",
+        "funnel_stages", "matryoshka_recall",
         "mmr_rerank_top10", "soft_dedup_weights", "mixing_recipe",
         # round 6: rows-only entries that gained real oracles, the PSL
         # eTLD+1 query, and the WARC/HTML extraction gate — never
@@ -230,9 +230,9 @@ def test_driver_gate_category_coverage():
         # rotated below in exchange)
         "image_dedup_dhash", "tokenizer_eval", "psl_registrable_domain",
         "html_main_text", "audio_dedup_fp", "video_dedup_remux",
-        "purchase_attribution",
-        # (percentile_quality, blocklist_gate, epoch_order, readability
-        # — all r5-hash-validated — rotated below the cutoff in exchange)
+        "purchase_attribution", "media_format_census",
+        # (percentile_quality, blocklist_gate, epoch_order, readability,
+        # topic_tagging — all r5-hash-validated — rotated below in exchange)
     } <= gs
 
 

@@ -4661,6 +4661,64 @@ ORDER BY media_a, media_b
 """
 
 
+def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-side media triage (operators/bmp_gif.sniff_format): every
+    document renders into real bytes of a format chosen by doc_id
+    arithmetic — JPEG (the package encoder), PGM, PCM WAV, MJPEG-AVI,
+    or un-sniffable junk — and the census counts what the magic-byte
+    router sees. Planted truth ⇒ DuckDB oracle; one zero-shuffle Arrow
+    render+sniff pass + a 5-group count agg."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.bmp_gif import sniff_format
+    from wc_vector_indexing_spark.operators.jpeg import encode_baseline
+    from wc_vector_indexing_spark.operators.video import write_mjpeg_avi
+
+    docs = load(spark, "documents", sf).select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+        jpeg = encode_baseline(img)
+        pgm = b"P5\n8 8\n255\n" + img.tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"\x00\x00" * 64)
+        wav = buf.getvalue()
+        avi = write_mjpeg_avi([jpeg], 8, 8)
+        variants = [jpeg, pgm, wav, avi, b"\x00junkbytes"]
+        for pdf in batches:
+            fmts = [
+                sniff_format(variants[int(d) % 5]) for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "format": fmts})
+
+    return (
+        docs.mapInPandas(render, schema="doc_id long, format string")
+        .groupBy("format")
+        .agg(F.count("*").alias("n"))
+        .orderBy("format")
+    )
+
+
+MEDIA_CENSUS_SQL = r"""
+SELECT CASE doc_id % 5
+         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'pgm' WHEN 2 THEN 'wav'
+         WHEN 3 THEN 'avi' ELSE 'unknown' END AS format,
+       count(*) AS n
+FROM documents
+GROUP BY 1
+ORDER BY format
+"""
+
+
 def mmr_rerank_op(spark: SparkSession, sf: str) -> DataFrame:
     """MMR diversified rerank (operators/retrieval.mmr_rerank): exact
     cosine top-50 candidate fetch (TakeOrderedAndProject) then the
@@ -4835,9 +4893,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "matryoshka_recall": QuerySpec(
         matryoshka_recall_op, MATRYOSHKA_SQL, "truncated-dim retrieval recall eval"
     ),
-    "topic_tagging": QuerySpec(
-        topic_tagging_op, _topic_sql(), "seeded-lexicon topic assignment"
-    ),
     "html_main_text": QuerySpec(
         html_main_text_op, HTML_MAIN_TEXT_SQL,
         "WARC-front-door HTML boilerplate removal (jusText-family)"
@@ -4853,6 +4908,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "purchase_attribution": QuerySpec(
         purchase_attribution_op, PURCHASE_ATTRIBUTION_SQL,
         "stream-stream interval-join attribution (batch twin)"
+    ),
+    "media_format_census": QuerySpec(
+        media_format_census_op, MEDIA_CENSUS_SQL,
+        "magic-byte format triage census (planted-truth oracle)"
     ),
     "token_length_dist": QuerySpec(
         token_length_dist, TOKEN_LENGTH_SQL, "per-source token-length percentiles"
@@ -4927,6 +4986,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "readability": QuerySpec(
         readability_op, READABILITY_SQL, "Flesch reading-ease scoring"
+    ),
+    "topic_tagging": QuerySpec(
+        topic_tagging_op, _topic_sql(), "seeded-lexicon topic assignment"
     ),
     "percentile_quality": QuerySpec(
         percentile_quality_op,
