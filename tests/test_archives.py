@@ -1,0 +1,74 @@
+"""Archive sources (sources/archives.py): tar/tgz/zip member explosion
+through binaryFile + Arrow, member filtering, and composition with the
+format sniffer + decoders (a mixed-media tarball becomes typed rows)."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+
+import numpy as np
+
+from wc_vector_indexing_spark.sources.archives import read_archive_members
+
+
+def _make_tar(path, members, gz=False):
+    mode = "w:gz" if gz else "w"
+    with tarfile.open(path, mode) as tf:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+
+def test_tar_and_tgz_members(spark, tmp_path):
+    members = {
+        "docs/a.txt": b"alpha document text",
+        "docs/b.txt": b"beta document text",
+        "media/c.pgm": b"P5\n2 1\n255\n\x00\xff",
+    }
+    _make_tar(tmp_path / "one.tar", members)
+    _make_tar(tmp_path / "two.tar.gz", {"docs/z.txt": b"gzipped member"}, gz=True)
+    got = {
+        (r.archive.rsplit("/", 1)[-1], r.member): bytes(r.content)
+        for r in read_archive_members(spark, str(tmp_path)).collect()
+    }
+    assert got[("one.tar", "docs/a.txt")] == b"alpha document text"
+    assert got[("two.tar.gz", "docs/z.txt")] == b"gzipped member"
+    assert len(got) == 4
+
+
+def test_zip_members_and_pattern_filter(spark, tmp_path):
+    zp = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("keep/one.json", b'{"a": 1}')
+        zf.writestr("keep/two.json", b'{"b": 2}')
+        zf.writestr("skip/ignore.bin", b"\x00\x01")
+    rows = read_archive_members(spark, str(zp), member_pattern="keep/").collect()
+    assert sorted(r.member for r in rows) == ["keep/one.json", "keep/two.json"]
+    assert all(r.size == len(bytes(r.content)) for r in rows)
+
+
+def test_mixed_media_tar_composes_with_sniff_and_decode(spark, tmp_path):
+    """The archive-of-media ingest: tar in, sniffed + decoded rows out."""
+    from tests.test_jpeg import encode_baseline
+    from wc_vector_indexing_spark.operators.bmp_gif import sniff_format
+    from wc_vector_indexing_spark.operators.multimodal import decode_image
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    members = {
+        "imgs/x.jpg": encode_baseline(img),
+        "imgs/y.pgm": b"P5\n8 8\n255\n" + img.tobytes(),
+        "notes/readme.txt": b"not an image",
+    }
+    _make_tar(tmp_path / "media.tar", members)
+    rows = read_archive_members(spark, str(tmp_path / "media.tar")).collect()
+    by_member = {r.member: bytes(r.content) for r in rows}
+    assert sniff_format(by_member["imgs/x.jpg"]) == "jpeg"
+    assert sniff_format(by_member["imgs/y.pgm"]) == "pgm"
+    assert sniff_format(by_member["notes/readme.txt"]) == "unknown"
+    decoded = decode_image(by_member["imgs/y.pgm"])
+    assert decoded.shape == (8, 8)
+    assert int(np.abs(decode_image(by_member["imgs/x.jpg"]).astype(int)
+                      - img.astype(int)).max()) <= 1

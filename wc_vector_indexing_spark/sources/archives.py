@@ -1,0 +1,89 @@
+"""Archive sources — read tar/zip corpus dumps (the other common bulk
+distribution format besides WARC/WET: academic corpora, Kaggle-style
+dumps, media shards) into (archive, member, content) rows using stdlib
+``tarfile``/``zipfile`` over Spark's ``binaryFile`` source.
+
+Spark shape: ``binaryFile`` gives one row per archive with the bytes;
+member extraction is an Arrow-batched flatMap — so parallelism is
+per-ARCHIVE (matching the one-task-per-.gz model of the WET reader:
+bulk corpora ship as many ~1 GB shards, which is plenty of tasks). The
+whole archive rides through executor memory once; member rows carry
+only their own bytes. For single multi-TB archives, re-shard first —
+documented, same trade as concatenated-gzip WET.
+
+Composes with ``bmp_gif.sniff_format`` + the media decoders and the
+text operators: a tar of mixed media/text becomes a typed media/
+documents table in one pass."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+ARCHIVE_SCHEMA = "archive string, member string, size long, content binary"
+
+
+def _tar_members(name: str, blob: bytes, pattern: str | None):
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        for m in tf.getmembers():
+            if not m.isfile():
+                continue
+            if pattern and pattern not in m.name:
+                continue
+            f = tf.extractfile(m)
+            if f is None:
+                continue
+            yield name, m.name, m.size, f.read()
+
+
+def _zip_members(name: str, blob: bytes, pattern: str | None):
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            if pattern and pattern not in info.filename:
+                continue
+            yield name, info.filename, info.file_size, zf.read(info)
+
+
+def read_archive_members(
+    spark: SparkSession,
+    path: str,
+    member_pattern: str | None = None,
+) -> DataFrame:
+    """(archive, member, size, content) rows from tar (optionally
+    .tar.gz/.tgz — tarfile sniffs compression) and zip files matched by
+    ``path`` (file/dir/glob). ``member_pattern`` filters member names
+    by substring BEFORE bytes are materialized into rows."""
+    raw = spark.read.format("binaryFile").load(path)
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, blob in zip(pdf["path"], pdf["content"]):
+                blob = bytes(blob)
+                lower = fname.lower()
+                if lower.endswith(".zip"):
+                    it = _zip_members(fname, blob, member_pattern)
+                elif lower.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
+                    it = _tar_members(fname, blob, member_pattern)
+                else:  # sniff: zip magic, else try tar
+                    if blob[:4] == b"PK\x03\x04":
+                        it = _zip_members(fname, blob, member_pattern)
+                    else:
+                        it = _tar_members(fname, blob, member_pattern)
+                for archive, member, size, content in it:
+                    rows.append(
+                        {"archive": archive, "member": member,
+                         "size": size, "content": content}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["archive", "member", "size", "content"]
+            )
+
+    return raw.select("path", "content").mapInPandas(explode, schema=ARCHIVE_SCHEMA)
