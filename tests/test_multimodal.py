@@ -279,3 +279,34 @@ def test_collapse_exact_keeps_mega_group_linear(spark):
     assert all(r.media_a == 0 for r in stars)
     assert len(nears) == 1             # rep(0) <-> 99 only
     assert {(r.media_a, r.media_b) for r in nears} == {(0, 99)}
+
+
+def test_four_band_join_finds_prefix_block_differences(spark):
+    """The pigeonhole-complete form: a near-dup whose differing bits
+    land in the TOP 16-bit block is invisible to the single-prefix join
+    but guaranteed found with n_bands=4 (any Hamming<=3 pair shares at
+    least one exact band)."""
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.multimodal import (
+        hamming64_near_pairs,
+        image_dhash,
+    )
+
+    yy, xx = np.mgrid[0:8, 0:9]
+    grid = (((yy + xx) % 2) * 255).astype(np.uint8)
+    g2 = grid.copy()
+    g2[0, 0], g2[0, 1] = 255, 0  # edit in thumbnail row 0 -> top block
+    rows = [
+        (1, "image", bytearray(b"P5\n18 16\n255\n"
+                               + np.kron(grid, np.ones((2, 2), np.uint8)).tobytes())),
+        (2, "image", bytearray(b"P5\n18 16\n255\n"
+                               + np.kron(g2, np.ones((2, 2), np.uint8)).tobytes())),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    fps = image_dhash(media)
+    single = hamming64_near_pairs(fps, 4, "media_id", "dhash").collect()
+    assert single == []  # prefix block differs -> candidate never forms
+    banded = hamming64_near_pairs(fps, 4, "media_id", "dhash", n_bands=4).collect()
+    assert [(r.media_a, r.media_b) for r in banded] == [(1, 2)]
+    assert 0 < banded[0].hamming <= 4

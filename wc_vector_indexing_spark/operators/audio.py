@@ -156,7 +156,10 @@ def audio_fingerprint(
 
 
 def audio_near_pairs(
-    media: DataFrame, max_hamming: int = 8, collapse_exact: bool = False
+    media: DataFrame,
+    max_hamming: int = 8,
+    collapse_exact: bool = False,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Near-duplicate audio pairs: Hamming(afp_a, afp_b) ≤
     ``max_hamming`` over the shared prefix-blocked join
@@ -166,5 +169,6 @@ def audio_near_pairs(
     from wc_vector_indexing_spark.operators.multimodal import hamming64_near_pairs
 
     return hamming64_near_pairs(
-        audio_fingerprint(media), max_hamming, "media_id", "afp", collapse_exact
+        audio_fingerprint(media), max_hamming, "media_id", "afp",
+        collapse_exact, n_bands
     )

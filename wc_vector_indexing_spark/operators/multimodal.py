@@ -322,12 +322,19 @@ def hamming64_near_pairs(
     id_col: str,
     hash_col: str,
     collapse_exact: bool = False,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Shared 64-bit-fingerprint near-pair join (images, audio, simhash
-    shapes): Hamming ≤ ``max_hamming`` pairs, blocked on the top-16-bit
-    prefix. At corpus scale swap the single prefix block for 4 rotated
-    16-bit bands (any pair within Hamming 3 shares ≥1 exact band — the
-    pigeonhole guarantee simhash docs describe).
+    shapes): Hamming ≤ ``max_hamming`` pairs.
+
+    ``n_bands=1`` blocks on the top-16-bit prefix — cheap, but a pair
+    whose differing bits land in that prefix is missed. ``n_bands=4``
+    is the pigeonhole-complete form: candidates come from matching ANY
+    of the four 16-bit bands, so every pair within Hamming 3 shares at
+    least one exact band and is guaranteed found (pairs up to
+    ``max_hamming`` are found unless their differing bits hit every
+    band). Cost: 4 rows per fingerprint into the equi-join instead of
+    1, plus a distinct over candidate pairs.
 
     ``collapse_exact=True`` is the degenerate-block guard: a fingerprint
     shared by k items (all-black thumbnails, silence clips) would emit
@@ -352,15 +359,39 @@ def hamming64_near_pairs(
         )
         reps = groups.select(F.col("_rep").alias(id_col), hash_col)
         return stars.unionByName(
-            hamming64_near_pairs(reps, max_hamming, id_col, hash_col, False)
+            hamming64_near_pairs(reps, max_hamming, id_col, hash_col, False, n_bands)
         )
-    blocked = fps.withColumn("block", F.shiftrightunsigned(F.col(hash_col), 48))
+    if n_bands == 1:
+        blocked = fps.withColumn(
+            "block", F.shiftrightunsigned(F.col(hash_col), 48).cast("string")
+        )
+    else:
+        bands = F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col(hash_col), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for i in range(n_bands)
+        ])
+        blocked = (
+            fps.select(id_col, hash_col, F.explode(bands).alias("b"))
+            .withColumn(
+                "block", F.concat_ws(":", F.col("b.band"), F.col("b.key"))
+            )
+            .drop("b")
+        )
     a = blocked.select(F.col(id_col).alias(pa), F.col(hash_col).alias("ha"), "block")
     b = blocked.select(F.col(id_col).alias(pb), F.col(hash_col).alias("hb"), "block")
-    return (
+    pairs = (
         a.join(b, ["block"])
         .filter(F.col(pa) < F.col(pb))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .select(pa, pb, "ha", "hb")
+    )
+    if n_bands > 1:
+        pairs = pairs.distinct()  # a pair may match in several bands
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select(pa, pb, "hamming")
     )
@@ -372,10 +403,13 @@ def image_near_pairs(
     content_col: str = "content",
     id_col: str = "media_id",
     collapse_exact: bool = False,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Near-duplicate image pairs: Hamming(dhash_a, dhash_b) ≤
-    ``max_hamming`` over the prefix-blocked join (see
-    `hamming64_near_pairs`; ``collapse_exact=True`` keeps a mega-group
-    of byte-identical thumbnails linear instead of quadratic)."""
+    ``max_hamming`` over the banded join (see `hamming64_near_pairs`:
+    ``n_bands=4`` for pigeonhole-complete recall, ``collapse_exact=True``
+    to keep a mega-group of byte-identical thumbnails linear)."""
     fps = image_dhash(media, content_col, id_col)
-    return hamming64_near_pairs(fps, max_hamming, id_col, "dhash", collapse_exact)
+    return hamming64_near_pairs(
+        fps, max_hamming, id_col, "dhash", collapse_exact, n_bands
+    )
