@@ -118,3 +118,31 @@ def test_audio_near_pairs_finds_releveled_copy(spark):
              for r in audio_near_pairs(media, max_hamming=4).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
     assert not any(3 in p for p in pairs)
+
+
+def test_audio_overlap_pairs_finds_excerpt(spark):
+    """Partial-copy case: a 1-second excerpt cut from a 3-second
+    recording shares all its window fingerprints with the source;
+    unrelated audio shares none. Content varies per window so windows
+    are distinctive (three alternating tone mixes)."""
+    from wc_vector_indexing_spark.operators.audio import audio_overlap_pairs
+
+    rate = 8000
+    secs = []
+    for f1, f2 in ((500, 1700), (800, 2600), (1100, 3400)):
+        secs.append(sine(f1, seconds=1.0, amp=0.5) + sine(f2, seconds=1.0, amp=0.35))
+    full = np.concatenate(secs)
+    excerpt = full[rate : 2 * rate]            # the middle second
+    other = sine(650, seconds=2.0, amp=0.5) + sine(2100, seconds=2.0, amp=0.35)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(make_wav(full))),
+            (2, "audio", bytearray(make_wav(excerpt * 0.3))),   # re-leveled excerpt
+            (3, "audio", bytearray(make_wav(other))),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    got = {(r.media_a, r.media_b): r.overlap
+           for r in audio_overlap_pairs(media, min_overlap=0.5).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0   # every excerpt window found in the source

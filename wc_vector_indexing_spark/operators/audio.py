@@ -172,3 +172,84 @@ def audio_near_pairs(
         audio_fingerprint(media), max_hamming, "media_id", "afp",
         collapse_exact, n_bands
     )
+
+
+def audio_window_fingerprints(
+    media: DataFrame,
+    window_seconds: float = 0.5,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, window_no, afp): one 64-bit fingerprint per fixed
+    window of the clip — the sub-clip granularity `audio_overlap_pairs`
+    matches on (clip-level `audio_fingerprint` can only see whole-clip
+    copies). One Arrow pass; 8 bytes per window leave the scan."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, nos, fps = [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                samples, rate = decode_audio(bytes(content))
+                step = max(1, int(window_seconds * rate))
+                for wno, start in enumerate(range(0, len(samples) - step + 1, step)):
+                    fp = fingerprint64(samples[start : start + step], rate)
+                    ids.append(int(mid))
+                    nos.append(wno)
+                    fps.append(np.int64(np.uint64(fp)))
+            yield pd.DataFrame({"media_id": ids, "window_no": nos, "afp": fps})
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema="media_id long, window_no int, afp long"
+    )
+
+
+def audio_overlap_pairs(
+    media: DataFrame,
+    window_seconds: float = 0.5,
+    min_overlap: float = 0.5,
+    max_window_df: int = 1000,
+) -> DataFrame:
+    """Partial-copy audio detection: (media_a, media_b, shared_windows,
+    overlap) where overlap = |shared distinct window fingerprints| /
+    min(|A|, |B|) ≥ ``min_overlap`` — the clip-sampled-from-a-longer-
+    recording case, same containment-join shape as
+    `video.video_overlap_pairs` (posting-list candidates on the 8-byte
+    window fingerprint, pair-keyed count agg, ``max_window_df`` caps
+    silence/jingle boilerplate windows).
+
+    Fixed windows match window-ALIGNED excerpts (cuts at window
+    multiples — the concatenative/segment-reuse case). Arbitrary-offset
+    excerpts need overlapping windows: emit fingerprints at stride
+    window/2 by calling `audio_window_fingerprints` twice with a
+    half-window-shifted signal — the published fingerprinting systems'
+    standard trade of 2x index size for shift tolerance."""
+    fw = audio_window_fingerprints(media, window_seconds).select(
+        "media_id", "afp"
+    ).distinct()
+    sizes = fw.groupBy("media_id").agg(F.count("*").alias("n"))
+    keep = (
+        fw.groupBy("afp").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_window_df)
+        .select("afp")
+    )
+    fw = fw.join(keep, "afp")
+    a = fw.select(F.col("media_id").alias("media_a"), "afp")
+    b = fw.select(F.col("media_id").alias("media_b"), "afp")
+    shared = (
+        a.join(b, "afp")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count("*").alias("shared_windows"))
+    )
+    sa = sizes.select(F.col("media_id").alias("media_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("media_id").alias("media_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "media_a")
+        .join(F.broadcast(sb), "media_b")
+        .withColumn(
+            "overlap", F.round(F.col("shared_windows") / F.least("na", "nb"), 4)
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("media_a", "media_b", "shared_windows", "overlap")
+    )
