@@ -146,3 +146,33 @@ def test_audio_overlap_pairs_finds_excerpt(spark):
            for r in audio_overlap_pairs(media, min_overlap=0.5).collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == 1.0   # every excerpt window found in the source
+
+
+def test_overlap_denominator_uses_df_capped_windows(spark):
+    """Round-6 advisory regression: clip sizes must be measured over the
+    SAME df-capped window population the shared counts use. Clips 1-4
+    here are half boilerplate (the same jingle window in every clip,
+    capped at max_window_df=3) and half distinctive; clip 5 is a pure
+    excerpt of clip 1's distinctive half. With the pre-cap denominator
+    the jingle windows inflate min(|A|,|B|) and the excerpt can't reach
+    min_overlap=1.0; with the capped denominator it scores exactly 1.0."""
+    from wc_vector_indexing_spark.operators.audio import audio_overlap_pairs
+
+    jingle = sine(700, seconds=0.5, amp=0.5) + sine(2300, seconds=0.5, amp=0.35)
+    uniq = {
+        i: sine(400 + 90 * i, seconds=0.5, amp=0.5)
+        + sine(1500 + 140 * i, seconds=0.5, amp=0.35)
+        for i in range(1, 6)
+    }
+    rows = []
+    for i in range(1, 5):  # jingle + own distinctive window
+        rows.append((i, "audio", bytearray(make_wav(
+            np.concatenate([jingle, uniq[i]])
+        ))))
+    # clip 5: ONLY clip 1's distinctive window (full containment)
+    rows.append((5, "audio", bytearray(make_wav(uniq[1] * 0.4))))
+    media = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    got = {(r.media_a, r.media_b): r.overlap
+           for r in audio_overlap_pairs(
+               media, min_overlap=1.0, max_window_df=3).collect()}
+    assert got == {(1, 5): 1.0}

@@ -227,13 +227,17 @@ def audio_overlap_pairs(
     fw = audio_window_fingerprints(media, window_seconds).select(
         "media_id", "afp"
     ).distinct()
-    sizes = fw.groupBy("media_id").agg(F.count("*").alias("n"))
     keep = (
         fw.groupBy("afp").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= max_window_df)
         .select("afp")
     )
     fw = fw.join(keep, "afp")
+    # sizes come from the SAME df-capped window population the shared
+    # counts use — a clip dominated by boilerplate (capped) windows
+    # would otherwise have an inflated denominator and could never
+    # reach min_overlap even when fully contained in another clip
+    sizes = fw.groupBy("media_id").agg(F.count("*").alias("n"))
     a = fw.select(F.col("media_id").alias("media_a"), "afp")
     b = fw.select(F.col("media_id").alias("media_b"), "afp")
     shared = (

@@ -158,13 +158,16 @@ def video_overlap_pairs(
     shared by more than N videos (black frames, title cards — the
     boilerplate-shingle cap from textual dedup, same skew story)."""
     fh = video_frame_hashes(media, every_n).select("media_id", "dhash").distinct()
-    sizes = fh.groupBy("media_id").agg(F.count("*").alias("n"))
     df_cap = (
         fh.groupBy("dhash").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= max_frame_df)
         .select("dhash")
     )
     fh = fh.join(df_cap, "dhash")
+    # sizes from the SAME df-capped frame population the shared counts
+    # use, so numerator/denominator agree (a boilerplate-frame-heavy
+    # clip fully contained in another must still reach min_overlap)
+    sizes = fh.groupBy("media_id").agg(F.count("*").alias("n"))
     a = fh.select(F.col("media_id").alias("media_a"), "dhash")
     b = fh.select(F.col("media_id").alias("media_b"), "dhash")
     shared = (

@@ -4818,6 +4818,232 @@ ORDER BY source
 """
 
 
+def audio_overlap_partial_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial-copy audio detection (operators/audio.audio_overlap_pairs):
+    documents are rendered into clips that are contiguous window-aligned
+    EXCERPTS of a per-pattern master recording — doc_ids sharing
+    ``doc_id % 6`` excerpt the same master at start ``(doc_id//6) % 4``
+    for ``3 + (doc_id//24) % 4`` half-second windows. Every master
+    window is a unique two-tone pattern (injective ``(pat, w) → band
+    pair``), so the shared-distinct-fingerprint count between two clips
+    IS their interval intersection and the overlap ratio is pure doc_id
+    arithmetic ⇒ DuckDB oracle (the excerpt-of-a-longer-recording case
+    the whole-clip fingerprint can't see; sub-threshold pairs exist, so
+    the ``min_overlap`` filter is exercised). Window fingerprint math
+    is golden-tested in test_audio.py."""
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.audio import audio_overlap_pairs
+
+    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(36)
+    edges = np.geomspace(300.0, 4000.0, 18)
+    centers = np.sqrt(edges[:-1] * edges[1:])
+
+    def render(batches):
+        import io
+        import wave
+
+        import pandas as pd
+
+        rate = 8000
+        win = 4000  # 0.5 s — audio_overlap_pairs' window_seconds=0.5
+        t = np.arange(win) / rate
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pat, start = d % 6, (d // 6) % 4
+                length = 3 + (d // 24) % 4
+                segs = []
+                for w in range(start, start + length):
+                    k = pat * 9 + w  # injective (pat, w) → (b1, b2): k < 54 < lcm(8,9)
+                    b1, b2 = k % 8, 8 + k % 9
+                    x = 0.4 * (
+                        0.5 * np.sin(2 * np.pi * centers[b1] * t)
+                        + 0.35 * np.sin(2 * np.pi * centers[b2] * t)
+                    )
+                    segs.append(np.clip(x * 32767.0, -32768, 32767).astype("<i2"))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(rate)
+                    wf.writeframes(np.concatenate(segs).tobytes())
+                ids.append(d)
+                kinds.append("audio")
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "content": blobs})
+
+    media = docs.mapInPandas(render, schema="media_id long, kind string, content binary")
+    return audio_overlap_pairs(media, window_seconds=0.5, min_overlap=0.5).orderBy(
+        "media_a", "media_b"
+    )
+
+
+AUDIO_OVERLAP_SQL = r"""
+WITH ids AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 36
+),
+clips AS (
+    SELECT doc_id,
+           doc_id % 6 AS pat,
+           (doc_id // 6) % 4 AS s,
+           3 + (doc_id // 24) % 4 AS len
+    FROM ids
+)
+SELECT media_a, media_b, shared_windows, overlap
+FROM (
+    SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+           (least(a.s + a.len, b.s + b.len) - greatest(a.s, b.s))::BIGINT
+               AS shared_windows,
+           round((least(a.s + a.len, b.s + b.len) - greatest(a.s, b.s))::DOUBLE
+                 / least(a.len, b.len), 4) AS overlap
+    FROM clips a JOIN clips b
+      ON a.pat = b.pat AND a.doc_id < b.doc_id
+)
+WHERE shared_windows > 0 AND overlap >= 0.5
+ORDER BY media_a, media_b
+"""
+
+
+def hamming_4band_pairs_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Pigeonhole-complete banded Hamming join
+    (operators/multimodal.hamming64_near_pairs, ``n_bands=4``): planted
+    64-bit fingerprints — ``doc_id % 16`` groups share a golden-ratio-
+    spread base hash (min cross-group Hamming 19), each member XORs one
+    variant bit at position {none, 63, 47, 31} by ``(doc_id div 16) %
+    4``. Every same-group pair is within Hamming 2 but pairs involving
+    the bit-63 variant differ INSIDE the top-16-bit prefix, so the
+    prefix-blocked form (n_bands=1) provably misses them while the
+    4-band form must find all (any pair within Hamming 3 shares a full
+    16-bit band). Pure doc_id arithmetic ⇒ DuckDB oracle. Zero Python:
+    the fingerprint column is a literal-map lookup + XOR."""
+    from wc_vector_indexing_spark.operators.multimodal import hamming64_near_pairs
+
+    const = 0x9E3779B97F4A7C15
+
+    def signed(v: int) -> int:
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base_map = F.create_map(
+        *[F.lit(x) for g in range(16) for x in (g, signed(g * const))]
+    )
+    flip_map = F.create_map(
+        *[
+            F.lit(x)
+            for v, flip in enumerate([0, 1 << 63, 1 << 47, 1 << 31])
+            for x in (v, signed(flip))
+        ]
+    )
+    fps = (
+        load(spark, "documents", sf)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(64)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            base_map[F.col("doc_id") % 16]
+            .bitwiseXOR(flip_map[F.expr("doc_id div 16") % 4])
+            .alias("fp"),
+        )
+    )
+    return hamming64_near_pairs(
+        fps, max_hamming=3, id_col="media_id", hash_col="fp", n_bands=4
+    ).orderBy("media_a", "media_b")
+
+
+HAMMING_4BAND_SQL = r"""
+WITH ids AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 64
+),
+tagged AS (
+    SELECT doc_id, doc_id % 16 AS grp, (doc_id // 16) % 4 AS variant
+    FROM ids
+)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+       (CASE WHEN a.variant = b.variant THEN 0
+             WHEN a.variant = 0 OR b.variant = 0 THEN 1
+             ELSE 2 END)::INT AS hamming
+FROM tagged a JOIN tagged b
+  ON a.grp = b.grp AND a.doc_id < b.doc_id
+ORDER BY media_a, media_b
+"""
+
+
+def archive_member_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Archive-source census (sources/archives.read_archive_members):
+    the lowest-60 doc_ids are packed into real tar.gz + zip shards
+    (member ``doc_{id}.{ext}``, ext by ``doc_id % 3``, body exactly
+    ``10 + doc_id % 50`` bytes, shard by ``doc_id % 2``) written once
+    per sf under /tmp, then read back through the binaryFile-based
+    source and censused per extension — member counts, distinct
+    archives, byte totals. Planted sizes ⇒ DuckDB oracle; validates
+    tarfile/zipfile round-trip + member-row explosion + agg."""
+    import hashlib
+    import io
+    import os
+    import tarfile
+    import tempfile
+    import zipfile
+
+    from wc_vector_indexing_spark.sources.archives import read_archive_members
+
+    ids = [
+        int(r[0])
+        for r in load(spark, "documents", sf)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(60)
+        .collect()
+    ]
+    exts = ["txt", "json", "bin"]
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_archives_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        members = [
+            (f"doc_{d}.{exts[d % 3]}", b"x" * (10 + d % 50), d % 2) for d in ids
+        ]
+        with tarfile.open(os.path.join(out, "shard0.tar.gz"), "w:gz") as tf:
+            for name, body, shard in members:
+                if shard == 0:
+                    info = tarfile.TarInfo(name)
+                    info.size = len(body)
+                    tf.addfile(info, io.BytesIO(body))
+        with zipfile.ZipFile(os.path.join(out, "shard1.zip"), "w") as zf:
+            for name, body, shard in members:
+                if shard == 1:
+                    zf.writestr(name, body)
+        with open(done, "w") as f:
+            f.write("ok")
+    rows = read_archive_members(spark, os.path.join(out, "shard*"))
+    return (
+        rows.groupBy(F.regexp_extract("member", r"\.([a-z]+)$", 1).alias("ext"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("archive").alias("n_archives"),
+            F.sum("size").alias("total_bytes"),
+        )
+        .orderBy("ext")
+    )
+
+
+ARCHIVE_CENSUS_SQL = r"""
+WITH ids AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 60
+)
+SELECT CASE doc_id % 3 WHEN 0 THEN 'txt' WHEN 1 THEN 'json' ELSE 'bin' END AS ext,
+       count(*) AS n_members,
+       count(DISTINCT doc_id % 2) AS n_archives,
+       sum(10 + doc_id % 50)::BIGINT AS total_bytes
+FROM ids
+GROUP BY 1
+ORDER BY ext
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # --- driver-gate tier: the first 50 oracle-backed entries are the
     # --- ones the per-round correctness gate records; ordered to cover
@@ -4858,34 +5084,48 @@ REGISTRY: dict[str, QuerySpec] = {
         psl_registrable_domain_op, PSL_REGISTRABLE_SQL,
         "Public-Suffix-List eTLD+1 across all rule classes"
     ),
-    "hard_negatives": QuerySpec(
-        hard_negatives_op, HARD_NEGATIVES_SQL, "label-masked hard-negative mining"
+    # round 7: the seven event-family oracle-backed entries below had
+    # never been driver-recorded (they sat below the cutoff since their
+    # round-2/3 introduction) — promoted into the window per the
+    # never-recorded-subset invariant, now enforced MECHANICALLY by
+    # tests/test_plans.py::test_gate_window_contains_never_recorded
+    # (r6-validated hard_negatives/token_fertility/corpus_drift/
+    # embedding_outliers/unicode_normalize/training_triplets/
+    # ccnet_buckets/corpus_diff/lexical_diversity/url_features rotated
+    # below in exchange)
+    "doc_fingerprint": QuerySpec(
+        doc_fingerprint_op, FINGERPRINT_SQL, "rolling-hash fingerprint"
     ),
-    "token_fertility": QuerySpec(
-        token_fertility_op, TOKEN_FERTILITY_SQL, "per-language chars-per-token fertility"
+    "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
+    "session_window_events": QuerySpec(
+        session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
     ),
-    "corpus_drift": QuerySpec(
-        corpus_drift_op, CORPUS_DRIFT_SQL, "per-source unigram KL drift"
+    "events_anomaly": QuerySpec(events_anomaly, ANOMALY_SQL, "per-type z-score outliers"),
+    "range_join_clicks": QuerySpec(
+        range_join_clicks, RANGE_JOIN_SQL, "bin-bucketed time-range join"
     ),
-    "embedding_outliers": QuerySpec(
-        embedding_outliers_op, EMBEDDING_OUTLIERS_SQL, "centroid-distance outlier scan"
+    "moving_average_events": QuerySpec(
+        moving_average_events, MOVING_AVG_SQL, "trailing time-RANGE window average"
     ),
-    "unicode_normalize": QuerySpec(
-        unicode_normalize_op, UNICODE_SQL, "NFC + zero-width/control hygiene pass"
+    "quantiles_by_type": QuerySpec(
+        quantiles_by_type, QUANTILES_SQL, "exact interpolated value quantiles"
     ),
-    "training_triplets": QuerySpec(
-        training_triplets_op, TRAINING_TRIPLETS_SQL,
-        "contrastive (anchor, positive, hard-negative) triplets"
+    # round 7: new oracle-backed entries (never recorded ⇒ in-window)
+    "audio_overlap_partial": QuerySpec(
+        audio_overlap_partial_op, AUDIO_OVERLAP_SQL,
+        "windowed-fingerprint partial-copy audio overlap (planted-truth oracle)"
     ),
-    "ccnet_buckets": QuerySpec(
-        ccnet_buckets_op, CCNET_SQL, "CCNet perplexity head/middle/tail terciles"
+    "hamming_4band_pairs": QuerySpec(
+        hamming_4band_pairs_op, HAMMING_4BAND_SQL,
+        "pigeonhole-complete 4-band Hamming join (planted-truth oracle)"
+    ),
+    "archive_member_census": QuerySpec(
+        archive_member_census_op, ARCHIVE_CENSUS_SQL,
+        "tar/zip archive-source member census (planted-truth oracle)"
     ),
     "overlapping_sessions": QuerySpec(
         overlapping_sessions_op, OVERLAP_SESSIONS_SQL,
         "interval-overlap join over gap sessions"
-    ),
-    "corpus_diff": QuerySpec(
-        corpus_diff_op, CORPUS_DIFF_SQL, "snapshot version diff (added/removed/changed)"
     ),
     "funnel_stages": QuerySpec(
         funnel_stages_op, FUNNEL_SQL, "session funnel: ordered-subsequence stages"
@@ -4927,12 +5167,6 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "fuzzy_self_join": QuerySpec(
         fuzzy_join_op, FUZZY_JOIN_SQL, "edit-distance self-join (symmetric-delete blocked)"
-    ),
-    "lexical_diversity": QuerySpec(
-        lexical_diversity_op, LEXDIV_SQL, "TTR / entropy / hapax in-row diversity signals"
-    ),
-    "url_features": QuerySpec(
-        url_features_op, URL_SQL, "URL canonicalization + registrable domain"
     ),
     "domain_cap": QuerySpec(
         domain_cap_op, DOMAIN_CAP_SQL, "per-domain diversity cap (C4 rule)"
@@ -4981,6 +5215,40 @@ REGISTRY: dict[str, QuerySpec] = {
     # ---- below the 50-entry driver-gate cutoff: equally verified each
     # ---- round by tools/parity_check.py (oracle-backed) or pytest
     # ---- goldens (rows-only); rows-only entries live ONLY below here.
+    # round 7 rotations: all ten driver-hash-validated in r6 (several
+    # also in r5), demoted to admit the never-recorded event family +
+    # the three new planted-truth entries into the gate window
+    "hard_negatives": QuerySpec(
+        hard_negatives_op, HARD_NEGATIVES_SQL, "label-masked hard-negative mining"
+    ),
+    "token_fertility": QuerySpec(
+        token_fertility_op, TOKEN_FERTILITY_SQL, "per-language chars-per-token fertility"
+    ),
+    "corpus_drift": QuerySpec(
+        corpus_drift_op, CORPUS_DRIFT_SQL, "per-source unigram KL drift"
+    ),
+    "embedding_outliers": QuerySpec(
+        embedding_outliers_op, EMBEDDING_OUTLIERS_SQL, "centroid-distance outlier scan"
+    ),
+    "unicode_normalize": QuerySpec(
+        unicode_normalize_op, UNICODE_SQL, "NFC + zero-width/control hygiene pass"
+    ),
+    "training_triplets": QuerySpec(
+        training_triplets_op, TRAINING_TRIPLETS_SQL,
+        "contrastive (anchor, positive, hard-negative) triplets"
+    ),
+    "ccnet_buckets": QuerySpec(
+        ccnet_buckets_op, CCNET_SQL, "CCNet perplexity head/middle/tail terciles"
+    ),
+    "corpus_diff": QuerySpec(
+        corpus_diff_op, CORPUS_DIFF_SQL, "snapshot version diff (added/removed/changed)"
+    ),
+    "lexical_diversity": QuerySpec(
+        lexical_diversity_op, LEXDIV_SQL, "TTR / entropy / hapax in-row diversity signals"
+    ),
+    "url_features": QuerySpec(
+        url_features_op, URL_SQL, "URL canonicalization + registrable domain"
+    ),
     "epoch_order": QuerySpec(
         epoch_order_op, EPOCH_ORDER_SQL, "deterministic epoch shuffle / training order"
     ),
@@ -5089,9 +5357,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "quality_quantile_filter": QuerySpec(
         quality_quantile_filter, QUANTILE_FILTER_SQL, "corpus-p10 quality gate"
     ),
-    "doc_fingerprint": QuerySpec(
-        doc_fingerprint_op, FINGERPRINT_SQL, "rolling-hash fingerprint"
-    ),
     "q13_order_distribution": QuerySpec(r2.q13_order_distribution, r2.Q13_SQL, "outer-join count histogram"),
     "q15_top_supplier": QuerySpec(r2.q15_top_supplier, r2.Q15_SQL, "scalar-max subquery"),
     "q16_supplier_part_counts": QuerySpec(r2.q16_supplier_part_counts, r2.Q16_SQL, "NOT-IN + count distinct"),
@@ -5108,20 +5373,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "p14_masking": QuerySpec(p14_masking, P14_SQL, "secret masking projection"),
     "h_doc_sha": QuerySpec(h_doc_sha, H_SQL, "sha256 fingerprint"),
     "h3_chunk_sha": QuerySpec(h3_chunk_sha, H3_SQL, "chunk fingerprint chain"),
-    "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
-    "session_window_events": QuerySpec(
-        session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
-    ),
-    "events_anomaly": QuerySpec(events_anomaly, ANOMALY_SQL, "per-type z-score outliers"),
-    "range_join_clicks": QuerySpec(
-        range_join_clicks, RANGE_JOIN_SQL, "bin-bucketed time-range join"
-    ),
-    "moving_average_events": QuerySpec(
-        moving_average_events, MOVING_AVG_SQL, "trailing time-RANGE window average"
-    ),
-    "quantiles_by_type": QuerySpec(
-        quantiles_by_type, QUANTILES_SQL, "exact interpolated value quantiles"
-    ),
     "pivot_order_status": QuerySpec(pivot_order_status, PIVOT_SQL, "pivoted status counts"),
     # --- rows-only (non-SQL-expressible) ---
     # rows-only (non-SQL-expressible)
