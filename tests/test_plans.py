@@ -379,8 +379,11 @@ def test_funnel_is_pure_catalyst(spark):
     assert "Window" in plan
 
 
-def test_matryoshka_truth_join_no_python(spark):
+def test_matryoshka_gemm_no_cross_join(spark):
+    """r6 verdict fix: scoring is the probe-broadcast Arrow gemm (one
+    MapInPandas stage, local top-k per partition), never a 20×N cross
+    join; the global merge is the (dim, qid) rank window."""
     plan = plan_of(spark, "matryoshka_recall")
-    assert "MapInPandas" not in plan and "EvalPython" not in plan
-    # rank windows keyed by (dim, qid)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan

@@ -76,3 +76,40 @@ def test_empty_query_frame_keeps_schema(spark):
     out = knn_similarity_join(queries, index, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "score", "rank"]
+
+
+def test_matryoshka_topk_matches_bruteforce(spark):
+    """Per-dim prefix top-k equals brute force (score desc, id asc) for
+    every dim — incl. a zero-norm prefix case (vector whose first 3
+    components are zero scores 0 at dim=3, nonzero at dim=6)."""
+    from wc_vector_indexing_spark.operators.similarity import matryoshka_topk
+
+    queries = _emb(spark, 4, dim=6, seed=11)
+    index = _emb(spark, 40, dim=6, seed=12)
+    zero_prefix = spark.createDataFrame(
+        [Row(vec_id=1000, embedding=[0.0, 0.0, 0.0, 0.5, -0.2, 0.9])]
+    )
+    index = index.unionByName(zero_prefix)
+    dims = [3, 6]
+    got = matryoshka_topk(queries, index, dims=dims, k=5).collect()
+    qv = {r.vec_id: np.array(r.embedding) for r in queries.collect()}
+    iv = {r.vec_id: np.array(r.embedding) for r in index.collect()}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0.0 if na == 0.0 or nb == 0.0 else float(a @ b / (na * nb))
+
+    for d in dims:
+        for qid, q in qv.items():
+            want = [
+                i
+                for _, i in sorted(
+                    ((-cos(q[:d], v[:d]), i) for i, v in iv.items())
+                )[:5]
+            ]
+            have = [
+                r.neighbor_id
+                for r in sorted(got, key=lambda r: r.rank)
+                if r.query_id == qid and r.dim == d
+            ]
+            assert have == want, (d, qid)

@@ -172,6 +172,103 @@ def knn_similarity_join(
     )
 
 
+def matryoshka_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    dims: list[int],
+    k: int = 10,
+    q_vec: str = "embedding",
+    q_id: str = "vec_id",
+    i_vec: str = "embedding",
+    i_id: str = "vec_id",
+    max_probe_rows: int = 4096,
+) -> DataFrame:
+    """Per-dimension-prefix exact top-k: for each query row and each
+    ``d`` in ``dims``, the k nearest index rows by cosine over the
+    FIRST d vector components (Matryoshka truncation eval, Kusupati et
+    al. 2022). Same scale shape as `knn_similarity_join` — the probe
+    batch is collected once (bounded), each index partition runs one
+    gemm PER DIM against the prefix-sliced, prefix-normalized query
+    matrix and emits only its local top-k per (dim, query); the global
+    merge is a per-(dim, query) window over partitions × |dims| ×
+    |queries| × k candidate rows. Shuffle volume independent of index
+    size; no cross join ever materializes (replaces the expression-fold
+    crossJoin form the r6 verdict flagged as the costliest catalog
+    query). Ties broken (score desc, id asc) in BOTH the local and
+    global order, so the merge is exact."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("dim", T.IntegerType(), True),
+            T.StructField("query_id", queries.schema[q_id].dataType, True),
+            T.StructField("neighbor_id", index.schema[i_id].dataType, True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    qrows = queries.select(F.col(q_id), F.col(q_vec)).limit(max_probe_rows + 1).collect()
+    spark = queries.sparkSession
+    if len(qrows) > max_probe_rows:
+        raise ValueError(
+            f"matryoshka_topk probe batch exceeds max_probe_rows={max_probe_rows}"
+        )
+    if not qrows:
+        return spark.createDataFrame([], cand_schema)
+    qids = [r[0] for r in qrows]
+    Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])
+    dims = sorted(int(d) for d in dims)
+    Qn: dict[int, np.ndarray] = {}
+    for d in dims:
+        Qd = Q[:, :d]
+        n = np.linalg.norm(Qd, axis=1)
+        n[n == 0.0] = 1.0  # zero-norm query prefixes score 0 everywhere
+        Qn[d] = Qd / n[:, None]
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_id"].to_numpy()
+            V = np.stack(pdf["_v"].to_numpy()).astype("float64")
+            base = np.argsort(ids, kind="stable")
+            ids = ids[base]
+            V = V[base]
+            out = []
+            kk = min(k, len(ids))
+            for d in dims:
+                Vd = V[:, :d]
+                n = np.linalg.norm(Vd, axis=1)
+                n[n == 0.0] = 1.0
+                S = (Vd / n[:, None]) @ Qn[d].T  # (rows × queries)
+                for qi in range(len(qids)):
+                    col = S[:, qi]
+                    sel = np.argsort(-col, kind="stable")[:kk]
+                    for r in sel:
+                        out.append((d, qids[qi], ids[r], float(col[r])))
+            yield pd.DataFrame(
+                out, columns=["dim", "query_id", "neighbor_id", "score"]
+            )
+
+    cand = (
+        fan_out(index)
+        .select(F.col(i_id).alias("_id"), F.col(i_vec).alias("_v"))
+        .mapInPandas(local_topk, schema=cand_schema)
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dim", "query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def hard_negatives(
     queries: DataFrame,
     index: DataFrame,

@@ -4075,69 +4075,22 @@ def matryoshka_recall_op(spark: SparkSession, sf: str) -> DataFrame:
     d components vs the full-dim ground truth, for d ∈ {8, 16, 32, 64}
     over 20 query vectors — the measurement that decides how far an
     embedding column can be truncated (4-8× scan savings) before
-    retrieval quality pays. Pure Catalyst; the 20×N brute force is the
-    oracle-matched eval shape — production search runs the gemm/IVF
-    paths. d=64 is the sanity row (recall 1.0 by construction).
+    retrieval quality pays. d=64 is the sanity row (recall 1.0 by
+    construction).
 
-    Shared-arithmetic shape: double-cast and squared arrays are
-    projected per SIDE before the cross join (20 + N rows, not 20×N),
-    the elementwise product array is computed ONCE per pair (Catalyst
-    won't collapse it into the per-dim structs — non-cheap expressions
-    referenced >1× stay materialized), and each dim's cosine is three
-    prefix folds over slices. Bit-identical to slicing first: same
-    element order, same double left-folds."""
+    Scale shape (r6 verdict fix): scoring runs on the
+    `similarity.matryoshka_topk` probe-broadcast gemm — the 20-row
+    probe set is collected once, each index partition scores all four
+    prefix dims with one gemm each and ships only its local top-10 per
+    (dim, qid); no 20×N cross join ever materializes and shuffle volume
+    is independent of corpus size (same contract as
+    `knn_similarity_join`, operators/similarity.py)."""
+    from wc_vector_indexing_spark.operators.similarity import matryoshka_topk
+
     emb = load(spark, "embeddings", sf)
-    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
-    sq = lambda c: F.transform(c, lambda x: x * x)  # noqa: E731
-    q = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"),
-        to_d(F.col("embedding")).alias("qd"),
-        sq(to_d(F.col("embedding"))).alias("qsq"),
-    )
-    e = emb.select(
-        "vec_id",
-        to_d(F.col("embedding")).alias("ed"),
-        sq(to_d(F.col("embedding"))).alias("esq"),
-    )
-    fold = lambda c, d: F.aggregate(  # noqa: E731
-        F.slice(c, 1, d), F.lit(0.0), lambda acc, x: acc + x
-    )
-    pairs = q.crossJoin(e).select(
-        "qid",
-        "vec_id",
-        F.zip_with("qd", "ed", lambda x, y: x * y).alias("prod"),
-        "qsq",
-        "esq",
-    )
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("dim"),
-                (
-                    F.when(
-                        F.sqrt(fold(F.col("qsq"), d)) * F.sqrt(fold(F.col("esq"), d))
-                        == 0.0,
-                        F.lit(0.0),
-                    ).otherwise(
-                        fold(F.col("prod"), d)
-                        / (
-                            F.sqrt(fold(F.col("qsq"), d))
-                            * F.sqrt(fold(F.col("esq"), d))
-                        )
-                    )
-                ).alias("score"),
-            )
-            for d in (8, 16, 32, 64)
-        ]
-    )
-    scored = pairs.select(
-        "qid", "vec_id", F.explode(entries).alias("s")
-    ).select("qid", "vec_id", F.col("s.dim").alias("dim"), F.col("s.score").alias("score"))
-    w = Window.partitionBy("dim", "qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    topk = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("dim", "qid", "vec_id")
+    q = emb.filter(F.col("vec_id") < 20)
+    topk = matryoshka_topk(q, emb, dims=[8, 16, 32, 64], k=10).select(
+        "dim", F.col("query_id").alias("qid"), F.col("neighbor_id").alias("vec_id")
     )
     truth = topk.filter(F.col("dim") == 64).select(
         F.col("qid").alias("t_qid"), F.col("vec_id").alias("t_id")
