@@ -132,6 +132,52 @@ def test_bmp_row_padding():
     assert np.array_equal(decode_bmp(encode_bmp(img)), img)
 
 
+def encode_bmp_bitfields(
+    img: np.ndarray, masks: tuple[int, int, int], bpp: int = 32
+) -> bytes:
+    """BI_BITFIELDS fixture: pack RGB through arbitrary channel masks
+    (mask DWORDs follow the 40-byte header, as written by real
+    encoders)."""
+    h, w = img.shape[:2]
+
+    def place(chan, mask):
+        shift = (mask & -mask).bit_length() - 1
+        maxv = mask >> shift
+        return ((chan.astype(np.uint32) * maxv + 127) // 255) << np.uint32(shift)
+
+    rm, gm, bm = masks
+    vals = place(img[:, :, 0], rm) | place(img[:, :, 1], gm) | place(img[:, :, 2], bm)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    for i in range(nb):
+        rows[:, i : w * nb : nb] = ((vals >> np.uint32(8 * i)) & 0xFF).astype(np.uint8)
+    pix = rows[::-1].tobytes()
+    off = 54 + 12
+    header = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 3, len(pix), 2835, 2835, 0, 0
+    )
+    return header + dib + struct.pack("<III", rm, gm, bm) + pix
+
+
+def test_bmp_bitfields_rgba_order_masks_honored():
+    """r6 advice: non-default masks (R in the LOW byte — RGBA order)
+    must decode with channels unswapped; 8-bit masks roundtrip
+    exactly."""
+    img = _img(7, 5, seed=3)
+    data = encode_bmp_bitfields(img, (0x000000FF, 0x0000FF00, 0x00FF0000))
+    assert np.array_equal(decode_bmp(data), img)
+
+
+def test_bmp_bitfields_rgb565():
+    img = _img(6, 9, seed=4)
+    data = encode_bmp_bitfields(img, (0xF800, 0x07E0, 0x001F), bpp=16)
+    got = decode_bmp(data).astype(int)
+    assert got.shape == img.shape
+    assert np.abs(got - img.astype(int)).max() <= 9  # 5-bit quantization
+
+
 def test_bmp_rejects_non_bmp():
     with pytest.raises(ValueError, match="BM signature"):
         decode_bmp(b"PNG whatever")

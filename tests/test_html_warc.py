@@ -125,6 +125,65 @@ def test_warc_to_text_pipeline(spark, tmp_path):
         assert r.n_good == 2 and r.n_boilerplate == 2
 
 
+def test_warc_1_1_frames_all_records(spark, tmp_path):
+    """Regression (r6 advice): modern Common Crawl is WARC/1.1; the
+    version-pinned lineSep silently dropped every record after the
+    first. The version-agnostic boundary must frame 1.1 files whole,
+    and a mixed 1.0+1.1 concatenation (as produced by `cat`ing crawl
+    segments) must also parse completely."""
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+
+    recs = [
+        {"url": f"https://v.example/{i}", "html": f"<p>page {i} body text</p>"}
+        for i in range(5)
+    ]
+    p = tmp_path / "c11.warc"
+    p.write_bytes(to_warc_bytes(recs, version="1.1"))
+    got = read_warc(spark, str(p)).orderBy("url").collect()
+    assert [r.url for r in got] == [r["url"] for r in recs]
+    assert got[3].html == "<p>page 3 body text</p>"
+
+    mixed = tmp_path / "mixed.warc"
+    mixed.write_bytes(
+        to_warc_bytes(recs[:2], version="1.0") + to_warc_bytes(recs[2:], version="1.1")
+    )
+    assert read_warc(spark, str(mixed)).count() == 5
+
+
+def test_warc_payload_quoting_warc_token_is_stitched(spark, tmp_path):
+    """A page whose body quotes 'WARC/...' right after a blank line is
+    torn by the version-agnostic lineSep; the parse pass must stitch
+    the fragments back (delimiter bytes restored verbatim)."""
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+
+    html = "<p>spec quote:</p>\r\n\r\nWARC/ is the magic prefix\r\n\r\nWARC/1.0 also this"
+    p = tmp_path / "q.warc"
+    p.write_bytes(to_warc_bytes(
+        [{"url": "https://q.example/", "html": html},
+         {"url": "https://q.example/2", "html": "<p>plain follower</p>"}],
+        version="1.1",
+    ))
+    got = {r.url: r.html for r in read_warc(spark, str(p)).collect()}
+    assert got == {
+        "https://q.example/": html,
+        "https://q.example/2": "<p>plain follower</p>",
+    }
+
+
+def test_wet_1_1_frames_all_records(spark, tmp_path):
+    from wc_vector_indexing_spark.sources.wet import read_wet, to_wet_bytes
+
+    recs = [
+        {"url": f"https://w.example/{i}", "text": f"plain text body {i}"}
+        for i in range(4)
+    ]
+    p = tmp_path / "c11.wet"
+    p.write_bytes(to_wet_bytes(recs, version="1.1"))
+    got = read_wet(spark, str(p)).orderBy("url").collect()
+    assert [r.url for r in got] == [r["url"] for r in recs]
+    assert got[2].text == "plain text body 2"
+
+
 def test_multiline_payload_and_crlf_tolerance(spark, tmp_path):
     from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
 

@@ -70,18 +70,31 @@ def signal_features(samples: np.ndarray, rate: int) -> dict:
 
 
 def audio_features(
-    media: DataFrame, content_col: str = "content", id_col: str = "media_id"
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """(media_id, duration, rms, zcr, centroid, bandwidth, rolloff,
     dominant): one zero-shuffle Arrow pass — decode + rfft per clip
-    where the bytes live, nothing but the summary row moves."""
+    where the bytes live, nothing but the summary row moves.
+    ``on_error='skip'`` quarantines undecodable clips per record
+    instead of failing the task (crawled audio is routinely corrupt)."""
     import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
 
     def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
-                samples, rate = decode_audio(bytes(content))
+                try:
+                    samples, rate = decode_audio(bytes(content))
+                except Exception:  # noqa: BLE001 — per-record isolation
+                    if on_error == "raise":
+                        raise
+                    continue
                 rows.append({"media_id": int(mid), **signal_features(samples, rate)})
             yield pd.DataFrame(
                 rows,
@@ -135,16 +148,29 @@ def fingerprint64(samples: np.ndarray, rate: int, n_frames: int = 4) -> int:
 
 
 def audio_fingerprint(
-    media: DataFrame, content_col: str = "content", id_col: str = "media_id"
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    on_error: str = "raise",
 ) -> DataFrame:
-    """(media_id, afp): 64-bit perceptual fingerprints, one Arrow pass."""
+    """(media_id, afp): 64-bit perceptual fingerprints, one Arrow pass.
+    ``on_error='skip'`` quarantines undecodable clips per record (they
+    just don't participate in dedup) instead of failing the task."""
     import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
 
     def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             ids, fps = [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
-                samples, rate = decode_audio(bytes(content))
+                try:
+                    samples, rate = decode_audio(bytes(content))
+                except Exception:  # noqa: BLE001 — per-record isolation
+                    if on_error == "raise":
+                        raise
+                    continue
                 ids.append(int(mid))
                 # store as signed 64-bit (Spark long)
                 fps.append(np.int64(np.uint64(fingerprint64(samples, rate))))

@@ -38,11 +38,42 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS-as-default
+    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS
         raise NotImplementedError(f"BMP compression {compression} not supported")
     top_down = h < 0
     h = abs(h)
-    if bpp == 8:
+    if compression == 3:
+        # BI_BITFIELDS: the channel masks are authoritative — assuming
+        # BGR(A) order silently swaps channels for e.g. RGBA-masked
+        # files and corrupts downstream perceptual hashes. The three
+        # mask DWORDs follow BITMAPINFOHEADER (and sit at the same
+        # offset inside the V4/V5 headers).
+        if bpp not in (16, 32):
+            raise NotImplementedError(
+                f"BMP BI_BITFIELDS with bit depth {bpp} not supported"
+            )
+        rm, gm, bm = struct.unpack_from("<III", data, 54)
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=pixel_off
+        ).reshape(h, stride)[:, : w * nb]
+        vals = np.zeros((h, w), dtype=np.uint32)
+        for i in range(nb):  # little-endian pixel words
+            vals |= raw[:, i::nb].astype(np.uint32) << np.uint32(8 * i)
+
+        def chan(mask: int) -> np.ndarray:
+            if mask == 0:
+                return np.zeros((h, w), dtype=np.uint8)
+            shift = (mask & -mask).bit_length() - 1
+            maxv = mask >> shift
+            v = (vals & np.uint32(mask)) >> np.uint32(shift)
+            # scale an n-bit channel to 8 bits (565 / 555 / 888 all land
+            # exactly: maxv*255/maxv == 255)
+            return ((v * 255) // np.uint32(maxv)).astype(np.uint8)
+
+        img = np.stack([chan(rm), chan(gm), chan(bm)], axis=-1)
+    elif bpp == 8:
         (n_colors,) = struct.unpack_from("<I", data, 46)
         n_colors = n_colors or 256
         pal_off = 14 + hdr_size

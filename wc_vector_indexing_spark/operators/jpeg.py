@@ -91,8 +91,13 @@ class _BitReader:
 
     def _refill(self, need: int) -> None:
         while self.nbits < need:
+            if self.pos >= len(self.data):  # corrupt/truncated file,
+                # not a programming error — callers quarantine on ValueError
+                raise ValueError("truncated JPEG entropy stream")
             b = self.data[self.pos]
             if b == 0xFF:
+                if self.pos + 1 >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
                 nxt = self.data[self.pos + 1]
                 if nxt == 0x00:  # stuffed 0xFF data byte
                     self.pos += 2
@@ -128,8 +133,13 @@ class _BitReader:
         themselves were never consumed (only data bytes advance pos)."""
         self.bitbuf = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+        while (
+            self.pos + 1 < len(self.data)
+            and (self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00)
+        ):
             self.pos += 1  # tolerate stray bytes before the marker
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG: missing restart marker")
         marker = self.data[self.pos + 1]
         if not (0xD0 <= marker <= 0xD7):
             raise ValueError(f"expected restart marker, got FF{marker:02X}")

@@ -221,28 +221,53 @@ def extract_features(
     codec: FakeCodec | None = None,
     content_col: str = "content",
     out_col: str = "features",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Batch feature extraction over Arrow batches (mapInPandas). The
     per-row work is codec.*_features; swapping FakeCodec for a real
-    model keeps the Spark plan identical."""
+    model keeps the Spark plan identical.
+
+    ``on_error`` (crawled media is routinely corrupt — one bad file
+    must not fail a whole task; same isolation contract as
+    embed.embed_texts):
+      'raise'  propagate the first decode error (default)
+      'skip'   drop undecodable rows from the output
+      'mark'   NULL features + ``decode_error`` column for bad rows
+    """
+    if on_error not in ("raise", "skip", "mark"):
+        raise ValueError("on_error must be 'raise', 'skip', or 'mark'")
     codec = codec or FakeCodec()
-    out_schema = T.StructType(
-        [f for f in media.schema.fields if f.name != content_col]
-        + [T.StructField(out_col, T.ArrayType(T.FloatType()), True)]
-    )
+    fields = [f for f in media.schema.fields if f.name != content_col] + [
+        T.StructField(out_col, T.ArrayType(T.FloatType()), True)
+    ]
+    if on_error == "mark":
+        fields.append(T.StructField("decode_error", T.StringType(), True))
+    out_schema = T.StructType(fields)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats: list[list[float] | None] = []
+            errs: list[str | None] = []
             for _, row in pdf.iterrows():
                 content = row[content_col]
-                if row["kind"] == "audio":
-                    v = codec.audio_features(content, dim)
-                else:
-                    v = codec.image_features(content, dim)
-                feats.append(v.tolist())
+                try:
+                    if row["kind"] == "audio":
+                        v = codec.audio_features(content, dim)
+                    else:
+                        v = codec.image_features(content, dim)
+                    feats.append(v.tolist())
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — per-record isolation
+                    if on_error == "raise":
+                        raise
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
             out = pdf.drop(columns=[content_col])
             out[out_col] = feats
+            if on_error == "mark":
+                out["decode_error"] = errs
+            elif on_error == "skip":
+                out = out[[e is None for e in errs]]
             yield out
 
     return media.mapInPandas(run, schema=out_schema)
@@ -294,24 +319,30 @@ def image_dhash(
     media: DataFrame,
     content_col: str = "content",
     id_col: str = "media_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """(media_id, dhash): Arrow-batched perceptual fingerprints for the
     image rows. Zero shuffle — decode + hash are per-row; non-image rows
-    are filtered before the Python stage so bytes never cross for them."""
+    are filtered before the Python stage so bytes never cross for them.
+    ``on_error='skip'`` quarantines undecodable images (the row simply
+    doesn't participate in dedup) instead of failing the task."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
     imgs = media.filter(F.col("kind") == "image").select(id_col, content_col)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not len(pdf):
-                continue
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "dhash": [
-                        dhash64(decode_image(c)) for c in pdf[content_col]
-                    ],
-                }
-            )
+            ids, hs = [], []
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    h = dhash64(decode_image(c))
+                except Exception:  # noqa: BLE001 — per-record isolation
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(mid)
+                hs.append(h)
+            yield pd.DataFrame({id_col: ids, "dhash": hs})
 
     return imgs.mapInPandas(run, schema=f"{id_col} long, dhash long")
 

@@ -113,7 +113,11 @@ def decode_png(data: bytes) -> np.ndarray:
     nch = _CHANNELS[color]
     bpp = nch * (depth // 8)  # filter unit: bytes per complete pixel
     stride = w * bpp
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt/truncated DEFLATE stream — surface
+        # the same exception type every decoder here uses for bad input
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     if interlace == 0:
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG pixel data length mismatch")

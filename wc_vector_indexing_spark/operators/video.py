@@ -76,22 +76,37 @@ def video_frame_hashes(
     every_n: int = 1,
     content_col: str = "content",
     id_col: str = "media_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """(media_id, frame_no, dhash): per-sampled-frame perceptual hash —
     decode + dHash inside one Arrow pass; 8 bytes per frame is all that
-    leaves the scan."""
+    leaves the scan. ``on_error='skip'`` quarantines a video whose
+    container or any sampled frame is corrupt (ALL its frame rows are
+    dropped — a partial frame set would alias as a different video in
+    the sequence-signature dedup) instead of failing the task."""
     import pandas as pd
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
 
     def run(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             ids, nos, hs = [], [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
-                for i, frame in enumerate(avi_frames(bytes(content))):
-                    if i % every_n:
-                        continue
+                try:
+                    rows = [
+                        (i, np.int64(np.uint64(dhash64(decode_jpeg(frame)))))
+                        for i, frame in enumerate(avi_frames(bytes(content)))
+                        if i % every_n == 0
+                    ]
+                except Exception:  # noqa: BLE001 — per-record isolation
+                    if on_error == "raise":
+                        raise
+                    continue
+                for i, h in rows:
                     ids.append(int(mid))
                     nos.append(i)
-                    hs.append(np.int64(np.uint64(dhash64(decode_jpeg(frame)))))
+                    hs.append(h)
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "dhash": hs})
 
     return media.select(id_col, content_col).mapInPandas(

@@ -4,10 +4,14 @@ files — full HTTP responses, HTML and all) as a DataFrame. Paired with
 HTML → main text → every downstream text operator.
 
 Same framing strategy as the WET reader (sources/wet.py): the IIPC
-WARC 1.1 / ISO 28500 record grammar is ``WARC/1.0`` + headers + blank
-line + payload + blank blank; ``spark.read.text`` with the record
-boundary as ``lineSep`` makes the JVM do the splitting, and header +
-HTTP parsing is one zero-shuffle Arrow pass. The difference from WET:
+WARC / ISO 28500 record grammar is ``WARC/<version>`` + headers +
+blank line + payload + blank blank; ``spark.read.text`` with the
+version-AGNOSTIC record boundary ``\\r\\n\\r\\nWARC/`` as ``lineSep``
+makes the JVM do the splitting (WARC/1.0 and WARC/1.1 files — modern
+Common Crawl is 1.1 — both frame correctly), and header + HTTP
+parsing is one zero-shuffle Arrow pass. The leftover ``1.x`` version
+token line at the head of each record body carries no colon, so the
+header scan skips it by construction. The difference from WET:
 ``WARC-Type: response`` records carry an HTTP/1.1 response (status
 line, headers, body) as payload, so the parser additionally splits the
 HTTP envelope and keeps only 200-status text/html bodies.
@@ -58,8 +62,11 @@ def _split_once(body: str) -> tuple[str, str] | None:
 
 
 def _parse_record(raw: str) -> dict | None:
-    """One record body (text after a ``WARC/1.0`` delimiter) → parsed
-    response row, or None for non-response / non-HTML records."""
+    """One record body (text after a ``\\r\\n\\r\\nWARC/`` delimiter)
+    → parsed response row, or None for non-response / non-HTML
+    records. The body starts with the leftover version token
+    (``1.0``/``1.1``) — or ``WARC/1.x`` for the file's first record —
+    which the colon-less header skip ignores."""
     split = _split_once(raw.lstrip("\r\n"))
     if split is None:
         return None
@@ -120,31 +127,44 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     shuffle; compose with ``html_extract.extract_documents`` for the
     crawl → text pipeline."""
     raw = (
-        spark.read.text(path, lineSep="\r\n\r\nWARC/1.0\r\n")
+        spark.read.text(path, lineSep="\r\n\r\nWARC/")
         .withColumn("warc_path", F.input_file_name())
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for raw_body, fpath in zip(pdf["value"], pdf["warc_path"]):
-                rec = _parse_record(raw_body)
-                if rec is not None:
-                    rec["warc_path"] = fpath
-                    out.append(rec)
-            yield pd.DataFrame(out, columns=[f.name for f in WARC_SCHEMA.fields])
+        # torn-payload reassembly shared with the WET reader; carries
+        # state across Arrow batches (see wet._stitch)
+        from wc_vector_indexing_spark.sources.wet import _stitch
+
+        cols = [f.name for f in WARC_SCHEMA.fields]
+
+        def rows():
+            for pdf in batches:
+                yield from zip(pdf["value"], pdf["warc_path"])
+
+        out: list[dict] = []
+        for body, fpath in _stitch(rows()):
+            rec = _parse_record(body)
+            if rec is not None:
+                rec["warc_path"] = fpath
+                out.append(rec)
+            if len(out) >= 1024:
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        yield pd.DataFrame(out, columns=cols)
 
     return raw.mapInPandas(parse, schema=WARC_SCHEMA)
 
 
-def to_warc_bytes(records: list[dict]) -> bytes:
+def to_warc_bytes(records: list[dict], version: str = "1.0") -> bytes:
     """Serialize (url, html, [status], [content_type]) dicts to a
     spec-shaped WARC byte string — the fixture/export half; tests pin
-    read_warc(to_warc_bytes(x)) == x. Also writes one non-HTML and the
-    warcinfo record shape when asked via status/content_type overrides."""
+    read_warc(to_warc_bytes(x)) == x for both WARC/1.0 and WARC/1.1
+    framing (``version``). Also writes one non-HTML and the warcinfo
+    record shape when asked via status/content_type overrides."""
     out = [
-        b"WARC/1.0\r\n"
-        b"WARC-Type: warcinfo\r\n"
+        f"WARC/{version}\r\n".encode()
+        + b"WARC-Type: warcinfo\r\n"
         b"Content-Type: application/warc-fields\r\n"
         b"Content-Length: 0\r\n\r\n\r\n\r\n"
     ]
@@ -157,7 +177,7 @@ def to_warc_bytes(records: list[dict]) -> bytes:
         ) + r["html"]
         payload = http.encode("utf-8")
         head = (
-            "WARC/1.0\r\n"
+            f"WARC/{version}\r\n"
             "WARC-Type: response\r\n"
             f"WARC-Target-URI: {r['url']}\r\n"
             f"WARC-Date: {r.get('warc_date', '2024-01-01T00:00:00Z')}\r\n"

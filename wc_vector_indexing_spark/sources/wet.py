@@ -18,13 +18,16 @@ WET is a public, trivially simple framing (IIPC WARC 1.1 spec, ISO
 
 plus one leading ``WARC-Type: warcinfo`` header record per file.
 
-Spark-first split strategy: ``spark.read.text`` with
-``lineSep="WARC/1.0"`` makes the JVM do the record framing — each
-DataFrame row is one raw record, file splits never tear a record
-mid-payload (the text source only splits on the delimiter), and the
-scan parallelizes across files and within large uncompressed files.
-Header parsing is then an Arrow-batched map pass (mapInPandas), zero
-shuffle.
+Spark-first split strategy: ``spark.read.text`` with the
+version-agnostic boundary ``lineSep="\\r\\n\\r\\nWARC/"`` makes the
+JVM do the record framing (WARC/1.0 and WARC/1.1 — modern Common
+Crawl — both frame correctly) — each DataFrame row is one raw record,
+file splits never tear a record mid-payload (the text source only
+splits on the delimiter), and the scan parallelizes across files and
+within large uncompressed files. Header parsing is then an
+Arrow-batched map pass (mapInPandas), zero shuffle; the leftover
+``1.x`` version token at the head of each record body has no colon,
+so the header scan skips it by construction.
 
 Compression note (matters at 100 TB): Common Crawl ships
 ``.warc.wet.gz`` as *concatenated gzip members*. Hadoop's gzip codec
@@ -41,12 +44,46 @@ north-star training-pipeline surface.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# What a true record boundary leaves at the head of the next row: the
+# version token the delimiter did not consume ("1.0\r\n" / "1.1\r\n"),
+# or the full "WARC/1.x" for the first record of a file (no preceding
+# delimiter). Anything else after a split is a torn payload fragment.
+_VERSION_TOKEN = re.compile(r"^\d+\.\d+\r?\n")
+
+
+def _stitch(pairs, delim: str = "\r\n\r\nWARC/"):
+    """Re-assemble records torn by the version-agnostic ``lineSep``:
+    a payload that itself contains ``\\r\\n\\r\\nWARC/<not a version
+    line>`` (e.g. prose quoting 'WARC/1.0 spec says...') splits into a
+    fragment that does NOT start with a version token — glue it back
+    onto the previous row with the exact delimiter bytes the splitter
+    consumed. Rows from ``spark.read.text`` arrive in file order
+    within a partition, so this is a streaming stitch; the only
+    unrecoverable shapes are a payload containing a byte-exact record
+    boundary (ambiguous under any split framing) and a tear landing
+    exactly on a partition boundary (fragment is dropped, record
+    truncated at its Content-Length guard). ``pairs`` is an iterable
+    of (raw_row_text, file_path); yields stitched (body, path)."""
+    cur_body: str | None = None
+    cur_path = None
+    for raw_body, fpath in pairs:
+        is_head = raw_body.startswith("WARC/") or _VERSION_TOKEN.match(raw_body)
+        if is_head or cur_path != fpath or cur_body is None:
+            if cur_body is not None:
+                yield cur_body, cur_path
+            cur_body, cur_path = raw_body, fpath
+        else:
+            cur_body = cur_body + delim + raw_body
+    if cur_body is not None:
+        yield cur_body, cur_path
 
 WET_SCHEMA = T.StructType(
     [
@@ -69,9 +106,11 @@ _HEADER_KEYS = {
 
 
 def _parse_record(raw: str) -> dict | None:
-    """Parse one record body (the text after a ``WARC/1.0`` delimiter).
-    Returns None for non-conversion records (warcinfo) and fragments
-    with no headers (the pre-delimiter prologue)."""
+    """Parse one record body (the text after a ``\\r\\n\\r\\nWARC/``
+    delimiter; starts with the leftover ``1.x`` version token, which
+    the colon-less header skip ignores). Returns None for
+    non-conversion records (warcinfo) and fragments with no headers
+    (the pre-delimiter prologue)."""
     body = raw.lstrip("\r\n")
     # header/payload boundary: first blank line (CRLF per spec; accept LF)
     cut = None
@@ -121,47 +160,59 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     via ``lineSep``; header parsing is one Arrow map pass. Zero
     shuffle — the output feeds ``urls.url_features`` /
     ``url_dedup`` / the curation gates directly."""
-    # The delimiter is the full record boundary (blank line + version
-    # line), not the bare version token — "WARC/1.0" occurring inside a
-    # payload must not tear the record. A payload containing the exact
-    # boundary byte sequence is inherently ambiguous under WET framing
-    # (only Content-Length-driven sequential parsing resolves it); the
-    # split-friendly trade is the right one at corpus scale.
+    # The delimiter is the record boundary (blank line + version-token
+    # prefix), not the bare "WARC/" token — "WARC/" occurring mid-line
+    # inside a payload must not tear the record; it is version-agnostic
+    # so WARC/1.1 files (modern Common Crawl) frame identically to 1.0.
+    # A payload containing the exact boundary byte sequence is
+    # inherently ambiguous under WET framing (only Content-Length-driven
+    # sequential parsing resolves it); the split-friendly trade is the
+    # right one at corpus scale.
     raw = (
-        spark.read.text(path, lineSep="\r\n\r\nWARC/1.0\r\n")
+        spark.read.text(path, lineSep="\r\n\r\nWARC/")
         .withColumn("wet_path", F.input_file_name())
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for raw_body, fpath in zip(pdf["value"], pdf["wet_path"]):
-                rec = _parse_record(raw_body)
-                if rec is not None:
-                    rec["wet_path"] = fpath
-                    out.append(rec)
-            yield pd.DataFrame(
-                out, columns=[f.name for f in WET_SCHEMA.fields]
-            )
+        cols = [f.name for f in WET_SCHEMA.fields]
+
+        def rows():
+            for pdf in batches:
+                yield from zip(pdf["value"], pdf["wet_path"])
+
+        # stitching carries state ACROSS Arrow batches (a tear can land
+        # on a batch boundary), so iterate the whole partition as one
+        # stream and flush parsed rows in bounded chunks
+        out: list[dict] = []
+        for body, fpath in _stitch(rows()):
+            rec = _parse_record(body)
+            if rec is not None:
+                rec["wet_path"] = fpath
+                out.append(rec)
+            if len(out) >= 1024:
+                yield pd.DataFrame(out, columns=cols)
+                out = []
+        yield pd.DataFrame(out, columns=cols)
 
     return raw.mapInPandas(parse, schema=WET_SCHEMA)
 
 
-def to_wet_bytes(records: list[dict]) -> bytes:
+def to_wet_bytes(records: list[dict], version: str = "1.0") -> bytes:
     """Serialize (url, warc_date, record_id, text) dicts to a spec-
     shaped WET byte string (CRLF headers, warcinfo prologue) — the
     fixture/export half of the roundtrip; tests pin
-    read_wet(to_wet_bytes(x)) == x."""
+    read_wet(to_wet_bytes(x)) == x for both WARC/1.0 and WARC/1.1
+    framing (``version``)."""
     out = [
-        b"WARC/1.0\r\n"
-        b"WARC-Type: warcinfo\r\n"
+        f"WARC/{version}\r\n".encode()
+        + b"WARC-Type: warcinfo\r\n"
         b"Content-Type: application/warc-fields\r\n"
         b"Content-Length: 0\r\n\r\n\r\n\r\n"
     ]
     for r in records:
         payload = r["text"].encode("utf-8")
         head = (
-            "WARC/1.0\r\n"
+            f"WARC/{version}\r\n"
             "WARC-Type: conversion\r\n"
             f"WARC-Target-URI: {r['url']}\r\n"
             f"WARC-Date: {r.get('warc_date', '2024-01-01T00:00:00Z')}\r\n"
