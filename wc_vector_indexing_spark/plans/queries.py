@@ -4997,6 +4997,72 @@ ORDER BY ext
 """
 
 
+def pdf_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF-source extraction (sources/pdf.read_pdf_corpus): the
+    lowest-40 doc_ids become 10 four-page PDFs (page text is two lines
+    derived from doc_id by arithmetic; odd-numbered PDFs FlateDecode
+    their content streams, even ones stay raw — both paths must
+    extract identically) written once per sf under /tmp, then read
+    back through the binaryFile-based source. Planted text ⇒ DuckDB
+    oracle reconstructs every row; validates writer/extractor
+    inversion, page-tree order, Flate + raw streams, and the per-page
+    row explosion."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.pdf import read_pdf_corpus, to_pdf_bytes
+
+    ids = [
+        int(r[0])
+        for r in load(spark, "documents", sf)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    ]
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_pdfs_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        for k in range(0, len(ids), 4):
+            pages = [
+                f"Planted PDF page for document {d}.\n"
+                f"Second line (checked) for {d}."
+                for d in ids[k : k + 4]
+            ]
+            with open(os.path.join(out, f"pdf_{k // 4}.pdf"), "wb") as f:
+                f.write(to_pdf_bytes(pages, compress=bool((k // 4) % 2)))
+        with open(done, "w") as f:
+            f.write("ok")
+    rows = read_pdf_corpus(spark, os.path.join(out, "*.pdf"))
+    return rows.select(
+        F.regexp_extract("pdf_path", r"pdf_(\d+)\.pdf", 1)
+        .cast("int")
+        .alias("pdf_no"),
+        "page_no",
+        "text",
+        "n_chars",
+    ).orderBy("pdf_no", "page_no")
+
+
+PDF_CORPUS_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40)
+)
+SELECT (rnk // 4)::INT AS pdf_no,
+       (rnk % 4)::INT AS page_no,
+       'Planted PDF page for document ' || doc_id || '.' || chr(10) ||
+       'Second line (checked) for ' || doc_id || '.' AS text,
+       length('Planted PDF page for document ' || doc_id || '.' || chr(10) ||
+              'Second line (checked) for ' || doc_id || '.')::INT AS n_chars
+FROM ids
+ORDER BY pdf_no, page_no
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # --- driver-gate tier: the first 50 oracle-backed entries are the
     # --- ones the per-round correctness gate records; ordered to cover
@@ -5075,6 +5141,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "archive_member_census": QuerySpec(
         archive_member_census_op, ARCHIVE_CENSUS_SQL,
         "tar/zip archive-source member census (planted-truth oracle)"
+    ),
+    "pdf_corpus_text": QuerySpec(
+        pdf_corpus_text_op, PDF_CORPUS_SQL,
+        "PDF source: per-page text extraction (planted-truth oracle)"
     ),
     "overlapping_sessions": QuerySpec(
         overlapping_sessions_op, OVERLAP_SESSIONS_SQL,

@@ -1,0 +1,406 @@
+"""PDF text-extraction source: read PDF files as per-page text rows —
+with WARC/WET/HTML/archives/media closed, PDF is the highest-frequency
+real LLM-corpus format (ISO 32000 is the public spec; everything here
+is stdlib ``zlib`` + ``re``).
+
+Scope (matches what a no-deps container can honestly do):
+- cross-reference-free object scan (works on linearized and
+  incrementally-updated files alike — the xref table is a seek
+  optimization, not the only source of truth),
+- page tree walk (/Root → /Pages → /Kids) for correct page ORDER,
+- content streams raw or FlateDecode (stdlib zlib), single stream or
+  /Contents arrays,
+- text operators Tj ' " TJ with ()-string escapes, octal escapes and
+  hex strings; Td/TD/T*/' line motion becomes newlines,
+- documented NotImplementedError seams for encrypted files
+  (/Encrypt), non-Flate stream filters (LZW/DCT/...), and CID-keyed
+  Identity-H fonts (text bytes are code points into a CMap we don't
+  carry — decoding them as Latin-1 would yield garbage silently).
+
+Spark shape: PDFs are whole-file units (object offsets are absolute),
+so the scan is ``binaryFile`` — one file per row, per-file parallel.
+That is the right 100 TB model: a corpus is millions of PDFs, and
+task granularity is the file, exactly like the .warc.gz story in
+sources/wet.py. Parsing is one zero-shuffle Arrow pass; only the
+extracted text rows leave the scan.
+
+Reference note: the reference engine has no document-file ingestion
+path (SURVEY §1.1); this module is north-star training-pipeline
+surface, public spec only.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+PDF_SCHEMA = T.StructType(
+    [
+        T.StructField("pdf_path", T.StringType()),
+        T.StructField("page_no", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+    ]
+)
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+_NUM_RE = re.compile(rb"/Length\s+(\d+)\b")
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """num → (object dict/body bytes, stream payload or None). A linear
+    scan over ``N G obj … endobj`` instead of the xref table: valid for
+    every conforming file (objects are self-delimiting) and robust to
+    the incremental-update / xref-stream variants a seek-based reader
+    must special-case. Later definitions of the same object number win
+    (incremental updates append replacements)."""
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        start = m.end()
+        end = data.find(b"endobj", start)
+        if end == -1:
+            continue
+        body = data[start:end]
+        stream = None
+        s = body.find(b"stream")
+        if s != -1:
+            head = body[:s]
+            payload_start = s + len(b"stream")
+            if body[payload_start : payload_start + 2] == b"\r\n":
+                payload_start += 2
+            elif body[payload_start : payload_start + 1] == b"\n":
+                payload_start += 1
+            # /Length is authoritative when it is a direct integer (a
+            # payload may contain the bytes "endstream"); fall back to
+            # the delimiter search for indirect /Length refs
+            ln = _NUM_RE.search(head)
+            if ln:
+                payload = body[payload_start : payload_start + int(ln.group(1))]
+            else:
+                e = body.rfind(b"endstream")
+                payload = body[payload_start:e].rstrip(b"\r\n")
+            body = head
+            stream = payload
+        objects[num] = (body, stream)
+    return objects
+
+
+def _decode_stream(head: bytes, payload: bytes) -> bytes:
+    filt = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", head)
+    if filt is None:
+        return payload
+    name = filt.group(1).decode("ascii", "replace")
+    if name == "FlateDecode":
+        try:
+            return zlib.decompress(payload)
+        except zlib.error as e:
+            raise ValueError(f"corrupt FlateDecode content stream: {e}") from e
+    raise NotImplementedError(
+        f"PDF stream filter {name} not supported (FlateDecode or none only)"
+    )
+
+
+def _page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
+    """Page object numbers in document order via the /Root → /Pages →
+    /Kids walk; falls back to object-number order of /Type /Page
+    objects when the tree is unresolvable (damaged files)."""
+    page_re = re.compile(rb"/Type\s*/Page\b(?!s)")
+    pages_in_tree: list[int] = []
+
+    root_num = None
+    for num, (body, _) in objects.items():
+        if b"/Type" in body and b"/Catalog" in body:
+            root_num = num
+    if root_num is not None:
+        mm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", objects[root_num][0])
+        if mm:
+            seen: set[int] = set()
+
+            def walk(num: int) -> None:
+                if num in seen or num not in objects:
+                    return
+                seen.add(num)
+                body = objects[num][0]
+                if page_re.search(body):
+                    pages_in_tree.append(num)
+                    return
+                kids = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
+                if kids:
+                    for r in _REF_RE.finditer(kids.group(1)):
+                        walk(int(r.group(1)))
+
+            walk(int(mm.group(1)))
+    if pages_in_tree:
+        return pages_in_tree
+    return sorted(n for n, (b, _) in objects.items() if page_re.search(b))
+
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _parse_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ()-literal starting at data[i] == '('. Handles nesting,
+    the standard escapes, and 1-3 digit octal codes (spec 7.3.4.2)."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    while i < n and depth:
+        c = data[i : i + 1]
+        if c == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(data[i + 1 : j], 8) & 0xFF)
+                i = j
+            elif nxt in (b"\n", b"\r"):  # line continuation
+                i += 2
+                if nxt == b"\r" and data[i : i + 1] == b"\n":
+                    i += 1
+            else:
+                out += nxt
+                i += 2
+        elif c == b"(":
+            depth += 1
+            out += c
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out += c
+            i += 1
+        else:
+            out += c
+            i += 1
+    return bytes(out), i
+
+
+_TOKEN_RE = re.compile(
+    rb"\(|<[0-9A-Fa-f\s]*>|\[|\]|/[^\s/\[\]()<>]*|[-+]?[\d.]+|[A-Za-z'\"*]+"
+)
+
+
+def _extract_page_text(content: bytes) -> str:
+    """Walk the content stream's text operators. Line model: every
+    text-line motion (Td/TD/T*) and the '/\" shorthands start a new
+    output line; shows on the same line concatenate. TJ kerning
+    numbers are ignored except large negative gaps (< -180/1000 em),
+    which typeset as inter-word space in justified text."""
+    lines: list[str] = [""]
+    i = 0
+    n = len(content)
+    stack: list[bytes] = []  # pending string/number tokens inside a TJ array
+
+    def show(s: bytes) -> None:
+        lines[-1] += s.decode("latin-1")
+
+    in_array = False
+    pending: list[tuple[str, bytes | float]] = []
+    while i < n:
+        m = _TOKEN_RE.search(content, i)
+        if m is None:
+            break
+        tok = m.group(0)
+        if tok == b"(":
+            s, i = _parse_literal_string(content, m.start())
+            if in_array:
+                pending.append(("s", s))
+            else:
+                stack.append(s)
+            continue
+        i = m.end()
+        if tok.startswith(b"<"):
+            hx = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            s = bytes.fromhex(hx.decode("ascii"))
+            if in_array:
+                pending.append(("s", s))
+            else:
+                stack.append(s)
+        elif tok == b"[":
+            in_array = True
+            pending = []
+        elif tok == b"]":
+            in_array = False
+        elif tok in (b"Tj", b"'", b'"'):
+            if tok in (b"'", b'"'):
+                lines.append("")
+            if stack:
+                show(stack[-1])
+            stack.clear()
+        elif tok == b"TJ":
+            for kind, v in pending:
+                if kind == "s":
+                    show(v)  # type: ignore[arg-type]
+                elif v < -180:  # type: ignore[operator]
+                    lines[-1] += " "
+            pending = []
+        elif tok in (b"Td", b"TD", b"T*"):
+            lines.append("")
+        elif re.fullmatch(rb"[-+]?[\d.]+", tok):
+            if in_array:
+                try:
+                    pending.append(("n", float(tok)))
+                except ValueError:
+                    pass
+        elif tok == b"BT":
+            stack.clear()
+    # leading/trailing motions (the initial cursor Td) produce empty
+    # edge lines — strip those; interior blank lines are real layout
+    return "\n".join(lines).strip("\n")
+
+
+def extract_pdf_text(data: bytes) -> list[str]:
+    """data → per-page extracted text, in page-tree order. Raises
+    ValueError for non-PDF/corrupt input and NotImplementedError at
+    the documented seams (encryption, non-Flate filters, CID fonts)."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    if re.search(rb"/Encrypt\s", data):
+        raise NotImplementedError(
+            "encrypted PDF (has /Encrypt) — decryption not supported"
+        )
+    if b"/Identity-H" in data:
+        raise NotImplementedError(
+            "CID-keyed (Identity-H) font: text bytes are CMap code points; "
+            "extraction without the ToUnicode map would be silent garbage"
+        )
+    objects = _scan_objects(data)
+    if not objects:
+        raise ValueError("corrupt PDF: no objects found")
+    pages = []
+    for num in _page_order(objects):
+        body = objects[num][0]
+        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        refs: list[int] = []
+        if cm:
+            refs = [int(cm.group(1))]
+        else:
+            arr = re.search(rb"/Contents\s*\[([^\]]*)\]", body)
+            if arr:
+                refs = [int(r.group(1)) for r in _REF_RE.finditer(arr.group(1))]
+        chunks = []
+        for r in refs:
+            if r in objects and objects[r][1] is not None:
+                head, payload = objects[r]
+                chunks.append(_decode_stream(head, payload))
+        pages.append(_extract_page_text(b"\n".join(chunks)))
+    return pages
+
+
+def read_pdf_corpus(
+    spark: SparkSession, path: str, on_error: str = "raise"
+) -> DataFrame:
+    """Read PDF file(s) (glob/dir ok) into (pdf_path, page_no, text,
+    n_chars) — one row per page. ``binaryFile`` scan (whole-file units,
+    per-file task parallelism — the million-PDF corpus model), then one
+    zero-shuffle Arrow parse pass. ``on_error='skip'`` quarantines
+    files that fail to parse (encrypted, exotic filters, corrupt)
+    instead of failing the task — the crawl-ingest default posture."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_SCHEMA.fields]
+        for pdf in batches:
+            out = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    pages = extract_pdf_text(bytes(content))
+                except Exception:  # noqa: BLE001 — per-file isolation
+                    if on_error == "raise":
+                        raise
+                    continue
+                for pno, text in enumerate(pages):
+                    out.append(
+                        {
+                            "pdf_path": fpath,
+                            "page_no": pno,
+                            "text": text,
+                            "n_chars": len(text),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return raw.mapInPandas(parse, schema=PDF_SCHEMA)
+
+
+# ------------------------------------------------------------------ writer
+
+
+def _esc(s: str) -> bytes:
+    return (
+        s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    ).encode("latin-1", "replace")
+
+
+def to_pdf_bytes(pages: list[str], compress: bool = False) -> bytes:
+    """Serialize per-page text to a minimal, spec-valid PDF (catalog +
+    page tree + Helvetica + one content stream per page, xref table
+    included) — the fixture/export half; tests pin
+    extract_pdf_text(to_pdf_bytes(x)) == x. ``compress`` Flate-encodes
+    the content streams (both paths must extract identically)."""
+    objs: list[bytes] = []  # 1-indexed object bodies (without N 0 obj wrapper)
+    n_pages = len(pages)
+    # layout: 1 catalog, 2 pages, 3 font, then (page, contents) pairs
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, page in enumerate(pages):
+        content = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(page.split("\n")):
+            if j:
+                content += b"0 -14 Td\n"
+            content += b"(" + _esc(line) + b") Tj\n"
+        content += b"ET"
+        payload = bytes(content)
+        filt = b""
+        if compress:
+            payload = zlib.compress(payload)
+            filt = b" /Filter /FlateDecode"
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {5 + 2 * i} 0 R >>".encode()
+        )
+        objs.append(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream"
+            % (len(payload), filt, payload)
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
