@@ -84,10 +84,71 @@ def test_byte_stuffing_roundtrip():
     assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 1
 
 
-def test_progressive_raises_at_seam():
-    # SOI + SOF2 header: the documented external-codec seam
-    data = b"\xff\xd8" + bytes([0xFF, 0xC2, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="baseline sequential"):
+def _prog_pair(img, subsampling="4:4:4"):
+    from wc_vector_indexing_spark.operators.jpeg import encode_progressive
+
+    prog = encode_progressive(img, subsampling=subsampling)
+    base = encode_baseline(img, subsampling=subsampling)
+    return decode_jpeg(prog), decode_jpeg(base), prog
+
+
+def test_progressive_grayscale_matches_baseline_exactly():
+    """Successive approximation at depth 1 reconstructs every
+    coefficient exactly, so the progressive decode must be
+    bit-identical to the baseline decode of the same quantized
+    coefficients — a golden inverse with no tolerance."""
+    got, want, prog = _prog_pair(_gradient(24, 32))
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog  # really SOF2
+    assert prog.count(b"\xff\xda") == 6  # DC first+refine, 2 bands x first+refine
+    assert np.array_equal(got, want)
+
+
+def test_progressive_flat_image_exercises_cross_block_eob_runs():
+    img = np.full((32, 40), 128, dtype=np.uint8)
+    img[4:8, 4:8] = 200  # one busy block, many all-zero AC bands
+    got, want, _ = _prog_pair(img)
+    assert np.array_equal(got, want)
+
+
+def test_progressive_color_444():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+    got, want, prog = _prog_pair(img)
+    # per-component AC scans: 2 + 3 comps x 2 bands x 2 passes = 14
+    assert prog.count(b"\xff\xda") == 14
+    assert np.array_equal(got, want)
+
+
+def test_progressive_color_420_subsampled():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    got, want, _ = _prog_pair(img, subsampling="4:2:0")
+    assert np.array_equal(got, want)
+
+
+def test_progressive_dispatches_through_decode_image():
+    from wc_vector_indexing_spark.operators.jpeg import encode_progressive
+    from wc_vector_indexing_spark.operators.multimodal import decode_image
+
+    img = _gradient(16, 16)
+    assert np.array_equal(
+        decode_image(encode_progressive(img)), decode_jpeg(encode_baseline(img))
+    )
+
+
+def test_truncated_progressive_raises_value_error():
+    from wc_vector_indexing_spark.operators.jpeg import encode_progressive
+
+    data = encode_progressive(_gradient(24, 32))
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: int(len(data) * 0.6)])
+
+
+def test_arithmetic_coding_raises_at_seam():
+    # SOI + SOF9 (arithmetic sequential): the remaining external-codec
+    # seam now that progressive (SOF2) decodes for real
+    data = b"\xff\xd8" + bytes([0xFF, 0xC9, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(data)
 
 

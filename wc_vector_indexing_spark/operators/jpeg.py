@@ -1,14 +1,18 @@
-"""Pure-numpy baseline JPEG (ITU-T T.81) decoder.
+"""Pure-numpy JPEG (ITU-T T.81) decoder: baseline AND progressive.
 
 Closes the r5 verdict's "the first real corpus is JPEG" gap without any
 external codec: baseline sequential DCT (SOF0), Huffman entropy coding,
 grayscale or YCbCr with any of the common subsampling layouts
-(4:4:4 / 4:2:2 / 4:2:0), restart markers, 0xFF00 byte stuffing. All of
-this is public knowledge — the T.81 spec's Annexes A (DCT), C (Huffman
-code construction) and F (decoder control flow) define every step, and
-the decoder follows them directly.
+(4:4:4 / 4:2:2 / 4:2:0), restart markers, 0xFF00 byte stuffing — plus
+progressive DCT (SOF2, Annex G): spectral selection (per-band AC
+scans with EOB runs) and successive approximation (DC/AC first +
+refinement scans), the encoding most real crawled web JPEGs use. All
+of this is public knowledge — the T.81 spec's Annexes A (DCT),
+C (Huffman code construction), F (sequential control flow) and
+G (progressive control flow) define every step, and the decoder
+follows them directly.
 
-Progressive (SOF2), arithmetic coding, and hierarchical modes raise
+Arithmetic coding, hierarchical and lossless modes raise
 ``NotImplementedError`` — at that point a real codec (Pillow/libjpeg)
 should be plugged into ``multimodal.decode_image``, which dispatches
 JPEG magic bytes here.
@@ -153,14 +157,17 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to uint8 ``(h, w)`` (grayscale) or
-    ``(h, w, 3)`` (RGB, BT.601 YCbCr conversion per JFIF)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to uint8
+    ``(h, w)`` (grayscale) or ``(h, w, 3)`` (RGB, BT.601 YCbCr
+    conversion per JFIF)."""
     if not data or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
     restart_interval = 0
     frame = None
+    progressive = False
+    grids: list[np.ndarray] | None = None  # per-comp (bh, bw, 64) zigzag coeffs
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
@@ -193,7 +200,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(counts)
                 huff[(tc, th)] = _HuffTable(counts, seg[p + 17 : p + 17 + n])
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
@@ -205,27 +213,48 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential (SOF0) JPEG decodes here; got "
-                f"SOF marker FF{marker:02X} — plug a real codec (Pillow) at "
-                "multimodal.decode_image for progressive/arithmetic files"
+                f"only baseline (SOF0) and progressive (SOF2) JPEG decode "
+                f"here; got SOF marker FF{marker:02X} — plug a real codec "
+                "(Pillow) at multimodal.decode_image for arithmetic/"
+                "hierarchical/lossless files"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = {}
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tables >> 4, tables & 0x0F)
-            return _decode_scan(
-                data, i + 2 + length, frame, scan, qt, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, i + 2 + length, frame, scan, qt, huff, restart_interval
+                )
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            if grids is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mx = -(-frame["w"] // (8 * hmax))
+                my = -(-frame["h"] // (8 * vmax))
+                grids = [
+                    np.zeros((my * c["v"], mx * c["h"], 64), dtype=np.int32)
+                    for c in frame["comps"]
+                ]
+            i = _progressive_scan(
+                data, i + 2 + length, frame, scan, huff, restart_interval,
+                grids, ss, se, ahl >> 4, ahl & 0x0F,
             )
+            continue
         i += 2 + length
+    if progressive and grids is not None:
+        return _finish(frame, grids, qt)
     raise ValueError("no SOS segment found")
 
 
@@ -279,26 +308,43 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         slots[ci][fill[ci]] = (my * c["v"] + by, mx * c["h"] + bx)
                         fill[ci] += 1
             mcu_index += 1
-    # phase 2 — vectorized dequant + batched IDCT + placement: one
-    # dezigzag gather, one einsum over ALL blocks of a component, one
-    # reshape-scatter into the plane (no per-block numpy calls)
-    planes = []
+    # phase 2 — scatter each component's blocks into its grid, then the
+    # shared vectorized dequant + IDCT + color reconstruction
+    grids = []
     for ci, c in enumerate(comps):
         bh, bw = mcus_y * c["v"], mcus_x * c["h"]
-        coeffs = np.zeros((n_blocks[ci], 64), dtype=np.float64)
-        coeffs[:, _ZIGZAG] = zz_all[ci] * qt[c["tq"]]
+        grid = np.zeros((bh, bw, 64), dtype=np.int32)
+        grid[slots[ci][:, 0], slots[ci][:, 1]] = zz_all[ci]
+        grids.append(grid)
+    return _finish(frame, grids, qt)
+
+
+def _finish(frame, grids, qt) -> np.ndarray:
+    """Shared reconstruction tail (baseline + progressive): per
+    component one dezigzag gather, one dequant, one batched einsum
+    IDCT over ALL blocks, one reshape into the plane (no per-block
+    numpy calls); then JFIF nearest-neighbour chroma upsampling and
+    BT.601 YCbCr → RGB."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    out = []
+    for ci, c in enumerate(comps):
+        grid = grids[ci]
+        bh, bw = grid.shape[:2]
+        coeffs = np.zeros((bh * bw, 64), dtype=np.float64)
+        coeffs[:, _ZIGZAG] = grid.reshape(-1, 64) * qt[c["tq"]]
         blocks = np.einsum(
             "ij,bjk,kl->bil", _C.T, coeffs.reshape(-1, 8, 8), _C
         ) + 128.0
-        by_idx, bx_idx = slots[ci][:, 0], slots[ci][:, 1]
-        grid = np.zeros((bh, bw, 8, 8), dtype=np.float64)
-        grid[by_idx, bx_idx] = blocks
-        planes.append(grid.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
-    # upsample each component to full frame resolution (sample
-    # replication — the nearest-neighbour upsampling JFIF allows)
-    out = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
+        p = (
+            blocks.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # upsample to full frame resolution (sample replication — the
+        # nearest-neighbour upsampling JFIF allows)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
@@ -313,6 +359,172 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive mode (T.81 Annex G): each SOS mutates the persistent
+# per-component zigzag coefficient grids; reconstruction happens once
+# at EOI via _finish. Four per-block operations exist — DC first
+# (Huffman diffs, point-transformed), DC refinement (one raw bit),
+# AC first (band [Ss..Se] with EOB runs), AC refinement (correction
+# bits, the G.2 control flow). Restart markers reset DC predictors AND
+# the EOB run.
+# --------------------------------------------------------------------------
+
+def _ac_first_block(reader, ac_tbl, blk, ss, se, al, eobrun):
+    """First (Ah=0) scan of band [ss..se]: T.81 G.2.2 with EOBn runs.
+    Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of spectral band")
+        blk[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, ac_tbl, blk, ss, se, al, eobrun):
+    """Refinement (Ah>0) scan of band [ss..se]: newly-significant
+    coefficients arrive as ±(1<<Al); every already-nonzero coefficient
+    passed on the way reads one correction bit (append (1<<Al) toward
+    larger magnitude when set). numpy's int & behaves as two's
+    complement, so the sign-carrying bit tests match the C control
+    flow in the spec. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                newval = p1 if reader.bits(1) else m1
+            while k <= se:
+                if blk[k]:
+                    if reader.bits(1) and not (int(blk[k]) & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of the band
+            if blk[k]:
+                if reader.bits(1) and not (int(blk[k]) & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    data, pos, frame, scan, huff, restart_interval, grids, ss, se, ah, al
+):
+    """Apply one progressive SOS to the coefficient grids; returns the
+    byte offset of the next marker. Interleaved (multi-component)
+    scans are DC-only and walk MCU order; single-component scans walk
+    the component's OWN block raster — ceil(comp_size/8) per axis,
+    which for subsampled components is smaller than its MCU-padded
+    grid (T.81 A.2.2/G.1)."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    scan_cis = [ci for ci, c in enumerate(comps) if c["id"] in scan]
+    reader = _BitReader(data, pos)
+    pred = {ci: 0 for ci in scan_cis}
+    state = {"eobrun": 0}
+
+    def maybe_restart(unit):
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.align_to_marker()
+            for ci in pred:
+                pred[ci] = 0
+            state["eobrun"] = 0
+
+    def dc_op(ci, blk):
+        if ah == 0:
+            t = reader.decode(huff[(0, scan[comps[ci]["id"]][0])])
+            diff = _extend(reader.bits(t), t) if t else 0
+            pred[ci] += diff
+            blk[0] = pred[ci] << al
+        elif reader.bits(1):
+            blk[0] = int(blk[0]) | (1 << al)
+
+    if len(scan_cis) > 1:
+        if ss != 0 or se != 0:
+            raise ValueError("interleaved progressive scan must be DC-only")
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart(unit)
+                for ci in scan_cis:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            dc_op(ci, grids[ci][my * c["v"] + by, mx * c["h"] + bx])
+                unit += 1
+    else:
+        ci = scan_cis[0]
+        c = comps[ci]
+        bw_n = -(-(-(-w * c["h"] // hmax)) // 8)  # ceil(ceil(w*h_i/hmax)/8)
+        bh_n = -(-(-(-h * c["v"] // vmax)) // 8)
+        ac_tbl = huff.get((1, scan[c["id"]][1])) if ss else None
+        unit = 0
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                maybe_restart(unit)
+                blk = grids[ci][by, bx]
+                if ss == 0:
+                    dc_op(ci, blk)
+                elif ah == 0:
+                    state["eobrun"] = _ac_first_block(
+                        reader, ac_tbl, blk, ss, se, al, state["eobrun"]
+                    )
+                else:
+                    state["eobrun"] = _ac_refine_block(
+                        reader, ac_tbl, blk, ss, se, al, state["eobrun"]
+                    )
+                unit += 1
+    # resume the marker loop at the next real (non-RST) marker
+    pos = reader.pos
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return pos
 
 
 # --------------------------------------------------------------------------
@@ -408,9 +620,9 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def encode_baseline(
-    img: np.ndarray, subsampling: str = "4:4:4", restart_interval: int = 0
-) -> bytes:
+def _prep_components(img: np.ndarray, subsampling: str):
+    """Shared encoder front half: color transform + optional chroma
+    subsampling + FDCT; returns (comps, mcus_x, mcus_y)."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if h % 8 or w % 8:
@@ -423,7 +635,7 @@ def encode_baseline(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         if subsampling == "4:2:0":
-            sub = lambda p: p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            sub = lambda p: p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))  # noqa: E731
             comps = [
                 {"id": 1, "h": 2, "v": 2, "plane": y},
                 {"id": 2, "h": 1, "v": 1, "plane": sub(cb)},
@@ -439,8 +651,14 @@ def encode_baseline(
         c["blocks"] = _fdct_blocks(np.round(c["plane"]))
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcus_x = w // (8 * hmax)
-    mcus_y = h // (8 * vmax)
+    return comps, w // (8 * hmax), h // (8 * vmax)
+
+
+def encode_baseline(
+    img: np.ndarray, subsampling: str = "4:4:4", restart_interval: int = 0
+) -> bytes:
+    h, w = img.shape[:2]
+    comps, mcus_x, mcus_y = _prep_components(img, subsampling)
 
     # pass 1: walk MCU order collecting symbols, then build tables
     def mcu_walk():
@@ -503,5 +721,220 @@ def encode_baseline(
                 bw.put(val, nb)
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive ENCODER (T.81 Annex G, mirroring the public libjpeg scan
+# discipline): DC first + DC refinement interleaved scans, then per
+# component per spectral band an AC first scan and an AC refinement
+# scan, all with successive approximation depth 1 (Al=1 → 0, which
+# reconstructs every coefficient EXACTLY — so the progressive stream
+# is golden-tested as bit-identical to the baseline decode of the same
+# quantized coefficients). Cross-block EOB runs with buffered
+# correction bits are produced for real (all-zero bands accumulate),
+# exercising the decoder's EOBRUN paths.
+# --------------------------------------------------------------------------
+
+def _toks_dc_first(comps, mcus_x, mcus_y, al):
+    toks = []
+    pred = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = int(c["blocks"][my * c["v"] + by, mx * c["h"] + bx][0]) >> al
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t = _cat(diff)
+                        toks.append(("dsym", t))
+                        if t:
+                            toks.append(("bits", _amp(diff, t), t))
+    return toks
+
+
+def _toks_dc_refine(comps, mcus_x, mcus_y, al):
+    toks = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = int(c["blocks"][my * c["v"] + by, mx * c["h"] + bx][0])
+                        toks.append(("bits", (v >> al) & 1, 1))
+    return toks
+
+
+def _tz(v: int, al: int) -> int:
+    """AC point transform: shift toward zero (G.1.2.2)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _toks_ac_first(blocks, ss, se, al):
+    """blocks: iterable of zigzag (64,) arrays in this component's
+    raster order."""
+    toks = []
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        while eobrun > 0:
+            n = min(eobrun, 32767)
+            r = n.bit_length() - 1
+            toks.append(("asym", r << 4))
+            if r:
+                toks.append(("bits", n - (1 << r), r))
+            eobrun -= n
+
+    for zz in blocks:
+        band = [_tz(int(zz[k]), al) for k in range(ss, se + 1)]
+        last = max((i for i, v in enumerate(band) if v), default=-1)
+        if last < 0:
+            eobrun += 1
+            if eobrun == 32767:
+                flush()
+            continue
+        flush()
+        run = 0
+        for v in band[: last + 1]:
+            if v == 0:
+                run += 1
+                if run == 16:
+                    toks.append(("asym", 0xF0))
+                    run = 0
+                continue
+            s = _cat(v)
+            toks.append(("asym", (run << 4) | s))
+            toks.append(("bits", _amp(v, s), s))
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 32767:
+                flush()
+    flush()
+    return toks
+
+
+def _toks_ac_refine(blocks, ss, se, ah, al):
+    """The G.2 refinement scan encoder (libjpeg's discipline): newly
+    significant coefficients (|v|>>al == 1) emit (run,1)+sign;
+    already-nonzero ones buffer one correction bit each; trailing
+    zero/history tails fold into cross-block EOB runs whose buffered
+    bits ride on the next EOBn emission."""
+    toks = []
+    eobrun = 0
+    bbuf: list[int] = []  # correction bits pending behind the EOB run
+
+    def flush():
+        nonlocal eobrun, bbuf
+        if eobrun == 0:
+            return
+        while eobrun > 0:
+            n = min(eobrun, 32767)
+            r = n.bit_length() - 1
+            toks.append(("asym", r << 4))
+            if r:
+                toks.append(("bits", n - (1 << r), r))
+            for b in bbuf:
+                toks.append(("bits", b, 1))
+            bbuf = []
+            eobrun -= n
+
+    for zz in blocks:
+        absv = [abs(_tz(int(zz[k]), al)) for k in range(ss, se + 1)]
+        eob = max((i for i, a in enumerate(absv) if a == 1), default=-1)
+        run = 0
+        br: list[int] = []  # correction bits in the current run
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                flush()
+                toks.append(("asym", 0xF0))
+                run -= 16
+                toks.extend(("bits", b, 1) for b in br)
+                br = []
+            if a > 1:
+                br.append(a & 1)
+                continue
+            flush()
+            toks.append(("asym", (run << 4) | 1))
+            toks.append(("bits", 1 if int(zz[ss + i]) > 0 else 0, 1))
+            toks.extend(("bits", b, 1) for b in br)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            bbuf.extend(br)
+            if eobrun == 32767:
+                flush()
+    flush()
+    return toks
+
+
+def _comp_blocks(c, mcus_x, mcus_y):
+    """This component's data units in ITS raster order (multiple-of-8
+    fixture dims ⇒ the MCU-padded grid and the ceil grid coincide)."""
+    for by in range(mcus_y * c["v"]):
+        for bx in range(mcus_x * c["h"]):
+            yield c["blocks"][by, bx]
+
+
+def encode_progressive(img: np.ndarray, subsampling: str = "4:4:4") -> bytes:
+    comps, mcus_x, mcus_y = _prep_components(img, subsampling)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # unit quant, id 0
+    h, w = img.shape[:2]
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], 0])
+    out += _seg(0xC2, sof)
+
+    # scan script: DC first (Al=1) → DC refine (Ah=1,Al=0) → per comp,
+    # per band: AC first (Al=1) then AC refine (Ah=1,Al=0)
+    scans: list[tuple[list, list[tuple[int, int]], int, int, int, int]] = []
+    scans.append((_toks_dc_first(comps, mcus_x, mcus_y, 1),
+                  [(c["id"], 0x00) for c in comps], 0, 0, 0, 1))
+    scans.append((_toks_dc_refine(comps, mcus_x, mcus_y, 0),
+                  [(c["id"], 0x00) for c in comps], 0, 0, 1, 0))
+    bands = [(1, 5), (6, 63)]
+    for c in comps:
+        for ss, se in bands:
+            scans.append((_toks_ac_first(_comp_blocks(c, mcus_x, mcus_y), ss, se, 1),
+                          [(c["id"], 0x00)], ss, se, 0, 1))
+    for c in comps:
+        for ss, se in bands:
+            scans.append((_toks_ac_refine(_comp_blocks(c, mcus_x, mcus_y), ss, se, 1, 0),
+                          [(c["id"], 0x00)], ss, se, 1, 0))
+
+    for toks, scomps, ss, se, ah, al in scans:
+        dsyms = {t[1] for t in toks if t[0] == "dsym"}
+        asyms = {t[1] for t in toks if t[0] == "asym"}
+        codes: dict[str, dict[int, tuple[int, int]]] = {}
+        if dsyms:
+            counts, symbols, cmap = _build_table(dsyms)
+            out += _seg(0xC4, bytes([0x00]) + bytes(counts) + symbols)
+            codes["dsym"] = cmap
+        if asyms:
+            counts, symbols, cmap = _build_table(asyms)
+            out += _seg(0xC4, bytes([0x10]) + bytes(counts) + symbols)
+            codes["asym"] = cmap
+        sos = bytes([len(scomps)])
+        for cid, tbl in scomps:
+            sos += bytes([cid, tbl])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        bw = _BitWriter()
+        for kind, *rest in toks:
+            if kind == "bits":
+                bw.put(rest[0], rest[1])
+            else:
+                ln, code = codes[kind][rest[0]]
+                bw.put(code, ln)
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -4492,6 +4492,57 @@ ORDER BY media_a, media_b
 """
 
 
+def image_dedup_progressive_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Progressive-JPEG dedup (operators/jpeg SOF2 decode inside the
+    perceptual pipeline): doc_ids sharing ``doc_id % 24`` render the
+    SAME 16×16 block pattern, encoded as BASELINE JPEG for even
+    doc_ids and PROGRESSIVE JPEG (spectral selection + successive
+    approximation scans) for odd ones. Successive approximation at
+    depth 1 reconstructs coefficients exactly, so both encodings
+    decode to identical pixels and the dHash join must report every
+    same-pattern pair at Hamming 0 — driver-validating the SOF2
+    decoder end-to-end. Planted truth ⇒ DuckDB oracle enumerates
+    same-pattern pairs over the lowest-96 doc_ids."""
+    from wc_vector_indexing_spark.operators.multimodal import image_near_pairs
+
+    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(96)
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        from wc_vector_indexing_spark.operators.jpeg import (
+            encode_baseline,
+            encode_progressive,
+        )
+
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                pat = int(doc_id) % 24
+                grid = np.random.RandomState(2000 + pat).randint(0, 2, (8, 8)) * 255
+                img = np.kron(grid, np.ones((2, 2), dtype=int)).astype(np.uint8)
+                enc = encode_baseline if int(doc_id) % 2 == 0 else encode_progressive
+                blobs.append(enc(img))
+                ids.append(int(doc_id))
+                kinds.append("image")
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "content": blobs})
+
+    media = docs.mapInPandas(render, schema="media_id long, kind string, content binary")
+    return image_near_pairs(media, max_hamming=4).orderBy("media_a", "media_b")
+
+
+IMAGE_DEDUP_PROG_SQL = r"""
+WITH ids AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 96
+)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b, 0 AS hamming
+FROM ids a JOIN ids b
+  ON a.doc_id % 24 = b.doc_id % 24 AND a.doc_id < b.doc_id
+ORDER BY media_a, media_b
+"""
+
+
 def audio_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual audio dedup (operators/audio.audio_near_pairs):
     documents are rendered into deterministic two-tone WAV clips —
@@ -5145,6 +5196,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "pdf_corpus_text": QuerySpec(
         pdf_corpus_text_op, PDF_CORPUS_SQL,
         "PDF source: per-page text extraction (planted-truth oracle)"
+    ),
+    "image_dedup_progressive": QuerySpec(
+        image_dedup_progressive_op, IMAGE_DEDUP_PROG_SQL,
+        "progressive-JPEG (SOF2) decode inside dHash dedup (planted-truth oracle)"
     ),
     "overlapping_sessions": QuerySpec(
         overlapping_sessions_op, OVERLAP_SESSIONS_SQL,
