@@ -418,3 +418,97 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (r.l_event_id, r.r_event_id) for r in spark.read.parquet(out).collect()
     )
     assert got == expect
+
+
+def _article_html(i: int) -> str:
+    """Distinct English article prose that passes the quality and
+    language gates, wrapped in the usual link-dense chrome the
+    extractor must strip."""
+    return (
+        "<html><body>"
+        "<nav><a href='/'>Home</a> <a href='/a'>About</a> "
+        "<a href='/c'>Contact</a> <a href='/s'>Shop</a></nav>"
+        f"<p>Article number {i} opens with a long and perfectly ordinary "
+        "English paragraph about the weather, the harvest, and the slow "
+        "business of small towns, written plainly so that every quality "
+        "heuristic is satisfied.</p>"
+        f"<p>The second paragraph of article {i} continues in the same "
+        "measured register, adding enough additional prose that the "
+        "document is unambiguously real body text and not navigation "
+        "chrome or boilerplate of any kind.</p>"
+        "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a></footer>"
+        "</body></html>"
+    )
+
+
+def test_crawl_stream_checkpoint_restart_converges_to_batch(spark, tmp_path):
+    """The streaming raw-crawl front door (r6 verdict item 6): WARC
+    archives dropped into a directory stream through parse → main-text
+    extraction → prep (quality/lang gates + watermark dedup), with a
+    stop/restart between two archive drops standing in for a crash.
+    The restarted stream must (a) not re-emit drop 1's pages (file-source
+    checkpoint), (b) drop a cross-archive duplicate via dedup STATE that
+    survived the restart, and (c) converge to exactly the output of the
+    batch composition (streaming=False) over the same files."""
+    import shutil
+
+    from wc_vector_indexing_spark.sources.warc import to_warc_bytes
+    from wc_vector_indexing_spark.streaming.incremental import crawl_document_stream
+
+    drop = tmp_path / "crawl"
+    drop.mkdir()
+    stage = tmp_path / "stage"
+    stage.mkdir()
+
+    def page(i: int, ts: str, url: str | None = None) -> dict:
+        return {
+            "url": url or f"https://ex.com/a{i}",
+            "html": _article_html(i),
+            "warc_date": ts,
+        }
+
+    warc1 = [page(1, "2024-01-01T00:00:01Z"), page(2, "2024-01-01T00:00:02Z"),
+             page(3, "2024-01-01T00:00:03Z"),
+             # chrome-only page: extraction yields no text -> filtered out
+             {"url": "https://ex.com/nav", "warc_date": "2024-01-01T00:00:04Z",
+              "html": "<nav><a href='/'>Home</a> <a href='/b'>Blog</a></nav>"}]
+    # drop 2 carries two new pages plus an exact duplicate of page 2
+    # (same url, same html): only dedup state persisted across the
+    # restart can catch it.
+    warc2 = [page(4, "2024-01-01T00:00:05Z"), page(5, "2024-01-01T00:00:06Z"),
+             page(2, "2024-01-01T00:00:07Z")]
+    (stage / "drop1.warc").write_bytes(to_warc_bytes(warc1, version="1.1"))
+    (stage / "drop2.warc").write_bytes(to_warc_bytes(warc2, version="1.0"))
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available():
+        q = (
+            crawl_document_stream(spark, str(drop))
+            .select("url", "text")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    shutil.copy(stage / "drop1.warc", drop / "drop1.warc")
+    run_available()
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 3  # chrome-only page gated out
+
+    shutil.copy(stage / "drop2.warc", drop / "drop2.warc")
+    run_available()  # restart from the same checkpoint
+
+    got = [(r.url, r.text) for r in spark.read.parquet(out_dir).collect()]
+    assert len(got) == len(set(got)) == 5  # no replays, dup dropped
+    # exactly one row for the duplicated url, from either archive
+    assert sum(1 for u, _ in got if u == "https://ex.com/a2") == 1
+
+    batch = crawl_document_stream(spark, str(drop), streaming=False)
+    want = [(r.url, r.text) for r in batch.select("url", "text").collect()]
+    assert sorted(got) == sorted(want)

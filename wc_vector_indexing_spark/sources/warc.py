@@ -120,16 +120,10 @@ def _parse_record(raw: str) -> dict | None:
     }
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Read WARC file(s) into (url, warc_date, record_id, http_status,
-    content_type, html, warc_path) — 200-status text/html response
-    records only. JVM-side record framing, one Arrow parse pass, zero
-    shuffle; compose with ``html_extract.extract_documents`` for the
-    crawl → text pipeline."""
-    raw = (
-        spark.read.text(path, lineSep="\r\n\r\nWARC/")
-        .withColumn("warc_path", F.input_file_name())
-    )
+def _parse_pass(raw: DataFrame) -> DataFrame:
+    """The shared Arrow parse stage over framed record bodies
+    (columns: value, warc_path) — used verbatim by the batch reader
+    and the streaming twin, so both paths can never diverge."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # torn-payload reassembly shared with the WET reader; carries
@@ -154,6 +148,42 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         yield pd.DataFrame(out, columns=cols)
 
     return raw.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+_LINESEP = "\r\n\r\nWARC/"
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC file(s) into (url, warc_date, record_id, http_status,
+    content_type, html, warc_path) — 200-status text/html response
+    records only. JVM-side record framing, one Arrow parse pass, zero
+    shuffle; compose with ``html_extract.extract_documents`` for the
+    crawl → text pipeline."""
+    raw = (
+        spark.read.text(path, lineSep=_LINESEP)
+        .withColumn("warc_path", F.input_file_name())
+    )
+    return _parse_pass(raw)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: a file-source
+    ``readStream`` with the same JVM-side record framing and the same
+    Arrow parse stage. New ``.warc`` files dropped into ``path`` become
+    micro-batches; the file-source checkpoint (plus a downstream
+    file-sink commit log) gives exactly-once over crawl archives. The
+    framing/parse code is shared with the batch reader, so a streaming
+    crawl and a batch backfill can never disagree on what a record is.
+
+    At 100 TB this is the continuous-ingest front door: Common Crawl
+    drops land in object storage, ``maxFilesPerTrigger`` bounds each
+    micro-batch, and everything downstream of the parse is the same
+    zero-shuffle Arrow pass the batch path runs."""
+    raw = (
+        spark.readStream.text(path, lineSep=_LINESEP)
+        .withColumn("warc_path", F.input_file_name())
+    )
+    return _parse_pass(raw)
 
 
 def to_warc_bytes(records: list[dict], version: str = "1.0") -> bytes:

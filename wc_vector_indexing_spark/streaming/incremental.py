@@ -341,6 +341,60 @@ def prep_document_stream(
     return out
 
 
+def crawl_document_stream(
+    spark,
+    warc_path: str,
+    *,
+    streaming: bool = True,
+    model=None,
+    vocab_ids: dict | None = None,
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] | None = ("en",),
+    watermark_delay: str = "10 minutes",
+    quality_thresholds: dict | None = None,
+    max_link_density: float = 0.2,
+    min_chars: int = 25,
+) -> DataFrame:
+    """The streaming raw-crawl front door, end to end: ``readStream``
+    over a directory of WARC files → HTTP/HTML response parse
+    (sources/warc.read_warc_stream, JVM-side framing + one Arrow pass)
+    → boilerplate-removed main text (operators/html_extract) → the full
+    ingest prep composition (prep_document_stream: quality gate →
+    language gate → watermark-bounded exact dedup → optional DSIR
+    score / vocabulary encoding). Event time is ``WARC-Date``, so the
+    dedup watermark tracks crawl capture time, not processing time.
+
+    ``streaming=False`` runs the SAME composition over a batch read —
+    every stage here degrades to its static form (the shared-code
+    contract every streaming operator in this module keeps), which is
+    what the convergence test pins: a crash-replayed stream must end
+    at exactly the batch backfill's output.
+
+    State posture at 100 TB: the only stateful operator is the
+    watermark-bounded dedup (state ∝ ingest rate × horizon, not corpus
+    size); everything else is a stateless Arrow/codegen pass, and the
+    file-source checkpoint bounds replay to unprocessed archives."""
+    from wc_vector_indexing_spark.operators.html_extract import extract_documents
+    from wc_vector_indexing_spark.sources.warc import read_warc, read_warc_stream
+
+    pages = (read_warc_stream if streaming else read_warc)(spark, warc_path)
+    docs = extract_documents(
+        pages, max_link_density=max_link_density, min_chars=min_chars
+    ).filter(F.length(F.trim("text")) > 0)
+    docs = docs.withColumn("event_ts", F.to_timestamp("warc_date"))
+    return prep_document_stream(
+        docs,
+        model=model,
+        vocab_ids=vocab_ids,
+        text_col="text",
+        ts_col="event_ts",
+        min_quality=min_quality,
+        languages=languages,
+        watermark_delay=watermark_delay,
+        quality_thresholds=quality_thresholds,
+    )
+
+
 def drift_monitor_stream(
     docs: DataFrame,
     ref,
