@@ -44,7 +44,34 @@ DEFAULT_QUERIES = [
     "tokenizer_eval_bpe",
     "q1_pricing_summary",  # the canonical scan-agg control: should be ~10x flat
     "bm25_search",
+    "html_main_text",  # crawl front door: scales with the documents table
 ]
+
+# The media-dedup registry queries cap their planted-truth inputs at a
+# fixed blob count (the oracle must enumerate the exact pair set), so
+# running them verbatim at sf1 measures nothing. Their ops take
+# n/patterns kwargs instead: 10x the blobs with 10x the pattern space
+# (constant dup-group size) is the honest 10x point — decode + blocked
+# join volume grows 10x while the workload shape stays fixed.
+# (audio: the 17-band filterbank bounds distinct tone-pair patterns at
+# C(17,2)=136, so both scales use enumerate_pairs with group size 8.)
+MEDIA_SCALE = {
+    "image_dedup_dhash": (
+        "image_dedup_op",
+        {"n": 128, "patterns": 32},
+        {"n": 1280, "patterns": 320},
+    ),
+    "audio_dedup_fp": (
+        "audio_dedup_op",
+        {"n": 96, "patterns": 12, "enumerate_pairs": True},
+        {"n": 960, "patterns": 120, "enumerate_pairs": True},
+    ),
+    "video_dedup_remux": (
+        "video_dedup_op",
+        {"n": 48, "patterns": 12},
+        {"n": 480, "patterns": 120},
+    ),
+}
 
 RATIO_BAR = 14.0  # 10x data + cache/spill slack
 
@@ -59,6 +86,8 @@ def run(names: list[str]) -> None:
     for sf_dir, key in ((SF01, "t_sf0.1"), (SF1, "t_sf1")):
         warm_build_artifacts(spark, sf_dir)  # amortized index builds
         for name in names:
+            if name in MEDIA_SCALE:  # timed via op kwargs below instead
+                continue
             spec = REGISTRY[name]
             best = None
             for _ in range(2 if sf_dir == SF01 else 1):
@@ -68,6 +97,24 @@ def run(names: list[str]) -> None:
                 best = dt if best is None else min(best, dt)
             results.setdefault(name, {})[key] = round(best, 3)
             print(f"{name} @ {sf_dir}: {best:.2f}s", file=sys.stderr)
+    # media family: fixed sf dir, 10x blob count via op kwargs
+    import wc_vector_indexing_spark.plans.queries as Q
+
+    media = MEDIA_SCALE if names is DEFAULT_QUERIES else {
+        n: MEDIA_SCALE[n] for n in names if n in MEDIA_SCALE
+    }
+    for name, (fn_name, small_kw, big_kw) in media.items():
+        fn = getattr(Q, fn_name)
+        for kw, key in ((small_kw, "t_sf0.1"), (big_kw, "t_sf1")):
+            best = None
+            for _ in range(2 if key == "t_sf0.1" else 1):
+                t0 = time.time()
+                fn(spark, SF01, **kw).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[key] = round(best, 3)
+            print(f"{name} {kw} : {best:.2f}s", file=sys.stderr)
+        results[name]["mode"] = "10x media blobs, constant dup-group size"
     flagged = []
     for name, r in results.items():
         r["ratio"] = round(r["t_sf1"] / max(r["t_sf0.1"], 1e-3), 2)

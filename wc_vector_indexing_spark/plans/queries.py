@@ -4435,7 +4435,9 @@ def tokenizer_eval_bpe_op(spark: SparkSession, sf: str) -> DataFrame:
     return tokenizer_eval(docs, merges).orderBy("tokenizer")
 
 
-def image_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
+def image_dedup_op(
+    spark: SparkSession, sf: str, *, n: int = 128, patterns: int = 32
+) -> DataFrame:
     """Perceptual image dedup (operators/multimodal.image_dhash /
     image_near_pairs): documents are rendered into deterministic PGM
     gradient images — doc_ids sharing ``doc_id % 32`` get the same
@@ -4448,10 +4450,16 @@ def image_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
     brightness shift and a nearest-neighbour-exact rescale both
     preserve every dHash gradient comparison, so true near-dups hash
     identically; the hash arithmetic itself is golden-tested in
-    test_multimodal.py)."""
+    test_multimodal.py).
+
+    ``n``/``patterns`` exist for the scaling-curvature bench
+    (tools/bench_sf1.py): 10x blobs with 10x the pattern space keeps
+    the dup-group size — hence the workload SHAPE — constant while the
+    decode + blocked-join volume grows 10x. The registry/oracle always
+    use the defaults."""
     from wc_vector_indexing_spark.operators.multimodal import image_near_pairs
 
-    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(128)
+    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(n).repartition(max(1, min(32, n // 32)))
 
     def render(batches):
         import numpy as np
@@ -4460,8 +4468,8 @@ def image_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             ids, kinds, blobs = [], [], []
             for doc_id in pdf["doc_id"]:
-                pat = int(doc_id) % 32
-                shift = (int(doc_id) // 32 % 3) * 20
+                pat = int(doc_id) % patterns
+                shift = (int(doc_id) // patterns % 3) * 20
                 # high-contrast 8×9 block pattern per pat; rendered at
                 # two resolutions whose nearest-neighbour 9×8 thumbs
                 # recover the SAME grid — true perceptual duplicates
@@ -4505,7 +4513,7 @@ def image_dedup_progressive_op(spark: SparkSession, sf: str) -> DataFrame:
     same-pattern pairs over the lowest-96 doc_ids."""
     from wc_vector_indexing_spark.operators.multimodal import image_near_pairs
 
-    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(96)
+    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(96).repartition(3)
 
     def render(batches):
         import numpy as np
@@ -4543,7 +4551,14 @@ ORDER BY media_a, media_b
 """
 
 
-def audio_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
+def audio_dedup_op(
+    spark: SparkSession,
+    sf: str,
+    *,
+    n: int = 96,
+    patterns: int = 24,
+    enumerate_pairs: bool = False,
+) -> DataFrame:
     """Perceptual audio dedup (operators/audio.audio_near_pairs):
     documents are rendered into deterministic two-tone WAV clips —
     doc_ids sharing ``doc_id % 24`` get the SAME tone pair (placed at
@@ -4553,14 +4568,26 @@ def audio_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
     fingerprint cancels gain, so the Hamming join must recover exactly
     the same-pattern groups at distance 0 — pure doc_id arithmetic,
     hence the DuckDB oracle. The fingerprint math itself is
-    golden-tested in test_audio.py."""
+    golden-tested in test_audio.py.
+
+    ``n``/``patterns``/``enumerate_pairs`` serve the scaling-curvature
+    bench (tools/bench_sf1.py). The fingerprint filterbank has 17 fixed
+    bands, so at most C(17,2)=136 tone-pair patterns carry distinct
+    band signatures; ``enumerate_pairs=True`` indexes unordered band
+    pairs lexicographically, letting the bench compare n=96/p=12
+    against n=960/p=120 at a CONSTANT dup-group size of 8 — 10x decode
+    + FFT + join volume with the workload shape held fixed. The
+    registry/oracle always use the default legacy formula."""
     import numpy as np
 
     from wc_vector_indexing_spark.operators.audio import audio_near_pairs
 
-    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(96)
+    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(n).repartition(max(1, min(32, n // 32)))
     edges = np.geomspace(300.0, 4000.0, 18)
     centers = np.sqrt(edges[:-1] * edges[1:])
+    band_pairs = [(i, j) for i in range(17) for j in range(i + 1, 17)]
+    if enumerate_pairs and patterns > len(band_pairs):
+        raise ValueError(f"at most {len(band_pairs)} distinct tone-pair patterns")
 
     def render(batches):
         import io
@@ -4573,9 +4600,12 @@ def audio_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
         ids, kinds, blobs = [], [], []
         for pdf in batches:
             for doc_id in pdf["doc_id"]:
-                pat = int(doc_id) % 24
-                b1, b2 = pat % 8, 8 + (3 * pat) % 7  # unique band pair
-                gain = 0.15 + (int(doc_id) // 24 % 4) * 0.2
+                pat = int(doc_id) % patterns
+                if enumerate_pairs:
+                    b1, b2 = band_pairs[pat]
+                else:
+                    b1, b2 = pat % 8, 8 + (3 * pat) % 7  # unique band pair
+                gain = 0.15 + (int(doc_id) // patterns % 4) * 0.2
                 x = gain * (
                     0.5 * np.sin(2 * np.pi * centers[b1] * t)
                     + 0.35 * np.sin(2 * np.pi * centers[b2] * t)
@@ -4608,7 +4638,9 @@ ORDER BY media_a, media_b
 """
 
 
-def video_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
+def video_dedup_op(
+    spark: SparkSession, sf: str, *, n: int = 48, patterns: int = 12
+) -> DataFrame:
     """Re-mux video dedup (operators/video.py): documents are rendered
     into MJPEG-AVI clips — doc_ids sharing ``doc_id % 12`` carry the
     SAME three frames but are muxed at a different fps (different
@@ -4616,7 +4648,12 @@ def video_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
     upload case). The frame-sequence signature join must recover
     exactly the same-pattern groups; pure doc_id arithmetic ⇒ DuckDB
     oracle. RIFF walk, JPEG decode, and dHash are golden-tested in
-    test_video.py / test_jpeg.py."""
+    test_video.py / test_jpeg.py.
+
+    ``n``/``patterns`` serve the scaling-curvature bench
+    (tools/bench_sf1.py) — scale both 10x and the dup-group size (and
+    so the workload shape) stays constant while decode volume grows
+    10x. The registry/oracle always use the defaults."""
     import numpy as np
 
     from wc_vector_indexing_spark.operators.jpeg import encode_baseline
@@ -4625,7 +4662,7 @@ def video_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
         write_mjpeg_avi,
     )
 
-    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(48)
+    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(n).repartition(max(1, min(32, n // 32)))
 
     def render(batches):
         import pandas as pd
@@ -4633,7 +4670,7 @@ def video_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             ids, kinds, blobs = [], [], []
             for doc_id in pdf["doc_id"]:
-                pat = int(doc_id) % 12
+                pat = int(doc_id) % patterns
                 frames = []
                 for fno in range(3):
                     g = np.random.RandomState(5000 + pat * 8 + fno)
@@ -4641,7 +4678,7 @@ def video_dedup_op(spark: SparkSession, sf: str) -> DataFrame:
                     frames.append(
                         np.kron(grid, np.ones((2, 8))).astype(np.uint8)[:16, :24]
                     )
-                fps = 5 + (int(doc_id) // 12 % 4) * 5  # container-only change
+                fps = 5 + (int(doc_id) // patterns % 4) * 5  # container-only change
                 avi = write_mjpeg_avi(
                     [encode_baseline(f) for f in frames], 24, 16, fps=fps
                 )
@@ -5114,6 +5151,136 @@ ORDER BY pdf_no, page_no
 """
 
 
+def docx_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
+    """DOCX-source extraction (sources/office.read_docx_corpus): the
+    lowest-30 doc_ids each become one DOCX whose two paragraphs derive
+    from doc_id by arithmetic — paragraph two carries embedded tabs, so
+    the w:tab run path is driver-validated too. Written once per sf
+    under /tmp, read back through the binaryFile source; planted text
+    ⇒ DuckDB oracle reconstructs every row (writer/extractor inversion,
+    paragraph join, tab runs, char accounting)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.office import (
+        read_docx_corpus,
+        to_docx_bytes,
+    )
+
+    ids = [
+        int(r[0])
+        for r in load(spark, "documents", sf)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(30)
+        .collect()
+    ]
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_docx_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        for d in ids:
+            paras = [
+                f"Planted DOCX paragraph for document {d}.",
+                f"Tab\tseparated\tcheck {d}.",
+            ]
+            with open(os.path.join(out, f"doc_{d}.docx"), "wb") as f:
+                f.write(to_docx_bytes(paras))
+        with open(done, "w") as f:
+            f.write("ok")
+    rows = read_docx_corpus(spark, os.path.join(out, "*.docx"))
+    return rows.select(
+        F.regexp_extract("doc_path", r"doc_(\d+)\.docx", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "text",
+        "n_paragraphs",
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+DOCX_CORPUS_SQL = r"""
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 30)
+SELECT doc_id,
+       'Planted DOCX paragraph for document ' || doc_id || '.' || chr(10) ||
+       'Tab' || chr(9) || 'separated' || chr(9) || 'check ' || doc_id || '.'
+           AS text,
+       2 AS n_paragraphs,
+       length('Planted DOCX paragraph for document ' || doc_id || '.' ||
+              chr(10) || 'Tab' || chr(9) || 'separated' || chr(9) ||
+              'check ' || doc_id || '.')::INT AS n_chars
+FROM ids
+ORDER BY doc_id
+"""
+
+
+def epub_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
+    """EPUB-source extraction (sources/office.read_epub_corpus): the
+    lowest-24 doc_ids become 6 four-chapter EPUBs (chapter text derives
+    from doc_id by arithmetic). The reader must return chapters in
+    SPINE order, not zip order — the writer emits spine entries in
+    chapter order, so the (epub_no, chapter_no) grid is the planted
+    truth and the DuckDB oracle reconstructs every row."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.office import (
+        read_epub_corpus,
+        to_epub_bytes,
+    )
+
+    ids = [
+        int(r[0])
+        for r in load(spark, "documents", sf)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(24)
+        .collect()
+    ]
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_epub_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        for k in range(0, len(ids), 4):
+            chapters = [
+                f"Planted EPUB chapter for document {d}. Spine order check {d}."
+                for d in ids[k : k + 4]
+            ]
+            with open(os.path.join(out, f"book_{k // 4}.epub"), "wb") as f:
+                f.write(to_epub_bytes(chapters, title=f"book {k // 4}"))
+        with open(done, "w") as f:
+            f.write("ok")
+    rows = read_epub_corpus(spark, os.path.join(out, "*.epub"))
+    return rows.select(
+        F.regexp_extract("epub_path", r"book_(\d+)\.epub", 1)
+        .cast("int")
+        .alias("epub_no"),
+        "chapter_no",
+        "text",
+        "n_chars",
+    ).orderBy("epub_no", "chapter_no")
+
+
+EPUB_CORPUS_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24)
+)
+SELECT (rnk // 4)::INT AS epub_no,
+       (rnk % 4)::INT AS chapter_no,
+       'Planted EPUB chapter for document ' || doc_id ||
+       '. Spine order check ' || doc_id || '.' AS text,
+       length('Planted EPUB chapter for document ' || doc_id ||
+              '. Spine order check ' || doc_id || '.')::INT AS n_chars
+FROM ids
+ORDER BY epub_no, chapter_no
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # --- driver-gate tier: the first 50 oracle-backed entries are the
     # --- ones the per-round correctness gate records; ordered to cover
@@ -5196,6 +5363,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "pdf_corpus_text": QuerySpec(
         pdf_corpus_text_op, PDF_CORPUS_SQL,
         "PDF source: per-page text extraction (planted-truth oracle)"
+    ),
+    "docx_corpus_text": QuerySpec(
+        docx_corpus_text_op, DOCX_CORPUS_SQL,
+        "DOCX source: paragraph/tab-run extraction (planted-truth oracle)"
+    ),
+    "epub_corpus_text": QuerySpec(
+        epub_corpus_text_op, EPUB_CORPUS_SQL,
+        "EPUB source: spine-order chapter extraction (planted-truth oracle)"
     ),
     "image_dedup_progressive": QuerySpec(
         image_dedup_progressive_op, IMAGE_DEDUP_PROG_SQL,
