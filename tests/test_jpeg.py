@@ -144,6 +144,21 @@ def test_truncated_progressive_raises_value_error():
         decode_jpeg(data[: int(len(data) * 0.6)])
 
 
+def test_truncated_progressive_lone_trailing_ff_raises_value_error():
+    """A file cut so its last byte is a lone 0xFF made the round-7
+    post-scan marker search return pos == len-1, after which the main
+    marker loop read data[i+1] and raised IndexError — outside the
+    quarantine contract (ValueError for corrupt media)."""
+    from wc_vector_indexing_spark.operators.jpeg import encode_progressive
+
+    data = encode_progressive(_gradient(24, 32))
+    eoi = data.rfind(b"\xff\xd9")
+    assert eoi != -1
+    for cut in (data[:eoi] + b"\xff", data[: eoi + 1]):
+        with pytest.raises(ValueError):
+            decode_jpeg(cut)
+
+
 def test_arithmetic_coding_raises_at_seam():
     # SOI + SOF9 (arithmetic sequential): the remaining external-codec
     # seam now that progressive (SOF2) decodes for real

@@ -71,6 +71,110 @@ def test_octal_escape():
     ) == ["AB"]
 
 
+def test_non_octal_digit_escape_keeps_digit():
+    """Spec 7.3.4.2: \\8 and \\9 are NOT octal (digits 0-7 only) — an
+    unrecognized escape drops the backslash and keeps the character.
+    Round-7 parser fed them to int(..., 8) and quarantined the file."""
+    assert extract_pdf_text(
+        _raw_pdf(b"BT 72 720 Td (a\\8b\\9c\\101) Tj ET")
+    ) == ["a8b9cA"]
+
+
+def test_indirect_length_stream():
+    """`/Length 8 0 R` is an indirect ref — the 8 is an object number,
+    not a byte count. Round-7 sliced the payload to 8 bytes. The fixed
+    scanner falls through to the endstream search and then re-slices
+    from the referenced integer object."""
+    content = b"BT 72 720 Td (indirect length works) Tj ET"
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + (b"4 0 obj\n<< /Length 8 0 R >>\nstream\n%s\nendstream\nendobj\n"
+           % content)
+        + (b"8 0 obj\n%d\nendobj\n" % len(content))
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(raw) == ["indirect length works"]
+
+
+def test_indirect_length_flate_stream():
+    """Same, Flate-compressed — the compressed payload must be sliced
+    exactly (trailing-newline rstrip on binary data would corrupt it),
+    which exercises the second-pass absolute re-slice."""
+    content = zlib.compress(b"BT 72 720 Td (flate indirect) Tj ET")
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + (b"4 0 obj\n<< /Length 8 0 R /Filter /FlateDecode >>\n"
+           b"stream\n%s\nendstream\nendobj\n" % content)
+        + (b"8 0 obj\n%d\nendobj\n" % len(content))
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(raw) == ["flate indirect"]
+
+
+def test_objstm_packed_objects():
+    """PDF 1.5+ files pack non-stream objects into /ObjStm streams;
+    round-7's linear scan never saw them and silently emitted zero
+    pages. Pack the catalog + page tree + page dict into one ObjStm."""
+    packed_objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    bodies = [b for _, b in packed_objs]
+    offs, pos = [], 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = b" ".join(
+        b"%d %d" % (num, off) for (num, _), off in zip(packed_objs, offs)
+    ) + b"\n"
+    payload = zlib.compress(header + b"\n".join(bodies) + b"\n")
+    content = b"BT 72 720 Td (from objstm) Tj ET"
+    raw = (
+        b"%PDF-1.5\n"
+        + (b"9 0 obj\n<< /Type /ObjStm /N 3 /First %d /Length %d "
+           b"/Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+           % (len(header), len(payload), payload))
+        + (b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+           % (len(content), content))
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(raw) == ["from objstm"]
+
+
+def test_cid_identity_h_tounicode_roundtrip():
+    """Identity-H + /ToUnicode CMap extracts for real now (ISO 32000
+    9.10.3); the seam narrowed to Identity-H WITHOUT a ToUnicode map
+    (see test_seams). Multi-page, multibyte, newline layout."""
+    pages = ["CID page oné.\nSecond line…", "Pagé two — ßü."]
+    data = to_pdf_bytes(pages, cid=True)
+    assert b"/Identity-H" in data and b"beginbfchar" in data
+    assert extract_pdf_text(data) == pages
+
+
+def test_bfrange_forms():
+    """Both bfrange destination forms: start-code increment and
+    explicit array (parsed sequentially so array entries can't be
+    misread as a start-code triple)."""
+    from wc_vector_indexing_spark.sources.pdf import _parse_tounicode
+
+    cmap = (
+        b"1 beginbfrange\n<0001> <0003> <0041>\nendbfrange\n"
+        b"1 beginbfrange\n<0010> <0012> [<0058> <00E9> <0020>]\nendbfrange\n"
+        b"1 beginbfchar\n<0020> <2014>\nendbfchar\n"
+    )
+    m = _parse_tounicode(cmap)
+    assert m[1] == "A" and m[2] == "B" and m[3] == "C"
+    assert m[0x10] == "X" and m[0x11] == "é" and m[0x12] == " "
+    assert m[0x20] == "—"
+
+
 def test_contents_array_concatenation():
     """Multiple content streams for one page concatenate (spec: the
     page's content is the concatenation of its /Contents streams)."""

@@ -172,6 +172,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while i < len(data):
         if data[i] != 0xFF:
             raise ValueError(f"marker expected at byte {i}")
+        if i + 1 >= len(data):
+            raise ValueError("truncated JPEG: lone 0xFF at end of data")
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -524,7 +526,10 @@ def _progressive_scan(
                 continue
             return pos
         pos += 1
-    return pos
+    # ran off the end without a real marker (valid files end each scan
+    # with EOI or another segment) — surface the quarantine contract's
+    # ValueError instead of letting the caller index past the buffer
+    raise ValueError("truncated JPEG: no marker after progressive scan")
 
 
 # --------------------------------------------------------------------------

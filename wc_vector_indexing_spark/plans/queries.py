@@ -5089,12 +5089,13 @@ def pdf_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
     """PDF-source extraction (sources/pdf.read_pdf_corpus): the
     lowest-40 doc_ids become 10 four-page PDFs (page text is two lines
     derived from doc_id by arithmetic; odd-numbered PDFs FlateDecode
-    their content streams, even ones stay raw — both paths must
-    extract identically) written once per sf under /tmp, then read
-    back through the binaryFile-based source. Planted text ⇒ DuckDB
-    oracle reconstructs every row; validates writer/extractor
-    inversion, page-tree order, Flate + raw streams, and the per-page
-    row explosion."""
+    their content streams, even ones stay raw, and every third writes
+    its text through a Type0/Identity-H font with a /ToUnicode CMap —
+    all paths must extract identically) written once per sf under
+    /tmp, then read back through the binaryFile-based source. Planted
+    text ⇒ DuckDB oracle reconstructs every row; validates
+    writer/extractor inversion, page-tree order, Flate + raw streams,
+    CID text decode, and the per-page row explosion."""
     import hashlib
     import os
     import tempfile
@@ -5110,7 +5111,7 @@ def pdf_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
         .collect()
     ]
     key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"wcvi_pdfs_{key}")
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_pdfsv2_{key}")
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
@@ -5121,7 +5122,13 @@ def pdf_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
                 for d in ids[k : k + 4]
             ]
             with open(os.path.join(out, f"pdf_{k // 4}.pdf"), "wb") as f:
-                f.write(to_pdf_bytes(pages, compress=bool((k // 4) % 2)))
+                f.write(
+                    to_pdf_bytes(
+                        pages,
+                        compress=bool((k // 4) % 2),
+                        cid=(k // 4) % 3 == 0,
+                    )
+                )
         with open(done, "w") as f:
             f.write("ok")
     rows = read_pdf_corpus(spark, os.path.join(out, "*.pdf"))

@@ -12,10 +12,13 @@ Scope (matches what a no-deps container can honestly do):
   /Contents arrays,
 - text operators Tj ' " TJ with ()-string escapes, octal escapes and
   hex strings; Td/TD/T*/' line motion becomes newlines,
+- CID-keyed (Identity-H) text via the font's /ToUnicode CMap
+  (bfchar/bfrange, ISO 32000 9.10.3), /ObjStm object-stream
+  expansion (PDF 1.5+ xref-stream files), indirect /Length refs,
 - documented NotImplementedError seams for encrypted files
-  (/Encrypt), non-Flate stream filters (LZW/DCT/...), and CID-keyed
-  Identity-H fonts (text bytes are code points into a CMap we don't
-  carry — decoding them as Latin-1 would yield garbage silently).
+  (/Encrypt), non-Flate stream filters (LZW/DCT/...), and Identity-H
+  fonts that carry no /ToUnicode map (their bytes are CID code
+  points — decoding them as Latin-1 would yield garbage silently).
 
 Spark shape: PDFs are whole-file units (object offsets are absolute),
 so the scan is ``binaryFile`` — one file per row, per-file parallel.
@@ -50,7 +53,11 @@ PDF_SCHEMA = T.StructType(
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
-_NUM_RE = re.compile(rb"/Length\s+(\d+)\b")
+# direct-integer /Length only: the negative lookahead rejects indirect
+# refs (`/Length 8 0 R`) so they fall through to delimiter search +
+# second-pass resolution instead of truncating the payload to 8 bytes
+_NUM_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R\b)")
+_IND_LEN_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R\b")
 
 
 def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
@@ -59,8 +66,19 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     every conforming file (objects are self-delimiting) and robust to
     the incremental-update / xref-stream variants a seek-based reader
     must special-case. Later definitions of the same object number win
-    (incremental updates append replacements)."""
+    (incremental updates append replacements).
+
+    Two fix-up passes after the linear scan:
+    - indirect ``/Length N 0 R`` streams are re-sliced from the
+      absolute payload offset once object N (the integer) is known —
+      the delimiter-search slice used in pass 1 is only a fallback,
+    - ``/Type /ObjStm`` object streams (PDF 1.5+ xref-stream files
+      pack most objects inside them) are inflated and their packed
+      objects added; a directly-defined object with the same number
+      wins (appended incremental updates replace ObjStm members as
+      whole objects)."""
     objects: dict[int, tuple[bytes, bytes | None]] = {}
+    pending: list[tuple[int, int, int]] = []  # (num, abs payload start, len ref)
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
         start = m.end()
@@ -78,17 +96,44 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             elif body[payload_start : payload_start + 1] == b"\n":
                 payload_start += 1
             # /Length is authoritative when it is a direct integer (a
-            # payload may contain the bytes "endstream"); fall back to
-            # the delimiter search for indirect /Length refs
+            # payload may contain the bytes "endstream"); indirect refs
+            # use the delimiter search now + exact re-slice in pass 2
             ln = _NUM_RE.search(head)
             if ln:
                 payload = body[payload_start : payload_start + int(ln.group(1))]
             else:
                 e = body.rfind(b"endstream")
                 payload = body[payload_start:e].rstrip(b"\r\n")
+                ind = _IND_LEN_RE.search(head)
+                if ind:
+                    pending.append((num, start + payload_start, int(ind.group(1))))
             body = head
             stream = payload
         objects[num] = (body, stream)
+    for num, abs_start, ref in pending:
+        if ref in objects:
+            try:
+                length = int(objects[ref][0].strip())
+            except ValueError:
+                continue
+            objects[num] = (objects[num][0], data[abs_start : abs_start + length])
+    for num, (body, stream) in list(objects.items()):
+        if b"/ObjStm" in body and stream is not None:
+            inflated = _decode_stream(body, stream)
+            nm = re.search(rb"/N\s+(\d+)", body)
+            fm = re.search(rb"/First\s+(\d+)", body)
+            if nm is None or fm is None:
+                raise ValueError("corrupt /ObjStm: missing /N or /First")
+            n, first = int(nm.group(1)), int(fm.group(1))
+            header = inflated[:first].split()
+            if len(header) < 2 * n:
+                raise ValueError("corrupt /ObjStm: short offset table")
+            offs = [int(header[2 * k + 1]) for k in range(n)]
+            for k in range(n):
+                onum = int(header[2 * k])
+                end_off = offs[k + 1] if k + 1 < n else len(inflated) - first
+                obody = inflated[first + offs[k] : first + end_off]
+                objects.setdefault(onum, (obody, None))
     return objects
 
 
@@ -162,9 +207,12 @@ def _parse_literal_string(data: bytes, i: int) -> tuple[bytes, int]:
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
-            elif nxt.isdigit():
+            elif nxt and nxt in b"01234567":
+                # octal digits only — `\8`/`\9` are unrecognized
+                # escapes and per 7.3.4.2 drop the backslash, keeping
+                # the digit (handled by the final else branch)
                 j = i + 1
-                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                while j < min(i + 4, n) and data[j] in b"01234567":
                     j += 1
                 out.append(int(data[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -195,19 +243,126 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _extract_page_text(content: bytes) -> str:
+def _hex_to_text(hx: bytes) -> str:
+    """CMap destination hex (UTF-16BE code units) → str."""
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """/ToUnicode CMap stream → {CID code → unicode string}. Covers
+    the public ISO 32000 9.10.3 forms: bfchar pairs, bfrange with a
+    destination start (last code unit increments across the range) and
+    bfrange with an explicit destination array. Codespace ranges are
+    not needed for Identity-H (codes are uniformly 2 bytes)."""
+    out: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        for mm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            out[int(mm.group(1), 16)] = _hex_to_text(mm.group(2))
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        toks = re.findall(rb"<[0-9A-Fa-f]+>|\[|\]", m.group(1))
+        i = 0
+        while i + 1 < len(toks):
+            lo = int(toks[i][1:-1], 16)
+            hi = int(toks[i + 1][1:-1], 16)
+            i += 2
+            if i < len(toks) and toks[i] == b"[":
+                i += 1
+                code = lo
+                while i < len(toks) and toks[i] != b"]":
+                    out[code] = _hex_to_text(toks[i][1:-1])
+                    code += 1
+                    i += 1
+                i += 1  # past ']'
+            elif i < len(toks):
+                base = _hex_to_text(toks[i][1:-1])
+                i += 1
+                last = ord(base[-1]) if base else 0
+                for c in range(lo, hi + 1):
+                    out[c] = base[:-1] + chr(last + c - lo)
+    return out
+
+
+def _page_fonts(
+    objects: dict[int, tuple[bytes, bytes | None]], page_body: bytes
+) -> dict[bytes, dict[int, str] | None]:
+    """Resolve the page's /Resources → /Font dict into
+    {font name → CID→unicode map (Identity-H fonts) or None (simple
+    fonts; their byte strings decode latin-1)}. Raises
+    NotImplementedError for an Identity-H font with no usable
+    /ToUnicode CMap — its bytes are CID code points with no public
+    mapping, and decoding them as latin-1 would be silent garbage.
+    (Round-7's seam rejected ALL Identity-H files; the mapped case is
+    now extracted for real.)"""
+    res = page_body
+    m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
+    if m and int(m.group(1)) in objects:
+        res = objects[int(m.group(1))][0]
+    fdict = None
+    fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+    if fm:
+        fdict = fm.group(1)
+    else:
+        fr = re.search(rb"/Font\s+(\d+)\s+\d+\s+R", res)
+        if fr and int(fr.group(1)) in objects:
+            fdict = objects[int(fr.group(1))][0]
+    fonts: dict[bytes, dict[int, str] | None] = {}
+    if fdict is None:
+        return fonts
+    for mm in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fdict):
+        name, ref = mm.group(1), int(mm.group(2))
+        if ref not in objects:
+            continue
+        fbody = objects[ref][0]
+        if b"/Identity-H" not in fbody:
+            fonts[name] = None
+            continue
+        tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+        if (
+            tu is None
+            or int(tu.group(1)) not in objects
+            or objects[int(tu.group(1))][1] is None
+        ):
+            raise NotImplementedError(
+                "CID-keyed (Identity-H) font without /ToUnicode CMap: "
+                "text bytes are CID code points with no public mapping"
+            )
+        thead, tstream = objects[int(tu.group(1))]
+        fonts[name] = _parse_tounicode(_decode_stream(thead, tstream))
+    return fonts
+
+
+def _extract_page_text(
+    content: bytes, fonts: dict[bytes, dict[int, str] | None] | None = None
+) -> str:
     """Walk the content stream's text operators. Line model: every
     text-line motion (Td/TD/T*) and the '/\" shorthands start a new
     output line; shows on the same line concatenate. TJ kerning
     numbers are ignored except large negative gaps (< -180/1000 em),
-    which typeset as inter-word space in justified text."""
+    which typeset as inter-word space in justified text. ``fonts``
+    (from _page_fonts) maps names set by the Tf operator to a
+    CID→unicode map for Identity-H fonts; strings shown under such a
+    font decode as big-endian 2-byte codes through the map, all other
+    strings as latin-1 bytes."""
     lines: list[str] = [""]
     i = 0
     n = len(content)
     stack: list[bytes] = []  # pending string/number tokens inside a TJ array
+    cur_cid: list[dict[int, str] | None] = [None]  # active font's CID map
+    last_name: list[bytes] = [b""]
 
     def show(s: bytes) -> None:
-        lines[-1] += s.decode("latin-1")
+        cm = cur_cid[0]
+        if cm is None:
+            lines[-1] += s.decode("latin-1")
+        else:
+            lines[-1] += "".join(
+                cm.get(int.from_bytes(s[k : k + 2], "big"), "�")
+                for k in range(0, len(s) - 1, 2)
+            )
 
     in_array = False
     pending: list[tuple[str, bytes | float]] = []
@@ -253,6 +408,10 @@ def _extract_page_text(content: bytes) -> str:
             pending = []
         elif tok in (b"Td", b"TD", b"T*"):
             lines.append("")
+        elif tok.startswith(b"/"):
+            last_name[0] = tok[1:]
+        elif tok == b"Tf":
+            cur_cid[0] = (fonts or {}).get(last_name[0])
         elif re.fullmatch(rb"[-+]?[\d.]+", tok):
             if in_array:
                 try:
@@ -269,17 +428,13 @@ def _extract_page_text(content: bytes) -> str:
 def extract_pdf_text(data: bytes) -> list[str]:
     """data → per-page extracted text, in page-tree order. Raises
     ValueError for non-PDF/corrupt input and NotImplementedError at
-    the documented seams (encryption, non-Flate filters, CID fonts)."""
+    the documented seams (encryption, non-Flate filters, Identity-H
+    fonts lacking a /ToUnicode CMap — the mapped CID case extracts)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
     if re.search(rb"/Encrypt\s", data):
         raise NotImplementedError(
             "encrypted PDF (has /Encrypt) — decryption not supported"
-        )
-    if b"/Identity-H" in data:
-        raise NotImplementedError(
-            "CID-keyed (Identity-H) font: text bytes are CMap code points; "
-            "extraction without the ToUnicode map would be silent garbage"
         )
     objects = _scan_objects(data)
     if not objects:
@@ -300,7 +455,7 @@ def extract_pdf_text(data: bytes) -> list[str]:
             if r in objects and objects[r][1] is not None:
                 head, payload = objects[r]
                 chunks.append(_decode_stream(head, payload))
-        pages.append(_extract_page_text(b"\n".join(chunks)))
+        pages.append(_extract_page_text(b"\n".join(chunks), _page_fonts(objects, body)))
     return pages
 
 
@@ -351,29 +506,68 @@ def _esc(s: str) -> bytes:
     ).encode("latin-1", "replace")
 
 
-def to_pdf_bytes(pages: list[str], compress: bool = False) -> bytes:
+def to_pdf_bytes(
+    pages: list[str], compress: bool = False, cid: bool = False
+) -> bytes:
     """Serialize per-page text to a minimal, spec-valid PDF (catalog +
     page tree + Helvetica + one content stream per page, xref table
     included) — the fixture/export half; tests pin
     extract_pdf_text(to_pdf_bytes(x)) == x. ``compress`` Flate-encodes
-    the content streams (both paths must extract identically)."""
+    the content streams (both paths must extract identically).
+    ``cid`` writes the text through a Type0/Identity-H font instead:
+    each character becomes a 2-byte CID code shown as a hex string,
+    with a /ToUnicode bfchar CMap carrying the code→unicode mapping —
+    the planted-truth fixture for the CID extraction path."""
     objs: list[bytes] = []  # 1-indexed object bodies (without N 0 obj wrapper)
     n_pages = len(pages)
-    # layout: 1 catalog, 2 pages, 3 font, then (page, contents) pairs
-    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    first_page = 5 if cid else 4
+    # layout: 1 catalog, 2 pages, 3 font, (4 ToUnicode CMap if cid),
+    # then (page, contents) pairs
+    kids = " ".join(f"{first_page + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
-    objs.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
+    codes: dict[str, int] = {}
+    if cid:
+        chars = sorted({c for p in pages for c in p if c != "\n"})
+        codes = {c: k + 1 for k, c in enumerate(chars)}
+        objs.append(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+            b"/Encoding /Identity-H /ToUnicode 4 0 R >>"
+        )
+        cmap = bytearray(
+            b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        )
+        items = list(codes.items())
+        for b0 in range(0, len(items), 100):  # <=100 entries per block (spec)
+            block = items[b0 : b0 + 100]
+            cmap += b"%d beginbfchar\n" % len(block)
+            for ch, code in block:
+                cmap += b"<%04X> <%s>\n" % (
+                    code,
+                    ch.encode("utf-16-be").hex().upper().encode(),
+                )
+            cmap += b"endbfchar\n"
+        cmap += b"endcmap\nend\nend\n"
+        objs.append(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), bytes(cmap))
+        )
+    else:
+        objs.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
     for i, page in enumerate(pages):
         content = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
         for j, line in enumerate(page.split("\n")):
             if j:
                 content += b"0 -14 Td\n"
-            content += b"(" + _esc(line) + b") Tj\n"
+            if cid:
+                hx = "".join(f"{codes[c]:04X}" for c in line)
+                content += b"<" + hx.encode() + b"> Tj\n"
+            else:
+                content += b"(" + _esc(line) + b") Tj\n"
         content += b"ET"
         payload = bytes(content)
         filt = b""
@@ -383,7 +577,7 @@ def to_pdf_bytes(pages: list[str], compress: bool = False) -> bytes:
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Resources << /Font << /F1 3 0 R >> >> "
-            f"/Contents {5 + 2 * i} 0 R >>".encode()
+            f"/Contents {first_page + 1 + 2 * i} 0 R >>".encode()
         )
         objs.append(
             b"<< /Length %d%s >>\nstream\n%s\nendstream"
