@@ -184,6 +184,94 @@ def test_wet_1_1_frames_all_records(spark, tmp_path):
     assert got[2].text == "plain text body 2"
 
 
+def test_warc_declared_charset_recovers_non_utf8(spark, tmp_path):
+    """r7 read the payload as UTF-8 and mojibake'd everything else; the
+    byte-true path must honor the Content-Type charset parameter.
+    cp1251 Cyrillic bytes are invalid UTF-8, so only the declared-
+    charset fallback can recover them byte-exactly."""
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+
+    html = "<p>Привет, мир — планированная кириллица.</p>"
+    p = tmp_path / "ru.warc"
+    p.write_bytes(to_warc_bytes([
+        {"url": "https://ru.example/", "html": html, "charset": "cp1251",
+         "content_type": "text/html; charset=windows-1251"},
+        {"url": "https://ascii.example/", "html": "<p>plain ascii</p>"},
+    ]))
+    got = {r.url: r.html for r in read_warc(spark, str(p)).collect()}
+    assert got["https://ru.example/"] == html
+    assert got["https://ascii.example/"] == "<p>plain ascii</p>"
+
+
+def test_warc_meta_charset_fallback(spark, tmp_path):
+    """No charset in Content-Type but a <meta charset> in the body:
+    the head-probe fallback must pick it up (after strict UTF-8
+    fails)."""
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+
+    html = '<html><head><meta charset="windows-1251"></head><body>Тест</body></html>'
+    p = tmp_path / "meta.warc"
+    p.write_bytes(to_warc_bytes([
+        {"url": "https://m.example/", "html": html, "charset": "cp1251",
+         "content_type": "text/html"},
+    ]))
+    got = read_warc(spark, str(p)).collect()
+    assert got[0].html == html
+
+
+def test_warc_chunked_transfer_decoded(spark, tmp_path):
+    """Transfer-Encoding: chunked bodies must be de-chunked — r7 left
+    hex chunk-size lines embedded in the text."""
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+
+    html = "<p>" + "chunked body text that spans several chunks. " * 5 + "</p>"
+    p = tmp_path / "ch.warc"
+    p.write_bytes(to_warc_bytes(
+        [{"url": "https://c.example/", "html": html, "chunked": True}]
+    ))
+    got = read_warc(spark, str(p)).collect()
+    assert len(got) == 1
+    assert got[0].html == html
+    assert "\r\n" not in got[0].html  # no chunk framing leaked
+
+
+def test_warc_gzip_whole_file_and_member_per_record(spark, tmp_path):
+    """.warc.gz support: both a single gzip stream over the whole file
+    and Common Crawl's member-per-record framing (one gzip member per
+    record, concatenated) must parse identically to the plain file."""
+    import gzip as _gzip
+
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+
+    recs = [
+        {"url": f"https://g.example/{i}", "html": f"<p>gz page {i} body</p>"}
+        for i in range(3)
+    ]
+    plain = to_warc_bytes(recs, version="1.1")
+    (tmp_path / "whole.warc.gz").write_bytes(_gzip.compress(plain))
+    # member-per-record: each record serialized and gzipped as its own
+    # member, members concatenated — the Common Crawl framing
+    members = b"".join(
+        _gzip.compress(to_warc_bytes([r], version="1.1")) for r in recs
+    )
+    (tmp_path / "members.warc.gz").write_bytes(members)
+    for fname in ("whole.warc.gz", "members.warc.gz"):
+        got = read_warc(spark, str(tmp_path / fname)).orderBy("url").collect()
+        assert [r.url for r in got] == [r["url"] for r in recs], fname
+        assert got[1].html == "<p>gz page 1 body</p>", fname
+
+
+def test_dechunk_malformed_falls_back_to_raw():
+    from wc_vector_indexing_spark.sources.warc import _dechunk
+
+    good = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    assert _dechunk(good) == b"hello world"
+    assert _dechunk(b"not-a-chunk-size\r\nrest") == b"not-a-chunk-size\r\nrest"
+    assert _dechunk(b"no crlf at all") == b"no crlf at all"
+    # chunk extension tokens are tolerated
+    assert _dechunk(b"5;ext=1\r\nhello\r\n0\r\n\r\n") == b"hello"
+
+
 def test_multiline_payload_and_crlf_tolerance(spark, tmp_path):
     from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
 

@@ -217,12 +217,28 @@ def _jaccard_from_shingles(
     )
 
 
-def _band_bucket_udf(num_hashes: int, bands: int, k: int):
+def _shingle_hasher(token_hash: str, p: int):
+    """shingle string → int in [0, p): ``crc32`` (production default —
+    fastest) or ``md5`` (15-hex-digit prefix mod p — cross-engine
+    reproducible, so the DuckDB oracle can recompute the exact
+    signatures; the same oracle-mode convention as ``simhash64`` and
+    ``doc_fingerprint``)."""
+    if token_hash == "crc32":
+        return lambda s: zlib.crc32(s.encode("utf-8")) % p
+    if token_hash == "md5":
+        import hashlib
+
+        return lambda s: int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % p
+    raise ValueError(f"unknown token_hash {token_hash!r}")
+
+
+def _band_bucket_udf(num_hashes: int, bands: int, k: int, token_hash: str = "crc32"):
     """MinHash signature + banded bucketing in ONE Arrow pass: returns
     the array of ``bands`` bucket hashes per document.
 
-    Hash family: h_i(s) = (a_i * crc32(s) + b_i) mod p — deterministic
-    (no process-seeded state), cheap, identical on every executor.
+    Hash family: h_i(s) = (a_i * hash(s) + b_i) mod p — deterministic
+    (no process-seeded state), cheap, identical on every executor;
+    ``token_hash`` picks the shingle hash (see _shingle_hasher).
     Vectorized with numpy: the (num_hashes × shingles) product is one
     broadcasted matrix op per document. Band bucket = blake2b of the
     band's signature rows (+ band index so bands never cross-match).
@@ -230,6 +246,8 @@ def _band_bucket_udf(num_hashes: int, bands: int, k: int):
     import hashlib
 
     import numpy as np
+
+    shash = _shingle_hasher(token_hash, (1 << 31) - 1)
 
     # Mersenne-31 modulus: a,b,h < 2³¹ so a*h+b < 2⁶² — the whole
     # (num_hashes × shingles) permutation matrix is ONE int64 numpy op
@@ -250,7 +268,7 @@ def _band_bucket_udf(num_hashes: int, bands: int, k: int):
         else:
             shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
         hs = np.fromiter(
-            (zlib.crc32(s.encode("utf-8")) % p for s in shingles),
+            (shash(s) for s in shingles),
             dtype=np.int64,
             count=len(shingles),
         )
@@ -269,7 +287,9 @@ def _band_bucket_udf(num_hashes: int, bands: int, k: int):
     return sig
 
 
-def sig_and_buckets_udf(num_hashes: int, bands: int, k: int):
+def sig_and_buckets_udf(
+    num_hashes: int, bands: int, k: int, token_hash: str = "crc32"
+):
     """Full minhash signature AND band buckets in one Arrow pass —
     struct(sig, buckets). Same hash family as ``_band_bucket_udf`` (the
     band hashes are byte-identical), so a store built with this matches
@@ -279,6 +299,7 @@ def sig_and_buckets_udf(num_hashes: int, bands: int, k: int):
     import numpy as np
 
     p = (1 << 31) - 1
+    shash = _shingle_hasher(token_hash, p)
     rows = num_hashes // bands
     a = np.array(
         [((2 * i + 1) * 2654435761) % p or 1 for i in range(num_hashes)], dtype=np.int64
@@ -304,7 +325,7 @@ def sig_and_buckets_udf(num_hashes: int, bands: int, k: int):
             else:
                 shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
             hs = np.fromiter(
-                (zlib.crc32(s.encode("utf-8")) % p for s in shingles),
+                (shash(s) for s in shingles),
                 dtype=np.int64,
                 count=len(shingles),
             )
@@ -330,6 +351,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 256,
+    token_hash: str = "crc32",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection.
 
@@ -353,7 +375,9 @@ def minhash_lsh_pairs(
     """
     band_rows = fan_out(docs).select(
         F.col(id_col).alias("doc"),
-        F.explode(_band_bucket_udf(num_hashes, bands, k)(F.col(text_col))).alias("bucket"),
+        F.explode(
+            _band_bucket_udf(num_hashes, bands, k, token_hash)(F.col(text_col))
+        ).alias("bucket"),
     )
     # candidate pairs by grouping the bucket index (one shuffle, ONE
     # evaluation of the signature UDF — the former self-join re-ran the

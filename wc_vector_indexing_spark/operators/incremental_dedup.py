@@ -46,6 +46,7 @@ class SignatureStore:
         num_hashes: int = 64,
         bands: int = 16,
         k: int = 4,
+        token_hash: str = "crc32",
     ):
         self.spark = spark
         self.root = root
@@ -58,11 +59,17 @@ class SignatureStore:
             self.num_hashes = meta["num_hashes"]
             self.bands = meta["bands"]
             self.k = meta["k"]
+            self.token_hash = meta.get("token_hash", "crc32")
         else:
             os.makedirs(root, exist_ok=True)
             self.num_hashes, self.bands, self.k = num_hashes, bands, k
+            self.token_hash = token_hash
             with open(meta_path, "w") as f:
-                json.dump({"num_hashes": num_hashes, "bands": bands, "k": k}, f)
+                json.dump(
+                    {"num_hashes": num_hashes, "bands": bands, "k": k,
+                     "token_hash": token_hash},
+                    f,
+                )
 
     def _sig_path(self) -> str:
         return os.path.join(self.root, "signatures")
@@ -71,7 +78,9 @@ class SignatureStore:
         self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ) -> DataFrame:
         """(doc_id, sig, buckets) for ``docs`` — one Arrow pass."""
-        udf = sig_and_buckets_udf(self.num_hashes, self.bands, self.k)
+        udf = sig_and_buckets_udf(
+            self.num_hashes, self.bands, self.k, self.token_hash
+        )
         return docs.select(
             F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("sb")
         ).select("doc_id", "sb.sig", "sb.buckets")

@@ -1564,10 +1564,128 @@ def chunk_documents_op(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_minhash_op(spark: SparkSession, sf: str) -> DataFrame:
     """max_bucket=64 mirrors the ngram entries' max_df=64: boilerplate
     band buckets wider than any plausible near-dup cluster at this SF
-    are degenerate and only manufacture sub-threshold candidates."""
+    are degenerate and only manufacture sub-threshold candidates.
+    md5 token-hash mode (simhash64 precedent) so the DuckDB oracle
+    recomputes the EXACT minhash signatures, band collisions, bucket
+    cap, and exact-Jaccard verification — candidate generation is
+    structurally replicated, not approximated, so this entry is
+    hash-gated rather than rows-only (r7 verdict task). xxhash-family
+    crc32 stays the production default."""
     return dedup.minhash_lsh_pairs(
-        load(spark, "documents", sf), threshold=0.2, max_bucket=64
+        load(spark, "documents", sf), threshold=0.2, max_bucket=64,
+        token_hash="md5",
     )
+
+
+# Shared scaffold for the three minhash-family oracles: the md5-mode
+# minhash pipeline recomputed in SQL — shingle sets (4-grams, distinct-
+# unigram fallback for short docs, exactly dedup._band_bucket_udf's
+# universe), md5-based shingle hash mod M31, the (a_i, b_i) permutation
+# family with the same constants as operators/dedup.py, per-doc 64-long
+# signatures, and 16-band keys (bucket identity == equality of the
+# band's 4 signature rows; the blake2b in the Spark path is only a
+# compaction of the same tuple).
+_MINHASH_SCAFFOLD_SQL = r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts FROM documents
+), sets AS (
+    SELECT doc_id,
+           CASE WHEN len(ts) >= 4
+                THEN list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))
+                ELSE list_distinct(ts) END AS ss
+    FROM toks
+), sh AS (
+    SELECT doc_id, len(ss) AS n, unnest(ss) AS shingle FROM sets
+), hashed AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h FROM sh
+), perm AS (
+    SELECT i,
+           CASE WHEN ((2*i+1)*2654435761) % 2147483647 = 0 THEN 1
+                ELSE ((2*i+1)*2654435761) % 2147483647 END AS a,
+           ((i*40503+12345)*2246822519) % 2147483647 AS b
+    FROM (SELECT unnest(generate_series(0, 63)) AS i)
+), sig AS (
+    SELECT doc_id, i, i // 4 AS band, min((a * h + b) % 2147483647) AS m
+    FROM hashed CROSS JOIN perm
+    GROUP BY doc_id, i
+), bandkey AS (
+    SELECT doc_id, band, string_agg(m::VARCHAR, ',' ORDER BY i) AS bk
+    FROM sig GROUP BY doc_id, band
+), co AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared, min(a.n) AS na, min(b.n) AS nb
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)"""
+
+MINHASH_LSH_SQL = _MINHASH_SCAFFOLD_SQL + r""",
+ok_buckets AS (
+    SELECT band, bk FROM bandkey GROUP BY band, bk
+    HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
+), cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM ok_buckets o
+    JOIN bandkey x ON x.band = o.band AND x.bk = o.bk
+    JOIN bandkey y ON y.band = o.band AND y.bk = o.bk AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b, round(co.shared::DOUBLE / (co.na + co.nb - co.shared), 4) AS jaccard
+FROM cand c JOIN co ON c.doc_a = co.doc_a AND c.doc_b = co.doc_b
+WHERE co.shared::DOUBLE / (co.na + co.nb - co.shared) >= 0.2
+ORDER BY c.doc_a, c.doc_b
+"""
+
+DEDUP_SURVIVORS_SQL = _MINHASH_SCAFFOLD_SQL + r""",
+ok_buckets AS (
+    SELECT band, bk FROM bandkey GROUP BY band, bk
+    HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
+), cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM ok_buckets o
+    JOIN bandkey x ON x.band = o.band AND x.bk = o.bk
+    JOIN bandkey y ON y.band = o.band AND y.bk = o.bk AND x.doc_id < y.doc_id
+), pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c JOIN co ON c.doc_a = co.doc_a AND c.doc_b = co.doc_b
+    WHERE co.shared::DOUBLE / (co.na + co.nb - co.shared) >= 0.2
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(node, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+), dropped AS (
+    SELECT node AS doc FROM reach GROUP BY node HAVING node <> min(r)
+)
+SELECT d.source, count(*) AS n_docs,
+       sum(CASE WHEN dr.doc IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+DEDUP_INCREMENTAL_SQL = _MINHASH_SCAFFOLD_SQL + r""",
+store_bands AS (SELECT doc_id, band, bk FROM bandkey WHERE doc_id % 5 != 0),
+new_bands AS (SELECT doc_id, band, bk FROM bandkey WHERE doc_id % 5 = 0),
+ok AS (
+    SELECT band, bk FROM store_bands GROUP BY band, bk HAVING count(*) <= 256
+), cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, s.doc_id AS store_id
+    FROM new_bands n
+    JOIN store_bands s ON n.band = s.band AND n.bk = s.bk
+    JOIN ok ON ok.band = s.band AND ok.bk = s.bk
+), est AS (
+    SELECT c.new_id, c.store_id,
+           round(sum(CASE WHEN sn.m = ss.m THEN 1 ELSE 0 END) / 64.0, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig sn ON sn.doc_id = c.new_id
+    JOIN sig ss ON ss.doc_id = c.store_id AND ss.i = sn.i
+    GROUP BY c.new_id, c.store_id
+)
+SELECT new_id, store_id, est_jaccard FROM est
+WHERE est_jaccard >= 0.3
+ORDER BY new_id, store_id
+"""
 
 
 def dedup_simhash_op(spark: SparkSession, sf: str) -> DataFrame:
@@ -1982,15 +2100,20 @@ GROUP BY source ORDER BY source
 def dedup_survivors_op(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end near-dup dedup as ONE operator: minhash+LSH pairs →
     connected components → keep-min survivors, reported per source.
-    Rows-only (MinHash inside); the stages are individually
-    oracle/pytest-verified."""
+    md5 token-hash mode: the DuckDB oracle replays the whole chain —
+    exact signatures/band collisions (minhash scaffold SQL), the
+    recursive-CTE components, keep-min drop set, per-source counts —
+    so this entry is hash-gated end to end (r7 verdict task; was
+    rows-only)."""
     from wc_vector_indexing_spark.operators.components import (
         cluster_representatives,
         connected_components,
     )
 
     docs = load(spark, "documents", sf)
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.2, max_bucket=64)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, threshold=0.2, max_bucket=64, token_hash="md5"
+    )
     drop = cluster_representatives(connected_components(pairs)).withColumnRenamed(
         "doc", "doc_id"
     )
@@ -2289,7 +2412,11 @@ def _sigstore_path(sf: str) -> str:
     import os
     import tempfile
 
-    key = hashlib.sha256(f"{os.path.realpath(sf)}|nh=64|b=16|k=4".encode()).hexdigest()[:16]
+    # |md5 suffix: the r8 oracle-mode store is a different hash family
+    # than the r7 crc32 store — never reuse a stale /tmp artifact
+    key = hashlib.sha256(
+        f"{os.path.realpath(sf)}|nh=64|b=16|k=4|md5".encode()
+    ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), f"wcvi_sigstore_{key}")
 
 
@@ -2298,8 +2425,12 @@ def dedup_incremental_op(spark: SparkSession, sf: str) -> DataFrame:
     (operators/incremental_dedup.py): the corpus signature store is a
     build-time artifact (docs with doc_id % 5 != 0); the query computes
     signatures for the remaining 20% "daily batch" ONLY and joins band
-    buckets against the store. Hash-estimate verification → rows-only;
-    estimate quality pinned by tests/test_incremental_dedup.py."""
+    buckets against the store. md5 token-hash mode (persisted in the
+    store's _meta.json): the DuckDB oracle recomputes both sides'
+    signatures, the band join, the store-side bucket cap, and the
+    signature-agreement estimate — hash-gated (r7 verdict task; was
+    rows-only). Estimate quality vs exact Jaccard stays pinned by
+    tests/test_incremental_dedup.py."""
     import os
 
     from wc_vector_indexing_spark.operators.bpe import train_or_load_bpe
@@ -2310,7 +2441,7 @@ def dedup_incremental_op(spark: SparkSession, sf: str) -> DataFrame:
     from wc_vector_indexing_spark.operators.incremental_dedup import SignatureStore
 
     docs = load(spark, "documents", sf)
-    store = SignatureStore(spark, _sigstore_path(sf))
+    store = SignatureStore(spark, _sigstore_path(sf), token_hash="md5")
     if not os.path.isdir(os.path.join(store.root, "signatures")):
         store.append(docs.filter(F.col("doc_id") % 5 != 0))
     batch = docs.filter(F.col("doc_id") % 5 == 0)
@@ -3460,8 +3591,11 @@ def wet_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     """WET-format source roundtrip (sources/wet.py): export a document
     slice as a spec-shaped Common Crawl WET shard, read it back through
     the lineSep-framed reader, and report per-host record counts +
-    byte totals. Rows-only (file-format I/O); golden-payload fidelity
-    is pinned in tests/test_classifier_wet.py."""
+    byte totals. Planted-truth oracle (r7 verdict task; was rows-only):
+    hosts derive from `source`, content_length is the UTF-8 byte count
+    of the planted text, so DuckDB reconstructs every row from
+    `documents` directly — a hash gate over the writer, the framed
+    reader, Content-Length accounting, and url_host at once."""
     import os
     import tempfile
 
@@ -3501,6 +3635,17 @@ def wet_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+WET_ROUNDTRIP_SQL = r"""
+SELECT lower(source) || '.example.com' AS host,
+       count(*) AS n_records,
+       sum(strlen(text))::BIGINT AS total_bytes
+FROM documents
+WHERE doc_id < 200
+GROUP BY 1
+ORDER BY host
+"""
 
 
 
@@ -5158,6 +5303,93 @@ ORDER BY pdf_no, page_no
 """
 
 
+def warc_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-true WARC ingestion (sources/warc.py, r8): the lowest-24
+    doc_ids become one WARC/1.1 file of planted HTTP responses cycling
+    three transport shapes — plain UTF-8, windows-1251 body with the
+    charset declared in Content-Type (bytes are invalid UTF-8, so only
+    the declared-charset fallback recovers them), and UTF-8 with
+    Transfer-Encoding: chunked (hex-framed chunks the reader must
+    de-chunk). Planted text ⇒ the DuckDB oracle reconstructs every row
+    from doc_id arithmetic; a hash gate over the Content-Length record
+    walk, HTTP envelope split, chunked decode, and the charset
+    cascade."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+
+    ids = [
+        int(r[0])
+        for r in load(spark, "documents", sf)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(24)
+        .collect()
+    ]
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_warc_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        recs = []
+        for rnk, d in enumerate(ids):
+            if rnk % 3 == 1:
+                recs.append({
+                    "url": f"https://crawl.example/{rnk}",
+                    "html": f"<p>Страница {d} — планированная кириллица.</p>",
+                    "charset": "cp1251",
+                    "content_type": "text/html; charset=windows-1251",
+                })
+            elif rnk % 3 == 2:
+                recs.append({
+                    "url": f"https://crawl.example/{rnk}",
+                    "html": (
+                        f"<p>Chunked transfer page for document {d}. "
+                        "Filler text long enough to span several "
+                        "hex-framed chunks of the response body.</p>"
+                    ),
+                    "chunked": True,
+                })
+            else:
+                recs.append({
+                    "url": f"https://crawl.example/{rnk}",
+                    "html": f"<p>Plain utf-8 page for document {d}.</p>",
+                })
+        with open(os.path.join(out, "crawl.warc"), "wb") as f:
+            f.write(to_warc_bytes(recs, version="1.1"))
+        with open(done, "w") as f:
+            f.write("ok")
+    rows = read_warc(spark, os.path.join(out, "crawl.warc"))
+    return rows.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("int").alias("page_no"),
+        "html",
+        "http_status",
+        F.length("html").cast("int").alias("n_chars"),
+    ).orderBy("page_no")
+
+
+WARC_CORPUS_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24)
+), pages AS (
+    SELECT rnk::INT AS page_no,
+           CASE rnk % 3
+             WHEN 1 THEN '<p>Страница ' || doc_id || ' — планированная кириллица.</p>'
+             WHEN 2 THEN '<p>Chunked transfer page for document ' || doc_id ||
+                         '. Filler text long enough to span several hex-framed chunks of the response body.</p>'
+             ELSE '<p>Plain utf-8 page for document ' || doc_id || '.</p>'
+           END AS html
+    FROM ids
+)
+SELECT page_no, html, 200 AS http_status, length(html)::INT AS n_chars
+FROM pages
+ORDER BY page_no
+"""
+
+
 def docx_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
     """DOCX-source extraction (sources/office.read_docx_corpus): the
     lowest-30 doc_ids each become one DOCX whose two paragraphs derive
@@ -5387,8 +5619,9 @@ REGISTRY: dict[str, QuerySpec] = {
         overlapping_sessions_op, OVERLAP_SESSIONS_SQL,
         "interval-overlap join over gap sessions"
     ),
-    "funnel_stages": QuerySpec(
-        funnel_stages_op, FUNNEL_SQL, "session funnel: ordered-subsequence stages"
+    "warc_corpus_text": QuerySpec(
+        warc_corpus_text_op, WARC_CORPUS_SQL,
+        "byte-true WARC source: charset cascade + chunked decode (planted-truth oracle)"
     ),
     "matryoshka_recall": QuerySpec(
         matryoshka_recall_op, MATRYOSHKA_SQL, "truncated-dim retrieval recall eval"
@@ -5405,22 +5638,25 @@ REGISTRY: dict[str, QuerySpec] = {
         video_dedup_op, VIDEO_DEDUP_SQL,
         "re-mux video dedup via frame-sequence signatures"
     ),
-    "purchase_attribution": QuerySpec(
-        purchase_attribution_op, PURCHASE_ATTRIBUTION_SQL,
-        "stream-stream interval-join attribution (batch twin)"
+    "wet_roundtrip": QuerySpec(
+        wet_roundtrip_op, WET_ROUNDTRIP_SQL,
+        "WET shard export + framed read-back census (planted-truth oracle)"
     ),
     "media_format_census": QuerySpec(
         media_format_census_op, MEDIA_CENSUS_SQL,
         "magic-byte format triage census (planted-truth oracle)"
     ),
-    "token_length_dist": QuerySpec(
-        token_length_dist, TOKEN_LENGTH_SQL, "per-source token-length percentiles"
+    "dedup_minhash_lsh": QuerySpec(
+        dedup_minhash_op, MINHASH_LSH_SQL,
+        "minhash+LSH near-dup pairs (md5 mode, full-pipeline SQL oracle)"
     ),
-    "encode_tokens": QuerySpec(
-        encode_tokens_op, ENCODE_TOKENS_SQL, "vocab-id sequence encoding (OOV=-1)"
+    "dedup_survivors": QuerySpec(
+        dedup_survivors_op, DEDUP_SURVIVORS_SQL,
+        "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
     ),
-    "packed_sequences": QuerySpec(
-        packed_sequences_op, PACKED_SEQ_SQL, "packed model-input sequences + order checksum"
+    "dedup_incremental": QuerySpec(
+        dedup_incremental_op, DEDUP_INCREMENTAL_SQL,
+        "batch-vs-store signature dedup (md5-mode oracle, planted store)"
     ),
     "bloom_decontamination": QuerySpec(
         bloom_decontamination_op, BLOOM_DECONTAM_SQL, "Bloom-filter decontamination"
@@ -5459,6 +5695,24 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "importance_weights": QuerySpec(
         importance_weights_op, IMPORTANCE_SQL, "DSIR hashed-unigram importance weights"
+    ),
+    # --- below the 50-entry driver gate window (all recorded green in
+    # r1-r7; demoted in r8 to make room for the upgraded/new entries) ---
+    "purchase_attribution": QuerySpec(
+        purchase_attribution_op, PURCHASE_ATTRIBUTION_SQL,
+        "stream-stream interval-join attribution (batch twin)"
+    ),
+    "funnel_stages": QuerySpec(
+        funnel_stages_op, FUNNEL_SQL, "session funnel: ordered-subsequence stages"
+    ),
+    "token_length_dist": QuerySpec(
+        token_length_dist, TOKEN_LENGTH_SQL, "per-source token-length percentiles"
+    ),
+    "encode_tokens": QuerySpec(
+        encode_tokens_op, ENCODE_TOKENS_SQL, "vocab-id sequence encoding (OOV=-1)"
+    ),
+    "packed_sequences": QuerySpec(
+        packed_sequences_op, PACKED_SEQ_SQL, "packed model-input sequences + order checksum"
     ),
     "importance_resample": QuerySpec(
         importance_resample_op, IMPORTANCE_RESAMPLE_SQL, "Gumbel top-k importance resampling"
@@ -5637,7 +5891,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- rows-only (non-SQL-expressible) ---
     # rows-only (non-SQL-expressible)
     "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
-    "dedup_minhash_lsh": QuerySpec(dedup_minhash_op, None, "minhash+LSH near-dup"),
     "dedup_embedding_lsh": QuerySpec(dedup_embedding_lsh, None, "auto-LSH-blocked cosine pairs"),
     "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
     "ivf_search_top10": QuerySpec(ivf_search_op, None, "IVF coarse-quantizer ANN"),
@@ -5652,18 +5905,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "semdedup_embeddings": QuerySpec(
         semdedup_op, None, "SemDeDup cluster-then-prune semantic dedup"
     ),
-    "dedup_incremental": QuerySpec(
-        dedup_incremental_op, None, "batch-vs-corpus signature-store dedup"
-    ),
     "curation_pipeline": QuerySpec(curation_pipeline_op, None, "quality+lang+dedup curation audit"),
     "training_data_pipeline": QuerySpec(
         training_data_pipeline_op, None, "curate -> DSIR gate -> split, end to end"
     ),
     "multimodal_features": QuerySpec(
         multimodal_features_op, None, "netpbm/WAV render -> real decode -> feature stats"
-    ),
-    "dedup_survivors": QuerySpec(
-        dedup_survivors_op, None, "minhash -> components -> keep-min survivors per source"
     ),
     "bpe_merges": QuerySpec(
         bpe_merges_op, None, "distributed-count + local-loop BPE tokenizer training"
@@ -5679,8 +5926,5 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "quality_classifier": QuerySpec(
         quality_classifier_op, None, "fasttext-style hashed-bigram quality model"
-    ),
-    "wet_roundtrip": QuerySpec(
-        wet_roundtrip_op, None, "Common Crawl WET shard export + framed read-back"
     ),
 }
