@@ -1,0 +1,80 @@
+"""MP3 frame-header parsing (operators/mp3.py): writer/parser
+roundtrip over the ISO 11172-3 tables, ID3v2 tag skipping, resync
+tolerance, VBR detection, and the sniff_format routing — headers
+only, decode stays behind the decode_audio seam."""
+
+from __future__ import annotations
+
+import pytest
+
+from wc_vector_indexing_spark.operators.mp3 import (
+    parse_mp3_headers,
+    to_mp3_bytes,
+)
+
+
+@pytest.mark.parametrize(
+    "nf,kbps,sr",
+    [(10, 128, 44100), (25, 320, 48000), (1, 32, 32000), (7, 160, 44100)],
+)
+def test_roundtrip_cbr(nf, kbps, sr):
+    meta = parse_mp3_headers(to_mp3_bytes(nf, kbps, sr))
+    assert meta["n_frames"] == nf
+    assert meta["avg_bitrate_kbps"] == kbps
+    assert meta["sample_rate"] == sr
+    assert meta["duration_us"] == nf * 1152 * 1_000_000 // sr
+    assert meta["vbr"] is False
+
+
+def test_id3v2_prologue_skipped():
+    plain = parse_mp3_headers(to_mp3_bytes(12, 192, 44100))
+    tagged = parse_mp3_headers(
+        to_mp3_bytes(12, 192, 44100, id3_comment=b"x" * 300)
+    )
+    assert tagged == plain
+
+
+def test_vbr_detected():
+    data = to_mp3_bytes(5, 128, 44100) + to_mp3_bytes(5, 320, 44100)
+    meta = parse_mp3_headers(data)
+    assert meta["n_frames"] == 10
+    assert meta["vbr"] is True
+    assert meta["avg_bitrate_kbps"] == (5 * 128 + 5 * 320) // 10
+
+
+def test_resync_gap_tolerated_large_garbage_stops():
+    base = to_mp3_bytes(4, 128, 44100)
+    # 2 stray bytes between frames: the walk resyncs
+    frames = [base[i : i + len(base) // 4] for i in range(0, len(base), len(base) // 4)]
+    interleaved = frames[0] + b"\x00\x00" + b"".join(frames[1:])
+    assert parse_mp3_headers(interleaved)["n_frames"] == 4
+    # a large trailer (ID3v1-style) ends the walk cleanly
+    with_trailer = base + b"TAG" + b"\x00" * 125
+    assert parse_mp3_headers(with_trailer)["n_frames"] == 4
+
+
+def test_not_mp3_raises_value_error():
+    for junk in (b"", b"RIFF1234WAVE", b"\xff\xd8\xff\xe0 jpeg not mp3"):
+        with pytest.raises(ValueError):
+            parse_mp3_headers(junk)
+
+
+def test_mixed_sample_rate_stops_at_change():
+    data = to_mp3_bytes(3, 128, 44100) + to_mp3_bytes(3, 128, 48000)
+    assert parse_mp3_headers(data)["n_frames"] == 3
+
+
+def test_sniff_format_routes_mp3():
+    from wc_vector_indexing_spark.operators.bmp_gif import sniff_format
+
+    assert sniff_format(to_mp3_bytes(2, 128, 44100)) == "mp3"
+    assert sniff_format(to_mp3_bytes(2, 128, 44100, id3_comment=b"c")) == "mp3"
+    assert sniff_format(b"\xff\xd8\xff") == "jpeg"  # JPEG SOI is not a sync
+    assert sniff_format(b"\x00junk") == "unknown"
+
+
+def test_writer_rejects_off_table_params():
+    with pytest.raises(ValueError):
+        to_mp3_bytes(3, 127, 44100)
+    with pytest.raises(ValueError):
+        to_mp3_bytes(3, 128, 22050)  # MPEG-2 rate, writer is MPEG-1

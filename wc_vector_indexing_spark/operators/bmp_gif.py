@@ -233,6 +233,7 @@ _MAGICS = (
     (b"\x1f\x8b", "gzip"),
     (b"%PDF", "pdf"),
     (b"WARC/", "warc"),
+    (b"ID3", "mp3"),  # ID3v2-tagged MPEG audio; bare-sync case below
 )
 
 
@@ -247,4 +248,11 @@ def sniff_format(content: bytes) -> str:
                 tag = b[8:12]
                 return {b"WAVE": "wav", b"AVI ": "avi"}.get(tag, "riff")
             return name
+    # tagless MPEG audio: 11-bit frame sync with valid version/layer
+    # bits (0xFF Ex/Fx, not the 0xFF 0xD8 JPEG case handled above)
+    if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        version_bits = (b[1] >> 3) & 0x03
+        layer_bits = (b[1] >> 1) & 0x03
+        if version_bits != 1 and layer_bits != 0:
+            return "mp3"
     return "unknown"

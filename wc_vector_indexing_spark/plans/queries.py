@@ -4851,9 +4851,10 @@ def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-side media triage (operators/bmp_gif.sniff_format): every
     document renders into real bytes of a format chosen by doc_id
     arithmetic — JPEG (the package encoder), PGM, PCM WAV, MJPEG-AVI,
-    or un-sniffable junk — and the census counts what the magic-byte
-    router sees. Planted truth ⇒ DuckDB oracle; one zero-shuffle Arrow
-    render+sniff pass + a 5-group count agg."""
+    MP3 (operators/mp3.to_mp3_bytes — r8, the dominant real crawl
+    audio format), or un-sniffable junk — and the census counts what
+    the magic-byte router sees. Planted truth ⇒ DuckDB oracle; one
+    zero-shuffle Arrow render+sniff pass + a 6-group count agg."""
     import io
     import wave
 
@@ -4861,6 +4862,7 @@ def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
 
     from wc_vector_indexing_spark.operators.bmp_gif import sniff_format
     from wc_vector_indexing_spark.operators.jpeg import encode_baseline
+    from wc_vector_indexing_spark.operators.mp3 import to_mp3_bytes
     from wc_vector_indexing_spark.operators.video import write_mjpeg_avi
 
     docs = load(spark, "documents", sf).select("doc_id")
@@ -4879,10 +4881,11 @@ def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
             wf.writeframes(b"\x00\x00" * 64)
         wav = buf.getvalue()
         avi = write_mjpeg_avi([jpeg], 8, 8)
-        variants = [jpeg, pgm, wav, avi, b"\x00junkbytes"]
+        mp3 = to_mp3_bytes(4, 128, 44100, id3_comment=b"census fixture")
+        variants = [jpeg, pgm, wav, avi, mp3, b"\x00junkbytes"]
         for pdf in batches:
             fmts = [
-                sniff_format(variants[int(d) % 5]) for d in pdf["doc_id"]
+                sniff_format(variants[int(d) % 6]) for d in pdf["doc_id"]
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "format": fmts})
 
@@ -4895,13 +4898,87 @@ def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
 
 
 MEDIA_CENSUS_SQL = r"""
-SELECT CASE doc_id % 5
+SELECT CASE doc_id % 6
          WHEN 0 THEN 'jpeg' WHEN 1 THEN 'pgm' WHEN 2 THEN 'wav'
-         WHEN 3 THEN 'avi' ELSE 'unknown' END AS format,
+         WHEN 3 THEN 'avi' WHEN 4 THEN 'mp3' ELSE 'unknown' END AS format,
        count(*) AS n
 FROM documents
 GROUP BY 1
 ORDER BY format
+"""
+
+
+def mp3_frame_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """MP3 frame-header census (operators/mp3.parse_mp3_headers): every
+    document renders into a structurally-valid MPEG-1 Layer III stream
+    whose frame count and bitrate derive from doc_id by arithmetic
+    (every third file carries an ID3v2 prologue the walk must skip),
+    and the parsed duration/bitrate come back out. duration_us is exact
+    integer arithmetic, so the DuckDB oracle reproduces it bit-for-bit.
+    One zero-shuffle Arrow render+parse pass."""
+    from wc_vector_indexing_spark.operators.mp3 import (
+        parse_mp3_headers,
+        to_mp3_bytes,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+    kbps_table = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+
+    def render(batches):
+        import pandas as pd
+
+        out = []
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = 5 + d % 20
+                kbps = kbps_table[d % 14]
+                data = to_mp3_bytes(
+                    nf, kbps, 44100,
+                    id3_comment=(b"planted %d" % d) if d % 3 == 0 else None,
+                )
+                meta = parse_mp3_headers(data)
+                out.append(
+                    {
+                        "doc_id": d,
+                        "n_frames": meta["n_frames"],
+                        "duration_us": meta["duration_us"],
+                        "avg_bitrate_kbps": meta["avg_bitrate_kbps"],
+                        "sample_rate": meta["sample_rate"],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_frames", "duration_us",
+                         "avg_bitrate_kbps", "sample_rate"],
+            )
+            out = []
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, n_frames long, duration_us long, "
+               "avg_bitrate_kbps long, sample_rate long",
+    ).orderBy("doc_id")
+
+
+MP3_CENSUS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           5 + doc_id % 20 AS n_frames,
+           CASE doc_id % 14
+             WHEN 0 THEN 32 WHEN 1 THEN 40 WHEN 2 THEN 48 WHEN 3 THEN 56
+             WHEN 4 THEN 64 WHEN 5 THEN 80 WHEN 6 THEN 96 WHEN 7 THEN 112
+             WHEN 8 THEN 128 WHEN 9 THEN 160 WHEN 10 THEN 192
+             WHEN 11 THEN 224 WHEN 12 THEN 256 ELSE 320
+           END AS avg_bitrate_kbps
+    FROM documents
+)
+SELECT doc_id, n_frames,
+       (n_frames * 1152 * 1000000) // 44100 AS duration_us,
+       avg_bitrate_kbps::BIGINT AS avg_bitrate_kbps,
+       44100::BIGINT AS sample_rate
+FROM t
+ORDER BY doc_id
 """
 
 
@@ -5658,8 +5735,9 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup_incremental_op, DEDUP_INCREMENTAL_SQL,
         "batch-vs-store signature dedup (md5-mode oracle, planted store)"
     ),
-    "bloom_decontamination": QuerySpec(
-        bloom_decontamination_op, BLOOM_DECONTAM_SQL, "Bloom-filter decontamination"
+    "mp3_frame_census": QuerySpec(
+        mp3_frame_census_op, MP3_CENSUS_SQL,
+        "MP3 frame-header walk: duration/bitrate census (planted-truth oracle)"
     ),
     "fuzzy_self_join": QuerySpec(
         fuzzy_join_op, FUZZY_JOIN_SQL, "edit-distance self-join (symmetric-delete blocked)"
@@ -5713,6 +5791,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "packed_sequences": QuerySpec(
         packed_sequences_op, PACKED_SEQ_SQL, "packed model-input sequences + order checksum"
+    ),
+    "bloom_decontamination": QuerySpec(
+        bloom_decontamination_op, BLOOM_DECONTAM_SQL, "Bloom-filter decontamination"
     ),
     "importance_resample": QuerySpec(
         importance_resample_op, IMPORTANCE_RESAMPLE_SQL, "Gumbel top-k importance resampling"
