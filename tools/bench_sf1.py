@@ -6,8 +6,12 @@ local[32] box (some superlinearity is expected from reduced cache
 locality + spill pressure); anything well past that is flagged — it
 means the plan's asymptotics, not the constant, moved.
 
-Usage: python tools/bench_sf1.py [--queries n1,n2,...]
-Writes BENCH_SF1.json at the repo root.
+Usage: python tools/bench_sf1.py [--queries n1,n2,...|--full]
+Writes BENCH_SF1.json at the repo root. ``--full`` (r7 verdict task 6)
+rehearses the ENTIRE catalog at sf1 — every registry query once at
+each scale (sf0.1 best-of-2), media family via MEDIA_SCALE kwargs —
+and records it under a ``full_catalog`` section alongside the curated
+``queries`` section.
 """
 
 from __future__ import annotations
@@ -76,9 +80,12 @@ MEDIA_SCALE = {
 RATIO_BAR = 14.0  # 10x data + cache/spill slack
 
 
-def run(names: list[str]) -> None:
+def run(names: list[str], full: bool = False) -> None:
     if not Path(SF1).is_dir():
         raise SystemExit(f"{SF1} missing — run tools/make_sfN.py first")
+    curated = list(names)
+    if full:
+        names = [n for n in REGISTRY if n not in MEDIA_SCALE]
     spark = get_spark("bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(f"{SF01}/region.parquet").count()  # JVM warm
@@ -100,7 +107,7 @@ def run(names: list[str]) -> None:
     # media family: fixed sf dir, 10x blob count via op kwargs
     import wc_vector_indexing_spark.plans.queries as Q
 
-    media = MEDIA_SCALE if names is DEFAULT_QUERIES else {
+    media = MEDIA_SCALE if (full or names is DEFAULT_QUERIES) else {
         n: MEDIA_SCALE[n] for n in names if n in MEDIA_SCALE
     }
     for name, (fn_name, small_kw, big_kw) in media.items():
@@ -121,12 +128,18 @@ def run(names: list[str]) -> None:
         r["superlinear"] = r["ratio"] > RATIO_BAR
         if r["superlinear"]:
             flagged.append(name)
+    curated_set = set(curated) | set(MEDIA_SCALE)
     artifact = {
         "sf_small": 0.1,
         "sf_big": 1.0,
         "data_factor": 10,
         "ratio_bar": RATIO_BAR,
-        "queries": results,
+        "queries": {n: r for n, r in results.items() if n in curated_set},
+        **(
+            {"full_catalog": results, "full_catalog_n": len(results)}
+            if full
+            else {}
+        ),
         "flagged_superlinear": flagged,
         "note": (
             "sf1 synthesized by tools/make_sfN.py: 10x key-shifted "
@@ -142,6 +155,7 @@ def run(names: list[str]) -> None:
 
 if __name__ == "__main__":
     names = DEFAULT_QUERIES
+    full = "--full" in sys.argv[1:]
     if len(sys.argv) > 2 and sys.argv[1] == "--queries":
         names = sys.argv[2].split(",")
-    run(names)
+    run(names, full=full)

@@ -173,6 +173,85 @@ class FileVectorSink:
         return rows
 
 
+@dataclass
+class HttpVectorSink:
+    """Real HTTP transport behind the adapter contract (r7 verdict
+    task 7) — stdlib ``urllib.request`` only, speaking the
+    Pinecone-style JSON REST shape the reference adapters call
+    (class-pinecone-adapter.php:80-134, class-openai-vectorstore-
+    adapter.php:50-211): ``POST /vectors/upsert`` ``{"vectors": [...]}``,
+    ``POST /vectors/delete`` ``{"ids": [...]}`` or ``{"filter": {...}}``,
+    ``GET /vectors/list?limit&after`` → ``{"vectors": [...], "after"}``.
+
+    Status mapping mirrors the reference's transient set: connection
+    errors → code 0, HTTP 429/5xx → transient (``_with_retry`` backs
+    off 0.25·3^k + jitter), other 4xx → permanent. Client-side
+    dimension check per vector, same as every adapter. Construct per
+    partition via ``push_payloads``'s ``sink_factory`` — the dataclass
+    pickles, connections are opened per call and never cross the
+    boundary. Tests drive it against an in-process loopback server
+    (tests/test_sinks.py) — no external endpoints."""
+
+    base_url: str
+    name: str = "http-remote"
+    dimension: int = 64
+    api_key: str | None = None
+    timeout_s: float = 10.0
+
+    def _request(self, method: str, path: str, body: dict | None = None,
+                 query: dict | None = None) -> dict:
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        url = self.base_url.rstrip("/") + path
+        if query:
+            url += "?" + urllib.parse.urlencode(query)
+        data = json.dumps(body, default=float).encode() if body is not None else None
+        req = urllib.request.Request(url, data=data, method=method)
+        req.add_header("Content-Type", "application/json")
+        if self.api_key:
+            req.add_header("Api-Key", self.api_key)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                payload = resp.read()
+                return json.loads(payload) if payload else {}
+        except urllib.error.HTTPError as e:
+            raise SinkError(
+                f"{method} {path} -> HTTP {e.code}", code=e.code
+            ) from e
+        except urllib.error.URLError as e:
+            raise SinkError(
+                f"{method} {path} -> connection error: {e.reason}", code=0
+            ) from e
+
+    def upsert(self, vectors: list[dict]) -> None:
+        for v in vectors:
+            if len(v["values"]) != self.dimension:
+                raise SinkError(
+                    f"dimension mismatch: got {len(v['values'])}, "
+                    f"want {self.dimension}",
+                    code=400,
+                    transient=False,
+                )
+        self._request("POST", "/vectors/upsert", {"vectors": vectors})
+
+    def delete_by_ids(self, ids: list[str]) -> None:
+        self._request("POST", "/vectors/delete", {"ids": sorted(ids)})
+
+    def delete_by_filter(self, metadata_filter: dict) -> None:
+        self._request("POST", "/vectors/delete", {"filter": metadata_filter})
+
+    def list_page(
+        self, limit: int = 1000, after: str | None = None
+    ) -> tuple[list[dict], str | None]:
+        query: dict = {"limit": limit}
+        if after is not None:
+            query["after"] = after
+        out = self._request("GET", "/vectors/list", query=query)
+        return out.get("vectors", []), out.get("after") or None
+
+
 def push_payloads(
     payloads: DataFrame,
     sink_factory,
