@@ -201,9 +201,53 @@ def test_seams():
     cid = to_pdf_bytes(["x"]).replace(b"/Helvetica", b"/Identity-H")
     with pytest.raises(NotImplementedError):
         extract_pdf_text(cid)
-    lzw = to_pdf_bytes(["x"], compress=True).replace(b"/FlateDecode", b"/LZWDecode")
+    # LZW decodes for real since r8 — the remaining filter seam is the
+    # image-codec family (DCT/JBIG2/CCITT)
+    ccitt = to_pdf_bytes(["x"], compress=True).replace(
+        b"/FlateDecode", b"/CCITTFaxDecode"
+    )
     with pytest.raises(NotImplementedError):
-        extract_pdf_text(lzw)
+        extract_pdf_text(ccitt)
+
+
+def test_lzw_roundtrip_and_pdf_stream():
+    """LZW codec pair: property roundtrips (random, repetitive data
+    forcing width growth + table resets, empty) and a full PDF whose
+    content stream is LZW-compressed."""
+    import random
+
+    from wc_vector_indexing_spark.sources.pdf import _lzw_decode, _lzw_encode
+
+    rng = random.Random(8)
+    cases = [
+        b"",
+        b"TOBEORNOTTOBEORTOBEORNOT",
+        bytes(rng.randrange(256) for _ in range(5000)),
+        b"ab" * 9000,  # repetitive: grows the table through widths 10-12
+        bytes(rng.randrange(4) for _ in range(30000)),  # forces table reset
+    ]
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data)) == data
+        assert _lzw_decode(_lzw_encode(data, 0), 0) == data  # EarlyChange=0
+    content = b"BT 72 720 Td (lzw stream extracts) Tj ET"
+    payload = _lzw_encode(content)
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + (b"4 0 obj\n<< /Length %d /Filter /LZWDecode >>\n"
+           b"stream\n%s\nendstream\nendobj\n" % (len(payload), payload))
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(raw) == ["lzw stream extracts"]
+
+
+def test_lzw_corrupt_raises_value_error():
+    from wc_vector_indexing_spark.sources.pdf import _lzw_decode
+
+    with pytest.raises(ValueError):
+        _lzw_decode(b"\xff\xff\xff\xff\xff\xff")
 
 
 def test_corrupt_flate_raises_value_error():

@@ -15,10 +15,12 @@ Scope (matches what a no-deps container can honestly do):
 - CID-keyed (Identity-H) text via the font's /ToUnicode CMap
   (bfchar/bfrange, ISO 32000 9.10.3), /ObjStm object-stream
   expansion (PDF 1.5+ xref-stream files), indirect /Length refs,
+  LZWDecode streams (7.4.4 variable-width codes, EarlyChange),
 - documented NotImplementedError seams for encrypted files
-  (/Encrypt), non-Flate stream filters (LZW/DCT/...), and Identity-H
-  fonts that carry no /ToUnicode map (their bytes are CID code
-  points — decoding them as Latin-1 would yield garbage silently).
+  (/Encrypt), image-codec stream filters (DCT/JBIG2/CCITT), and
+  Identity-H fonts that carry no /ToUnicode map (their bytes are CID
+  code points — decoding them as Latin-1 would yield garbage
+  silently).
 
 Spark shape: PDFs are whole-file units (object offsets are absolute),
 so the scan is ``binaryFile`` — one file per row, per-file parallel.
@@ -137,6 +139,102 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return objects
 
 
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZW per ISO 32000 7.4.4 / TIFF: 9→12-bit variable-width codes,
+    MSB-first bit packing, Clear=256, EOD=257. ``early_change`` (the
+    /DecodeParms /EarlyChange default 1) moves each width increase one
+    code earlier than strictly needed. The decoder's table is exactly
+    ONE add behind the encoder's at each read (the encoder adds after
+    emitting code k, the decoder adds while processing code k+1), so
+    its width threshold sits one entry lower than the encoder's —
+    the classic TIFF-LZW 510/1022/2046 boundaries."""
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise ValueError("corrupt LZW stream: bad first code")
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("corrupt LZW stream: code beyond table")
+            out += entry
+            prev = entry
+            if width < 12 and next_code >= (1 << width) - 1 - early_change:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Fixture/export half of the LZW roundtrip (same writer-inverse
+    pattern as ``to_pdf_bytes``); resets the table at 4094 entries as
+    the spec requires."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    put(256)  # leading Clear, as common writers emit
+    s = b""
+    for byte in data:
+        c = s + bytes([byte])
+        if c in table:
+            s = c
+            continue
+        put(table[s])
+        table[c] = next_code
+        next_code += 1
+        if width < 12 and next_code >= (1 << width) - early_change:
+            width += 1
+        if next_code > 4094:  # table full: reset (spec 7.4.4.2)
+            put(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        s = bytes([byte])
+    if s:
+        put(table[s])
+    put(257)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def _decode_stream(head: bytes, payload: bytes) -> bytes:
     filt = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", head)
     if filt is None:
@@ -147,8 +245,12 @@ def _decode_stream(head: bytes, payload: bytes) -> bytes:
             return zlib.decompress(payload)
         except zlib.error as e:
             raise ValueError(f"corrupt FlateDecode content stream: {e}") from e
+    if name == "LZWDecode":
+        ec = re.search(rb"/EarlyChange\s+(\d+)", head)
+        return _lzw_decode(payload, int(ec.group(1)) if ec else 1)
     raise NotImplementedError(
-        f"PDF stream filter {name} not supported (FlateDecode or none only)"
+        f"PDF stream filter {name} not supported "
+        "(FlateDecode, LZWDecode or none only)"
     )
 
 
