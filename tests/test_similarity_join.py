@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from wc_vector_indexing_spark.operators.similarity import knn_similarity_join
 
@@ -50,6 +51,40 @@ def test_probe_batch_guard_raises(spark):
         knn_similarity_join(queries, index, k=2, max_probe_rows=10)
     # raising the cap restores the path
     assert knn_similarity_join(queries, index, k=2, max_probe_rows=12).count() == 24
+
+
+def test_hard_negatives_batched_equals_unbatched(spark):
+    """hard_negatives_batched (r8: the scale form for data-dependent
+    anchor sets, found by the sf1 rehearsal) must select exactly the
+    same (query, neighbor, rank) triples as the single-batch form —
+    scores may differ by BLAS 1-ulp noise across batch shapes, so
+    compare ids exactly and scores to 1e-9."""
+    from wc_vector_indexing_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_batched,
+    )
+
+    emb = _emb(spark, 40, seed=5).withColumn(
+        "label", (F.col("vec_id") % 3).cast("int")
+    )
+    a = hard_negatives(emb, emb, k=3).orderBy("query_id", "rank").collect()
+    b = (
+        hard_negatives_batched(emb, emb, k=3, batch_rows=7)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in a] == [
+        (r.query_id, r.neighbor_id, r.rank) for r in b
+    ]
+    assert max(abs(x.score - y.score) for x, y in zip(a, b)) < 1e-9
+    # over-cap anchor sets are exactly what the batched form is for
+    with pytest.raises(ValueError, match="hard_negatives_batched"):
+        hard_negatives(emb, emb, k=1, max_probe_rows=10)
+    assert (
+        hard_negatives_batched(emb, emb, k=1, batch_rows=10)
+        .select("query_id").distinct().count()
+        == 40
+    )
 
 
 def test_string_ids_schema_derived(spark):

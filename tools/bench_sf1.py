@@ -97,11 +97,19 @@ def run(names: list[str], full: bool = False) -> None:
                 continue
             spec = REGISTRY[name]
             best = None
-            for _ in range(2 if sf_dir == SF01 else 1):
-                t0 = time.time()
-                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+            try:
+                for _ in range(2 if sf_dir == SF01 else 1):
+                    t0 = time.time()
+                    spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as e:  # noqa: BLE001 — a failure IS a finding
+                print(f"{name} @ {sf_dir}: ERROR {e}", file=sys.stderr)
+                results.setdefault(name, {})[key] = -1.0
+                results[name].setdefault("errors", []).append(
+                    f"{key}: {type(e).__name__}: {str(e)[:200]}"
+                )
+                continue
             results.setdefault(name, {})[key] = round(best, 3)
             print(f"{name} @ {sf_dir}: {best:.2f}s", file=sys.stderr)
     # media family: fixed sf dir, 10x blob count via op kwargs

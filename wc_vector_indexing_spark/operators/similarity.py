@@ -318,10 +318,88 @@ def hard_negatives(
         raise ValueError(
             f"hard_negatives probe batch exceeds max_probe_rows={max_probe_rows}; "
             "mine negatives in bounded probe batches (the anchor set of one "
-            "training step), not corpus-at-once."
+            "training step), not corpus-at-once — or use "
+            "hard_negatives_batched, which streams anchors in bounded "
+            "batches itself."
         )
     if not qrows:
         return spark.createDataFrame([], out_schema)
+    return _hard_negatives_from_rows(
+        spark, qrows, index, k, vec_col, id_col, label_col,
+        cand_schema, out_schema,
+    )
+
+
+def hard_negatives_batched(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    batch_rows: int = 4096,
+) -> DataFrame:
+    """Scale form of :func:`hard_negatives` for a DATA-DEPENDENT anchor
+    set (found by the r8 full-catalog sf1 rehearsal: training_triplets'
+    anchors grew past the 4096 probe guard at 10x data). Anchors stream
+    to the driver via ``toLocalIterator`` — one partition in memory at
+    a time, never the whole set — in ``batch_rows``-size probe batches;
+    each batch runs the identical broadcast-gemm → local-top-k →
+    window-merge shape, and results union. Every query lands in exactly
+    one batch, so the union equals the unbatched answer exactly; driver
+    memory stays bounded no matter how many anchors upstream produces."""
+    import itertools
+
+    from pyspark.sql import types as T
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType, True),
+            T.StructField("neighbor_id", index.schema[id_col].dataType, True),
+            T.StructField("score", T.DoubleType(), True),
+        ]
+    )
+    out_schema = T.StructType(
+        cand_schema.fields + [T.StructField("rank", T.IntegerType(), True)]
+    )
+    spark = queries.sparkSession
+    it = queries.select(
+        F.col(id_col), F.col(vec_col), F.col(label_col)
+    ).toLocalIterator()
+    out: DataFrame | None = None
+    while True:
+        batch = list(itertools.islice(it, batch_rows))
+        if not batch:
+            break
+        part = _hard_negatives_from_rows(
+            spark, batch, index, k, vec_col, id_col, label_col,
+            cand_schema, out_schema,
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return spark.createDataFrame([], out_schema)
+    return out
+
+
+def _hard_negatives_from_rows(
+    spark,
+    qrows,
+    index: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    cand_schema,
+    out_schema,
+) -> DataFrame:
+    """One probe batch of collected (id, vec, label) rows → the exact
+    masked-top-k result for those queries (shared by hard_negatives and
+    hard_negatives_batched)."""
+    import numpy as np
+    import pandas as pd
+
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
     qids = [r[0] for r in qrows]
     qlabels = np.array([r[2] for r in qrows])
     Q = np.stack([np.asarray(r[1], dtype="float64") for r in qrows])

@@ -4024,19 +4024,24 @@ def training_triplets_op(spark: SparkSession, sf: str) -> DataFrame:
     pairs (dedup.embedding_cosine_pairs, cosine ≥ 0.35 — off any float
     boundary: nearest pair is >4e-4 away at both gate SFs), NEGATIVES
     are each anchor's hardest different-label vector
-    (similarity.hard_negatives, k=1, probe batch = the bounded anchor
-    set). Output (anchor, positive, negative, pos_cos, neg_cos) is a
+    (similarity.hard_negatives_batched, k=1 — the anchor set is
+    DATA-DEPENDENT and grows with the corpus, so it streams to the
+    driver in bounded 4096-row probe batches; the r8 sf1 rehearsal
+    caught the unbatched form tripping the probe guard at 10x data).
+    Output (anchor, positive, negative, pos_cos, neg_cos) is a
     ready-to-train triplet table; dedup and retrieval machinery reused
     unchanged."""
     from wc_vector_indexing_spark.operators.dedup import embedding_cosine_pairs
-    from wc_vector_indexing_spark.operators.similarity import hard_negatives
+    from wc_vector_indexing_spark.operators.similarity import (
+        hard_negatives_batched,
+    )
 
     emb = load(spark, "embeddings", sf)
     pos = embedding_cosine_pairs(emb, threshold=0.35)
     anchors = emb.join(
         pos.select(F.col("id_a").alias("vec_id")).distinct(), "vec_id"
     )
-    negs = hard_negatives(anchors, emb, k=1)
+    negs = hard_negatives_batched(anchors, emb, k=1)
     return (
         pos.join(negs, pos["id_a"] == negs["query_id"])
         .select(
