@@ -250,6 +250,56 @@ def test_lzw_corrupt_raises_value_error():
         _lzw_decode(b"\xff\xff\xff\xff\xff\xff")
 
 
+def test_ascii_and_runlength_filters():
+    """ASCIIHex / ASCII85 / RunLength decodes (7.4.2-7.4.5) + a
+    cascade array filter ([/ASCII85Decode /FlateDecode])."""
+    import base64
+
+    from wc_vector_indexing_spark.sources.pdf import (
+        _ascii85_decode,
+        _asciihex_decode,
+        _decode_stream,
+    )
+
+    assert _asciihex_decode(b"48 65 6C 6C 6F>") == b"Hello"
+    assert _asciihex_decode(b"48656C6C6F2") == b"Hello "  # odd digit pads 0
+    with pytest.raises(ValueError):
+        _asciihex_decode(b"4G>")
+
+    for payload in (b"", b"x", b"Man is distinguished", b"\x00\x00\x00\x00ab"):
+        enc = base64.a85encode(payload)
+        assert _ascii85_decode(enc + b"~>") == payload
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError):
+        _ascii85_decode(b"\x7f\x7f\x7f\x7f\x7f~>")
+
+    # RunLength: 2 literals "ab", repeat "c" x4, EOD
+    rl = bytes([1]) + b"ab" + bytes([253]) + b"c" + bytes([128])
+    assert _decode_stream(b"<< /Filter /RunLengthDecode >>", rl) == b"abcccc"
+
+    content = b"BT 72 720 Td (cascade works) Tj ET"
+    casc = base64.a85encode(zlib.compress(content)) + b"~>"
+    head = b"<< /Filter [/ASCII85Decode /FlateDecode] >>"
+    assert _decode_stream(head, casc) == content
+
+
+def test_ascii85_pdf_stream_extracts():
+    import base64
+
+    content = b"BT 72 720 Td (ascii85 stream) Tj ET"
+    payload = base64.a85encode(content) + b"~>"
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + (b"4 0 obj\n<< /Length %d /Filter /ASCII85Decode >>\n"
+           b"stream\n%s\nendstream\nendobj\n" % (len(payload), payload))
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_text(raw) == ["ascii85 stream"]
+
+
 def test_corrupt_flate_raises_value_error():
     data = to_pdf_bytes(["some page text here"], compress=True)
     i = data.find(b"stream\n") + len(b"stream\n")

@@ -235,11 +235,57 @@ def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
     return bytes(out)
 
 
-def _decode_stream(head: bytes, payload: bytes) -> bytes:
-    filt = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", head)
-    if filt is None:
-        return payload
-    name = filt.group(1).decode("ascii", "replace")
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (7.4.2): hex pairs, whitespace ignored, '>' EOD,
+    odd final digit padded with 0."""
+    end = data.find(b">")
+    hx = re.sub(rb"\s", b"", data[: end if end != -1 else len(data)])
+    if re.search(rb"[^0-9A-Fa-f]", hx):
+        raise ValueError("corrupt ASCIIHex stream: non-hex character")
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (7.4.3): base-85 groups of 5 chars → 4 bytes,
+    'z' shorthand for four zero bytes, '~>' EOD, partial final group."""
+    body = data
+    if body.startswith(b"<~"):
+        body = body[2:]
+    end = body.find(b"~>")
+    if end != -1:
+        body = body[:end]
+    body = re.sub(rb"\s", b"", body)
+    out = bytearray()
+    group: list[int] = []
+    for ch in body:
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise ValueError("corrupt ASCII85 stream: z inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= ch <= 0x75):
+            raise ValueError("corrupt ASCII85 stream: char out of range")
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            n = 0
+            for d in group:
+                n = n * 85 + d
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("corrupt ASCII85 stream: lone final digit")
+        k = len(group)
+        n = 0
+        for d in group + [84] * (5 - k):
+            n = n * 85 + d
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _decode_one_filter(name: str, head: bytes, payload: bytes) -> bytes:
     if name == "FlateDecode":
         try:
             return zlib.decompress(payload)
@@ -248,10 +294,47 @@ def _decode_stream(head: bytes, payload: bytes) -> bytes:
     if name == "LZWDecode":
         ec = re.search(rb"/EarlyChange\s+(\d+)", head)
         return _lzw_decode(payload, int(ec.group(1)) if ec else 1)
+    if name == "ASCIIHexDecode":
+        return _asciihex_decode(payload)
+    if name == "ASCII85Decode":
+        return _ascii85_decode(payload)
+    if name == "RunLengthDecode":
+        # 7.4.5: length byte L<128 → copy L+1 literal bytes; L>128 →
+        # repeat next byte 257-L times; 128 = EOD
+        out = bytearray()
+        i = 0
+        while i < len(payload):
+            n = payload[i]
+            if n == 128:
+                break
+            if n < 128:
+                out += payload[i + 1 : i + 2 + n]
+                i += 2 + n
+            else:
+                out += payload[i + 1 : i + 2] * (257 - n)
+                i += 2
+        return bytes(out)
     raise NotImplementedError(
-        f"PDF stream filter {name} not supported "
-        "(FlateDecode, LZWDecode or none only)"
+        f"PDF stream filter {name} not supported (Flate/LZW/ASCIIHex/"
+        "ASCII85/RunLength or none; DCT/JBIG2/CCITT are image codecs "
+        "behind the external-decoder seam)"
     )
+
+
+def _decode_stream(head: bytes, payload: bytes) -> bytes:
+    """Apply the stream's /Filter — a single name or a cascade array
+    (``/Filter [/ASCII85Decode /FlateDecode]``, applied in order)."""
+    arr = re.search(rb"/Filter\s*\[([^\]]*)\]", head)
+    if arr:
+        names = [n.decode("ascii", "replace") for n in re.findall(rb"/(\w+)", arr.group(1))]
+    else:
+        one = re.search(rb"/Filter\s*/(\w+)", head)
+        if one is None:
+            return payload
+        names = [one.group(1).decode("ascii", "replace")]
+    for name in names:
+        payload = _decode_one_filter(name, head, payload)
+    return payload
 
 
 def _page_order(objects: dict[int, tuple[bytes, bytes | None]]) -> list[int]:
