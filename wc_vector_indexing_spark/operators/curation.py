@@ -40,6 +40,10 @@ class CurationConfig:
     minhash_hashes: int = 64
     minhash_bands: int = 16
     shingle_k: int = 4
+    # minhash shingle hash family: crc32 (production default) or md5
+    # (cross-engine reproducible — lets an external oracle replay the
+    # near-dup stage exactly; see dedup._shingle_hasher)
+    minhash_token_hash: str = "crc32"
     # None = stage off; {} = Gopher defaults; partial dicts override
     # individual thresholds (operators/repetition.DEFAULT_THRESHOLDS)
     repetition_thresholds: dict | None = None
@@ -262,6 +266,7 @@ def curate(
         threshold=config.near_dup_threshold,
         text_col=text_col,
         id_col=id_col,
+        token_hash=config.minhash_token_hash,
     )
     # cluster the verified pairs and keep each cluster's min-id
     # representative (components is eagerly materialized by the

@@ -903,7 +903,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 NGRAM_JACCARD_SQL = """
 WITH toks AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
     SELECT doc_id,
            len(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS n,
            unnest(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS shingle
@@ -931,7 +931,7 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
 NGRAM_CONTAINMENT_SQL = """
 WITH toks AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
     SELECT doc_id,
            len(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS n,
            unnest(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS shingle
@@ -966,12 +966,12 @@ DEDUP_CLUSTERS_SQL = (
     """
 WITH RECURSIVE toks AS (
     SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ts FROM documents
-), sh AS (
+), sh AS MATERIALIZED (
     SELECT doc_id,
            len(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS n,
            unnest(list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))) AS shingle
     FROM toks WHERE len(ts) >= 4
-), co AS (
+), co AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared, min(a.n) AS na, min(b.n) AS nb
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
@@ -1577,24 +1577,25 @@ def dedup_minhash_op(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Shared scaffold for the three minhash-family oracles: the md5-mode
+# Shared scaffold for the minhash-family oracles: the md5-mode
 # minhash pipeline recomputed in SQL — shingle sets (4-grams, distinct-
 # unigram fallback for short docs, exactly dedup._band_bucket_udf's
 # universe), md5-based shingle hash mod M31, the (a_i, b_i) permutation
 # family with the same constants as operators/dedup.py, per-doc 64-long
 # signatures, and 16-band keys (bucket identity == equality of the
 # band's 4 signature rows; the blake2b in the Spark path is only a
-# compaction of the same tuple).
-_MINHASH_SCAFFOLD_SQL = r"""
-WITH RECURSIVE toks AS (
-    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts FROM documents
+# compaction of the same tuple). ``docs_rel`` is any relation exposing
+# (doc_id, text) — the curation oracle feeds its survivor CTE in.
+def _minhash_scaffold(docs_rel: str = "documents") -> str:
+    return rf""" toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ts FROM {docs_rel}
 ), sets AS (
     SELECT doc_id,
            CASE WHEN len(ts) >= 4
                 THEN list_distinct(list_transform(range(1, len(ts) - 2), i -> array_to_string(list_slice(ts, i, i + 3), ' ')))
                 ELSE list_distinct(ts) END AS ss
     FROM toks
-), sh AS (
+), sh AS MATERIALIZED (
     SELECT doc_id, len(ss) AS n, unnest(ss) AS shingle FROM sets
 ), hashed AS (
     SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS h FROM sh
@@ -1604,18 +1605,21 @@ WITH RECURSIVE toks AS (
                 ELSE ((2*i+1)*2654435761) % 2147483647 END AS a,
            ((i*40503+12345)*2246822519) % 2147483647 AS b
     FROM (SELECT unnest(generate_series(0, 63)) AS i)
-), sig AS (
+), sig AS MATERIALIZED (
     SELECT doc_id, i, i // 4 AS band, min((a * h + b) % 2147483647) AS m
     FROM hashed CROSS JOIN perm
     GROUP BY doc_id, i
-), bandkey AS (
+), bandkey AS MATERIALIZED (
     SELECT doc_id, band, string_agg(m::VARCHAR, ',' ORDER BY i) AS bk
     FROM sig GROUP BY doc_id, band
-), co AS (
+), co AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared, min(a.n) AS na, min(b.n) AS nb
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )"""
+
+
+_MINHASH_SCAFFOLD_SQL = "\nWITH RECURSIVE" + _minhash_scaffold()
 
 MINHASH_LSH_SQL = _MINHASH_SCAFFOLD_SQL + r""",
 ok_buckets AS (
@@ -1968,7 +1972,13 @@ SELECT * FROM (
 
 def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end corpus curation (operators/curation.py): quality gate →
-    language filter → exact + near dedup, emitting the audit report."""
+    language filter → exact + near dedup, emitting the audit report.
+    md5 minhash mode (r8): every stage is SQL-replicable, so the DuckDB
+    oracle replays the WHOLE pipeline — quality formula, stopword
+    lang-id, exact text dedup, md5-mode minhash signatures + band
+    collisions + 256-bucket cap + exact-Jaccard verify, recursive-CTE
+    components with keep-min drops, and the disjoint-audit report
+    arithmetic — hash-gated end to end (was rows-only)."""
     from wc_vector_indexing_spark.operators.curation import (
         CurationConfig,
         curate,
@@ -1976,10 +1986,110 @@ def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = load(spark, "documents", sf)
-    result = curate(docs, CurationConfig(min_quality=0.5, languages=("en",)))
+    result = curate(
+        docs,
+        CurationConfig(
+            min_quality=0.5, languages=("en",), minhash_token_hash="md5"
+        ),
+    )
     report = curation_report(docs, result.audit)  # eager — safe to release now
     result.unpersist()
     return report
+
+
+def _curation_sql() -> str:
+    """curation_pipeline's full-pipeline oracle: the same stage chain as
+    operators/curation.curate under the registry config — quality +
+    language gates, exact text dedup (keep-min), md5-mode minhash
+    near-dup clustering (scaffold CTEs over the survivor relation,
+    default 256 bucket cap, threshold 0.5, recursive-CTE components,
+    keep-min drops), then curation_report's disjoint-audit arithmetic
+    (reasons with n>0, kept = |docs| − Σ rejected)."""
+    from wc_vector_indexing_spark.operators.textstats import (
+        LANG_MIN_RATIO,
+        STOPWORDS,
+    )
+
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    def ratio(lang: str) -> str:
+        return (
+            f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+            f"x -> list_contains({lst(lang)}, x)))::DOUBLE "
+            f"/ len(regexp_split_to_array(lower(trim(text)), '\\s+'))"
+        )
+
+    m = LANG_MIN_RATIO
+    quality = (
+        "round(least(1.0, len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 100.0) * 0.4 "
+        "+ (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.3 "
+        "+ (1.0 - least(1.0, length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) * 5.0)) * 0.3, 4)"
+    )
+    return f"""
+WITH RECURSIVE scored AS (
+    SELECT doc_id, text, {quality} AS q,
+           {ratio('en')} AS en_r, {ratio('es')} AS es_r,
+           {ratio('de')} AS de_r, {ratio('fr')} AS fr_r
+    FROM documents
+), langd AS (
+    SELECT doc_id, text, q,
+           CASE WHEN en_r >= es_r AND en_r >= de_r AND en_r >= fr_r AND en_r >= {m} THEN 'en'
+                WHEN es_r >= de_r AND es_r >= fr_r AND es_r >= {m} THEN 'es'
+                WHEN de_r >= fr_r AND de_r >= {m} THEN 'de'
+                WHEN fr_r >= {m} THEN 'fr'
+                ELSE 'other' END AS predicted_lang
+    FROM scored
+), low_q AS (SELECT doc_id FROM langd WHERE q < 0.5),
+wrong_lang AS (SELECT doc_id FROM langd WHERE q >= 0.5 AND predicted_lang <> 'en'),
+s1 AS (SELECT doc_id, text FROM langd WHERE q >= 0.5 AND predicted_lang = 'en'),
+exact_dropped AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canon FROM s1
+    ) WHERE doc_id <> canon
+),
+s2 AS (
+    SELECT s1.doc_id, s1.text FROM s1
+    LEFT JOIN exact_dropped e ON s1.doc_id = e.doc_id
+    WHERE e.doc_id IS NULL
+),
+{_minhash_scaffold('s2')},
+ok_buckets AS (
+    SELECT band, bk FROM bandkey GROUP BY band, bk
+    HAVING count(DISTINCT doc_id) BETWEEN 2 AND 256
+), cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM ok_buckets o
+    JOIN bandkey x ON x.band = o.band AND x.bk = o.bk
+    JOIN bandkey y ON y.band = o.band AND y.bk = o.bk AND x.doc_id < y.doc_id
+), pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c JOIN co ON c.doc_a = co.doc_a AND c.doc_b = co.doc_b
+    WHERE co.shared::DOUBLE / (co.na + co.nb - co.shared) >= 0.5
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(node, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+), near_dropped AS (
+    SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)
+), audit AS (
+    SELECT 'low_quality' AS reject_reason, count(*) AS n FROM low_q
+    UNION ALL SELECT 'wrong_language', count(*) FROM wrong_lang
+    UNION ALL SELECT 'exact_duplicate', count(*) FROM exact_dropped
+    UNION ALL SELECT 'near_duplicate', count(*) FROM near_dropped
+)
+SELECT reject_reason, n::BIGINT AS n FROM (
+    SELECT reject_reason, n FROM audit WHERE n > 0
+    UNION ALL
+    SELECT 'kept',
+           (SELECT count(*) FROM documents) - (SELECT sum(n) FROM audit)
+)
+ORDER BY reject_reason
+"""
 
 
 def c4_line_filter_op(spark: SparkSession, sf: str) -> DataFrame:
@@ -5750,8 +5860,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "domain_cap": QuerySpec(
         domain_cap_op, DOMAIN_CAP_SQL, "per-domain diversity cap (C4 rule)"
     ),
-    "temperature_mix": QuerySpec(
-        temperature_mix_op, TEMPERATURE_SQL, "alpha-temperature language rebalancing"
+    "curation_pipeline": QuerySpec(
+        curation_pipeline_op, _curation_sql(),
+        "end-to-end curation audit (md5 minhash, full-pipeline SQL oracle)"
     ),
     "exact_substring_removal": QuerySpec(
         exact_substring_removal_op, EXACT_SUBSTR_SQL, "ExactSubstr duplicated-span removal"
@@ -5781,6 +5892,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # --- below the 50-entry driver gate window (all recorded green in
     # r1-r7; demoted in r8 to make room for the upgraded/new entries) ---
+    "temperature_mix": QuerySpec(
+        temperature_mix_op, TEMPERATURE_SQL, "alpha-temperature language rebalancing"
+    ),
     "purchase_attribution": QuerySpec(
         purchase_attribution_op, PURCHASE_ATTRIBUTION_SQL,
         "stream-stream interval-join attribution (batch twin)"
@@ -5991,7 +6105,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "semdedup_embeddings": QuerySpec(
         semdedup_op, None, "SemDeDup cluster-then-prune semantic dedup"
     ),
-    "curation_pipeline": QuerySpec(curation_pipeline_op, None, "quality+lang+dedup curation audit"),
     "training_data_pipeline": QuerySpec(
         training_data_pipeline_op, None, "curate -> DSIR gate -> split, end to end"
     ),
