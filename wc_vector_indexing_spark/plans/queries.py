@@ -1886,16 +1886,23 @@ def training_data_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     program: curate (quality → language → exact + near dedup) → DSIR
     importance gate (keep the top 60% most target-like survivors) →
     content-addressed train/val/test split → per-split summary. Every
-    stage is an existing operator; rows-only (MinHash inside). The
-    summary row counts prove the stages composed (audit + selection +
-    split fractions all visible)."""
+    stage is an existing operator. md5 minhash mode (r8): the whole
+    composition is hash-gated against _training_pipeline_sql — curated
+    survivors, DSIR weights, the exact percentile threshold element,
+    the content-addressed split, and the summary arithmetic all replay
+    in DuckDB (was rows-only)."""
     from wc_vector_indexing_spark.operators.curation import CurationConfig, curate
     from wc_vector_indexing_spark.operators.importance import importance_weights
     from wc_vector_indexing_spark.operators.sampling import hash_split
     from wc_vector_indexing_spark.operators.textstats import token_count
 
     docs = load(spark, "documents", sf)
-    result = curate(docs, CurationConfig(min_quality=0.5, languages=("en",)))
+    result = curate(
+        docs,
+        CurationConfig(
+            min_quality=0.5, languages=("en",), minhash_token_hash="md5"
+        ),
+    )
     curated = result.curated
     w = importance_weights(
         curated, F.col("source").isin("src1", "src2", "src3"), n_buckets=1024
@@ -1997,14 +2004,14 @@ def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     return report
 
 
-def _curation_sql() -> str:
-    """curation_pipeline's full-pipeline oracle: the same stage chain as
-    operators/curation.curate under the registry config — quality +
-    language gates, exact text dedup (keep-min), md5-mode minhash
-    near-dup clustering (scaffold CTEs over the survivor relation,
-    default 256 bucket cap, threshold 0.5, recursive-CTE components,
-    keep-min drops), then curation_report's disjoint-audit arithmetic
-    (reasons with n>0, kept = |docs| − Σ rejected)."""
+def _curation_ctes() -> str:
+    """Shared CTE chain for the curation/training-pipeline oracles: the
+    same stage sequence as operators/curation.curate under the registry
+    config — quality + language gates, exact text dedup (keep-min),
+    md5-mode minhash near-dup clustering (scaffold CTEs over the
+    survivor relation, default 256 bucket cap, threshold 0.5,
+    recursive-CTE components) ending at ``near_dropped``; curated
+    survivors = s2 − near_dropped."""
     from wc_vector_indexing_spark.operators.textstats import (
         LANG_MIN_RATIO,
         STOPWORDS,
@@ -2026,8 +2033,7 @@ def _curation_sql() -> str:
         "+ (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.3 "
         "+ (1.0 - least(1.0, length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) * 5.0)) * 0.3, 4)"
     )
-    return f"""
-WITH RECURSIVE scored AS (
+    return f"""scored AS (
     SELECT doc_id, text, {quality} AS q,
            {ratio('en')} AS en_r, {ratio('es')} AS es_r,
            {ratio('de')} AS de_r, {ratio('fr')} AS fr_r
@@ -2076,7 +2082,17 @@ ok_buckets AS (
     SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
 ), near_dropped AS (
     SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> min(r)
-), audit AS (
+)"""
+
+
+def _curation_sql() -> str:
+    """curation_pipeline's report query: the shared stage CTEs +
+    curation_report's disjoint-audit arithmetic (reasons with n>0,
+    kept = |docs| − Σ rejected)."""
+    return (
+        "\nWITH RECURSIVE "
+        + _curation_ctes()
+        + """, audit AS (
     SELECT 'low_quality' AS reject_reason, count(*) AS n FROM low_q
     UNION ALL SELECT 'wrong_language', count(*) FROM wrong_lang
     UNION ALL SELECT 'exact_duplicate', count(*) FROM exact_dropped
@@ -2090,6 +2106,71 @@ SELECT reject_reason, n::BIGINT AS n FROM (
 )
 ORDER BY reject_reason
 """
+    )
+
+
+def _training_pipeline_sql() -> str:
+    """training_data_pipeline's full-composition oracle: curated
+    survivors (shared curation CTEs) → DSIR importance weights
+    (IMPORTANCE_SQL shape over the survivors; log_weight rounded to 4
+    inside the operator, so the gate compares engine-identical values)
+    → the 40th-percentile threshold (Spark percentile_approx with
+    n ≪ accuracy returns the exact rank-⌈0.4·n⌉ element) → left-semi
+    select → sha256 hash_split → per-split count + avg-token summary."""
+    return (
+        "\nWITH RECURSIVE "
+        + _curation_ctes()
+        + r""", curated AS (
+    SELECT s2.doc_id, s2.text FROM s2
+    LEFT JOIN near_dropped nd ON s2.doc_id = nd.doc_id
+    WHERE nd.doc_id IS NULL
+), itoks AS (
+    SELECT c.doc_id, d.source IN ('src1', 'src2', 'src3') AS is_t,
+           unnest(list_filter(regexp_split_to_array(lower(c.text), '[^a-z]+'),
+                              x -> x <> '')) AS tok
+    FROM curated c JOIN documents d ON c.doc_id = d.doc_id
+), ibucketed AS MATERIALIZED (
+    SELECT doc_id, is_t,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS bucket
+    FROM itoks
+), istats AS (
+    SELECT bucket, count(*) AS c_all, count(*) FILTER (is_t) AS c_t
+    FROM ibucketed GROUP BY bucket
+), itot AS (
+    SELECT sum(c_all)::DOUBLE AS t_all, sum(c_t)::DOUBLE AS t_t FROM istats
+), iscored AS (
+    SELECT bucket,
+           ln((c_t + 1.0) / (t_t + 1024.0)) - ln((c_all + 1.0) / (t_all + 1024.0)) AS lr
+    FROM istats, itot
+), w AS MATERIALIZED (
+    SELECT b.doc_id, round(sum(s.lr), 4) AS log_weight
+    FROM ibucketed b JOIN iscored s USING (bucket)
+    GROUP BY b.doc_id
+), thr AS (
+    SELECT log_weight AS t FROM (
+        SELECT log_weight, row_number() OVER (ORDER BY log_weight) AS rn,
+               count(*) OVER () AS n
+        FROM w
+    ) WHERE rn = ceil(0.4 * n)::BIGINT
+), selected AS (
+    SELECT c.doc_id, c.text
+    FROM curated c JOIN w ON c.doc_id = w.doc_id, thr
+    WHERE w.log_weight >= thr.t
+), sp AS (
+    SELECT text,
+           (('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT % 10000)::INT AS bucket
+    FROM selected
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       round(avg(len(regexp_split_to_array(lower(trim(text)), '\s+'))), 2) AS avg_tokens
+FROM sp
+GROUP BY 1
+ORDER BY split
+"""
+    )
 
 
 def c4_line_filter_op(spark: SparkSession, sf: str) -> DataFrame:
@@ -5857,8 +5938,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "fuzzy_self_join": QuerySpec(
         fuzzy_join_op, FUZZY_JOIN_SQL, "edit-distance self-join (symmetric-delete blocked)"
     ),
-    "domain_cap": QuerySpec(
-        domain_cap_op, DOMAIN_CAP_SQL, "per-domain diversity cap (C4 rule)"
+    "training_data_pipeline": QuerySpec(
+        training_data_pipeline_op, _training_pipeline_sql(),
+        "curate -> DSIR gate -> split, end to end (full-composition SQL oracle)"
     ),
     "curation_pipeline": QuerySpec(
         curation_pipeline_op, _curation_sql(),
@@ -5894,6 +5976,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # r1-r7; demoted in r8 to make room for the upgraded/new entries) ---
     "temperature_mix": QuerySpec(
         temperature_mix_op, TEMPERATURE_SQL, "alpha-temperature language rebalancing"
+    ),
+    "domain_cap": QuerySpec(
+        domain_cap_op, DOMAIN_CAP_SQL, "per-domain diversity cap (C4 rule)"
     ),
     "purchase_attribution": QuerySpec(
         purchase_attribution_op, PURCHASE_ATTRIBUTION_SQL,
@@ -6104,9 +6189,6 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "semdedup_embeddings": QuerySpec(
         semdedup_op, None, "SemDeDup cluster-then-prune semantic dedup"
-    ),
-    "training_data_pipeline": QuerySpec(
-        training_data_pipeline_op, None, "curate -> DSIR gate -> split, end to end"
     ),
     "multimodal_features": QuerySpec(
         multimodal_features_op, None, "netpbm/WAV render -> real decode -> feature stats"
