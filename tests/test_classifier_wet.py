@@ -39,6 +39,26 @@ def test_classifier_separates_and_is_deterministic(spark):
     assert acc / len(rows) >= 0.98
 
 
+def test_planted_fit_is_refittable_and_separates():
+    """The catalog's quality_classifier oracle refits the model outside
+    Spark and embeds the weights in SQL — valid only if the planted
+    sample and the trainer are bitwise-deterministic, and only useful
+    if the fitted model actually separates the planted classes."""
+    from wc_vector_indexing_spark.operators.classifier import planted_training_rows
+
+    t1, y1 = planted_training_rows()
+    t2, y2 = planted_training_rows()
+    assert t1 == t2 and y1 == y2
+    assert len(t1) == 400 and sum(y1) == 200.0  # exact class balance
+    m1 = QualityClassifier.fit_rows(t1, y1, n_buckets=256, iters=100)
+    m2 = QualityClassifier.fit_rows(t2, y2, n_buckets=256, iters=100)
+    assert (m1.weights == m2.weights).all() and m1.bias == m2.bias
+    acc = sum(
+        1 for t, y in zip(t1, y1) if (m1.score_py(t) >= 0.5) == (y == 1.0)
+    ) / len(t1)
+    assert acc >= 0.95
+
+
 def test_distributed_scores_match_driver_reference(spark):
     docs = _labeled_corpus(spark, n=60)
     m = QualityClassifier.fit(docs, "label", n_buckets=128, iters=60)

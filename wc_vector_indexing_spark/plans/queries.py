@@ -1721,10 +1721,69 @@ ORDER BY doc_id
 
 
 def knn_lsh_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-LSH-pruned kNN (operators/similarity.py knn_lsh): the
+    hyperplanes are seeded PCG64 draws — data-independent — so the
+    DuckDB oracle embeds the identical planes as DOUBLE[] literals and
+    replays bucket assignment + in-bucket cosine top-10 with explicit
+    left-fold list_reduce arithmetic (bit-identical to the Catalyst
+    zip_with/aggregate fold in functions/vectors.py). Upgraded from
+    rows-only in r8."""
     emb = load(spark, "embeddings", sf)
     qv = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
     res = similarity.knn_lsh(emb, [float(x) for x in qv], dim=len(qv), k=10, bits=4)
     return res.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
+def _fold_dot(a: str, b: str) -> str:
+    """DuckDB left-fold Σ a_i·b_i — same add order as vectors.dot."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _knn_lsh_sql() -> str:
+    """Render the knn_lsh mirror: planes from the same seeded generator
+    the Spark operator uses (similarity._hyperplanes, dim=64, bits=4,
+    seed=42), embedded as exact-roundtrip double literals."""
+    from wc_vector_indexing_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4, seed=42)
+    lits = [
+        "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+        for plane in planes
+    ]
+    bucket_of = lambda v: " + ".join(  # noqa: E731
+        f"(CASE WHEN {_fold_dot(v, f'p{b}.p')} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(4)
+    )
+    planes_ctes = ", ".join(f"p{b}(p) AS (VALUES ({lits[b]}))" for b in range(4))
+    sq = lambda a: _fold_dot(a, a)  # noqa: E731
+    return f"""
+WITH {planes_ctes},
+q AS (
+    SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1
+), qb AS (
+    SELECT {bucket_of('q.qv')} AS bucket FROM q, p0, p1, p2, p3
+), e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+    SELECT e.vec_id, e.v, {bucket_of('e.v')} AS bucket
+    FROM e, p0, p1, p2, p3
+), scored AS (
+    SELECT b.vec_id,
+           CASE WHEN sqrt({sq('b.v')}) * sqrt({sq('q.qv')}) = 0.0 THEN 0.0
+                ELSE {_fold_dot('b.v', 'q.qv')}
+                     / (sqrt({sq('b.v')}) * sqrt({sq('q.qv')}))
+           END AS score
+    FROM bucketed b, q, qb
+    WHERE b.bucket = qb.bucket
+)
+SELECT vec_id, round(score, 4) AS score
+FROM scored
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
 
 
 def doc_fingerprint_op(spark: SparkSession, sf: str) -> DataFrame:
@@ -3752,30 +3811,75 @@ SELECT lang, count(*) AS n_kept FROM k GROUP BY lang ORDER BY lang
 
 def quality_classifier_op(spark: SparkSession, sf: str) -> DataFrame:
     """Fasttext-style model-based quality gate (operators/classifier.py):
-    fit a hashed-bigram logistic model on a content-addressed sample
-    (driver-local, the fasttext production split), score the corpus as
-    a zero-shuffle Arrow map pass. Labels here are a deterministic
-    length heuristic (the synthetic corpus has no gold labels); the
-    production label source is a curated-vs-crawl slice pair.
-    Rows-only: the fitted weights are a training artifact, not
-    SQL-expressible; distributed-vs-driver score equality is pinned in
-    tests/test_classifier_wet.py."""
+    fit a hashed-bigram logistic model on a driver-local labeled sample
+    (the fasttext production split — the 100 TB corpus is only ever
+    SCORED), then score the corpus as a zero-shuffle Arrow map pass.
+    The label source is the planted curated-vs-crawl sample
+    (classifier.planted_training_rows — deterministic md5 arithmetic,
+    mirroring the GPT-3 WebText-vs-CommonCrawl recipe); because the fit
+    is pure-numpy full-batch GD with zero randomness, the DuckDB oracle
+    refits the bitwise-identical model and replays scoring in SQL
+    (md5-prefix feature hash + VALUES-embedded weight vector), making
+    this a full train→score end-to-end hash gate (was rows-only ≤r8)."""
     from wc_vector_indexing_spark.operators.classifier import (
         QualityClassifier,
+        planted_training_rows,
         score_documents,
     )
 
-    docs = load(spark, "documents", sf).withColumn(
-        "label", (F.col("n_chars") > 300).cast("int")
-    )
-    model = QualityClassifier.fit(
-        docs, "label", n_buckets=256, max_sample=2000, iters=100
-    )
+    texts, labels = planted_training_rows()
+    model = QualityClassifier.fit_rows(texts, labels, n_buckets=256, iters=100)
+    docs = load(spark, "documents", sf)
     return (
         score_documents(docs, model)
         .select("doc_id", F.round("quality_prob", 6).alias("quality_prob"))
         .orderBy("doc_id")
     )
+
+
+def _quality_classifier_sql() -> str:
+    """Render the DuckDB mirror: refit the planted model (pure numpy,
+    bitwise-deterministic ⇒ identical to the Spark query's weights) and
+    embed the 256-bucket weight vector as a VALUES table; scoring is
+    tokenize → unigrams+bigrams → md5-prefix bucket → Σw/n → sigmoid,
+    exactly classifier._feature_buckets/score_py in SQL."""
+    from wc_vector_indexing_spark.operators.classifier import (
+        QualityClassifier,
+        planted_training_rows,
+    )
+
+    texts, labels = planted_training_rows()
+    model = QualityClassifier.fit_rows(texts, labels, n_buckets=256, iters=100)
+    values = ", ".join(
+        f"({b}, {w!r})" for b, w in enumerate(model.weights.tolist())
+    )
+    bias = repr(float(model.bias))
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           t || list_transform(range(1, len(t)), i -> t[i] || '_' || t[i + 1]) AS g
+    FROM toks
+), ex AS (
+    SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM grams
+), bk AS (
+    SELECT doc_id, n,
+           CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 256 AS bucket
+    FROM ex
+), wt(bucket, w) AS (VALUES {values}),
+z AS (
+    SELECT bk.doc_id, {bias} + sum(wt.w) / any_value(bk.n) AS z
+    FROM bk JOIN wt USING (bucket) GROUP BY bk.doc_id
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-greatest(-500.0, least(500.0, coalesce(z.z, {bias}))))), 6)
+           AS quality_prob
+FROM documents d LEFT JOIN z USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 def wet_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
@@ -5949,8 +6053,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "exact_substring_removal": QuerySpec(
         exact_substring_removal_op, EXACT_SUBSTR_SQL, "ExactSubstr duplicated-span removal"
     ),
-    "mixing_recipe": QuerySpec(
-        mixing_recipe_op, _mixing_recipe_sql(), "token-budget mixture recipe solver"
+    # r8 window rotation: knn_lsh_top10 (upgraded rows-only→oracle via
+    # embedded planes, never driver-recorded) promoted; mixing_recipe
+    # (recorded) demoted to the tail in exchange.
+    "knn_lsh_top10": QuerySpec(
+        knn_lsh_op, _knn_lsh_sql(), "LSH-bucketed ANN (embedded-planes oracle)"
     ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
@@ -5960,8 +6067,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "window_dedup": QuerySpec(
         window_dedup_op, WINDOW_DEDUP_SQL, "exact-substring 8-token window screen"
     ),
-    "script_mix": QuerySpec(
-        script_mix_op, SCRIPT_MIX_SQL, "unicode-script ratios + dominant script"
+    # r8 window rotation: quality_classifier (upgraded rows-only→oracle,
+    # never driver-recorded) promoted; script_mix (recorded r1-r7)
+    # demoted to the tail in exchange.
+    "quality_classifier": QuerySpec(
+        quality_classifier_op,
+        _quality_classifier_sql(),
+        "fasttext-style hashed-bigram quality model (planted-fit oracle)",
     ),
     "c4_line_filter": QuerySpec(
         c4_line_filter_op, C4_SQL, "C4 line-level cleaning stats"
@@ -6177,7 +6289,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # rows-only (non-SQL-expressible)
     "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
     "dedup_embedding_lsh": QuerySpec(dedup_embedding_lsh, None, "auto-LSH-blocked cosine pairs"),
-    "knn_lsh_top10": QuerySpec(knn_lsh_op, None, "LSH-bucketed ANN"),
+    "mixing_recipe": QuerySpec(
+        mixing_recipe_op, _mixing_recipe_sql(), "token-budget mixture recipe solver"
+    ),
     "ivf_search_top10": QuerySpec(ivf_search_op, None, "IVF coarse-quantizer ANN"),
     "ivf_drift_report": QuerySpec(
         ivf_drift_report_op, None, "IVF quantizer staleness / retrain signal"
@@ -6205,7 +6319,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sketch_profile": QuerySpec(
         sketch_profile_op, None, "HLL++/quantile-sketch profiling (100 TB swap-in)"
     ),
-    "quality_classifier": QuerySpec(
-        quality_classifier_op, None, "fasttext-style hashed-bigram quality model"
+    "script_mix": QuerySpec(
+        script_mix_op, SCRIPT_MIX_SQL, "unicode-script ratios + dominant script"
     ),
 }
