@@ -1006,14 +1006,68 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 
 def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Cosine near-dup pairs with NO natural blocking key: multi-table
-    sign-LSH blocking (operators/dedup.lsh_cosine_pairs). Approximate
-    (recall ≈ 1-(1-p^bits)^tables, deterministic via fixed seed), so
-    rows-only — the exactness of each reported cosine is pinned by
-    tests/test_embedding_lsh.py against the brute-force truth."""
+    sign-LSH blocking (operators/dedup.lsh_cosine_pairs). The blocking
+    is approximate by design (recall ≈ 1-(1-p^bits)^tables) but fully
+    DETERMINISTIC given the seeded hyperplanes — so the DuckDB oracle
+    embeds the same 12×3 plane family as literals and replays bucket
+    collision → pair dedup → exact cosine ≥ θ end-to-end (upgraded from
+    rows-only in r8; measured fp margins: sign ≥ 4e-6, threshold ≥ 1e-5
+    vs ~1e-13 cross-engine noise). Brute-force recall is separately
+    pinned by tests/test_embedding_lsh.py."""
     return dedup.embedding_cosine_pairs(
         load(spark, "embeddings", sf), threshold=0.4, block_col=None,
         lsh_bits=3, lsh_tables=12,
     ).orderBy("id_a", "id_b")
+
+
+def _dedup_embedding_lsh_sql() -> str:
+    """Render the lsh_cosine_pairs mirror: per-table sign buckets from
+    VALUES-embedded planes (dim=64, bits=3, seeds 42..53), candidate
+    pairs from any shared (table, bucket), block = lexicographic-min
+    't:bucket' (matching the Spark pair-level min), cosine recomputed
+    with left-fold arithmetic."""
+    from wc_vector_indexing_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(12):
+        for b, plane in enumerate(_hyperplanes(64, 3, seed=42 + t)):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+            rows.append(f"({t}, {b}, {lit})")
+    values = ",\n".join(rows)
+    dot_vp = _fold_dot("e.v", "pl.p")
+    dot_ab = _fold_dot("ea.v", "eb.v")
+    sq_a = _fold_dot("ea.v", "ea.v")
+    sq_b = _fold_dot("eb.v", "eb.v")
+    return f"""
+WITH pl(t, b, p) AS (VALUES {values}),
+e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sig AS (
+    SELECT e.vec_id, pl.t,
+           sum(CASE WHEN {dot_vp} > 0 THEN (1 << pl.b)::BIGINT ELSE 0 END) AS bucket
+    FROM e CROSS JOIN pl
+    GROUP BY e.vec_id, pl.t
+), cand AS (
+    SELECT s1.vec_id AS id_a, s2.vec_id AS id_b,
+           min(CAST(s1.t AS VARCHAR) || ':' || CAST(s1.bucket AS VARCHAR)) AS block
+    FROM sig s1
+    JOIN sig s2 ON s1.t = s2.t AND s1.bucket = s2.bucket
+               AND s1.vec_id < s2.vec_id
+    GROUP BY s1.vec_id, s2.vec_id
+), scored AS (
+    SELECT c.id_a, c.id_b, c.block,
+           CASE WHEN sqrt({sq_a}) * sqrt({sq_b}) = 0.0 THEN 0.0
+                ELSE {dot_ab} / (sqrt({sq_a}) * sqrt({sq_b}))
+           END AS cosine
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, block, round(cosine, 4) AS cosine
+FROM scored
+WHERE cosine >= 0.4
+ORDER BY id_a, id_b
+"""
 
 
 def textstats_quality(spark: SparkSession, sf: str) -> DataFrame:
@@ -5933,9 +5987,13 @@ REGISTRY: dict[str, QuerySpec] = {
         tokenizer_eval_op, TOKENIZER_EVAL_SQL,
         "tokenizer bytes-per-token scorecard (untrained rungs)"
     ),
-    "psl_registrable_domain": QuerySpec(
-        psl_registrable_domain_op, PSL_REGISTRABLE_SQL,
-        "Public-Suffix-List eTLD+1 across all rule classes"
+    # r8 window rotation: dedup_embedding_lsh (upgraded rows-only→oracle
+    # via embedded planes, never driver-recorded) promoted;
+    # psl_registrable_domain (recorded) demoted to the tail in exchange.
+    "dedup_embedding_lsh": QuerySpec(
+        dedup_embedding_lsh,
+        _dedup_embedding_lsh_sql(),
+        "auto-LSH-blocked cosine pairs (embedded-planes oracle)",
     ),
     # round 7: the seven event-family oracle-backed entries below had
     # never been driver-recorded (they sat below the cutoff since their
@@ -6288,7 +6346,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # --- rows-only (non-SQL-expressible) ---
     # rows-only (non-SQL-expressible)
     "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
-    "dedup_embedding_lsh": QuerySpec(dedup_embedding_lsh, None, "auto-LSH-blocked cosine pairs"),
+    "psl_registrable_domain": QuerySpec(
+        psl_registrable_domain_op, PSL_REGISTRABLE_SQL,
+        "Public-Suffix-List eTLD+1 across all rule classes"
+    ),
     "mixing_recipe": QuerySpec(
         mixing_recipe_op, _mixing_recipe_sql(), "token-budget mixture recipe solver"
     ),
