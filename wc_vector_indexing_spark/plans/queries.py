@@ -1608,11 +1608,82 @@ FROM scored GROUP BY lang ORDER BY lang
 
 def chunk_documents_op(spark: SparkSession, sf: str) -> DataFrame:
     """C1-C5 deterministic chunker over the documents corpus (small
-    budget so multi-chunk behavior is exercised)."""
+    budget so multi-chunk behavior is exercised). Oracle-backed as of
+    r8: on this corpus (single-space ASCII words ≤8 chars, no sentence
+    punctuation/newlines — verified at every sf) the chunker reduces to
+    a provable regime — one unit per doc, greedy word packing into
+    160-char pieces, and every piece flushes into exactly one chunk
+    (the greedy boundary makes cur+next_piece always overflow, see the
+    oracle comment) with a 32-char word-safe overlap tail. The DuckDB
+    mirror replays that regime exactly with two recursive CTEs over
+    word lengths; the general branches (paragraph/sentence units, giant
+    words, hard splits) stay pinned by tests/test_chunker.py goldens +
+    hypothesis properties."""
     docs = load(spark, "documents", sf)
     return chunk_documents(docs, text_col="text", size=40, overlap=8).select(
         "doc_id", "chunk_index", "chunk_chars", "approx_tokens"
     )
+
+
+# chunk_text(size=40, overlap=8, chars_per_token=4) ⇒ budget=160,
+# overlap_chars=32. Regime proof for this corpus (to_units == [text],
+# no word > budget):
+#  - split_long_unit emits greedy word pieces; a piece boundary means
+#    cur(+space)+next_word > 160, and next_word starts the next piece,
+#    so len(any packing prefix) + len(next_piece) > 160 ALWAYS — every
+#    piece flushes into its own chunk, chunk_k = tail_{k-1} ⊕ piece_k.
+#  - word_safe_tail in word space: with single spaces, the tail is
+#    exactly the words after the word covering char cut-1 (cut=L-32);
+#    snapping + lstrip can never produce a mid-word start.
+# All arithmetic below is over word-length lists; `ends[i]` is the
+# end-with-space char position of word i, so the covering word is the
+# first i with ends[i] >= cut-1.
+CHUNK_DOCUMENTS_SQL = r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, list_transform(string_split(text, ' '), w -> length(w)) AS wl
+    FROM documents
+), pack AS (
+    SELECT doc_id, wl, 1 AS widx, wl[1] AS cur_len, 1 AS piece_no FROM toks
+    UNION ALL
+    SELECT doc_id, wl, widx + 1,
+           CASE WHEN cur_len + 1 + wl[widx + 1] > 160
+                THEN wl[widx + 1] ELSE cur_len + 1 + wl[widx + 1] END,
+           CASE WHEN cur_len + 1 + wl[widx + 1] > 160
+                THEN piece_no + 1 ELSE piece_no END
+    FROM pack WHERE widx < len(wl)
+), pieces AS (
+    SELECT doc_id, piece_no, list(wl[widx] ORDER BY widx) AS lens
+    FROM pack GROUP BY doc_id, piece_no
+), chunkrec AS (
+    SELECT doc_id, 1 AS k, lens AS l FROM pieces WHERE piece_no = 1
+    UNION ALL
+    SELECT y.doc_id, y.k, y.tail || y.plens AS l
+    FROM (
+        SELECT x.doc_id, x.k, x.plens,
+               CASE WHEN x.clen <= 32 THEN x.prev
+                    ELSE list_slice(
+                        x.prev,
+                        len(list_filter(x.ends, e -> e < x.clen - 33)) + 2,
+                        len(x.prev))
+               END AS tail
+        FROM (
+            SELECT c.doc_id, c.k + 1 AS k, c.l AS prev, p.lens AS plens,
+                   CAST(list_sum(c.l) AS INT) + len(c.l) - 1 AS clen,
+                   list_transform(
+                       range(1, len(c.l) + 1),
+                       i -> CAST(list_sum(list_slice(c.l, 1, i)) AS INT) + i - 1
+                   ) AS ends
+            FROM chunkrec c
+            JOIN pieces p ON p.doc_id = c.doc_id AND p.piece_no = c.k + 1
+        ) x
+    ) y
+)
+SELECT doc_id,
+       k - 1 AS chunk_index,
+       CAST(list_sum(l) AS INT) + len(l) - 1 AS chunk_chars,
+       CAST((CAST(list_sum(l) AS INT) + len(l) - 1 + 3) // 4 AS INT) AS approx_tokens
+FROM chunkrec
+"""
 
 
 def dedup_minhash_op(spark: SparkSession, sf: str) -> DataFrame:
@@ -6004,8 +6075,13 @@ REGISTRY: dict[str, QuerySpec] = {
     # embedding_outliers/unicode_normalize/training_triplets/
     # ccnet_buckets/corpus_diff/lexical_diversity/url_features rotated
     # below in exchange)
-    "doc_fingerprint": QuerySpec(
-        doc_fingerprint_op, FINGERPRINT_SQL, "rolling-hash fingerprint"
+    # r8 window rotation: chunk_documents (upgraded rows-only→oracle via
+    # the recursive-CTE regime replay, never driver-recorded) promoted;
+    # doc_fingerprint (recorded r7) demoted to the tail in exchange.
+    "chunk_documents": QuerySpec(
+        chunk_documents_op,
+        CHUNK_DOCUMENTS_SQL,
+        "deterministic chunker (recursive-CTE regime oracle)",
     ),
     "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
     "session_window_events": QuerySpec(
@@ -6345,7 +6421,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "pivot_order_status": QuerySpec(pivot_order_status, PIVOT_SQL, "pivoted status counts"),
     # --- rows-only (non-SQL-expressible) ---
     # rows-only (non-SQL-expressible)
-    "chunk_documents": QuerySpec(chunk_documents_op, None, "deterministic chunker"),
+    "doc_fingerprint": QuerySpec(
+        doc_fingerprint_op, FINGERPRINT_SQL, "rolling-hash fingerprint"
+    ),
     "psl_registrable_domain": QuerySpec(
         psl_registrable_domain_op, PSL_REGISTRABLE_SQL,
         "Public-Suffix-List eTLD+1 across all rule classes"
