@@ -193,10 +193,14 @@ def test_contents_array_concatenation():
 def test_seams():
     with pytest.raises(ValueError):
         extract_pdf_text(b"GIF89a not a pdf")
+    # encryption is implemented since r8 (sources/pdf_crypt.py;
+    # roundtrips + the narrowed password-protected seam live in
+    # tests/test_pdf_crypt.py) — a dangling /Encrypt ref is now plain
+    # corruption, not a seam
     enc = to_pdf_bytes(["secret"]).replace(
         b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="Encrypt"):
         extract_pdf_text(enc)
     cid = to_pdf_bytes(["x"]).replace(b"/Helvetica", b"/Identity-H")
     with pytest.raises(NotImplementedError):

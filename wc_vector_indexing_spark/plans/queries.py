@@ -5739,15 +5739,21 @@ def pdf_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
     their content streams, even ones stay raw, and every third writes
     its text through a Type0/Identity-H font with a /ToUnicode CMap —
     all paths must extract identically) written once per sf under
-    /tmp, then read back through the binaryFile-based source. Planted
-    text ⇒ DuckDB oracle reconstructs every row; validates
-    writer/extractor inversion, page-tree order, Flate + raw streams,
-    CID text decode, and the per-page row explosion."""
+    /tmp, then read back through the binaryFile-based source. r8:
+    PDFs 1/3/7 are additionally ENCRYPTED (RC4-128, AES-128 /AESV2 —
+    on the CID member, so decrypt-then-CMap composes — and RC4-40,
+    empty user password; sources/pdf_crypt.py), with identical
+    extracted text, so standard-security-handler decryption sits
+    inside the driver hash gate. Planted text ⇒ DuckDB oracle
+    reconstructs every row; validates writer/extractor inversion,
+    page-tree order, Flate + raw streams, CID text decode, decryption,
+    and the per-page row explosion."""
     import hashlib
     import os
     import tempfile
 
     from wc_vector_indexing_spark.sources.pdf import read_pdf_corpus, to_pdf_bytes
+    from wc_vector_indexing_spark.sources.pdf_crypt import encrypt_pdf_bytes
 
     ids = [
         int(r[0])
@@ -5758,24 +5764,27 @@ def pdf_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
         .collect()
     ]
     key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"wcvi_pdfsv2_{key}")
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_pdfsv3_{key}")
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
+        enc_modes = {1: "rc4-128", 3: "aesv2", 7: "rc4-40"}
         for k in range(0, len(ids), 4):
             pages = [
                 f"Planted PDF page for document {d}.\n"
                 f"Second line (checked) for {d}."
                 for d in ids[k : k + 4]
             ]
+            data = to_pdf_bytes(
+                pages,
+                compress=bool((k // 4) % 2),
+                cid=(k // 4) % 3 == 0,
+            )
+            mode = enc_modes.get(k // 4)
+            if mode is not None:
+                data = encrypt_pdf_bytes(data, mode)
             with open(os.path.join(out, f"pdf_{k // 4}.pdf"), "wb") as f:
-                f.write(
-                    to_pdf_bytes(
-                        pages,
-                        compress=bool((k // 4) % 2),
-                        cid=(k // 4) % 3 == 0,
-                    )
-                )
+                f.write(data)
         with open(done, "w") as f:
             f.write("ok")
     rows = read_pdf_corpus(spark, os.path.join(out, "*.pdf"))

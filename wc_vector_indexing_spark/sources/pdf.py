@@ -16,8 +16,12 @@ Scope (matches what a no-deps container can honestly do):
   (bfchar/bfrange, ISO 32000 9.10.3), /ObjStm object-stream
   expansion (PDF 1.5+ xref-stream files), indirect /Length refs,
   LZWDecode streams (7.4.4 variable-width codes, EarlyChange),
-- documented NotImplementedError seams for encrypted files
-  (/Encrypt), image-codec stream filters (DCT/JBIG2/CCITT), and
+- standard-security-handler decryption (sources/pdf_crypt.py): RC4
+  40-128, AES-128 (/AESV2) and AES-256 (/AESV3 R6) with an empty user
+  password — the owner-locked files every viewer opens silently,
+- documented NotImplementedError seams for password-protected files
+  (non-empty user password — genuinely unreadable without
+  credentials), image-codec stream filters (DCT/JBIG2/CCITT), and
   Identity-H fonts that carry no /ToUnicode map (their bytes are CID
   code points — decoding them as Latin-1 would yield garbage
   silently).
@@ -62,7 +66,9 @@ _NUM_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R\b)")
 _IND_LEN_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R\b")
 
 
-def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+def _scan_objects(
+    data: bytes, decryptor=None
+) -> dict[int, tuple[bytes, bytes | None]]:
     """num → (object dict/body bytes, stream payload or None). A linear
     scan over ``N G obj … endobj`` instead of the xref table: valid for
     every conforming file (objects are self-delimiting) and robust to
@@ -80,9 +86,11 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
       wins (appended incremental updates replace ObjStm members as
       whole objects)."""
     objects: dict[int, tuple[bytes, bytes | None]] = {}
+    gens: dict[int, int] = {}
     pending: list[tuple[int, int, int]] = []  # (num, abs payload start, len ref)
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
+        gens[num] = int(m.group(2))
         start = m.end()
         end = data.find(b"endobj", start)
         if end == -1:
@@ -119,6 +127,15 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             except ValueError:
                 continue
             objects[num] = (objects[num][0], data[abs_start : abs_start + length])
+    if decryptor is not None:
+        # decrypt-then-defilter (§7.6.2: encryption is the outermost
+        # layer), BEFORE ObjStm expansion so packed objects inflate
+        # from plaintext. Cross-reference streams (/Type /XRef) are
+        # never encrypted (§7.5.8.2) — and never read here — skip them
+        # so they don't decrypt to garbage in the object map.
+        for num, (body, stream) in list(objects.items()):
+            if stream is not None and b"/XRef" not in body:
+                objects[num] = (body, decryptor(num, gens.get(num, 0), stream))
     for num, (body, stream) in list(objects.items()):
         if b"/ObjStm" in body and stream is not None:
             inflated = _decode_stream(body, stream)
@@ -610,18 +627,58 @@ def _extract_page_text(
     return "\n".join(lines).strip("\n")
 
 
+def _build_file_decryptor(data: bytes):
+    """Locate the trailer's /Encrypt dictionary (indirect ref or inline)
+    plus the first /ID string and hand them to the standard security
+    handler (sources/pdf_crypt.py). The encrypt dict is always a
+    top-level object (§7.5.8.2 forbids packing it in an ObjStm), so a
+    direct slice of ``N G obj … endobj`` is sufficient — no full object
+    scan before key derivation."""
+    from wc_vector_indexing_spark.sources import pdf_crypt
+
+    enc_body = None
+    ref = None
+    # LAST trailer wins (incremental updates append a new one)
+    for m in re.finditer(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", data):
+        ref = int(m.group(1))
+    if ref is not None:
+        om = re.search(
+            rb"(?<![0-9])" + str(ref).encode() + rb"\s+\d+\s+obj\b", data
+        )
+        if om is not None:
+            end = data.find(b"endobj", om.end())
+            enc_body = data[om.end() : end if end != -1 else len(data)]
+    else:
+        im = re.search(rb"/Encrypt\s*(<<.*?>>)", data, re.DOTALL)
+        if im is not None:
+            enc_body = im.group(1)
+    if enc_body is None:
+        raise ValueError("corrupt PDF: /Encrypt reference cannot be resolved")
+    id0 = b""
+    idm = re.search(
+        rb"/ID\s*\[\s*(?:<([0-9A-Fa-f\s]*)>|\(([^)]*)\))", data
+    )
+    if idm is not None:
+        if idm.group(1) is not None:
+            hx = re.sub(rb"\s", b"", idm.group(1))
+            id0 = bytes.fromhex(hx.decode("ascii")) if hx else b""
+        else:
+            id0 = idm.group(2)
+    return pdf_crypt.build_decryptor(enc_body, id0)
+
+
 def extract_pdf_text(data: bytes) -> list[str]:
     """data → per-page extracted text, in page-tree order. Raises
     ValueError for non-PDF/corrupt input and NotImplementedError at
-    the documented seams (encryption, non-Flate filters, Identity-H
-    fonts lacking a /ToUnicode CMap — the mapped CID case extracts)."""
+    the documented seams (password-protected encryption — the
+    empty-user-password case decrypts via pdf_crypt —, image-codec
+    filters, Identity-H fonts lacking a /ToUnicode CMap)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF- header)")
-    if re.search(rb"/Encrypt\s", data):
-        raise NotImplementedError(
-            "encrypted PDF (has /Encrypt) — decryption not supported"
-        )
-    objects = _scan_objects(data)
+    decryptor = None
+    if re.search(rb"/Encrypt(\s|<<|/)", data):
+        decryptor = _build_file_decryptor(data)
+    objects = _scan_objects(data, decryptor=decryptor)
     if not objects:
         raise ValueError("corrupt PDF: no objects found")
     pages = []
