@@ -1,0 +1,118 @@
+"""ADTS AAC and H.264 Annex B triage (operators/aac.py, operators/
+h264.py): writer-inverse roundtrips over the parameter grid, exact
+duration arithmetic, CRC headers, high-profile SPS with scaling lists
+and crop arithmetic, emulation-prevention handling, and corrupt-stream
+ValueError quarantine (the media decode-error contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from wc_vector_indexing_spark.operators.aac import (
+    SAMPLE_RATES,
+    parse_adts_headers,
+    to_adts_bytes,
+)
+from wc_vector_indexing_spark.operators.bmp_gif import sniff_format
+from wc_vector_indexing_spark.operators.h264 import (
+    _add_emulation,
+    _strip_emulation,
+    parse_annexb,
+    parse_sps,
+    to_annexb_bytes,
+)
+
+
+# ------------------------------------------------------------------- AAC
+@pytest.mark.parametrize("sfi", range(12))
+def test_adts_roundtrip_all_rates(sfi):
+    m = parse_adts_headers(to_adts_bytes(6, 80, sfi=sfi, channels=2, profile=1))
+    assert m["sample_rate"] == SAMPLE_RATES[sfi]
+    assert m["n_frames"] == 6
+    assert m["duration_us"] == 6 * 1024 * 1_000_000 // SAMPLE_RATES[sfi]
+
+
+@pytest.mark.parametrize("profile,name", [(0, "main"), (1, "lc"), (2, "ssr"), (3, "ltp")])
+def test_adts_profiles(profile, name):
+    m = parse_adts_headers(to_adts_bytes(2, 30, profile=profile))
+    assert m["profile"] == name
+
+
+def test_adts_crc_header_framing():
+    """protection_absent=0 adds a 2-byte CRC the frame length covers."""
+    m = parse_adts_headers(to_adts_bytes(5, 64, crc=True))
+    assert m["n_frames"] == 5
+
+
+def test_adts_bitrate_is_bytes_over_exact_duration():
+    data = to_adts_bytes(10, 100, sfi=4)
+    m = parse_adts_headers(data)
+    assert m["avg_bitrate_kbps"] == len(data) * 8 * 1000 // m["duration_us"]
+
+
+def test_adts_corrupt_quarantine():
+    good = to_adts_bytes(3, 50)
+    with pytest.raises(ValueError, match="sync"):
+        parse_adts_headers(b"\x12\x34" + good)
+    with pytest.raises(ValueError, match="overruns"):
+        parse_adts_headers(good[:-10])
+    with pytest.raises(ValueError, match="no frames"):
+        parse_adts_headers(b"")
+    # parameter change mid-stream (spec: constant per stream)
+    mixed = to_adts_bytes(2, 50, sfi=4) + to_adts_bytes(2, 50, sfi=7)
+    with pytest.raises(ValueError, match="changed"):
+        parse_adts_headers(mixed)
+
+
+# ------------------------------------------------------------------ H264
+def test_annexb_roundtrip_baseline():
+    v = parse_annexb(to_annexb_bytes(40, 30, 5))
+    assert v == {
+        "n_nals": 7, "n_slices": 5, "profile_idc": 66, "level_idc": 30,
+        "width": 640, "height": 480,
+    }
+
+
+def test_annexb_high_profile_with_crop():
+    v = parse_annexb(
+        to_annexb_bytes(120, 68, 4, profile_idc=100, level_idc=41,
+                        crop_right=4, crop_bottom=4)
+    )
+    # 1920x1088 coded, cropped to 1912x1080 (CropUnit 2 in 4:2:0)
+    assert (v["width"], v["height"]) == (1920 - 8, 1088 - 8)
+    assert v["profile_idc"] == 100 and v["level_idc"] == 41
+
+
+def test_emulation_prevention_roundtrip():
+    for payload in (b"\x00\x00\x00\x00", b"\x00\x00\x01\x02", b"ab\x00\x00\x03x"):
+        assert _strip_emulation(_add_emulation(payload)) == payload
+    # an SPS whose RBSP contains 00 00 0x must survive the byte stream:
+    # width_mbs=257 makes pic_width ue() emit long zero runs
+    v = parse_annexb(to_annexb_bytes(256, 2, 1))
+    assert v["width"] == 256 * 16
+
+
+def test_sps_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_annexb(b"no start code here")
+    with pytest.raises(ValueError, match="SPS"):
+        parse_annexb(b"\x00\x00\x01\x41abc")  # slice only, no SPS
+    with pytest.raises(ValueError, match="forbidden"):
+        parse_annexb(b"\x00\x00\x01\xff\x00")
+
+
+def test_sps_parse_is_bit_exact_on_known_fields():
+    """parse_sps consumes the exact bit layout: a hand-mutated level
+    byte must surface verbatim (catches off-by-one bit reads)."""
+    data = to_annexb_bytes(10, 8, 1, level_idc=51)
+    assert parse_annexb(data)["level_idc"] == 51
+
+
+# ------------------------------------------------------------- sniffing
+def test_sniff_routes_aac_vs_mp3_vs_h264():
+    from wc_vector_indexing_spark.operators.mp3 import to_mp3_bytes
+
+    assert sniff_format(to_adts_bytes(2, 40)) == "aac"
+    assert sniff_format(to_mp3_bytes(2, 128, 44100)) == "mp3"
+    assert sniff_format(to_annexb_bytes(4, 3, 1)) == "h264"
+    assert sniff_format(b"\x00\x00\x00\x01\xff") == "unknown"  # forbidden bit

@@ -249,10 +249,20 @@ def sniff_format(content: bytes) -> str:
                 return {b"WAVE": "wav", b"AVI ": "avi"}.get(tag, "riff")
             return name
     # tagless MPEG audio: 11-bit frame sync with valid version/layer
-    # bits (0xFF Ex/Fx, not the 0xFF 0xD8 JPEG case handled above)
+    # bits (0xFF Ex/Fx, not the 0xFF 0xD8 JPEG case handled above).
+    # ADTS AAC shares the 0xFFFx sync but carries layer bits 00 —
+    # that's exactly how the two are told apart (ISO 14496-3 vs 11172-3)
     if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
         version_bits = (b[1] >> 3) & 0x03
         layer_bits = (b[1] >> 1) & 0x03
+        if (b[1] & 0xF0) == 0xF0 and layer_bits == 0:
+            return "aac"
         if version_bits != 1 and layer_bits != 0:
             return "mp3"
+    # H.264 Annex B byte stream: 3/4-byte start code + forbidden-zero
+    # NAL header (crawls carry elementary .264/.h264 dumps this way)
+    if (b.startswith(b"\x00\x00\x00\x01") and len(b) > 4 and not b[4] & 0x80) or (
+        b.startswith(b"\x00\x00\x01") and len(b) > 3 and not b[3] & 0x80
+    ):
+        return "h264"
     return "unknown"

@@ -5277,15 +5277,19 @@ def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
     document renders into real bytes of a format chosen by doc_id
     arithmetic — JPEG (the package encoder), PGM, PCM WAV, MJPEG-AVI,
     MP3 (operators/mp3.to_mp3_bytes — r8, the dominant real crawl
-    audio format), or un-sniffable junk — and the census counts what
-    the magic-byte router sees. Planted truth ⇒ DuckDB oracle; one
-    zero-shuffle Arrow render+sniff pass + a 6-group count agg."""
+    audio format), ADTS AAC and H.264 Annex B (operators/aac.py,
+    operators/h264.py — late r8), or un-sniffable junk — and the
+    census counts what the magic-byte router sees. Planted truth ⇒
+    DuckDB oracle; one zero-shuffle Arrow render+sniff pass + an
+    8-group count agg."""
     import io
     import wave
 
     import numpy as np
 
+    from wc_vector_indexing_spark.operators.aac import to_adts_bytes
     from wc_vector_indexing_spark.operators.bmp_gif import sniff_format
+    from wc_vector_indexing_spark.operators.h264 import to_annexb_bytes
     from wc_vector_indexing_spark.operators.jpeg import encode_baseline
     from wc_vector_indexing_spark.operators.mp3 import to_mp3_bytes
     from wc_vector_indexing_spark.operators.video import write_mjpeg_avi
@@ -5307,10 +5311,12 @@ def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
         wav = buf.getvalue()
         avi = write_mjpeg_avi([jpeg], 8, 8)
         mp3 = to_mp3_bytes(4, 128, 44100, id3_comment=b"census fixture")
-        variants = [jpeg, pgm, wav, avi, mp3, b"\x00junkbytes"]
+        aac = to_adts_bytes(4, 64, sfi=4, channels=2, profile=1)
+        h264 = to_annexb_bytes(8, 6, 3)
+        variants = [jpeg, pgm, wav, avi, mp3, aac, h264, b"\x00junkbytes"]
         for pdf in batches:
             fmts = [
-                sniff_format(variants[int(d) % 6]) for d in pdf["doc_id"]
+                sniff_format(variants[int(d) % 8]) for d in pdf["doc_id"]
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "format": fmts})
 
@@ -5323,13 +5329,143 @@ def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
 
 
 MEDIA_CENSUS_SQL = r"""
-SELECT CASE doc_id % 6
+SELECT CASE doc_id % 8
          WHEN 0 THEN 'jpeg' WHEN 1 THEN 'pgm' WHEN 2 THEN 'wav'
-         WHEN 3 THEN 'avi' WHEN 4 THEN 'mp3' ELSE 'unknown' END AS format,
+         WHEN 3 THEN 'avi' WHEN 4 THEN 'mp3' WHEN 5 THEN 'aac'
+         WHEN 6 THEN 'h264' ELSE 'unknown' END AS format,
        count(*) AS n
 FROM documents
 GROUP BY 1
 ORDER BY format
+"""
+
+
+def aac_adts_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """ADTS AAC header census (operators/aac.parse_adts_headers):
+    every document renders into a structurally valid ADTS stream whose
+    frame count, sampling-frequency index, channel config and profile
+    derive from doc_id by arithmetic (every fourth stream carries CRC
+    headers the walk must account for), and the parsed metadata comes
+    back out. duration_us is exact integer arithmetic over the public
+    sample-rate table ⇒ the DuckDB oracle reproduces it bit-for-bit.
+    One zero-shuffle Arrow render+parse pass (the mp3_frame_census
+    pattern)."""
+    from wc_vector_indexing_spark.operators.aac import (
+        parse_adts_headers,
+        to_adts_bytes,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "n_frames", "duration_us", "sample_rate",
+                "channels", "profile"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                data = to_adts_bytes(
+                    n_frames=4 + d % 17,
+                    payload_len=40 + d % 100,
+                    sfi=d % 12,
+                    channels=1 + d % 6,
+                    profile=d % 4,
+                    crc=d % 4 == 3,
+                )
+                meta = parse_adts_headers(data)
+                out.append({"doc_id": d, **{k: meta[k] for k in cols[1:]}})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, n_frames long, duration_us long, "
+               "sample_rate long, channels long, profile string",
+    ).orderBy("doc_id")
+
+
+AAC_CENSUS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           4 + doc_id % 17 AS n_frames,
+           CASE doc_id % 12
+             WHEN 0 THEN 96000 WHEN 1 THEN 88200 WHEN 2 THEN 64000
+             WHEN 3 THEN 48000 WHEN 4 THEN 44100 WHEN 5 THEN 32000
+             WHEN 6 THEN 24000 WHEN 7 THEN 22050 WHEN 8 THEN 16000
+             WHEN 9 THEN 12000 WHEN 10 THEN 11025 ELSE 8000
+           END AS sample_rate,
+           1 + doc_id % 6 AS channels,
+           CASE doc_id % 4
+             WHEN 0 THEN 'main' WHEN 1 THEN 'lc' WHEN 2 THEN 'ssr'
+             ELSE 'ltp' END AS profile
+    FROM documents
+)
+SELECT doc_id, n_frames,
+       (n_frames * 1024 * 1000000) // sample_rate AS duration_us,
+       sample_rate::BIGINT AS sample_rate,
+       channels::BIGINT AS channels,
+       profile
+FROM t
+ORDER BY doc_id
+"""
+
+
+def h264_sps_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """H.264 NAL/SPS triage census (operators/h264.parse_annexb): every
+    document renders into a structurally valid Annex B stream — real
+    Exp-Golomb SPS (width/height/slice-count/profile from doc_id
+    arithmetic; every third stream uses High profile with its
+    chroma/bit-depth branch, every second crops the right/bottom edge
+    so the CropUnit arithmetic is exercised) — and the parsed
+    resolution comes back out. Planted truth ⇒ DuckDB oracle. One
+    zero-shuffle Arrow render+parse pass."""
+    from wc_vector_indexing_spark.operators.h264 import (
+        parse_annexb,
+        to_annexb_bytes,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "n_nals", "n_slices", "width", "height",
+                "profile_idc", "level_idc"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                data = to_annexb_bytes(
+                    width_mbs=4 + d % 60,
+                    height_mbs=3 + d % 40,
+                    n_slices=2 + d % 9,
+                    profile_idc=100 if d % 3 == 0 else 66,
+                    level_idc=30 + (d % 3) * 10,
+                    crop_right=(d % 2) * (1 + d % 4),
+                    crop_bottom=(d % 2) * (1 + d % 3),
+                )
+                meta = parse_annexb(data)
+                out.append({"doc_id": d, **{k: meta[k] for k in cols[1:]}})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, n_nals long, n_slices long, width long, "
+               "height long, profile_idc long, level_idc long",
+    ).orderBy("doc_id")
+
+
+H264_CENSUS_SQL = r"""
+SELECT doc_id,
+       (2 + doc_id % 9) + 2 AS n_nals,
+       2 + doc_id % 9 AS n_slices,
+       (4 + doc_id % 60) * 16 - 2 * ((doc_id % 2) * (1 + doc_id % 4)) AS width,
+       (3 + doc_id % 40) * 16 - 2 * ((doc_id % 2) * (1 + doc_id % 3)) AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 100 ELSE 66 END AS profile_idc,
+       30 + (doc_id % 3) * 10 AS level_idc
+FROM documents
+ORDER BY doc_id
 """
 
 
@@ -6092,7 +6228,13 @@ REGISTRY: dict[str, QuerySpec] = {
         CHUNK_DOCUMENTS_SQL,
         "deterministic chunker (recursive-CTE regime oracle)",
     ),
-    "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
+    # late-r8 window rotation: the two new media-census entries (never
+    # driver-recorded) promoted; events_json + quantiles_by_type
+    # (recorded r7) demoted to the tail in exchange.
+    "aac_adts_census": QuerySpec(
+        aac_adts_census_op, AAC_CENSUS_SQL,
+        "ADTS AAC header walk: duration/profile census (planted-truth oracle)"
+    ),
     "session_window_events": QuerySpec(
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
     ),
@@ -6103,8 +6245,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "moving_average_events": QuerySpec(
         moving_average_events, MOVING_AVG_SQL, "trailing time-RANGE window average"
     ),
-    "quantiles_by_type": QuerySpec(
-        quantiles_by_type, QUANTILES_SQL, "exact interpolated value quantiles"
+    "h264_sps_census": QuerySpec(
+        h264_sps_census_op, H264_CENSUS_SQL,
+        "H.264 NAL walk + Exp-Golomb SPS resolution census (planted-truth oracle)"
     ),
     # round 7: new oracle-backed entries (never recorded ⇒ in-window)
     "audio_overlap_partial": QuerySpec(
@@ -6181,6 +6324,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "mp3_frame_census": QuerySpec(
         mp3_frame_census_op, MP3_CENSUS_SQL,
         "MP3 frame-header walk: duration/bitrate census (planted-truth oracle)"
+    ),
+    "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
+    "quantiles_by_type": QuerySpec(
+        quantiles_by_type, QUANTILES_SQL, "exact interpolated value quantiles"
     ),
     "fuzzy_self_join": QuerySpec(
         fuzzy_join_op, FUZZY_JOIN_SQL, "edit-distance self-join (symmetric-delete blocked)"
