@@ -116,3 +116,39 @@ def test_sniff_routes_aac_vs_mp3_vs_h264():
     assert sniff_format(to_mp3_bytes(2, 128, 44100)) == "mp3"
     assert sniff_format(to_annexb_bytes(4, 3, 1)) == "h264"
     assert sniff_format(b"\x00\x00\x00\x01\xff") == "unknown"  # forbidden bit
+
+
+# ------------------------------------------------------------------- MP4
+def test_mp4_roundtrip_and_v1_layout():
+    from wc_vector_indexing_spark.operators.mp4 import parse_mp4, to_mp4_bytes
+
+    m = parse_mp4(to_mp4_bytes(125000, 600, 1280, 720, ("avc1", "mp4a")))
+    assert m == {
+        "brand": "isom", "duration_us": 125000000, "n_tracks": 2,
+        "codecs": "avc1,mp4a", "width": 1280, "height": 720,
+    }
+    # 64-bit v1 mvhd layout, audio-only (no dimensions)
+    m1 = parse_mp4(to_mp4_bytes(90061, 90000, codecs=("mp4a",), version1=True))
+    assert m1["n_tracks"] == 1 and m1["width"] is None
+    assert m1["duration_us"] == (90061 * 90000 // 1000) * 1_000_000 // 90000
+
+
+def test_mp4_corrupt_quarantine():
+    from wc_vector_indexing_spark.operators.mp4 import parse_mp4, to_mp4_bytes
+
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(b"RIFF0000WAVE")
+    good = to_mp4_bytes(1000)
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp4(good[:-20])
+    # moov present but no mvhd
+    import re as _re
+    broken = good.replace(b"mvhd", b"xxhd")
+    with pytest.raises(ValueError, match="mvhd"):
+        parse_mp4(broken)
+
+
+def test_sniff_routes_mp4():
+    from wc_vector_indexing_spark.operators.mp4 import to_mp4_bytes
+
+    assert sniff_format(to_mp4_bytes(500)) == "mp4"

@@ -259,6 +259,9 @@ def sniff_format(content: bytes) -> str:
             return "aac"
         if version_bits != 1 and layer_bits != 0:
             return "mp3"
+    # ISOBMFF containers (mp4/mov/m4a/heic): the magic sits at offset 4
+    if len(b) >= 8 and b[4:8] == b"ftyp":
+        return "mp4"
     # H.264 Annex B byte stream: 3/4-byte start code + forbidden-zero
     # NAL header (crawls carry elementary .264/.h264 dumps this way)
     if (b.startswith(b"\x00\x00\x00\x01") and len(b) > 4 and not b[4] & 0x80) or (

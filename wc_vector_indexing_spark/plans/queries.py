@@ -5277,11 +5277,11 @@ def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
     document renders into real bytes of a format chosen by doc_id
     arithmetic — JPEG (the package encoder), PGM, PCM WAV, MJPEG-AVI,
     MP3 (operators/mp3.to_mp3_bytes — r8, the dominant real crawl
-    audio format), ADTS AAC and H.264 Annex B (operators/aac.py,
-    operators/h264.py — late r8), or un-sniffable junk — and the
-    census counts what the magic-byte router sees. Planted truth ⇒
-    DuckDB oracle; one zero-shuffle Arrow render+sniff pass + an
-    8-group count agg."""
+    audio format), ADTS AAC, H.264 Annex B and an ISOBMFF MP4 skeleton
+    (operators/aac.py, h264.py, mp4.py — late r8), or un-sniffable
+    junk — and the census counts what the magic-byte router sees.
+    Planted truth ⇒ DuckDB oracle; one zero-shuffle Arrow render+sniff
+    pass + a 9-group count agg."""
     import io
     import wave
 
@@ -5292,6 +5292,7 @@ def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
     from wc_vector_indexing_spark.operators.h264 import to_annexb_bytes
     from wc_vector_indexing_spark.operators.jpeg import encode_baseline
     from wc_vector_indexing_spark.operators.mp3 import to_mp3_bytes
+    from wc_vector_indexing_spark.operators.mp4 import to_mp4_bytes
     from wc_vector_indexing_spark.operators.video import write_mjpeg_avi
 
     docs = load(spark, "documents", sf).select("doc_id")
@@ -5313,10 +5314,11 @@ def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
         mp3 = to_mp3_bytes(4, 128, 44100, id3_comment=b"census fixture")
         aac = to_adts_bytes(4, 64, sfi=4, channels=2, profile=1)
         h264 = to_annexb_bytes(8, 6, 3)
-        variants = [jpeg, pgm, wav, avi, mp3, aac, h264, b"\x00junkbytes"]
+        mp4 = to_mp4_bytes(2000, 1000, 64, 48)
+        variants = [jpeg, pgm, wav, avi, mp3, aac, h264, mp4, b"\x00junkbytes"]
         for pdf in batches:
             fmts = [
-                sniff_format(variants[int(d) % 8]) for d in pdf["doc_id"]
+                sniff_format(variants[int(d) % 9]) for d in pdf["doc_id"]
             ]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "format": fmts})
 
@@ -5329,10 +5331,10 @@ def media_format_census_op(spark: SparkSession, sf: str) -> DataFrame:
 
 
 MEDIA_CENSUS_SQL = r"""
-SELECT CASE doc_id % 8
+SELECT CASE doc_id % 9
          WHEN 0 THEN 'jpeg' WHEN 1 THEN 'pgm' WHEN 2 THEN 'wav'
          WHEN 3 THEN 'avi' WHEN 4 THEN 'mp3' WHEN 5 THEN 'aac'
-         WHEN 6 THEN 'h264' ELSE 'unknown' END AS format,
+         WHEN 6 THEN 'h264' WHEN 7 THEN 'mp4' ELSE 'unknown' END AS format,
        count(*) AS n
 FROM documents
 GROUP BY 1
@@ -5406,6 +5408,75 @@ SELECT doc_id, n_frames,
        sample_rate::BIGINT AS sample_rate,
        channels::BIGINT AS channels,
        profile
+FROM t
+ORDER BY doc_id
+"""
+
+
+def mp4_box_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """MP4/ISOBMFF container triage (operators/mp4.parse_mp4): every
+    document renders into a structurally valid box skeleton — ftyp +
+    moov with mvhd (v0 or the 64-bit v1 layout), one trak per codec
+    with 16.16 fixed-point tkhd dimensions and stsd fourccs — whose
+    parameters derive from doc_id arithmetic, and the walk reports
+    duration/tracks/codecs/resolution. duration_us is two integer
+    floors (ms→ticks→µs) the DuckDB oracle reproduces exactly. One
+    zero-shuffle Arrow render+parse pass."""
+    from wc_vector_indexing_spark.operators.mp4 import parse_mp4, to_mp4_bytes
+
+    docs = load(spark, "documents", sf).select("doc_id")
+    codec_sets = [
+        ("avc1", "mp4a"), ("hev1", "mp4a"), ("avc1",), ("mp4a",),
+        ("av01", "opus"),
+    ]
+    timescales = [1000, 600, 90000, 48000]
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "duration_us", "n_tracks", "codecs", "width", "height"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                video = d % 3 != 2
+                data = to_mp4_bytes(
+                    duration_ms=1000 + (d * 7) % 600000,
+                    timescale=timescales[d % 4],
+                    width=16 * (10 + d % 100) if video else 0,
+                    height=16 * (6 + d % 50) if video else 0,
+                    codecs=codec_sets[d % 5],
+                    version1=d % 7 == 0,
+                )
+                meta = parse_mp4(data)
+                out.append({"doc_id": d, **{k: meta[k] for k in cols[1:]}})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, duration_us long, n_tracks long, "
+               "codecs string, width long, height long",
+    ).orderBy("doc_id")
+
+
+MP4_CENSUS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           1000 + (doc_id * 7) % 600000 AS dur_ms,
+           CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 600
+                           WHEN 2 THEN 90000 ELSE 48000 END AS ts,
+           doc_id % 3 != 2 AS video
+    FROM documents
+)
+SELECT doc_id,
+       ((dur_ms * ts) // 1000) * 1000000 // ts AS duration_us,
+       CASE doc_id % 5 WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 2 END AS n_tracks,
+       CASE doc_id % 5
+         WHEN 0 THEN 'avc1,mp4a' WHEN 1 THEN 'hev1,mp4a'
+         WHEN 2 THEN 'avc1' WHEN 3 THEN 'mp4a' ELSE 'av01,opus'
+       END AS codecs,
+       CASE WHEN video THEN 16 * (10 + doc_id % 100) END AS width,
+       CASE WHEN video THEN 16 * (6 + doc_id % 50) END AS height
 FROM t
 ORDER BY doc_id
 """
@@ -6239,8 +6310,11 @@ REGISTRY: dict[str, QuerySpec] = {
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
     ),
     "events_anomaly": QuerySpec(events_anomaly, ANOMALY_SQL, "per-type z-score outliers"),
-    "range_join_clicks": QuerySpec(
-        range_join_clicks, RANGE_JOIN_SQL, "bin-bucketed time-range join"
+    # late-r8 window rotation: mp4_box_census (never driver-recorded)
+    # promoted; range_join_clicks (recorded r7) demoted in exchange.
+    "mp4_box_census": QuerySpec(
+        mp4_box_census_op, MP4_CENSUS_SQL,
+        "ISOBMFF box walk: duration/tracks/codecs census (planted-truth oracle)"
     ),
     "moving_average_events": QuerySpec(
         moving_average_events, MOVING_AVG_SQL, "trailing time-RANGE window average"
@@ -6324,10 +6398,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "mp3_frame_census": QuerySpec(
         mp3_frame_census_op, MP3_CENSUS_SQL,
         "MP3 frame-header walk: duration/bitrate census (planted-truth oracle)"
-    ),
-    "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
-    "quantiles_by_type": QuerySpec(
-        quantiles_by_type, QUANTILES_SQL, "exact interpolated value quantiles"
     ),
     "fuzzy_self_join": QuerySpec(
         fuzzy_join_op, FUZZY_JOIN_SQL, "edit-distance self-join (symmetric-delete blocked)"
@@ -6616,5 +6686,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "script_mix": QuerySpec(
         script_mix_op, SCRIPT_MIX_SQL, "unicode-script ratios + dominant script"
+    ),
+    "events_json": QuerySpec(events_json_op, EVENTS_JSON_SQL, "JSON props extraction + agg"),
+    "quantiles_by_type": QuerySpec(
+        quantiles_by_type, QUANTILES_SQL, "exact interpolated value quantiles"
+    ),
+    "range_join_clicks": QuerySpec(
+        range_join_clicks, RANGE_JOIN_SQL, "bin-bucketed time-range join"
     ),
 }
