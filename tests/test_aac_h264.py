@@ -152,3 +152,45 @@ def test_sniff_routes_mp4():
     from wc_vector_indexing_spark.operators.mp4 import to_mp4_bytes
 
     assert sniff_format(to_mp4_bytes(500)) == "mp4"
+
+
+# ------------------------------------------------------------------ FLAC
+def test_flac_streaminfo_roundtrip():
+    from wc_vector_indexing_spark.operators.flac import (
+        parse_flac_streaminfo,
+        to_flac_bytes,
+    )
+
+    m = parse_flac_streaminfo(to_flac_bytes(44100, 2, 16, 441000))
+    assert m == {
+        "sample_rate": 44100, "channels": 2, "bits_per_sample": 16,
+        "total_samples": 441000, "duration_us": 10_000_000,
+    }
+    # block chain: VORBIS_COMMENT between STREAMINFO and frames
+    m2 = parse_flac_streaminfo(
+        to_flac_bytes(96000, 8, 24, 123456789, with_vorbis_comment=True)
+    )
+    assert m2["channels"] == 8 and m2["bits_per_sample"] == 24
+    assert m2["duration_us"] == 123456789 * 1_000_000 // 96000
+    # total_samples 0 = spec 'unknown' -> NULL duration
+    assert parse_flac_streaminfo(to_flac_bytes(8000, 1, 8, 0))["duration_us"] is None
+
+
+def test_flac_corrupt_quarantine():
+    from wc_vector_indexing_spark.operators.flac import (
+        parse_flac_streaminfo,
+        to_flac_bytes,
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        parse_flac_streaminfo(b"OggS....")
+    good = to_flac_bytes(44100, 2, 16, 1000)
+    with pytest.raises(ValueError, match="overruns"):
+        parse_flac_streaminfo(good[:20])
+
+
+def test_sniff_routes_flac():
+    from wc_vector_indexing_spark.operators.flac import to_flac_bytes
+
+    assert sniff_format(to_flac_bytes(44100, 2, 16, 10)) == "flac"
+    assert sniff_format(b"OggS\x00\x02rest") == "ogg"

@@ -234,6 +234,8 @@ _MAGICS = (
     (b"%PDF", "pdf"),
     (b"WARC/", "warc"),
     (b"ID3", "mp3"),  # ID3v2-tagged MPEG audio; bare-sync case below
+    (b"fLaC", "flac"),
+    (b"OggS", "ogg"),
 )
 
 

@@ -5413,6 +5413,72 @@ ORDER BY doc_id
 """
 
 
+def flac_streaminfo_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """FLAC STREAMINFO triage (operators/flac.parse_flac_streaminfo):
+    every document renders into a valid fLaC header whose bit-packed
+    rate/channels/depth/total-samples derive from doc_id arithmetic
+    (every second file inserts a VORBIS_COMMENT block the walk must
+    step over; every fifth plants total_samples=0, the spec's
+    'unknown', which must surface as NULL duration). Exact integer µs
+    ⇒ DuckDB oracle. One zero-shuffle Arrow render+parse pass."""
+    from wc_vector_indexing_spark.operators.flac import (
+        parse_flac_streaminfo,
+        to_flac_bytes,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+    rates = [8000, 16000, 22050, 24000, 32000, 44100, 48000, 96000]
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "sample_rate", "channels", "bits_per_sample",
+                "total_samples", "duration_us"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                data = to_flac_bytes(
+                    sample_rate=rates[d % 8],
+                    channels=1 + d % 8,
+                    bits_per_sample=8 + (d % 3) * 8,
+                    total_samples=0 if d % 5 == 4 else 1000 + (d * 31) % 10_000_000,
+                    with_vorbis_comment=d % 2 == 0,
+                )
+                meta = parse_flac_streaminfo(data)
+                out.append({"doc_id": d, **{k: meta[k] for k in cols[1:]}})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, sample_rate long, channels long, "
+               "bits_per_sample long, total_samples long, duration_us long",
+    ).orderBy("doc_id")
+
+
+FLAC_CENSUS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+             WHEN 3 THEN 24000 WHEN 4 THEN 32000 WHEN 5 THEN 44100
+             WHEN 6 THEN 48000 ELSE 96000 END AS sample_rate,
+           1 + doc_id % 8 AS channels,
+           8 + (doc_id % 3) * 8 AS bits_per_sample,
+           CASE WHEN doc_id % 5 = 4 THEN 0
+                ELSE 1000 + (doc_id * 31) % 10000000 END AS total_samples
+    FROM documents
+)
+SELECT doc_id, sample_rate::BIGINT AS sample_rate, channels::BIGINT AS channels,
+       bits_per_sample::BIGINT AS bits_per_sample,
+       total_samples::BIGINT AS total_samples,
+       CASE WHEN total_samples = 0 THEN NULL
+            ELSE (total_samples * 1000000) // sample_rate END AS duration_us
+FROM t
+ORDER BY doc_id
+"""
+
+
 def mp4_box_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """MP4/ISOBMFF container triage (operators/mp4.parse_mp4): every
     document renders into a structurally valid box skeleton — ftyp +
@@ -6270,9 +6336,11 @@ REGISTRY: dict[str, QuerySpec] = {
         image_dedup_op, IMAGE_DEDUP_SQL,
         "perceptual dHash image near-dup pairs (planted-truth oracle)"
     ),
-    "tokenizer_eval": QuerySpec(
-        tokenizer_eval_op, TOKENIZER_EVAL_SQL,
-        "tokenizer bytes-per-token scorecard (untrained rungs)"
+    # late-r8 window rotation: flac_streaminfo_census (never
+    # driver-recorded) promoted; tokenizer_eval (recorded) demoted.
+    "flac_streaminfo_census": QuerySpec(
+        flac_streaminfo_census_op, FLAC_CENSUS_SQL,
+        "FLAC STREAMINFO bit-unpack: rate/depth/duration census (planted-truth oracle)"
     ),
     # r8 window rotation: dedup_embedding_lsh (upgraded rows-only→oracle
     # via embedded planes, never driver-recorded) promoted;
@@ -6693,5 +6761,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "range_join_clicks": QuerySpec(
         range_join_clicks, RANGE_JOIN_SQL, "bin-bucketed time-range join"
+    ),
+    "tokenizer_eval": QuerySpec(
+        tokenizer_eval_op, TOKENIZER_EVAL_SQL,
+        "tokenizer bytes-per-token scorecard (untrained rungs)"
     ),
 }
