@@ -194,3 +194,30 @@ def test_sniff_routes_flac():
 
     assert sniff_format(to_flac_bytes(44100, 2, 16, 10)) == "flac"
     assert sniff_format(b"OggS\x00\x02rest") == "ogg"
+
+
+# ------------------------------------------------------------------- Ogg
+def test_ogg_opus_and_vorbis_roundtrip():
+    from wc_vector_indexing_spark.operators.ogg import parse_ogg, to_ogg_bytes
+
+    m = parse_ogg(to_ogg_bytes("opus", 2, 48000, 48000 * 10 + 312))
+    assert m["codec"] == "opus" and m["channels"] == 2
+    assert m["duration_us"] == 10_000_000  # pre-skip subtracted, 48k ticks
+    v = parse_ogg(to_ogg_bytes("vorbis", 1, 44100, 44100 * 3))
+    assert v["codec"] == "vorbis" and v["duration_us"] == 3_000_000
+    assert v["n_pages"] == 4 and v["n_streams"] == 1
+    # unknown BOS packet: pages counted, no codec metadata
+    u = parse_ogg(to_ogg_bytes("junk", 0, 0, 500))
+    assert u["codec"] == "unknown" and u["duration_us"] is None
+
+
+def test_ogg_corrupt_quarantine():
+    from wc_vector_indexing_spark.operators.ogg import parse_ogg, to_ogg_bytes
+
+    with pytest.raises(ValueError, match="capture pattern"):
+        parse_ogg(b"fLaC....")
+    good = to_ogg_bytes("opus", 2, 48000, 9600)
+    with pytest.raises(ValueError, match="overruns|lacing"):
+        parse_ogg(good[:-40])
+    with pytest.raises(ValueError, match="version"):
+        parse_ogg(good[:4] + b"\x63" + good[5:])

@@ -5479,6 +5479,71 @@ ORDER BY doc_id
 """
 
 
+def ogg_page_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Ogg/Opus/Vorbis triage (operators/ogg.parse_ogg): every document
+    renders into a valid Ogg page chain — BOS identification packet
+    (OpusHead or Vorbis id header chosen by doc_id arithmetic) +
+    audio pages whose final granule position encodes the planted
+    duration. Opus durations subtract pre-skip and tick at 48 kHz
+    regardless of input rate (RFC 7845 §4); Vorbis ticks at the stream
+    rate — both exact integer µs ⇒ DuckDB oracle. One zero-shuffle
+    Arrow render+parse pass."""
+    from wc_vector_indexing_spark.operators.ogg import parse_ogg, to_ogg_bytes
+
+    docs = load(spark, "documents", sf).select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "codec", "n_pages", "channels", "sample_rate",
+                "duration_us"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                vorbis = d % 3 == 1
+                data = to_ogg_bytes(
+                    codec="vorbis" if vorbis else "opus",
+                    channels=1 + d % 2,
+                    sample_rate=(44100 if d % 2 == 0 else 22050) if vorbis else 48000,
+                    final_granule=(d * 53) % 441000 if vorbis
+                    else 312 + (d * 97) % 480000,
+                    n_audio_pages=2 + d % 5,
+                )
+                meta = parse_ogg(data)
+                out.append({"doc_id": d, **{k: meta[k] for k in cols[1:]}})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, codec string, n_pages long, channels long, "
+               "sample_rate long, duration_us long",
+    ).orderBy("doc_id")
+
+
+OGG_CENSUS_SQL = r"""
+WITH t AS (
+    SELECT doc_id, doc_id % 3 = 1 AS vorbis,
+           1 + doc_id % 2 AS channels,
+           2 + doc_id % 5 AS n_audio_pages
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN vorbis THEN 'vorbis' ELSE 'opus' END AS codec,
+       1 + n_audio_pages AS n_pages,
+       channels::BIGINT AS channels,
+       CASE WHEN vorbis THEN (CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 22050 END)
+            ELSE 48000 END::BIGINT AS sample_rate,
+       CASE WHEN vorbis
+            THEN ((doc_id * 53) % 441000) * 1000000
+                 // (CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 22050 END)
+            ELSE ((doc_id * 97) % 480000) * 1000000 // 48000
+       END AS duration_us
+FROM t
+ORDER BY doc_id
+"""
+
+
 def mp4_box_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """MP4/ISOBMFF container triage (operators/mp4.parse_mp4): every
     document renders into a structurally valid box skeleton — ftyp +
@@ -6319,8 +6384,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # advisor rule: fresh operators get driver-gate visibility; the
     # long-stable j8/a1/k2 rows moved below the cutoff in exchange)
     "bm25_search": QuerySpec(bm25_search_op, BM25_SQL, "BM25 lexical top-10 retrieval"),
-    "hybrid_search_rrf": QuerySpec(
-        hybrid_search_rrf_op, HYBRID_RRF_SQL, "BM25+vector reciprocal-rank fusion"
+    # late-r8 window rotation: ogg_page_census (never driver-recorded)
+    # promoted; hybrid_search_rrf (recorded) demoted to the tail.
+    "ogg_page_census": QuerySpec(
+        ogg_page_census_op, OGG_CENSUS_SQL,
+        "Ogg page walk + Opus/Vorbis id headers: codec/duration census (planted-truth oracle)"
     ),
     "event_pagerank": QuerySpec(
         event_pagerank_op, PAGERANK_SQL, "transition-graph weighted PageRank (5 rounds)"
@@ -6765,5 +6833,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "tokenizer_eval": QuerySpec(
         tokenizer_eval_op, TOKENIZER_EVAL_SQL,
         "tokenizer bytes-per-token scorecard (untrained rungs)"
+    ),
+    "hybrid_search_rrf": QuerySpec(
+        hybrid_search_rrf_op, HYBRID_RRF_SQL, "BM25+vector reciprocal-rank fusion"
     ),
 }
