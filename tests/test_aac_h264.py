@@ -142,7 +142,6 @@ def test_mp4_corrupt_quarantine():
     with pytest.raises(ValueError, match="overruns"):
         parse_mp4(good[:-20])
     # moov present but no mvhd
-    import re as _re
     broken = good.replace(b"mvhd", b"xxhd")
     with pytest.raises(ValueError, match="mvhd"):
         parse_mp4(broken)
@@ -221,3 +220,34 @@ def test_ogg_corrupt_quarantine():
         parse_ogg(good[:-40])
     with pytest.raises(ValueError, match="version"):
         parse_ogg(good[:4] + b"\x63" + good[5:])
+
+
+# ------------------------------------------------------------------ WebP
+def test_webp_all_variants_roundtrip():
+    from wc_vector_indexing_spark.operators.webp import parse_webp, to_webp_bytes
+
+    a = parse_webp(to_webp_bytes("vp8", 640, 480))
+    assert (a["variant"], a["width"], a["height"]) == ("vp8", 640, 480)
+    assert not a["lossless"] and not a["has_alpha"]
+    b = parse_webp(to_webp_bytes("vp8l", 16383, 1, has_alpha=True))
+    assert b["lossless"] and b["has_alpha"] and b["width"] == 16383
+    c = parse_webp(to_webp_bytes("vp8x", 16384, 10000, animated=True))
+    assert c["width"] == 16384 and c["animated"]
+
+
+def test_webp_corrupt_quarantine():
+    from wc_vector_indexing_spark.operators.webp import parse_webp, to_webp_bytes
+
+    with pytest.raises(ValueError, match="signature"):
+        parse_webp(b"RIFF\x00\x00\x00\x00WAVEdata")
+    good = to_webp_bytes("vp8", 64, 64)
+    with pytest.raises(ValueError, match="start code"):
+        parse_webp(good[:21] + b"\x00\x00\x00" + good[24:])
+    with pytest.raises(ValueError, match="overruns"):
+        parse_webp(good[:24])
+
+
+def test_sniff_routes_webp():
+    from wc_vector_indexing_spark.operators.webp import to_webp_bytes
+
+    assert sniff_format(to_webp_bytes("vp8l", 8, 8)) == "webp"

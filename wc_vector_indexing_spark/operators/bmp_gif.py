@@ -248,7 +248,9 @@ def sniff_format(content: bytes) -> str:
         if b.startswith(magic):
             if name == "riff":
                 tag = b[8:12]
-                return {b"WAVE": "wav", b"AVI ": "avi"}.get(tag, "riff")
+                return {b"WAVE": "wav", b"AVI ": "avi", b"WEBP": "webp"}.get(
+                    tag, "riff"
+                )
             return name
     # tagless MPEG audio: 11-bit frame sync with valid version/layer
     # bits (0xFF Ex/Fx, not the 0xFF 0xD8 JPEG case handled above).

@@ -5479,6 +5479,61 @@ ORDER BY doc_id
 """
 
 
+def webp_dims_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """WebP triage (operators/webp.parse_webp): every document renders
+    into a valid RIFF/WEBP envelope — lossy VP8 key-frame tag, VP8L
+    packed 14-bit fields, or VP8X 24-bit canvas, chosen by doc_id
+    arithmetic — and the dimension/feature read comes back out.
+    Planted truth ⇒ DuckDB oracle. One zero-shuffle Arrow
+    render+parse pass."""
+    from wc_vector_indexing_spark.operators.webp import parse_webp, to_webp_bytes
+
+    docs = load(spark, "documents", sf).select("doc_id")
+    variants = ["vp8", "vp8l", "vp8x"]
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "variant", "width", "height", "lossless",
+                "has_alpha", "animated"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = variants[d % 3]
+                data = to_webp_bytes(
+                    v,
+                    width=1 + (d * 13) % (100000 if v == "vp8x" else 16383),
+                    height=1 + (d * 29) % (50000 if v == "vp8x" else 16383),
+                    has_alpha=d % 2 == 1,
+                    animated=d % 5 == 0,
+                )
+                meta = parse_webp(data)
+                out.append({"doc_id": d, **{k: meta[k] for k in cols[1:]}})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, variant string, width long, height long, "
+               "lossless boolean, has_alpha boolean, animated boolean",
+    ).orderBy("doc_id")
+
+
+WEBP_CENSUS_SQL = r"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x' END AS variant,
+       1 + (doc_id * 13) % (CASE WHEN doc_id % 3 = 2 THEN 100000 ELSE 16383 END) AS width,
+       1 + (doc_id * 29) % (CASE WHEN doc_id % 3 = 2 THEN 50000 ELSE 16383 END) AS height,
+       doc_id % 3 = 1 AS lossless,
+       -- vp8 never carries alpha; vp8l/vp8x honor the planted bit
+       doc_id % 3 != 0 AND doc_id % 2 = 1 AS has_alpha,
+       -- only vp8x carries animation
+       doc_id % 3 = 2 AND doc_id % 5 = 0 AS animated
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def ogg_page_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """Ogg/Opus/Vorbis triage (operators/ogg.parse_ogg): every document
     renders into a valid Ogg page chain — BOS identification packet
@@ -6393,9 +6448,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_pagerank": QuerySpec(
         event_pagerank_op, PAGERANK_SQL, "transition-graph weighted PageRank (5 rounds)"
     ),
-    "semantic_decontamination": QuerySpec(
-        semantic_decontamination_op, SEMANTIC_DECONTAM_SQL,
-        "embedding-space eval decontamination"
+    # late-r8 window rotation: webp_dims_census (never driver-recorded)
+    # promoted; semantic_decontamination (recorded) demoted to the tail.
+    "webp_dims_census": QuerySpec(
+        webp_dims_census_op, WEBP_CENSUS_SQL,
+        "WebP VP8/VP8L/VP8X dimension-feature census (planted-truth oracle)"
     ),
     "mmr_rerank_top10": QuerySpec(
         mmr_rerank_op, MMR_SQL, "MMR diversified rerank (recursive-CTE oracle)"
@@ -6836,5 +6893,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "hybrid_search_rrf": QuerySpec(
         hybrid_search_rrf_op, HYBRID_RRF_SQL, "BM25+vector reciprocal-rank fusion"
+    ),
+    "semantic_decontamination": QuerySpec(
+        semantic_decontamination_op, SEMANTIC_DECONTAM_SQL,
+        "embedding-space eval decontamination"
     ),
 }
