@@ -78,3 +78,45 @@ def test_writer_rejects_off_table_params():
         to_mp3_bytes(3, 127, 44100)
     with pytest.raises(ValueError):
         to_mp3_bytes(3, 128, 22050)  # MPEG-2 rate, writer is MPEG-1
+
+
+def test_id3v2_text_frames_roundtrip():
+    """T*** frame extraction (id3.org v2.3/2.4): UTF-8 frames written
+    by the fixture half come back; the frame walk is unaffected."""
+    from wc_vector_indexing_spark.operators.mp3 import (
+        parse_id3v2_text,
+        parse_mp3_headers,
+        to_mp3_bytes,
+    )
+
+    data = to_mp3_bytes(
+        3, 128, 44100,
+        id3_text={"TIT2": "Planted Title", "TPE1": "Crawlër", "TALB": "Fixtures"},
+    )
+    tags = parse_id3v2_text(data)
+    assert tags == {"TIT2": "Planted Title", "TPE1": "Crawlër", "TALB": "Fixtures"}
+    assert parse_mp3_headers(data)["n_frames"] == 3  # walk still skips the tag
+    # tagless stream -> empty dict, not an error
+    assert parse_id3v2_text(to_mp3_bytes(2)) == {}
+    # COMM (non-text) frames are ignored but stepped over correctly
+    both = to_mp3_bytes(2, id3_comment=b"note", id3_text={"TIT2": "X"})
+    assert parse_id3v2_text(both) == {"TIT2": "X"}
+
+
+def test_id3v2_text_encodings():
+    from wc_vector_indexing_spark.operators.mp3 import parse_id3v2_text
+
+    def tag(frames: bytes) -> bytes:
+        size = len(frames)
+        ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                    (size >> 7) & 0x7F, size & 0x7F])
+        return b"ID3\x03\x00\x00" + ss + frames
+
+    # v2.3 plain sizes; latin-1 and UTF-16-with-BOM encodings
+    f1 = b"\x00" + "café".encode("latin-1")
+    f2 = b"\x01" + ("\ufeff" + "naïve").encode("utf-16-le")  # explicit BOM
+    frames = (
+        b"TIT2" + len(f1).to_bytes(4, "big") + b"\x00\x00" + f1
+        + b"TPE1" + len(f2).to_bytes(4, "big") + b"\x00\x00" + f2
+    )
+    assert parse_id3v2_text(tag(frames)) == {"TIT2": "café", "TPE1": "naïve"}

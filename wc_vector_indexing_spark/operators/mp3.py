@@ -139,11 +139,59 @@ def parse_mp3_headers(data: bytes, max_resync: int = 2) -> dict:
     }
 
 
+def parse_id3v2_text(data: bytes) -> dict[str, str]:
+    """Text frames from a leading ID3v2.3/2.4 tag (the id3.org public
+    spec): {frame_id: value} for T*** frames — TIT2 title, TPE1
+    artist, TALB album, etc. Empty dict when no tag exists. Handles
+    both size flavors (v2.4 syncsafe frame sizes, v2.3 plain 32-bit)
+    and text encodings 0 (latin-1), 1 (UTF-16 w/ BOM), 2 (UTF-16BE)
+    and 3 (UTF-8); undecodable frames are skipped, not fatal — tag
+    metadata is advisory, the frame walk is the ground truth."""
+    total = _id3v2_size(data)
+    if total == 0:
+        return {}
+    version = data[3]
+    out: dict[str, str] = {}
+    i = 10
+    while i + 10 <= total:
+        fid = data[i : i + 4]
+        if not fid.strip(b"\x00"):
+            break  # zero padding reached
+        raw = data[i + 4 : i + 8]
+        if version >= 4:
+            size = 0
+            for byte in raw:
+                size = (size << 7) | (byte & 0x7F)
+        else:
+            size = int.from_bytes(raw, "big")
+        body = data[i + 10 : i + 10 + size]
+        i += 10 + size
+        if not fid.startswith(b"T") or not body:
+            continue
+        enc, text = body[0], body[1:]
+        try:
+            if enc == 0:
+                val = text.decode("latin-1")
+            elif enc == 1:
+                val = text.decode("utf-16")
+            elif enc == 2:
+                val = text.decode("utf-16-be")
+            elif enc == 3:
+                val = text.decode("utf-8")
+            else:
+                continue
+        except UnicodeDecodeError:
+            continue
+        out[fid.decode("ascii")] = val.rstrip("\x00")
+    return out
+
+
 def to_mp3_bytes(
     n_frames: int,
     bitrate_kbps: int = 128,
     sample_rate: int = 44100,
     id3_comment: bytes | None = None,
+    id3_text: dict[str, str] | None = None,
 ) -> bytes:
     """Serialize a structurally-valid CBR MPEG-1 Layer III stream:
     correct frame headers with zeroed payloads (header walkers — this
@@ -160,8 +208,24 @@ def to_mp3_bytes(
     sr_idx = sr_table.index(sample_rate)
     br_idx = br_table.index(bitrate_kbps) + 1
     out = bytearray()
-    if id3_comment is not None:
-        body = b"COMM" + len(id3_comment).to_bytes(4, "big") + b"\x00\x00" + id3_comment
+    if id3_comment is not None or id3_text:
+        body = b""
+        if id3_comment is not None:
+            csize = len(id3_comment)
+            body += (
+                b"COMM"
+                + bytes([(csize >> 21) & 0x7F, (csize >> 14) & 0x7F,
+                         (csize >> 7) & 0x7F, csize & 0x7F])  # v2.4 syncsafe
+                + b"\x00\x00" + id3_comment
+            )
+        for fid, val in (id3_text or {}).items():
+            payload = b"\x03" + val.encode("utf-8")
+            fsize = len(payload)
+            fsyncsafe = bytes(
+                [(fsize >> 21) & 0x7F, (fsize >> 14) & 0x7F,
+                 (fsize >> 7) & 0x7F, fsize & 0x7F]
+            )
+            body += fid.encode("ascii") + fsyncsafe + b"\x00\x00" + payload
         size = len(body)
         syncsafe = bytes(
             [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
