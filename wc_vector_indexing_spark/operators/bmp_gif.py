@@ -236,6 +236,8 @@ _MAGICS = (
     (b"ID3", "mp3"),  # ID3v2-tagged MPEG audio; bare-sync case below
     (b"fLaC", "flac"),
     (b"OggS", "ogg"),
+    (b"PAR1", "parquet"),
+    (b"\x28\xb5\x2f\xfd", "zstd"),
 )
 
 
