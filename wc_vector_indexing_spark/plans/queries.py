@@ -5800,6 +5800,172 @@ ORDER BY doc_id
 """
 
 
+def parquet_footer_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet footer triage (operators/parquet_meta.parse_parquet_footer):
+    every document renders into a REAL parquet file written by pyarrow —
+    the independent writer half — with doc_id-derived row count, leaf
+    schema width, row-group size and codec, and the pure-Python Thrift
+    compact-protocol footer parse reads the layout back out. num_rows /
+    n_row_groups / first_rg_rows are exact integer arithmetic, so the
+    DuckDB oracle reproduces them bit-for-bit; the writer tool string
+    is pinned to pyarrow's created_by prefix. One zero-shuffle Arrow
+    render+parse pass."""
+    from wc_vector_indexing_spark.operators.parquet_meta import (
+        parse_parquet_footer,
+        to_parquet_bytes,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+    codecs = ["uncompressed", "snappy", "gzip", "zstd"]
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "num_rows", "n_row_groups", "n_leaf_columns",
+                "first_rg_rows", "codec", "writer_tool"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_rows = 1 + (d * 7) % 40
+                rg = 1 + (d % 3) * 8  # 1, 9, 17 → multi-group layouts
+                data = to_parquet_bytes(
+                    n_rows, 1 + d % 4, codec=codecs[d % 4], row_group_size=rg
+                )
+                meta = parse_parquet_footer(data)
+                out.append({
+                    "doc_id": d,
+                    "num_rows": meta["num_rows"],
+                    "n_row_groups": meta["n_row_groups"],
+                    "n_leaf_columns": meta["n_leaf_columns"],
+                    "first_rg_rows": meta["first_rg_rows"],
+                    "codec": meta["codec"],
+                    "writer_tool": meta["writer"].split(" ")[0],
+                })
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, num_rows long, n_row_groups long, "
+               "n_leaf_columns long, first_rg_rows long, codec string, "
+               "writer_tool string",
+    ).orderBy("doc_id")
+
+
+PARQUET_CENSUS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           1 + (doc_id * 7) % 40 AS num_rows,
+           1 + (doc_id % 3) * 8 AS rg
+    FROM documents
+)
+SELECT doc_id, num_rows,
+       (num_rows + rg - 1) // rg AS n_row_groups,
+       1 + doc_id % 4 AS n_leaf_columns,
+       LEAST(num_rows, rg) AS first_rg_rows,
+       CASE doc_id % 4 WHEN 0 THEN 'uncompressed' WHEN 1 THEN 'snappy'
+            WHEN 2 THEN 'gzip' ELSE 'zstd' END AS codec,
+       'parquet-cpp-arrow' AS writer_tool
+FROM t
+ORDER BY doc_id
+"""
+
+
+def compressed_frame_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Gzip/zstd container triage (operators/compressed.py): even
+    doc_ids render into spec-complete single-member gzip files (RFC
+    1952 — planted mtime/FNAME/FTEXT, real deflate body, ISIZE
+    trailer), odd doc_ids into RFC 8878 zstd frames built from Raw
+    blocks (FCS width varies with the planted length, dictionary-id and
+    checksum flags planted by arithmetic), and the header/block-walk
+    reads come back out. All planted integers ⇒ DuckDB oracle. One
+    zero-shuffle Arrow render+parse pass."""
+    from wc_vector_indexing_spark.operators.compressed import (
+        parse_gzip_member,
+        parse_zstd_frame,
+        to_gzip_bytes,
+        to_zstd_frame_bytes,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "container", "content_size", "n_blocks", "fname",
+                "mtime", "dict_id", "ftext", "has_checksum"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 10 + (d * 13) % 500
+                if d % 2 == 0:
+                    data = to_gzip_bytes(
+                        bytes(n),
+                        mtime=1_600_000_000 + d * 37,
+                        fname=f"doc{d}.txt" if d % 4 == 0 else None,
+                        ftext=d % 4 == 2,
+                    )
+                    g = parse_gzip_member(data)
+                    out.append({
+                        "doc_id": d, "container": "gzip",
+                        "content_size": g["isize"], "n_blocks": None,
+                        "fname": g["fname"], "mtime": g["mtime"],
+                        "dict_id": None, "ftext": g["ftext"],
+                        "has_checksum": None,
+                    })
+                else:
+                    block = 32 + (d % 4) * 32
+                    data = to_zstd_frame_bytes(
+                        bytes(n),
+                        block_size=block,
+                        single_segment=d % 7 == 0 and n <= 255,
+                        dict_id=d + 1 if d % 5 == 0 else None,
+                        checksum=d % 3 == 0,
+                    )
+                    z = parse_zstd_frame(data)
+                    out.append({
+                        "doc_id": d, "container": "zstd",
+                        "content_size": z["content_size"],
+                        "n_blocks": z["n_blocks"], "fname": None,
+                        "mtime": None, "dict_id": z["dict_id"],
+                        "ftext": None, "has_checksum": z["has_checksum"],
+                    })
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, container string, content_size long, "
+               "n_blocks long, fname string, mtime long, dict_id long, "
+               "ftext boolean, has_checksum boolean",
+    ).orderBy("doc_id")
+
+
+COMPRESSED_CENSUS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           10 + (doc_id * 13) % 500 AS n,
+           32 + (doc_id % 4) * 32 AS block
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'gzip' ELSE 'zstd' END AS container,
+       n AS content_size,
+       CASE WHEN doc_id % 2 = 1
+            THEN GREATEST(1, (n + block - 1) // block) END AS n_blocks,
+       CASE WHEN doc_id % 4 = 0
+            THEN 'doc' || doc_id || '.txt' END AS fname,
+       CASE WHEN doc_id % 2 = 0
+            THEN 1600000000 + doc_id * 37 END AS mtime,
+       CASE WHEN doc_id % 2 = 1 AND doc_id % 5 = 0
+            THEN doc_id + 1 END AS dict_id,
+       CASE WHEN doc_id % 2 = 0 THEN doc_id % 4 = 2 END AS ftext,
+       CASE WHEN doc_id % 2 = 1 THEN doc_id % 3 = 0 END AS has_checksum
+FROM t
+ORDER BY doc_id
+"""
+
+
 def mmr_rerank_op(spark: SparkSession, sf: str) -> DataFrame:
     """MMR diversified rerank (operators/retrieval.mmr_rerank): exact
     cosine top-50 candidate fetch (TakeOrderedAndProject) then the
@@ -6533,13 +6699,19 @@ REGISTRY: dict[str, QuerySpec] = {
         pdf_corpus_text_op, PDF_CORPUS_SQL,
         "PDF source: per-page text extraction (planted-truth oracle)"
     ),
-    "docx_corpus_text": QuerySpec(
-        docx_corpus_text_op, DOCX_CORPUS_SQL,
-        "DOCX source: paragraph/tab-run extraction (planted-truth oracle)"
+    # session-3 r8 window rotation: compressed_frame_census (never
+    # driver-recorded) promoted; docx_corpus_text (recorded r7) demoted
+    # to the tail in exchange.
+    "compressed_frame_census": QuerySpec(
+        compressed_frame_census_op, COMPRESSED_CENSUS_SQL,
+        "gzip member + zstd frame/block-walk triage (planted-truth oracle)"
     ),
-    "epub_corpus_text": QuerySpec(
-        epub_corpus_text_op, EPUB_CORPUS_SQL,
-        "EPUB source: spine-order chapter extraction (planted-truth oracle)"
+    # session-3 r8 window rotation: parquet_footer_census (never
+    # driver-recorded) promoted; epub_corpus_text (recorded r7) demoted
+    # to the tail in exchange.
+    "parquet_footer_census": QuerySpec(
+        parquet_footer_census_op, PARQUET_CENSUS_SQL,
+        "Thrift-compact parquet footer triage vs real pyarrow files (planted-truth oracle)"
     ),
     "image_dedup_progressive": QuerySpec(
         image_dedup_progressive_op, IMAGE_DEDUP_PROG_SQL,
@@ -6897,5 +7069,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "semantic_decontamination": QuerySpec(
         semantic_decontamination_op, SEMANTIC_DECONTAM_SQL,
         "embedding-space eval decontamination"
+    ),
+    # session-3 r8 demotions (recorded r7, rotated out of the window)
+    "epub_corpus_text": QuerySpec(
+        epub_corpus_text_op, EPUB_CORPUS_SQL,
+        "EPUB source: spine-order chapter extraction (planted-truth oracle)"
+    ),
+    "docx_corpus_text": QuerySpec(
+        docx_corpus_text_op, DOCX_CORPUS_SQL,
+        "DOCX source: paragraph/tab-run extraction (planted-truth oracle)"
     ),
 }
