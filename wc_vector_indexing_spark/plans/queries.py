@@ -5871,6 +5871,71 @@ ORDER BY doc_id
 """
 
 
+def id3_text_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """ID3v2 tag-text census (operators/mp3.parse_id3v2_text): every
+    document renders into an MP3 whose leading ID3v2.4 tag plants
+    TIT2/TPE1/TALB text frames by doc_id arithmetic (every third file
+    omits the album frame, every fifth carries no tag at all — the
+    walk must return empties, not fail), and the decoded tag text
+    comes back out next to the frame-walk duration. Planted strings ⇒
+    DuckDB oracle. One zero-shuffle Arrow render+parse pass."""
+    from wc_vector_indexing_spark.operators.mp3 import (
+        parse_id3v2_text,
+        parse_mp3_headers,
+        to_mp3_bytes,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "title", "artist", "album", "n_frames"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                tags = None
+                if d % 5 != 4:
+                    tags = {
+                        "TIT2": f"Title {(d * 7) % 1000}",
+                        "TPE1": f"Artist {d % 97}",
+                    }
+                    if d % 3 != 0:
+                        tags["TALB"] = f"Album {d % 12}"
+                data = to_mp3_bytes(3 + d % 5, 128, 44100, id3_text=tags)
+                text = parse_id3v2_text(data)
+                hdr = parse_mp3_headers(data)
+                out.append({
+                    "doc_id": d,
+                    "title": text.get("TIT2"),
+                    "artist": text.get("TPE1"),
+                    "album": text.get("TALB"),
+                    "n_frames": hdr["n_frames"],
+                })
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, title string, artist string, album string, "
+               "n_frames long",
+    ).orderBy("doc_id")
+
+
+ID3_CENSUS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 5 != 4
+            THEN 'Title ' || (doc_id * 7) % 1000 END AS title,
+       CASE WHEN doc_id % 5 != 4
+            THEN 'Artist ' || doc_id % 97 END AS artist,
+       CASE WHEN doc_id % 5 != 4 AND doc_id % 3 != 0
+            THEN 'Album ' || doc_id % 12 END AS album,
+       3 + doc_id % 5 AS n_frames
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def compressed_frame_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """Gzip/zstd container triage (operators/compressed.py): even
     doc_ids render into spec-complete single-member gzip files (RFC
@@ -6683,13 +6748,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "H.264 NAL walk + Exp-Golomb SPS resolution census (planted-truth oracle)"
     ),
     # round 7: new oracle-backed entries (never recorded ⇒ in-window)
+    # session-3 r8 window rotation: id3_text_census (never
+    # driver-recorded) promoted; audio_overlap_partial stays (media
+    # family anchor) — hamming_4band_pairs (recorded r7) demoted below.
+    "id3_text_census": QuerySpec(
+        id3_text_census_op, ID3_CENSUS_SQL,
+        "ID3v2 TIT2/TPE1/TALB tag-text census (planted-truth oracle)"
+    ),
     "audio_overlap_partial": QuerySpec(
         audio_overlap_partial_op, AUDIO_OVERLAP_SQL,
         "windowed-fingerprint partial-copy audio overlap (planted-truth oracle)"
-    ),
-    "hamming_4band_pairs": QuerySpec(
-        hamming_4band_pairs_op, HAMMING_4BAND_SQL,
-        "pigeonhole-complete 4-band Hamming join (planted-truth oracle)"
     ),
     "archive_member_census": QuerySpec(
         archive_member_census_op, ARCHIVE_CENSUS_SQL,
@@ -7078,5 +7146,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "docx_corpus_text": QuerySpec(
         docx_corpus_text_op, DOCX_CORPUS_SQL,
         "DOCX source: paragraph/tab-run extraction (planted-truth oracle)"
+    ),
+    "hamming_4band_pairs": QuerySpec(
+        hamming_4band_pairs_op, HAMMING_4BAND_SQL,
+        "pigeonhole-complete 4-band Hamming join (planted-truth oracle)"
     ),
 }
