@@ -5871,6 +5871,95 @@ ORDER BY doc_id
 """
 
 
+def robots_txt_gate_op(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt crawl gate (operators/robots.py, RFC 9309): every
+    document gets a synthetic (domain, path); each domain plants a
+    robots.txt TEXT body — a badbot group the '*' parse must skip,
+    a Disallow directory + longer Allow re-grant, a wildcard-anchored
+    '/*.html$' rule on r=1 domains, and NO '*' group at all on r=2
+    domains — and the distributed gate (dim-side Arrow parse →
+    broadcast rules join → JVM-side LIKE match → longest-match/
+    allow-wins window) decides every URL. The oracle replays the rule
+    arithmetic directly in SQL. Pages side never leaves codegen until
+    the single winner window."""
+    from wc_vector_indexing_spark.operators.robots import (
+        parse_rules,
+        robots_gate,
+    )
+
+    d = F.col("doc_id")
+    s = F.substring(F.col("source"), 4, 10).cast("int")
+    pages = (
+        load(spark, "documents", sf)
+        .select(
+            "doc_id",
+            F.concat(F.col("source"), (d % 3).cast("string"), F.lit(".com"))
+            .alias("domain"),
+            F.concat(
+                F.lit("/docs/v"), (d % 5).cast("string"),
+                F.lit("/item"), (d % 97).cast("string"),
+                F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit(".html")),
+            ).alias("path"),
+            s.alias("s"),
+            (d % 3).alias("r"),
+        )
+    )
+    sv = (F.col("s") % 5).cast("string")
+    iv = ((F.col("s") * 7) % 97).cast("string")
+    badbot = F.lit("User-agent: badbot\nDisallow: /\n\n")
+    star = F.concat(
+        F.lit("# planted rules\nUser-agent: *\nDisallow: /docs/v"), sv,
+        F.lit("/\nAllow: /docs/v"), sv, F.lit("/item"), iv, F.lit("/\n"),
+        F.when(F.col("r") == 1, F.lit("Disallow: /*.html$\n"))
+        .otherwise(F.lit("")),
+    )
+    robots_dim = (
+        pages.select("domain", "s", "r").distinct()
+        .select(
+            "domain",
+            F.when(F.col("r") == 2, badbot)
+            .otherwise(F.concat(badbot, star)).alias("robots_txt"),
+        )
+    )
+    gated = robots_gate(
+        pages.select("doc_id", "domain", "path"), parse_rules(robots_dim)
+    )
+    return gated.select(
+        "doc_id", "domain", "path", "allowed", "matched_pattern"
+    ).orderBy("doc_id")
+
+
+ROBOTS_GATE_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(substr(source, 4) AS INT) AS s,
+           doc_id % 3 AS r,
+           source || (doc_id % 3) || '.com' AS domain,
+           '/docs/v' || (doc_id % 5) || '/item' || (doc_id % 97) ||
+             CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '.html' END AS path
+    FROM documents
+), rules AS (
+    SELECT *,
+           '/docs/v' || (s % 5) || '/' AS p1,
+           '/docs/v' || (s % 5) || '/item' || ((s * 7) % 97) || '/' AS p2
+    FROM t
+)
+SELECT doc_id, domain, path,
+       CASE WHEN r = 2 THEN TRUE
+            WHEN path LIKE p2 || '%' THEN TRUE
+            WHEN path LIKE p1 || '%' THEN FALSE
+            WHEN r = 1 AND path LIKE '/%.html' THEN FALSE
+            ELSE TRUE END AS allowed,
+       CASE WHEN r = 2 THEN NULL
+            WHEN path LIKE p2 || '%' THEN p2
+            WHEN path LIKE p1 || '%' THEN p1
+            WHEN r = 1 AND path LIKE '/%.html' THEN '/*.html$'
+            END AS matched_pattern
+FROM rules
+ORDER BY doc_id
+"""
+
+
 def id3_text_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """ID3v2 tag-text census (operators/mp3.parse_id3v2_text): every
     document renders into an MP3 whose leading ID3v2.4 tag plants
@@ -6733,7 +6822,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "session_window_events": QuerySpec(
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
     ),
-    "events_anomaly": QuerySpec(events_anomaly, ANOMALY_SQL, "per-type z-score outliers"),
+    # session-3 r8 window rotation: robots_txt_gate (never
+    # driver-recorded) promoted; events_anomaly (recorded r7) demoted
+    # to the tail in exchange.
+    "robots_txt_gate": QuerySpec(
+        robots_txt_gate_op, ROBOTS_GATE_SQL,
+        "RFC 9309 robots.txt parse + longest-match crawl gate (planted-truth oracle)"
+    ),
     # late-r8 window rotation: mp4_box_census (never driver-recorded)
     # promoted; range_join_clicks (recorded r7) demoted in exchange.
     "mp4_box_census": QuerySpec(
@@ -7151,4 +7246,5 @@ REGISTRY: dict[str, QuerySpec] = {
         hamming_4band_pairs_op, HAMMING_4BAND_SQL,
         "pigeonhole-complete 4-band Hamming join (planted-truth oracle)"
     ),
+    "events_anomaly": QuerySpec(events_anomaly, ANOMALY_SQL, "per-type z-score outliers"),
 }
