@@ -159,11 +159,12 @@ def test_truncated_progressive_lone_trailing_ff_raises_value_error():
             decode_jpeg(cut)
 
 
-def test_arithmetic_coding_raises_at_seam():
-    # SOI + SOF9 (arithmetic sequential): the remaining external-codec
-    # seam now that progressive (SOF2) decodes for real
-    data = b"\xff\xd8" + bytes([0xFF, 0xC9, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="arithmetic"):
+def test_progressive_arithmetic_raises_at_seam():
+    # SOI + SOF10 (arithmetic progressive): the remaining external-codec
+    # seam now that sequential arithmetic (SOF9) decodes for real
+    # (operators/jpeg_arith.py)
+    data = b"\xff\xd8" + bytes([0xFF, 0xCA, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="FFCA"):
         decode_jpeg(data)
 
 

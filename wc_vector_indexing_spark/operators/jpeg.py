@@ -167,6 +167,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     frame = None
     progressive = False
+    arithmetic = False
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: table -> Kx
     grids: list[np.ndarray] | None = None  # per-comp (bh, bw, 64) zigzag coeffs
     i = 2
     while i < len(data):
@@ -202,8 +205,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(counts)
                 huff[(tc, th)] = _HuffTable(counts, seg[p + 17 : p + 17 + n])
                 p += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9):  # SOF0 / SOF2 / SOF9 arith
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
@@ -215,14 +219,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline (SOF0) and progressive (SOF2) JPEG decode "
-                f"here; got SOF marker FF{marker:02X} — plug a real codec "
-                "(Pillow) at multimodal.decode_image for arithmetic/"
+                f"only baseline (SOF0), progressive (SOF2) and sequential "
+                f"arithmetic (SOF9) JPEG decode here; got SOF marker "
+                f"FF{marker:02X} — plug a real codec (Pillow) at "
+                "multimodal.decode_image for progressive-arithmetic/"
                 "hierarchical/lossless files"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0x0F
+                cs = seg[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                p += 2
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
@@ -233,6 +248,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tables >> 4, tables & 0x0F)
+            if arithmetic:
+                from wc_vector_indexing_spark.operators.jpeg_arith import (
+                    decode_scan_arith,
+                )
+
+                return decode_scan_arith(
+                    data, i + 2 + length, frame, scan, qt,
+                    dc_cond, ac_cond, restart_interval,
+                )
             if not progressive:
                 return _decode_scan(
                     data, i + 2 + length, frame, scan, qt, huff, restart_interval

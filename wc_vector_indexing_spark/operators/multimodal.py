@@ -4,12 +4,13 @@ columns with typed metadata (north-star extension surface).
 Real at this layer: schemas, partition-aware batch iteration
 (mapInPandas), UDF signatures, Arrow batch shapes, AND real decode for
 every common format numpy + the standard library can express — netpbm
-images (P2/P3 ASCII, P5/P6 binary), baseline + progressive JPEG
-(operators/jpeg.py), PNG incl. Adam7 (operators/png.py), PCM WAV audio
-via stdlib ``wave`` (DSP features in operators/audio.py), and
-MJPEG-AVI video (operators/video.py). Formats still needing external
-codecs (arithmetic-coded JPEG, MP3, H.264) raise NotImplementedError
-at the same one-function seam where Pillow/torchaudio/ffmpeg would
+images (P2/P3 ASCII, P5/P6 binary), baseline + progressive +
+sequential-arithmetic JPEG (operators/jpeg.py, jpeg_arith.py), PNG
+incl. Adam7 (operators/png.py), PCM WAV audio via stdlib ``wave``
+(DSP features in operators/audio.py), and MJPEG-AVI video
+(operators/video.py). Formats still needing external codecs (MP3,
+H.264, progressive-arithmetic JPEG) raise NotImplementedError at the
+same one-function seam where Pillow/torchaudio/ffmpeg would
 plug in;
 ``FakeCodec`` remains the deterministic stand-in for those in tests.
 
@@ -99,10 +100,11 @@ def decode_image(content: bytes) -> np.ndarray:
     ``(h, w, 3)`` for PPM — using nothing but numpy.
 
     Supports the netpbm family: P5/P6 (binary PGM/PPM, 8- or 16-bit
-    big-endian per spec), P2/P3 (ASCII), baseline AND progressive JPEG
-    (SOF0/SOF2 — pure-numpy T.81 decoder in operators/jpeg.py), and
-    PNG including Adam7 interlace (operators/png.py). Anything else
-    (arithmetic-coded JPEG, WebP, …) needs an external codec and
+    big-endian per spec), P2/P3 (ASCII), baseline, progressive AND
+    sequential-arithmetic JPEG (SOF0/SOF2/SOF9 — pure-python T.81
+    decoders in operators/jpeg.py + jpeg_arith.py), and PNG including
+    Adam7 interlace (operators/png.py). Anything else
+    (progressive-arithmetic JPEG, WebP, …) needs an external codec and
     raises NotImplementedError at this seam; plug Pillow here
     (``np.asarray(PIL.Image.open(io.BytesIO(content)))``) on a cluster
     that ships it."""

@@ -5121,6 +5121,43 @@ ORDER BY media_a, media_b
 """
 
 
+def image_dedup_arith_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Arithmetic-JPEG dedup (operators/jpeg_arith SOF9 decode inside
+    the perceptual pipeline): doc_ids sharing ``doc_id % 24`` render
+    the SAME 16×16 block pattern, encoded as BASELINE Huffman JPEG for
+    even doc_ids and SOF9 ARITHMETIC (QM-coder) for odd ones. Both
+    paths share the unit-quant coefficient truth, so they decode to
+    identical pixels and the dHash join must report every same-pattern
+    pair at Hamming 0 — driver-validating the QM decoder end-to-end.
+    Planted truth ⇒ DuckDB oracle enumerates same-pattern pairs over
+    the lowest-96 doc_ids."""
+    from wc_vector_indexing_spark.operators.multimodal import image_near_pairs
+
+    docs = load(spark, "documents", sf).select("doc_id").orderBy("doc_id").limit(96).repartition(3)
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        from wc_vector_indexing_spark.operators.jpeg import encode_baseline
+        from wc_vector_indexing_spark.operators.jpeg_arith import encode_arith
+
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                pat = int(doc_id) % 24
+                grid = np.random.RandomState(2000 + pat).randint(0, 2, (8, 8)) * 255
+                img = np.kron(grid, np.ones((2, 2), dtype=int)).astype(np.uint8)
+                enc = encode_baseline if int(doc_id) % 2 == 0 else encode_arith
+                blobs.append(enc(img))
+                ids.append(int(doc_id))
+                kinds.append("image")
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "content": blobs})
+
+    media = docs.mapInPandas(render, schema="media_id long, kind string, content binary")
+    return image_near_pairs(media, max_hamming=4).orderBy("media_a", "media_b")
+
+
 def audio_dedup_op(
     spark: SparkSession,
     sf: str,
@@ -6858,9 +6895,12 @@ REGISTRY: dict[str, QuerySpec] = {
         archive_member_census_op, ARCHIVE_CENSUS_SQL,
         "tar/zip archive-source member census (planted-truth oracle)"
     ),
-    "pdf_corpus_text": QuerySpec(
-        pdf_corpus_text_op, PDF_CORPUS_SQL,
-        "PDF source: per-page text extraction (planted-truth oracle)"
+    # session-3 r8 window rotation: image_dedup_arith (never
+    # driver-recorded, SOF9 QM decode) promoted; pdf_corpus_text
+    # (recorded r7) demoted to the tail in exchange.
+    "image_dedup_arith": QuerySpec(
+        image_dedup_arith_op, IMAGE_DEDUP_PROG_SQL,
+        "SOF9 arithmetic-JPEG (QM-coder) decode inside dHash dedup (planted-truth oracle)"
     ),
     # session-3 r8 window rotation: compressed_frame_census (never
     # driver-recorded) promoted; docx_corpus_text (recorded r7) demoted
@@ -7247,4 +7287,9 @@ REGISTRY: dict[str, QuerySpec] = {
         "pigeonhole-complete 4-band Hamming join (planted-truth oracle)"
     ),
     "events_anomaly": QuerySpec(events_anomaly, ANOMALY_SQL, "per-type z-score outliers"),
+
+    "pdf_corpus_text": QuerySpec(
+        pdf_corpus_text_op, PDF_CORPUS_SQL,
+        "PDF source: per-page text extraction (planted-truth oracle)"
+    ),
 }
