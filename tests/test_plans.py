@@ -387,3 +387,13 @@ def test_matryoshka_gemm_no_cross_join(spark):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_jsonld_extract_is_pure_catalyst(spark):
+    """JSON-LD extraction must stay JVM-side codegen: no Python
+    evaluation nodes, no shuffle besides the oracle-ordering range
+    exchange."""
+    plan = plan_of(spark, "jsonld_extract")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 0
+    assert len(re.findall(r"rangepartitioning\(", plan)) == 1

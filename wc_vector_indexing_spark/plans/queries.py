@@ -5908,6 +5908,131 @@ ORDER BY doc_id
 """
 
 
+def jsonld_extract_op(spark: SparkSession, sf: str) -> DataFrame:
+    """schema.org JSON-LD extraction (the metadata block crawl
+    pipelines mine for article provenance): every document renders
+    into an HTML page whose <script type="application/ld+json"> block
+    plants an Article object by doc_id arithmetic (every fifth page
+    carries no block — NULLs must surface, not errors), and the
+    extraction is PURE Catalyst: one regexp_extract for the script
+    body + get_json_object field reads, zero Python, zero shuffle
+    before the oracle ordering."""
+    d = F.col("doc_id")
+    payload = F.concat(
+        F.lit('{"@type": "Article", "headline": "Doc '), d.cast("string"),
+        F.lit(' headline", "author": {"name": "Author '),
+        (d % 13).cast("string"),
+        F.lit('"}, "wordCount": '), (100 + (d * 11) % 900).cast("string"),
+        F.lit(', "datePublished": "2024-'),
+        F.lpad((1 + d % 12).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad((1 + d % 28).cast("string"), 2, "0"),
+        F.lit('"}'),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"),
+        F.when(
+            d % 5 != 4,
+            F.concat(
+                F.lit('<script type="application/ld+json">'),
+                payload, F.lit("</script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>body "), d.cast("string"),
+        F.lit("</p></body></html>"),
+    )
+    docs = load(spark, "documents", sf).select("doc_id", html.alias("html"))
+    block = F.regexp_extract(
+        F.col("html"),
+        r'<script type="application/ld\+json">(.*?)</script>',
+        1,
+    )
+    blk = F.when(block != "", block)
+    return docs.select(
+        "doc_id",
+        F.get_json_object(blk, "$['@type']").alias("jsonld_type"),
+        F.get_json_object(blk, "$.headline").alias("headline"),
+        F.get_json_object(blk, "$.author.name").alias("author"),
+        F.get_json_object(blk, "$.datePublished").alias("date_published"),
+        F.get_json_object(blk, "$.wordCount").cast("long").alias("word_count"),
+    ).orderBy("doc_id")
+
+
+JSONLD_SQL = r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 5 != 4 THEN 'Article' END AS jsonld_type,
+       CASE WHEN doc_id % 5 != 4
+            THEN 'Doc ' || doc_id || ' headline' END AS headline,
+       CASE WHEN doc_id % 5 != 4
+            THEN 'Author ' || doc_id % 13 END AS author,
+       CASE WHEN doc_id % 5 != 4
+            THEN '2024-' || lpad((1 + doc_id % 12)::VARCHAR, 2, '0')
+                 || '-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+            END AS date_published,
+       CASE WHEN doc_id % 5 != 4
+            THEN 100 + (doc_id * 11) % 900 END AS word_count
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def subtitle_cues_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Subtitle-track extraction (operators/subtitles.py): every
+    document renders into a subtitle sidecar — SubRip for even
+    doc_ids, WebVTT with a NOTE comment block and cue settings for odd
+    ones — whose cue timings/text derive from doc_id arithmetic, and
+    the parsed transcript table (one row per cue) comes back out.
+    Exact integer milliseconds ⇒ DuckDB oracle (UNNEST(range(n))
+    replays the cue fan-out). One zero-shuffle Arrow render+parse
+    pass."""
+    from wc_vector_indexing_spark.operators.subtitles import (
+        parse_subtitles,
+        to_srt,
+        to_vtt,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "cue", "start_ms", "end_ms", "text"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cues = [
+                    (
+                        j * 2000 + (d % 7) * 10,
+                        j * 2000 + (d % 7) * 10 + 500 + (d % 9) * 100,
+                        f"Cue {j} of doc {d}",
+                    )
+                    for j in range(1 + d % 4)
+                ]
+                text = to_srt(cues) if d % 2 == 0 else to_vtt(cues, with_note=True)
+                for c in parse_subtitles(text):
+                    out.append({"doc_id": d, **c})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, cue long, start_ms long, end_ms long, text string",
+    ).orderBy("doc_id", "cue")
+
+
+SUBTITLE_CUES_SQL = r"""
+WITH t AS (
+    SELECT doc_id, UNNEST(range(1 + doc_id % 4)) AS j FROM documents
+)
+SELECT doc_id,
+       j + 1 AS cue,
+       j * 2000 + (doc_id % 7) * 10 AS start_ms,
+       j * 2000 + (doc_id % 7) * 10 + 500 + (doc_id % 9) * 100 AS end_ms,
+       'Cue ' || j || ' of doc ' || doc_id AS text
+FROM t
+ORDER BY doc_id, cue
+"""
+
+
 def robots_txt_gate_op(spark: SparkSession, sf: str) -> DataFrame:
     """robots.txt crawl gate (operators/robots.py, RFC 9309): every
     document gets a synthetic (domain, path); each domain plants a
@@ -6916,13 +7041,19 @@ REGISTRY: dict[str, QuerySpec] = {
         parquet_footer_census_op, PARQUET_CENSUS_SQL,
         "Thrift-compact parquet footer triage vs real pyarrow files (planted-truth oracle)"
     ),
-    "image_dedup_progressive": QuerySpec(
-        image_dedup_progressive_op, IMAGE_DEDUP_PROG_SQL,
-        "progressive-JPEG (SOF2) decode inside dHash dedup (planted-truth oracle)"
+    # session-3 r8 window rotation: subtitle_cues (never
+    # driver-recorded) promoted; image_dedup_progressive (recorded r7)
+    # demoted to the tail in exchange.
+    "subtitle_cues": QuerySpec(
+        subtitle_cues_op, SUBTITLE_CUES_SQL,
+        "SRT/WebVTT subtitle-cue extraction (planted-truth oracle)"
     ),
-    "overlapping_sessions": QuerySpec(
-        overlapping_sessions_op, OVERLAP_SESSIONS_SQL,
-        "interval-overlap join over gap sessions"
+    # session-3 r8 window rotation: jsonld_extract (never
+    # driver-recorded, pure-Catalyst) promoted; overlapping_sessions
+    # (recorded r7) demoted to the tail in exchange.
+    "jsonld_extract": QuerySpec(
+        jsonld_extract_op, JSONLD_SQL,
+        "schema.org JSON-LD metadata extraction, pure Catalyst (planted-truth oracle)"
     ),
     "warc_corpus_text": QuerySpec(
         warc_corpus_text_op, WARC_CORPUS_SQL,
@@ -7287,6 +7418,14 @@ REGISTRY: dict[str, QuerySpec] = {
         "pigeonhole-complete 4-band Hamming join (planted-truth oracle)"
     ),
     "events_anomaly": QuerySpec(events_anomaly, ANOMALY_SQL, "per-type z-score outliers"),
+    "image_dedup_progressive": QuerySpec(
+        image_dedup_progressive_op, IMAGE_DEDUP_PROG_SQL,
+        "progressive-JPEG (SOF2) decode inside dHash dedup (planted-truth oracle)"
+    ),
+    "overlapping_sessions": QuerySpec(
+        overlapping_sessions_op, OVERLAP_SESSIONS_SQL,
+        "interval-overlap join over gap sessions"
+    ),
 
     "pdf_corpus_text": QuerySpec(
         pdf_corpus_text_op, PDF_CORPUS_SQL,
