@@ -140,4 +140,5 @@ def test_gate_plan_broadcasts_rules(spark):
         robots_gate(pages_df, rules_df).explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # one broadcast join, one window
     assert "CartesianProduct" not in plan

@@ -146,23 +146,31 @@ def robots_gate(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """pages(id, domain, path) × rules → pages + allowed +
-    matched_pattern. The rules side broadcasts; the wildcard match is
-    a JVM-side LIKE; the winner is one window by (plen, allow)."""
-    matched = (
-        pages.join(F.broadcast(rules), "domain")
-        .where(F.expr(r"path LIKE like_pattern ESCAPE '\\'"))
+    matched_pattern. The rules side broadcasts as a LEFT join whose ON
+    clause carries the wildcard LIKE (JVM-side), so unmatched pages
+    keep a null-rule row and ONE doc-keyed window picks the winner —
+    no second shuffle to join winners back (nulls sort last, so the
+    null row only survives when nothing matched ⇒ allowed)."""
+    r = rules.select(
+        F.col("domain").alias("_rdomain"), "pattern", "like_pattern",
+        "allow", "plen",
+    )
+    matched = pages.join(
+        F.broadcast(r),
+        (F.col("domain") == F.col("_rdomain"))
+        & F.expr(r"path LIKE like_pattern ESCAPE '\\'"),
+        "left",
     )
     w = Window.partitionBy(id_col).orderBy(
-        F.desc("plen"), F.desc("allow"), F.asc("pattern")
-    )
-    winners = (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, F.col("allow"), F.col("pattern"))
+        F.desc_nulls_last("plen"), F.desc_nulls_last("allow"),
+        F.asc_nulls_last("pattern"),
     )
     return (
-        pages.join(winners, id_col, "left")
-        .withColumn("allowed", F.coalesce(F.col("allow"), F.lit(True)))
-        .withColumnRenamed("pattern", "matched_pattern")
-        .drop("allow")
+        matched.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            *pages.columns,
+            F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+            F.col("pattern").alias("matched_pattern"),
+        )
     )
