@@ -5908,6 +5908,74 @@ ORDER BY doc_id
 """
 
 
+def mbox_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
+    """mbox/MIME email source (sources/mbox.py): every document
+    renders into a mailing-list mbox of 1–3 messages whose transfer
+    encoding rotates 7bit → base64 → quoted-printable (non-ASCII
+    bodies on the encoded paths, RFC 2047 subjects throughout, a
+    multipart/alternative HTML twin on every fourth message), and the
+    parsed per-message rows come back out. Planted strings + epoch
+    arithmetic ⇒ DuckDB oracle (UNNEST(range) replay). One
+    zero-shuffle Arrow render+parse pass."""
+    from wc_vector_indexing_spark.sources.mbox import parse_mbox, to_mbox
+
+    docs = load(spark, "documents", sf).select("doc_id")
+
+    def render(batches):
+        import email.utils
+
+        import pandas as pd
+
+        cols = ["doc_id", "msg_index", "subject", "sender", "date_ts",
+                "body", "n_parts"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                msgs = []
+                for j in range(1 + d % 3):
+                    seven_bit = j % 3 == 0
+                    msgs.append({
+                        "subject": f"Sübject {d}-{j}",
+                        "sender": f"user{d % 50}@list.example",
+                        "date": email.utils.formatdate(
+                            1704067200 + (d % 24) * 3600 + j * 60, usegmt=True
+                        ),
+                        "body": (
+                            f"Message {j} of doc {d}\n" if seven_bit
+                            else f"Messäge {j} of döc {d}\n"
+                        ),
+                        "encoding": ["7bit", "base64", "qp"][j % 3],
+                        "html_alt": (d + j) % 4 == 0,
+                    })
+                for m in parse_mbox(to_mbox(msgs)):
+                    out.append({"doc_id": d, **m})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, msg_index long, subject string, sender string, "
+               "date_ts long, body string, n_parts long",
+    ).orderBy("doc_id", "msg_index")
+
+
+MBOX_CORPUS_SQL = r"""
+WITH t AS (
+    SELECT doc_id, UNNEST(range(1 + doc_id % 3)) AS j FROM documents
+)
+SELECT doc_id,
+       j AS msg_index,
+       'Sübject ' || doc_id || '-' || j AS subject,
+       'user' || doc_id % 50 || '@list.example' AS sender,
+       1704067200 + (doc_id % 24) * 3600 + j * 60 AS date_ts,
+       CASE WHEN j % 3 = 0 THEN 'Message ' || j || ' of doc ' || doc_id || chr(10)
+            ELSE 'Messäge ' || j || ' of döc ' || doc_id || chr(10) END AS body,
+       CASE WHEN (doc_id + j) % 4 = 0 THEN 2 ELSE 1 END AS n_parts
+FROM t
+ORDER BY doc_id, msg_index
+"""
+
+
 def jsonld_extract_op(spark: SparkSession, sf: str) -> DataFrame:
     """schema.org JSON-LD extraction (the metadata block crawl
     pipelines mine for article provenance): every document renders
@@ -7059,8 +7127,12 @@ REGISTRY: dict[str, QuerySpec] = {
         warc_corpus_text_op, WARC_CORPUS_SQL,
         "byte-true WARC source: charset cascade + chunked decode (planted-truth oracle)"
     ),
-    "matryoshka_recall": QuerySpec(
-        matryoshka_recall_op, MATRYOSHKA_SQL, "truncated-dim retrieval recall eval"
+    # session-3 r8 window rotation: mbox_corpus_text (never
+    # driver-recorded) promoted; matryoshka_recall (recorded r7)
+    # demoted to the tail in exchange.
+    "mbox_corpus_text": QuerySpec(
+        mbox_corpus_text_op, MBOX_CORPUS_SQL,
+        "mbox/MIME email source: per-message text + headers (planted-truth oracle)"
     ),
     "html_main_text": QuerySpec(
         html_main_text_op, HTML_MAIN_TEXT_SQL,
@@ -7421,6 +7493,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "image_dedup_progressive": QuerySpec(
         image_dedup_progressive_op, IMAGE_DEDUP_PROG_SQL,
         "progressive-JPEG (SOF2) decode inside dHash dedup (planted-truth oracle)"
+    ),
+    "matryoshka_recall": QuerySpec(
+        matryoshka_recall_op, MATRYOSHKA_SQL, "truncated-dim retrieval recall eval"
     ),
     "overlapping_sessions": QuerySpec(
         overlapping_sessions_op, OVERLAP_SESSIONS_SQL,
