@@ -142,3 +142,22 @@ def test_gate_plan_broadcasts_rules(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # one broadcast join, one window
     assert "CartesianProduct" not in plan
+
+
+def test_gate_shuffle_mode_matches_broadcast_mode(spark):
+    """broadcast=False (web-scale rules) must produce identical
+    decisions through the shuffle-join plan."""
+    robots_rows = [("a.com", ROBOTS), ("b.com", "User-agent: *\nDisallow: /*.pdf$\n")]
+    pages = [(i, dom, p) for i, (dom, p) in enumerate(
+        (d, p) for d, _ in robots_rows
+        for p in ["/private/x", "/private/ok/x", "/doc.pdf", "/ok"]
+    )]
+    pages_df = spark.createDataFrame(pages, "doc_id long, domain string, path string")
+    rules_df = parse_rules(
+        spark.createDataFrame(robots_rows, "domain string, robots_txt string")
+    )
+    a = {r["doc_id"]: (r["allowed"], r["matched_pattern"])
+         for r in robots_gate(pages_df, rules_df, broadcast=True).collect()}
+    b = {r["doc_id"]: (r["allowed"], r["matched_pattern"])
+         for r in robots_gate(pages_df, rules_df, broadcast=False).collect()}
+    assert a == b

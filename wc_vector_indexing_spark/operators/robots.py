@@ -144,19 +144,28 @@ def robots_gate(
     pages: DataFrame,
     rules: DataFrame,
     id_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """pages(id, domain, path) × rules → pages + allowed +
-    matched_pattern. The rules side broadcasts as a LEFT join whose ON
-    clause carries the wildcard LIKE (JVM-side), so unmatched pages
-    keep a null-rule row and ONE doc-keyed window picks the winner —
-    no second shuffle to join winners back (nulls sort last, so the
-    null row only survives when nothing matched ⇒ allowed)."""
+    matched_pattern. The rules side joins LEFT with the wildcard LIKE
+    in the ON clause (JVM-side), so unmatched pages keep a null-rule
+    row and ONE doc-keyed window picks the winner — no second shuffle
+    to join winners back (nulls sort last, so the null row only
+    survives when nothing matched ⇒ allowed).
+
+    ``broadcast=True`` (default) fits curated rule sets up to the
+    usual ~1 GB broadcast ceiling; at full web scale (rules for tens
+    of millions of domains) pass False — the join becomes a
+    domain-keyed shuffle join and the page table pays one extra
+    exchange, which AQE can still skew-split on hot domains."""
     r = rules.select(
         F.col("domain").alias("_rdomain"), "pattern", "like_pattern",
         "allow", "plen",
     )
+    if broadcast:
+        r = F.broadcast(r)
     matched = pages.join(
-        F.broadcast(r),
+        r,
         (F.col("domain") == F.col("_rdomain"))
         & F.expr(r"path LIKE like_pattern ESCAPE '\\'"),
         "left",
