@@ -5852,7 +5852,9 @@ def parquet_footer_census_op(spark: SparkSession, sf: str) -> DataFrame:
         to_parquet_bytes,
     )
 
-    docs = load(spark, "documents", sf).select("doc_id")
+    # pyarrow write_table is ~ms per file: spread the render across
+    # the executor cores (the source is one small parquet partition)
+    docs = load(spark, "documents", sf).select("doc_id").repartition(32)
     codecs = ["uncompressed", "snappy", "gzip", "zstd"]
 
     def render(batches):
@@ -5916,10 +5918,12 @@ def mbox_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
     multipart/alternative HTML twin on every fourth message), and the
     parsed per-message rows come back out. Planted strings + epoch
     arithmetic ⇒ DuckDB oracle (UNNEST(range) replay). One
-    zero-shuffle Arrow render+parse pass."""
+    one-shuffle Arrow render+parse pass (EmailMessage build + parse is
+    ~ms per message, so the render spreads across the executor cores
+    first)."""
     from wc_vector_indexing_spark.sources.mbox import parse_mbox, to_mbox
 
-    docs = load(spark, "documents", sf).select("doc_id")
+    docs = load(spark, "documents", sf).select("doc_id").repartition(32)
 
     def render(batches):
         import email.utils
