@@ -5910,6 +5910,77 @@ ORDER BY doc_id
 """
 
 
+def feed_entries_op(spark: SparkSession, sf: str) -> DataFrame:
+    """RSS/Atom feed source (sources/feeds.py): every document renders
+    into a discovery feed — RSS 2.0 for even doc_ids (RFC 2822 dates),
+    Atom for odd ones (RFC 3339 dates, a self link the parser must
+    skip in favor of rel=alternate) — and the per-entry rows come back
+    out. Planted strings + epoch arithmetic ⇒ DuckDB oracle
+    (UNNEST(range) replay). One zero-shuffle Arrow render+parse
+    pass."""
+    from wc_vector_indexing_spark.sources.feeds import (
+        parse_feed,
+        to_atom,
+        to_rss,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "dialect", "feed_title", "entry_index", "title",
+                "link", "published_ts", "summary"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                entries = [
+                    {
+                        "title": f"Entry {j} of feed {d}",
+                        "link": f"https://feed{d % 20}.example/{d}/{j}",
+                        "published_ts": 1704067200 + (d % 30) * 86400 + j * 60,
+                        "summary": f"Summary {d}-{j}",
+                    }
+                    for j in range(1 + d % 3)
+                ]
+                writer = to_rss if d % 2 == 0 else to_atom
+                feed = parse_feed(writer(f"Feed {d}", entries))
+                for j, e in enumerate(feed["entries"]):
+                    out.append({
+                        "doc_id": d,
+                        "dialect": feed["dialect"],
+                        "feed_title": feed["feed_title"],
+                        "entry_index": j,
+                        **e,
+                    })
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, dialect string, feed_title string, "
+               "entry_index long, title string, link string, "
+               "published_ts long, summary string",
+    ).orderBy("doc_id", "entry_index")
+
+
+FEED_ENTRIES_SQL = r"""
+WITH t AS (
+    SELECT doc_id, UNNEST(range(1 + doc_id % 3)) AS j FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS dialect,
+       'Feed ' || doc_id AS feed_title,
+       j AS entry_index,
+       'Entry ' || j || ' of feed ' || doc_id AS title,
+       'https://feed' || doc_id % 20 || '.example/' || doc_id || '/' || j AS link,
+       1704067200 + (doc_id % 30) * 86400 + j * 60 AS published_ts,
+       'Summary ' || doc_id || '-' || j AS summary
+FROM t
+ORDER BY doc_id, entry_index
+"""
+
+
 def mbox_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
     """mbox/MIME email source (sources/mbox.py): every document
     renders into a mailing-list mbox of 1–3 messages whose transfer
@@ -7138,9 +7209,13 @@ REGISTRY: dict[str, QuerySpec] = {
         mbox_corpus_text_op, MBOX_CORPUS_SQL,
         "mbox/MIME email source: per-message text + headers (planted-truth oracle)"
     ),
-    "html_main_text": QuerySpec(
-        html_main_text_op, HTML_MAIN_TEXT_SQL,
-        "WARC-front-door HTML boilerplate removal (jusText-family)"
+    # session-3 r8 window rotation: feed_entries (never
+    # driver-recorded) promoted; html_main_text (recorded r7) demoted
+    # to the tail in exchange — sources family keeps warc_corpus_text
+    # and archive_member_census in the window.
+    "feed_entries": QuerySpec(
+        feed_entries_op, FEED_ENTRIES_SQL,
+        "RSS 2.0 / Atom feed-entry source (planted-truth oracle)"
     ),
     "audio_dedup_fp": QuerySpec(
         audio_dedup_op, AUDIO_DEDUP_SQL,
@@ -7500,6 +7575,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "matryoshka_recall": QuerySpec(
         matryoshka_recall_op, MATRYOSHKA_SQL, "truncated-dim retrieval recall eval"
+    ),
+    "html_main_text": QuerySpec(
+        html_main_text_op, HTML_MAIN_TEXT_SQL,
+        "WARC-front-door HTML boilerplate removal (jusText-family)"
     ),
     "overlapping_sessions": QuerySpec(
         overlapping_sessions_op, OVERLAP_SESSIONS_SQL,
