@@ -159,12 +159,12 @@ def test_truncated_progressive_lone_trailing_ff_raises_value_error():
             decode_jpeg(cut)
 
 
-def test_progressive_arithmetic_raises_at_seam():
-    # SOI + SOF10 (arithmetic progressive): the remaining external-codec
-    # seam now that sequential arithmetic (SOF9) decodes for real
-    # (operators/jpeg_arith.py)
-    data = b"\xff\xd8" + bytes([0xFF, 0xCA, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
-    with pytest.raises(NotImplementedError, match="FFCA"):
+def test_hierarchical_raises_at_seam():
+    # SOI + SOF5 (differential/hierarchical): the remaining
+    # external-codec seam now that SOF0/SOF2/SOF9/SOF10 all decode for
+    # real (operators/jpeg.py + jpeg_arith.py)
+    data = b"\xff\xd8" + bytes([0xFF, 0xC5, 0x00, 0x0B, 8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="FFC5"):
         decode_jpeg(data)
 
 

@@ -22,6 +22,7 @@ from wc_vector_indexing_spark.operators.jpeg_arith import (
     _QMDecoder,
     _QMEncoder,
     encode_arith,
+    encode_progressive_arith,
 )
 
 
@@ -136,13 +137,46 @@ def test_sof9_corrupt_quarantine():
         decode_jpeg(b"\x00" + good)
 
 
-def test_sof10_still_behind_seam():
-    img = np.random.default_rng(3).integers(0, 256, size=(8, 8), dtype=np.uint8)
-    data = bytearray(encode_arith(img))
-    i = data.index(b"\xff\xc9")
-    data[i + 1] = 0xCA  # rewrite SOF9 -> SOF10 (progressive arithmetic)
-    with pytest.raises(NotImplementedError, match="FFCA"):
-        decode_jpeg(bytes(data))
+@pytest.mark.parametrize(
+    "shape,sub",
+    [
+        ((8, 8), "4:4:4"),
+        ((16, 24), "4:4:4"),
+        ((32, 32, 3), "4:4:4"),
+        ((16, 16, 3), "4:2:0"),
+        ((64, 48, 3), "4:2:0"),
+    ],
+)
+def test_sof10_progressive_matches_baseline_decode(shape, sub):
+    """Progressive arithmetic (SOF10): interleaved DC first + refine,
+    per-band AC first + successive-approximation refine, statistics
+    reset per scan — must reconstruct bit-identical to the baseline
+    decode (Al=1 -> 0 is exact)."""
+    img = np.random.default_rng(11).integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_progressive_arith(img, sub)),
+        decode_jpeg(encode_baseline(img, sub)),
+    )
+
+
+def test_sof10_flat_and_extreme_images():
+    flat = np.full((16, 16), 200, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_progressive_arith(flat)), decode_jpeg(encode_baseline(flat))
+    )
+    extreme = np.zeros((8, 16), dtype=np.uint8)
+    extreme[:, 8:] = 255
+    assert np.array_equal(
+        decode_jpeg(encode_progressive_arith(extreme)),
+        decode_jpeg(encode_baseline(extreme)),
+    )
+
+
+def test_sof10_truncation_quarantine():
+    img = np.random.default_rng(5).integers(0, 256, size=(16, 16), dtype=np.uint8)
+    good = encode_progressive_arith(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 3])
 
 
 def test_dri_with_arithmetic_raises_documented_seam():

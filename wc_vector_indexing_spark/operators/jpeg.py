@@ -185,6 +185,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         length = int.from_bytes(data[i + 2 : i + 4], "big")
         seg = data[i + 4 : i + 2 + length]
+        if len(seg) < length - 2:
+            raise ValueError("truncated JPEG: segment overruns the file")
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -205,9 +207,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(counts)
                 huff[(tc, th)] = _HuffTable(counts, seg[p + 17 : p + 17 + n])
                 p += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC9):  # SOF0 / SOF2 / SOF9 arith
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
+        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):  # SOF0/SOF2/SOF9/SOF10
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
@@ -219,14 +221,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline (SOF0), progressive (SOF2) and sequential "
-                f"arithmetic (SOF9) JPEG decode here; got SOF marker "
+                f"baseline (SOF0), progressive (SOF2) and arithmetic "
+                f"(SOF9/SOF10) JPEG decode here; got SOF marker "
                 f"FF{marker:02X} — plug a real codec (Pillow) at "
-                "multimodal.decode_image for progressive-arithmetic/"
-                "hierarchical/lossless files"
+                "multimodal.decode_image for hierarchical/lossless files"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             p = 0
@@ -248,7 +249,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tables >> 4, tables & 0x0F)
-            if arithmetic:
+            if arithmetic and not progressive:
                 from wc_vector_indexing_spark.operators.jpeg_arith import (
                     decode_scan_arith,
                 )
@@ -273,10 +274,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     np.zeros((my * c["v"], mx * c["h"], 64), dtype=np.int32)
                     for c in frame["comps"]
                 ]
-            i = _progressive_scan(
-                data, i + 2 + length, frame, scan, huff, restart_interval,
-                grids, ss, se, ahl >> 4, ahl & 0x0F,
-            )
+            if arithmetic:
+                from wc_vector_indexing_spark.operators.jpeg_arith import (
+                    progressive_scan_arith,
+                )
+
+                i = progressive_scan_arith(
+                    data, i + 2 + length, frame, scan, grids,
+                    ss, se, ahl >> 4, ahl & 0x0F,
+                    dc_cond, ac_cond, restart_interval,
+                )
+            else:
+                i = _progressive_scan(
+                    data, i + 2 + length, frame, scan, huff, restart_interval,
+                    grids, ss, se, ahl >> 4, ahl & 0x0F,
+                )
             continue
         i += 2 + length
     if progressive and grids is not None:

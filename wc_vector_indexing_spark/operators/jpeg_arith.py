@@ -1,5 +1,5 @@
 """Arithmetic-coded JPEG (T.81 §F sequential DCT with arithmetic
-entropy coding, SOF9): the QM-coder (Annex D state machine, Table D.3
+entropy coding, SOF9 + progressive SOF10): the QM-coder (Annex D state machine, Table D.3
 probability estimates) plus the DC/AC statistical models (§F.1.4
 encode, §F.2.4 decode — conditioning contexts, magnitude-category
 trees, Kx low/high AC split), decoding SOF9 scans into the same
@@ -26,7 +26,10 @@ the decode-quarantine contract.
 
 Reference note: the reference engine decodes no images (SURVEY §1.1);
 north-star training-pipeline surface, public spec only. Progressive
-arithmetic (SOF10) stays behind the jpeg.py seam.
+arithmetic (SOF10, T.81 §G.2) decodes here too — per-scan statistics
+reset, interleaved DC first/refine, per-band AC first and
+successive-approximation refinement; hierarchical/lossless stay
+behind the jpeg.py seam.
 """
 
 from __future__ import annotations
@@ -282,17 +285,19 @@ def _encode_dc(enc, stats, ctx, diff, low, up):
     return new_ctx
 
 
-def _decode_ac_block(dec, stats, fixed, zz, kx):
-    """Figure F.20/F.21-style AC decode into zz[1..63] (zigzag)."""
-    k = 1
-    while k <= 63:
+def _decode_ac_block(dec, stats, fixed, zz, kx, ss=1, se=63, shift=0):
+    """Figure F.20/F.21-style AC decode into zz[ss..se] (zigzag);
+    progressive AC-first scans pass their band and the successive-
+    approximation shift (values land as v << shift)."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(stats, st):
             return  # EOB
         while dec.decode(stats, st + 1) == 0:
             k += 1
             st += 3
-            if k > 63:
+            if k > se:
                 raise ValueError("arithmetic JPEG: AC run past block end")
         sign = dec.decode(fixed, 0)
         st += 2
@@ -316,26 +321,32 @@ def _decode_ac_block(dec, stats, fixed, zz, kx):
             if dec.decode(stats, st):
                 v |= mm
         v += 1
-        zz[k] = -v if sign else v
+        zz[k] = (-v if sign else v) << shift
         k += 1
 
 
-def _encode_ac_block(enc, stats, fixed, zz, kx):
+def _tz(v: int, shift: int) -> int:
+    """Truncate-toward-zero shift (T.81 G.1.3.1 AC point transform)."""
+    v = int(v)
+    return -((-v) >> shift) if v < 0 else v >> shift
+
+
+def _encode_ac_block(enc, stats, fixed, zz, kx, ss=1, se=63, shift=0):
     ke = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
+    for k in range(se, ss - 1, -1):
+        if _tz(zz[k], shift):
             ke = k
             break
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.code(stats, st, 0)  # not EOB
-        while zz[k] == 0:
+        while _tz(zz[k], shift) == 0:
             enc.code(stats, st + 1, 0)
             k += 1
             st += 3
         enc.code(stats, st + 1, 1)
-        v = int(zz[k])
+        v = _tz(zz[k], shift)
         sign = 1 if v < 0 else 0
         enc.code(fixed, 0, sign)
         if sign:
@@ -363,8 +374,163 @@ def _encode_ac_block(enc, stats, fixed, zz, kx):
             mm >>= 1
             enc.code(stats, st, 1 if v & mm else 0)
         k += 1
-    if ke < 63:
+    if ke < se:
         enc.code(stats, 3 * (k - 1), 1)  # EOB
+
+
+def _decode_ac_refine_block(dec, stats, fixed, zz, ss, se, al):
+    """T.81 G.2 successive-approximation AC refinement (Figure G.10's
+    decode mirror): previously-nonzero coefficients take a correction
+    bit (st+2), zero-history positions either stay zero (st+1 = 0) or
+    turn newly nonzero (±1 << al, sign via the fixed bin); the EOB
+    decision only exists past kex, the last previously-nonzero index."""
+    kex = 0
+    for k in range(se, 0, -1):
+        if zz[k]:
+            kex = k
+            break
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(stats, st):
+            return  # EOB
+        while True:
+            if zz[k]:
+                if dec.decode(stats, st + 2):
+                    zz[k] += m1 if zz[k] < 0 else p1
+                break
+            if dec.decode(stats, st + 1):
+                zz[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            k += 1
+            st += 3
+            if k > se:
+                raise ValueError("arithmetic JPEG: AC refine past band end")
+        k += 1
+
+
+def _encode_ac_refine_block(enc, stats, fixed, zz, ss, se, ah, al):
+    """Encoder mirror: ke = last nonzero at Al precision, kex = last at
+    Ah precision (previously coded ⟺ |tz(v, al)| > 1 when ah = al+1)."""
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if _tz(zz[k], al):
+            ke = k
+            break
+    kex = 0
+    for k in range(se, 0, -1):
+        if _tz(zz[k], ah):
+            kex = k
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.code(stats, st, 0)  # not EOB yet
+        while True:
+            t = _tz(zz[k], al)
+            if t:
+                if _tz(zz[k], ah):  # previously coded: correction bit
+                    enc.code(stats, st + 2, abs(t) & 1)
+                else:  # newly nonzero at this precision
+                    enc.code(stats, st + 1, 1)
+                    enc.code(fixed, 0, 1 if t < 0 else 0)
+                break
+            enc.code(stats, st + 1, 0)
+            k += 1
+            st += 3
+        k += 1
+    if ke < se:
+        enc.code(stats, 3 * (k - 1), 1)  # EOB
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Next real marker at/after pos (FF followed by neither 00 nor
+    FF); raises the quarantine ValueError when none exists."""
+    pos = max(pos, 0)
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: no marker after arithmetic scan")
+
+
+def progressive_scan_arith(data, pos, frame, scan, grids, ss, se, ah, al,
+                           dc_cond, ac_cond, restart_interval):
+    """Apply one SOF10 progressive SOS to the coefficient grids;
+    returns the byte offset of the next marker. Statistics and the QM
+    decoder reset per scan (T.81 G.2). Interleaved scans are DC-only
+    in MCU order; single-component scans walk the component raster."""
+    if restart_interval:
+        raise NotImplementedError(
+            "restart markers inside arithmetic scans are not implemented"
+        )
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    scan_cis = [ci for ci, c in enumerate(comps) if c["id"] in scan]
+    dec = _QMDecoder(data, pos)
+    fixed = [[_FIXED, 0]]
+    if ss == 0:  # DC scan (first or refine), possibly interleaved
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        dc_stats: dict[int, list] = {}
+        pred = {ci: 0 for ci in scan_cis}
+        dc_ctx = {ci: 0 for ci in scan_cis}
+        mcus_x = -(-frame["w"] // (8 * hmax))
+        mcus_y = -(-frame["h"] // (8 * vmax))
+
+        def dc_blocks(ci):
+            c = comps[ci]
+            if len(scan_cis) > 1:
+                return None  # interleaved path below
+            bw_n = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+            bh_n = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+            return [(by, bx) for by in range(bh_n) for bx in range(bw_n)]
+
+        def dc_op(ci, blk):
+            if ah == 0:
+                dtbl = scan[comps[ci]["id"]][0]
+                stats = dc_stats.setdefault(dtbl, _new_stats(64))
+                low, up = dc_cond.get(dtbl, (0, 1))
+                diff, dc_ctx[ci] = _decode_dc(dec, stats, dc_ctx[ci], low, up)
+                pred[ci] += diff
+                blk[0] = pred[ci] << al
+            elif dec.decode(fixed, 0):
+                blk[0] = int(blk[0]) | (1 << al)
+
+        if len(scan_cis) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in scan_cis:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_op(ci, grids[ci][my * c["v"] + by,
+                                                    mx * c["h"] + bx])
+        else:
+            ci = scan_cis[0]
+            for by, bx in dc_blocks(ci):
+                dc_op(ci, grids[ci][by, bx])
+    else:  # AC scan: single component only (T.81 G.1)
+        if len(scan_cis) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci = scan_cis[0]
+        c = comps[ci]
+        atbl = scan[c["id"]][1]
+        stats = _new_stats(256)
+        kx = ac_cond.get(atbl, 5)
+        bw_n = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+        bh_n = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+        for by in range(bh_n):
+            for bx in range(bw_n):
+                blk = grids[ci][by, bx]
+                if ah == 0:
+                    _decode_ac_block(dec, stats, fixed, blk, kx, ss, se, al)
+                else:
+                    _decode_ac_refine_block(dec, stats, fixed, blk, ss, se, al)
+    return _skip_to_marker(data, dec.bp)
 
 
 # ------------------------------------------------------------- scan decode
@@ -414,6 +580,101 @@ def decode_scan_arith(data, pos, frame, scan, qt, dc_cond, ac_cond,
                         zz[0] = pred[ci]
                         _decode_ac_block(dec, astats, fixed, zz, kx)
     return _finish(frame, grids, qt)
+
+
+def encode_progressive_arith(
+    img: np.ndarray, subsampling: str = "4:4:4"
+) -> bytes:
+    """Fixture/export half: SOF10 progressive arithmetic JPEG with the
+    same scan script as the Huffman progressive encoder — interleaved
+    DC first (Al=1) + DC refine, then per component per spectral band
+    an AC first (Al=1) and an AC refine scan. Al=1 → 0 reconstructs
+    every coefficient exactly, so the stream is golden-tested as
+    bit-identical to the baseline decode. Statistics and the QM
+    encoder reset per scan (T.81 G.2)."""
+    from wc_vector_indexing_spark.operators.jpeg import (
+        _prep_components,
+        _seg,
+    )
+
+    h, w = img.shape[:2]
+    comps, mcus_x, mcus_y = _prep_components(img, subsampling)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], 0])
+    out += _seg(0xCA, sof)
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+
+    def sos_header(scomps, ss, se, ah, al):
+        sos = bytes([len(scomps)])
+        for cid in scomps:
+            sos += bytes([cid, 0x00])
+        return _seg(0xDA, sos + bytes([ss, se, (ah << 4) | al]))
+
+    def comp_blocks(c):
+        for by in range(mcus_y * c["v"]):
+            for bx in range(mcus_x * c["h"]):
+                yield c["blocks"][by, bx]
+
+    # --- DC first (interleaved, Al=1)
+    out += sos_header([c["id"] for c in comps], 0, 0, 0, 1)
+    enc = _QMEncoder()
+    dstats = _new_stats(64)
+    pred = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(c["blocks"][my * c["v"] + by,
+                                             mx * c["h"] + bx][0]) >> 1
+                        dc_ctx[ci] = _encode_dc(
+                            enc, dstats, dc_ctx[ci], dc - pred[ci], 0, 1
+                        )
+                        pred[ci] = dc
+    out += enc.finish()
+
+    # --- DC refine (interleaved, Ah=1 -> Al=0)
+    out += sos_header([c["id"] for c in comps], 0, 0, 1, 0)
+    enc = _QMEncoder()
+    fixed = [[_FIXED, 0]]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bit = int(c["blocks"][my * c["v"] + by,
+                                              mx * c["h"] + bx][0]) & 1
+                        enc.code(fixed, 0, bit)
+    out += enc.finish()
+
+    bands = [(1, 5), (6, 63)]
+    # --- AC first scans (Al=1)
+    for c in comps:
+        for ss, se in bands:
+            out += sos_header([c["id"]], ss, se, 0, 1)
+            enc = _QMEncoder()
+            astats = _new_stats(256)
+            fixed = [[_FIXED, 0]]
+            for blk in comp_blocks(c):
+                _encode_ac_block(enc, astats, fixed, blk, 5, ss, se, 1)
+            out += enc.finish()
+    # --- AC refine scans (Ah=1 -> Al=0)
+    for c in comps:
+        for ss, se in bands:
+            out += sos_header([c["id"]], ss, se, 1, 0)
+            enc = _QMEncoder()
+            astats = _new_stats(256)
+            fixed = [[_FIXED, 0]]
+            for blk in comp_blocks(c):
+                _encode_ac_refine_block(enc, astats, fixed, blk, ss, se, 1, 0)
+            out += enc.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ------------------------------------------------------------- encoder half

@@ -9,7 +9,7 @@ sequential-arithmetic JPEG (operators/jpeg.py, jpeg_arith.py), PNG
 incl. Adam7 (operators/png.py), PCM WAV audio via stdlib ``wave``
 (DSP features in operators/audio.py), and MJPEG-AVI video
 (operators/video.py). Formats still needing external codecs (MP3,
-H.264, progressive-arithmetic JPEG) raise NotImplementedError at the
+H.264, hierarchical/lossless JPEG) raise NotImplementedError at the
 same one-function seam where Pillow/torchaudio/ffmpeg would
 plug in;
 ``FakeCodec`` remains the deterministic stand-in for those in tests.
@@ -101,10 +101,10 @@ def decode_image(content: bytes) -> np.ndarray:
 
     Supports the netpbm family: P5/P6 (binary PGM/PPM, 8- or 16-bit
     big-endian per spec), P2/P3 (ASCII), baseline, progressive AND
-    sequential-arithmetic JPEG (SOF0/SOF2/SOF9 — pure-python T.81
+    arithmetic JPEG (SOF0/SOF2/SOF9/SOF10 — pure-python T.81
     decoders in operators/jpeg.py + jpeg_arith.py), and PNG including
     Adam7 interlace (operators/png.py). Anything else
-    (progressive-arithmetic JPEG, WebP, …) needs an external codec and
+    (hierarchical/lossless JPEG, WebP, …) needs an external codec and
     raises NotImplementedError at this seam; plug Pillow here
     (``np.asarray(PIL.Image.open(io.BytesIO(content)))``) on a cluster
     that ships it."""

@@ -5124,11 +5124,12 @@ ORDER BY media_a, media_b
 def image_dedup_arith_op(spark: SparkSession, sf: str) -> DataFrame:
     """Arithmetic-JPEG dedup (operators/jpeg_arith SOF9 decode inside
     the perceptual pipeline): doc_ids sharing ``doc_id % 24`` render
-    the SAME 16×16 block pattern, encoded as BASELINE Huffman JPEG for
-    even doc_ids and SOF9 ARITHMETIC (QM-coder) for odd ones. Both
-    paths share the unit-quant coefficient truth, so they decode to
-    identical pixels and the dHash join must report every same-pattern
-    pair at Hamming 0 — driver-validating the QM decoder end-to-end.
+    the SAME 16×16 block pattern, encoded as BASELINE Huffman, SOF9
+    SEQUENTIAL-ARITHMETIC, or SOF10 PROGRESSIVE-ARITHMETIC JPEG by
+    ``doc_id % 3``. All three share the unit-quant coefficient truth,
+    so they decode to identical pixels and the dHash join must report
+    every same-pattern pair at Hamming 0 — driver-validating both QM
+    decoder paths end-to-end.
     Planted truth ⇒ DuckDB oracle enumerates same-pattern pairs over
     the lowest-96 doc_ids."""
     from wc_vector_indexing_spark.operators.multimodal import image_near_pairs
@@ -5140,15 +5141,19 @@ def image_dedup_arith_op(spark: SparkSession, sf: str) -> DataFrame:
         import pandas as pd
 
         from wc_vector_indexing_spark.operators.jpeg import encode_baseline
-        from wc_vector_indexing_spark.operators.jpeg_arith import encode_arith
+        from wc_vector_indexing_spark.operators.jpeg_arith import (
+            encode_arith,
+            encode_progressive_arith,
+        )
 
+        encoders = [encode_baseline, encode_arith, encode_progressive_arith]
         for pdf in batches:
             ids, kinds, blobs = [], [], []
             for doc_id in pdf["doc_id"]:
                 pat = int(doc_id) % 24
                 grid = np.random.RandomState(2000 + pat).randint(0, 2, (8, 8)) * 255
                 img = np.kron(grid, np.ones((2, 2), dtype=int)).astype(np.uint8)
-                enc = encode_baseline if int(doc_id) % 2 == 0 else encode_arith
+                enc = encoders[int(doc_id) % 3]
                 blobs.append(enc(img))
                 ids.append(int(doc_id))
                 kinds.append("image")
