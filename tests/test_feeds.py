@@ -58,3 +58,42 @@ def test_quarantine():
         parse_feed("<html></html>")
     with pytest.raises(ValueError, match="channel"):
         parse_feed("<rss version='2.0'></rss>")
+
+
+# ------------------------------------------------------------ sitemaps
+from wc_vector_indexing_spark.sources.feeds import (  # noqa: E402
+    parse_sitemap,
+    to_sitemap,
+)
+
+SM_ENTRIES = [
+    {"loc": "https://ex.com/a", "lastmod_ts": 1704103200,
+     "changefreq": "daily", "priority": 0.8},
+    {"loc": "https://ex.com/b", "lastmod_ts": None,
+     "changefreq": None, "priority": None},
+]
+
+
+def test_sitemap_urlset_roundtrip():
+    got = parse_sitemap(to_sitemap(SM_ENTRIES))
+    assert got["kind"] == "urlset"
+    assert got["entries"] == SM_ENTRIES
+
+
+def test_sitemap_index_roundtrip():
+    idx = [{"loc": "https://ex.com/sitemap1.xml", "lastmod_ts": 1704103200}]
+    got = parse_sitemap(to_sitemap(idx, index=True))
+    assert got["kind"] == "index"
+    assert got["entries"][0]["loc"] == "https://ex.com/sitemap1.xml"
+    assert got["entries"][0]["lastmod_ts"] == 1704103200
+    assert got["entries"][0]["changefreq"] is None
+
+
+def test_sitemap_quarantine():
+    with pytest.raises(ValueError, match="unrecognized root"):
+        parse_sitemap("<rss/>")
+    with pytest.raises(ValueError, match="without <loc>"):
+        parse_sitemap(
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><lastmod>2024-01-01T00:00:00Z</lastmod></url></urlset>"
+        )

@@ -5915,6 +5915,94 @@ ORDER BY doc_id
 """
 
 
+def sitemap_urls_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap source (sources/feeds.parse_sitemap, sitemaps.org
+    protocol): every document renders into a sitemap — a <urlset> with
+    per-URL lastmod/changefreq/priority planted by arithmetic (each
+    field cycling through present/absent), every seventh doc a
+    <sitemapindex> whose members carry loc+lastmod only — and the
+    parsed discovery rows come back out. Planted values ⇒ DuckDB
+    oracle (UNNEST(range) replay). One zero-shuffle Arrow render+parse
+    pass."""
+    from wc_vector_indexing_spark.sources.feeds import (
+        parse_sitemap,
+        to_sitemap,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+    freqs = ["daily", "weekly", "monthly", None]
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "kind", "entry_index", "loc", "lastmod_ts",
+                "changefreq", "priority"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                index = d % 7 == 0
+                if index:
+                    entries = [
+                        {"loc": f"https://s{d}.example/sitemap{j}.xml",
+                         "lastmod_ts": 1704067200 + (d % 30) * 86400 + j * 3600}
+                        for j in range(1 + d % 3)
+                    ]
+                else:
+                    entries = [
+                        {
+                            "loc": f"https://s{d}.example/page/{j}",
+                            "lastmod_ts": (
+                                1704067200 + (d % 30) * 86400 + j * 3600
+                                if (d + j) % 3 != 2 else None
+                            ),
+                            "changefreq": freqs[(d + j) % 4],
+                            "priority": (
+                                ((d + j) % 10) / 10.0
+                                if (d + j) % 5 != 4 else None
+                            ),
+                        }
+                        for j in range(1 + d % 3)
+                    ]
+                sm = parse_sitemap(to_sitemap(entries, index=index))
+                for j, e in enumerate(sm["entries"]):
+                    out.append({
+                        "doc_id": d, "kind": sm["kind"], "entry_index": j,
+                        **e,
+                    })
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, kind string, entry_index long, loc string, "
+               "lastmod_ts long, changefreq string, priority double",
+    ).orderBy("doc_id", "entry_index")
+
+
+SITEMAP_SQL = r"""
+WITH t AS (
+    SELECT doc_id, UNNEST(range(1 + doc_id % 3)) AS j FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'index' ELSE 'urlset' END AS kind,
+       j AS entry_index,
+       CASE WHEN doc_id % 7 = 0
+            THEN 'https://s' || doc_id || '.example/sitemap' || j || '.xml'
+            ELSE 'https://s' || doc_id || '.example/page/' || j END AS loc,
+       CASE WHEN doc_id % 7 = 0 OR (doc_id + j) % 3 != 2
+            THEN 1704067200 + (doc_id % 30) * 86400 + j * 3600
+            END AS lastmod_ts,
+       CASE WHEN doc_id % 7 != 0 THEN
+            CASE (doc_id + j) % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                 WHEN 2 THEN 'monthly' END
+            END AS changefreq,
+       CASE WHEN doc_id % 7 != 0 AND (doc_id + j) % 5 != 4
+            THEN ((doc_id + j) % 10) / 10.0 END AS priority
+FROM t
+ORDER BY doc_id, entry_index
+"""
+
+
 def feed_entries_op(spark: SparkSession, sf: str) -> DataFrame:
     """RSS/Atom feed source (sources/feeds.py): every document renders
     into a discovery feed — RSS 2.0 for even doc_ids (RFC 2822 dates),
@@ -7234,9 +7322,14 @@ REGISTRY: dict[str, QuerySpec] = {
         wet_roundtrip_op, WET_ROUNDTRIP_SQL,
         "WET shard export + framed read-back census (planted-truth oracle)"
     ),
-    "media_format_census": QuerySpec(
-        media_format_census_op, MEDIA_CENSUS_SQL,
-        "magic-byte format triage census (planted-truth oracle)"
+    # session-3 r8 window rotation: sitemap_urls (never
+    # driver-recorded) promoted; media_format_census (recorded r7)
+    # demoted to the tail — media family keeps image_dedup_dhash,
+    # image_dedup_arith, audio_dedup_fp and video_dedup_remux in the
+    # window.
+    "sitemap_urls": QuerySpec(
+        sitemap_urls_op, SITEMAP_SQL,
+        "sitemaps.org urlset/sitemapindex discovery source (planted-truth oracle)"
     ),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_op, MINHASH_LSH_SQL,
@@ -7577,6 +7670,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "image_dedup_progressive": QuerySpec(
         image_dedup_progressive_op, IMAGE_DEDUP_PROG_SQL,
         "progressive-JPEG (SOF2) decode inside dHash dedup (planted-truth oracle)"
+    ),
+    "media_format_census": QuerySpec(
+        media_format_census_op, MEDIA_CENSUS_SQL,
+        "magic-byte format triage census (planted-truth oracle)"
     ),
     "matryoshka_recall": QuerySpec(
         matryoshka_recall_op, MATRYOSHKA_SQL, "truncated-dim retrieval recall eval"

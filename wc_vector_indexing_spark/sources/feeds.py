@@ -97,6 +97,64 @@ def parse_feed(text: str) -> dict:
     raise ValueError(f"feed: unrecognized root element {root.tag!r}")
 
 
+_SM_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+
+
+def parse_sitemap(text: str) -> dict:
+    """sitemaps.org XML → {kind: 'urlset'|'index', entries: [{loc,
+    lastmod_ts, changefreq, priority}]}. A <sitemapindex> lists child
+    sitemaps (loc + lastmod only). Raises ValueError for non-XML or
+    non-sitemap roots."""
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as exc:
+        raise ValueError(f"sitemap: XML parse failed: {exc}") from exc
+    if root.tag == f"{_SM_NS}urlset":
+        kind, member = "urlset", f"{_SM_NS}url"
+    elif root.tag == f"{_SM_NS}sitemapindex":
+        kind, member = "index", f"{_SM_NS}sitemap"
+    else:
+        raise ValueError(f"sitemap: unrecognized root element {root.tag!r}")
+    entries = []
+    for el in root.findall(member):
+        loc = (el.findtext(f"{_SM_NS}loc") or "").strip() or None
+        if loc is None:
+            raise ValueError("sitemap: member without <loc>")
+        pr = el.findtext(f"{_SM_NS}priority")
+        entries.append({
+            "loc": loc,
+            "lastmod_ts": _rfc3339_ts(el.findtext(f"{_SM_NS}lastmod")),
+            "changefreq": (el.findtext(f"{_SM_NS}changefreq") or "").strip()
+            or None,
+            "priority": float(pr) if pr is not None else None,
+        })
+    return {"kind": kind, "entries": entries}
+
+
+def to_sitemap(entries: list[dict], index: bool = False) -> str:
+    """Writer half: urlset (loc/lastmod/changefreq/priority) or
+    sitemapindex (loc/lastmod) XML."""
+
+    def rfc3339(ts: int) -> str:
+        return datetime.utcfromtimestamp(ts).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    root, member = ("sitemapindex", "sitemap") if index else ("urlset", "url")
+    body = ""
+    for e in entries:
+        body += f"<{member}><loc>{e['loc']}</loc>"
+        if e.get("lastmod_ts") is not None:
+            body += f"<lastmod>{rfc3339(e['lastmod_ts'])}</lastmod>"
+        if not index and e.get("changefreq"):
+            body += f"<changefreq>{e['changefreq']}</changefreq>"
+        if not index and e.get("priority") is not None:
+            body += f"<priority>{e['priority']:.1f}</priority>"
+        body += f"</{member}>"
+    return (
+        f'<?xml version="1.0"?><{root} '
+        f'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">{body}</{root}>'
+    )
+
+
 def to_rss(feed_title: str, entries: list[dict]) -> str:
     """Writer half: RSS 2.0 text (RFC 2822 pubDate from epoch)."""
     items = "".join(
