@@ -397,3 +397,16 @@ def test_jsonld_extract_is_pure_catalyst(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert len(re.findall(r"hashpartitioning\(", plan)) == 0
     assert len(re.findall(r"rangepartitioning\(", plan)) == 1
+
+
+def test_heavy_render_censuses_spread_before_python(spark):
+    """mbox/parquet census renders cost ~ms of Python per row: the plan
+    must carry a round-robin repartition between the scan and the
+    MapInPandas so one small input partition can't serialize the whole
+    render (the 29s -> 2s r8 fix)."""
+    for name in ("mbox_corpus_text", "parquet_footer_census"):
+        plan = plan_of(spark, name)
+        assert "MapInPandas" in plan, name
+        assert "RoundRobinPartitioning" in plan or "roundrobin" in plan.lower(), (
+            name, plan,
+        )
