@@ -512,3 +512,81 @@ def test_crawl_stream_checkpoint_restart_converges_to_batch(spark, tmp_path):
     batch = crawl_document_stream(spark, str(drop), streaming=False)
     want = [(r.url, r.text) for r in batch.select("url", "text").collect()]
     assert sorted(got) == sorted(want)
+
+
+def test_feed_discovery_stream_checkpoint_restart_converges(spark, tmp_path):
+    """The streaming crawl-DISCOVERY front door: feed/sitemap drops
+    stream through parse → URL-frontier dedup with a stop/restart
+    between drops. The restart must (a) not re-emit drop 1's URLs,
+    (b) drop a cross-drop duplicate via dedup STATE that survived the
+    restart, (c) quarantine a malformed feed as an error row without
+    stalling the batch, and (d) converge to the batch composition's
+    frontier over the same files."""
+    import shutil
+
+    from wc_vector_indexing_spark.sources.feeds import to_rss, to_atom, to_sitemap
+    from wc_vector_indexing_spark.streaming.incremental import feed_discovery_stream
+
+    drop = tmp_path / "feeds"
+    drop.mkdir()
+    stage = tmp_path / "stage"
+    stage.mkdir()
+
+    t0 = 1704067200
+    rss = to_rss("r", [
+        {"title": "A", "link": "https://ex.com/a", "published_ts": t0 + 60, "summary": "s"},
+        {"title": "B", "link": "https://ex.com/b", "published_ts": t0 + 120, "summary": "s"},
+    ])
+    sitemap = to_sitemap([
+        {"loc": "https://ex.com/b", "lastmod_ts": t0 + 130},  # dup within drop 1
+        {"loc": "https://ex.com/c", "lastmod_ts": t0 + 140},
+    ])
+    atom = to_atom("a", [
+        {"title": "C again", "link": "https://ex.com/c", "published_ts": t0 + 300, "summary": "s"},
+        {"title": "D", "link": "https://ex.com/d", "published_ts": t0 + 360, "summary": "s"},
+    ])
+    (stage / "f1.xml").write_text(rss)
+    (stage / "f2.xml").write_text(sitemap)
+    (stage / "f3.xml").write_text(atom)
+    (stage / "broken.xml").write_text("<rss><channel>")
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_available():
+        q = (
+            feed_discovery_stream(spark, str(drop))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    shutil.copy(stage / "f1.xml", drop / "f1.xml")
+    shutil.copy(stage / "f2.xml", drop / "f2.xml")
+    run_available()
+    first = spark.read.parquet(out_dir)
+    # a, b, c — the cross-feed duplicate of /b enqueued once
+    assert sorted(r.url for r in first.collect()) == [
+        "https://ex.com/a", "https://ex.com/b", "https://ex.com/c",
+    ]
+
+    shutil.copy(stage / "f3.xml", drop / "f3.xml")
+    shutil.copy(stage / "broken.xml", drop / "broken.xml")
+    run_available()  # restart from the same checkpoint
+
+    rows = spark.read.parquet(out_dir).collect()
+    urls = sorted(r.url for r in rows if r.url is not None)
+    # /c re-announced by the atom feed: dedup state across the restart
+    assert urls == ["https://ex.com/a", "https://ex.com/b",
+                    "https://ex.com/c", "https://ex.com/d"]
+    errors = [r for r in rows if r.error is not None]
+    assert len(errors) == 1 and "XML parse" in errors[0].error
+    assert errors[0].feed_path.endswith("broken.xml")
+
+    batch = feed_discovery_stream(spark, str(drop), streaming=False)
+    want = sorted(r.url for r in batch.collect() if r.url is not None)
+    assert urls == want

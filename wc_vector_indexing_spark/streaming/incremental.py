@@ -395,6 +395,119 @@ def crawl_document_stream(
     )
 
 
+def feed_discovery_stream(
+    spark,
+    feed_path: str,
+    *,
+    streaming: bool = True,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """The streaming crawl-DISCOVERY front door: ``readStream`` over a
+    directory of RSS/Atom feed and sitemap XML drops → one Arrow parse
+    pass (sources/feeds — dialect sniffed per file) exploding one row
+    per discovered URL → watermark-bounded URL-frontier dedup, so a URL
+    announced by multiple feeds (or re-announced across polls) enqueues
+    ONCE. Event time is the entry's published/lastmod timestamp
+    (falling back to the drop file's modification time), so the dedup
+    horizon tracks publication time. Malformed XML quarantines as an
+    ``error`` row instead of failing the batch — a poisoned feed must
+    not stall the frontier.
+
+    ``streaming=False`` runs the SAME composition over a batch read
+    (plain dropDuplicates), which the convergence test pins: a
+    crash-replayed stream must end at exactly the batch backfill's
+    frontier.
+
+    State posture at 100 TB: the only stateful operator is the
+    watermark-bounded URL dedup (state ∝ discovery rate × horizon, not
+    frontier size); the parse is a stateless Arrow pass and the
+    file-source checkpoint bounds replay to unprocessed drops."""
+    schema = (
+        "feed_path string, kind string, url string, title string, "
+        "event_ts timestamp, error string"
+    )
+
+    def parse(batches):
+        import datetime as _dt
+
+        import pandas as pd
+
+        from wc_vector_indexing_spark.sources.feeds import (
+            parse_feed,
+            parse_sitemap,
+        )
+
+        cols = ["feed_path", "kind", "url", "title", "event_ts", "error"]
+        for pdf in batches:
+            out = []
+            for path, mtime, content in zip(
+                pdf["path"], pdf["modificationTime"], pdf["content"]
+            ):
+                text = bytes(content).decode("utf-8", "replace")
+                try:
+                    if "sitemaps.org" in text[:400]:
+                        sm = parse_sitemap(text)
+                        kind = f"sitemap-{sm['kind']}"
+                        entries = [
+                            {"url": e["loc"], "title": None,
+                             "ts": e["lastmod_ts"]}
+                            for e in sm["entries"]
+                        ]
+                    else:
+                        fd = parse_feed(text)
+                        kind = fd["dialect"]
+                        entries = [
+                            {"url": e["link"], "title": e["title"],
+                             "ts": e["published_ts"]}
+                            for e in fd["entries"]
+                            if e["link"]
+                        ]
+                except ValueError as exc:
+                    out.append({
+                        "feed_path": path, "kind": None, "url": None,
+                        "title": None, "event_ts": mtime,
+                        "error": str(exc),
+                    })
+                    continue
+                for e in entries:
+                    ts = (
+                        _dt.datetime.fromtimestamp(e["ts"], _dt.timezone.utc)
+                        if e["ts"] is not None else mtime
+                    )
+                    out.append({
+                        "feed_path": path, "kind": kind, "url": e["url"],
+                        "title": e["title"], "event_ts": ts, "error": None,
+                    })
+            yield pd.DataFrame(out, columns=cols)
+
+    bin_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if streaming:
+        raw = (
+            spark.readStream.format("binaryFile").schema(bin_schema)
+            .load(feed_path)
+        )
+    else:
+        raw = spark.read.format("binaryFile").load(feed_path)
+    rows = raw.select("path", "modificationTime", "content").mapInPandas(
+        parse, schema=schema
+    )
+    # error rows ride along (url NULL, error set) so a poisoned feed is
+    # observable downstream; the dedup key is null-safe so they never
+    # collapse into each other
+    keyed = rows.withColumn(
+        "_k", F.coalesce(F.col("url"), F.concat(F.lit("err:"), F.col("feed_path")))
+    )
+    if rows.isStreaming:
+        out = keyed.withWatermark(
+            "event_ts", watermark_delay
+        ).dropDuplicatesWithinWatermark(["_k"])
+    else:
+        out = keyed.dropDuplicates(["_k"])
+    return out.drop("_k")
+
+
 def drift_monitor_stream(
     docs: DataFrame,
     ref,
