@@ -101,6 +101,16 @@ def test_sps_rejects_garbage():
         parse_annexb(b"\x00\x00\x01\xff\x00")
 
 
+def test_sps_truncated_raises_valueerror_not_indexerror():
+    """The decode-quarantine contract promises ValueError for any
+    untriageable stream — a truncated SPS must not escape as
+    IndexError from the bit reader."""
+    data = to_annexb_bytes(40, 30, 2)
+    for cut in (5, 6, 8, 10):
+        with pytest.raises(ValueError):
+            parse_annexb(data[:cut])
+
+
 def test_sps_parse_is_bit_exact_on_known_fields():
     """parse_sps consumes the exact bit layout: a hand-mutated level
     byte must surface verbatim (catches off-by-one bit reads)."""

@@ -105,6 +105,27 @@ def test_zstd_rle_and_flags():
     assert m["has_checksum"]
 
 
+def test_zstd_window_descriptor_mantissa():
+    # RFC 8878: Window_Size = (1<<(10+exp)) + (mantissa << (10+exp-3)).
+    # The writer emits mantissa 0; patch the descriptor byte to check the
+    # parser reads the exact size, not just the floor.
+    frame = bytearray(to_zstd_frame_bytes(b"x" * 10, window_log=20))
+    m = parse_zstd_frame(bytes(frame))
+    assert m["window_log"] == 20 and m["window_size"] == 1 << 20
+    frame[5] = ((20 - 10) << 3) | 5  # exp=10, mantissa=5
+    m = parse_zstd_frame(bytes(frame))
+    assert m["window_log"] == 20
+    assert m["window_size"] == (1 << 20) + (5 << 17)
+    # single-segment → both None
+    m = parse_zstd_frame(to_zstd_frame_bytes(b"x" * 9, single_segment=True))
+    assert m["window_size"] is None
+
+
+def test_zstd_four_byte_dict_id():
+    m = parse_zstd_frame(to_zstd_frame_bytes(b"q" * 40, dict_id=0x1234_5678))
+    assert m["dict_id"] == 0x1234_5678
+
+
 def test_zstd_corrupt_quarantine():
     good = to_zstd_frame_bytes(b"y" * 100)
     with pytest.raises(ValueError, match="magic"):

@@ -81,6 +81,19 @@ def test_nonempty_user_password_is_a_seam(mode):
         extract_pdf_text(data)
 
 
+def test_literal_backslash_eol_continuation():
+    """ISO 32000 7.3.4.2: backslash + EOL is a line continuation — both
+    bytes vanish; CRLF after the backslash counts as ONE EOL. A PDF that
+    wraps a long /O string this way must still derive keys."""
+    from wc_vector_indexing_spark.sources.pdf_crypt import _literal_bytes
+
+    assert _literal_bytes(b"(ab\\\ncd)", 0) == b"abcd"
+    assert _literal_bytes(b"(ab\\\rcd)", 0) == b"abcd"
+    assert _literal_bytes(b"(ab\\\r\ncd)", 0) == b"abcd"
+    # a bare (unescaped) EOL is data, not continuation
+    assert _literal_bytes(b"(ab\ncd)", 0) == b"ab\ncd"
+
+
 def test_r5_interim_scheme_is_a_seam():
     data = encrypt_pdf_bytes(to_pdf_bytes(PAGES), "aesv3")
     data = data.replace(b"/V 5 /R 6", b"/V 5 /R 5")

@@ -131,7 +131,18 @@ def run(names: list[str], full: bool = False) -> None:
             print(f"{name} {kw} : {best:.2f}s", file=sys.stderr)
         results[name]["mode"] = "10x media blobs, constant dup-group size"
     flagged = []
+    errored = []
     for name, r in results.items():
+        # An errored side records -1.0; a ratio over a failed run is
+        # meaningless, so treat any error as flagged rather than letting a
+        # negative ratio read as "not superlinear" (or a tiny denominator
+        # fabricate a flag).
+        if r.get("t_sf1", -1.0) < 0 or r.get("t_sf0.1", -1.0) < 0:
+            r["ratio"] = None
+            r["superlinear"] = True
+            errored.append(name)
+            flagged.append(name)
+            continue
         r["ratio"] = round(r["t_sf1"] / max(r["t_sf0.1"], 1e-3), 2)
         r["superlinear"] = r["ratio"] > RATIO_BAR
         if r["superlinear"]:
@@ -149,6 +160,7 @@ def run(names: list[str], full: bool = False) -> None:
             else {}
         ),
         "flagged_superlinear": flagged,
+        "errored": errored,
         "note": (
             "sf1 synthesized by tools/make_sfN.py: 10x key-shifted "
             "replication, per-replica text rotation + embedding "
@@ -157,7 +169,7 @@ def run(names: list[str], full: bool = False) -> None:
     }
     with open(ROOT / "BENCH_SF1.json", "w") as fh:
         json.dump(artifact, fh, indent=1)
-    print(json.dumps({"flagged": flagged,
+    print(json.dumps({"flagged": flagged, "errored": errored,
                       "ratios": {n: results[n]["ratio"] for n in results}}))
 
 

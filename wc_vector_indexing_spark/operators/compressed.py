@@ -116,11 +116,16 @@ def parse_zstd_frame(data: bytes) -> dict:
     did_flag = fhd & 0x03
     pos = 5
     window_log = None
+    window_size = None
     if not single_segment:
         wd = data[pos]
         pos += 1
-        # Window_Size = (1 << (10+exp)) + (mantissa << (10+exp-3))
-        window_log = 10 + (wd >> 3)
+        # Window_Size = (1 << (10+exp)) + (mantissa << (10+exp-3));
+        # window_log is a floor — the exact size (mantissa included) is
+        # what buffer sizing must use.
+        exp = wd >> 3
+        window_log = 10 + exp
+        window_size = (1 << (10 + exp)) + ((wd & 7) << (7 + exp))
     dict_id = None
     did_size = (0, 1, 2, 4)[did_flag]
     if did_size:
@@ -172,6 +177,7 @@ def parse_zstd_frame(data: bytes) -> dict:
     return {
         "content_size": content_size,
         "window_log": window_log,
+        "window_size": window_size,
         "dict_id": dict_id,
         "has_checksum": has_checksum,
         "single_segment": single_segment,
@@ -197,8 +203,8 @@ def to_zstd_frame_bytes(
     did_flag = 0
     did_bytes = b""
     if dict_id is not None:
-        did_flag = 2 if dict_id > 0xFF else 1
-        did_bytes = dict_id.to_bytes((1, 2)[did_flag - 1], "little")
+        did_flag = 3 if dict_id > 0xFFFF else (2 if dict_id > 0xFF else 1)
+        did_bytes = dict_id.to_bytes((1, 2, 4)[did_flag - 1], "little")
     fcs_flag = 0
     fcs_bytes = b""
     if with_fcs:

@@ -31,6 +31,8 @@ class _BitReader:
         self.pos = 0  # in bits
 
     def u(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("H.264: truncated SPS")
         v = 0
         for _ in range(n):
             byte = self.data[self.pos >> 3]

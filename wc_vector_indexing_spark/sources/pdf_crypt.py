@@ -385,6 +385,11 @@ def _literal_bytes(body: bytes, open_paren: int) -> bytes:
                 out.append(int(oct_digits, 8) & 0xFF)
                 i = j
                 continue
+            if nxt in (0x0D, 0x0A):  # line continuation: drop \ and the EOL
+                i += 2
+                if nxt == 0x0D and i < len(body) and body[i] == 0x0A:
+                    i += 1  # CRLF counts as one EOL
+                continue
             out.append(nxt)
             i += 2
             continue
