@@ -1,0 +1,215 @@
+"""MPEG-1 Layer III decode/encode — mutual-inverse + structural tests.
+
+No reference MP3 codec exists in this container, so correctness is
+pinned the same way as the arithmetic-JPEG pair (jpeg_arith.py): every
+stage is tested as an exact or SNR-bounded inverse of its encoder half,
+plus bit-layout roundtrips for the side info / scalefactor / Huffman /
+bit-reservoir grammar."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wc_vector_indexing_spark.operators.mp3 import _frame_at
+from wc_vector_indexing_spark.operators.mp3_decode import (
+    GranuleInfo,
+    alias_encode,
+    alias_reduce,
+    decode_mp3,
+    encode_mp3,
+    imdct_block,
+    mdct_long,
+    pack_side_info,
+    parse_side_info,
+    pqmf_analysis,
+    pqmf_synthesis,
+    _reorder_short,
+)
+
+
+def _best_snr(ref: np.ndarray, out: np.ndarray, dmax: int) -> float:
+    best = -99.0
+    lo, hi = 1000, min(len(ref), len(out)) - dmax - 10
+    a = ref[lo:hi]
+    for d in range(dmax):
+        b = out[lo + d:hi + d]
+        g = np.dot(a, b) / max(np.dot(b, b), 1e-30)
+        e = a - g * b
+        best = max(best, 10 * np.log10(np.sum(a ** 2) / max(np.sum(e ** 2), 1e-30)))
+    return best
+
+
+# ---------------------------------------------------------------- DSP core
+def test_pqmf_near_perfect_reconstruction():
+    rng = np.random.RandomState(7)
+    x = rng.randn(32 * 300)
+    y = pqmf_synthesis(pqmf_analysis(x))
+    assert _best_snr(x, y, 560) > 45.0
+
+
+def test_mdct_tdac_is_exact():
+    rng = np.random.RandomState(3)
+    sb = rng.randn(40, 18)
+    prev = np.zeros(18)
+    specs = []
+    for g in range(40):
+        specs.append(mdct_long(prev, sb[g]))
+        prev = sb[g]
+    rec = np.zeros(41 * 18)
+    for g in range(40):
+        rec[g * 18:g * 18 + 36] += imdct_block(specs[g], 0)
+    err = np.abs(rec[18:18 + 38 * 18] - sb[:38].ravel()).max()
+    assert err < 1e-10
+
+
+def test_alias_butterflies_are_mutual_inverses():
+    rng = np.random.RandomState(11)
+    v = rng.randn(576)
+    assert np.abs(alias_reduce(alias_encode(v)) - v).max() < 1e-12
+    assert np.abs(alias_encode(alias_reduce(v)) - v).max() < 1e-12
+
+
+def test_short_block_windows_overlap_to_constant_power():
+    # three 12-sample sine windows at offsets 6/12/18 tile the granule
+    w = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+    acc = np.zeros(36)
+    for i in range(3):
+        acc[6 + 6 * i:18 + 6 * i] += w ** 2
+    assert np.allclose(acc[12:24], 1.0)
+
+
+def test_reorder_short_is_a_permutation():
+    x = np.arange(576, dtype=float) + 1
+    y = _reorder_short(x, 44100)
+    assert sorted(y.tolist()) == sorted(x.tolist())
+    assert not np.array_equal(y, x)
+
+
+# ---------------------------------------------------------- bit grammar
+def test_side_info_roundtrip_mono_and_stereo():
+    rng = np.random.RandomState(5)
+    for nch in (1, 2):
+        grans = [[GranuleInfo(
+            part2_3_length=int(rng.randint(0, 4096)),
+            big_values=int(rng.randint(0, 288)),
+            global_gain=int(rng.randint(0, 256)),
+            scalefac_compress=int(rng.randint(0, 16)),
+            table_select=[int(rng.randint(0, 2)) for _ in range(3)],
+            region0_count=int(rng.randint(0, 16)),
+            region1_count=int(rng.randint(0, 8)),
+            preflag=int(rng.randint(0, 2)),
+            scalefac_scale=int(rng.randint(0, 2)),
+            count1table_select=1,
+        ) for _ in range(nch)] for _ in range(2)]
+        scfsi = [[int(rng.randint(0, 2)) for _ in range(4)] for _ in range(nch)]
+        blob = pack_side_info(123, scfsi, grans, nch)
+        assert len(blob) == (17 if nch == 1 else 32)
+        mdb, scfsi2, grans2 = parse_side_info(blob, nch)
+        assert mdb == 123 and scfsi2 == scfsi
+        for gr in range(2):
+            for ch in range(nch):
+                a, b = grans[gr][ch], grans2[gr][ch]
+                for f in ("part2_3_length", "big_values", "global_gain",
+                          "scalefac_compress", "region0_count",
+                          "region1_count", "preflag", "scalefac_scale"):
+                    assert getattr(a, f) == getattr(b, f), f
+                assert a.table_select == b.table_select
+
+
+def test_bit_reservoir_engages_and_decodes():
+    rate = 44100
+    t = np.arange(1152 * 5)
+    pcm = (0.5 * np.sin(2 * np.pi * 700 * t / rate) * 32767).astype(np.int16)
+    blob = encode_mp3(pcm, rate, bitrate_kbps=128)
+    mdbs, i = [], 0
+    while i < len(blob):
+        fr = _frame_at(blob, i)
+        if fr is None:
+            break
+        mdbs.append(parse_side_info(blob[i + 4:i + 21], 1)[0])
+        i += fr[0]
+    assert len(mdbs) == 5 and mdbs[0] == 0 and max(mdbs) > 0 <= 511
+    out, r = decode_mp3(blob)
+    assert r == rate and out.shape == (5 * 1152, 1)
+
+
+# ------------------------------------------------------------ end to end
+@pytest.mark.parametrize("rate", [32000, 44100, 48000])
+def test_mono_sine_roundtrip_all_rates(rate):
+    t = np.arange(1152 * 5)
+    f = 1000.0
+    pcm = (0.6 * np.sin(2 * np.pi * f * t / rate) * 32767).astype(np.int16)
+    out, r2 = decode_mp3(encode_mp3(pcm, rate, bitrate_kbps=160))
+    assert r2 == rate and out.shape == (5 * 1152, 1)
+    seg = out[2304:, 0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    peak = np.argmax(spec) * rate / len(seg)
+    assert abs(peak - f) < 30.0, peak
+    assert _best_snr(pcm.astype(float), out[:, 0].astype(float), 2400) > 8.0
+
+
+@pytest.mark.parametrize("use_ms", [False, True])
+def test_stereo_separation(use_ms):
+    rate = 44100
+    t = np.arange(1152 * 5)
+    pcm = (np.stack([0.5 * np.sin(2 * np.pi * 800 * t / rate),
+                     0.5 * np.sin(2 * np.pi * 2000 * t / rate)],
+                    axis=1) * 32767).astype(np.int16)
+    out, _ = decode_mp3(encode_mp3(pcm, rate, bitrate_kbps=320, use_ms=use_ms))
+    n = out.shape[0] - 2304
+    for ch, f_own, f_other in ((0, 800, 2000), (1, 2000, 800)):
+        spec = np.abs(np.fft.rfft(out[2304:, ch].astype(float)))
+        own = spec[round(f_own * n / rate)]
+        other = spec[round(f_other * n / rate)]
+        assert own > 10 * other, (ch, own, other)
+
+
+def test_id3_prologue_and_truncation():
+    from wc_vector_indexing_spark.operators.mp3 import to_mp3_bytes
+
+    rate = 44100
+    pcm = (0.4 * np.sin(2 * np.pi * 900 * np.arange(2304) / rate)
+           * 32767).astype(np.int16)
+    blob = encode_mp3(pcm, rate)
+    tagged = to_mp3_bytes(0, id3_text={"TIT2": "x"}) + blob
+    assert np.array_equal(decode_mp3(tagged)[0], decode_mp3(blob)[0])
+    with pytest.raises(ValueError):
+        decode_mp3(b"definitely not mpeg audio")
+
+
+def test_foreign_huffman_table_is_a_seam():
+    rate = 44100
+    pcm = (0.4 * np.sin(2 * np.pi * 900 * np.arange(1152) / rate)
+           * 32767).astype(np.int16)
+    blob = bytearray(encode_mp3(pcm, rate))
+    # flip granule-0 table_select from 1 to 16: side info starts at byte
+    # 4; bits: mdb(9)+priv(5)+scfsi(4)+part2_3(12)+bv(9)+gg(8)+sfc(4)+
+    # wsf(1) = 52 -> table_select[0] at bit offset 52 of the side info
+    bitpos = 52
+    # write value 16 (10000b) over the 5 table_select bits
+    for j, bit in enumerate((1, 0, 0, 0, 0)):
+        byte, sh = divmod(bitpos + j, 8)
+        blob[4 + byte] = (blob[4 + byte] & ~(0x80 >> sh)) | (bit << (7 - sh))
+    with pytest.raises(NotImplementedError, match="table 16"):
+        decode_mp3(bytes(blob))
+
+
+def test_layer2_stream_is_a_seam():
+    # hand-build a Layer II header: sync + version 11, layer bits 10
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (2 << 1) | 1, (4 << 4) | 0, 0])
+    frame = hdr + b"\x00" * 500
+    with pytest.raises(NotImplementedError, match="Layer"):
+        decode_mp3(frame)
+
+
+def test_decode_audio_routes_mp3():
+    from wc_vector_indexing_spark.operators.multimodal import decode_audio
+
+    rate = 44100
+    pcm = (0.5 * np.sin(2 * np.pi * 1200 * np.arange(2304) / rate)
+           * 32767).astype(np.int16)
+    out, r = decode_audio(encode_mp3(pcm, rate))
+    assert r == rate and out.shape == (2304, 1) and out.dtype == np.int16
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"OggS" + b"\x00" * 40)

@@ -1,0 +1,889 @@
+"""MPEG-1 Layer III (MP3) decode to PCM, plus a mutual-inverse encoder.
+
+This closes the audio-content seam flagged in earlier rounds: the frame
+HEADER walk lives in ``operators/mp3.py``; this module decodes the
+frames themselves — side information, bit reservoir, scalefactors,
+Huffman-coded spectra, requantization, MS stereo, alias reduction, the
+hybrid IMDCT filterbank (long/start/short/stop windows + overlap-add +
+frequency inversion) and the 32-band polyphase synthesis bank — so
+``decode_audio`` and the fingerprint-dedup operators can run on real
+Layer III streams, not just PCM WAV.
+
+Everything follows the public ISO 11172-3 grammar and arithmetic. Two
+pieces of pure TABLE DATA from the spec's annexes are not reproducible
+byte-exactly in this container (no codec and no spec text to check a
+transcription against), so they are explicit seams — the same honest
+posture as the arithmetic-JPEG interop note in ``jpeg_arith.py``:
+
+* **Huffman code tables** (ISO 11172-3 Table B.7): tables 0 and 1 and
+  count1 table B are included (small enough to state with confidence);
+  the remaining big-value tables and count1 table A are data slots in
+  ``HUFFMAN_BIG`` / ``COUNT1_A`` — a foreign stream that selects one
+  raises ``NotImplementedError`` naming the table. Populating them is
+  a data drop-in, not a code change: the region walk, linbits escape,
+  and sign handling below are written against the generic table shape.
+* **Polyphase window** (Tables B.1/B.3): replaced by a self-derived
+  power-complementary square-root-raised-cosine prototype with the
+  spec's exact modulation structure (analysis phase ``(2k+1)(n-16)``,
+  synthesis phase ``(2k+1)(n+16)``, 512 taps, 32 bands). The bank
+  reconstructs at ~50 dB NPR (pinned in tests); a foreign file decoded
+  with this window carries a small amplitude distortion but correct
+  structure. Intensity stereo (rare in practice; MS and LR dominate)
+  is a further documented raise.
+
+The ENCODER exists for the same reason the arithmetic-JPEG encoder
+does: with no reference codec in the container, correctness is pinned
+by the mutual-inverse property (``decode(encode(pcm)) ~ pcm``, exact
+at the spectral-integer layer, SNR-bounded through the lossy DSP) plus
+structural tests of every stage. It emits spec-legal streams — real
+CBR frames, correct side info, a working bit reservoir
+(``main_data_begin`` > 0 when frames underfill), per-band scalefactors
+— restricted to the Huffman subset above (|ix| <= 1 with per-band
+amplitude steps: a legal, very-low-rate quantizer choice).
+
+Reference note: the reference engine has no audio path (SURVEY §1.1);
+this is north-star training-pipeline surface, public spec only.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from wc_vector_indexing_spark.operators.mp3 import (
+    _BITRATE_KBPS,
+    _SAMPLE_RATE,
+    _frame_at,
+    _id3v2_size,
+)
+
+# --------------------------------------------------------------------------
+# spec tables (ISO 11172-3 Annex B)
+# --------------------------------------------------------------------------
+
+# Table B.8 scalefactor band boundaries (MPEG-1), in spectral lines.
+SFB_LONG = {
+    44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576],
+    48000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576],
+    32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576],
+}
+SFB_SHORT = {
+    44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
+    48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
+    32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+}
+
+# preemphasis table (long blocks, 21 bands + the top rest-band)
+PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
+
+# scalefac_compress -> (slen1, slen2)
+SLEN = [(0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+        (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3)]
+
+# scfsi band groups (long scalefactor bands shared between granules)
+SCFSI_BANDS = [(0, 6), (6, 11), (11, 16), (16, 21)]
+
+# alias-reduction butterflies (2.4.3.4.10.1)
+_ALIAS_CI = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
+_ALIAS_CS = [1.0 / (1.0 + c * c) ** 0.5 for c in _ALIAS_CI]
+_ALIAS_CA = [c / (1.0 + c * c) ** 0.5 for c in _ALIAS_CI]
+
+# Huffman big-value tables (Table B.7): {table_id: {(x, y): codeword}}.
+# Table 0 codes nothing (all-zero region). Further tables are a data
+# seam — see module docstring. linbits per escape table id kept for the
+# generic decoder path so a future data drop-in needs zero code.
+HUFFMAN_BIG: dict[int, dict[tuple[int, int], str]] = {
+    0: {},
+    1: {(0, 0): "1", (0, 1): "001", (1, 0): "01", (1, 1): "000"},
+}
+HUFFMAN_LINBITS = {16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10,
+                   23: 13, 24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9,
+                   30: 11, 31: 13}
+# count1 table B: each (v,w,x,y) quad is the bitwise complement of its
+# 4-bit value. Table A is a data seam (COUNT1_A left empty).
+COUNT1_A: dict[int, str] = {}
+
+
+@lru_cache(maxsize=8)
+def _big_decoder(table: int) -> dict[str, tuple[int, int]]:
+    if table not in HUFFMAN_BIG:
+        raise NotImplementedError(
+            f"Huffman table {table} is a Table B.7 data seam in this "
+            "container (see mp3_decode module docstring); populate "
+            "HUFFMAN_BIG to decode streams that select it"
+        )
+    return {code: xy for xy, code in HUFFMAN_BIG[table].items()}
+
+
+# --------------------------------------------------------------------------
+# bit IO
+# --------------------------------------------------------------------------
+
+class _BitWriter:
+    __slots__ = ("bits",)
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def write_code(self, code: str) -> None:
+        self.bits.extend(1 if c == "1" else 0 for c in code)
+
+    def __len__(self) -> int:
+        return len(self.bits)
+
+    def to_bytes(self) -> bytes:
+        out = bytearray()
+        acc, k = 0, 0
+        for b in self.bits:
+            acc = (acc << 1) | b
+            k += 1
+            if k == 8:
+                out.append(acc)
+                acc, k = 0, 0
+        if k:
+            out.append(acc << (8 - k))
+        return bytes(out)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, bitpos: int = 0) -> None:
+        self.data = data
+        self.pos = bitpos
+
+    def read(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("MP3: bit reservoir exhausted mid-granule")
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | ((self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+# --------------------------------------------------------------------------
+# polyphase filterbank (spec modulation structure, self-derived window)
+# --------------------------------------------------------------------------
+
+_M, _L = 32, 512
+
+
+@lru_cache(maxsize=1)
+def _prototype() -> np.ndarray:
+    """512-tap power-complementary lowpass: sqrt-raised-cosine magnitude
+    crossing 1/sqrt(2) at pi/64 (the 32-band crossover), linear phase.
+    Self-derived stand-in for Tables B.1/B.3 — see module docstring."""
+    nfft = 8192
+    w = np.arange(nfft // 2 + 1) * (2 * np.pi / nfft)
+    w0 = np.pi / (2 * _M)
+    mag = np.zeros_like(w)
+    inside = w <= 2 * w0
+    p = 0.5 * (1 + np.cos(np.pi * w[inside] / (2 * w0)))
+    mag[inside] = np.sqrt(p)
+    full = np.concatenate([mag, mag[-2:0:-1]])
+    h = np.roll(np.fft.ifft(full).real, _L // 2)[:_L]
+    h *= np.hanning(_L)
+    return h / h.sum()
+
+
+@lru_cache(maxsize=1)
+def _analysis_matrix() -> np.ndarray:
+    h = _prototype()
+    k = np.arange(_M)[:, None]
+    n = np.arange(_L)[None, :]
+    return np.cos((2 * k + 1) * (n - 16) * np.pi / 64) * h[None, :]
+
+
+@lru_cache(maxsize=1)
+def _synthesis_matrix() -> np.ndarray:
+    # gain 4M makes analysis->synthesis unity (pinned in tests)
+    g = _prototype() * 4 * _M
+    n = np.arange(_L)[:, None]
+    k = np.arange(_M)[None, :]
+    return g[:, None] * np.cos((2 * k + 1) * (n + 16) * np.pi / 64)
+
+
+def pqmf_analysis(x: np.ndarray) -> np.ndarray:
+    """PCM (float, mono) -> subband samples ``(n_blocks, 32)``."""
+    mat = _analysis_matrix()
+    nblk = len(x) // _M
+    out = np.zeros((nblk, _M))
+    buf = np.zeros(_L)
+    for b in range(nblk):
+        buf = np.roll(buf, _M)
+        buf[:_M] = x[b * _M:(b + 1) * _M][::-1]
+        out[b] = mat @ buf
+    return out
+
+
+def pqmf_synthesis(sb: np.ndarray) -> np.ndarray:
+    """Subband samples ``(n_blocks, 32)`` -> PCM, overlap-add form
+    (mathematically the spec's V-FIFO/window loop without the sign-
+    folded table)."""
+    mat = _synthesis_matrix()
+    nblk = sb.shape[0]
+    y = np.zeros(nblk * _M + _L)
+    for b in range(nblk):
+        y[b * _M:b * _M + _L] += mat @ sb[b]
+    return y[:nblk * _M]
+
+
+# --------------------------------------------------------------------------
+# hybrid MDCT (2.4.3.4.12) — 36-point long / 12-point short
+# --------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def _imdct36_basis() -> np.ndarray:
+    i = np.arange(36)[:, None]
+    m = np.arange(18)[None, :]
+    return np.cos(np.pi / 72 * (2 * i + 1 + 18) * (2 * m + 1))
+
+
+@lru_cache(maxsize=1)
+def _imdct12_basis() -> np.ndarray:
+    i = np.arange(12)[:, None]
+    m = np.arange(6)[None, :]
+    return np.cos(np.pi / 24 * (2 * i + 1 + 6) * (2 * m + 1))
+
+
+@lru_cache(maxsize=4)
+def _block_window(block_type: int) -> np.ndarray:
+    w = np.sin(np.pi / 36 * (np.arange(36) + 0.5))
+    if block_type == 0:
+        return w
+    if block_type == 1:  # start
+        out = w.copy()
+        out[18:24] = 1.0
+        out[24:30] = np.sin(np.pi / 12 * (np.arange(6) + 0.5 + 6))
+        out[30:] = 0.0
+        return out
+    if block_type == 3:  # stop
+        out = w.copy()
+        out[:6] = 0.0
+        out[6:12] = np.sin(np.pi / 12 * (np.arange(6) + 0.5))
+        out[12:18] = 1.0
+        return out
+    raise ValueError(f"no 36-sample window for block_type {block_type}")
+
+
+_WIN12 = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+
+
+def mdct_long(prev18: np.ndarray, cur18: np.ndarray) -> np.ndarray:
+    """Forward 36->18 MDCT with sine window; scale 1/9 makes the
+    IMDCT+window+OLA chain below an exact inverse (TDAC)."""
+    z = np.concatenate([prev18, cur18]) * _block_window(0)
+    return (_imdct36_basis().T @ z) / 9.0
+
+
+def imdct_block(spec18: np.ndarray, block_type: int) -> np.ndarray:
+    """18 spectral lines of one subband -> 36 windowed time samples."""
+    if block_type == 2:
+        out = np.zeros(36)
+        basis = _imdct12_basis()
+        for w in range(3):
+            y = (basis @ spec18[w::3]) * _WIN12
+            out[6 + 6 * w:18 + 6 * w] += y
+        return out
+    return (_imdct36_basis() @ spec18) * _block_window(block_type)
+
+
+# --------------------------------------------------------------------------
+# alias reduction (2.4.3.4.10.1) — decoder form and its exact inverse
+# --------------------------------------------------------------------------
+
+def alias_reduce(xr: np.ndarray, n_bands: int = 32) -> np.ndarray:
+    out = xr.copy()
+    for sb in range(n_bands - 1):
+        for i in range(8):
+            a = out[18 * sb + 17 - i]
+            b = out[18 * (sb + 1) + i]
+            out[18 * sb + 17 - i] = a * _ALIAS_CS[i] - b * _ALIAS_CA[i]
+            out[18 * (sb + 1) + i] = b * _ALIAS_CS[i] + a * _ALIAS_CA[i]
+    return out
+
+
+def alias_encode(xr: np.ndarray, n_bands: int = 32) -> np.ndarray:
+    """Exact inverse of :func:`alias_reduce` (each butterfly is an
+    orthogonal rotation, so the inverse is its transpose)."""
+    out = xr.copy()
+    for sb in range(n_bands - 1):
+        for i in range(8):
+            a = out[18 * sb + 17 - i]
+            b = out[18 * (sb + 1) + i]
+            out[18 * sb + 17 - i] = a * _ALIAS_CS[i] + b * _ALIAS_CA[i]
+            out[18 * (sb + 1) + i] = b * _ALIAS_CS[i] - a * _ALIAS_CA[i]
+    return out
+
+
+# --------------------------------------------------------------------------
+# side information (2.4.1.7)
+# --------------------------------------------------------------------------
+
+class GranuleInfo:
+    __slots__ = ("part2_3_length", "big_values", "global_gain",
+                 "scalefac_compress", "window_switching", "block_type",
+                 "mixed_block", "table_select", "subblock_gain",
+                 "region0_count", "region1_count", "preflag",
+                 "scalefac_scale", "count1table_select")
+
+    def __init__(self, **kw) -> None:
+        self.window_switching = 0
+        self.block_type = 0
+        self.mixed_block = 0
+        self.subblock_gain = [0, 0, 0]
+        self.region0_count = 7
+        self.region1_count = 7
+        self.preflag = 0
+        self.scalefac_scale = 0
+        self.count1table_select = 1
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def pack_side_info(main_data_begin: int, scfsi: list[list[int]],
+                   granules: list[list[GranuleInfo]], nch: int) -> bytes:
+    w = _BitWriter()
+    w.write(main_data_begin, 9)
+    w.write(0, 5 if nch == 1 else 3)
+    for ch in range(nch):
+        for band in range(4):
+            w.write(scfsi[ch][band], 1)
+    for gr in range(2):
+        for ch in range(nch):
+            g = granules[gr][ch]
+            w.write(g.part2_3_length, 12)
+            w.write(g.big_values, 9)
+            w.write(g.global_gain, 8)
+            w.write(g.scalefac_compress, 4)
+            w.write(g.window_switching, 1)
+            if g.window_switching:
+                w.write(g.block_type, 2)
+                w.write(g.mixed_block, 1)
+                for r in range(2):
+                    w.write(g.table_select[r], 5)
+                for sbw in range(3):
+                    w.write(g.subblock_gain[sbw], 3)
+            else:
+                for r in range(3):
+                    w.write(g.table_select[r], 5)
+                w.write(g.region0_count, 4)
+                w.write(g.region1_count, 3)
+            w.write(g.preflag, 1)
+            w.write(g.scalefac_scale, 1)
+            w.write(g.count1table_select, 1)
+    return w.to_bytes()
+
+
+def parse_side_info(data: bytes, nch: int) -> tuple[int, list, list]:
+    r = _BitReader(data)
+    mdb = r.read(9)
+    r.read(5 if nch == 1 else 3)
+    scfsi = [[r.read(1) for _ in range(4)] for _ in range(nch)]
+    granules: list[list[GranuleInfo]] = [[], []]
+    for gr in range(2):
+        for _ch in range(nch):
+            g = GranuleInfo(
+                part2_3_length=r.read(12), big_values=r.read(9),
+                global_gain=r.read(8), scalefac_compress=r.read(4),
+            )
+            g.window_switching = r.read(1)
+            if g.window_switching:
+                g.block_type = r.read(2)
+                g.mixed_block = r.read(1)
+                g.table_select = [r.read(5), r.read(5), 0]
+                g.subblock_gain = [r.read(3) for _ in range(3)]
+                # spec-fixed region split for switched blocks
+                g.region0_count = 8 if g.block_type != 2 or g.mixed_block else 7
+                g.region1_count = 36
+                if g.block_type == 0:
+                    raise ValueError("MP3: window_switching with block_type 0")
+            else:
+                g.table_select = [r.read(5) for _ in range(3)]
+                g.region0_count = r.read(4)
+                g.region1_count = r.read(3)
+            g.preflag = r.read(1)
+            g.scalefac_scale = r.read(1)
+            g.count1table_select = r.read(1)
+            granules[gr].append(g)
+    return mdb, scfsi, granules
+
+
+# --------------------------------------------------------------------------
+# scalefactors (2.4.2.7) + Huffman spectra (2.4.2.7 / B.7)
+# --------------------------------------------------------------------------
+
+def _read_scalefactors(r: _BitReader, g: GranuleInfo, gr: int,
+                       scfsi_ch: list[int], prev: list[int] | None):
+    slen1, slen2 = SLEN[g.scalefac_compress]
+    if g.window_switching and g.block_type == 2:
+        sf = []
+        for _band in range(6):
+            sf.append([r.read(slen1) for _ in range(3)])
+        for _band in range(6, 12):
+            sf.append([r.read(slen2) for _ in range(3)])
+        return sf
+    sf_long = [0] * 21
+    for band in range(21):
+        slen = slen1 if band < 11 else slen2
+        group = next(i for i, (lo, hi) in enumerate(SCFSI_BANDS)
+                     if lo <= band < hi)
+        if gr == 1 and scfsi_ch[group]:
+            sf_long[band] = prev[band] if prev else 0
+        elif slen:
+            sf_long[band] = r.read(slen)
+    return sf_long
+
+
+def _scalefactor_bits(g: GranuleInfo, gr: int, scfsi_ch: list[int]) -> int:
+    slen1, slen2 = SLEN[g.scalefac_compress]
+    if g.window_switching and g.block_type == 2:
+        return 6 * 3 * slen1 + 6 * 3 * slen2
+    bits = 0
+    for band in range(21):
+        group = next(i for i, (lo, hi) in enumerate(SCFSI_BANDS)
+                     if lo <= band < hi)
+        if gr == 1 and scfsi_ch[group]:
+            continue
+        bits += slen1 if band < 11 else slen2
+    return bits
+
+
+def _decode_huffman(r: _BitReader, g: GranuleInfo, sfb_long: list[int],
+                    part2_start: int) -> np.ndarray:
+    ix = np.zeros(576)
+    if g.window_switching:
+        region1_start = 36
+        region2_start = 576
+    else:
+        region1_start = sfb_long[g.region0_count + 1]
+        region2_start = sfb_long[min(g.region0_count + g.region1_count + 2,
+                                     len(sfb_long) - 1)]
+    line = 0
+    for _pair in range(g.big_values):
+        if line >= 576:
+            raise ValueError("MP3: big_values overruns the spectrum")
+        if line < region1_start:
+            table = g.table_select[0]
+        elif line < region2_start:
+            table = g.table_select[1]
+        else:
+            table = g.table_select[2]
+        x, y = _read_big_pair(r, table)
+        ix[line], ix[line + 1] = x, y
+        line += 2
+    # count1 region: quads until part2_3_length is exhausted
+    limit = part2_start + g.part2_3_length
+    while r.pos < limit and line + 4 <= 576:
+        if g.count1table_select == 0:
+            raise NotImplementedError(
+                "count1 Huffman table A is a Table B.7 data seam in this "
+                "container; populate COUNT1_A to decode streams that "
+                "select it"
+            )
+        quad = ~r.read(4) & 0xF
+        for j, v in enumerate(((quad >> 3) & 1, (quad >> 2) & 1,
+                               (quad >> 1) & 1, quad & 1)):
+            if v:
+                sign = r.read(1)
+                ix[line + j] = -1 if sign else 1
+        line += 4
+    if r.pos > limit:
+        raise ValueError("MP3: Huffman data overruns part2_3_length")
+    r.pos = limit
+    return ix
+
+
+def _read_big_pair(r: _BitReader, table: int) -> tuple[int, int]:
+    if table == 0:
+        return 0, 0
+    dec = _big_decoder(table)
+    code = ""
+    for _ in range(24):
+        code += "1" if r.read(1) else "0"
+        if code in dec:
+            x, y = dec[code]
+            break
+    else:
+        raise ValueError(f"MP3: undecodable Huffman code in table {table}")
+    linbits = HUFFMAN_LINBITS.get(table, 0)
+    if linbits and x == 15:
+        x += r.read(linbits)
+    if x:
+        x = -x if r.read(1) else x
+    if linbits and y == 15:
+        y += r.read(linbits)
+    if y:
+        y = -y if r.read(1) else y
+    return x, y
+
+
+# --------------------------------------------------------------------------
+# requantization (2.4.3.4.7.1)
+# --------------------------------------------------------------------------
+
+def requantize(ix: np.ndarray, g: GranuleInfo, sf, rate: int) -> np.ndarray:
+    xr = np.sign(ix) * np.abs(ix) ** (4.0 / 3.0)
+    step = 0.5 * (1 + g.scalefac_scale)
+    if g.window_switching and g.block_type == 2:
+        bounds = SFB_SHORT[rate]
+        for band in range(13):  # 12 sf bands + the top rest band
+            lo, hi = bounds[band], bounds[band + 1]
+            width = hi - lo
+            for w in range(3):
+                sfv = sf[band][w] if band < 12 else 0
+                gain = (2.0 ** ((g.global_gain - 210
+                                 - 8 * g.subblock_gain[w]) / 4.0)
+                        * 2.0 ** (-step * sfv))
+                start = 3 * lo + w * width
+                xr[start:start + width] *= gain
+        return xr
+    bounds = SFB_LONG[rate]
+    base = 2.0 ** ((g.global_gain - 210) / 4.0)
+    for band in range(22):
+        lo, hi = bounds[band], bounds[band + 1]
+        sfv = sf[band] if band < 21 else 0
+        gain = base * 2.0 ** (-step * (sfv + g.preflag * PRETAB[band]))
+        xr[lo:hi] *= gain
+    return xr
+
+
+def _reorder_short(xr: np.ndarray, rate: int) -> np.ndarray:
+    """Short-block lines arrive (band, window, line); the filterbank
+    wants (window-interleaved) subband order (2.4.3.4.8)."""
+    out = np.zeros_like(xr)
+    bounds = SFB_SHORT[rate]
+    for band in range(13):  # the rest band is window-interleaved too
+        lo, hi = bounds[band], bounds[band + 1]
+        width = hi - lo
+        for w in range(3):
+            src = 3 * lo + w * width
+            for j in range(width):
+                out[3 * (lo + j) + w] = xr[src + j]
+    return out
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an MPEG-1 Layer III stream -> ``(samples, sample_rate)``
+    with ``samples`` int16 of shape ``(n, n_channels)`` — the same
+    contract as the WAV path in ``multimodal.decode_audio``. Raises
+    ValueError for non-MP3/corrupt input and NotImplementedError at the
+    documented seams (MPEG-2/2.5 LSF, Layers I/II, missing Huffman
+    table data, intensity stereo)."""
+    i = _id3v2_size(data)
+    n = len(data)
+    rate = None
+    nch = None
+    reservoir = bytearray()
+    frame_meta: list[tuple[int, list, list, int]] = []  # (mdb, scfsi, gran, pool_pos)
+    while i < n:
+        fr = _frame_at(data, i)
+        if fr is None:
+            for skip in range(1, 3):
+                fr = _frame_at(data, i + skip)
+                if fr is not None:
+                    i += skip
+                    break
+            if fr is None:
+                break
+        frame_len, _kbps, sr, _spf = fr
+        b2 = data[i + 1]
+        version_bits = (b2 >> 3) & 0x03
+        layer = 4 - ((b2 >> 1) & 0x03)
+        if version_bits != 3 or layer != 3:
+            raise NotImplementedError(
+                "only MPEG-1 Layer III decodes here; Layers I/II and the "
+                "MPEG-2/2.5 LSF grammar are documented seams"
+            )
+        protection = b2 & 1
+        mode = (data[i + 3] >> 6) & 0x03
+        mode_ext = (data[i + 3] >> 4) & 0x03
+        ch = 1 if mode == 3 else 2
+        if rate is None:
+            rate, nch = sr, ch
+        elif sr != rate or ch != nch:
+            break
+        hdr = 4 + (0 if protection else 2)
+        side_len = 17 if ch == 1 else 32
+        if i + hdr + side_len > n:
+            break
+        side = data[i + hdr:i + hdr + side_len]
+        mdb, scfsi, granules = parse_side_info(side, ch)
+        payload = data[i + hdr + side_len:i + frame_len]
+        start = len(reservoir) - mdb
+        reservoir += payload
+        frame_meta.append((start, scfsi, granules, mode_ext if mode == 1 else 0))
+        i += frame_len
+    if rate is None:
+        raise ValueError("no MPEG audio frame found (not an MP3?)")
+    if rate not in SFB_LONG:
+        raise NotImplementedError(f"no scalefactor band table for {rate} Hz")
+
+    pool = bytes(reservoir)
+    sfb_long = SFB_LONG[rate]
+    overlap = np.zeros((nch, 32, 18))
+    pcm_subbands = [[] for _ in range(nch)]
+    for start, scfsi, granules, mode_ext in frame_meta:
+        if start < 0:
+            raise ValueError("MP3: main_data_begin points before the stream")
+        r = _BitReader(pool, start * 8)
+        sf_gr0: list = [None] * nch
+        for gr in range(2):
+            xr_ch = []
+            for ch in range(nch):
+                g = granules[gr][ch]
+                part2_start = r.pos
+                sf = _read_scalefactors(r, g, gr, scfsi[ch], sf_gr0[ch])
+                if gr == 0:
+                    sf_gr0[ch] = sf
+                ix = _decode_huffman(r, g, sfb_long, part2_start)
+                xr = requantize(ix, g, sf, rate)
+                if g.window_switching and g.block_type == 2:
+                    xr = _reorder_short(xr, rate)
+                xr_ch.append(xr)
+            if nch == 2 and mode_ext & 2:  # MS stereo
+                m, s = xr_ch
+                xr_ch = [(m + s) / np.sqrt(2.0), (m - s) / np.sqrt(2.0)]
+            if nch == 2 and mode_ext & 1:
+                raise NotImplementedError(
+                    "intensity stereo is a documented seam (MS and LR "
+                    "decode; see module docstring)"
+                )
+            for ch in range(nch):
+                g = granules[gr][ch]
+                xr = xr_ch[ch]
+                if not (g.window_switching and g.block_type == 2):
+                    xr = alias_reduce(xr)
+                elif g.mixed_block:
+                    xr = alias_reduce(xr, n_bands=2)
+                sb = np.zeros((18, 32))
+                for band in range(32):
+                    spec = xr[18 * band:18 * (band + 1)]
+                    bt = (g.block_type if g.window_switching else 0)
+                    if g.window_switching and g.mixed_block and band < 2:
+                        bt = 0
+                    y36 = imdct_block(spec, bt)
+                    sb[:, band] = y36[:18] + overlap[ch][band]
+                    overlap[ch][band] = y36[18:]
+                # frequency inversion: odd subbands, odd time samples
+                sb[1::2, 1::2] *= -1.0
+                pcm_subbands[ch].append(sb)
+
+    chans = []
+    for ch in range(nch):
+        if not pcm_subbands[ch]:
+            raise ValueError("MP3: no granules decoded")
+        s = np.concatenate(pcm_subbands[ch], axis=0)
+        chans.append(pqmf_synthesis(s))
+    pcm = np.stack(chans, axis=1)
+    return (np.clip(pcm * 32768.0, -32768, 32767)
+            .astype(np.int16)), rate
+
+
+# --------------------------------------------------------------------------
+# encoder (mutual-inverse fixture half — see module docstring)
+# --------------------------------------------------------------------------
+
+class _GranuleCode:
+    __slots__ = ("info", "sf", "main_bits")
+
+    def __init__(self, info: GranuleInfo, sf: list[int], main_bits: _BitWriter):
+        self.info = info
+        self.sf = sf
+        self.main_bits = main_bits
+
+
+def _quantize_granule(xr: np.ndarray, rate: int,
+                      scalefac_scale: int = 0) -> tuple[GranuleInfo, list[int], np.ndarray]:
+    """Pick global_gain + per-band scalefactors so each kept line is
+    |ix| = 1 at the band's representable amplitude (a legal, very-low-
+    rate Layer III quantizer — the Huffman subset constraint)."""
+    bounds = SFB_LONG[rate]
+    step = 0.5 * (1 + scalefac_scale)
+    amp = np.zeros(22)
+    for band in range(22):
+        lo, hi = bounds[band], bounds[band + 1]
+        seg = np.abs(xr[lo:hi])
+        keep = seg >= 0.5 * seg.max() if seg.max() > 0 else seg > 1
+        if keep.any():
+            amp[band] = seg[keep].mean()
+    if amp.max() <= 0:
+        g = GranuleInfo(part2_3_length=0, big_values=0, global_gain=210,
+                        scalefac_compress=0, table_select=[0, 0, 0])
+        return g, [0] * 21, np.zeros(576)
+    gg = int(np.clip(210 + round(4 * np.log2(amp.max())), 0, 255))
+    base = 2.0 ** ((gg - 210) / 4.0)
+    sf = [0] * 21
+    ix = np.zeros(576)
+    for band in range(22):
+        if amp[band] <= 0:
+            continue
+        lo, hi = bounds[band], bounds[band + 1]
+        cap = 15 if band < 11 else 3  # scalefac_compress 14 -> slen (4, 2)
+        sfv = 0
+        if band < 21:
+            sfv = int(np.clip(round(np.log2(base / amp[band]) / step), 0, cap))
+            sf[band] = sfv
+        level = base * 2.0 ** (-step * sfv)
+        seg = xr[lo:hi]
+        thresh = 0.5 * np.abs(seg).max()
+        mask = np.abs(seg) >= max(thresh, 0.25 * level)
+        ix[lo:hi] = np.where(mask, np.sign(seg), 0.0)
+    info = GranuleInfo(part2_3_length=0, big_values=0, global_gain=gg,
+                       scalefac_compress=14 if max(sf) else 0,
+                       scalefac_scale=scalefac_scale,
+                       table_select=[1, 1, 1])
+    return info, sf, ix
+
+
+def _encode_granule(info: GranuleInfo, sf: list[int], ix: np.ndarray) -> _BitWriter:
+    w = _BitWriter()
+    slen1, slen2 = SLEN[info.scalefac_compress]
+    for band in range(21):
+        slen = slen1 if band < 11 else slen2
+        if slen:
+            w.write(sf[band], slen)
+    nz = np.nonzero(ix)[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    big_values = (last + 1) // 2
+    if big_values > 288:
+        raise ValueError("spectrum too wide for big_values")
+    table = HUFFMAN_BIG[1]
+    for pair in range(big_values):
+        x = int(ix[2 * pair])
+        y = int(ix[2 * pair + 1])
+        w.write_code(table[(abs(x), abs(y))])
+        if x:
+            w.write(1 if x < 0 else 0, 1)
+        if y:
+            w.write(1 if y < 0 else 0, 1)
+    info.big_values = big_values
+    info.part2_3_length = len(w)
+    return w
+
+
+def encode_mp3(pcm: np.ndarray, rate: int, bitrate_kbps: int = 192,
+               use_ms: bool = False, scalefac_scale: int = 0) -> bytes:
+    """Encode int16 PCM (``(n,)`` mono or ``(n, 2)`` stereo) into a
+    spec-legal CBR MPEG-1 Layer III stream (long blocks, Huffman table
+    1 + sign bits, per-band scalefactors, working bit reservoir).
+    The mutual-inverse half of :func:`decode_mp3`."""
+    if rate not in SFB_LONG:
+        raise ValueError(f"MPEG-1 sample rate must be one of {sorted(SFB_LONG)}")
+    br_table = _BITRATE_KBPS[(1, 3)]
+    if bitrate_kbps not in br_table:
+        raise ValueError(f"bitrate must be one of {br_table}")
+    x = np.asarray(pcm)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    if nch not in (1, 2):
+        raise ValueError("mono or stereo only")
+    n_frames = max(1, -(-x.shape[0] // 1152))
+    pad = n_frames * 1152 - x.shape[0]
+    xf = np.vstack([x.astype(np.float64) / 32768.0,
+                    np.zeros((pad, nch))])
+    chans = [xf[:, c] for c in range(nch)]
+    if use_ms and nch == 2:
+        left, right = chans
+        chans = [(left + right) / np.sqrt(2.0), (left - right) / np.sqrt(2.0)]
+
+    # analysis + per-granule quantize/huffman
+    gran_codes: list[list[_GranuleCode]] = []  # [granule][channel]
+    prev = [np.zeros((32, 18)) for _ in range(nch)]
+    subbands = [pqmf_analysis(c) for c in chans]
+    n_gran = n_frames * 2
+    for g in range(n_gran):
+        row = []
+        for ch in range(nch):
+            blk = subbands[ch][g * 18:(g + 1) * 18]  # (18, 32)
+            blk = blk.copy()
+            blk[1::2, 1::2] *= -1.0  # frequency-inversion inverse
+            xr = np.zeros(576)
+            for band in range(32):
+                xr[18 * band:18 * (band + 1)] = mdct_long(
+                    prev[ch][band], blk[:, band])
+                prev[ch][band] = blk[:, band]
+            xr = alias_encode(xr)
+            info, sf, ix = _quantize_granule(xr, rate, scalefac_scale)
+            bits = _encode_granule(info, sf, ix)
+            info.part2_3_length = len(bits)
+            row.append(_GranuleCode(info, sf, bits))
+        gran_codes.append(row)
+
+    # frame assembly with a real bit reservoir
+    sr_idx = _SAMPLE_RATE[3].index(rate)
+    br_idx = br_table.index(bitrate_kbps) + 1
+    frame_len = 144 * 1000 * bitrate_kbps // rate
+    side_len = 17 if nch == 1 else 32
+    payload_cap = frame_len - 4 - side_len
+    if payload_cap <= 0:
+        raise ValueError("bitrate too low for the side information")
+    mode = 3 if nch == 1 else (1 if use_ms else 0)
+    mode_ext = 2 if (use_ms and nch == 2) else 0
+    b2 = 0xE0 | (3 << 3) | (1 << 1) | 1
+
+    main = _BitWriter()        # the continuous main-data stream
+    frames = bytearray()
+    written_payload = 0        # payload bytes emitted into `frames`
+    for f in range(n_frames):
+        # byte-align the main stream at each frame's data start
+        while len(main) % 8:
+            main.write(0, 1)
+        stream_pos = len(main) // 8
+        mdb = written_payload - stream_pos
+        if mdb < 0:
+            raise ValueError("reservoir accounting underflow")
+        if mdb > 511:
+            raise AssertionError("stuffing should have capped main_data_begin")
+        grans = [gran_codes[2 * f], gran_codes[2 * f + 1]]
+        scfsi = [[0, 0, 0, 0] for _ in range(nch)]
+        for gr in range(2):
+            for ch in range(nch):
+                main.bits.extend(grans[gr][ch].main_bits.bits)
+        side = pack_side_info(mdb, scfsi,
+                              [[grans[gr][ch].info for ch in range(nch)]
+                               for gr in range(2)], nch)
+        # main data for this frame must fit within payload written so far
+        # plus this frame's payload
+        end_bytes = (len(main) + 7) // 8
+        if end_bytes > written_payload + payload_cap:
+            raise ValueError(
+                "frame main data exceeds the reservoir window — raise "
+                "bitrate_kbps for this content"
+            )
+        # stuff ancillary bits so the NEXT frame's mdb stays <= 511
+        next_cap = written_payload + payload_cap
+        while next_cap - (len(main) + 7) // 8 > 511:
+            main.write(0, 8)
+        frames += bytes([0xFF, b2, (br_idx << 4) | (sr_idx << 2),
+                         (mode << 6) | (mode_ext << 4)])
+        frames += side
+        written_payload += payload_cap
+
+    # distribute the main-data stream into the frames' payload slots
+    stream = main.to_bytes()
+    stream += b"\x00" * (written_payload - len(stream))
+    out = bytearray()
+    pos = 0
+    off = 0
+    for f in range(n_frames):
+        head_len = 4 + side_len
+        out += frames[pos:pos + head_len]
+        pos += head_len
+        out += stream[off:off + payload_cap]
+        off += payload_cap
+    return bytes(out)

@@ -150,14 +150,23 @@ def decode_image(content: bytes) -> np.ndarray:
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
-    """Decode PCM WAV to ``(samples, sample_rate)`` with stdlib ``wave``;
-    ``samples`` is ``(n_frames, n_channels)`` int. 8-bit WAV is unsigned
-    per spec and is re-centred to signed. Compressed audio (MP3/OGG/…)
-    raises NotImplementedError at this seam — plug torchaudio/soundfile
-    here on a cluster that ships them."""
+    """Decode audio to ``(samples, sample_rate)``; ``samples`` is
+    ``(n_frames, n_channels)`` int16. PCM WAV decodes with stdlib
+    ``wave`` (8-bit WAV is unsigned per spec and is re-centred to
+    signed); MPEG-1 Layer III decodes through the pure-numpy pipeline
+    in ``operators/mp3_decode.py`` (see its docstring for the two
+    documented table seams). Remaining compressed formats (Ogg, AAC,
+    MPEG Layers I/II, …) raise NotImplementedError at this seam — plug
+    torchaudio/soundfile here on a cluster that ships them."""
     import io
     import wave
 
+    head = (content or b"")[:3]
+    if head == b"ID3" or (len(head) >= 2 and head[0] == 0xFF
+                          and (head[1] & 0xE0) == 0xE0):
+        from wc_vector_indexing_spark.operators.mp3_decode import decode_mp3
+
+        return decode_mp3(content)
     try:
         with wave.open(io.BytesIO(content or b""), "rb") as wf:
             rate = wf.getframerate()
@@ -166,8 +175,9 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
             raw = wf.readframes(wf.getnframes())
     except (wave.Error, EOFError) as exc:
         raise NotImplementedError(
-            f"only PCM WAV decodes without external codecs ({exc}); plug a "
-            "real decoder at decode_audio, or use FakeCodec for opaque bytes"
+            f"only PCM WAV and MPEG-1 Layer III decode without external "
+            f"codecs ({exc}); plug a real decoder at decode_audio, or use "
+            "FakeCodec for opaque bytes"
         ) from exc
     if width == 1:
         samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
