@@ -213,27 +213,28 @@ def _synthesis_matrix() -> np.ndarray:
 
 
 def pqmf_analysis(x: np.ndarray) -> np.ndarray:
-    """PCM (float, mono) -> subband samples ``(n_blocks, 32)``."""
+    """PCM (float, mono) -> subband samples ``(n_blocks, 32)``.
+
+    One batched matmul over a strided window view — equivalent to the
+    spec's per-block FIFO loop (S[b,k] = sum_n h(n) cos(...) x(32b+31-n))
+    but without the per-block BLAS dispatch overhead."""
     mat = _analysis_matrix()
     nblk = len(x) // _M
-    out = np.zeros((nblk, _M))
-    buf = np.zeros(_L)
-    for b in range(nblk):
-        buf = np.roll(buf, _M)
-        buf[:_M] = x[b * _M:(b + 1) * _M][::-1]
-        out[b] = mat @ buf
-    return out
+    xp = np.concatenate([np.zeros(_L - 1), np.asarray(x, dtype=np.float64)])
+    sw = np.lib.stride_tricks.sliding_window_view(xp, _L)[31::_M][:nblk]
+    return sw @ mat[:, ::-1].T
 
 
 def pqmf_synthesis(sb: np.ndarray) -> np.ndarray:
     """Subband samples ``(n_blocks, 32)`` -> PCM, overlap-add form
     (mathematically the spec's V-FIFO/window loop without the sign-
-    folded table)."""
+    folded table). Batched: one matmul + 16 shifted vector adds."""
     mat = _synthesis_matrix()
     nblk = sb.shape[0]
+    contrib = np.asarray(sb, dtype=np.float64) @ mat.T  # (nblk, 512)
     y = np.zeros(nblk * _M + _L)
-    for b in range(nblk):
-        y[b * _M:b * _M + _L] += mat @ sb[b]
+    for k in range(_L // _M):
+        y[k * _M:k * _M + nblk * _M] += contrib[:, k * _M:(k + 1) * _M].ravel()
     return y[:nblk * _M]
 
 
@@ -669,15 +670,20 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
                     xr = alias_reduce(xr)
                 elif g.mixed_block:
                     xr = alias_reduce(xr, n_bands=2)
-                sb = np.zeros((18, 32))
-                for band in range(32):
-                    spec = xr[18 * band:18 * (band + 1)]
-                    bt = (g.block_type if g.window_switching else 0)
-                    if g.window_switching and g.mixed_block and band < 2:
-                        bt = 0
-                    y36 = imdct_block(spec, bt)
-                    sb[:, band] = y36[:18] + overlap[ch][band]
-                    overlap[ch][band] = y36[18:]
+                if not g.window_switching:
+                    # all-long granule: one batched 36x18 @ 18x32 IMDCT
+                    spec = xr.reshape(32, 18).T
+                    y = (_imdct36_basis() @ spec) * _block_window(0)[:, None]
+                else:
+                    y = np.empty((36, 32))
+                    for band in range(32):
+                        bt = g.block_type
+                        if g.mixed_block and band < 2:
+                            bt = 0
+                        y[:, band] = imdct_block(
+                            xr[18 * band:18 * (band + 1)], bt)
+                sb = y[:18] + overlap[ch].T
+                overlap[ch] = y[18:].T
                 # frequency inversion: odd subbands, odd time samples
                 sb[1::2, 1::2] *= -1.0
                 pcm_subbands[ch].append(sb)
@@ -809,14 +815,11 @@ def encode_mp3(pcm: np.ndarray, rate: int, bitrate_kbps: int = 192,
     for g in range(n_gran):
         row = []
         for ch in range(nch):
-            blk = subbands[ch][g * 18:(g + 1) * 18]  # (18, 32)
-            blk = blk.copy()
+            blk = subbands[ch][g * 18:(g + 1) * 18].copy()  # (18, 32)
             blk[1::2, 1::2] *= -1.0  # frequency-inversion inverse
-            xr = np.zeros(576)
-            for band in range(32):
-                xr[18 * band:18 * (band + 1)] = mdct_long(
-                    prev[ch][band], blk[:, band])
-                prev[ch][band] = blk[:, band]
+            z = np.vstack([prev[ch].T, blk]) * _block_window(0)[:, None]
+            xr = ((_imdct36_basis().T @ z) / 9.0).T.ravel()  # (32*18,)
+            prev[ch] = blk.T
             xr = alias_encode(xr)
             info, sf, ix = _quantize_granule(xr, rate, scalefac_scale)
             bits = _encode_granule(info, sf, ix)

@@ -5842,6 +5842,161 @@ ORDER BY doc_id
 """
 
 
+def mp3_pcm_census_op(spark: SparkSession, sf: str, *, n: int = 48) -> DataFrame:
+    """MP3 full-decode census (operators/mp3_decode): each document
+    renders a doc_id-derived sine (rate, frame count, channel layout,
+    frequency and MS-stereo flag all pure arithmetic), encodes it into
+    a spec-legal Layer III stream with the mutual-inverse encoder, runs
+    the COMPLETE decode pipeline (side info, bit reservoir, Huffman,
+    requantize, IMDCT, polyphase synthesis) and reports structural
+    truth plus the dominant frequency recovered from the decoded PCM by
+    projection onto the planted grid — content-level proof the decode
+    is real, yet still exact doc_id arithmetic for the DuckDB oracle.
+    ~60 ms of Python DSP per row: repartitioned before the map per the
+    ms-per-row rule (SCALE.md)."""
+    import numpy as np
+
+    docs = (load(spark, "documents", sf).select("doc_id")
+            .orderBy("doc_id").limit(n).repartition(max(1, min(32, n // 4))))
+
+    def render(batches):
+        import pandas as pd
+
+        from wc_vector_indexing_spark.operators.mp3_decode import (
+            decode_mp3,
+            encode_mp3,
+        )
+
+        rates = [32000, 44100, 48000]
+        out = []
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = rates[d % 3]
+                n_frames = 2 + d % 3
+                freq = 400.0 * (1 + d % 20)
+                nch = 1 + d % 2
+                gain = 0.3 + 0.1 * (d // 3 % 3)
+                t = np.arange(n_frames * 1152)
+                x = gain * np.sin(2 * np.pi * freq * t / rate)
+                pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+                if nch == 2:
+                    pcm = np.stack([pcm, pcm], axis=1)
+                blob = encode_mp3(
+                    pcm, rate,
+                    bitrate_kbps=160 if nch == 1 else 320,
+                    use_ms=(nch == 2 and d % 4 == 1),
+                )
+                dec, r2 = decode_mp3(blob)
+                mono = dec.astype(np.float64).mean(axis=1)[1152:]
+                tt = np.arange(len(mono)) / r2
+                grid = 400.0 * (1 + np.arange(20))
+                power = [abs(np.dot(mono, np.exp(-2j * np.pi * f * tt)))
+                         for f in grid]
+                out.append({
+                    "doc_id": d,
+                    "sample_rate": r2,
+                    "n_channels": dec.shape[1],
+                    "n_samples": dec.shape[0],
+                    "duration_us": dec.shape[0] * 1_000_000 // r2,
+                    "detected_hz": int(grid[int(np.argmax(power))]),
+                })
+            yield pd.DataFrame(
+                out, columns=["doc_id", "sample_rate", "n_channels",
+                              "n_samples", "duration_us", "detected_hz"])
+            out = []
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, sample_rate long, n_channels long, "
+               "n_samples long, duration_us long, detected_hz long",
+    ).orderBy("doc_id")
+
+
+MP3_PCM_CENSUS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 32000 WHEN 1 THEN 44100
+                ELSE 48000 END AS sample_rate,
+           2 + doc_id % 3 AS n_frames,
+           1 + doc_id % 2 AS n_channels,
+           400 * (1 + doc_id % 20) AS detected_hz
+    FROM documents ORDER BY doc_id LIMIT 48
+)
+SELECT doc_id, sample_rate::BIGINT AS sample_rate,
+       n_channels::BIGINT AS n_channels,
+       (n_frames * 1152)::BIGINT AS n_samples,
+       (n_frames * 1152 * 1000000) // sample_rate AS duration_us,
+       detected_hz::BIGINT AS detected_hz
+FROM t
+ORDER BY doc_id
+"""
+
+
+def audio_dedup_mp3_op(spark: SparkSession, sf: str, *, n: int = 48) -> DataFrame:
+    """MP3-content audio dedup: the audio_dedup_fp planted scheme
+    (doc_ids sharing ``doc_id % 12`` carry the SAME two-tone pattern at
+    different per-copy gains) but the clips travel as REAL MPEG-1
+    Layer III streams from the mutual-inverse encoder — the dominant
+    crawl audio format flowing through the same decode_audio seam and
+    Haitsma-Kalker fingerprint join as WAV. Codec quantization moves
+    same-pattern fingerprints 0-3 bits apart (measured over the full
+    48-clip fixture; cross-pattern >= 13), so a Hamming-6 join recovers
+    exactly the planted groups with >= 3 bits of margin on either side
+    — pure doc_id arithmetic, hence the DuckDB oracle. The hamming
+    column is codec-dependent and is projected away."""
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.audio import audio_near_pairs
+
+    docs = (load(spark, "documents", sf).select("doc_id")
+            .orderBy("doc_id").limit(n).repartition(max(1, min(32, n // 4))))
+    rate = 32000
+    edges = np.geomspace(300.0, rate / 2.0, 18)
+    centers = np.sqrt(edges[:-1] * edges[1:])
+
+    def render(batches):
+        import pandas as pd
+
+        from wc_vector_indexing_spark.operators.mp3_decode import encode_mp3
+
+        t = np.arange(int(0.3 * rate)) / rate
+        ids, kinds, blobs = [], [], []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                pat = int(doc_id) % 8
+                b1, b2 = pat, 8 + (3 * pat) % 7
+                gain = 0.15 + (int(doc_id) // 8 % 6) * 0.13
+                x = gain * (0.5 * np.sin(2 * np.pi * centers[b1] * t)
+                            + 0.35 * np.sin(2 * np.pi * centers[b2] * t))
+                pcm = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+                ids.append(int(doc_id))
+                kinds.append("audio")
+                blobs.append(encode_mp3(pcm, rate, bitrate_kbps=160))
+            yield pd.DataFrame({"media_id": ids, "kind": kinds,
+                                "content": blobs})
+            ids, kinds, blobs = [], [], []
+
+    media = docs.mapInPandas(
+        render, schema="media_id long, kind string, content binary")
+    # n_bands=4: pigeonhole-complete for the measured <=3-bit codec
+    # wobble (a 1-band prefix block could miss a pair whose differing
+    # bits land in the top 16 bits)
+    return (audio_near_pairs(media, max_hamming=6, n_bands=4)
+            .select("media_a", "media_b").orderBy("media_a", "media_b"))
+
+
+AUDIO_DEDUP_MP3_SQL = r"""
+WITH ids AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48
+)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b
+FROM ids a JOIN ids b
+  ON a.doc_id % 8 = b.doc_id % 8 AND a.doc_id < b.doc_id
+ORDER BY media_a, media_b
+"""
+
+
 def parquet_footer_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """Parquet footer triage (operators/parquet_meta.parse_parquet_footer):
     every document renders into a REAL parquet file written by pyarrow —
@@ -7157,20 +7312,19 @@ REGISTRY: dict[str, QuerySpec] = {
     # advisor rule: fresh operators get driver-gate visibility; the
     # long-stable j8/a1/k2 rows moved below the cutoff in exchange)
     "bm25_search": QuerySpec(bm25_search_op, BM25_SQL, "BM25 lexical top-10 retrieval"),
-    # late-r8 window rotation: ogg_page_census (never driver-recorded)
-    # promoted; hybrid_search_rrf (recorded) demoted to the tail.
-    "ogg_page_census": QuerySpec(
-        ogg_page_census_op, OGG_CENSUS_SQL,
-        "Ogg page walk + Opus/Vorbis id headers: codec/duration census (planted-truth oracle)"
+    # r9 window rotation: the two MP3 full-decode entries (never
+    # driver-recorded) promoted; ogg_page_census + webp_dims_census
+    # (both recorded r8) demoted to the tail in exchange.
+    "mp3_pcm_census": QuerySpec(
+        mp3_pcm_census_op, MP3_PCM_CENSUS_SQL,
+        "MPEG-1 Layer III full decode to PCM: structural + dominant-frequency census (planted-truth oracle)"
+    ),
+    "audio_dedup_mp3": QuerySpec(
+        audio_dedup_mp3_op, AUDIO_DEDUP_MP3_SQL,
+        "fingerprint dedup over real Layer III streams through the decode seam (planted-truth oracle)"
     ),
     "event_pagerank": QuerySpec(
         event_pagerank_op, PAGERANK_SQL, "transition-graph weighted PageRank (5 rounds)"
-    ),
-    # late-r8 window rotation: webp_dims_census (never driver-recorded)
-    # promoted; semantic_decontamination (recorded) demoted to the tail.
-    "webp_dims_census": QuerySpec(
-        webp_dims_census_op, WEBP_CENSUS_SQL,
-        "WebP VP8/VP8L/VP8X dimension-feature census (planted-truth oracle)"
     ),
     "mmr_rerank_top10": QuerySpec(
         mmr_rerank_op, MMR_SQL, "MMR diversified rerank (recursive-CTE oracle)"
@@ -7648,6 +7802,16 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "hybrid_search_rrf": QuerySpec(
         hybrid_search_rrf_op, HYBRID_RRF_SQL, "BM25+vector reciprocal-rank fusion"
+    ),
+    # r9 rotation: recorded r8, demoted from the window in exchange for
+    # the two MP3 full-decode entries
+    "ogg_page_census": QuerySpec(
+        ogg_page_census_op, OGG_CENSUS_SQL,
+        "Ogg page walk + Opus/Vorbis id headers: codec/duration census (planted-truth oracle)"
+    ),
+    "webp_dims_census": QuerySpec(
+        webp_dims_census_op, WEBP_CENSUS_SQL,
+        "WebP VP8/VP8L/VP8X dimension-feature census (planted-truth oracle)"
     ),
     "semantic_decontamination": QuerySpec(
         semantic_decontamination_op, SEMANTIC_DECONTAM_SQL,
