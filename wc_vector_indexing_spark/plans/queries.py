@@ -6229,6 +6229,93 @@ ORDER BY doc_id, entry_index
 """
 
 
+def feed_discovery_op(spark: SparkSession, sf: str, *, n: int = 200) -> DataFrame:
+    """The crawl-DISCOVERY front door as an oracle-backed entry: the
+    batch form of streaming/incremental.feed_discovery_stream (the
+    stream ≡ batch equivalence is pinned by the checkpoint-restart
+    convergence test in tests/test_streaming.py) over a planted drop
+    directory — RSS for even doc_ids, Atom for odd, a sitemap every
+    ninth, a malformed-XML poison file every thirteenth (quarantined as
+    an error row; excluded here, its path is pytest-pinned). URLs
+    deliberately collide across feeds (page index arithmetic mod 150)
+    so the URL-frontier dedup does real work, and every announcer of a
+    URL carries the same title/timestamp derived FROM the URL — which
+    makes the surviving row deterministic and the whole frontier pure
+    doc_id arithmetic for the DuckDB oracle. Fixture planting is a
+    bounded driver write (<= 200 small XML files)."""
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.feeds import (
+        to_atom,
+        to_rss,
+        to_sitemap,
+    )
+    from wc_vector_indexing_spark.streaming.incremental import (
+        feed_discovery_stream,
+    )
+
+    ids = [int(r.doc_id) for r in
+           load(spark, "documents", sf).select("doc_id")
+           .orderBy("doc_id").limit(n).collect()]
+    tmpdir = tempfile.mkdtemp(prefix="wcvi_feed_disc_")
+    for d in ids:
+        if d % 13 == 12:
+            xml = "<rss><channel><unclosed"  # poison: must quarantine
+        elif d % 9 == 0:
+            xml = to_sitemap([
+                {"loc": f"https://static.example/s{(d + j * 29) % 80}",
+                 "lastmod_ts": 1704153600 + ((d + j * 29) % 80) * 3600}
+                for j in range(4)
+            ])
+        else:
+            entries = [
+                {"title": f"Page {(d * 7 + j * 13) % 150}",
+                 "link": f"https://pages.example/p{(d * 7 + j * 13) % 150}",
+                 "published_ts": 1704067200 + ((d * 7 + j * 13) % 150) * 60,
+                 "summary": None}
+                for j in range(2 + d % 3)
+            ]
+            writer = to_rss if d % 2 == 0 else to_atom
+            xml = writer(f"Feed {d}", entries)
+        with open(os.path.join(tmpdir, f"feed{d}.xml"), "w") as fh:
+            fh.write(xml)
+    out = feed_discovery_stream(spark, tmpdir, streaming=False)
+    return (out.filter(F.col("error").isNull())
+            .select("url", "title",
+                    F.col("event_ts").cast("long").alias("published_ts"))
+            .orderBy("url"))
+
+
+FEED_DISCOVERY_SQL = r"""
+WITH ids AS (
+    SELECT doc_id AS d FROM documents ORDER BY doc_id LIMIT 200
+),
+pages AS (
+    SELECT DISTINCT (d * 7 + j * 13) % 150 AS p
+    FROM ids CROSS JOIN range(5) AS t(j)
+    WHERE d % 13 <> 12 AND d % 9 <> 0 AND j < 2 + d % 3
+),
+statics AS (
+    SELECT DISTINCT (d + j * 29) % 80 AS q
+    FROM ids CROSS JOIN range(4) AS t(j)
+    WHERE d % 13 <> 12 AND d % 9 = 0
+)
+SELECT url, title, published_ts FROM (
+    SELECT 'https://pages.example/p' || p AS url,
+           'Page ' || p AS title,
+           1704067200 + p * 60 AS published_ts
+    FROM pages
+    UNION ALL
+    SELECT 'https://static.example/s' || q AS url,
+           NULL AS title,
+           1704153600 + q * 3600 AS published_ts
+    FROM statics
+)
+ORDER BY url
+"""
+
+
 def mbox_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
     """mbox/MIME email source (sources/mbox.py): every document
     renders into a mailing-list mbox of 1–3 messages whose transfer
@@ -7333,11 +7420,13 @@ REGISTRY: dict[str, QuerySpec] = {
         image_dedup_op, IMAGE_DEDUP_SQL,
         "perceptual dHash image near-dup pairs (planted-truth oracle)"
     ),
-    # late-r8 window rotation: flac_streaminfo_census (never
-    # driver-recorded) promoted; tokenizer_eval (recorded) demoted.
-    "flac_streaminfo_census": QuerySpec(
-        flac_streaminfo_census_op, FLAC_CENSUS_SQL,
-        "FLAC STREAMINFO bit-unpack: rate/depth/duration census (planted-truth oracle)"
+    # r9 window rotation: feed_discovery (never driver-recorded, the
+    # crawl front door upgraded from streaming-only to oracle-backed)
+    # promoted; flac_streaminfo_census (recorded r8) demoted in
+    # exchange.
+    "feed_discovery": QuerySpec(
+        feed_discovery_op, FEED_DISCOVERY_SQL,
+        "URL-frontier feed/sitemap discovery with cross-feed dedup (planted-truth oracle)"
     ),
     # r8 window rotation: dedup_embedding_lsh (upgraded rows-only→oracle
     # via embedded planes, never driver-recorded) promoted;
@@ -7812,6 +7901,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "webp_dims_census": QuerySpec(
         webp_dims_census_op, WEBP_CENSUS_SQL,
         "WebP VP8/VP8L/VP8X dimension-feature census (planted-truth oracle)"
+    ),
+    "flac_streaminfo_census": QuerySpec(
+        flac_streaminfo_census_op, FLAC_CENSUS_SQL,
+        "FLAC STREAMINFO bit-unpack: rate/depth/duration census (planted-truth oracle)"
     ),
     "semantic_decontamination": QuerySpec(
         semantic_decontamination_op, SEMANTIC_DECONTAM_SQL,
