@@ -168,6 +168,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     progressive = False
     arithmetic = False
+    lossless = False
     dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
     ac_cond: dict[int, int] = {}  # DAC: table -> Kx
     grids: list[np.ndarray] | None = None  # per-comp (bh, bw, 64) zigzag coeffs
@@ -207,11 +208,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 n = sum(counts)
                 huff[(tc, th)] = _HuffTable(counts, seg[p + 17 : p + 17 + n])
                 p += 17 + n
-        elif marker in (0xC0, 0xC2, 0xC9, 0xCA):  # SOF0/SOF2/SOF9/SOF10
+        elif marker in (0xC0, 0xC2, 0xC3, 0xC9, 0xCA):  # +SOF3 lossless
             progressive = marker in (0xC2, 0xCA)
             arithmetic = marker in (0xC9, 0xCA)
+            lossless = marker == 0xC3
             precision = seg[0]
-            if precision != 8:
+            if precision != 8 and not lossless:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -220,14 +222,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps, "precision": precision}
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"baseline (SOF0), progressive (SOF2) and arithmetic "
-                f"(SOF9/SOF10) JPEG decode here; got SOF marker "
-                f"FF{marker:02X} — plug a real codec (Pillow) at "
-                "multimodal.decode_image for hierarchical/lossless files"
+                f"baseline (SOF0), progressive (SOF2), arithmetic "
+                f"(SOF9/SOF10) and lossless (SOF3) JPEG decode here; got "
+                f"SOF marker FF{marker:02X} — plug a real codec (Pillow) "
+                "at multimodal.decode_image for hierarchical files"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
             p = 0
@@ -249,6 +251,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tables >> 4, tables & 0x0F)
+            if lossless:
+                from wc_vector_indexing_spark.operators.jpeg_lossless import (
+                    decode_lossless_scan,
+                )
+
+                ss = seg[1 + 2 * ns]  # predictor selection
+                ahl = seg[3 + 2 * ns]
+                return decode_lossless_scan(
+                    data, i + 2 + length, frame, scan, huff,
+                    restart_interval, ss, ahl & 0x0F,
+                )
             if arithmetic and not progressive:
                 from wc_vector_indexing_spark.operators.jpeg_arith import (
                     decode_scan_arith,

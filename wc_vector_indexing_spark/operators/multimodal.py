@@ -100,12 +100,13 @@ def decode_image(content: bytes) -> np.ndarray:
     ``(h, w, 3)`` for PPM — using nothing but numpy.
 
     Supports the netpbm family: P5/P6 (binary PGM/PPM, 8- or 16-bit
-    big-endian per spec), P2/P3 (ASCII), baseline, progressive AND
-    arithmetic JPEG (SOF0/SOF2/SOF9/SOF10 — pure-python T.81
-    decoders in operators/jpeg.py + jpeg_arith.py), and PNG including
-    Adam7 interlace (operators/png.py). Anything else
-    (hierarchical/lossless JPEG, WebP, …) needs an external codec and
-    raises NotImplementedError at this seam; plug Pillow here
+    big-endian per spec), P2/P3 (ASCII), baseline, progressive,
+    arithmetic AND lossless JPEG (SOF0/SOF2/SOF9/SOF10/SOF3 —
+    pure-python T.81 decoders in operators/jpeg.py + jpeg_arith.py +
+    jpeg_lossless.py), and PNG including Adam7 interlace
+    (operators/png.py). Anything else (hierarchical JPEG, WebP, …)
+    needs an external codec and raises NotImplementedError at this
+    seam; plug Pillow here
     (``np.asarray(PIL.Image.open(io.BytesIO(content)))``) on a cluster
     that ships it."""
     magic = (content or b"")[:2]

@@ -5997,6 +5997,84 @@ ORDER BY media_a, media_b
 """
 
 
+def jpeg_lossless_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Lossless JPEG (SOF3, T.81 Annex H) census: every document
+    renders a doc_id-derived gradient image (dimensions, precision and
+    predictor all arithmetic — every fifth doc is 16-bit), encodes it
+    as a real SOF3 stream (operators/jpeg_lossless) and decodes it
+    back through the jpeg.py router. The reported pixel_sum is the sum
+    of the PLANTED pattern — decode must be bit-exact for it to match
+    the DuckDB oracle's analytic replay (cross-join range sum). All
+    seven predictors cycle through the corpus. One zero-shuffle Arrow
+    render+decode pass, spread across cores first (~ms per row)."""
+    docs = load(spark, "documents", sf).select("doc_id").repartition(32)
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        from wc_vector_indexing_spark.operators.jpeg import decode_jpeg
+        from wc_vector_indexing_spark.operators.jpeg_lossless import (
+            to_lossless_jpeg_bytes,
+        )
+
+        cols = ["doc_id", "width", "height", "precision", "predictor",
+                "pixel_sum"]
+        out = []
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 8 + d % 9, 8 + d % 7
+                wide = d % 5 == 0
+                i_idx, j_idx = np.indices((h, w))
+                if wide:
+                    img = ((i_idx * w + j_idx * 7 + d * 11) % 65536
+                           ).astype(np.uint16)
+                else:
+                    img = ((i_idx * w + j_idx * 3 + d) % 256).astype(np.uint8)
+                pred = 1 + d % 7
+                dec = decode_jpeg(to_lossless_jpeg_bytes(img, predictor=pred))
+                out.append({
+                    "doc_id": d, "width": w, "height": h,
+                    "precision": 16 if wide else 8, "predictor": pred,
+                    "pixel_sum": int(dec.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(out, columns=cols)
+            out = []
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, width long, height long, precision long, "
+               "predictor long, pixel_sum long",
+    ).orderBy("doc_id")
+
+
+JPEG_LOSSLESS_CENSUS_SQL = r"""
+WITH dims AS (
+    SELECT doc_id, 8 + doc_id % 9 AS h, 8 + doc_id % 7 AS w,
+           doc_id % 5 = 0 AS wide
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.h, d.w, d.wide,
+           CASE WHEN d.wide
+                THEN (i.range * d.w + j.range * 7 + d.doc_id * 11) % 65536
+                ELSE (i.range * d.w + j.range * 3 + d.doc_id) % 256
+           END AS v
+    FROM dims d
+    CROSS JOIN range(17) i CROSS JOIN range(15) j
+    WHERE i.range < d.h AND j.range < d.w
+)
+SELECT doc_id, MIN(w)::BIGINT AS width, MIN(h)::BIGINT AS height,
+       (CASE WHEN MIN(wide) THEN 16 ELSE 8 END)::BIGINT AS precision,
+       (1 + doc_id % 7)::BIGINT AS predictor,
+       SUM(v)::BIGINT AS pixel_sum
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def parquet_footer_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """Parquet footer triage (operators/parquet_meta.parse_parquet_footer):
     every document renders into a REAL parquet file written by pyarrow —
@@ -7476,8 +7554,12 @@ REGISTRY: dict[str, QuerySpec] = {
         mp4_box_census_op, MP4_CENSUS_SQL,
         "ISOBMFF box walk: duration/tracks/codecs census (planted-truth oracle)"
     ),
-    "moving_average_events": QuerySpec(
-        moving_average_events, MOVING_AVG_SQL, "trailing time-RANGE window average"
+    # r9 window rotation: jpeg_lossless_census (never driver-recorded,
+    # SOF3 Annex H decode) promoted; moving_average_events (recorded
+    # r8) demoted — temporal family keeps session_window_events.
+    "jpeg_lossless_census": QuerySpec(
+        jpeg_lossless_census_op, JPEG_LOSSLESS_CENSUS_SQL,
+        "SOF3 lossless-JPEG exact decode census, all 7 predictors (planted-truth oracle)"
     ),
     "h264_sps_census": QuerySpec(
         h264_sps_census_op, H264_CENSUS_SQL,
@@ -7905,6 +7987,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "flac_streaminfo_census": QuerySpec(
         flac_streaminfo_census_op, FLAC_CENSUS_SQL,
         "FLAC STREAMINFO bit-unpack: rate/depth/duration census (planted-truth oracle)"
+    ),
+    "moving_average_events": QuerySpec(
+        moving_average_events, MOVING_AVG_SQL, "trailing time-RANGE window average"
     ),
     "semantic_decontamination": QuerySpec(
         semantic_decontamination_op, SEMANTIC_DECONTAM_SQL,
