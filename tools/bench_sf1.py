@@ -79,6 +79,89 @@ MEDIA_SCALE = {
 
 RATIO_BAR = 14.0  # 10x data + cache/spill slack
 
+# r9 (r8-verdict item 6): the five worst-curvature queries from the r8
+# full-catalog rehearsal, re-measured with the data both 10x AND
+# hostile (tools/skew_bench.generate twin of each scale; the two
+# fixture-keyed ones additionally carry their skew-suite kwargs so the
+# straggler rides along while the corpus scales).
+SKEW_CURVATURE_QUERIES = {
+    "dedup_embedding_lsh": {},
+    "training_triplets": {},
+    "lexical_diversity": {},
+    "parquet_footer_census": {"mega_rows": 20000},
+    "mbox_corpus_text": {"mega_msgs": 2000},
+}
+SKEW01 = "/tmp/wcvi_skew_sf0.1"
+SKEW1 = "/tmp/wcvi_skew_sf1"
+
+
+def run_skew() -> None:
+    """sf1 x skew rehearsal: time SKEW_CURVATURE_QUERIES on skewed
+    twins of sf0.1 and sf1, append a ``skewed_curvature`` section to
+    BENCH_SF1.json (preserving the existing full-catalog content)."""
+    import os
+
+    if not Path(SF1).is_dir():
+        raise SystemExit(f"{SF1} missing — run tools/make_sfN.py first")
+    from tools.skew_bench import generate
+
+    import wc_vector_indexing_spark.plans.queries as Q
+
+    spark = get_spark("bench-sf1-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(SKEW01):
+        generate(spark, SF01, SKEW01)
+    if not os.path.exists(SKEW1):
+        generate(spark, SF1, SKEW1)
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    results: dict[str, dict] = {}
+    for sf_dir, key in ((SKEW01, "t_skew0.1"), (SKEW1, "t_skew1")):
+        warm_build_artifacts(spark, sf_dir)
+        for name, kw in SKEW_CURVATURE_QUERIES.items():
+            fn = Q.REGISTRY[name].fn  # ops accept their skew kwargs directly
+            best = None
+            try:
+                for _ in range(2 if sf_dir == SKEW01 else 1):
+                    t0 = time.time()
+                    fn(spark, sf_dir, **kw).write.format("noop").mode(
+                        "overwrite").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} @ {sf_dir}: ERROR {e}", file=sys.stderr)
+                results.setdefault(name, {})[key] = -1.0
+                continue
+            results.setdefault(name, {})[key] = round(best, 3)
+            print(f"{name} @ {sf_dir}: {best:.2f}s", file=sys.stderr)
+    flagged, errored = [], []
+    for name, r in results.items():
+        if r.get("t_skew1", -1.0) < 0 or r.get("t_skew0.1", -1.0) < 0:
+            r["ratio"] = None
+            r["superlinear"] = True
+            errored.append(name)
+            flagged.append(name)
+            continue
+        r["ratio"] = round(r["t_skew1"] / max(r["t_skew0.1"], 1e-3), 2)
+        r["superlinear"] = r["ratio"] > RATIO_BAR
+        if r["superlinear"]:
+            flagged.append(name)
+        r["fixture_kwargs"] = SKEW_CURVATURE_QUERIES[name]
+    path = ROOT / "BENCH_SF1.json"
+    artifact = json.loads(path.read_text()) if path.exists() else {}
+    artifact["skewed_curvature"] = {
+        "queries": results,
+        "flagged_superlinear": flagged,
+        "errored": errored,
+        "note": (
+            "worst-curvature five from the r8 full-catalog rehearsal, "
+            "data 10x AND hostile (skew_bench.generate twins; fixture-"
+            "keyed ops carry their mega-straggler kwargs at both scales)"
+        ),
+    }
+    path.write_text(json.dumps(artifact, indent=1))
+    print(json.dumps({"skew_flagged": flagged, "errored": errored,
+                      "ratios": {n: results[n]["ratio"] for n in results}}))
+
 
 def run(names: list[str], full: bool = False) -> None:
     if not Path(SF1).is_dir():
@@ -174,8 +257,11 @@ def run(names: list[str], full: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    names = DEFAULT_QUERIES
-    full = "--full" in sys.argv[1:]
-    if len(sys.argv) > 2 and sys.argv[1] == "--queries":
-        names = sys.argv[2].split(",")
-    run(names, full=full)
+    if "--skew" in sys.argv[1:]:
+        run_skew()
+    else:
+        names = DEFAULT_QUERIES
+        full = "--full" in sys.argv[1:]
+        if len(sys.argv) > 2 and sys.argv[1] == "--queries":
+            names = sys.argv[2].split(",")
+        run(names, full=full)

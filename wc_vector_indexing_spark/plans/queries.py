@@ -5933,7 +5933,9 @@ ORDER BY doc_id
 """
 
 
-def audio_dedup_mp3_op(spark: SparkSession, sf: str, *, n: int = 48) -> DataFrame:
+def audio_dedup_mp3_op(
+    spark: SparkSession, sf: str, *, n: int = 48, hot_pattern: bool = False
+) -> DataFrame:
     """MP3-content audio dedup: the audio_dedup_fp planted scheme
     (doc_ids sharing ``doc_id % 12`` carry the SAME two-tone pattern at
     different per-copy gains) but the clips travel as REAL MPEG-1
@@ -5964,7 +5966,12 @@ def audio_dedup_mp3_op(spark: SparkSession, sf: str, *, n: int = 48) -> DataFram
         ids, kinds, blobs = [], [], []
         for pdf in batches:
             for doc_id in pdf["doc_id"]:
-                pat = int(doc_id) % 8
+                # hot_pattern: skew-suite knob — every clip carries the
+                # SAME pattern, so one Hamming block holds the whole
+                # corpus and output is quadratic in n (output-
+                # proportional by construction). Registry/oracle
+                # always use False.
+                pat = 0 if hot_pattern else int(doc_id) % 8
                 b1, b2 = pat, 8 + (3 * pat) % 7
                 gain = 0.15 + (int(doc_id) // 8 % 6) * 0.13
                 x = gain * (0.5 * np.sin(2 * np.pi * centers[b1] * t)
@@ -6075,7 +6082,9 @@ ORDER BY doc_id
 """
 
 
-def parquet_footer_census_op(spark: SparkSession, sf: str) -> DataFrame:
+def parquet_footer_census_op(
+    spark: SparkSession, sf: str, *, mega_rows: int = 0
+) -> DataFrame:
     """Parquet footer triage (operators/parquet_meta.parse_parquet_footer):
     every document renders into a REAL parquet file written by pyarrow —
     the independent writer half — with doc_id-derived row count, leaf
@@ -6104,7 +6113,11 @@ def parquet_footer_census_op(spark: SparkSession, sf: str) -> DataFrame:
             out = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                n_rows = 1 + (d * 7) % 40
+                # mega_rows: skew-suite knob — doc 0 becomes one file
+                # with a huge footer (single-row straggler for the
+                # Thrift parse). Registry/oracle always use 0.
+                n_rows = (mega_rows if (mega_rows and d == 0)
+                          else 1 + (d * 7) % 40)
                 rg = 1 + (d % 3) * 8  # 1, 9, 17 → multi-group layouts
                 data = to_parquet_bytes(
                     n_rows, 1 + d % 4, codec=codecs[d % 4], row_group_size=rg
@@ -6236,7 +6249,9 @@ ORDER BY doc_id, entry_index
 """
 
 
-def feed_entries_op(spark: SparkSession, sf: str) -> DataFrame:
+def feed_entries_op(
+    spark: SparkSession, sf: str, *, mega_entries: int = 0
+) -> DataFrame:
     """RSS/Atom feed source (sources/feeds.py): every document renders
     into a discovery feed — RSS 2.0 for even doc_ids (RFC 2822 dates),
     Atom for odd ones (RFC 3339 dates, a self link the parser must
@@ -6261,6 +6276,9 @@ def feed_entries_op(spark: SparkSession, sf: str) -> DataFrame:
             out = []
             for d in pdf["doc_id"]:
                 d = int(d)
+                # mega_entries: skew-suite knob — doc 0 becomes one
+                # giant feed (straggler). Registry/oracle always use 0.
+                n_e = mega_entries if (mega_entries and d == 0) else 1 + d % 3
                 entries = [
                     {
                         "title": f"Entry {j} of feed {d}",
@@ -6268,7 +6286,7 @@ def feed_entries_op(spark: SparkSession, sf: str) -> DataFrame:
                         "published_ts": 1704067200 + (d % 30) * 86400 + j * 60,
                         "summary": f"Summary {d}-{j}",
                     }
-                    for j in range(1 + d % 3)
+                    for j in range(n_e)
                 ]
                 writer = to_rss if d % 2 == 0 else to_atom
                 feed = parse_feed(writer(f"Feed {d}", entries))
@@ -6307,7 +6325,9 @@ ORDER BY doc_id, entry_index
 """
 
 
-def feed_discovery_op(spark: SparkSession, sf: str, *, n: int = 200) -> DataFrame:
+def feed_discovery_op(
+    spark: SparkSession, sf: str, *, n: int = 200, mega_entries: int = 0
+) -> DataFrame:
     """The crawl-DISCOVERY front door as an oracle-backed entry: the
     batch form of streaming/incremental.feed_discovery_stream (the
     stream ≡ batch equivalence is pinned by the checkpoint-restart
@@ -6337,6 +6357,7 @@ def feed_discovery_op(spark: SparkSession, sf: str, *, n: int = 200) -> DataFram
            load(spark, "documents", sf).select("doc_id")
            .orderBy("doc_id").limit(n).collect()]
     tmpdir = tempfile.mkdtemp(prefix="wcvi_feed_disc_")
+    mega_doc = next((i for i in ids if i % 13 != 12 and i % 9 != 0), None)
     for d in ids:
         if d % 13 == 12:
             xml = "<rss><channel><unclosed"  # poison: must quarantine
@@ -6347,12 +6368,17 @@ def feed_discovery_op(spark: SparkSession, sf: str, *, n: int = 200) -> DataFram
                 for j in range(4)
             ])
         else:
+            # mega_entries: skew-suite knob — the first feed announces
+            # thousands of (mostly colliding) URLs, hammering the
+            # frontier dedup's hot keys. Registry/oracle always use 0.
+            n_e = (mega_entries if (mega_entries and d == mega_doc)
+                   else 2 + d % 3)
             entries = [
                 {"title": f"Page {(d * 7 + j * 13) % 150}",
                  "link": f"https://pages.example/p{(d * 7 + j * 13) % 150}",
                  "published_ts": 1704067200 + ((d * 7 + j * 13) % 150) * 60,
                  "summary": None}
-                for j in range(2 + d % 3)
+                for j in range(n_e)
             ]
             writer = to_rss if d % 2 == 0 else to_atom
             xml = writer(f"Feed {d}", entries)
@@ -6394,7 +6420,9 @@ ORDER BY url
 """
 
 
-def mbox_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
+def mbox_corpus_text_op(
+    spark: SparkSession, sf: str, *, mega_msgs: int = 0
+) -> DataFrame:
     """mbox/MIME email source (sources/mbox.py): every document
     renders into a mailing-list mbox of 1–3 messages whose transfer
     encoding rotates 7bit → base64 → quoted-printable (non-ASCII
@@ -6421,7 +6449,11 @@ def mbox_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
             for d in pdf["doc_id"]:
                 d = int(d)
                 msgs = []
-                for j in range(1 + d % 3):
+                # mega_msgs: skew-suite knob (tools/skew_bench.py) —
+                # doc 0 becomes one giant mailbox (single-row Arrow
+                # straggler). Registry/oracle always use 0.
+                n_msgs = mega_msgs if (mega_msgs and d == 0) else 1 + d % 3
+                for j in range(n_msgs):
                     seven_bit = j % 3 == 0
                     msgs.append({
                         "subject": f"Sübject {d}-{j}",
@@ -6589,7 +6621,9 @@ ORDER BY doc_id, cue
 """
 
 
-def robots_txt_gate_op(spark: SparkSession, sf: str) -> DataFrame:
+def robots_txt_gate_op(
+    spark: SparkSession, sf: str, *, hot_domain: bool = False
+) -> DataFrame:
     """robots.txt crawl gate (operators/robots.py, RFC 9309): every
     document gets a synthetic (domain, path); each domain plants a
     robots.txt TEXT body — a badbot group the '*' parse must skip,
@@ -6599,7 +6633,13 @@ def robots_txt_gate_op(spark: SparkSession, sf: str) -> DataFrame:
     broadcast rules join → JVM-side LIKE match → longest-match/
     allow-wins window) decides every URL. The oracle replays the rule
     arithmetic directly in SQL. Pages side never leaves codegen until
-    the single winner window."""
+    the single winner window.
+
+    ``hot_domain=True`` is the skew-suite knob (tools/skew_bench.py):
+    ~80% of pages collapse onto ONE domain — a single rule-set matching
+    most of the corpus. The gate is broadcast-join + per-doc window, so
+    this should be flat; the knob keeps that measured. Registry/oracle
+    always use the default."""
     from wc_vector_indexing_spark.operators.robots import (
         parse_rules,
         robots_gate,
@@ -6607,19 +6647,25 @@ def robots_txt_gate_op(spark: SparkSession, sf: str) -> DataFrame:
 
     d = F.col("doc_id")
     s = F.substring(F.col("source"), 4, 10).cast("int")
+    domain = F.concat(F.col("source"), (d % 3).cast("string"), F.lit(".com"))
+    s_col, r_col = s, d % 3
+    if hot_domain:
+        hot = d % 10 < 8
+        domain = F.when(hot, F.lit("mega.example.com")).otherwise(domain)
+        s_col = F.when(hot, F.lit(7)).otherwise(s)
+        r_col = F.when(hot, F.lit(1)).otherwise(d % 3)
     pages = (
         load(spark, "documents", sf)
         .select(
             "doc_id",
-            F.concat(F.col("source"), (d % 3).cast("string"), F.lit(".com"))
-            .alias("domain"),
+            domain.alias("domain"),
             F.concat(
                 F.lit("/docs/v"), (d % 5).cast("string"),
                 F.lit("/item"), (d % 97).cast("string"),
                 F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit(".html")),
             ).alias("path"),
-            s.alias("s"),
-            (d % 3).alias("r"),
+            s_col.alias("s"),
+            r_col.alias("r"),
         )
     )
     sv = (F.col("s") % 5).cast("string")
