@@ -82,3 +82,31 @@ def test_quarantine_and_skip_bad():
     mixed = raw + to_mbox(MSGS[:1])
     got = parse_mbox(mixed, skip_bad=True)
     assert len(got) == 1 and got[0]["subject"] == "Plain seven bit"
+
+
+def test_mbox_messages_distributed_equals_whole_file(spark):
+    """The JVM-split + per-message Arrow parse (mbox_messages — the
+    mega-mailbox-proof shape) must produce exactly the rows of the
+    whole-file parse_mbox walk, including the mboxo '>From ' unescape
+    and the From_-line drop."""
+    from wc_vector_indexing_spark.sources.mbox import mbox_messages
+
+    msgs = list(MSGS)
+    msgs.append({
+        "subject": "Body with From-escapes",
+        "sender": "d@example.com",
+        "date": "Thu, 04 Jan 2024 09:00:00 +0000",
+        "body": "From the top\nordinary line\nFrom here too\n",
+        "encoding": "7bit",
+    })
+    text = to_mbox(msgs)
+    expected = parse_mbox(text)
+    df = spark.createDataFrame([(7, text)], "doc_id long, mbox_text string")
+    got = sorted(
+        (r.asDict() for r in mbox_messages(df, shuffle_partitions=4).collect()),
+        key=lambda r: r["msg_index"],
+    )
+    assert len(got) == len(expected) == 4
+    for g, e in zip(got, expected):
+        assert g.pop("doc_id") == 7
+        assert g == e, (g, e)

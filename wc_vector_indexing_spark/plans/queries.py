@@ -6429,11 +6429,15 @@ def mbox_corpus_text_op(
     bodies on the encoded paths, RFC 2047 subjects throughout, a
     multipart/alternative HTML twin on every fourth message), and the
     parsed per-message rows come back out. Planted strings + epoch
-    arithmetic ⇒ DuckDB oracle (UNNEST(range) replay). One
-    one-shuffle Arrow render+parse pass (EmailMessage build + parse is
-    ~ms per message, so the render spreads across the executor cores
-    first)."""
-    from wc_vector_indexing_spark.sources.mbox import parse_mbox, to_mbox
+    arithmetic ⇒ DuckDB oracle (UNNEST(range) replay).
+
+    Shape (r9): the per-FILE work is a render (fixture-only) plus the
+    JVM-side framing split in sources/mbox.mbox_messages; the
+    per-MESSAGE MIME parse runs over exploded-and-repartitioned rows —
+    a mega-mailbox (``mega_msgs`` skew knob, doc 0) distributes across
+    cores instead of becoming one Arrow straggler. Registry/oracle
+    always use mega_msgs=0."""
+    from wc_vector_indexing_spark.sources.mbox import mbox_messages, to_mbox
 
     docs = load(spark, "documents", sf).select("doc_id").repartition(32)
 
@@ -6442,16 +6446,11 @@ def mbox_corpus_text_op(
 
         import pandas as pd
 
-        cols = ["doc_id", "msg_index", "subject", "sender", "date_ts",
-                "body", "n_parts"]
         for pdf in batches:
-            out = []
+            ids, texts = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
                 msgs = []
-                # mega_msgs: skew-suite knob (tools/skew_bench.py) —
-                # doc 0 becomes one giant mailbox (single-row Arrow
-                # straggler). Registry/oracle always use 0.
                 n_msgs = mega_msgs if (mega_msgs and d == 0) else 1 + d % 3
                 for j in range(n_msgs):
                     seven_bit = j % 3 == 0
@@ -6468,15 +6467,13 @@ def mbox_corpus_text_op(
                         "encoding": ["7bit", "base64", "qp"][j % 3],
                         "html_alt": (d + j) % 4 == 0,
                     })
-                for m in parse_mbox(to_mbox(msgs)):
-                    out.append({"doc_id": d, **m})
-            yield pd.DataFrame(out, columns=cols)
+                ids.append(d)
+                texts.append(to_mbox(msgs))
+            yield pd.DataFrame({"doc_id": ids, "mbox_text": texts})
 
-    return docs.mapInPandas(
-        render,
-        schema="doc_id long, msg_index long, subject string, sender string, "
-               "date_ts long, body string, n_parts long",
-    ).orderBy("doc_id", "msg_index")
+    rendered = docs.mapInPandas(
+        render, schema="doc_id long, mbox_text string")
+    return mbox_messages(rendered).orderBy("doc_id", "msg_index")
 
 
 MBOX_CORPUS_SQL = r"""

@@ -60,6 +60,33 @@ def _body_text(msg) -> str | None:
     return fallback
 
 
+def _parse_message_lines(lines: list[str], i: int) -> dict:
+    """One framed message (already unescaped, From_ line removed) →
+    the per-message row dict. Raises ValueError (quarantine contract)."""
+    if lines and lines[-1] == "":
+        lines = lines[:-1]  # the blank separator line is mbox framing
+    try:
+        msg = email.message_from_string("\n".join(lines))
+        if not msg.keys():
+            raise ValueError("mbox: message has no headers")
+        date_ts = None
+        if msg["Date"]:
+            dt = email.utils.parsedate_to_datetime(msg["Date"])
+            if dt is not None:
+                date_ts = int(dt.timestamp())
+        n_parts = sum(1 for p in msg.walk() if not p.is_multipart())
+        return {
+            "msg_index": i,
+            "subject": _decode_header(msg["Subject"]),
+            "sender": _decode_header(msg["From"]),
+            "date_ts": date_ts,
+            "body": _body_text(msg),
+            "n_parts": n_parts,
+        }
+    except Exception as exc:
+        raise ValueError(f"mbox: message {i} failed to parse: {exc}") from exc
+
+
 def parse_mbox(text: str, skip_bad: bool = False) -> list[dict]:
     """mbox text → [{msg_index, subject, sender, date_ts, body,
     n_parts}] in file order. date_ts is epoch seconds (None when the
@@ -75,31 +102,63 @@ def parse_mbox(text: str, skip_bad: bool = False) -> list[dict]:
             cur.append(line[1:] if line.startswith(">From ") else line)
     out: list[dict] = []
     for i, lines in enumerate(raw_msgs):
-        if lines and lines[-1] == "":
-            lines.pop()  # the blank separator line is mbox framing
         try:
-            msg = email.message_from_string("\n".join(lines))
-            if not msg.keys():
-                raise ValueError("mbox: message has no headers")
-            date_ts = None
-            if msg["Date"]:
-                dt = email.utils.parsedate_to_datetime(msg["Date"])
-                if dt is not None:
-                    date_ts = int(dt.timestamp())
-            n_parts = sum(1 for p in msg.walk() if not p.is_multipart())
-            out.append({
-                "msg_index": i,
-                "subject": _decode_header(msg["Subject"]),
-                "sender": _decode_header(msg["From"]),
-                "date_ts": date_ts,
-                "body": _body_text(msg),
-                "n_parts": n_parts,
-            })
-        except Exception as exc:
+            out.append(_parse_message_lines(lines, i))
+        except ValueError:
             if skip_bad:
                 continue
-            raise ValueError(f"mbox: message {i} failed to parse: {exc}") from exc
+            raise
     return out
+
+
+def mbox_messages(df, text_col: str = "mbox_text", id_col: str = "doc_id",
+                  shuffle_partitions: int = 32):
+    """Distributed mbox explode: the shape that survives a mega-mailbox.
+
+    The only per-FILE work is JVM codegen string surgery (mboxo
+    unescape + RFC 4155 ``\\nFrom `` framing split + posexplode); the
+    per-MESSAGE MIME parse then runs as an Arrow map over rows that a
+    repartition has already spread across the cluster — so one
+    2000-message mailbox costs the same wall-clock as 2000 one-message
+    mailboxes (measured in BENCH_SKEW.json's fixture section; the
+    whole-file ``parse_mbox`` walk is the straggler form this
+    replaces). Returns (id_col, msg_index, subject, sender, date_ts,
+    body, n_parts)."""
+    from pyspark.sql import functions as F
+
+    # Split FIRST on the still-escaped text (body '>From ' lines can't
+    # match '\nFrom '), THEN unescape per message — the reverse order
+    # would turn escaped body lines into false message boundaries.
+    parts = F.split(F.concat(F.lit("\n"), F.col(text_col)), "\nFrom ")
+    framed = df.select(
+        id_col,
+        F.posexplode(F.slice(parts, 2, F.size(parts))).alias(
+            "msg_index", "_raw"),
+    ).select(
+        id_col,
+        "msg_index",
+        F.regexp_replace("_raw", "\n>From ", "\nFrom ").alias("_raw"),
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        cols = [id_col, "msg_index", "subject", "sender", "date_ts",
+                "body", "n_parts"]
+        for pdf in batches:
+            out = []
+            for did, idx, raw in zip(pdf[id_col], pdf["msg_index"],
+                                     pdf["_raw"]):
+                body_lines = str(raw).split("\n")[1:]  # drop the From_ line
+                row = _parse_message_lines(body_lines, int(idx))
+                out.append({id_col: int(did), **row})
+            yield pd.DataFrame(out, columns=cols)
+
+    return framed.repartition(shuffle_partitions).mapInPandas(
+        parse,
+        schema=f"{id_col} long, msg_index long, subject string, "
+               "sender string, date_ts long, body string, n_parts long",
+    )
 
 
 def to_mbox(messages: list[dict]) -> str:
