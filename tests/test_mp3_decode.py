@@ -178,6 +178,101 @@ def test_id3_prologue_and_truncation():
         decode_mp3(b"definitely not mpeg audio")
 
 
+def _build_intensity_stream(is_pos: int, rate: int = 44100,
+                            n_frames: int = 3) -> bytes:
+    """Hand-assemble a joint-stereo stream (mode_ext=1): the left
+    channel carries a real quantized tone, the right channel is all
+    zeros with its scalefactors holding the intensity POSITION — the
+    exact layout 2.4.3.4.9.3 describes."""
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitWriter,
+        _encode_granule,
+        _quantize_granule,
+        alias_encode,
+        mdct_long,
+        pqmf_analysis,
+    )
+
+    t = np.arange(n_frames * 1152)
+    x = 0.5 * np.sin(2 * np.pi * 1000 * t / rate)
+    sb = pqmf_analysis(x)
+    prev = np.zeros((32, 18))
+    gran = []
+    for g in range(n_frames * 2):
+        blk = sb[g * 18:(g + 1) * 18].copy()
+        blk[1::2, 1::2] *= -1.0
+        z = np.vstack([prev.T, blk]) * np.sin(
+            np.pi / 36 * (np.arange(36) + 0.5))[:, None]
+        basis = np.cos(np.pi / 72 * (2 * np.arange(36)[:, None] + 1 + 18)
+                       * (2 * np.arange(18)[None, :] + 1))
+        xr = ((basis.T @ z) / 9.0).T.ravel()
+        prev = blk.T
+        info, sf, ix = _quantize_granule(alias_encode(xr), rate)
+        bits = _encode_granule(info, sf, ix)
+        # right channel: zero spectrum, scalefactors = is_pos
+        rinfo = GranuleInfo(part2_3_length=0, big_values=0, global_gain=210,
+                            scalefac_compress=14, table_select=[0, 0, 0])
+        rbits = _BitWriter()
+        for band in range(21):
+            rbits.write(is_pos, 4 if band < 11 else 2)
+        rinfo.part2_3_length = len(rbits)
+        gran.append(((info, bits), (rinfo, rbits)))
+
+    frame_len = 144 * 1000 * 320 // rate
+    payload_cap = frame_len - 4 - 32
+    out = bytearray()
+    for f in range(n_frames):
+        main = _BitWriter()
+        grans = [gran[2 * f], gran[2 * f + 1]]
+        for gr in range(2):
+            for ch in range(2):
+                main.bits.extend(grans[gr][ch][1].bits)
+        side = pack_side_info(
+            0, [[0] * 4, [0] * 4],
+            [[grans[gr][0][0], grans[gr][1][0]] for gr in range(2)], 2)
+        data = main.to_bytes()
+        assert len(data) <= payload_cap
+        from wc_vector_indexing_spark.operators.mp3_decode import (
+            _BITRATE_KBPS,
+            _SAMPLE_RATE,
+        )
+
+        br_idx = _BITRATE_KBPS[(1, 3)].index(320) + 1
+        sr_idx = _SAMPLE_RATE[3].index(rate)
+        hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                     (br_idx << 4) | (sr_idx << 2),
+                     (1 << 6) | (1 << 4)])  # joint stereo, ext=1 intensity
+        out += hdr + side + data + b"\x00" * (payload_cap - len(data))
+    return bytes(out)
+
+
+@pytest.mark.parametrize("is_pos,expect", [
+    (0, "right"),   # tan(0)=0: everything pans right
+    (6, "left"),    # hard left
+    (3, "equal"),   # tan(pi/4)=1: equal split
+])
+def test_intensity_stereo_panning(is_pos, expect):
+    out, r = decode_mp3(_build_intensity_stream(is_pos))
+    seg = out[1152:].astype(np.float64)
+    rms_l = np.sqrt((seg[:, 0] ** 2).mean())
+    rms_r = np.sqrt((seg[:, 1] ** 2).mean())
+    if expect == "right":
+        assert rms_r > 10 * max(rms_l, 1e-9)
+    elif expect == "left":
+        assert rms_l > 10 * max(rms_r, 1e-9)
+    else:
+        assert 0.8 < rms_l / rms_r < 1.25
+
+
+def test_intensity_is_pos_7_leaves_bands_alone():
+    # is_pos 7 = illegal position: with no MS bit the band stays L/R —
+    # left keeps the tone, right stays silent
+    out, _ = decode_mp3(_build_intensity_stream(7))
+    seg = out[1152:].astype(np.float64)
+    assert np.sqrt((seg[:, 0] ** 2).mean()) > 100 * max(
+        np.sqrt((seg[:, 1] ** 2).mean()), 1e-9)
+
+
 def test_foreign_huffman_table_is_a_seam():
     rate = 44100
     pcm = (0.4 * np.sin(2 * np.pi * 900 * np.arange(1152) / rate)

@@ -28,8 +28,9 @@ posture as the arithmetic-JPEG interop note in ``jpeg_arith.py``:
   synthesis phase ``(2k+1)(n+16)``, 512 taps, 32 bands). The bank
   reconstructs at ~50 dB NPR (pinned in tests); a foreign file decoded
   with this window carries a small amplitude distortion but correct
-  structure. Intensity stereo (rare in practice; MS and LR dominate)
-  is a further documented raise.
+  structure. All three stereo modes decode (LR, MS, intensity —
+  2.4.3.4.9.3, long blocks; short-block intensity is the one
+  remaining documented raise).
 
 The ENCODER exists for the same reason the arithmetic-JPEG encoder
 does: with no reference codec in the container, correctness is pinned
@@ -573,6 +574,46 @@ def _reorder_short(xr: np.ndarray, rate: int) -> np.ndarray:
     return out
 
 
+def _intensity_stereo(xr_ch, g_right: GranuleInfo, sf_right, rzero: int,
+                      rate: int, ms: bool) -> list:
+    """MPEG-1 intensity stereo (2.4.3.4.9.3), long blocks: scalefactor
+    bands at/above the right channel's zero bound carry a stereo
+    POSITION in the right channel's scalefactor instead of a gain —
+    L = xr·r/(1+r), R = xr/(1+r) with r = tan(is_pos·π/12); is_pos 6
+    is hard-left (r → ∞), is_pos 7 means "illegal, leave the band"
+    (MS-process it when mode_ext has the MS bit, else keep L/R). Bands
+    below the bound are MS or L/R per the same bit. The top rest band
+    reuses sfb20's position (no scalefactor of its own). Short-block
+    intensity stays a documented seam."""
+    if g_right.window_switching and g_right.block_type == 2:
+        raise NotImplementedError(
+            "short-block intensity stereo is a documented seam"
+        )
+    bounds = SFB_LONG[rate]
+    left, right = xr_ch
+    out_l, out_r = left.copy(), right.copy()
+    sqrt2 = np.sqrt(2.0)
+    for band in range(22):
+        lo, hi = bounds[band], bounds[band + 1]
+        if lo >= rzero:  # intensity region
+            is_pos = sf_right[min(band, 20)]
+            if is_pos != 7:
+                seg = left[lo:hi]
+                if is_pos == 6:
+                    out_l[lo:hi] = seg
+                    out_r[lo:hi] = 0.0
+                else:
+                    ratio = np.tan(is_pos * np.pi / 12.0)
+                    out_l[lo:hi] = seg * (ratio / (1.0 + ratio))
+                    out_r[lo:hi] = seg * (1.0 / (1.0 + ratio))
+                continue
+        if ms:
+            m, s = left[lo:hi], right[lo:hi]
+            out_l[lo:hi] = (m + s) / sqrt2
+            out_r[lo:hi] = (m - s) / sqrt2
+    return [out_l, out_r]
+
+
 # --------------------------------------------------------------------------
 # decoder
 # --------------------------------------------------------------------------
@@ -583,7 +624,7 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     contract as the WAV path in ``multimodal.decode_audio``. Raises
     ValueError for non-MP3/corrupt input and NotImplementedError at the
     documented seams (MPEG-2/2.5 LSF, Layers I/II, missing Huffman
-    table data, intensity stereo)."""
+    table data, short-block intensity stereo)."""
     i = _id3v2_size(data)
     n = len(data)
     rate = None
@@ -644,6 +685,8 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
         sf_gr0: list = [None] * nch
         for gr in range(2):
             xr_ch = []
+            sf_ch = []
+            rzero_ch = []
             for ch in range(nch):
                 g = granules[gr][ch]
                 part2_start = r.pos
@@ -651,18 +694,21 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
                 if gr == 0:
                     sf_gr0[ch] = sf
                 ix = _decode_huffman(r, g, sfb_long, part2_start)
+                nz = np.nonzero(ix)[0]
+                rzero_ch.append(int(nz[-1]) + 1 if len(nz) else 0)
                 xr = requantize(ix, g, sf, rate)
                 if g.window_switching and g.block_type == 2:
                     xr = _reorder_short(xr, rate)
                 xr_ch.append(xr)
-            if nch == 2 and mode_ext & 2:  # MS stereo
+                sf_ch.append(sf)
+            if nch == 2 and mode_ext & 1:  # intensity stereo
+                xr_ch = _intensity_stereo(
+                    xr_ch, granules[gr][1], sf_ch[1], rzero_ch[1],
+                    rate, ms=bool(mode_ext & 2),
+                )
+            elif nch == 2 and mode_ext & 2:  # MS stereo, all bands
                 m, s = xr_ch
                 xr_ch = [(m + s) / np.sqrt(2.0), (m - s) / np.sqrt(2.0)]
-            if nch == 2 and mode_ext & 1:
-                raise NotImplementedError(
-                    "intensity stereo is a documented seam (MS and LR "
-                    "decode; see module docstring)"
-                )
             for ch in range(nch):
                 g = granules[gr][ch]
                 xr = xr_ch[ch]
