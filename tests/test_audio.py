@@ -176,3 +176,40 @@ def test_overlap_denominator_uses_df_capped_windows(spark):
            for r in audio_overlap_pairs(
                media, min_overlap=1.0, max_window_df=3).collect()}
     assert got == {(1, 5): 1.0}
+
+
+def test_overlap_near_finds_cross_codec_excerpt(spark):
+    """The Hamming-tolerant overlap join must catch an MP3 re-encode of
+    an excerpt cut from a WAV recording — the case where exact window
+    equality breaks (codec quantization moves each window fingerprint
+    1-3 bits; measured against operators/mp3_decode). Unrelated audio
+    must stay out."""
+    from wc_vector_indexing_spark.operators.audio import (
+        audio_overlap_pairs_near,
+    )
+    from wc_vector_indexing_spark.operators.mp3_decode import encode_mp3
+
+    rate = 32000
+    secs = []
+    for f1, f2 in ((500, 1700), (800, 2600), (1100, 3400)):
+        secs.append(sine(f1, 1.0, rate, 0.5) + sine(f2, 1.0, rate, 0.35))
+    full = np.concatenate(secs)
+    excerpt = full[rate:2 * rate] * 0.3
+    other = sine(650, 2.0, rate, 0.5) + sine(2100, 2.0, rate, 0.35)
+
+    def mp3(x):
+        pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+        return encode_mp3(pcm, rate, bitrate_kbps=160)
+
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(make_wav(full, rate))),
+            (2, "audio", bytearray(mp3(excerpt))),     # cross-codec excerpt
+            (3, "audio", bytearray(make_wav(other, rate))),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    got = {(r.media_a, r.media_b): r.overlap
+           for r in audio_overlap_pairs_near(media, min_overlap=0.5).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 0.5

@@ -58,7 +58,12 @@ def test_media_stats_prunes_content(spark):
 def test_decode_unknown_format_raises():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG-not-decodable-here")
+    # formats with no in-container decoder stay NotImplementedError...
     with pytest.raises(NotImplementedError):
+        decode_audio(b"OggS-not-decodable-here")
+    # ...but an MP3-magic blob now routes to the real Layer III decoder,
+    # whose corrupt-input contract is ValueError (quarantine)
+    with pytest.raises(ValueError):
         decode_audio(b"ID3mp3-not-decodable-here")
 
 

@@ -283,3 +283,72 @@ def audio_overlap_pairs(
         .filter(F.col("overlap") >= min_overlap)
         .select("media_a", "media_b", "shared_windows", "overlap")
     )
+
+
+def audio_overlap_pairs_near(
+    media: DataFrame,
+    window_seconds: float = 0.5,
+    min_overlap: float = 0.5,
+    max_window_hamming: int = 4,
+    max_band_df: int = 1000,
+) -> DataFrame:
+    """Hamming-tolerant partial-copy detection: the cross-CODEC form of
+    `audio_overlap_pairs`. Exact window-fingerprint equality breaks the
+    moment one side is a lossy re-encode (an MP3 excerpt of a WAV
+    recording lands 1-3 bits away per window — measured against
+    operators/mp3_decode), so candidates come from a 4x16-bit band
+    equi-join over the window fingerprints (pigeonhole-complete for
+    window Hamming ≤ 3, best-effort to ``max_window_hamming``), verify
+    is a JVM ``bit_count`` filter, and a shared A-window counts once no
+    matter how many B-windows it matches (count-distinct on the A
+    fingerprint). ``max_band_df`` caps boilerplate band posting lists
+    (silence/jingle windows); the denominator counts only windows with
+    at least one surviving band — the same capped-population rule the
+    exact form uses. Shuffle volume: 4 rows per window into one
+    equi-join; no all-pairs anywhere."""
+    fw = audio_window_fingerprints(media, window_seconds).select(
+        "media_id", "afp"
+    ).distinct()
+    bands = fw.select(
+        "media_id", "afp",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_no"),
+    ).withColumn(
+        "band_val",
+        F.expr("shiftrightunsigned(afp, band_no * 16)").bitwiseAND(0xFFFF),
+    )
+    keep = (
+        bands.groupBy("band_no", "band_val")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_band_df)
+        .select("band_no", "band_val")
+    )
+    bands = bands.join(keep, ["band_no", "band_val"])
+    sizes = bands.select("media_id", "afp").distinct().groupBy(
+        "media_id").agg(F.count("*").alias("n"))
+    a = bands.select(F.col("media_id").alias("media_a"),
+                     F.col("afp").alias("afp_a"), "band_no", "band_val")
+    b = bands.select(F.col("media_id").alias("media_b"),
+                     F.col("afp").alias("afp_b"), "band_no", "band_val")
+    cand = (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "afp_a", "afp_b")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("afp_a").bitwiseXOR(F.col("afp_b")))
+            <= max_window_hamming
+        )
+    )
+    shared = cand.groupBy("media_a", "media_b").agg(
+        F.count_distinct("afp_a").alias("shared_windows"))
+    sa = sizes.select(F.col("media_id").alias("media_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("media_id").alias("media_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "media_a")
+        .join(F.broadcast(sb), "media_b")
+        .withColumn(
+            "overlap", F.round(F.col("shared_windows") / F.least("na", "nb"), 4)
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("media_a", "media_b", "shared_windows", "overlap")
+    )
