@@ -120,3 +120,49 @@ def test_id3v2_text_encodings():
         + b"TPE1" + len(f2).to_bytes(4, "big") + b"\x00\x00" + f2
     )
     assert parse_id3v2_text(tag(frames)) == {"TIT2": "café", "TPE1": "naïve"}
+
+
+def test_xing_header_roundtrip():
+    """Xing/Info VBR header in the first frame: the writer plants
+    frames/bytes/TOC/quality, the parser reads them back; the raw frame
+    walk still counts the metadata frame (callers use xing.n_frames for
+    playable duration)."""
+    from wc_vector_indexing_spark.operators.mp3 import (
+        parse_mp3_headers,
+        parse_xing_header,
+        to_mp3_bytes,
+    )
+
+    for tag in ("Xing", "Info"):
+        data = to_mp3_bytes(7, 128, 44100, xing_tag=tag)
+        meta = parse_mp3_headers(data)
+        assert meta["n_frames"] == 8  # 7 audio + 1 metadata frame
+        x = meta["xing"]
+        assert x is not None and x["tag"] == tag
+        assert x["n_frames"] == 7 and x["has_toc"]
+        assert x["n_bytes"] == len(data) and x["quality"] == 78
+    # no tag -> None, and garbage after the side info is not a tag
+    assert parse_mp3_headers(to_mp3_bytes(3))["xing"] is None
+    assert parse_xing_header(b"\x00" * 2, 0) is None
+
+
+def test_id3v22_three_char_frames():
+    """ID3v2.2: 3-char ids + 3-byte sizes, translated to their v2.3
+    names so downstream code keys uniformly on TIT2/TPE1/TALB."""
+    from wc_vector_indexing_spark.operators.mp3 import (
+        parse_id3v2_text,
+        to_mp3_bytes,
+    )
+
+    def frame22(fid: bytes, text: bytes) -> bytes:
+        body = b"\x00" + text  # latin-1
+        return fid + len(body).to_bytes(3, "big") + body
+
+    body = (frame22(b"TT2", b"Old Title") + frame22(b"TP1", b"Old Artist")
+            + frame22(b"PIC", b"\x00notext"))
+    size = len(body)
+    syncsafe = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                      (size >> 7) & 0x7F, size & 0x7F])
+    tag = b"ID3\x02\x00\x00" + syncsafe + body
+    got = parse_id3v2_text(tag + to_mp3_bytes(1))
+    assert got == {"TIT2": "Old Title", "TPE1": "Old Artist"}

@@ -92,6 +92,43 @@ def _frame_at(data: bytes, i: int) -> tuple[int, int, int, int] | None:
     return frame_len, kbps, rate, _SPF[(vgroup, layer)]
 
 
+def parse_xing_header(data: bytes, frame_start: int) -> dict | None:
+    """Xing/Info VBR header in the FIRST frame's side-info region (the
+    de-facto public spec every encoder follows): returns {tag, n_frames,
+    n_bytes, has_toc, quality} or None. ``tag`` distinguishes 'Xing'
+    (VBR) from 'Info' (CBR written by LAME). The header sits after the
+    4-byte frame header + side info (32 bytes mono... 17 mono / 32
+    stereo for MPEG-1; 9/17 for MPEG-2)."""
+    if frame_start + 4 > len(data):
+        return None
+    b2, b3 = data[frame_start + 1], data[frame_start + 3]
+    version_bits = (b2 >> 3) & 0x03
+    mode = (b3 >> 6) & 0x03
+    if version_bits == 3:
+        side = 17 if mode == 3 else 32
+    else:
+        side = 9 if mode == 3 else 17
+    pos = frame_start + 4 + side
+    tag = data[pos:pos + 4]
+    if tag not in (b"Xing", b"Info"):
+        return None
+    flags = int.from_bytes(data[pos + 4:pos + 8], "big")
+    pos += 8
+    out = {"tag": tag.decode("ascii"), "n_frames": None, "n_bytes": None,
+           "has_toc": bool(flags & 4), "quality": None}
+    if flags & 1:
+        out["n_frames"] = int.from_bytes(data[pos:pos + 4], "big")
+        pos += 4
+    if flags & 2:
+        out["n_bytes"] = int.from_bytes(data[pos:pos + 4], "big")
+        pos += 4
+    if flags & 4:
+        pos += 100  # seek TOC
+    if flags & 8:
+        out["quality"] = int.from_bytes(data[pos:pos + 4], "big")
+    return out
+
+
 def parse_mp3_headers(data: bytes, max_resync: int = 2) -> dict:
     """Walk every frame header → {n_frames, duration_us,
     avg_bitrate_kbps, sample_rate, vbr}. ``duration_us`` is exact
@@ -106,9 +143,12 @@ def parse_mp3_headers(data: bytes, max_resync: int = 2) -> dict:
     rate = None
     kbps_sum = 0
     kbps_seen: set[int] = set()
+    xing = None
     n = len(data)
     while i < n:
         fr = _frame_at(data, i)
+        if fr is not None and n_frames == 0 and xing is None:
+            xing = parse_xing_header(data, i)
         if fr is None:
             # tolerate a tiny resync gap between frames, then stop
             for skip in range(1, max_resync + 1):
@@ -136,36 +176,60 @@ def parse_mp3_headers(data: bytes, max_resync: int = 2) -> dict:
         "avg_bitrate_kbps": kbps_sum // n_frames,
         "sample_rate": rate,
         "vbr": len(kbps_seen) > 1,
+        # Xing/Info header from the first frame when present — n_frames
+        # above still counts the raw walked frames (the Xing frame
+        # itself carries no audio; callers wanting playable duration use
+        # xing["n_frames"] when set)
+        "xing": xing,
     }
 
 
+_ID3V22_TEXT = {  # v2.2 3-char ids -> the v2.3/2.4 names callers key on
+    "TT2": "TIT2", "TP1": "TPE1", "TAL": "TALB", "TRK": "TRCK",
+    "TYE": "TYER", "TCO": "TCON",
+}
+
+
 def parse_id3v2_text(data: bytes) -> dict[str, str]:
-    """Text frames from a leading ID3v2.3/2.4 tag (the id3.org public
-    spec): {frame_id: value} for T*** frames — TIT2 title, TPE1
+    """Text frames from a leading ID3v2.2/2.3/2.4 tag (the id3.org
+    public spec): {frame_id: value} for T*** frames — TIT2 title, TPE1
     artist, TALB album, etc. Empty dict when no tag exists. Handles
-    both size flavors (v2.4 syncsafe frame sizes, v2.3 plain 32-bit)
-    and text encodings 0 (latin-1), 1 (UTF-16 w/ BOM), 2 (UTF-16BE)
-    and 3 (UTF-8); undecodable frames are skipped, not fatal — tag
-    metadata is advisory, the frame walk is the ground truth."""
+    all three frame-header flavors (v2.2 3-char ids + 3-byte sizes,
+    translated to their v2.3 names; v2.3 plain 32-bit sizes; v2.4
+    syncsafe sizes) and text encodings 0 (latin-1), 1 (UTF-16 w/ BOM),
+    2 (UTF-16BE) and 3 (UTF-8); undecodable frames are skipped, not
+    fatal — tag metadata is advisory, the frame walk is the ground
+    truth."""
     total = _id3v2_size(data)
     if total == 0:
         return {}
     version = data[3]
     out: dict[str, str] = {}
     i = 10
-    while i + 10 <= total:
-        fid = data[i : i + 4]
-        if not fid.strip(b"\x00"):
-            break  # zero padding reached
-        raw = data[i + 4 : i + 8]
-        if version >= 4:
-            size = 0
-            for byte in raw:
-                size = (size << 7) | (byte & 0x7F)
+    head_len = 6 if version == 2 else 10
+    while i + head_len <= total:
+        if version == 2:
+            fid3 = data[i : i + 3]
+            if not fid3.strip(b"\x00"):
+                break
+            size = int.from_bytes(data[i + 3 : i + 6], "big")
+            body = data[i + 6 : i + 6 + size]
+            i += 6 + size
+            name = fid3.decode("ascii", "replace")
+            fid = _ID3V22_TEXT.get(name, name).encode("ascii")
         else:
-            size = int.from_bytes(raw, "big")
-        body = data[i + 10 : i + 10 + size]
-        i += 10 + size
+            fid = data[i : i + 4]
+            if not fid.strip(b"\x00"):
+                break  # zero padding reached
+            raw = data[i + 4 : i + 8]
+            if version >= 4:
+                size = 0
+                for byte in raw:
+                    size = (size << 7) | (byte & 0x7F)
+            else:
+                size = int.from_bytes(raw, "big")
+            body = data[i + 10 : i + 10 + size]
+            i += 10 + size
         if not fid.startswith(b"T") or not body:
             continue
         enc, text = body[0], body[1:]
@@ -192,6 +256,7 @@ def to_mp3_bytes(
     sample_rate: int = 44100,
     id3_comment: bytes | None = None,
     id3_text: dict[str, str] | None = None,
+    xing_tag: str | None = None,
 ) -> bytes:
     """Serialize a structurally-valid CBR MPEG-1 Layer III stream:
     correct frame headers with zeroed payloads (header walkers — this
@@ -233,8 +298,25 @@ def to_mp3_bytes(
         out += b"ID3\x04\x00\x00" + syncsafe + body
     # header: sync FFF, version 11 (MPEG1), layer 01 (III), no CRC (1)
     b2 = 0xE0 | (3 << 3) | (1 << 1) | 1
+    frame_len = 144 * 1000 * bitrate_kbps // sample_rate
+    if xing_tag is not None:
+        if xing_tag not in ("Xing", "Info"):
+            raise ValueError("xing_tag must be 'Xing' or 'Info'")
+        # leading metadata frame: header + mono side-info zeros + tag +
+        # flags(frames|bytes|toc|quality) + fields + 100-byte TOC
+        body = bytearray(b"\x00" * 17)
+        body += xing_tag.encode("ascii")
+        body += (0xF).to_bytes(4, "big")
+        body += n_frames.to_bytes(4, "big")
+        body += ((n_frames + 1) * frame_len).to_bytes(4, "big")
+        body += bytes(min(255, i * 256 // 100) for i in range(100))
+        body += (78).to_bytes(4, "big")
+        if len(body) > frame_len - 4:
+            raise ValueError("bitrate too low to hold a Xing frame")
+        b3 = (br_idx << 4) | (sr_idx << 2)
+        out += bytes([0xFF, b2, b3, 0xC0])  # mono mode -> 17-byte side
+        out += body + b"\x00" * (frame_len - 4 - len(body))
     for _ in range(n_frames):
         b3 = (br_idx << 4) | (sr_idx << 2)  # no padding
-        frame_len = 144 * 1000 * bitrate_kbps // sample_rate
-        out += bytes([0xFF, b2, b3, 0x00]) + b"\x00" * (frame_len - 4)
+        out += bytes([0xFF, b2, b3, 0xC0 if xing_tag else 0x00]) + b"\x00" * (frame_len - 4)
     return bytes(out)
