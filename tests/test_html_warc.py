@@ -314,3 +314,60 @@ def test_cli_crawl_command(tmp_path, capsys):
     assert len(rows) == 4
     assert all(t == "The article body paragraph, long enough to clear min-chars."
                for _, t in rows)
+
+
+def test_surt_key_canonicalization():
+    from wc_vector_indexing_spark.sources.warc import surt_key
+
+    assert surt_key("https://W1.Example/p?b=2&a=1") == "example,w1)/p?a=1&b=2"
+    assert surt_key("http://www.news.bbc.co.uk/sport") == \
+        "uk,co,bbc,news)/sport"
+    assert surt_key("https://user@host.org:8080/A/B") == "org,host)/a/b"
+    assert surt_key("https://example.com/") == "com,example)/"
+
+
+def test_warc_cdx_index_offsets_slice_records_back(spark, tmp_path):
+    """The CDX contract: (offset, length) must let a range read fetch
+    the exact record without scanning — sliced bytes re-parse to the
+    same url; digest/ts/mime/status match the planted records; chunked
+    bodies digest the DE-chunked payload (same bytes as the plain
+    twin)."""
+    import base64
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.sources.warc import (
+        _iter_records,
+        to_warc_bytes,
+        warc_cdx_index,
+    )
+
+    recs = [
+        {"url": "https://a.example/one", "html": "<p>alpha body</p>",
+         "warc_date": "2024-03-05T06:07:08Z"},
+        {"url": "https://b.example/two?z=1&a=2", "html": "<p>beta</p>",
+         "warc_date": "2024-03-05T06:07:09Z", "chunked": True},
+        {"url": "https://b.example/two?z=1&a=2", "html": "<p>beta</p>",
+         "warc_date": "2024-03-05T06:07:10Z"},
+    ]
+    data = to_warc_bytes(recs)
+    path = tmp_path / "f.warc"
+    path.write_bytes(data)
+    raw = spark.read.format("binaryFile").load(str(path)).select(
+        F.col("path").alias("warc_path"), "content")
+    rows = sorted(warc_cdx_index(raw).collect(), key=lambda r: r.ts14)
+    assert [r.ts14 for r in rows] == [
+        "20240305060708", "20240305060709", "20240305060710"]
+    assert rows[0].urlkey == "example,a)/one"
+    assert rows[1].urlkey == "example,b)/two?a=2&z=1"
+    assert all(r.mime == "text/html" and r.status == 200 for r in rows)
+    # chunked and plain twins carry the SAME payload digest
+    assert rows[1].digest_sha1_b32 == rows[2].digest_sha1_b32
+    assert rows[0].digest_sha1_b32 == base64.b32encode(
+        hashlib.sha1(b"<p>alpha body</p>").digest()).decode()
+    for r in rows:
+        sliced = data[r.offset:r.offset + r.length]
+        assert sliced.startswith(b"WARC/1.0")
+        (head, payload, s, e), = list(_iter_records(sliced))
+        assert r.url.encode() in head

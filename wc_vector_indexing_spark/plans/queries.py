@@ -6325,6 +6325,76 @@ ORDER BY doc_id, entry_index
 """
 
 
+def warc_cdx_index_op(spark: SparkSession, sf: str) -> DataFrame:
+    """CDX index generation (sources/warc.warc_cdx_index — the
+    random-access side door every web archive ships next to its
+    WARCs): every document renders into a real WARC file of 1-3
+    response records with FIXED-WIDTH planted fields, so each record
+    occupies a constant 307 bytes after the constant 95-byte warcinfo
+    prologue and the byte offset/length the index reports are pure
+    arithmetic for the DuckDB oracle (if the WARC writer's framing ever
+    changes, this parity check is the tripwire). SURT url keys,
+    14-digit timestamps, mime and status are planted strings; the
+    sha1-b32 payload digest is not SQL-expressible and is projected
+    away here (it is pinned against hashlib in test_html_warc.py). One
+    zero-shuffle Arrow render+index pass."""
+    from wc_vector_indexing_spark.sources.warc import (
+        to_warc_bytes,
+        warc_cdx_index,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id").repartition(32)
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                recs = [
+                    {"url": f"https://w{d:05d}.example/p{j:03d}",
+                     "html": f"<p>rec-{d:05d}-{j:03d}-payloadbody</p>",
+                     "warc_date": f"2024-01-01T00:00:{(d + j) % 60:02d}Z"}
+                    for j in range(1 + d % 3)
+                ]
+                paths.append(f"mem://doc{d}.warc")
+                blobs.append(to_warc_bytes(recs))
+            yield pd.DataFrame({"warc_path": paths, "content": blobs})
+
+    raw = docs.mapInPandas(render, schema="warc_path string, content binary")
+    idx = warc_cdx_index(raw)
+    return (
+        idx.select(
+            F.regexp_extract("warc_path", r"doc(\d+)\.warc", 1)
+            .cast("long").alias("doc_id"),
+            F.regexp_extract("url", r"/p(\d+)$", 1)
+            .cast("long").alias("rec_index"),
+            "urlkey", "ts14", "url", "mime", "status", "offset", "length",
+        )
+        .orderBy("doc_id", "rec_index")
+    )
+
+
+WARC_CDX_SQL = r"""
+WITH t AS (
+    SELECT doc_id, UNNEST(range(1 + doc_id % 3)) AS j FROM documents
+)
+SELECT doc_id, j AS rec_index,
+       'example,w' || lpad(doc_id::VARCHAR, 5, '0') || ')/p'
+           || lpad(j::VARCHAR, 3, '0') AS urlkey,
+       '202401010000' || lpad(((doc_id + j) % 60)::VARCHAR, 2, '0') AS ts14,
+       'https://w' || lpad(doc_id::VARCHAR, 5, '0') || '.example/p'
+           || lpad(j::VARCHAR, 3, '0') AS url,
+       'text/html' AS mime,
+       200::INT AS status,
+       (95 + j * 307)::BIGINT AS offset,
+       307::BIGINT AS length
+FROM t
+ORDER BY doc_id, rec_index
+"""
+
+
 def feed_discovery_op(
     spark: SparkSession, sf: str, *, n: int = 200, mega_entries: int = 0
 ) -> DataFrame:
@@ -7577,9 +7647,12 @@ REGISTRY: dict[str, QuerySpec] = {
     # late-r8 window rotation: the two new media-census entries (never
     # driver-recorded) promoted; events_json + quantiles_by_type
     # (recorded r7) demoted to the tail in exchange.
-    "aac_adts_census": QuerySpec(
-        aac_adts_census_op, AAC_CENSUS_SQL,
-        "ADTS AAC header walk: duration/profile census (planted-truth oracle)"
+    # r9 window rotation: warc_cdx_index (never driver-recorded, the
+    # web-archive random-access index) promoted; aac_adts_census
+    # (recorded r8) demoted to the tail in exchange.
+    "warc_cdx_index": QuerySpec(
+        warc_cdx_index_op, WARC_CDX_SQL,
+        "CDX(J) index generation: SURT keys + byte offsets over real WARCs (planted-truth oracle)"
     ),
     "session_window_events": QuerySpec(
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
@@ -8033,6 +8106,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "moving_average_events": QuerySpec(
         moving_average_events, MOVING_AVG_SQL, "trailing time-RANGE window average"
+    ),
+    "aac_adts_census": QuerySpec(
+        aac_adts_census_op, AAC_CENSUS_SQL,
+        "ADTS AAC header walk: duration/profile census (planted-truth oracle)"
     ),
     "semantic_decontamination": QuerySpec(
         semantic_decontamination_op, SEMANTIC_DECONTAM_SQL,

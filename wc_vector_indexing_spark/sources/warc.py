@@ -152,15 +152,17 @@ def _iter_records(data: bytes) -> Iterator[tuple[bytes, bytes]]:
         if he == -1:
             break
         head = data[i : he]
+        start = i
         m = _CL_RE.search(head)
         if m:
             cl = int(m.group(1))
-            yield head, data[he + 4 : he + 4 + cl]
+            yield head, data[he + 4 : he + 4 + cl], start, he + 4 + cl + 4
             i = he + 4 + cl
         else:
             j = data.find(b"\r\n\r\nWARC/", he)
             end = j if j != -1 else n
-            yield head, data[he + 4 : end].rstrip(b"\r\n")
+            yield head, data[he + 4 : end].rstrip(b"\r\n"), start, (
+                j + 4 if j != -1 else n)
             i = end + 4 if j != -1 else n
 
 
@@ -234,7 +236,7 @@ def _parse_pass(raw: DataFrame) -> DataFrame:
                 data = bytes(content)
                 if data[:2] == b"\x1f\x8b":
                     data = gzip.decompress(data)
-                for head, payload in _iter_records(data):
+                for head, payload, _start, _end in _iter_records(data):
                     rec = _parse_record(head, payload)
                     if rec is not None:
                         rec["warc_path"] = fpath
@@ -287,6 +289,106 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
         .select(F.col("path").alias("warc_path"), "content")
     )
     return _parse_pass(raw)
+
+
+def surt_key(url: str) -> str:
+    """SURT-canonicalized CDX url key (the public Internet Archive /
+    pywb convention): scheme and a leading ``www.`` dropped, host
+    lowercased with its dot-labels REVERSED and comma-joined, then
+    ``)/`` + path, with query parameters sorted so equivalent URLs
+    collide — e.g. ``https://W1.Example/p?b=2&a=1`` →
+    ``example,w1)/p?a=1&b=2``."""
+    rest = url.split("://", 1)[-1]
+    hostport, slash, pathq = rest.partition("/")
+    host = hostport.split("@")[-1].split(":")[0].lower()
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split(".")))
+    path, q, query = pathq.partition("?")
+    out = f"{key})/{path.lower()}"
+    if q:
+        out += "?" + "&".join(sorted(query.lower().split("&")))
+    return out
+
+
+def warc_cdx_index(raw: DataFrame) -> DataFrame:
+    """CDX index generation — the random-access side door every real
+    web archive ships next to its WARCs (the public CDX(J) convention:
+    one row per response record with its SURT url key, 14-digit
+    timestamp, mime, status, payload digest, and the byte
+    offset/length needed to fetch the record without scanning the
+    file). Input is (warc_path, content) whole-file rows; output is
+    (warc_path, urlkey, ts14, url, mime, status, digest_sha1_b32,
+    offset, length), one zero-shuffle Arrow pass.
+
+    Offsets are byte positions in the UNCOMPRESSED record stream
+    (exact for ``.warc``; for ``.warc.gz`` they index the decompressed
+    stream — per-member compressed offsets, which pywb uses for gzip
+    range reads, are a documented seam). The digest is sha1-base32 of
+    the decoded (de-chunked) HTTP body, matching the WARC-Payload-
+    Digest convention."""
+    import base64
+    import hashlib
+
+    schema = (
+        "warc_path string, urlkey string, ts14 string, url string, "
+        "mime string, status int, digest_sha1_b32 string, offset long, "
+        "length long"
+    )
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["warc_path", "urlkey", "ts14", "url", "mime", "status",
+                "digest_sha1_b32", "offset", "length"]
+        for pdf in batches:
+            out: list[dict] = []
+            for fpath, content in zip(pdf["warc_path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                for head, payload, start, end in _iter_records(data):
+                    fields: dict[str, str] = {}
+                    for line in head.replace(b"\r\n", b"\n").split(b"\n"):
+                        k, colon, v = line.partition(b":")
+                        if colon:
+                            fields[k.strip().lower().decode("latin-1")] = (
+                                v.strip().decode("latin-1"))
+                    if fields.get("warc-type") != "response":
+                        continue
+                    url = fields.get("warc-target-uri", "")
+                    ts14 = "".join(
+                        c for c in fields.get("warc-date", "") if c.isdigit()
+                    )[:14]
+                    http = _split_once(payload)
+                    status, mime, body = None, None, b""
+                    if http is not None:
+                        hh, body = http
+                        lines = hh.replace(b"\r\n", b"\n").split(b"\n")
+                        if lines and lines[0].startswith(b"HTTP/"):
+                            parts = lines[0].split(b" ", 2)
+                            if len(parts) >= 2 and parts[1].isdigit():
+                                status = int(parts[1])
+                        for line in lines[1:]:
+                            k, colon, v = line.partition(b":")
+                            if not colon:
+                                continue
+                            lk = k.strip().lower()
+                            if lk == b"content-type":
+                                mime = (v.strip().decode("latin-1")
+                                        .split(";")[0].strip())
+                            elif (lk == b"transfer-encoding"
+                                  and b"chunked" in v.lower()):
+                                body = _dechunk(body)
+                    digest = base64.b32encode(
+                        hashlib.sha1(body).digest()).decode("ascii")
+                    out.append({
+                        "warc_path": fpath, "urlkey": surt_key(url),
+                        "ts14": ts14, "url": url, "mime": mime,
+                        "status": status, "digest_sha1_b32": digest,
+                        "offset": start, "length": end - start,
+                    })
+            yield pd.DataFrame(out, columns=cols)
+
+    return raw.mapInPandas(index, schema=schema)
 
 
 def to_warc_bytes(records: list[dict], version: str = "1.0") -> bytes:
