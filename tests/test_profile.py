@@ -126,3 +126,43 @@ def test_value_histogram_single_agg_plan(spark):
     )
     assert "SortMergeJoin" not in plan  # bounds broadcast back
     assert "EvalPython" not in plan
+
+
+def test_heavy_hitters_exact_vs_bruteforce(spark):
+    """Two-pass Misra-Gries must return EXACTLY the brute-force answer
+    (counts and ppm included) even with tiny sketches, adversarial
+    partitioning, and a long distinct-token tail — the superset
+    guarantee is what pass B's exact count leans on."""
+    from collections import Counter
+
+    from wc_vector_indexing_spark.operators.profile import heavy_hitters
+
+    rows = []
+    # hot tokens with known counts + a 600-token distinct tail
+    text_hot = ("alpha " * 7 + "beta " * 5 + "gamma " * 3).strip()
+    for i in range(40):
+        rows.append((i, text_hot + " " + f"tail{i}a tail{i}b tail{i}c"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    got = {(r.token, r.cnt, r.ppm)
+           for r in heavy_hitters(df, "text", min_share=0.05, slots=8).collect()}
+    toks = Counter(
+        t for _, text in rows for t in text.lower().split() if t)
+    n = sum(toks.values())
+    import math
+    thresh = math.ceil(n * 0.05)
+    want = {(t, c, c * 1_000_000 // n)
+            for t, c in toks.items() if c >= thresh}
+    assert got == want and {t for t, _, _ in got} == {"alpha", "beta", "gamma"}
+
+
+def test_heavy_hitters_empty_and_threshold_edge(spark):
+    from wc_vector_indexing_spark.operators.profile import heavy_hitters
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert heavy_hitters(empty, "text").count() == 0
+    # exact-boundary count: token at precisely ceil(N*share) qualifies
+    df = spark.createDataFrame(
+        [(0, "x x x x y")], "doc_id long, text string")
+    got = {r.token: r.cnt for r in
+           heavy_hitters(df, "text", min_share=0.8, slots=4).collect()}
+    assert got == {"x": 4}  # ceil(5*0.8)=4 -> x qualifies, y doesn't

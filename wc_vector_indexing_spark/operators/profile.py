@@ -150,6 +150,85 @@ def value_histogram(
     return counts.orderBy("bin")
 
 
+def heavy_hitters(
+    df,
+    col: str = "text",
+    min_share: float = 0.002,
+    slots: int | None = None,
+):
+    """Exact heavy hitters over a token column without shuffling the
+    vocabulary: the classic two-pass Misra-Gries shape.
+
+    Pass A runs a k-slot Misra-Gries summary PER PARTITION (an Arrow
+    pass holding k counters, state carried across the partition's
+    batches) and ships only the surviving ``(token, residual)`` rows —
+    shuffle volume is ``slots x partitions`` regardless of vocabulary
+    size, which is the whole point at 100 TB (a plain groupBy ships
+    every distinct token). Mergeability gives the standard guarantee:
+    any token with global count > N/(slots+1) survives with positive
+    merged residual, so with ``slots >= 2/min_share`` the candidate set
+    is a superset of every qualifying token. Pass B broadcast-semi-joins
+    the candidates back over the token stream and counts EXACTLY, so
+    the output is precise, not approximate: every token with count >=
+    ceil(N * min_share), with its exact count and integer
+    parts-per-million share (integer arithmetic so an engine-portable
+    oracle can replay it bit-for-bit).
+
+    Returns (token, cnt, ppm) ordered by cnt desc, token."""
+    from pyspark.sql import functions as F
+
+    tokens = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(col)), r"\s+")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    total = tokens.count()  # 1-row scalar: sets the exact threshold
+    if total == 0:
+        return tokens.select(
+            "token", F.lit(0).cast("long").alias("cnt"),
+            F.lit(0).cast("long").alias("ppm")).limit(0)
+    threshold = -(-total * min_share // 1)  # ceil
+    k = slots or max(16, int(2.0 / min_share))
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step, dropping zeroed slots
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"token": list(counters), "w": list(counters.values())})
+
+    candidates = (
+        tokens.mapInPandas(mg, schema="token string, w long")
+        .groupBy("token").agg(F.sum("w").alias("w"))
+        .filter(F.col("w") > 0)
+        .select("token")
+    )
+    exact = (
+        tokens.join(F.broadcast(candidates), "token")
+        .groupBy("token").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(int(threshold)))
+        # integer div, not double division: the oracle replays this
+        # bit-for-bit and a float quotient could round across the floor
+        .withColumn("ppm", F.expr(f"(cnt * 1000000) div {total}"))
+    )
+    return exact.orderBy(F.desc("cnt"), "token")
+
+
 def corpus_drift(
     docs: DataFrame,
     text_col: str = "text",

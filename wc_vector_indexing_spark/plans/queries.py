@@ -6325,6 +6325,38 @@ ORDER BY doc_id, entry_index
 """
 
 
+def heavy_hitters_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact corpus heavy hitters via two-pass Misra-Gries
+    (operators/profile.heavy_hitters): pass A ships only slots x
+    partitions candidate rows (never the vocabulary), pass B counts
+    the broadcast candidates exactly — so the result is EXACT and the
+    DuckDB oracle is a plain uncapped GROUP BY with the same ceil
+    threshold and integer-ppm arithmetic. The 100 TB story is the
+    shuffle bound; the correctness story is the MG superset guarantee
+    (any token above N/(slots+1) survives the merge)."""
+    from wc_vector_indexing_spark.operators.profile import heavy_hitters
+
+    return heavy_hitters(load(spark, "documents", sf), "text",
+                         min_share=0.002)
+
+
+HEAVY_HITTERS_SQL = r"""
+WITH t AS (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+    FROM documents
+), tt AS (
+    SELECT token FROM t WHERE length(token) > 0
+), tot AS (
+    SELECT count(*) AS n FROM tt
+)
+SELECT token, count(*)::BIGINT AS cnt,
+       (count(*) * 1000000) // (SELECT n FROM tot) AS ppm
+FROM tt GROUP BY token
+HAVING count(*) >= ceil((SELECT n FROM tot) * 0.002)
+ORDER BY cnt DESC, token
+"""
+
+
 def warc_cdx_index_op(spark: SparkSession, sf: str) -> DataFrame:
     """CDX index generation (sources/warc.warc_cdx_index — the
     random-access side door every web archive ships next to its
@@ -7682,12 +7714,12 @@ REGISTRY: dict[str, QuerySpec] = {
         "H.264 NAL walk + Exp-Golomb SPS resolution census (planted-truth oracle)"
     ),
     # round 7: new oracle-backed entries (never recorded ⇒ in-window)
-    # session-3 r8 window rotation: id3_text_census (never
-    # driver-recorded) promoted; audio_overlap_partial stays (media
-    # family anchor) — hamming_4band_pairs (recorded r7) demoted below.
-    "id3_text_census": QuerySpec(
-        id3_text_census_op, ID3_CENSUS_SQL,
-        "ID3v2 TIT2/TPE1/TALB tag-text census (planted-truth oracle)"
+    # r9 window rotation: heavy_hitters (never driver-recorded,
+    # two-pass Misra-Gries) promoted; id3_text_census (recorded r8)
+    # demoted to the tail in exchange.
+    "heavy_hitters": QuerySpec(
+        heavy_hitters_op, HEAVY_HITTERS_SQL,
+        "exact heavy hitters via two-pass Misra-Gries (uncapped GROUP BY oracle)"
     ),
     "audio_overlap_partial": QuerySpec(
         audio_overlap_partial_op, AUDIO_OVERLAP_SQL,
@@ -8110,6 +8142,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "aac_adts_census": QuerySpec(
         aac_adts_census_op, AAC_CENSUS_SQL,
         "ADTS AAC header walk: duration/profile census (planted-truth oracle)"
+    ),
+    "id3_text_census": QuerySpec(
+        id3_text_census_op, ID3_CENSUS_SQL,
+        "ID3v2 TIT2/TPE1/TALB tag-text census (planted-truth oracle)"
     ),
     "semantic_decontamination": QuerySpec(
         semantic_decontamination_op, SEMANTIC_DECONTAM_SQL,
