@@ -231,7 +231,11 @@ def run(names: list[str], full: bool = False) -> None:
         if r["superlinear"]:
             flagged.append(name)
     curated_set = set(curated) | set(MEDIA_SCALE)
-    artifact = {
+    # preserve sections other invocations own (e.g. skewed_curvature)
+    path = ROOT / "BENCH_SF1.json"
+    artifact = json.loads(path.read_text()) if path.exists() else {}
+    artifact = {k: v for k, v in artifact.items() if k == "skewed_curvature"}
+    artifact |= {
         "sf_small": 0.1,
         "sf_big": 1.0,
         "data_factor": 10,
