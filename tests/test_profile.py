@@ -166,3 +166,39 @@ def test_heavy_hitters_empty_and_threshold_edge(spark):
     got = {r.token: r.cnt for r in
            heavy_hitters(df, "text", min_share=0.8, slots=4).collect()}
     assert got == {"x": 4}  # ceil(5*0.8)=4 -> x qualifies, y doesn't
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    """The conservative flag must fire on real code shapes (Python,
+    C-family) and stay quiet on prose — including prose with stray
+    parentheses and a semicolon."""
+    from wc_vector_indexing_spark.operators.textstats import code_detect
+
+    py = (
+        "import os\n"
+        "def main(argv):\n"
+        "    x = load(argv[0])\n"
+        "    return [f(v) for v in x]\n"
+        "class App:\n"
+        "    def run(self):\n"
+        "        return main([])\n"
+    )
+    c = (
+        "int main(void) {\n"
+        "    int x = 0;\n"
+        "    x = x + 1;\n"
+        "    printf(\"%d\", x);\n"
+        "    return x;\n"
+        "}\n"
+    )
+    prose = (
+        "The committee met on Tuesday (as planned); attendance was "
+        "strong.\nSeveral topics were discussed at length.\nThe next "
+        "meeting is in March.\nMinutes will follow by email.\n"
+    )
+    df = spark.createDataFrame(
+        [(1, py), (2, c), (3, prose)], "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in code_detect(df).collect()}
+    assert got[1]["is_code"] and got[2]["is_code"]
+    assert not got[3]["is_code"]
+    assert got[1]["kw_hits"] >= 4 and got[2]["semi_lines"] == 4

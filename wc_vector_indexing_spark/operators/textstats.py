@@ -569,3 +569,47 @@ def quality_gate_col(
         else F.round(quality_score_col(text_col), 4)
     )
     return score >= thr
+
+
+def code_detect(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Code-vs-prose routing signal (the Stack-style curation split —
+    a training pipeline treats code and natural language differently
+    at every later stage): pure-codegen integer features over one
+    scan, no shuffle, no UDF, and NO floating point — every output is
+    a count or an integer-threshold flag, so an engine-portable SQL
+    oracle replays it bit-for-bit.
+
+    Features: ``symbol_count`` (brace/bracket/paren/op characters),
+    ``n_lines``, ``indent_lines`` (4-space or tab indents),
+    ``semi_lines`` (lines ending ';'), ``kw_hits`` (common keyword
+    tokens across C-family/Python/JS). ``is_code`` fires when symbol
+    density exceeds 4% with at least two keyword hits, or when a third
+    of the lines end in ';' over at least four lines — deliberately
+    conservative thresholds (prose almost never trips either arm;
+    pinned in tests)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    symbol_count = n_chars - F.length(
+        F.regexp_replace(t, r"[{}\[\]();=<>]", ""))
+    n_lines = F.size(F.split(t, "\n"))
+    indent_lines = F.regexp_count(t, F.lit(r"(?m)^(?:    |\t)"))
+    semi_lines = F.regexp_count(t, F.lit(r"(?m);[ \t]*$"))
+    kw_hits = F.regexp_count(
+        t,
+        F.lit(r"\b(?:def|class|return|import|function|const|var|void|"
+              r"int|elif|lambda|public|static)\b"),
+    )
+    is_code = (
+        ((symbol_count * 25 >= n_chars) & (kw_hits >= 2))
+        | ((semi_lines * 3 >= n_lines) & (n_lines >= 4))
+    )
+    return docs.select(
+        id_col,
+        symbol_count.cast("long").alias("symbol_count"),
+        n_lines.cast("long").alias("n_lines"),
+        indent_lines.cast("long").alias("indent_lines"),
+        semi_lines.cast("long").alias("semi_lines"),
+        kw_hits.cast("long").alias("kw_hits"),
+        is_code.alias("is_code"),
+    )

@@ -6325,6 +6325,34 @@ ORDER BY doc_id, entry_index
 """
 
 
+def code_detect_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Code-vs-prose routing signal (operators/textstats.code_detect):
+    integer-only codegen features + conservative threshold flag over
+    one scan of the documents table — the oracle replays the regex
+    counts and the flag arithmetic directly in SQL."""
+    from wc_vector_indexing_spark.operators.textstats import code_detect
+
+    return code_detect(load(spark, "documents", sf)).orderBy("doc_id")
+
+
+CODE_DETECT_SQL = r"""
+SELECT doc_id,
+       (length(text) - length(regexp_replace(text, '[{}\[\]();=<>]', '', 'g')))::BIGINT AS symbol_count,
+       len(string_split(text, chr(10)))::BIGINT AS n_lines,
+       len(regexp_extract_all(text, '(?m)^(?:    |\t)'))::BIGINT AS indent_lines,
+       len(regexp_extract_all(text, '(?m);[ \t]*$'))::BIGINT AS semi_lines,
+       len(regexp_extract_all(text, '\b(?:def|class|return|import|function|const|var|void|int|elif|lambda|public|static)\b'))::BIGINT AS kw_hits,
+       (
+         ((length(text) - length(regexp_replace(text, '[{}\[\]();=<>]', '', 'g'))) * 25 >= length(text)
+          AND len(regexp_extract_all(text, '\b(?:def|class|return|import|function|const|var|void|int|elif|lambda|public|static)\b')) >= 2)
+         OR (len(regexp_extract_all(text, '(?m);[ \t]*$')) * 3 >= len(string_split(text, chr(10)))
+             AND len(string_split(text, chr(10))) >= 4)
+       ) AS is_code
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def heavy_hitters_op(spark: SparkSession, sf: str) -> DataFrame:
     """Exact corpus heavy hitters via two-pass Misra-Gries
     (operators/profile.heavy_hitters): pass A ships only slots x
@@ -7709,9 +7737,11 @@ REGISTRY: dict[str, QuerySpec] = {
         jpeg_lossless_census_op, JPEG_LOSSLESS_CENSUS_SQL,
         "SOF3 lossless-JPEG exact decode census, all 7 predictors (planted-truth oracle)"
     ),
-    "h264_sps_census": QuerySpec(
-        h264_sps_census_op, H264_CENSUS_SQL,
-        "H.264 NAL walk + Exp-Golomb SPS resolution census (planted-truth oracle)"
+    # r9 window rotation: code_detect (never driver-recorded) promoted;
+    # h264_sps_census (recorded r8) demoted to the tail in exchange.
+    "code_detect": QuerySpec(
+        code_detect_op, CODE_DETECT_SQL,
+        "code-vs-prose routing features + flag, integer-only codegen (direct SQL oracle)"
     ),
     # round 7: new oracle-backed entries (never recorded ⇒ in-window)
     # r9 window rotation: heavy_hitters (never driver-recorded,
@@ -8146,6 +8176,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "id3_text_census": QuerySpec(
         id3_text_census_op, ID3_CENSUS_SQL,
         "ID3v2 TIT2/TPE1/TALB tag-text census (planted-truth oracle)"
+    ),
+    "h264_sps_census": QuerySpec(
+        h264_sps_census_op, H264_CENSUS_SQL,
+        "H.264 NAL walk + Exp-Golomb SPS resolution census (planted-truth oracle)"
     ),
     "semantic_decontamination": QuerySpec(
         semantic_decontamination_op, SEMANTIC_DECONTAM_SQL,
