@@ -371,3 +371,40 @@ def test_warc_cdx_index_offsets_slice_records_back(spark, tmp_path):
         assert sliced.startswith(b"WARC/1.0")
         (head, payload, s, e), = list(_iter_records(sliced))
         assert r.url.encode() in head
+
+
+def test_warc_cdx_index_streaming_twin(spark, tmp_path):
+    """warc_cdx_index is a stateless Arrow pass, so the same call over
+    a file-source readStream (AvailableNow) must produce exactly the
+    batch rows — the continuous-ingest form of archive indexing."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.sources.warc import (
+        to_warc_bytes,
+        warc_cdx_index,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i in range(3):
+        (drop / f"f{i}.warc").write_bytes(to_warc_bytes([
+            {"url": f"https://s{i}.example/p", "html": f"<p>doc {i}</p>",
+             "warc_date": f"2024-02-02T00:00:0{i}Z"}]))
+    raw_b = spark.read.format("binaryFile").load(str(drop)).select(
+        F.col("path").alias("warc_path"), "content")
+    batch = {tuple(r) for r in warc_cdx_index(raw_b).collect()}
+    raw_s = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .load(str(drop))
+        .select(F.col("path").alias("warc_path"), "content")
+    )
+    out = tmp_path / "out"
+    q = (warc_cdx_index(raw_s).writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
+    assert stream == batch and len(batch) == 3

@@ -161,3 +161,25 @@ def test_gate_shuffle_mode_matches_broadcast_mode(spark):
     b = {r["doc_id"]: (r["allowed"], r["matched_pattern"])
          for r in robots_gate(pages_df, rules_df, broadcast=False).collect()}
     assert a == b
+
+
+def test_sitemap_directives_are_group_independent():
+    from wc_vector_indexing_spark.operators.robots import (
+        parse_robots_sitemaps,
+    )
+
+    txt = (
+        "Sitemap: https://a.example/sitemap.xml\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+        "Sitemap: https://a.example/news.xml  # comment\n"
+        "User-agent: *\n"
+        "Allow: /\n"
+        "sitemap: https://a.example/sitemap.xml\n"
+    )
+    assert parse_robots_sitemaps(txt) == [
+        "https://a.example/sitemap.xml",
+        "https://a.example/news.xml",
+        "https://a.example/sitemap.xml",  # dedup is the frontier's job
+    ]
+    assert parse_robots_sitemaps("User-agent: *\nDisallow:\n") == []

@@ -58,6 +58,24 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
     return exact if exact else star
 
 
+def parse_robots_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives from a robots.txt body (RFC 9309 §2.3 /
+    sitemaps.org discovery): group-independent per spec — every
+    Sitemap line counts no matter which user-agent group surrounds it
+    — comments stripped, file order preserved, duplicates kept (the
+    URL-frontier dedup downstream owns uniqueness). This is the crawl
+    bootstrap edge: robots.txt → sitemap URLs → feed_discovery."""
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, colon, val = line.partition(":")
+        if colon and key.strip().lower() == "sitemap":
+            url = val.strip()
+            if url:
+                out.append(url)
+    return out
+
+
 def rule_matches(path: str, pattern: str) -> bool:
     """Prefix match with ``*`` (any run, incl. empty) and a trailing
     ``$`` end anchor, per RFC 9309 §2.2.3."""
