@@ -408,3 +408,56 @@ def test_warc_cdx_index_streaming_twin(spark, tmp_path):
     q.awaitTermination(120)
     stream = {tuple(r) for r in spark.read.parquet(str(out)).collect()}
     assert stream == batch and len(batch) == 3
+
+
+def test_warc_cdx_gzip_member_offsets(spark, tmp_path):
+    """Common Crawl layout: member-per-record .warc.gz gets COMPRESSED
+    (offset, length) — each reported range must gunzip on its own to
+    exactly one record with the right url; a whole-file single-member
+    .gz falls back to decompressed-stream offsets."""
+    import gzip as _gzip
+
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.sources.warc import (
+        _iter_records,
+        to_warc_gz_bytes,
+        warc_cdx_index,
+    )
+
+    recs = [
+        {"url": "https://g.example/a", "html": "<p>member a</p>",
+         "warc_date": "2024-04-01T00:00:01Z"},
+        {"url": "https://g.example/b", "html": "<p>member b</p>",
+         "warc_date": "2024-04-01T00:00:02Z"},
+    ]
+    data = to_warc_gz_bytes(recs)
+    p1 = tmp_path / "m.warc.gz"
+    p1.write_bytes(data)
+    whole = to_warc_gz_bytes(recs, member_per_record=False)
+    p2 = tmp_path / "w.warc.gz"
+    p2.write_bytes(whole)
+
+    def idx(path):
+        raw = spark.read.format("binaryFile").load(str(path)).select(
+            F.col("path").alias("warc_path"), "content")
+        return sorted(warc_cdx_index(raw).collect(), key=lambda r: r.ts14)
+
+    rows = idx(p1)
+    assert [r.offset_kind for r in rows] == ["gzip-member"] * 2
+    for r, want in zip(rows, recs):
+        member = data[r.offset:r.offset + r.length]
+        inner = _gzip.decompress(member)
+        (head, payload, s, e), = list(_iter_records(inner))
+        assert want["url"].encode() in head
+
+    rows2 = idx(p2)
+    assert [r.offset_kind for r in rows2] == ["plain"] * 2
+    plain = _gzip.decompress(whole)
+    for r, want in zip(rows2, recs):
+        sliced = plain[r.offset:r.offset + r.length]
+        assert sliced.startswith(b"WARC/1.0")
+        assert want["url"].encode() in sliced
+    # digests identical across layouts
+    assert [r.digest_sha1_b32 for r in rows] == [
+        r.digest_sha1_b32 for r in rows2]

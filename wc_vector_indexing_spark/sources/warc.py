@@ -291,6 +291,26 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
     return _parse_pass(raw)
 
 
+def _gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Walk a multi-member gzip stream (Common Crawl's member-per-record
+    ``.warc.gz`` layout) yielding (compressed_offset, compressed_length,
+    decompressed_bytes) per member — zlib's ``unused_data`` marks each
+    member boundary, so the walk is exact without re-parsing deflate."""
+    import zlib
+
+    pos = 0
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        obj = zlib.decompressobj(31)
+        out = obj.decompress(rest)
+        if not obj.eof:
+            raise ValueError("gzip: truncated member")
+        consumed = len(rest) - len(obj.unused_data)
+        yield pos, consumed, out
+        pos += consumed
+        rest = obj.unused_data
+
+
 def surt_key(url: str) -> str:
     """SURT-canonicalized CDX url key (the public Internet Archive /
     pywb convention): scheme and a leading ``www.`` dropped, host
@@ -321,71 +341,88 @@ def warc_cdx_index(raw: DataFrame) -> DataFrame:
     (warc_path, urlkey, ts14, url, mime, status, digest_sha1_b32,
     offset, length), one zero-shuffle Arrow pass.
 
-    Offsets are byte positions in the UNCOMPRESSED record stream
-    (exact for ``.warc``; for ``.warc.gz`` they index the decompressed
-    stream — per-member compressed offsets, which pywb uses for gzip
-    range reads, are a documented seam). The digest is sha1-base32 of
-    the decoded (de-chunked) HTTP body, matching the WARC-Payload-
-    Digest convention."""
+    ``offset_kind`` says what the offsets index: ``plain`` = byte
+    positions in the uncompressed record stream (``.warc``, and
+    multi-record gzip members via cumulative decompressed position);
+    ``gzip-member`` = COMPRESSED byte ranges for member-per-record
+    ``.warc.gz`` (Common Crawl's layout) — the range pywb-style
+    replayers hand to a gzip decoder directly. The digest is
+    sha1-base32 of the decoded (de-chunked) HTTP body, matching the
+    WARC-Payload-Digest convention."""
     import base64
     import hashlib
 
     schema = (
         "warc_path string, urlkey string, ts14 string, url string, "
         "mime string, status int, digest_sha1_b32 string, offset long, "
-        "length long"
+        "length long, offset_kind string"
     )
+
+    def row_of(head: bytes, payload: bytes) -> dict | None:
+        fields: dict[str, str] = {}
+        for line in head.replace(b"\r\n", b"\n").split(b"\n"):
+            k, colon, v = line.partition(b":")
+            if colon:
+                fields[k.strip().lower().decode("latin-1")] = (
+                    v.strip().decode("latin-1"))
+        if fields.get("warc-type") != "response":
+            return None
+        url = fields.get("warc-target-uri", "")
+        ts14 = "".join(
+            c for c in fields.get("warc-date", "") if c.isdigit())[:14]
+        http = _split_once(payload)
+        status, mime, body = None, None, b""
+        if http is not None:
+            hh, body = http
+            lines = hh.replace(b"\r\n", b"\n").split(b"\n")
+            if lines and lines[0].startswith(b"HTTP/"):
+                parts = lines[0].split(b" ", 2)
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+            for line in lines[1:]:
+                k, colon, v = line.partition(b":")
+                if not colon:
+                    continue
+                lk = k.strip().lower()
+                if lk == b"content-type":
+                    mime = v.strip().decode("latin-1").split(";")[0].strip()
+                elif lk == b"transfer-encoding" and b"chunked" in v.lower():
+                    body = _dechunk(body)
+        digest = base64.b32encode(hashlib.sha1(body).digest()).decode("ascii")
+        return {"urlkey": surt_key(url), "ts14": ts14, "url": url,
+                "mime": mime, "status": status, "digest_sha1_b32": digest}
 
     def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["warc_path", "urlkey", "ts14", "url", "mime", "status",
-                "digest_sha1_b32", "offset", "length"]
+                "digest_sha1_b32", "offset", "length", "offset_kind"]
         for pdf in batches:
             out: list[dict] = []
             for fpath, content in zip(pdf["warc_path"], pdf["content"]):
                 data = bytes(content)
                 if data[:2] == b"\x1f\x8b":
-                    data = gzip.decompress(data)
-                for head, payload, start, end in _iter_records(data):
-                    fields: dict[str, str] = {}
-                    for line in head.replace(b"\r\n", b"\n").split(b"\n"):
-                        k, colon, v = line.partition(b":")
-                        if colon:
-                            fields[k.strip().lower().decode("latin-1")] = (
-                                v.strip().decode("latin-1"))
-                    if fields.get("warc-type") != "response":
-                        continue
-                    url = fields.get("warc-target-uri", "")
-                    ts14 = "".join(
-                        c for c in fields.get("warc-date", "") if c.isdigit()
-                    )[:14]
-                    http = _split_once(payload)
-                    status, mime, body = None, None, b""
-                    if http is not None:
-                        hh, body = http
-                        lines = hh.replace(b"\r\n", b"\n").split(b"\n")
-                        if lines and lines[0].startswith(b"HTTP/"):
-                            parts = lines[0].split(b" ", 2)
-                            if len(parts) >= 2 and parts[1].isdigit():
-                                status = int(parts[1])
-                        for line in lines[1:]:
-                            k, colon, v = line.partition(b":")
-                            if not colon:
+                    decomp_base = 0
+                    for moff, mlen, mbytes in _gzip_members(data):
+                        recs = list(_iter_records(mbytes))
+                        for head, payload, start, end in recs:
+                            row = row_of(head, payload)
+                            if row is None:
                                 continue
-                            lk = k.strip().lower()
-                            if lk == b"content-type":
-                                mime = (v.strip().decode("latin-1")
-                                        .split(";")[0].strip())
-                            elif (lk == b"transfer-encoding"
-                                  and b"chunked" in v.lower()):
-                                body = _dechunk(body)
-                    digest = base64.b32encode(
-                        hashlib.sha1(body).digest()).decode("ascii")
-                    out.append({
-                        "warc_path": fpath, "urlkey": surt_key(url),
-                        "ts14": ts14, "url": url, "mime": mime,
-                        "status": status, "digest_sha1_b32": digest,
-                        "offset": start, "length": end - start,
-                    })
+                            if len(recs) == 1:
+                                row.update(offset=moff, length=mlen,
+                                           offset_kind="gzip-member")
+                            else:
+                                row.update(offset=decomp_base + start,
+                                           length=end - start,
+                                           offset_kind="plain")
+                            out.append({"warc_path": fpath, **row})
+                        decomp_base += len(mbytes)
+                else:
+                    for head, payload, start, end in _iter_records(data):
+                        row = row_of(head, payload)
+                        if row is not None:
+                            row.update(offset=start, length=end - start,
+                                       offset_kind="plain")
+                            out.append({"warc_path": fpath, **row})
             yield pd.DataFrame(out, columns=cols)
 
     return raw.mapInPandas(index, schema=schema)
@@ -400,6 +437,12 @@ def to_warc_bytes(records: list[dict], version: str = "1.0") -> bytes:
     declared content_type), and chunked transfer (``chunked`` splits
     the body into hex-framed chunks with a Transfer-Encoding
     header)."""
+    return b"".join(_warc_record_chunks(records, version))
+
+
+def _warc_record_chunks(records: list[dict], version: str) -> list[bytes]:
+    """One bytes chunk per record (warcinfo prologue first) — shared by
+    the plain writer and the member-per-record gzip writer."""
     out = [
         f"WARC/{version}\r\n".encode()
         + b"WARC-Type: warcinfo\r\n"
@@ -432,4 +475,16 @@ def to_warc_bytes(records: list[dict], version: str = "1.0") -> bytes:
             f"Content-Length: {len(payload)}\r\n\r\n"
         ).encode("utf-8")
         out.append(head + payload + b"\r\n\r\n")
-    return b"".join(out)
+    return out
+
+
+def to_warc_gz_bytes(records: list[dict], version: str = "1.0",
+                     member_per_record: bool = True) -> bytes:
+    """``.warc.gz`` writer: ``member_per_record=True`` gzips every
+    record as its OWN member (Common Crawl's layout — the one that
+    makes per-record range reads possible; ``warc_cdx_index`` reports
+    compressed offsets for it), else one whole-file member."""
+    chunks = _warc_record_chunks(records, version)
+    if not member_per_record:
+        return gzip.compress(b"".join(chunks), mtime=0)
+    return b"".join(gzip.compress(c, mtime=0) for c in chunks)
