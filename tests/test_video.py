@@ -118,3 +118,46 @@ def test_video_overlap_pairs_finds_clips(spark):
            for r in video_overlap_pairs(media, min_overlap=0.5).collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == (3, 1.0)  # every clip frame found in the source
+
+
+def test_requant_pairs_tolerates_quality_reencode(spark):
+    """A copy whose frames were re-quantized (few-bit dHash wobble)
+    must pair with its source even when one frame sits at the full
+    Hamming budget with its differing bits spread across four 16-bit
+    bands — the case the 8-bit banding is pigeonhole-complete for and
+    a 4x16 split measurably missed. A reordered copy must NOT pair
+    (order stays significant)."""
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.jpeg import encode_baseline
+    from wc_vector_indexing_spark.operators.video import (
+        video_requant_pairs,
+        write_mjpeg_avi,
+    )
+
+    g = np.random.RandomState(42)
+    frames = []
+    for fno in range(3):
+        base = np.kron(g.permutation(96).reshape(8, 12) * 2.6,
+                       np.ones((2, 2)))
+        frames.append(base)
+
+    def avi(imgs):
+        return write_mjpeg_avi(
+            [encode_baseline(np.clip(f, 0, 255).astype(np.uint8))
+             for f in imgs], 24, 16, fps=10)
+
+    nz = np.random.RandomState(7)
+    jittered = [f + nz.randint(-4, 5, f.shape) for f in frames]
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(avi(frames))),
+            (2, "video", bytearray(avi(jittered))),        # requant copy
+            (3, "video", bytearray(avi(frames[::-1]))),    # reordered
+        ],
+        "media_id long, kind string, content binary",
+    )
+    got = {(r.media_a, r.media_b)
+           for r in video_requant_pairs(media).collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)

@@ -239,3 +239,71 @@ def write_mjpeg_avi(
     movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def video_requant_pairs(
+    media: DataFrame,
+    every_n: int = 1,
+    max_frame_hamming: int = 4,
+    max_band_df: int = 1000,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Quality-re-encode video dedup: the exact sequence-signature join
+    (`video_near_pairs`) is blind to a copy whose FRAMES were
+    re-compressed (pixel-level requantization moves each frame's dHash
+    a few bits), so candidates here come from a per-POSITION 4x16-bit
+    band equi-join over the frame hashes — order stays significant
+    because frame_no is part of the join key; ``n_bands=8`` (8-bit
+    bands) is pigeonhole-COMPLETE for frame Hamming <= 7, so no pair
+    inside ``max_frame_hamming`` can be missed (a 4x16 split is only
+    complete to 3 and measurably dropped a distance-4 frame pair) —
+    verified with a JVM bit_count filter, and a pair is emitted only when EVERY sampled
+    position matches within ``max_frame_hamming`` (same-length,
+    same-order, frame-wise-near sequences). ``max_band_df`` caps
+    boilerplate frame bands (black frames, title cards). Shuffle is 4
+    rows per frame into one equi-join; no all-pairs anywhere."""
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    fh = video_frame_hashes(media, every_n)
+    bands = fh.select(
+        "media_id", "frame_no", "dhash",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band_no"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftrightunsigned(dhash, band_no * {width})").bitwiseAND(mask),
+    )
+    keep = (
+        bands.groupBy("frame_no", "band_no", "band_val")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_band_df)
+        .select("frame_no", "band_no", "band_val")
+    )
+    bands = bands.join(keep, ["frame_no", "band_no", "band_val"])
+    sizes = fh.groupBy("media_id").agg(F.count("*").alias("n"))
+    a = bands.select(F.col("media_id").alias("media_a"),
+                     F.col("dhash").alias("ha"),
+                     "frame_no", "band_no", "band_val")
+    b = bands.select(F.col("media_id").alias("media_b"),
+                     F.col("dhash").alias("hb"),
+                     "frame_no", "band_no", "band_val")
+    matched = (
+        a.join(b, ["frame_no", "band_no", "band_val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "frame_no", "ha", "hb")
+        .distinct()
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                <= max_frame_hamming)
+        .groupBy("media_a", "media_b")
+        .agg(F.count_distinct("frame_no").alias("n_match"))
+    )
+    sa = sizes.select(F.col("media_id").alias("media_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("media_id").alias("media_b"), F.col("n").alias("nb"))
+    return (
+        matched.join(F.broadcast(sa), "media_a")
+        .join(F.broadcast(sb), "media_b")
+        .filter((F.col("n_match") == F.col("na"))
+                & (F.col("na") == F.col("nb")))
+        .select("media_a", "media_b")
+    )

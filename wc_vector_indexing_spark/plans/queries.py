@@ -6325,6 +6325,74 @@ ORDER BY doc_id, entry_index
 """
 
 
+def video_dedup_requant_op(
+    spark: SparkSession, sf: str, *, n: int = 48, patterns: int = 12
+) -> DataFrame:
+    """Quality-re-encode video dedup (operators/video.
+    video_requant_pairs): doc_ids sharing ``doc_id % 12`` carry the
+    SAME three base frames, but every copy is re-quantized — a
+    deterministic per-copy ±4-level pixel noise before the JPEG encode,
+    the re-compressed-upload case that moves each frame's dHash 1-2
+    bits and blinds the exact sequence-signature join. The per-position
+    banded Hamming-4 join must recover exactly the planted groups
+    (measured margins: within-pattern <= 2 bits, cross-pattern >= 20)
+    — pure doc_id arithmetic, hence the DuckDB oracle."""
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.jpeg import encode_baseline
+    from wc_vector_indexing_spark.operators.video import (
+        video_requant_pairs,
+        write_mjpeg_avi,
+    )
+
+    docs = (load(spark, "documents", sf).select("doc_id")
+            .orderBy("doc_id").limit(n).repartition(max(1, min(32, n // 4))))
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pat = d % patterns
+                copy = d // patterns
+                frames = []
+                for fno in range(3):
+                    g = np.random.RandomState(7000 + pat * 8 + fno)
+                    base = np.kron(
+                        (g.permutation(96).reshape(8, 12) * 2.6),
+                        np.ones((2, 2)))
+                    nz = np.random.RandomState(900 + 100 * pat + 10 * copy + fno)
+                    img = np.clip(
+                        base + nz.randint(-4, 5, base.shape), 0, 255
+                    ).astype(np.uint8)
+                    frames.append(img)
+                avi = write_mjpeg_avi(
+                    [encode_baseline(f) for f in frames], 24, 16, fps=10)
+                ids.append(d)
+                kinds.append("video")
+                blobs.append(avi)
+            yield pd.DataFrame({"media_id": ids, "kind": kinds,
+                                "content": blobs})
+
+    media = docs.mapInPandas(
+        render, schema="media_id long, kind string, content binary")
+    return (video_requant_pairs(media, max_frame_hamming=4)
+            .orderBy("media_a", "media_b"))
+
+
+VIDEO_REQUANT_SQL = r"""
+WITH ids AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48
+)
+SELECT a.doc_id AS media_a, b.doc_id AS media_b
+FROM ids a JOIN ids b
+  ON a.doc_id % 12 = b.doc_id % 12 AND a.doc_id < b.doc_id
+ORDER BY media_a, media_b
+"""
+
+
 def code_detect_op(spark: SparkSession, sf: str) -> DataFrame:
     """Code-vs-prose routing signal (operators/textstats.code_detect):
     integer-only codegen features + conservative threshold flag over
@@ -7724,11 +7792,12 @@ REGISTRY: dict[str, QuerySpec] = {
         robots_txt_gate_op, ROBOTS_GATE_SQL,
         "RFC 9309 robots.txt parse + longest-match crawl gate (planted-truth oracle)"
     ),
-    # late-r8 window rotation: mp4_box_census (never driver-recorded)
-    # promoted; range_join_clicks (recorded r7) demoted in exchange.
-    "mp4_box_census": QuerySpec(
-        mp4_box_census_op, MP4_CENSUS_SQL,
-        "ISOBMFF box walk: duration/tracks/codecs census (planted-truth oracle)"
+    # r9 window rotation: video_dedup_requant (never driver-recorded,
+    # the quality-re-encode case the exact signature join misses)
+    # promoted; mp4_box_census (recorded r8) demoted to the tail.
+    "video_dedup_requant": QuerySpec(
+        video_dedup_requant_op, VIDEO_REQUANT_SQL,
+        "quality-re-encode video dedup via per-position banded Hamming join (planted-truth oracle)"
     ),
     # r9 window rotation: jpeg_lossless_census (never driver-recorded,
     # SOF3 Annex H decode) promoted; moving_average_events (recorded
@@ -8180,6 +8249,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "h264_sps_census": QuerySpec(
         h264_sps_census_op, H264_CENSUS_SQL,
         "H.264 NAL walk + Exp-Golomb SPS resolution census (planted-truth oracle)"
+    ),
+    "mp4_box_census": QuerySpec(
+        mp4_box_census_op, MP4_CENSUS_SQL,
+        "ISOBMFF box walk: duration/tracks/codecs census (planted-truth oracle)"
     ),
     "semantic_decontamination": QuerySpec(
         semantic_decontamination_op, SEMANTIC_DECONTAM_SQL,
