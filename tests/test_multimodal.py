@@ -315,3 +315,26 @@ def test_four_band_join_finds_prefix_block_differences(spark):
     banded = hamming64_near_pairs(fps, 4, "media_id", "dhash", n_bands=4).collect()
     assert [(r.media_a, r.media_b) for r in banded] == [(1, 2)]
     assert 0 < banded[0].hamming <= 4
+
+
+def test_hamming_pairs_8_band_completeness(spark):
+    """n_bands=8 must find a Hamming-4 pair whose four differing bits
+    hit all four 16-bit bands (the 4-band blind spot); n_bands=4 misses
+    it by construction — pinning both sides of the trade."""
+    from wc_vector_indexing_spark.operators.multimodal import (
+        hamming64_near_pairs,
+    )
+
+    base = 0x0123_4567_89AB_CDEF
+    # flip one bit inside each 16-bit band (bits 0, 16, 32, 48)
+    other = base ^ 0x0001_0001_0001_0001
+    fps = spark.createDataFrame(
+        [(1, base), (2, other)], "media_id long, h long")
+    four = hamming64_near_pairs(fps, 4, "media_id", "h", n_bands=4).collect()
+    eight = hamming64_near_pairs(fps, 4, "media_id", "h", n_bands=8).collect()
+    assert four == []  # the documented 4-band blind spot
+    assert [(r.media_a, r.media_b, r.hamming) for r in eight] == [(1, 2, 4)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide 64"):
+        hamming64_near_pairs(fps, 4, "media_id", "h", n_bands=5).collect()

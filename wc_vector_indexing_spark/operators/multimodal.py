@@ -373,13 +373,16 @@ def hamming64_near_pairs(
     shapes): Hamming ≤ ``max_hamming`` pairs.
 
     ``n_bands=1`` blocks on the top-16-bit prefix — cheap, but a pair
-    whose differing bits land in that prefix is missed. ``n_bands=4``
-    is the pigeonhole-complete form: candidates come from matching ANY
-    of the four 16-bit bands, so every pair within Hamming 3 shares at
-    least one exact band and is guaranteed found (pairs up to
-    ``max_hamming`` are found unless their differing bits hit every
-    band). Cost: 4 rows per fingerprint into the equi-join instead of
-    1, plus a distinct over candidate pairs.
+    whose differing bits land in that prefix is missed. ``n_bands>1``
+    is the pigeonhole form: candidates come from matching ANY of the
+    64/n-bit bands, so every pair within Hamming ``n_bands - 1`` shares
+    at least one exact band and is guaranteed found — ``n_bands=4``
+    (16-bit bands) is complete to 3, ``n_bands=8`` (8-bit bands) to 7
+    (pairs past that bound are found unless their differing bits hit
+    every band). Cost: n rows per fingerprint into the equi-join
+    instead of 1, plus a distinct over candidate pairs; wider bands
+    mean fewer, more selective candidates, so pick the smallest n that
+    covers ``max_hamming``.
 
     ``collapse_exact=True`` is the degenerate-block guard: a fingerprint
     shared by k items (all-black thumbnails, silence clips) would emit
@@ -411,11 +414,14 @@ def hamming64_near_pairs(
             "block", F.shiftrightunsigned(F.col(hash_col), 48).cast("string")
         )
     else:
+        if 64 % n_bands:
+            raise ValueError("n_bands must divide 64")
+        width = 64 // n_bands  # n_bands=4 -> complete <=3; 8 -> <=7
         bands = F.array(*[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col(hash_col), 16 * i)
-                .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.shiftrightunsigned(F.col(hash_col), width * i)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
             )
             for i in range(n_bands)
         ])
