@@ -291,30 +291,39 @@ def audio_overlap_pairs_near(
     min_overlap: float = 0.5,
     max_window_hamming: int = 4,
     max_band_df: int = 1000,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Hamming-tolerant partial-copy detection: the cross-CODEC form of
     `audio_overlap_pairs`. Exact window-fingerprint equality breaks the
     moment one side is a lossy re-encode (an MP3 excerpt of a WAV
     recording lands 1-3 bits away per window — measured against
-    operators/mp3_decode), so candidates come from a 4x16-bit band
-    equi-join over the window fingerprints (pigeonhole-complete for
-    window Hamming ≤ 3, best-effort to ``max_window_hamming``), verify
-    is a JVM ``bit_count`` filter, and a shared A-window counts once no
-    matter how many B-windows it matches (count-distinct on the A
-    fingerprint). ``max_band_df`` caps boilerplate band posting lists
-    (silence/jingle windows); the denominator counts only windows with
-    at least one surviving band — the same capped-population rule the
-    exact form uses. Shuffle volume: 4 rows per window into one
-    equi-join; no all-pairs anywhere."""
+    operators/mp3_decode), so candidates come from an
+    ``n_bands`` x (64/n_bands)-bit band equi-join over the window
+    fingerprints — the default ``n_bands=8`` is pigeonhole-COMPLETE
+    for window Hamming ≤ 7, covering the default
+    ``max_window_hamming=4`` with margin (the old fixed 4x16 split was
+    only complete to 3, a silent-recall trap at exactly distance 4) —
+    verify is a JVM ``bit_count`` filter, and a shared A-window counts
+    once no matter how many B-windows it matches (count-distinct on
+    the A fingerprint). ``max_band_df`` caps boilerplate band posting
+    lists (silence/jingle windows); the denominator counts only
+    windows with at least one surviving band — the same
+    capped-population rule the exact form uses. Shuffle volume:
+    ``n_bands`` rows per window into one equi-join; no all-pairs
+    anywhere."""
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     fw = audio_window_fingerprints(media, window_seconds).select(
         "media_id", "afp"
     ).distinct()
     bands = fw.select(
         "media_id", "afp",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_no"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band_no"),
     ).withColumn(
         "band_val",
-        F.expr("shiftrightunsigned(afp, band_no * 16)").bitwiseAND(0xFFFF),
+        F.expr(f"shiftrightunsigned(afp, band_no * {width})").bitwiseAND(mask),
     )
     keep = (
         bands.groupBy("band_no", "band_val")

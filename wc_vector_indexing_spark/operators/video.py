@@ -251,17 +251,25 @@ def video_requant_pairs(
     """Quality-re-encode video dedup: the exact sequence-signature join
     (`video_near_pairs`) is blind to a copy whose FRAMES were
     re-compressed (pixel-level requantization moves each frame's dHash
-    a few bits), so candidates here come from a per-POSITION 4x16-bit
-    band equi-join over the frame hashes — order stays significant
-    because frame_no is part of the join key; ``n_bands=8`` (8-bit
-    bands) is pigeonhole-COMPLETE for frame Hamming <= 7, so no pair
-    inside ``max_frame_hamming`` can be missed (a 4x16 split is only
-    complete to 3 and measurably dropped a distance-4 frame pair) —
-    verified with a JVM bit_count filter, and a pair is emitted only when EVERY sampled
-    position matches within ``max_frame_hamming`` (same-length,
-    same-order, frame-wise-near sequences). ``max_band_df`` caps
-    boilerplate frame bands (black frames, title cards). Shuffle is 4
-    rows per frame into one equi-join; no all-pairs anywhere."""
+    a few bits), so candidates here come from a per-POSITION
+    ``n_bands`` x (64/n_bands)-bit band equi-join over the frame
+    hashes — order stays significant because frame_no is part of the
+    join key; the default ``n_bands=8`` (8-bit bands) is
+    pigeonhole-COMPLETE for frame Hamming <= 7, so no pair inside
+    ``max_frame_hamming`` can be missed among band-surviving frames (a
+    4x16 split is only complete to 3 and measurably dropped a
+    distance-4 frame pair) — verified with a JVM bit_count filter, and
+    a pair is emitted only when EVERY band-surviving sampled position
+    matches within ``max_frame_hamming`` (same-length, same-order,
+    frame-wise-near sequences). ``max_band_df`` caps boilerplate frame
+    bands (black frames, title cards); the per-video position counts
+    the completeness test compares against are taken from the SAME
+    post-cap band population (a position whose bands are ALL
+    boilerplate — a black frame shared by thousands of videos — is
+    excluded from both sides, the capped-population denominator rule
+    `audio_overlap_pairs_near` applies), so a fully-capped position
+    cannot silently veto a true pair. Shuffle is ``n_bands`` rows per
+    frame into one equi-join; no all-pairs anywhere."""
     if 64 % n_bands:
         raise ValueError("n_bands must divide 64")
     width = 64 // n_bands
@@ -281,7 +289,10 @@ def video_requant_pairs(
         .select("frame_no", "band_no", "band_val")
     )
     bands = bands.join(keep, ["frame_no", "band_no", "band_val"])
-    sizes = fh.groupBy("media_id").agg(F.count("*").alias("n"))
+    # count only positions with >=1 surviving band — the same capped
+    # population the n_match side is drawn from
+    sizes = bands.groupBy("media_id").agg(
+        F.count_distinct("frame_no").alias("n"))
     a = bands.select(F.col("media_id").alias("media_a"),
                      F.col("dhash").alias("ha"),
                      "frame_no", "band_no", "band_val")

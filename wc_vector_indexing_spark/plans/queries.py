@@ -5936,9 +5936,11 @@ ORDER BY doc_id
 def audio_dedup_mp3_op(
     spark: SparkSession, sf: str, *, n: int = 48, hot_pattern: bool = False
 ) -> DataFrame:
-    """MP3-content audio dedup: the audio_dedup_fp planted scheme
-    (doc_ids sharing ``doc_id % 12`` carry the SAME two-tone pattern at
-    different per-copy gains) but the clips travel as REAL MPEG-1
+    """MP3-content audio dedup: the audio_dedup_fp planting idea
+    (doc_ids sharing ``doc_id % 8`` carry the SAME two-tone pattern at
+    different per-copy gains — 8 groups here, vs audio_dedup_fp's
+    % 12, so each group is big enough to survive the n=48 cap) but the
+    clips travel as REAL MPEG-1
     Layer III streams from the mutual-inverse encoder — the dominant
     crawl audio format flowing through the same decode_audio seam and
     Haitsma-Kalker fingerprint join as WAV. Codec quantization moves

@@ -126,10 +126,14 @@ def _decode_html(body: bytes, ctype: str | None) -> str:
 _CL_RE = re.compile(rb"(?im)^content-length\s*:\s*(\d+)\s*$")
 
 
-def _iter_records(data: bytes) -> Iterator[tuple[bytes, bytes]]:
+def _iter_records(data: bytes) -> Iterator[tuple[bytes, bytes, int, int]]:
     """Sequential record walk over whole-file bytes: ``WARC/x.y`` +
     headers + CRLFCRLF + exactly Content-Length payload bytes +
-    CRLFCRLF. Yields (header bytes, payload bytes). Spec-exact — a
+    CRLFCRLF. Yields (header bytes, payload bytes, start offset, end
+    offset) — offsets are byte positions into ``data``: ``start`` is
+    the first byte of the ``WARC/`` version line, ``end`` is one past
+    the record's trailing CRLFCRLF, so ``data[start:end]`` slices the
+    whole record back out (the CDX index relies on this). Spec-exact — a
     payload containing the bytes ``\\r\\n\\r\\nWARC/`` cannot tear a
     record (the count, not a delimiter, ends it). Records missing
     Content-Length (damaged files) fall back to the next-record
