@@ -161,18 +161,24 @@ def heavy_hitters(
 
     Pass A runs a k-slot Misra-Gries summary PER PARTITION (an Arrow
     pass holding k counters, state carried across the partition's
-    batches) and ships only the surviving ``(token, residual)`` rows —
-    shuffle volume is ``slots x partitions`` regardless of vocabulary
-    size, which is the whole point at 100 TB (a plain groupBy ships
-    every distinct token). Mergeability gives the standard guarantee:
-    any token with global count > N/(slots+1) survives with positive
-    merged residual, so with ``slots >= 2/min_share`` the candidate set
-    is a superset of every qualifying token. Pass B broadcast-semi-joins
-    the candidates back over the token stream and counts EXACTLY, so
-    the output is precise, not approximate: every token with count >=
-    ceil(N * min_share), with its exact count and integer
-    parts-per-million share (integer arithmetic so an engine-portable
-    oracle can replay it bit-for-bit).
+    batches) and ships only the surviving ``(token, residual)`` rows
+    plus ONE NULL-token row carrying the partition's row count — so
+    the exact threshold N comes out of the same scan instead of a
+    separate ``count()`` (the token stream is read exactly twice:
+    summary pass, exact recount). Shuffle volume is ``slots x
+    partitions`` regardless of vocabulary size, which is the whole
+    point at 100 TB (a plain groupBy ships every distinct token).
+    Mergeability gives the standard guarantee: any token with global
+    count > N/(slots+1) survives with positive merged residual, so
+    with ``slots >= 2/min_share`` the candidate set is a superset of
+    every qualifying token. The merged summary is collected
+    driver-side — bounded by slots x partitions rows, the same data
+    the broadcast join of pass B has to hold anyway. Pass B
+    broadcast-semi-joins the candidates back over the token stream
+    and counts EXACTLY, so the output is precise, not approximate:
+    every token with count >= ceil(N * min_share), with its exact
+    count and integer parts-per-million share (integer arithmetic so
+    an engine-portable oracle can replay it bit-for-bit).
 
     Returns (token, cnt, ppm) ordered by cnt desc, token."""
     from pyspark.sql import functions as F
@@ -182,19 +188,15 @@ def heavy_hitters(
             F.explode(F.split(F.lower(F.col(col)), r"\s+")).alias("token"))
         .filter(F.length("token") > 0)
     )
-    total = tokens.count()  # 1-row scalar: sets the exact threshold
-    if total == 0:
-        return tokens.select(
-            "token", F.lit(0).cast("long").alias("cnt"),
-            F.lit(0).cast("long").alias("ppm")).limit(0)
-    threshold = -(-total * min_share // 1)  # ceil
     k = slots or max(16, int(2.0 / min_share))
 
     def mg(batches):
         import pandas as pd
 
         counters: dict[str, int] = {}
+        nrows = 0
         for pdf in batches:
+            nrows += len(pdf)
             for tok in pdf["token"]:
                 if tok in counters:
                     counters[tok] += 1
@@ -209,15 +211,26 @@ def heavy_hitters(
                             dead.append(key)
                     for key in dead:
                         del counters[key]
+        # NULL-token sentinel: this partition's exact row count, folded
+        # into the same shuffle as the counters (no separate count scan)
         yield pd.DataFrame(
-            {"token": list(counters), "w": list(counters.values())})
+            {"token": list(counters) + [None],
+             "w": list(counters.values()) + [nrows]})
 
-    candidates = (
+    summary = (
         tokens.mapInPandas(mg, schema="token string, w long")
         .groupBy("token").agg(F.sum("w").alias("w"))
-        .filter(F.col("w") > 0)
-        .select("token")
+        .collect()  # bounded: <= slots x partitions survivors + 1 row
     )
+    total = sum(r["w"] for r in summary if r["token"] is None)
+    if total == 0:
+        return tokens.select(
+            "token", F.lit(0).cast("long").alias("cnt"),
+            F.lit(0).cast("long").alias("ppm")).limit(0)
+    threshold = -(-total * min_share // 1)  # ceil
+    cand = [(r["token"],) for r in summary
+            if r["token"] is not None and r["w"] > 0]
+    candidates = df.sparkSession.createDataFrame(cand, "token string")
     exact = (
         tokens.join(F.broadcast(candidates), "token")
         .groupBy("token").agg(F.count("*").alias("cnt"))
