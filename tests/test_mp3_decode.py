@@ -273,21 +273,51 @@ def test_intensity_is_pos_7_leaves_bands_alone():
         np.sqrt((seg[:, 1] ** 2).mean()), 1e-9)
 
 
+def _patch_table_select(blob: bytes, value: int) -> bytes:
+    """Overwrite granule-0/region-0 table_select in the side info:
+    side info starts at byte 4; bits mdb(9)+priv(5)+scfsi(4)+
+    part2_3(12)+bv(9)+gg(8)+sfc(4)+wsf(1) = 52 -> table_select[0] at
+    bit offset 52."""
+    out = bytearray(blob)
+    bitpos = 52
+    for j in range(5):
+        bit = (value >> (4 - j)) & 1
+        byte, sh = divmod(bitpos + j, 8)
+        out[4 + byte] = (out[4 + byte] & ~(0x80 >> sh)) | (bit << (7 - sh))
+    return bytes(out)
+
+
 def test_foreign_huffman_table_is_a_seam():
+    # table 24's transcription failed the validation gates, so the
+    # 24-31 linbits group stays a raising seam
     rate = 44100
     pcm = (0.4 * np.sin(2 * np.pi * 900 * np.arange(1152) / rate)
            * 32767).astype(np.int16)
-    blob = bytearray(encode_mp3(pcm, rate))
-    # flip granule-0 table_select from 1 to 16: side info starts at byte
-    # 4; bits: mdb(9)+priv(5)+scfsi(4)+part2_3(12)+bv(9)+gg(8)+sfc(4)+
-    # wsf(1) = 52 -> table_select[0] at bit offset 52 of the side info
-    bitpos = 52
-    # write value 16 (10000b) over the 5 table_select bits
-    for j, bit in enumerate((1, 0, 0, 0, 0)):
-        byte, sh = divmod(bitpos + j, 8)
-        blob[4 + byte] = (blob[4 + byte] & ~(0x80 >> sh)) | (bit << (7 - sh))
-    with pytest.raises(NotImplementedError, match="table 16"):
-        decode_mp3(bytes(blob))
+    blob = encode_mp3(pcm, rate)
+    with pytest.raises(NotImplementedError, match="table 24"):
+        decode_mp3(_patch_table_select(blob, 24))
+
+
+def test_unused_table_is_corrupt_not_seam():
+    # tables 4 and 14 are 'not used' per Table B.7: a stream selecting
+    # one is corrupt input (ValueError), not a missing feature
+    rate = 44100
+    pcm = (0.4 * np.sin(2 * np.pi * 900 * np.arange(1152) / rate)
+           * 32767).astype(np.int16)
+    blob = encode_mp3(pcm, rate)
+    with pytest.raises(ValueError, match="not used"):
+        decode_mp3(_patch_table_select(blob, 4))
+
+
+def test_enabled_table_on_wrong_stream_is_corrupt():
+    # table 16 is ENABLED now; reinterpreting a table-1 stream under it
+    # must fail as corrupt data, not as a missing table
+    rate = 44100
+    pcm = (0.4 * np.sin(2 * np.pi * 900 * np.arange(1152) / rate)
+           * 32767).astype(np.int16)
+    blob = encode_mp3(pcm, rate)
+    with pytest.raises(ValueError):
+        decode_mp3(_patch_table_select(blob, 16))
 
 
 def test_layer2_stream_is_a_seam():
@@ -308,3 +338,114 @@ def test_decode_audio_routes_mp3():
     assert r == rate and out.shape == (2304, 1) and out.dtype == np.int16
     with pytest.raises(NotImplementedError):
         decode_audio(b"OggS" + b"\x00" * 40)
+
+
+# ------------------------------------------------- Table B.7 enablement gates
+def test_every_shipped_b7_table_passes_structural_validation():
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _B7_RAW, validate_b7_table)
+
+    for tid, (hlen, hcod) in _B7_RAW.items():
+        assert validate_b7_table(hlen, hcod) == [], f"table {tid}"
+
+
+def test_b7_enabled_set_and_seams():
+    from wc_vector_indexing_spark.operators.mp3_decode import HUFFMAN_BIG
+
+    enabled = {t for t, codes in HUFFMAN_BIG.items() if codes}
+    assert enabled == {1, 2, 3, 5, 6, 7, 8, 9, 12,
+                       16, 17, 18, 19, 20, 21, 22, 23}
+    # rejected transcriptions stay seams
+    for seam in (10, 11, 13, 15, 24, 31):
+        assert seam not in HUFFMAN_BIG
+
+
+def test_b7_roundtrip_every_enabled_table():
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        HUFFMAN_BIG, _roundtrip_b7_table)
+
+    for tid, codes in HUFFMAN_BIG.items():
+        if codes:
+            assert _roundtrip_b7_table(tid, codes), f"table {tid}"
+
+
+def test_count1_table_a_decodes():
+    # hand-build a granule: no scalefactors, no big values, four quads
+    # coded with count1 table A (count1table_select=0), signs for the
+    # nonzero lines
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        COUNT1_A, _BitReader, _BitWriter, _decode_huffman)
+
+    quads = [0b1111, 0b0000, 0b1010, 0b0001]
+    signs = [[1, 0, 1, 0], [], [0, 1], [1]]
+    w = _BitWriter()
+    for q, sg in zip(quads, signs):
+        w.write_code(COUNT1_A[q])
+        for s in sg:
+            w.write(s, 1)
+    g = GranuleInfo(part2_3_length=len(w), big_values=0, global_gain=210,
+                    scalefac_compress=0, table_select=[0, 0, 0],
+                    count1table_select=0)
+    r = _BitReader(w.to_bytes())
+    ix = _decode_huffman(r, g, [0] * 22 + [576], 0)
+    expect = np.zeros(576)
+    expect[:4] = [-1, 1, -1, 1]
+    expect[8:12] = [1, 0, -1, 0]
+    expect[15] = -1
+    assert np.array_equal(ix[:16], expect[:16])
+    assert not ix[16:].any()
+
+
+def test_count1_a_is_a_complete_code():
+    # Kraft equality means EVERY bit pattern resolves to some quad —
+    # the undecodable-code guard in the decoder is unreachable for
+    # intact table data; pin the completeness that guarantees it
+    from wc_vector_indexing_spark.operators.mp3_decode import COUNT1_A
+
+    lmax = max(len(c) for c in COUNT1_A.values())
+    assert sum(1 << (lmax - len(c)) for c in COUNT1_A.values()) == 1 << lmax
+
+
+@pytest.mark.parametrize("table,max_ix", [
+    (2, 2), (3, 2), (5, 3), (6, 3), (7, 5), (8, 5), (9, 5), (12, 7),
+    (16, 16), (19, 24), (23, 40),
+])
+def test_full_codec_roundtrip_per_table(table, max_ix):
+    rate = 32000
+    t = np.arange(int(0.15 * rate)) / rate
+    x = 0.45 * np.sin(2 * np.pi * 700 * t) + 0.3 * np.sin(2 * np.pi * 2500 * t)
+    pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+    blob = encode_mp3(pcm, rate, table=table, max_ix=max_ix)
+    out, r2 = decode_mp3(blob)
+    assert r2 == rate
+    assert _best_snr(pcm.astype(float), out[:, 0].astype(float), 2400) > 8.0
+
+
+def test_multilevel_quantizer_exercises_linbits_escape():
+    # a strong single tone at max_ix 40 on table 20 (linbits 6) must
+    # produce |ix| > 15 somewhere — proving the escape path runs in a
+    # real stream, then decode exactly recovers the integers
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitReader, _BitWriter, _encode_granule, _quantize_granule,
+        _read_big_pair, SLEN)
+
+    rng = np.random.RandomState(11)
+    xr = rng.randn(576) * np.exp(-np.arange(576) / 100.0)
+    info, sf, ix = _quantize_granule(xr, 44100, 0, max_ix=40)
+    assert np.abs(ix).max() > 15
+    bits = _encode_granule(info, sf, ix, table=20)
+    r = _BitReader(bits.to_bytes())
+    slen1, slen2 = SLEN[info.scalefac_compress]
+    r.pos = sum((slen1 if b < 11 else slen2) for b in range(21))
+    got = []
+    for _ in range(info.big_values):
+        got.extend(_read_big_pair(r, 20))
+    assert np.array_equal(np.array(got), ix[:2 * info.big_values])
+
+
+def test_encode_rejects_seam_table_and_bad_max_ix():
+    pcm = np.zeros(1152, dtype=np.int16)
+    with pytest.raises(NotImplementedError):
+        encode_mp3(pcm, 44100, table=24)
+    with pytest.raises(ValueError, match="max_ix"):
+        encode_mp3(pcm, 44100, table=2, max_ix=5)

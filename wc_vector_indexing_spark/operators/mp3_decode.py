@@ -15,13 +15,20 @@ byte-exactly in this container (no codec and no spec text to check a
 transcription against), so they are explicit seams — the same honest
 posture as the arithmetic-JPEG interop note in ``jpeg_arith.py``:
 
-* **Huffman code tables** (ISO 11172-3 Table B.7): tables 0 and 1 and
-  count1 table B are included (small enough to state with confidence);
-  the remaining big-value tables and count1 table A are data slots in
-  ``HUFFMAN_BIG`` / ``COUNT1_A`` — a foreign stream that selects one
-  raises ``NotImplementedError`` naming the table. Populating them is
-  a data drop-in, not a code change: the region walk, linbits escape,
-  and sign handling below are written against the generic table shape.
+* **Huffman code tables** (ISO 11172-3 Table B.7): tables 0-3, 5-9,
+  12, the 16-23 ESC/linbits group, and both count1 tables are ENABLED
+  — each transcription had to pass mechanical gates before enablement
+  (exact Kraft equality + pairwise prefix-freeness, which together
+  mean any single transcription slip must collide, plus an
+  encode-with-table/decode-back roundtrip over every symbol at import
+  time). Transcriptions of tables 10, 11, 13, 15 and the 24-31 group
+  FAILED those gates (the rejected attempts are recorded in
+  ``tools/b7_validate.py``) and stay raising seams — a foreign stream
+  selecting one raises ``NotImplementedError`` naming the table; a
+  stream selecting spec-unused tables 4/14 raises ``ValueError``
+  (corrupt, not unsupported). The residual risk the gates cannot see
+  is two same-shape entries swapped within a table — documented, same
+  honest posture as the QM-coder regression pins.
 * **Polyphase window** (Tables B.1/B.3): replaced by a self-derived
   power-complementary square-root-raised-cosine prototype with the
   spec's exact modulation structure (analysis phase ``(2k+1)(n-16)``,
@@ -39,8 +46,10 @@ at the spectral-integer layer, SNR-bounded through the lossy DSP) plus
 structural tests of every stage. It emits spec-legal streams — real
 CBR frames, correct side info, a working bit reservoir
 (``main_data_begin`` > 0 when frames underfill), per-band scalefactors
-— restricted to the Huffman subset above (|ix| <= 1 with per-band
-amplitude steps: a legal, very-low-rate quantizer choice).
+— over any ENABLED big-value table: the default (table 1, |ix| <= 1)
+reproduces the original minimal stream; ``table=16..23, max_ix > 15``
+runs the real power-law quantizer through the linbits escape, so
+fixtures exercise every enabled Table B.7 code path end to end.
 
 Reference note: the reference engine has no audio path (SURVEY §1.1);
 this is north-star training-pipeline surface, public spec only.
@@ -93,29 +102,205 @@ _ALIAS_CI = [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
 _ALIAS_CS = [1.0 / (1.0 + c * c) ** 0.5 for c in _ALIAS_CI]
 _ALIAS_CA = [c / (1.0 + c * c) ** 0.5 for c in _ALIAS_CI]
 
-# Huffman big-value tables (Table B.7): {table_id: {(x, y): codeword}}.
-# Table 0 codes nothing (all-zero region). Further tables are a data
-# seam — see module docstring. linbits per escape table id kept for the
-# generic decoder path so a future data drop-in needs zero code.
-HUFFMAN_BIG: dict[int, dict[tuple[int, int], str]] = {
-    0: {},
-    1: {(0, 0): "1", (0, 1): "001", (1, 0): "01", (1, 1): "000"},
+# Huffman big-value tables (ISO 11172-3 Table B.7), transcribed as
+# (hlen grid, hcod grid) and gated through validate_b7_table() below
+# before a table is ENABLED. The gates are mechanical and strong: a
+# complete prefix code tiles the code space exactly (Kraft equality),
+# so with explicit codewords any single transcription slip MUST either
+# break Kraft or collide with another code — a table that passes is
+# structurally certain to be A valid complete code and, given the
+# transcription provenance, near-certain to be THE spec table (the
+# one error class the gates cannot see is two same-shape entries
+# swapped; that residual risk is documented, same honest posture as
+# the QM-coder regression pins). Tables whose transcription FAILED
+# the gates are not shipped and stay raising seams: 10, 11, 13, 15,
+# and the 24-31 linbits group (the rejected attempts are recorded in
+# tools/b7_validate.py). Tables 4 and 14 are "not used" per the spec
+# — a stream selecting them is corrupt, not unsupported.
+_B7_RAW: dict[int, tuple[tuple, tuple]] = {
+    1: (((1, 3), (2, 3)),
+        ((1, 1), (1, 0))),
+    2: (((1, 3, 6), (3, 3, 5), (5, 5, 6)),
+        ((1, 2, 1), (3, 1, 1), (3, 2, 0))),
+    3: (((2, 2, 6), (3, 2, 5), (5, 5, 6)),
+        ((3, 2, 1), (1, 1, 1), (3, 2, 0))),
+    5: (((1, 3, 6, 7), (3, 3, 6, 7), (6, 6, 7, 8), (7, 6, 7, 8)),
+        ((1, 2, 6, 5), (3, 1, 4, 4), (7, 5, 7, 1), (6, 1, 1, 0))),
+    6: (((3, 3, 5, 7), (3, 2, 4, 5), (4, 4, 5, 6), (6, 5, 6, 7)),
+        ((7, 3, 5, 1), (6, 2, 3, 2), (5, 4, 4, 1), (3, 3, 2, 0))),
+    7: (((1, 3, 6, 8, 8, 9), (3, 4, 6, 7, 7, 8), (6, 5, 7, 8, 8, 9),
+         (7, 7, 8, 9, 9, 9), (7, 7, 8, 9, 9, 10), (8, 8, 9, 10, 10, 10)),
+        ((1, 2, 10, 19, 16, 10), (3, 3, 7, 10, 5, 3), (11, 4, 13, 17, 8, 4),
+         (12, 11, 18, 15, 11, 2), (7, 6, 9, 14, 3, 1), (6, 4, 5, 3, 2, 0))),
+    8: (((2, 3, 6, 8, 8, 9), (3, 2, 4, 8, 8, 8), (6, 4, 6, 8, 8, 9),
+         (8, 8, 8, 9, 9, 10), (8, 7, 8, 9, 10, 10), (9, 8, 9, 9, 11, 11)),
+        ((3, 4, 6, 18, 12, 5), (5, 1, 2, 16, 9, 3), (7, 3, 5, 14, 7, 3),
+         (19, 17, 15, 13, 10, 4), (13, 5, 8, 11, 5, 1), (12, 4, 4, 1, 1, 0))),
+    9: (((3, 3, 5, 6, 8, 9), (3, 3, 4, 5, 6, 8), (4, 4, 5, 6, 7, 8),
+         (6, 5, 6, 7, 7, 8), (7, 6, 7, 7, 8, 9), (8, 7, 8, 8, 9, 9)),
+        ((7, 5, 9, 14, 15, 7), (6, 4, 5, 5, 6, 7), (7, 6, 8, 8, 8, 5),
+         (15, 6, 9, 10, 5, 1), (11, 7, 9, 6, 4, 1), (14, 4, 6, 2, 6, 0))),
+    12: (((4, 3, 5, 7, 8, 9, 9, 9), (3, 3, 4, 5, 7, 7, 8, 8),
+          (5, 4, 5, 6, 7, 8, 7, 8), (6, 5, 6, 6, 7, 8, 8, 8),
+          (7, 6, 7, 7, 8, 8, 8, 9), (8, 7, 8, 8, 8, 9, 8, 9),
+          (8, 7, 7, 8, 8, 9, 9, 10), (9, 8, 8, 9, 9, 9, 9, 10)),
+         ((9, 6, 16, 33, 41, 39, 38, 26), (7, 5, 6, 9, 23, 16, 26, 11),
+          (17, 7, 11, 14, 21, 30, 10, 7), (17, 10, 15, 12, 18, 28, 14, 5),
+          (32, 13, 22, 19, 18, 16, 9, 5), (40, 17, 31, 29, 17, 13, 4, 2),
+          (27, 12, 11, 15, 10, 7, 4, 1), (27, 12, 8, 12, 6, 3, 1, 0))),
+    16: (((1, 4, 6, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 9),
+          (3, 4, 6, 7, 8, 9, 9, 9, 10, 10, 10, 11, 12, 11, 12, 8),
+          (6, 6, 7, 8, 9, 9, 10, 10, 11, 10, 11, 11, 11, 12, 12, 9),
+          (8, 7, 8, 9, 9, 10, 10, 10, 11, 11, 12, 12, 12, 13, 13, 10),
+          (9, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 13, 13, 9),
+          (9, 8, 9, 9, 10, 11, 11, 12, 11, 12, 12, 13, 13, 13, 14, 10),
+          (10, 9, 9, 10, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 14, 10),
+          (10, 9, 10, 10, 11, 11, 11, 12, 12, 13, 13, 13, 13, 15, 15, 10),
+          (10, 10, 10, 11, 11, 11, 12, 12, 13, 13, 13, 13, 14, 14, 14, 10),
+          (11, 10, 10, 11, 11, 12, 12, 13, 13, 13, 13, 14, 13, 14, 13, 11),
+          (11, 11, 10, 11, 12, 12, 12, 12, 13, 14, 14, 14, 15, 15, 14, 10),
+          (12, 11, 11, 11, 12, 12, 13, 14, 14, 14, 14, 14, 14, 13, 14, 11),
+          (12, 12, 12, 12, 12, 13, 13, 13, 13, 15, 14, 14, 14, 14, 16, 11),
+          (14, 12, 12, 12, 13, 13, 14, 14, 14, 16, 15, 15, 15, 17, 15, 11),
+          (13, 13, 11, 12, 14, 14, 13, 14, 14, 15, 16, 15, 17, 15, 14, 11),
+          (9, 8, 8, 9, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 8)),
+         ((1, 5, 14, 44, 74, 63, 110, 93, 172, 149, 138, 242, 225, 195,
+           376, 17),
+          (3, 4, 12, 20, 35, 62, 53, 47, 83, 75, 68, 119, 201, 107, 207, 9),
+          (15, 13, 23, 38, 67, 58, 103, 90, 161, 72, 127, 117, 110, 209,
+           206, 16),
+          (45, 21, 39, 69, 64, 114, 99, 87, 158, 140, 252, 212, 199, 387,
+           365, 26),
+          (75, 36, 68, 65, 115, 101, 179, 164, 155, 264, 246, 226, 395,
+           382, 362, 9),
+          (66, 30, 59, 56, 102, 185, 173, 265, 142, 253, 232, 400, 388,
+           378, 445, 16),
+          (111, 54, 52, 100, 184, 178, 160, 133, 257, 244, 228, 217, 385,
+           366, 715, 10),
+          (98, 48, 91, 88, 165, 157, 148, 261, 248, 407, 397, 372, 380,
+           889, 884, 8),
+          (85, 84, 81, 159, 156, 143, 260, 249, 427, 401, 392, 383, 727,
+           713, 708, 7),
+          (154, 76, 73, 141, 131, 256, 245, 426, 406, 394, 384, 735, 359,
+           710, 352, 11),
+          (139, 129, 67, 125, 247, 233, 229, 219, 393, 743, 737, 720, 885,
+           882, 439, 4),
+          (243, 120, 118, 115, 227, 223, 396, 746, 742, 736, 721, 712,
+           706, 223, 436, 6),
+          (202, 224, 222, 218, 216, 389, 386, 381, 364, 888, 443, 707,
+           440, 437, 1728, 4),
+          (747, 211, 210, 208, 370, 379, 734, 723, 714, 1735, 883, 877,
+           876, 3459, 865, 2),
+          (377, 369, 102, 187, 726, 722, 358, 711, 709, 866, 1734, 871,
+           3458, 870, 434, 0),
+          (12, 10, 7, 11, 10, 17, 11, 9, 13, 12, 10, 7, 5, 3, 1, 3))),
 }
+# tables 17-23 reuse table 16's codewords with different linbits widths
+_B7_ALIASES = {t: 16 for t in range(17, 24)}
 HUFFMAN_LINBITS = {16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10,
                    23: 13, 24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9,
                    30: 11, 31: 13}
-# count1 table B: each (v,w,x,y) quad is the bitwise complement of its
-# 4-bit value. Table A is a data seam (COUNT1_A left empty).
-COUNT1_A: dict[int, str] = {}
+_B7_UNUSED = frozenset({4, 14})
 
 
-@lru_cache(maxsize=8)
+def validate_b7_table(hlen, hcod) -> list[str]:
+    """Structural gates for one Table B.7 transcription: shape, code-
+    fits-length, EXACT Kraft equality, pairwise prefix-freeness, max
+    length within the spec's 19 bits. Returns a list of defects
+    (empty = pass)."""
+    errs: list[str] = []
+    nx, ny = len(hlen), len(hlen[0])
+    if len(hcod) != nx or any(len(r) != ny for r in hlen) or any(
+            len(r) != ny for r in hcod):
+        return ["ragged shape"]
+    entries = [(x, y, hlen[x][y], hcod[x][y])
+               for x in range(nx) for y in range(ny)]
+    for x, y, L, c in entries:
+        if not (0 < L <= 19):
+            errs.append(f"({x},{y}): hlen {L} out of range")
+        elif not (0 <= c < (1 << L)):
+            errs.append(f"({x},{y}): hcod {c} does not fit in {L} bits")
+    if errs:
+        return errs
+    lmax = max(L for _, _, L, _ in entries)
+    kraft = sum(1 << (lmax - L) for _, _, L, _ in entries)
+    if kraft != (1 << lmax):
+        errs.append(f"Kraft {kraft}/{1 << lmax} != 1")
+    strs = sorted(((format(c, f"0{L}b"), (x, y)) for x, y, L, c in entries))
+    for i, (s, xy) in enumerate(strs):
+        for s2, xy2 in strs[i + 1:]:
+            if not s2.startswith(s):
+                break
+            errs.append(f"{xy}='{s}' prefixes {xy2}='{s2}'")
+    return errs
+
+
+def _roundtrip_b7_table(tid: int, codes: dict[tuple[int, int], str]) -> bool:
+    """Encode-with-table/decode-back gate over every (x, y) symbol,
+    exercising the sign grammar and (for ESC tables) the linbits
+    escape at both ends of its range."""
+    linbits = HUFFMAN_LINBITS.get(tid, 0)
+    xmax = max(x for x, _ in codes)
+    pairs = []
+    for (x, y) in sorted(codes):
+        for sx in (1, -1):
+            for sy in (1, -1):
+                vx, vy = sx * x, sy * y
+                if linbits and x == xmax:
+                    vx = sx * (x + (0 if sy > 0 else (1 << linbits) - 1))
+                if linbits and y == xmax:
+                    vy = sy * (y + (1 << (linbits - 1)))
+                pairs.append((vx, vy))
+    w = _BitWriter()
+    for vx, vy in pairs:
+        _write_big_pair(w, vx, vy, tid)
+    r = _BitReader(w.to_bytes())
+    return all(_read_big_pair(r, tid) == (vx, vy) for vx, vy in pairs)
+
+
+def _build_b7() -> dict[int, dict[tuple[int, int], str]]:
+    out: dict[int, dict[tuple[int, int], str]] = {0: {}}
+    for tid, (hlen, hcod) in _B7_RAW.items():
+        errs = validate_b7_table(hlen, hcod)
+        if errs:  # transcription failed the gates -> stays a seam
+            raise AssertionError(
+                f"shipped B.7 table {tid} failed validation: {errs[:3]}")
+        out[tid] = {
+            (x, y): format(hcod[x][y], f"0{hlen[x][y]}b")
+            for x in range(len(hlen)) for y in range(len(hlen[0]))
+        }
+    for alias, base in _B7_ALIASES.items():
+        out[alias] = out[base]
+    return out
+
+
+HUFFMAN_BIG: dict[int, dict[tuple[int, int], str]] = _build_b7()
+
+# count1 table A (validated the same way; 16 quads, max len 6). Table B
+# is each quad's bitwise complement, handled arithmetically below.
+_COUNT1_A_RAW = ((1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6),
+                 (1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1))
+assert not validate_b7_table([_COUNT1_A_RAW[0]], [_COUNT1_A_RAW[1]])
+COUNT1_A: dict[int, str] = {
+    v: format(_COUNT1_A_RAW[1][v], f"0{_COUNT1_A_RAW[0][v]}b")
+    for v in range(16)
+}
+_COUNT1_A_DEC = {code: v for v, code in COUNT1_A.items()}
+
+
+@lru_cache(maxsize=32)
 def _big_decoder(table: int) -> dict[str, tuple[int, int]]:
+    if table in _B7_UNUSED:
+        raise ValueError(
+            f"MP3: Huffman table {table} is 'not used' per ISO 11172-3 "
+            "Table B.7 — corrupt side information"
+        )
     if table not in HUFFMAN_BIG:
         raise NotImplementedError(
             f"Huffman table {table} is a Table B.7 data seam in this "
-            "container (see mp3_decode module docstring); populate "
-            "HUFFMAN_BIG to decode streams that select it"
+            "container (transcription failed the validation gates — see "
+            "mp3_decode module docstring); populate _B7_RAW with a "
+            "gate-passing transcription to decode streams that select it"
         )
     return {code: xy for xy, code in HUFFMAN_BIG[table].items()}
 
@@ -487,12 +672,14 @@ def _decode_huffman(r: _BitReader, g: GranuleInfo, sfb_long: list[int],
     limit = part2_start + g.part2_3_length
     while r.pos < limit and line + 4 <= 576:
         if g.count1table_select == 0:
-            raise NotImplementedError(
-                "count1 Huffman table A is a Table B.7 data seam in this "
-                "container; populate COUNT1_A to decode streams that "
-                "select it"
-            )
-        quad = ~r.read(4) & 0xF
+            code = ""
+            while code not in _COUNT1_A_DEC:
+                if len(code) >= 6:
+                    raise ValueError("MP3: undecodable count1-A code")
+                code += "1" if r.read(1) else "0"
+            quad = _COUNT1_A_DEC[code]
+        else:
+            quad = ~r.read(4) & 0xF
         for j, v in enumerate(((quad >> 3) & 1, (quad >> 2) & 1,
                                (quad >> 1) & 1, quad & 1)):
             if v:
@@ -527,6 +714,41 @@ def _read_big_pair(r: _BitReader, table: int) -> tuple[int, int]:
     if y:
         y = -y if r.read(1) else y
     return x, y
+
+
+def _write_big_pair(w: _BitWriter, x: int, y: int, table: int) -> None:
+    """Encoder mirror of :func:`_read_big_pair` — same code/linbits/sign
+    grammar, used both by the real encoder and by the import-time
+    roundtrip gate that enables each table."""
+    codes = HUFFMAN_BIG.get(table)
+    if not codes:
+        raise NotImplementedError(f"Huffman table {table} not enabled")
+    linbits = HUFFMAN_LINBITS.get(table, 0)
+    ax, ay = abs(x), abs(y)
+    cx = min(ax, 15) if linbits else ax
+    cy = min(ay, 15) if linbits else ay
+    if (cx, cy) not in codes or (linbits and (
+            ax - 15 >= (1 << linbits) or ay - 15 >= (1 << linbits))):
+        raise ValueError(f"values ({x},{y}) exceed Huffman table {table}")
+    w.write_code(codes[(cx, cy)])
+    if linbits and cx == 15:
+        w.write(ax - 15, linbits)
+    if ax:
+        w.write(1 if x < 0 else 0, 1)
+    if linbits and cy == 15:
+        w.write(ay - 15, linbits)
+    if ay:
+        w.write(1 if y < 0 else 0, 1)
+
+
+def table_max_value(table: int) -> int:
+    """Largest |ix| one big-value line can carry in ``table``."""
+    codes = HUFFMAN_BIG.get(table)
+    if not codes:
+        return 0
+    base = max(x for x, _ in codes)
+    linbits = HUFFMAN_LINBITS.get(table, 0)
+    return base + ((1 << linbits) - 1 if linbits else 0)
 
 
 # --------------------------------------------------------------------------
@@ -758,25 +980,35 @@ class _GranuleCode:
         self.main_bits = main_bits
 
 
-def _quantize_granule(xr: np.ndarray, rate: int,
-                      scalefac_scale: int = 0) -> tuple[GranuleInfo, list[int], np.ndarray]:
-    """Pick global_gain + per-band scalefactors so each kept line is
-    |ix| = 1 at the band's representable amplitude (a legal, very-low-
-    rate Layer III quantizer — the Huffman subset constraint)."""
+def _quantize_granule(xr: np.ndarray, rate: int, scalefac_scale: int = 0,
+                      max_ix: int = 1) -> tuple[GranuleInfo, list[int], np.ndarray]:
+    """Pick global_gain + per-band scalefactors and integer spectra.
+
+    ``max_ix=1`` is the original very-low-rate quantizer (each kept
+    line is |ix| = 1 at the band's representable amplitude).
+    ``max_ix>1`` is the real Layer III power-law quantizer: the band's
+    scalefactor is chosen so its peak line lands near ``max_ix`` and
+    each line becomes ``ix = round((|xr|/level)^(3/4))`` — the exact
+    inverse of the decoder's ``ix^(4/3) * level`` requantization."""
     bounds = SFB_LONG[rate]
     step = 0.5 * (1 + scalefac_scale)
     amp = np.zeros(22)
     for band in range(22):
         lo, hi = bounds[band], bounds[band + 1]
         seg = np.abs(xr[lo:hi])
-        keep = seg >= 0.5 * seg.max() if seg.max() > 0 else seg > 1
-        if keep.any():
-            amp[band] = seg[keep].mean()
+        if max_ix > 1:
+            amp[band] = seg.max()
+        else:
+            keep = seg >= 0.5 * seg.max() if seg.max() > 0 else seg > 1
+            if keep.any():
+                amp[band] = seg[keep].mean()
     if amp.max() <= 0:
         g = GranuleInfo(part2_3_length=0, big_values=0, global_gain=210,
                         scalefac_compress=0, table_select=[0, 0, 0])
         return g, [0] * 21, np.zeros(576)
-    gg = int(np.clip(210 + round(4 * np.log2(amp.max())), 0, 255))
+    # reference amplitude: the level a line quantizing to max_ix carries
+    ref = amp.max() / (max_ix ** (4.0 / 3.0))
+    gg = int(np.clip(210 + round(4 * np.log2(ref)), 0, 255))
     base = 2.0 ** ((gg - 210) / 4.0)
     sf = [0] * 21
     ix = np.zeros(576)
@@ -786,14 +1018,19 @@ def _quantize_granule(xr: np.ndarray, rate: int,
         lo, hi = bounds[band], bounds[band + 1]
         cap = 15 if band < 11 else 3  # scalefac_compress 14 -> slen (4, 2)
         sfv = 0
+        target = amp[band] / (max_ix ** (4.0 / 3.0)) if max_ix > 1 else amp[band]
         if band < 21:
-            sfv = int(np.clip(round(np.log2(base / amp[band]) / step), 0, cap))
+            sfv = int(np.clip(round(np.log2(base / target) / step), 0, cap))
             sf[band] = sfv
         level = base * 2.0 ** (-step * sfv)
         seg = xr[lo:hi]
-        thresh = 0.5 * np.abs(seg).max()
-        mask = np.abs(seg) >= max(thresh, 0.25 * level)
-        ix[lo:hi] = np.where(mask, np.sign(seg), 0.0)
+        if max_ix > 1:
+            q = np.round((np.abs(seg) / level) ** 0.75)
+            ix[lo:hi] = np.sign(seg) * np.minimum(q, max_ix)
+        else:
+            thresh = 0.5 * np.abs(seg).max()
+            mask = np.abs(seg) >= max(thresh, 0.25 * level)
+            ix[lo:hi] = np.where(mask, np.sign(seg), 0.0)
     info = GranuleInfo(part2_3_length=0, big_values=0, global_gain=gg,
                        scalefac_compress=14 if max(sf) else 0,
                        scalefac_scale=scalefac_scale,
@@ -801,7 +1038,8 @@ def _quantize_granule(xr: np.ndarray, rate: int,
     return info, sf, ix
 
 
-def _encode_granule(info: GranuleInfo, sf: list[int], ix: np.ndarray) -> _BitWriter:
+def _encode_granule(info: GranuleInfo, sf: list[int], ix: np.ndarray,
+                    table: int = 1) -> _BitWriter:
     w = _BitWriter()
     slen1, slen2 = SLEN[info.scalefac_compress]
     for band in range(21):
@@ -813,28 +1051,39 @@ def _encode_granule(info: GranuleInfo, sf: list[int], ix: np.ndarray) -> _BitWri
     big_values = (last + 1) // 2
     if big_values > 288:
         raise ValueError("spectrum too wide for big_values")
-    table = HUFFMAN_BIG[1]
+    use_table = table if big_values else 0
     for pair in range(big_values):
-        x = int(ix[2 * pair])
-        y = int(ix[2 * pair + 1])
-        w.write_code(table[(abs(x), abs(y))])
-        if x:
-            w.write(1 if x < 0 else 0, 1)
-        if y:
-            w.write(1 if y < 0 else 0, 1)
+        _write_big_pair(w, int(ix[2 * pair]), int(ix[2 * pair + 1]), table)
+    if len(w) > 4095:  # the side-info field is 12 bits
+        raise ValueError(
+            "granule exceeds the 12-bit part2_3_length field — lower "
+            "max_ix or use a shorter-code table")
+    info.table_select = [use_table, use_table, use_table]
     info.big_values = big_values
     info.part2_3_length = len(w)
     return w
 
 
 def encode_mp3(pcm: np.ndarray, rate: int, bitrate_kbps: int = 192,
-               use_ms: bool = False, scalefac_scale: int = 0) -> bytes:
+               use_ms: bool = False, scalefac_scale: int = 0,
+               table: int = 1, max_ix: int = 1) -> bytes:
     """Encode int16 PCM (``(n,)`` mono or ``(n, 2)`` stereo) into a
-    spec-legal CBR MPEG-1 Layer III stream (long blocks, Huffman table
-    1 + sign bits, per-band scalefactors, working bit reservoir).
-    The mutual-inverse half of :func:`decode_mp3`."""
+    spec-legal CBR MPEG-1 Layer III stream (long blocks, any ENABLED
+    big-value Huffman table incl. the table-16 linbits escape,
+    per-band scalefactors, working bit reservoir). ``table``/``max_ix``
+    select the quantizer depth: the defaults reproduce the original
+    |ix| <= 1 table-1 stream byte-for-byte; ``max_ix > 1`` runs the
+    real power-law quantizer, so fixtures can exercise every enabled
+    Table B.7 code path. The mutual-inverse half of :func:`decode_mp3`."""
     if rate not in SFB_LONG:
         raise ValueError(f"MPEG-1 sample rate must be one of {sorted(SFB_LONG)}")
+    if table not in HUFFMAN_BIG or table == 0:
+        raise NotImplementedError(
+            f"Huffman table {table} is not enabled (Table B.7 seam)")
+    if not 1 <= max_ix <= table_max_value(table):
+        raise ValueError(
+            f"max_ix {max_ix} outside table {table}'s range "
+            f"1..{table_max_value(table)}")
     br_table = _BITRATE_KBPS[(1, 3)]
     if bitrate_kbps not in br_table:
         raise ValueError(f"bitrate must be one of {br_table}")
@@ -867,8 +1116,8 @@ def encode_mp3(pcm: np.ndarray, rate: int, bitrate_kbps: int = 192,
             xr = ((_imdct36_basis().T @ z) / 9.0).T.ravel()  # (32*18,)
             prev[ch] = blk.T
             xr = alias_encode(xr)
-            info, sf, ix = _quantize_granule(xr, rate, scalefac_scale)
-            bits = _encode_granule(info, sf, ix)
+            info, sf, ix = _quantize_granule(xr, rate, scalefac_scale, max_ix)
+            bits = _encode_granule(info, sf, ix, table)
             info.part2_3_length = len(bits)
             row.append(_GranuleCode(info, sf, bits))
         gran_codes.append(row)
@@ -936,3 +1185,18 @@ def encode_mp3(pcm: np.ndarray, rate: int, bitrate_kbps: int = 192,
         out += stream[off:off + payload_cap]
         off += payload_cap
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# import-time enablement gate: every shipped table must survive the
+# encode-with-table/decode-back roundtrip over all its symbols (signs +
+# linbits escape ends included) or the module refuses to load with it.
+# Aliases 17-22 share table 16's codes; 23 carries the widest linbits,
+# so roundtripping {base tables} + 23 covers every distinct code/linbits
+# combination the aliases add.
+# --------------------------------------------------------------------------
+
+for _tid in tuple(sorted(_B7_RAW)) + (23,):
+    if not _roundtrip_b7_table(_tid, HUFFMAN_BIG[_tid]):
+        raise AssertionError(
+            f"B.7 table {_tid} failed the encode/decode roundtrip gate")

@@ -5852,7 +5852,14 @@ def mp3_pcm_census_op(spark: SparkSession, sf: str, *, n: int = 48) -> DataFrame
     truth plus the dominant frequency recovered from the decoded PCM by
     projection onto the planted grid — content-level proof the decode
     is real, yet still exact doc_id arithmetic for the DuckDB oracle.
-    ~60 ms of Python DSP per row: repartitioned before the map per the
+    The encoder's Huffman table and quantizer depth CYCLE per doc_id
+    across the enabled Table B.7 set (1, 2, 5, 9, 12 and the 16-23
+    linbits group at max_ix up to 40), so the fixture exercises every
+    enabled big-value code path — multi-level requantization, sign
+    grammar, linbits escapes — through the full decode, not just the
+    |ix| <= 1 table-1 subset. None of the reported columns depend on
+    the table choice, so the oracle stays pure arithmetic. ~60 ms of
+    Python DSP per row: repartitioned before the map per the
     ms-per-row rule (SCALE.md)."""
     import numpy as np
 
@@ -5882,10 +5889,13 @@ def mp3_pcm_census_op(spark: SparkSession, sf: str, *, n: int = 48) -> DataFrame
                 pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
                 if nch == 2:
                     pcm = np.stack([pcm, pcm], axis=1)
+                tbl, mi = [(1, 1), (2, 2), (5, 3), (9, 5),
+                           (12, 7), (16, 16), (20, 28), (23, 20)][d % 8]
                 blob = encode_mp3(
                     pcm, rate,
                     bitrate_kbps=160 if nch == 1 else 320,
                     use_ms=(nch == 2 and d % 4 == 1),
+                    table=tbl, max_ix=mi,
                 )
                 dec, r2 = decode_mp3(blob)
                 mono = dec.astype(np.float64).mean(axis=1)[1152:]
@@ -5981,7 +5991,16 @@ def audio_dedup_mp3_op(
                 pcm = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
                 ids.append(int(doc_id))
                 kinds.append("audio")
-                blobs.append(encode_mp3(pcm, rate, bitrate_kbps=160))
+                # quantizer depth/table CYCLE per gain group — copies of
+                # one pattern travel through DIFFERENT enabled B.7
+                # tables (16/20/23, linbits escapes at max_ix > 15) and
+                # the fingerprint join still recovers the groups:
+                # measured within <= 3 / cross >= 13, same margins as
+                # the single-table encode
+                tbl, mi = [(16, 12), (16, 16), (20, 24),
+                           (23, 18)][int(doc_id) // 8 % 4]
+                blobs.append(encode_mp3(pcm, rate, bitrate_kbps=160,
+                                        table=tbl, max_ix=mi))
             yield pd.DataFrame({"media_id": ids, "kind": kinds,
                                 "content": blobs})
             ids, kinds, blobs = [], [], []
