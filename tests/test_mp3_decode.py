@@ -449,3 +449,96 @@ def test_encode_rejects_seam_table_and_bad_max_ix():
         encode_mp3(pcm, 44100, table=24)
     with pytest.raises(ValueError, match="max_ix"):
         encode_mp3(pcm, 44100, table=2, max_ix=5)
+
+
+# -------------------------------------------- short-block intensity stereo
+def _short_intensity_frame(is_pos: int) -> bytes:
+    """Hand-assemble one stereo joint-stereo frame (mode_ext=1,
+    intensity only) whose two granules are pure SHORT blocks: the left
+    channel carries |ix|=1 lines in the first two short bands of every
+    window, the right channel carries NO spectral lines (so every
+    window's zero bound is band 0 and ALL bands are intensity), and
+    every right scalefactor is the given stereo position."""
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitWriter, _write_big_pair, pack_side_info)
+
+    rate, bitrate = 44100, 128
+
+    def granule_pair():
+        # left: no scalefactor bits (scalefac_compress 0); 9 big-value
+        # pairs covering pre-reorder lines 0..17 (bands 0-1, windows 0-2)
+        wl = _BitWriter()
+        for _ in range(9):
+            _write_big_pair(wl, 1, -1, 1)
+        gl = GranuleInfo(
+            part2_3_length=len(wl), big_values=9, global_gain=210,
+            scalefac_compress=0, window_switching=1, block_type=2,
+            mixed_block=0, table_select=[1, 1, 0],
+            subblock_gain=[0, 0, 0], count1table_select=1)
+        # right: short scalefactors only (scalefac_compress 13 ->
+        # slen (3,3)), every band/window = is_pos; zero big values
+        wr = _BitWriter()
+        for _band in range(12):
+            for _w in range(3):
+                wr.write(is_pos, 3)
+        gr = GranuleInfo(
+            part2_3_length=len(wr), big_values=0, global_gain=210,
+            scalefac_compress=13, window_switching=1, block_type=2,
+            mixed_block=0, table_select=[0, 0, 0],
+            subblock_gain=[0, 0, 0], count1table_select=1)
+        return (gl, wl), (gr, wr)
+
+    (g0l, w0l), (g0r, w0r) = granule_pair()
+    (g1l, w1l), (g1r, w1r) = granule_pair()
+    side = pack_side_info(0, [[0] * 4, [0] * 4],
+                          [[g0l, g0r], [g1l, g1r]], nch=2)
+    main = _BitWriter()
+    for wbits in (w0l, w0r, w1l, w1r):
+        main.bits.extend(wbits.bits)
+    payload = main.to_bytes()
+    frame_len = 144 * 1000 * bitrate // rate
+    # header: MPEG-1 Layer III, 128 kbps (idx 8), 44100 (idx 0),
+    # joint stereo (mode 1), mode_ext=1 (intensity on, MS off)
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                 (8 << 4) | (0 << 2), (1 << 6) | (1 << 4)])
+    body = hdr + side + payload
+    return body + b"\x00" * (frame_len - len(body))
+
+
+def test_short_block_intensity_hard_left():
+    # is_pos 6 = hard left: the right channel must decode to silence
+    out, rate = decode_mp3(_short_intensity_frame(6))
+    assert rate == 44100
+    left, right = out[:, 0].astype(float), out[:, 1].astype(float)
+    assert np.abs(left).max() > 100  # signal survived the pipeline
+    assert np.abs(right).max() == 0
+
+
+def test_short_block_intensity_centre_position():
+    # is_pos 3 -> ratio tan(pi/4) = 1 -> L and R identical
+    out, _ = decode_mp3(_short_intensity_frame(3))
+    left, right = out[:, 0].astype(float), out[:, 1].astype(float)
+    assert np.abs(left).max() > 50
+    assert np.array_equal(left, right)
+
+
+def test_short_block_intensity_illegal_position_leaves_lr():
+    # is_pos 7 is 'illegal': with MS off the band stays L/R, so the
+    # right channel keeps its (zero) lines and left keeps the signal
+    out, _ = decode_mp3(_short_intensity_frame(7))
+    left, right = out[:, 0].astype(float), out[:, 1].astype(float)
+    assert np.abs(left).max() > 100
+    assert np.abs(right).max() == 0
+
+
+def test_mixed_block_intensity_is_a_seam():
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _intensity_stereo)
+
+    g = GranuleInfo(part2_3_length=0, big_values=0, global_gain=210,
+                    scalefac_compress=0, window_switching=1,
+                    block_type=2, mixed_block=1, table_select=[0, 0, 0])
+    sf = [[0, 0, 0]] * 12
+    with pytest.raises(NotImplementedError, match="mixed-block"):
+        _intensity_stereo([np.zeros(576), np.zeros(576)], g, sf, 0,
+                          44100, ms=False)

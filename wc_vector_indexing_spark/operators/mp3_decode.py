@@ -36,8 +36,8 @@ posture as the arithmetic-JPEG interop note in ``jpeg_arith.py``:
   reconstructs at ~50 dB NPR (pinned in tests); a foreign file decoded
   with this window carries a small amplitude distortion but correct
   structure. All three stereo modes decode (LR, MS, intensity —
-  2.4.3.4.9.3, long blocks; short-block intensity is the one
-  remaining documented raise).
+  2.4.3.4.9.3 — for both long and short blocks; MIXED-block intensity
+  is the one remaining documented raise).
 
 The ENCODER exists for the same reason the arithmetic-JPEG encoder
 does: with no reference codec in the container, correctness is pinned
@@ -805,12 +805,23 @@ def _intensity_stereo(xr_ch, g_right: GranuleInfo, sf_right, rzero: int,
     is hard-left (r → ∞), is_pos 7 means "illegal, leave the band"
     (MS-process it when mode_ext has the MS bit, else keep L/R). Bands
     below the bound are MS or L/R per the same bit. The top rest band
-    reuses sfb20's position (no scalefactor of its own). Short-block
-    intensity stays a documented seam."""
+    reuses sfb20's position (no scalefactor of its own).
+
+    SHORT blocks apply the same formula per WINDOW: each of the three
+    short windows carries its own zero bound (the band after the last
+    right-channel-nonzero short band in that window) and its own
+    position per band from the right channel's short scalefactors
+    (``sf_right[band][w]``; the rest band reuses band 11's). Operates
+    on the REORDERED spectrum, where (band, window, line j) sits at
+    ``3*(lo+j)+w`` — the same mapping `_reorder_short` writes.
+    Mixed-block intensity stays a documented seam (the 2-subband long
+    head would need the long-branch bound on a partial spectrum)."""
     if g_right.window_switching and g_right.block_type == 2:
-        raise NotImplementedError(
-            "short-block intensity stereo is a documented seam"
-        )
+        if g_right.mixed_block:
+            raise NotImplementedError(
+                "mixed-block intensity stereo is a documented seam"
+            )
+        return _intensity_stereo_short(xr_ch, sf_right, rate, ms)
     bounds = SFB_LONG[rate]
     left, right = xr_ch
     out_l, out_r = left.copy(), right.copy()
@@ -833,6 +844,44 @@ def _intensity_stereo(xr_ch, g_right: GranuleInfo, sf_right, rzero: int,
             m, s = left[lo:hi], right[lo:hi]
             out_l[lo:hi] = (m + s) / sqrt2
             out_r[lo:hi] = (m - s) / sqrt2
+    return [out_l, out_r]
+
+
+def _intensity_stereo_short(xr_ch, sf_right, rate: int, ms: bool) -> list:
+    """Short-block half of :func:`_intensity_stereo` (see its
+    docstring): per-window zero bound + per-window positions over the
+    reordered spectrum."""
+    bounds = SFB_SHORT[rate]
+    left, right = xr_ch
+    out_l, out_r = left.copy(), right.copy()
+    sqrt2 = np.sqrt(2.0)
+    for w in range(3):
+        win_idx = [
+            np.arange(3 * bounds[band] + w, 3 * bounds[band + 1], 3)
+            for band in range(13)
+        ]
+        last_nz = -1
+        for band in range(13):
+            if np.any(right[win_idx[band]] != 0.0):
+                last_nz = band
+        for band in range(13):
+            idx = win_idx[band]
+            if band > last_nz:  # intensity region for this window
+                is_pos = sf_right[min(band, 11)][w]
+                if is_pos != 7:
+                    seg = left[idx]
+                    if is_pos == 6:
+                        out_l[idx] = seg
+                        out_r[idx] = 0.0
+                    else:
+                        ratio = np.tan(is_pos * np.pi / 12.0)
+                        out_l[idx] = seg * (ratio / (1.0 + ratio))
+                        out_r[idx] = seg * (1.0 / (1.0 + ratio))
+                    continue
+            if ms:
+                m, s = left[idx], right[idx]
+                out_l[idx] = (m + s) / sqrt2
+                out_r[idx] = (m - s) / sqrt2
     return [out_l, out_r]
 
 
