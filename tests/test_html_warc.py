@@ -461,3 +461,66 @@ def test_warc_cdx_gzip_member_offsets(spark, tmp_path):
     # digests identical across layouts
     assert [r.digest_sha1_b32 for r in rows] == [
         r.digest_sha1_b32 for r in rows2]
+
+
+def test_warc_cdx_revisit_records(spark, tmp_path):
+    """Revisit rows (archive-side dedup) index with their own
+    semantics: mime 'warc/revisit', digest = the ORIGINAL payload's
+    digest from the record's WARC-Payload-Digest header, refers_to =
+    the WARC-Refers-To pointer; responses carry record_type='response'
+    and a null pointer. The (offset, length) slice of a revisit row
+    re-parses to the revisit record. Same contract through the
+    member-per-record gzip path."""
+    import base64
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.sources.warc import (
+        _iter_records,
+        to_warc_bytes,
+        to_warc_gz_bytes,
+        warc_cdx_index,
+    )
+
+    body = b"<p>original body</p>"
+    dig = base64.b32encode(hashlib.sha1(body).digest()).decode()
+    recs = [
+        {"url": "https://a.example/one", "html": body.decode(),
+         "warc_date": "2024-03-05T06:07:08Z",
+         "record_id": "<urn:uuid:orig-1>"},
+        {"url": "https://a.example/one", "revisit": True,
+         "warc_date": "2024-03-06T06:07:08Z",
+         "record_id": "<urn:uuid:dup-1>",
+         "refers_to": "<urn:uuid:orig-1>", "payload_digest": dig},
+    ]
+    data = to_warc_bytes(recs)
+    (tmp_path / "f.warc").write_bytes(data)
+    (tmp_path / "f.warc.gz").write_bytes(to_warc_gz_bytes(recs))
+    raw = spark.read.format("binaryFile").load(
+        str(tmp_path / "f.warc")).select(
+        F.col("path").alias("warc_path"), "content")
+    rows = sorted(warc_cdx_index(raw).collect(), key=lambda r: r.ts14)
+    assert [r.record_type for r in rows] == ["response", "revisit"]
+    assert rows[0].refers_to is None
+    assert rows[1].refers_to == "<urn:uuid:orig-1>"
+    assert rows[1].mime == "warc/revisit"
+    # the revisit row resolves the duplicate: same digest as the original
+    assert rows[0].digest_sha1_b32 == dig
+    assert rows[1].digest_sha1_b32 == dig
+    sliced = data[rows[1].offset:rows[1].offset + rows[1].length]
+    (head, payload, _s, _e), = list(_iter_records(sliced))
+    assert b"WARC-Type: revisit" in head and payload.endswith(b"\r\n\r\n")
+    # gzip-member path: same rows, compressed offsets
+    raw_gz = spark.read.format("binaryFile").load(
+        str(tmp_path / "f.warc.gz")).select(
+        F.col("path").alias("warc_path"), "content")
+    gz_rows = sorted(warc_cdx_index(raw_gz).collect(), key=lambda r: r.ts14)
+    assert [(r.record_type, r.refers_to, r.digest_sha1_b32)
+            for r in gz_rows] == [(r.record_type, r.refers_to,
+                                   r.digest_sha1_b32) for r in rows]
+    assert all(r.offset_kind == "gzip-member" for r in gz_rows)
+    import gzip as _gz
+    comp = (tmp_path / "f.warc.gz").read_bytes()
+    member = comp[gz_rows[1].offset:gz_rows[1].offset + gz_rows[1].length]
+    assert b"WARC-Type: revisit" in _gz.decompress(member)

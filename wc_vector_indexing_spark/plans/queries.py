@@ -6478,15 +6478,20 @@ def warc_cdx_index_op(spark: SparkSession, sf: str) -> DataFrame:
     """CDX index generation (sources/warc.warc_cdx_index — the
     random-access side door every web archive ships next to its
     WARCs): every document renders into a real WARC file of 1-3
-    response records with FIXED-WIDTH planted fields, so each record
-    occupies a constant 307 bytes after the constant 95-byte warcinfo
-    prologue and the byte offset/length the index reports are pure
-    arithmetic for the DuckDB oracle (if the WARC writer's framing ever
-    changes, this parity check is the tripwire). SURT url keys,
-    14-digit timestamps, mime and status are planted strings; the
-    sha1-b32 payload digest is not SQL-expressible and is projected
-    away here (it is pinned against hashlib in test_html_warc.py). One
-    zero-shuffle Arrow render+index pass."""
+    records with FIXED-WIDTH planted fields, so each record occupies a
+    constant width (315-byte responses, 460-byte revisits) after the
+    constant 95-byte warcinfo prologue and the byte offset/length the
+    index reports are pure arithmetic for the DuckDB oracle (if the
+    WARC writer's framing ever changes, this parity check is the
+    tripwire). Every THIRD-record slot (doc_id % 3 == 2) is a REVISIT
+    of that file's first record — the archive-side dedup convention —
+    so the index's record_type/refers_to semantics are oracle-checked:
+    the revisit row points at record 0's WARC-Record-ID and carries
+    mime 'warc/revisit'. SURT url keys, 14-digit timestamps, mime and
+    status are planted strings; the sha1-b32 payload digest is not
+    SQL-expressible and is projected away here (pinned against hashlib
+    in test_html_warc.py, including the revisit row carrying record
+    0's digest). One zero-shuffle Arrow render+index pass."""
     from wc_vector_indexing_spark.sources.warc import (
         to_warc_bytes,
         warc_cdx_index,
@@ -6495,18 +6500,37 @@ def warc_cdx_index_op(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, "documents", sf).select("doc_id").repartition(32)
 
     def render(batches):
+        import base64
+        import hashlib
+
         import pandas as pd
 
         for pdf in batches:
             paths, blobs = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                recs = [
-                    {"url": f"https://w{d:05d}.example/p{j:03d}",
-                     "html": f"<p>rec-{d:05d}-{j:03d}-payloadbody</p>",
-                     "warc_date": f"2024-01-01T00:00:{(d + j) % 60:02d}Z"}
-                    for j in range(1 + d % 3)
-                ]
+                recs = []
+                for j in range(1 + d % 3):
+                    if j == 2:  # revisit of record 0 (archive dedup)
+                        body = f"<p>rec-{d:05d}-000-payloadbody</p>".encode()
+                        dig = base64.b32encode(
+                            hashlib.sha1(body).digest()).decode("ascii")
+                        recs.append({
+                            "url": f"https://w{d:05d}.example/p000",
+                            "warc_date":
+                                f"2024-01-01T00:00:{(d + j) % 60:02d}Z",
+                            "record_id": f"<urn:uuid:{d:05d}-{j:03d}>",
+                            "revisit": True,
+                            "refers_to": f"<urn:uuid:{d:05d}-000>",
+                            "payload_digest": dig,
+                        })
+                        continue
+                    recs.append({
+                        "url": f"https://w{d:05d}.example/p{j:03d}",
+                        "html": f"<p>rec-{d:05d}-{j:03d}-payloadbody</p>",
+                        "warc_date": f"2024-01-01T00:00:{(d + j) % 60:02d}Z",
+                        "record_id": f"<urn:uuid:{d:05d}-{j:03d}>",
+                    })
                 paths.append(f"mem://doc{d}.warc")
                 blobs.append(to_warc_bytes(recs))
             yield pd.DataFrame({"warc_path": paths, "content": blobs})
@@ -6517,9 +6541,9 @@ def warc_cdx_index_op(spark: SparkSession, sf: str) -> DataFrame:
         idx.select(
             F.regexp_extract("warc_path", r"doc(\d+)\.warc", 1)
             .cast("long").alias("doc_id"),
-            F.regexp_extract("url", r"/p(\d+)$", 1)
-            .cast("long").alias("rec_index"),
+            ((F.col("offset") - 95) / 315).cast("long").alias("rec_index"),
             "urlkey", "ts14", "url", "mime", "status", "offset", "length",
+            "record_type", "refers_to",
         )
         .orderBy("doc_id", "rec_index")
     )
@@ -6528,18 +6552,27 @@ def warc_cdx_index_op(spark: SparkSession, sf: str) -> DataFrame:
 WARC_CDX_SQL = r"""
 WITH t AS (
     SELECT doc_id, UNNEST(range(1 + doc_id % 3)) AS j FROM documents
+),
+r AS (
+    SELECT doc_id, j,
+           CASE WHEN j = 2 THEN 0 ELSE j END AS uj,
+           j = 2 AS is_rev
+    FROM t
 )
 SELECT doc_id, j AS rec_index,
        'example,w' || lpad(doc_id::VARCHAR, 5, '0') || ')/p'
-           || lpad(j::VARCHAR, 3, '0') AS urlkey,
+           || lpad(uj::VARCHAR, 3, '0') AS urlkey,
        '202401010000' || lpad(((doc_id + j) % 60)::VARCHAR, 2, '0') AS ts14,
        'https://w' || lpad(doc_id::VARCHAR, 5, '0') || '.example/p'
-           || lpad(j::VARCHAR, 3, '0') AS url,
-       'text/html' AS mime,
+           || lpad(uj::VARCHAR, 3, '0') AS url,
+       CASE WHEN is_rev THEN 'warc/revisit' ELSE 'text/html' END AS mime,
        200::INT AS status,
-       (95 + j * 307)::BIGINT AS offset,
-       307::BIGINT AS length
-FROM t
+       (95 + j * 315)::BIGINT AS offset,
+       (CASE WHEN is_rev THEN 460 ELSE 315 END)::BIGINT AS length,
+       CASE WHEN is_rev THEN 'revisit' ELSE 'response' END AS record_type,
+       CASE WHEN is_rev THEN '<urn:uuid:' || lpad(doc_id::VARCHAR, 5, '0')
+            || '-000>' END AS refers_to
+FROM r
 ORDER BY doc_id, rec_index
 """
 

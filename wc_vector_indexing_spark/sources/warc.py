@@ -350,16 +350,24 @@ def warc_cdx_index(raw: DataFrame) -> DataFrame:
     multi-record gzip members via cumulative decompressed position);
     ``gzip-member`` = COMPRESSED byte ranges for member-per-record
     ``.warc.gz`` (Common Crawl's layout) — the range pywb-style
-    replayers hand to a gzip decoder directly. The digest is
-    sha1-base32 of the decoded (de-chunked) HTTP body, matching the
-    WARC-Payload-Digest convention."""
+    replayers hand to a gzip decoder directly. For RESPONSE records
+    the digest is sha1-base32 of the decoded (de-chunked) HTTP body,
+    matching the WARC-Payload-Digest convention. REVISIT records (the
+    archive-side dedup convention real Common Crawl WARCs carry) are
+    indexed too — a replayer needs their row to resolve the duplicate:
+    ``record_type='revisit'``, mime is the CDX convention
+    ``warc/revisit``, the digest comes from the record's OWN
+    WARC-Payload-Digest header (the ORIGINAL payload's digest — the
+    revisit has no body of its own), and ``refers_to`` carries the
+    WARC-Refers-To record-id pointer (null on responses)."""
     import base64
     import hashlib
 
     schema = (
         "warc_path string, urlkey string, ts14 string, url string, "
         "mime string, status int, digest_sha1_b32 string, offset long, "
-        "length long, offset_kind string"
+        "length long, offset_kind string, record_type string, "
+        "refers_to string"
     )
 
     def row_of(head: bytes, payload: bytes) -> dict | None:
@@ -369,7 +377,8 @@ def warc_cdx_index(raw: DataFrame) -> DataFrame:
             if colon:
                 fields[k.strip().lower().decode("latin-1")] = (
                     v.strip().decode("latin-1"))
-        if fields.get("warc-type") != "response":
+        wtype = fields.get("warc-type")
+        if wtype not in ("response", "revisit"):
             return None
         url = fields.get("warc-target-uri", "")
         ts14 = "".join(
@@ -392,13 +401,23 @@ def warc_cdx_index(raw: DataFrame) -> DataFrame:
                     mime = v.strip().decode("latin-1").split(";")[0].strip()
                 elif lk == b"transfer-encoding" and b"chunked" in v.lower():
                     body = _dechunk(body)
+        if wtype == "revisit":
+            own = fields.get("warc-payload-digest", "")
+            digest = own.split(":", 1)[-1] if own else ""
+            return {"urlkey": surt_key(url), "ts14": ts14, "url": url,
+                    "mime": "warc/revisit", "status": status,
+                    "digest_sha1_b32": digest, "record_type": "revisit",
+                    "refers_to": fields.get("warc-refers-to")}
         digest = base64.b32encode(hashlib.sha1(body).digest()).decode("ascii")
         return {"urlkey": surt_key(url), "ts14": ts14, "url": url,
-                "mime": mime, "status": status, "digest_sha1_b32": digest}
+                "mime": mime, "status": status,
+                "digest_sha1_b32": digest, "record_type": "response",
+                "refers_to": None}
 
     def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["warc_path", "urlkey", "ts14", "url", "mime", "status",
-                "digest_sha1_b32", "offset", "length", "offset_kind"]
+                "digest_sha1_b32", "offset", "length", "offset_kind",
+                "record_type", "refers_to"]
         for pdf in batches:
             out: list[dict] = []
             for fpath, content in zip(pdf["warc_path"], pdf["content"]):
@@ -456,6 +475,30 @@ def _warc_record_chunks(records: list[dict], version: str) -> list[bytes]:
     for r in records:
         status = r.get("status", 200)
         ctype = r.get("content_type", "text/html; charset=utf-8")
+        if r.get("revisit"):
+            # archive-side dedup convention: the record carries only the
+            # HTTP headers plus a WARC-Refers-To pointer and the
+            # original payload's digest (identical-payload-digest
+            # profile) — replayers resolve the body via the pointer
+            payload = (
+                f"HTTP/1.1 {status} OK\r\n"
+                f"Content-Type: {ctype}\r\n\r\n"
+            ).encode("latin-1")
+            head = (
+                f"WARC/{version}\r\n"
+                "WARC-Type: revisit\r\n"
+                f"WARC-Target-URI: {r['url']}\r\n"
+                f"WARC-Date: {r.get('warc_date', '2024-01-01T00:00:00Z')}\r\n"
+                f"WARC-Record-ID: {r.get('record_id', '<urn:uuid:0>')}\r\n"
+                f"WARC-Refers-To: {r['refers_to']}\r\n"
+                f"WARC-Payload-Digest: sha1:{r['payload_digest']}\r\n"
+                "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+                "identical-payload-digest\r\n"
+                "Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode("utf-8")
+            out.append(head + payload + b"\r\n\r\n")
+            continue
         body = r["html"].encode(r.get("charset", "utf-8"))
         extra = ""
         if r.get("chunked"):
