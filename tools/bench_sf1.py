@@ -75,6 +75,14 @@ MEDIA_SCALE = {
         {"n": 48, "patterns": 12},
         {"n": 480, "patterns": 120},
     ),
+    # registered after the r9 181-entry rehearsal; its 13-shuffle plan
+    # is the heaviest in the catalog, so it scales through the same
+    # kwargs path (10x blobs, 10x pattern space, constant group size)
+    "video_dedup_requant": (
+        "video_dedup_requant_op",
+        {"n": 48, "patterns": 12},
+        {"n": 480, "patterns": 120},
+    ),
 }
 
 RATIO_BAR = 14.0  # 10x data + cache/spill slack

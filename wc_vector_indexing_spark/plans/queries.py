@@ -6025,6 +6025,102 @@ ORDER BY media_a, media_b
 """
 
 
+def mp3_lsf_census_op(spark: SparkSession, sf: str, *, n: int = 48) -> DataFrame:
+    """MPEG-2/2.5 LSF full-decode census — the low-sample-rate
+    voice/podcast form of mp3_pcm_census: each document renders a
+    doc_id-derived tone, encodes it as a REAL one-granule-per-frame
+    LSF stream (sample rate cycles all six LSF rates incl. the
+    MPEG-2.5 8 kHz table, Huffman table/quantizer depth cycle the
+    enabled B.7 set) and runs the complete LSF decode (8-bit
+    reservoir, 9-bit mixed-radix scalefac_compress, LSF scalefactor
+    partitions, IMDCT, synthesis). Reported truth — sample rate,
+    channel count, 576-sample granule arithmetic, dominant frequency
+    recovered from the decoded PCM by planted-grid projection — is
+    pure doc_id arithmetic for the DuckDB oracle. ~40 ms Python DSP
+    per row: repartitioned before the map (ms-per-row rule)."""
+    import numpy as np
+
+    docs = (load(spark, "documents", sf).select("doc_id")
+            .orderBy("doc_id").limit(n).repartition(max(1, min(32, n // 4))))
+
+    def render(batches):
+        import pandas as pd
+
+        from wc_vector_indexing_spark.operators.mp3_decode import (
+            decode_mp3,
+            encode_mp3,
+        )
+
+        rates = [22050, 24000, 16000, 11025, 12000, 8000]
+        out = []
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = rates[d % 6]
+                n_frames = 3 + d % 3
+                freq = 250.0 * (1 + d % 12)
+                nch = 1 + d % 2
+                gain = 0.3 + 0.1 * (d // 3 % 3)
+                t = np.arange(n_frames * 576)
+                x = gain * np.sin(2 * np.pi * freq * t / rate)
+                pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+                if nch == 2:
+                    pcm = np.stack([pcm, pcm], axis=1)
+                tbl, mi = [(1, 1), (2, 2), (9, 5), (16, 16),
+                           (20, 24), (23, 16)][d % 6]
+                blob = encode_mp3(
+                    pcm, rate,
+                    bitrate_kbps=64 if nch == 1 else 144,
+                    use_ms=(nch == 2 and d % 4 == 1),
+                    table=tbl, max_ix=mi,
+                )
+                dec, r2 = decode_mp3(blob)
+                mono = dec.astype(np.float64).mean(axis=1)[576:]
+                tt = np.arange(len(mono)) / r2
+                grid = 250.0 * (1 + np.arange(12))
+                power = [abs(np.dot(mono, np.exp(-2j * np.pi * f * tt)))
+                         for f in grid]
+                out.append({
+                    "doc_id": d,
+                    "sample_rate": r2,
+                    "n_channels": dec.shape[1],
+                    "n_samples": dec.shape[0],
+                    "duration_us": dec.shape[0] * 1_000_000 // r2,
+                    "detected_hz": int(grid[int(np.argmax(power))]),
+                })
+            yield pd.DataFrame(
+                out, columns=["doc_id", "sample_rate", "n_channels",
+                              "n_samples", "duration_us", "detected_hz"])
+            out = []
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, sample_rate long, n_channels long, "
+               "n_samples long, duration_us long, detected_hz long",
+    ).orderBy("doc_id")
+
+
+MP3_LSF_CENSUS_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE doc_id % 6 WHEN 0 THEN 22050 WHEN 1 THEN 24000
+                WHEN 2 THEN 16000 WHEN 3 THEN 11025 WHEN 4 THEN 12000
+                ELSE 8000 END AS sample_rate,
+           3 + doc_id % 3 AS n_frames,
+           1 + doc_id % 2 AS n_channels,
+           250 * (1 + doc_id % 12) AS detected_hz
+    FROM documents ORDER BY doc_id LIMIT 48
+)
+SELECT doc_id, sample_rate::BIGINT AS sample_rate,
+       n_channels::BIGINT AS n_channels,
+       (n_frames * 576)::BIGINT AS n_samples,
+       (n_frames * 576 * 1000000) // sample_rate AS duration_us,
+       detected_hz::BIGINT AS detected_hz
+FROM t
+ORDER BY doc_id
+"""
+
+
 def jpeg_lossless_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """Lossless JPEG (SOF3, T.81 Annex H) census: every document
     renders a doc_id-derived gradient image (dimensions, precision and
@@ -7782,6 +7878,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "audio_dedup_mp3": QuerySpec(
         audio_dedup_mp3_op, AUDIO_DEDUP_MP3_SQL,
         "fingerprint dedup over real Layer III streams through the decode seam (planted-truth oracle)"
+    ),
+    # r10 window rotation: mp3_lsf_census (new, never driver-recorded)
+    # promoted; importance_weights (recorded r9) slides below the
+    # 50-entry cutoff in exchange.
+    "mp3_lsf_census": QuerySpec(
+        mp3_lsf_census_op, MP3_LSF_CENSUS_SQL,
+        "MPEG-2/2.5 LSF Layer III full decode at all six low rates (planted-truth oracle)"
     ),
     "event_pagerank": QuerySpec(
         event_pagerank_op, PAGERANK_SQL, "transition-graph weighted PageRank (5 rounds)"
