@@ -274,7 +274,12 @@ def video_requant_pairs(
         raise ValueError("n_bands must divide 64")
     width = 64 // n_bands
     mask = (1 << width) - 1
-    fh = video_frame_hashes(media, every_n)
+    # pin an exchange right after the decode pass: four plan branches
+    # consume the frame hashes (band build, df-cap build, join sides,
+    # surviving-position counts) and without a shared shuffle boundary
+    # each would re-run the per-frame JPEG decode; ReuseExchange dedupes
+    # the identical subtree so the decode runs once
+    fh = video_frame_hashes(media, every_n).repartition("media_id")
     bands = fh.select(
         "media_id", "frame_no", "dhash",
         F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band_no"),
