@@ -524,3 +524,53 @@ def test_warc_cdx_revisit_records(spark, tmp_path):
     comp = (tmp_path / "f.warc.gz").read_bytes()
     member = comp[gz_rows[1].offset:gz_rows[1].offset + gz_rows[1].length]
     assert b"WARC-Type: revisit" in _gz.decompress(member)
+
+
+def test_resolve_revisits_asof_and_negatives(spark, tmp_path):
+    """Revisit resolution follows the CDX-lookup rule: latest response
+    sharing the digest captured AT OR BEFORE the revisit — including
+    across files — and a revisit older than every matching capture is
+    returned unresolved with null originals."""
+    import base64
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.sources.warc import (
+        resolve_revisits,
+        to_warc_bytes,
+        warc_cdx_index,
+    )
+
+    body = b"<p>shared body</p>"
+    dig = base64.b32encode(hashlib.sha1(body).digest()).decode()
+    # file A: two captures of the same body (07:00 and 07:10)
+    (tmp_path / "a.warc").write_bytes(to_warc_bytes([
+        {"url": "https://x.example/p", "html": body.decode(),
+         "warc_date": "2024-03-05T07:00:00Z", "record_id": "<urn:uuid:a1>"},
+        {"url": "https://x.example/p", "html": body.decode(),
+         "warc_date": "2024-03-05T07:10:00Z", "record_id": "<urn:uuid:a2>"},
+    ]))
+    # file B: a revisit at 07:05 (must resolve to the 07:00 capture,
+    # not the newer 07:10 one) and a revisit at 06:00 (before every
+    # capture: unresolvable)
+    (tmp_path / "b.warc").write_bytes(to_warc_bytes([
+        {"url": "https://x.example/p", "revisit": True,
+         "warc_date": "2024-03-05T07:05:00Z", "record_id": "<urn:uuid:b1>",
+         "refers_to": "<urn:uuid:a1>", "payload_digest": dig},
+        {"url": "https://x.example/p", "revisit": True,
+         "warc_date": "2024-03-05T06:00:00Z", "record_id": "<urn:uuid:b2>",
+         "refers_to": "<urn:uuid:a1>", "payload_digest": dig},
+    ]))
+    raw = spark.read.format("binaryFile").load(str(tmp_path / "*.warc")) \
+        .select(F.col("path").alias("warc_path"), "content")
+    rows = {r.revisit_ts14: r
+            for r in resolve_revisits(warc_cdx_index(raw)).collect()}
+    assert len(rows) == 2
+    hit = rows["20240305070500"]
+    assert hit.resolved and hit.orig_ts14 == "20240305070000"
+    assert hit.orig_warc_path.endswith("a.warc")
+    assert hit.orig_offset is not None and hit.orig_length is not None
+    miss = rows["20240305060000"]
+    assert not miss.resolved and miss.orig_offset is None
+    assert miss.orig_warc_path is None

@@ -6673,6 +6673,106 @@ ORDER BY doc_id, rec_index
 """
 
 
+def warc_revisit_resolve_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Replayer-side revisit resolution (sources/warc.resolve_revisits)
+    over the warc_cdx_index fixture: every 3-record file's revisit row
+    (doc_id % 3 == 2) must resolve — by digest + as-of timestamp, the
+    CDX-lookup rule — to its file's FIRST response record at offset 95
+    / length 315. The fixture's second-granularity timestamps wrap mod
+    60, so docs with doc_id % 60 in {58, 59} plant revisits
+    timestamped BEFORE their original: the as-of rule must leave those
+    UNRESOLVED (null offsets), which the oracle states in closed form.
+    Equi-join on digest + one as-of window; no all-pairs."""
+    # rebuild the same planted archive the CDX entry indexes
+    from wc_vector_indexing_spark.sources.warc import (
+        resolve_revisits,
+        to_warc_bytes,
+        warc_cdx_index,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id").repartition(32)
+
+    def render(batches):
+        import base64
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                recs = []
+                for j in range(1 + d % 3):
+                    if j == 2:
+                        body = f"<p>rec-{d:05d}-000-payloadbody</p>".encode()
+                        dig = base64.b32encode(
+                            hashlib.sha1(body).digest()).decode("ascii")
+                        recs.append({
+                            "url": f"https://w{d:05d}.example/p000",
+                            "warc_date":
+                                f"2024-01-01T00:00:{(d + j) % 60:02d}Z",
+                            "record_id": f"<urn:uuid:{d:05d}-{j:03d}>",
+                            "revisit": True,
+                            "refers_to": f"<urn:uuid:{d:05d}-000>",
+                            "payload_digest": dig,
+                        })
+                        continue
+                    recs.append({
+                        "url": f"https://w{d:05d}.example/p{j:03d}",
+                        "html": f"<p>rec-{d:05d}-{j:03d}-payloadbody</p>",
+                        "warc_date": f"2024-01-01T00:00:{(d + j) % 60:02d}Z",
+                        "record_id": f"<urn:uuid:{d:05d}-{j:03d}>",
+                    })
+                if not any(r.get("revisit") for r in recs):
+                    continue  # only 3-record files carry a revisit
+                paths.append(f"mem://doc{d}.warc")
+                blobs.append(to_warc_bytes(recs))
+            yield pd.DataFrame({"warc_path": paths, "content": blobs})
+
+    raw = docs.mapInPandas(render, schema="warc_path string, content binary")
+    res = resolve_revisits(warc_cdx_index(raw))
+    return (
+        res.select(
+            F.regexp_extract("revisit_warc_path", r"doc(\d+)\.warc", 1)
+            .cast("long").alias("doc_id"),
+            "urlkey", "url", "revisit_ts14", "refers_to", "resolved",
+            F.regexp_extract(F.coalesce("orig_warc_path", F.lit("")),
+                             r"doc(\d+)\.warc", 1).alias("orig_doc"),
+            "orig_ts14", "orig_offset", "orig_length",
+        )
+        .withColumn("orig_doc", F.when(F.col("orig_doc") != "",
+                                       F.col("orig_doc").cast("long")))
+        .orderBy("doc_id")
+    )
+
+
+WARC_REVISIT_RESOLVE_SQL = r"""
+WITH t AS (
+    SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+),
+r AS (
+    SELECT doc_id,
+           doc_id % 60 <= (doc_id + 2) % 60 AS ok
+    FROM t
+)
+SELECT doc_id,
+       'example,w' || lpad(doc_id::VARCHAR, 5, '0') || ')/p000' AS urlkey,
+       'https://w' || lpad(doc_id::VARCHAR, 5, '0') || '.example/p000' AS url,
+       '202401010000' || lpad(((doc_id + 2) % 60)::VARCHAR, 2, '0')
+           AS revisit_ts14,
+       '<urn:uuid:' || lpad(doc_id::VARCHAR, 5, '0') || '-000>' AS refers_to,
+       ok AS resolved,
+       CASE WHEN ok THEN doc_id END AS orig_doc,
+       CASE WHEN ok THEN '202401010000'
+            || lpad((doc_id % 60)::VARCHAR, 2, '0') END AS orig_ts14,
+       CASE WHEN ok THEN 95::BIGINT END AS orig_offset,
+       CASE WHEN ok THEN 315::BIGINT END AS orig_length
+FROM r
+ORDER BY doc_id
+"""
+
+
 def feed_discovery_op(
     spark: SparkSession, sf: str, *, n: int = 200, mega_entries: int = 0
 ) -> DataFrame:
@@ -7938,6 +8038,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "warc_cdx_index": QuerySpec(
         warc_cdx_index_op, WARC_CDX_SQL,
         "CDX(J) index generation: SURT keys + byte offsets over real WARCs (planted-truth oracle)"
+    ),
+    # r10 window rotation: warc_revisit_resolve (new, never
+    # driver-recorded) promoted; gopher_quality (recorded r9) slides
+    # below the 50-entry cutoff in exchange.
+    "warc_revisit_resolve": QuerySpec(
+        warc_revisit_resolve_op, WARC_REVISIT_RESOLVE_SQL,
+        "as-of digest resolution of CDX revisit rows incl. planted time-wrap negatives (planted-truth oracle)"
     ),
     "session_window_events": QuerySpec(
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"

@@ -451,6 +451,82 @@ def warc_cdx_index(raw: DataFrame) -> DataFrame:
     return raw.mapInPandas(index, schema=schema)
 
 
+def resolve_revisits(cdx: DataFrame,
+                     max_digest_candidates: int = 1000) -> DataFrame:
+    """Replayer-side revisit resolution over a CDX index: every
+    ``record_type='revisit'`` row joins the response capture whose
+    bytes it stands for — the latest response sharing its payload
+    digest captured at or before the revisit's timestamp (the as-of
+    rule pywb-style replayers apply; WARC-Refers-To record ids are a
+    pointer into the ORIGIN file's records, but a CDX lookup resolves
+    by digest+time, which also works across files).
+
+    Spark shape: equi-join on the 32-char digest (group sizes are
+    duplicate-cluster sizes, never all-pairs) + one as-of window per
+    revisit row. ``max_digest_candidates`` bounds boilerplate digests
+    (an empty page captured millions of times): only the NEWEST N
+    responses per digest enter the join — as-of correctness holds
+    unless a revisit predates all N kept captures of a hotter-than-N
+    digest (documented edge). Returns every revisit row with
+    ``resolved`` plus the original's (warc_path, offset, length,
+    ts14); unresolvable revisits (no response at or before their
+    time) keep nulls."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # three plan branches consume the index (revisit side, response
+    # side, unresolvable re-attach); pin one exchange so ReuseExchange
+    # dedupes the upstream index build instead of re-running it
+    cdx = cdx.repartition("digest_sha1_b32")
+    rev = cdx.filter(F.col("record_type") == "revisit").select(
+        F.col("warc_path").alias("revisit_warc_path"),
+        F.col("urlkey"),
+        F.col("ts14").alias("revisit_ts14"),
+        F.col("url"),
+        F.col("digest_sha1_b32").alias("digest"),
+        F.col("offset").alias("revisit_offset"),
+        F.col("refers_to"),
+    )
+    newest_per_digest = Window.partitionBy("digest_sha1_b32").orderBy(
+        F.desc("ts14"), F.desc("offset"))
+    resp = (
+        cdx.filter(F.col("record_type") == "response")
+        .withColumn("_rn", F.row_number().over(newest_per_digest))
+        .filter(F.col("_rn") <= max_digest_candidates)
+        .select(
+            F.col("digest_sha1_b32").alias("digest"),
+            F.col("warc_path").alias("orig_warc_path"),
+            F.col("ts14").alias("orig_ts14"),
+            F.col("offset").alias("orig_offset"),
+            F.col("length").alias("orig_length"),
+        )
+    )
+    # ONE as-of window does both jobs: qualifying rows (captured at or
+    # before the revisit) rank first by recency; if the rank-1 row
+    # doesn't qualify, the revisit is unresolvable and its orig columns
+    # null out — no anti-join/union branch for the negative case
+    qual = F.col("orig_ts14").isNotNull() & (
+        F.col("orig_ts14") <= F.col("revisit_ts14"))
+    asof = Window.partitionBy(
+        "revisit_warc_path", "revisit_offset").orderBy(
+        F.desc(qual), F.desc("orig_ts14"), F.desc("orig_offset"))
+    picked = (
+        rev.join(resp, "digest", "left")
+        .withColumn("_q", qual)
+        .withColumn("_rn", F.row_number().over(asof))
+        .filter(F.col("_rn") == 1)
+    )
+    out = picked.withColumn("resolved", F.col("_q"))
+    for c in ("orig_warc_path", "orig_ts14"):
+        out = out.withColumn(c, F.when(F.col("_q"), F.col(c)))
+    for c in ("orig_offset", "orig_length"):
+        out = out.withColumn(c, F.when(F.col("_q"), F.col(c)))
+    return out.select(
+        "revisit_warc_path", "urlkey", "url", "revisit_ts14",
+        "digest", "refers_to", "resolved", "orig_warc_path",
+        "orig_ts14", "orig_offset", "orig_length")
+
+
 def to_warc_bytes(records: list[dict], version: str = "1.0") -> bytes:
     """Serialize (url, html, [status], [content_type], [charset],
     [chunked]) dicts to a spec-shaped WARC byte string — the
