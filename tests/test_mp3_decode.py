@@ -691,3 +691,131 @@ def test_lsf_scalefactors_survive_the_bit_layout():
     for _ in range(info.big_values):
         got.extend(_read_big_pair(r, 16))
     assert np.array_equal(np.array(got), ix[:2 * info.big_values])
+
+
+# ----------------------------------------------------- mixed blocks (MPEG-1)
+def _mono_frame(granule_builder) -> bytes:
+    """Assemble one mono MPEG-1 frame (two identical granules built by
+    ``granule_builder() -> (GranuleInfo, main_bits)``)."""
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitWriter, pack_side_info)
+
+    rate, bitrate = 44100, 128
+    (g0, w0), (g1, w1) = granule_builder(), granule_builder()
+    side = pack_side_info(0, [[0] * 4], [[g0], [g1]], nch=1)
+    main = _BitWriter()
+    main.bits.extend(w0.bits)
+    main.bits.extend(w1.bits)
+    payload = main.to_bytes()
+    frame_len = 144 * 1000 * bitrate // rate
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                 (8 << 4) | (0 << 2), (3 << 6)])
+    body = hdr + side + payload
+    assert len(body) <= frame_len
+    return body + b"\x00" * (frame_len - len(body))
+
+
+def test_mixed_block_scalefactor_bit_layout():
+    # 8 long at slen1, short bands 3-5 at slen1, 6-11 at slen2 —
+    # 17*slen1 + 18*slen2 bits, values recovered exactly
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitReader, _BitWriter, _read_scalefactors)
+
+    slen1, slen2 = 3, 2  # scalefac_compress 12
+    long_vals = [(7 * i + 3) % (1 << slen1) for i in range(8)]
+    short_vals = {b: [(b + w) % (1 << (slen1 if b < 6 else slen2))
+                      for w in range(3)] for b in range(3, 12)}
+    w = _BitWriter()
+    for v in long_vals:
+        w.write(v, slen1)
+    for b in range(3, 6):
+        for v in short_vals[b]:
+            w.write(v, slen1)
+    for b in range(6, 12):
+        for v in short_vals[b]:
+            w.write(v, slen2)
+    assert len(w) == 17 * slen1 + 18 * slen2
+    g = GranuleInfo(part2_3_length=len(w), big_values=0, global_gain=210,
+                    scalefac_compress=12, window_switching=1,
+                    block_type=2, mixed_block=1, table_select=[0, 0, 0])
+    r = _BitReader(w.to_bytes())
+    sf = _read_scalefactors(r, g, 0, [0] * 4, None)
+    assert r.pos == len(w)
+    assert sf["long"] == long_vals
+    assert sf["short"][:3] == [[0, 0, 0]] * 3
+    for b in range(3, 12):
+        assert sf["short"][b] == short_vals[b], b
+
+
+def test_reorder_short_mixed_keeps_long_head():
+    x = np.arange(576, dtype=float) + 1
+    y = _reorder_short(x, 44100, first_band=3)
+    assert np.array_equal(y[:36], x[:36])
+    assert sorted(y.tolist()) == sorted(x.tolist())
+    assert not np.array_equal(y[36:], x[36:])
+
+
+def test_mixed_block_equals_long_block_when_content_in_subband0():
+    # content confined to subband 0 (lines 0-17): the mixed granule's
+    # long head covers it with bt=0 windows and its alias reduction
+    # (the single sb0|sb1 butterfly) coincides with the full long-block
+    # alias pass over an otherwise-zero spectrum, so the two streams
+    # must decode BIT-IDENTICALLY — an exact cross-layout pin of the
+    # mixed scalefactor/requantize/reorder path
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitWriter, _write_big_pair)
+
+    def pairs_writer():
+        w = _BitWriter()
+        for k in range(9):
+            _write_big_pair(w, 1 if k % 3 else -1, -1 if k % 2 else 1, 1)
+        return w
+
+    def mixed_granule():
+        w = pairs_writer()
+        g = GranuleInfo(
+            part2_3_length=len(w), big_values=9, global_gain=200,
+            scalefac_compress=0, window_switching=1, block_type=2,
+            mixed_block=1, table_select=[1, 1, 0],
+            subblock_gain=[0, 0, 0], count1table_select=1)
+        return g, w
+
+    def long_granule():
+        w = pairs_writer()
+        g = GranuleInfo(
+            part2_3_length=len(w), big_values=9, global_gain=200,
+            scalefac_compress=0, window_switching=0,
+            table_select=[1, 1, 0], region0_count=7, region1_count=7,
+            count1table_select=1)
+        return g, w
+
+    out_mixed, r1 = decode_mp3(_mono_frame(mixed_granule))
+    out_long, r2 = decode_mp3(_mono_frame(long_granule))
+    assert r1 == r2 == 44100
+    assert np.abs(out_long).max() > 100
+    assert np.array_equal(out_mixed, out_long)
+
+
+def test_mixed_block_short_region_decodes():
+    # content planted PAST the long head (pre-reorder lines 36-39 =
+    # short band 3, window 0) flows through the short-region
+    # requantize/reorder/IMDCT path and reaches the PCM
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitWriter, _write_big_pair)
+
+    def granule():
+        w = _BitWriter()
+        for _ in range(18):
+            _write_big_pair(w, 0, 0, 1)
+        for _ in range(2):
+            _write_big_pair(w, 1, -1, 1)
+        g = GranuleInfo(
+            part2_3_length=len(w), big_values=20, global_gain=200,
+            scalefac_compress=0, window_switching=1, block_type=2,
+            mixed_block=1, table_select=[1, 1, 0],
+            subblock_gain=[0, 0, 0], count1table_select=1)
+        return g, w
+
+    out, rate = decode_mp3(_mono_frame(granule))
+    assert rate == 44100
+    assert np.abs(out).max() > 50

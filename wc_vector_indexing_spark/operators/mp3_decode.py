@@ -784,6 +784,17 @@ def _read_scalefactors(r: _BitReader, g: GranuleInfo, gr: int,
                        scfsi_ch: list[int], prev: list[int] | None):
     slen1, slen2 = SLEN[g.scalefac_compress]
     if g.window_switching and g.block_type == 2:
+        if g.mixed_block:
+            # mixed: 8 LONG scalefactors (bands 0-7, the 2-subband
+            # head) at slen1, then short bands 3-5 at slen1 and 6-11
+            # at slen2 — 17*slen1 + 18*slen2 bits (2.4.2.7)
+            sf_long = [r.read(slen1) for _ in range(8)]
+            sf_short = [[0, 0, 0] for _ in range(12)]
+            for band in range(3, 6):
+                sf_short[band] = [r.read(slen1) for _ in range(3)]
+            for band in range(6, 12):
+                sf_short[band] = [r.read(slen2) for _ in range(3)]
+            return {"long": sf_long, "short": sf_short}
         sf = []
         for _band in range(6):
             sf.append([r.read(slen1) for _ in range(3)])
@@ -931,11 +942,25 @@ def requantize(ix: np.ndarray, g: GranuleInfo, sf, rate: int) -> np.ndarray:
     step = 0.5 * (1 + g.scalefac_scale)
     if g.window_switching and g.block_type == 2:
         bounds = SFB_SHORT[rate]
-        for band in range(13):  # 12 sf bands + the top rest band
+        first_band = 0
+        sf_short = sf
+        if g.mixed_block:
+            # long head: lines 0..36 under long bands 0-7 (pretab
+            # applies); the short rule takes over from short band 3
+            long_bounds = SFB_LONG[rate]
+            base = 2.0 ** ((g.global_gain - 210) / 4.0)
+            for band in range(8):
+                lo, hi = long_bounds[band], long_bounds[band + 1]
+                gain = base * 2.0 ** (-step * (
+                    sf["long"][band] + g.preflag * PRETAB[band]))
+                xr[lo:hi] *= gain
+            first_band = 3
+            sf_short = sf["short"]
+        for band in range(first_band, 13):  # sf bands + top rest band
             lo, hi = bounds[band], bounds[band + 1]
             width = hi - lo
             for w in range(3):
-                sfv = sf[band][w] if band < 12 else 0
+                sfv = sf_short[band][w] if band < 12 else 0
                 gain = (2.0 ** ((g.global_gain - 210
                                  - 8 * g.subblock_gain[w]) / 4.0)
                         * 2.0 ** (-step * sfv))
@@ -952,12 +977,16 @@ def requantize(ix: np.ndarray, g: GranuleInfo, sf, rate: int) -> np.ndarray:
     return xr
 
 
-def _reorder_short(xr: np.ndarray, rate: int) -> np.ndarray:
+def _reorder_short(xr: np.ndarray, rate: int, first_band: int = 0) -> np.ndarray:
     """Short-block lines arrive (band, window, line); the filterbank
-    wants (window-interleaved) subband order (2.4.3.4.8)."""
+    wants (window-interleaved) subband order (2.4.3.4.8).
+    ``first_band=3`` is the mixed-block form: the 2-subband long head
+    (lines 0..3*bounds[3]) keeps its natural order."""
     out = np.zeros_like(xr)
     bounds = SFB_SHORT[rate]
-    for band in range(13):  # the rest band is window-interleaved too
+    head = 3 * bounds[first_band]
+    out[:head] = xr[:head]
+    for band in range(first_band, 13):  # rest band window-interleaved too
         lo, hi = bounds[band], bounds[band + 1]
         width = hi - lo
         for w in range(3):
@@ -1161,7 +1190,8 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
                 rzero_ch.append(int(nz[-1]) + 1 if len(nz) else 0)
                 xr = requantize(ix, g, sf, rate)
                 if g.window_switching and g.block_type == 2:
-                    xr = _reorder_short(xr, rate)
+                    xr = _reorder_short(xr, rate,
+                                        3 if g.mixed_block else 0)
                 xr_ch.append(xr)
                 sf_ch.append(sf)
             if nch == 2 and mode_ext & 1:  # intensity stereo
