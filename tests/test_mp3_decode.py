@@ -531,17 +531,25 @@ def test_short_block_intensity_illegal_position_leaves_lr():
     assert np.abs(right).max() == 0
 
 
-def test_mixed_block_intensity_is_a_seam():
+def test_mixed_block_intensity_head_respects_short_content():
+    # intensity starts strictly after the right channel's LAST nonzero
+    # line: if the right SHORT region carries content, no long-head
+    # band may be intensity-processed even when the head itself is zero
     from wc_vector_indexing_spark.operators.mp3_decode import (
         _intensity_stereo)
 
     g = GranuleInfo(part2_3_length=0, big_values=0, global_gain=210,
                     scalefac_compress=0, window_switching=1,
                     block_type=2, mixed_block=1, table_select=[0, 0, 0])
-    sf = [[0, 0, 0]] * 12
-    with pytest.raises(NotImplementedError, match="mixed-block"):
-        _intensity_stereo([np.zeros(576), np.zeros(576)], g, sf, 0,
-                          44100, ms=False)
+    sf = {"long": [6] * 8, "short": [[7, 7, 7]] * 12}
+    left = np.ones(576)
+    right = np.zeros(576)
+    right[40] = 2.0  # short-region content (post-reorder line)
+    out_l, out_r = _intensity_stereo([left, right], g, sf, 0,
+                                     44100, ms=False)
+    # head untouched (no intensity: right's zero part hasn't started)
+    assert np.array_equal(out_l[:36], left[:36])
+    assert np.array_equal(out_r[:36], right[:36])
 
 
 # ------------------------------------------------------ MPEG-2/2.5 LSF
@@ -819,3 +827,75 @@ def test_mixed_block_short_region_decodes():
     out, rate = decode_mp3(_mono_frame(granule))
     assert rate == 44100
     assert np.abs(out).max() > 50
+
+
+def _mixed_intensity_frame(is_pos: int) -> bytes:
+    """Stereo joint-stereo frame (mode_ext=1) whose granules are MIXED
+    blocks: left carries content in both the long head (lines 0-17)
+    and the short region (band 3, window 0); right carries no lines,
+    only intensity positions in its mixed scalefactor layout."""
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitWriter, _write_big_pair, pack_side_info)
+
+    rate, bitrate = 44100, 160
+
+    def left_granule():
+        w = _BitWriter()
+        for k in range(9):
+            _write_big_pair(w, 1 if k % 3 else -1, 1, 1)
+        for _ in range(9):
+            _write_big_pair(w, 0, 0, 1)
+        for _ in range(2):
+            _write_big_pair(w, 1, -1, 1)
+        g = GranuleInfo(
+            part2_3_length=len(w), big_values=20, global_gain=200,
+            scalefac_compress=0, window_switching=1, block_type=2,
+            mixed_block=1, table_select=[1, 1, 0],
+            subblock_gain=[0, 0, 0], count1table_select=1)
+        return g, w
+
+    def right_granule():
+        w = _BitWriter()
+        for _ in range(8):      # long head sfs at slen1=3
+            w.write(is_pos, 3)
+        for _ in range(9):      # short bands 3-5 at slen1=3
+            w.write(is_pos, 3)
+        for _ in range(18):     # short bands 6-11 at slen2=3
+            w.write(is_pos, 3)
+        g = GranuleInfo(
+            part2_3_length=len(w), big_values=0, global_gain=210,
+            scalefac_compress=13, window_switching=1, block_type=2,
+            mixed_block=1, table_select=[0, 0, 0],
+            subblock_gain=[0, 0, 0], count1table_select=1)
+        return g, w
+
+    grans = [[left_granule(), right_granule()] for _ in range(2)]
+    side = pack_side_info(
+        0, [[0] * 4, [0] * 4],
+        [[grans[gr][ch][0] for ch in range(2)] for gr in range(2)], nch=2)
+    main = _BitWriter()
+    for gr in range(2):
+        for ch in range(2):
+            main.bits.extend(grans[gr][ch][1].bits)
+    payload = main.to_bytes()
+    frame_len = 144 * 1000 * bitrate // rate
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                 (9 << 4) | (0 << 2), (1 << 6) | (1 << 4)])
+    body = hdr + side + payload
+    assert len(body) <= frame_len
+    return body + b"\x00" * (frame_len - len(body))
+
+
+def test_mixed_block_intensity_hard_left():
+    out, rate = decode_mp3(_mixed_intensity_frame(6))
+    assert rate == 44100
+    left, right = out[:, 0].astype(float), out[:, 1].astype(float)
+    assert np.abs(left).max() > 100
+    assert np.abs(right).max() == 0
+
+
+def test_mixed_block_intensity_centre_position():
+    out, _ = decode_mp3(_mixed_intensity_frame(3))
+    left, right = out[:, 0].astype(float), out[:, 1].astype(float)
+    assert np.abs(left).max() > 50
+    assert np.array_equal(left, right)

@@ -50,8 +50,8 @@ posture as the arithmetic-JPEG interop note in ``jpeg_arith.py``:
   reconstructs at ~50 dB NPR (pinned in tests); a foreign file decoded
   with this window carries a small amplitude distortion but correct
   structure. All three stereo modes decode (LR, MS, intensity —
-  2.4.3.4.9.3 — for both long and short blocks; MIXED-block intensity
-  is the one remaining documented raise).
+  2.4.3.4.9.3) for long, short AND mixed blocks; the one remaining
+  stereo raise is the LSF is_pos/io intensity scheme.
 
 The ENCODER exists for the same reason the arithmetic-JPEG encoder
 does: with no reference codec in the container, correctness is pinned
@@ -1014,13 +1014,16 @@ def _intensity_stereo(xr_ch, g_right: GranuleInfo, sf_right, rzero: int,
     (``sf_right[band][w]``; the rest band reuses band 11's). Operates
     on the REORDERED spectrum, where (band, window, line j) sits at
     ``3*(lo+j)+w`` — the same mapping `_reorder_short` writes.
-    Mixed-block intensity stays a documented seam (the 2-subband long
-    head would need the long-branch bound on a partial spectrum)."""
+
+    MIXED blocks combine the two: the 2-subband long head (long bands
+    0-7) follows the long rule with its zero bound computed within the
+    head — and only when the right channel's SHORT region is entirely
+    zero too, since intensity starts strictly after the right
+    channel's LAST nonzero line — while the short region follows the
+    per-window rule from short band 3."""
     if g_right.window_switching and g_right.block_type == 2:
         if g_right.mixed_block:
-            raise NotImplementedError(
-                "mixed-block intensity stereo is a documented seam"
-            )
+            return _intensity_stereo_mixed(xr_ch, sf_right, rate, ms)
         return _intensity_stereo_short(xr_ch, sf_right, rate, ms)
     bounds = SFB_LONG[rate]
     left, right = xr_ch
@@ -1047,24 +1050,68 @@ def _intensity_stereo(xr_ch, g_right: GranuleInfo, sf_right, rzero: int,
     return [out_l, out_r]
 
 
-def _intensity_stereo_short(xr_ch, sf_right, rate: int, ms: bool) -> list:
+def _intensity_stereo_mixed(xr_ch, sf_right, rate: int, ms: bool) -> list:
+    """Mixed-block half of :func:`_intensity_stereo` (see its
+    docstring): long rule over the 2-subband head, per-window short
+    rule from short band 3. ``sf_right`` is the mixed dict the
+    scalefactor reader returns ({"long": 8 values, "short": 12x3})."""
+    head = 3 * SFB_SHORT[rate][3]  # == SFB_LONG[rate][8] == 36 lines
+    left, right = xr_ch
+    # short region first (it also decides whether the head may enter
+    # the intensity region at all: intensity starts strictly after the
+    # right channel's last nonzero line)
+    out_l, out_r = _intensity_stereo_short(
+        xr_ch, sf_right["short"], rate, ms, first_band=3)
+    short_has_content = bool(np.any(right[head:] != 0.0))
+    nz_head = np.nonzero(right[:head])[0]
+    rzero_head = int(nz_head[-1]) + 1 if len(nz_head) else 0
+    bounds = SFB_LONG[rate]
+    sqrt2 = np.sqrt(2.0)
+    for band in range(8):
+        lo, hi = bounds[band], bounds[band + 1]
+        if not short_has_content and lo >= rzero_head:
+            is_pos = sf_right["long"][band]
+            if is_pos != 7:
+                seg = left[lo:hi]
+                if is_pos == 6:
+                    out_l[lo:hi] = seg
+                    out_r[lo:hi] = 0.0
+                else:
+                    ratio = np.tan(is_pos * np.pi / 12.0)
+                    out_l[lo:hi] = seg * (ratio / (1.0 + ratio))
+                    out_r[lo:hi] = seg * (1.0 / (1.0 + ratio))
+                continue
+        if ms:
+            m, s = left[lo:hi], right[lo:hi]
+            out_l[lo:hi] = (m + s) / sqrt2
+            out_r[lo:hi] = (m - s) / sqrt2
+        else:
+            out_l[lo:hi] = left[lo:hi]
+            out_r[lo:hi] = right[lo:hi]
+    return [out_l, out_r]
+
+
+def _intensity_stereo_short(xr_ch, sf_right, rate: int, ms: bool,
+                            first_band: int = 0) -> list:
     """Short-block half of :func:`_intensity_stereo` (see its
     docstring): per-window zero bound + per-window positions over the
-    reordered spectrum."""
+    reordered spectrum. ``first_band=3`` is the mixed-block form —
+    bands below it belong to the long head and pass through
+    untouched (the mixed wrapper handles them)."""
     bounds = SFB_SHORT[rate]
     left, right = xr_ch
     out_l, out_r = left.copy(), right.copy()
     sqrt2 = np.sqrt(2.0)
     for w in range(3):
-        win_idx = [
-            np.arange(3 * bounds[band] + w, 3 * bounds[band + 1], 3)
-            for band in range(13)
-        ]
-        last_nz = -1
-        for band in range(13):
+        win_idx = {
+            band: np.arange(3 * bounds[band] + w, 3 * bounds[band + 1], 3)
+            for band in range(first_band, 13)
+        }
+        last_nz = first_band - 1
+        for band in range(first_band, 13):
             if np.any(right[win_idx[band]] != 0.0):
                 last_nz = band
-        for band in range(13):
+        for band in range(first_band, 13):
             idx = win_idx[band]
             if band > last_nz:  # intensity region for this window
                 is_pos = sf_right[min(band, 11)][w]
@@ -1098,7 +1145,7 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     partitions) decode through the same pipeline. Raises ValueError
     for non-MP3/corrupt input and NotImplementedError at the
     documented seams (Layers I/II, failed-validation Huffman tables,
-    mixed-block intensity stereo, LSF intensity stereo)."""
+    LSF intensity stereo, LSF mixed-block scalefactors)."""
     i = _id3v2_size(data)
     n = len(data)
     rate = None
