@@ -239,16 +239,23 @@ def run(names: list[str], full: bool = False) -> None:
         if r["superlinear"]:
             flagged.append(name)
     curated_set = set(curated) | set(MEDIA_SCALE)
-    # preserve sections other invocations own (e.g. skewed_curvature)
+    # preserve sections other invocations own: skewed_curvature (the
+    # --skew mode) and, on partial --queries runs, the last --full
+    # run's full_catalog (a targeted re-measure of one new entry must
+    # not clobber the 180+-entry rehearsal artifact)
     path = ROOT / "BENCH_SF1.json"
     artifact = json.loads(path.read_text()) if path.exists() else {}
-    artifact = {k: v for k, v in artifact.items() if k == "skewed_curvature"}
+    keep = {"skewed_curvature"} | (
+        set() if full else {"full_catalog", "full_catalog_n"})
+    prev_queries = {} if full else dict(artifact.get("queries", {}))
+    artifact = {k: v for k, v in artifact.items() if k in keep}
     artifact |= {
         "sf_small": 0.1,
         "sf_big": 1.0,
         "data_factor": 10,
         "ratio_bar": RATIO_BAR,
-        "queries": {n: r for n, r in results.items() if n in curated_set},
+        "queries": prev_queries
+        | {n: r for n, r in results.items() if n in curated_set},
         **(
             {"full_catalog": results, "full_catalog_n": len(results)}
             if full

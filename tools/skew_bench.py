@@ -85,6 +85,11 @@ FIXTURE_SKEW = {
     "audio_dedup_mp3": ("audio_dedup_mp3_op", {}, {"hot_pattern": True}),
     "parquet_footer_census": (
         "parquet_footer_census_op", {}, {"mega_rows": 20000}),
+    # whole archive collapses onto ONE payload digest: the response
+    # side rides the max_digest_candidates newest-N cap and every
+    # revisit's as-of window ranks N candidates instead of ~1
+    "warc_revisit_resolve": (
+        "warc_revisit_resolve_op", {}, {"hot_digest": True}),
 }
 
 BOILER = (

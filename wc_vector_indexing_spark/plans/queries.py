@@ -6673,7 +6673,9 @@ ORDER BY doc_id, rec_index
 """
 
 
-def warc_revisit_resolve_op(spark: SparkSession, sf: str) -> DataFrame:
+def warc_revisit_resolve_op(
+    spark: SparkSession, sf: str, *, hot_digest: bool = False
+) -> DataFrame:
     """Replayer-side revisit resolution (sources/warc.resolve_revisits)
     over the warc_cdx_index fixture: every 3-record file's revisit row
     (doc_id % 3 == 2) must resolve — by digest + as-of timestamp, the
@@ -6682,7 +6684,14 @@ def warc_revisit_resolve_op(spark: SparkSession, sf: str) -> DataFrame:
     60, so docs with doc_id % 60 in {58, 59} plant revisits
     timestamped BEFORE their original: the as-of rule must leave those
     UNRESOLVED (null offsets), which the oracle states in closed form.
-    Equi-join on digest + one as-of window; no all-pairs."""
+    Equi-join on digest + one as-of window; no all-pairs.
+
+    ``hot_digest``: skew-suite knob — EVERY record in the corpus
+    carries the same body, so the whole archive collapses onto one
+    digest (the boilerplate empty-page case at archive scale): the
+    response side rides the max_digest_candidates newest-N cap and the
+    as-of window ranks N candidates per revisit instead of ~1.
+    Registry/oracle always use False."""
     # rebuild the same planted archive the CDX entry indexes
     from wc_vector_indexing_spark.sources.warc import (
         resolve_revisits,
@@ -6704,8 +6713,16 @@ def warc_revisit_resolve_op(spark: SparkSession, sf: str) -> DataFrame:
                 d = int(d)
                 recs = []
                 for j in range(1 + d % 3):
+                    if hot_digest:
+                        html = "<p>shared-boilerplate-body</p>"
+                    else:
+                        html = f"<p>rec-{d:05d}-{j:03d}-payloadbody</p>"
                     if j == 2:
-                        body = f"<p>rec-{d:05d}-000-payloadbody</p>".encode()
+                        if hot_digest:
+                            body = b"<p>shared-boilerplate-body</p>"
+                        else:
+                            body = (f"<p>rec-{d:05d}-000-payloadbody</p>"
+                                    .encode())
                         dig = base64.b32encode(
                             hashlib.sha1(body).digest()).decode("ascii")
                         recs.append({
@@ -6720,7 +6737,7 @@ def warc_revisit_resolve_op(spark: SparkSession, sf: str) -> DataFrame:
                         continue
                     recs.append({
                         "url": f"https://w{d:05d}.example/p{j:03d}",
-                        "html": f"<p>rec-{d:05d}-{j:03d}-payloadbody</p>",
+                        "html": html,
                         "warc_date": f"2024-01-01T00:00:{(d + j) % 60:02d}Z",
                         "record_id": f"<urn:uuid:{d:05d}-{j:03d}>",
                     })
