@@ -574,3 +574,45 @@ def test_resolve_revisits_asof_and_negatives(spark, tmp_path):
     miss = rows["20240305060000"]
     assert not miss.resolved and miss.orig_offset is None
     assert miss.orig_warc_path is None
+
+
+def test_plan_archive_dedup_decisions(spark):
+    """Writer-side dedup: prior-known digests demote every carrier to
+    a revisit of the prior capture; fresh digests elect the earliest
+    batch capture (ts14, url tiebreak) as the response; cold start
+    (prior=None) behaves as all-fresh."""
+    from wc_vector_indexing_spark.sources.warc import plan_archive_dedup
+
+    batch = spark.createDataFrame(
+        [
+            # digest A: known to prior -> both rows revisit prior
+            ("https://s.example/a1", "20240601000010", "A", 100),
+            ("https://s.example/a2", "20240601000005", "A", 100),
+            # digest B: fresh; b2 is EARLIER -> b2 responds, b1 revisits
+            ("https://s.example/b1", "20240601000020", "B", 200),
+            ("https://s.example/b2", "20240601000015", "B", 200),
+            # digest C: fresh singleton -> response
+            ("https://s.example/c1", "20240601000001", "C", 300),
+        ],
+        "url string, ts14 string, digest string, length long",
+    )
+    prior = spark.createDataFrame(
+        [("A", "https://old.example/orig", "20240101000000")],
+        "digest string, url string, ts14 string",
+    )
+    rows = {r.url: r for r in plan_archive_dedup(batch, prior).collect()}
+    assert rows["https://s.example/a1"].record_type == "revisit"
+    assert rows["https://s.example/a2"].record_type == "revisit"
+    assert rows["https://s.example/a1"].refers_source == "prior"
+    assert rows["https://s.example/a1"].refers_url == "https://old.example/orig"
+    assert rows["https://s.example/b2"].record_type == "response"
+    assert rows["https://s.example/b2"].bytes_saved == 0
+    assert rows["https://s.example/b1"].record_type == "revisit"
+    assert rows["https://s.example/b1"].refers_source == "batch"
+    assert rows["https://s.example/b1"].refers_url == "https://s.example/b2"
+    assert rows["https://s.example/b1"].bytes_saved == 200
+    assert rows["https://s.example/c1"].record_type == "response"
+    # cold start: digest A's earliest batch row responds instead
+    cold = {r.url: r for r in plan_archive_dedup(batch).collect()}
+    assert cold["https://s.example/a2"].record_type == "response"
+    assert cold["https://s.example/a1"].refers_source == "batch"

@@ -6790,6 +6790,92 @@ ORDER BY doc_id
 """
 
 
+def warc_dedup_write_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Archive-writer dedup decisions (sources/warc.plan_archive_dedup
+    — the WRITER half of the revisit convention): a planted crawl
+    batch where bodies repeat across documents (digest class =
+    doc_id % 40) meets a prior index holding every third digest class.
+    Prior-known digests must make EVERY carrier a revisit of the prior
+    capture; fresh digests elect the batch's earliest capture (ts14,
+    url tiebreak — the timestamps cycle doc_id % 60, so the winner is
+    NOT simply the lowest doc_id) as the response and point the rest
+    at it. Pure Catalyst both sides; the DuckDB oracle replays the
+    same window + join verbatim."""
+    from wc_vector_indexing_spark.sources.warc import plan_archive_dedup
+
+    docs = load(spark, "documents", sf).select("doc_id")
+    batch = docs.select(
+        F.format_string("https://b.example/d%05d", F.col("doc_id"))
+        .alias("url"),
+        F.format_string("202406010000%02d", F.col("doc_id") % 60)
+        .alias("ts14"),
+        F.format_string("DIG%03d", F.col("doc_id") % 40).alias("digest"),
+        (F.lit(100) + F.col("doc_id") % 40).cast("long").alias("length"),
+    )
+    prior = (
+        spark.range(40).filter(F.col("id") % 3 == 0)
+        .select(
+            F.format_string("DIG%03d", F.col("id")).alias("digest"),
+            F.format_string("https://prior.example/k%03d", F.col("id"))
+            .alias("url"),
+            F.format_string("202401010000%02d", F.col("id") % 60)
+            .alias("ts14"),
+        )
+    )
+    out = plan_archive_dedup(batch, prior)
+    return (
+        out.select(
+            F.regexp_extract("url", r"/d(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            "digest", "length", "record_type", "refers_source",
+            "refers_url", "refers_ts14", "bytes_saved",
+        )
+        .orderBy("doc_id")
+    )
+
+
+WARC_DEDUP_WRITE_SQL = r"""
+WITH batch AS (
+    SELECT doc_id,
+           'https://b.example/d' || lpad(doc_id::VARCHAR, 5, '0') AS url,
+           '202406010000' || lpad((doc_id % 60)::VARCHAR, 2, '0') AS ts14,
+           'DIG' || lpad((doc_id % 40)::VARCHAR, 3, '0') AS digest,
+           (100 + doc_id % 40)::BIGINT AS length
+    FROM documents
+),
+prior AS (
+    SELECT 'DIG' || lpad(k::VARCHAR, 3, '0') AS digest,
+           'https://prior.example/k' || lpad(k::VARCHAR, 3, '0') AS p_url,
+           '202401010000' || lpad((k % 60)::VARCHAR, 2, '0') AS p_ts
+    FROM (SELECT UNNEST(range(40)) AS k) WHERE k % 3 = 0
+),
+ranked AS (
+    SELECT b.*,
+           row_number() OVER (PARTITION BY b.digest
+                              ORDER BY b.ts14, b.url) AS rn,
+           first_value(b.url) OVER (PARTITION BY b.digest
+                                    ORDER BY b.ts14, b.url) AS first_url,
+           first_value(b.ts14) OVER (PARTITION BY b.digest
+                                     ORDER BY b.ts14, b.url) AS first_ts,
+           p.p_url, p.p_ts
+    FROM batch b LEFT JOIN prior p USING (digest)
+)
+SELECT doc_id, digest, length,
+       CASE WHEN p_url IS NOT NULL OR rn > 1
+            THEN 'revisit' ELSE 'response' END AS record_type,
+       CASE WHEN p_url IS NOT NULL THEN 'prior'
+            WHEN rn > 1 THEN 'batch' END AS refers_source,
+       CASE WHEN p_url IS NOT NULL THEN p_url
+            WHEN rn > 1 THEN first_url END AS refers_url,
+       CASE WHEN p_url IS NOT NULL THEN p_ts
+            WHEN rn > 1 THEN first_ts END AS refers_ts14,
+       CASE WHEN p_url IS NOT NULL OR rn > 1
+            THEN length ELSE 0 END AS bytes_saved
+FROM ranked
+ORDER BY doc_id
+"""
+
+
 def feed_discovery_op(
     spark: SparkSession, sf: str, *, n: int = 200, mega_entries: int = 0
 ) -> DataFrame:
@@ -8063,6 +8149,14 @@ REGISTRY: dict[str, QuerySpec] = {
         warc_revisit_resolve_op, WARC_REVISIT_RESOLVE_SQL,
         "as-of digest resolution of CDX revisit rows incl. planted time-wrap negatives (planted-truth oracle)"
     ),
+    # r10 window rotation: warc_dedup_write (new, never driver-recorded)
+    # promoted; subtitle_cues (recorded r9) slides below the 50-entry
+    # cutoff in exchange (c4_line_filter stays: the curation-family
+    # anchor rule needs one of c4/gopher/importance in the window).
+    "warc_dedup_write": QuerySpec(
+        warc_dedup_write_op, WARC_DEDUP_WRITE_SQL,
+        "archive-writer response-vs-revisit decisions vs a prior index (window+join SQL mirror)"
+    ),
     "session_window_events": QuerySpec(
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
     ),
@@ -8133,10 +8227,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # session-3 r8 window rotation: subtitle_cues (never
     # driver-recorded) promoted; image_dedup_progressive (recorded r7)
     # demoted to the tail in exchange.
-    "subtitle_cues": QuerySpec(
-        subtitle_cues_op, SUBTITLE_CUES_SQL,
-        "SRT/WebVTT subtitle-cue extraction (planted-truth oracle)"
-    ),
     # session-3 r8 window rotation: jsonld_extract (never
     # driver-recorded, pure-Catalyst) promoted; overlapping_sessions
     # (recorded r7) demoted to the tail in exchange.
@@ -8238,6 +8328,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "c4_line_filter": QuerySpec(
         c4_line_filter_op, C4_SQL, "C4 line-level cleaning stats"
+    ),
+    "subtitle_cues": QuerySpec(
+        subtitle_cues_op, SUBTITLE_CUES_SQL,
+        "SRT/WebVTT subtitle-cue extraction (planted-truth oracle)"
     ),
     "gopher_quality": QuerySpec(
         gopher_quality_op, GOPHER_SQL, "Gopher document-rule filter"

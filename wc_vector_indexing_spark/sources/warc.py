@@ -527,6 +527,63 @@ def resolve_revisits(cdx: DataFrame,
         "orig_ts14", "orig_offset", "orig_length")
 
 
+def plan_archive_dedup(batch: DataFrame,
+                       prior: DataFrame | None = None) -> DataFrame:
+    """The WRITER half of archive-side dedup — decide, for every page
+    in a crawl batch, whether it should be stored as a RESPONSE record
+    or as a REVISIT pointer (the convention ``warc_cdx_index`` indexes
+    and ``resolve_revisits`` resolves). ``batch`` is (url, ts14,
+    digest, length) rows; ``prior`` is the earliest-known capture per
+    digest from previous crawls — e.g. ``warc_cdx_index(...)`` rows
+    aggregated to (digest, url, ts14) — or None for a cold start.
+
+    Rules, matching what archive writers do: a digest already present
+    in ``prior`` makes EVERY batch row carrying it a revisit of the
+    prior capture (the prior record is by definition older); otherwise
+    the batch's own first capture (earliest ts14, url as tiebreak)
+    becomes the response and the rest revisit it. ``bytes_saved`` is
+    the payload length a revisit avoids storing.
+
+    Pure Catalyst: one per-digest window over the batch plus one
+    left join against the (already digest-unique) prior side — group
+    sizes are duplicate-cluster sizes, never all-pairs, and nothing
+    leaves the JVM."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("digest").orderBy("ts14", "url")
+    ranked = (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_first_url", F.first("url").over(w))
+        .withColumn("_first_ts", F.first("ts14").over(w))
+    )
+    if prior is not None:
+        p = prior.select(
+            "digest",
+            F.col("url").alias("_prior_url"),
+            F.col("ts14").alias("_prior_ts"),
+        )
+        ranked = ranked.join(p, "digest", "left")
+    else:
+        ranked = ranked.withColumn(
+            "_prior_url", F.lit(None).cast("string")
+        ).withColumn("_prior_ts", F.lit(None).cast("string"))
+    is_revisit = F.col("_prior_url").isNotNull() | (F.col("_rn") > 1)
+    return ranked.select(
+        "url", "ts14", "digest", "length",
+        F.when(is_revisit, F.lit("revisit"))
+        .otherwise(F.lit("response")).alias("record_type"),
+        F.when(F.col("_prior_url").isNotNull(), F.lit("prior"))
+        .when(F.col("_rn") > 1, F.lit("batch")).alias("refers_source"),
+        F.when(F.col("_prior_url").isNotNull(), F.col("_prior_url"))
+        .when(F.col("_rn") > 1, F.col("_first_url")).alias("refers_url"),
+        F.when(F.col("_prior_url").isNotNull(), F.col("_prior_ts"))
+        .when(F.col("_rn") > 1, F.col("_first_ts")).alias("refers_ts14"),
+        F.when(is_revisit, F.col("length"))
+        .otherwise(F.lit(0)).alias("bytes_saved"),
+    )
+
+
 def to_warc_bytes(records: list[dict], version: str = "1.0") -> bytes:
     """Serialize (url, html, [status], [content_type], [charset],
     [chunked]) dicts to a spec-shaped WARC byte string — the
