@@ -6876,6 +6876,85 @@ ORDER BY doc_id
 """
 
 
+def cdx_snapshot_diff_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-over-crawl churn (sources/warc.cdx_snapshot_diff) over two
+    planted CDX snapshots: the OLD crawl covers doc_id % 5 != 0 (and
+    carries a STALE extra capture for every sixth urlkey, so the
+    latest-capture max_by is doing real work — if it ever picked the
+    stale row those urlkeys would flip to 'changed' and the oracle
+    would trip), the NEW crawl covers
+    doc_id % 7 != 3 with the digest moved for doc_id % 4 == 1.
+    Closed-form statuses: new / gone / changed / unchanged by pure
+    doc_id arithmetic. Everything JVM-side."""
+    from wc_vector_indexing_spark.sources.warc import cdx_snapshot_diff
+
+    docs = load(spark, "documents", sf).select("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.format_string("example,u)/p%05d", F.col("doc_id")).alias("urlkey"),
+    )
+    old_rows = base.filter(F.col("doc_id") % 5 != 0).select(
+        "urlkey",
+        F.format_string("DA%05d", F.col("doc_id")).alias("digest_sha1_b32"),
+        F.format_string("20240101%02d0000", F.col("doc_id") % 24)
+        .alias("ts14"),
+        (F.col("doc_id") * 100).cast("long").alias("offset"),
+    )
+    stale = base.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 6 == 0)
+    ).select(
+        "urlkey",
+        F.format_string("STALE%05d", F.col("doc_id"))
+        .alias("digest_sha1_b32"),
+        F.lit("20231201000000").alias("ts14"),
+        (F.col("doc_id") * 100 + 1).cast("long").alias("offset"),
+    )
+    new_rows = base.filter(F.col("doc_id") % 7 != 3).select(
+        "urlkey",
+        F.when(F.col("doc_id") % 4 == 1,
+               F.format_string("DB%05d", F.col("doc_id")))
+        .otherwise(F.format_string("DA%05d", F.col("doc_id")))
+        .alias("digest_sha1_b32"),
+        F.format_string("20240601%02d0000", F.col("doc_id") % 24)
+        .alias("ts14"),
+        (F.col("doc_id") * 100).cast("long").alias("offset"),
+    )
+    return (
+        cdx_snapshot_diff(old_rows.unionByName(stale), new_rows)
+        .orderBy("urlkey")
+    )
+
+
+CDX_SNAPSHOT_DIFF_SQL = r"""
+WITH d AS (
+    SELECT doc_id,
+           'example,u)/p' || lpad(doc_id::VARCHAR, 5, '0') AS urlkey,
+           doc_id % 5 <> 0 AS in_old,
+           doc_id % 7 <> 3 AS in_new,
+           doc_id % 4 = 1 AS moved
+    FROM documents
+)
+SELECT urlkey,
+       CASE WHEN NOT in_old THEN 'new'
+            WHEN NOT in_new THEN 'gone'
+            WHEN moved THEN 'changed' ELSE 'unchanged' END AS status,
+       CASE WHEN in_old
+            THEN 'DA' || lpad(doc_id::VARCHAR, 5, '0') END AS old_digest,
+       CASE WHEN in_new THEN
+            CASE WHEN moved THEN 'DB' ELSE 'DA' END
+            || lpad(doc_id::VARCHAR, 5, '0') END AS new_digest,
+       CASE WHEN in_old THEN '20240101'
+            || lpad((doc_id % 24)::VARCHAR, 2, '0') || '0000'
+            END AS old_ts,
+       CASE WHEN in_new THEN '20240601'
+            || lpad((doc_id % 24)::VARCHAR, 2, '0') || '0000'
+            END AS new_ts
+FROM d
+WHERE in_old OR in_new
+ORDER BY urlkey
+"""
+
+
 def feed_discovery_op(
     spark: SparkSession, sf: str, *, n: int = 200, mega_entries: int = 0
 ) -> DataFrame:
@@ -8157,6 +8236,13 @@ REGISTRY: dict[str, QuerySpec] = {
         warc_dedup_write_op, WARC_DEDUP_WRITE_SQL,
         "archive-writer response-vs-revisit decisions vs a prior index (window+join SQL mirror)"
     ),
+    # r10 window rotation: cdx_snapshot_diff (new, never driver-recorded)
+    # promoted; jsonld_extract (recorded r9) slides below the cutoff in
+    # exchange.
+    "cdx_snapshot_diff": QuerySpec(
+        cdx_snapshot_diff_op, CDX_SNAPSHOT_DIFF_SQL,
+        "crawl-over-crawl churn: new/gone/changed/unchanged per urlkey from two CDX snapshots"
+    ),
     "session_window_events": QuerySpec(
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
     ),
@@ -8230,10 +8316,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # session-3 r8 window rotation: jsonld_extract (never
     # driver-recorded, pure-Catalyst) promoted; overlapping_sessions
     # (recorded r7) demoted to the tail in exchange.
-    "jsonld_extract": QuerySpec(
-        jsonld_extract_op, JSONLD_SQL,
-        "schema.org JSON-LD metadata extraction, pure Catalyst (planted-truth oracle)"
-    ),
     "warc_corpus_text": QuerySpec(
         warc_corpus_text_op, WARC_CORPUS_SQL,
         "byte-true WARC source: charset cascade + chunked decode (planted-truth oracle)"
@@ -8332,6 +8414,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "subtitle_cues": QuerySpec(
         subtitle_cues_op, SUBTITLE_CUES_SQL,
         "SRT/WebVTT subtitle-cue extraction (planted-truth oracle)"
+    ),
+    "jsonld_extract": QuerySpec(
+        jsonld_extract_op, JSONLD_SQL,
+        "schema.org JSON-LD metadata extraction, pure Catalyst (planted-truth oracle)"
     ),
     "gopher_quality": QuerySpec(
         gopher_quality_op, GOPHER_SQL, "Gopher document-rule filter"

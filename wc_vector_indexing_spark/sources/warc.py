@@ -584,6 +584,37 @@ def plan_archive_dedup(batch: DataFrame,
     )
 
 
+def cdx_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Crawl-over-crawl churn from two CDX snapshots (the
+    Common-Crawl-style monthly-diff question): reduce each side to its
+    LATEST capture per urlkey (max (ts14, offset) — revisit rows count
+    as captures of their digest), full-outer join on urlkey, and
+    classify: ``new`` (this crawl only), ``gone`` (previous crawl
+    only), ``changed`` (both, digest moved), ``unchanged``. Two
+    aggregations + one join, all JVM-side; urlkey group sizes are
+    capture counts, never all-pairs."""
+    from pyspark.sql import functions as F
+
+    def latest(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy("urlkey").agg(
+            F.max_by(
+                "digest_sha1_b32", F.struct("ts14", "offset")
+            ).alias(f"{side}_digest"),
+            F.max("ts14").alias(f"{side}_ts"),
+        )
+
+    j = latest(old, "old").join(latest(new, "new"), "urlkey", "full_outer")
+    return j.select(
+        "urlkey",
+        F.when(F.col("old_digest").isNull(), F.lit("new"))
+        .when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(F.col("old_digest") == F.col("new_digest"),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed")).alias("status"),
+        "old_digest", "new_digest", "old_ts", "new_ts",
+    )
+
+
 def to_warc_bytes(records: list[dict], version: str = "1.0") -> bytes:
     """Serialize (url, html, [status], [content_type], [charset],
     [chunked]) dicts to a spec-shaped WARC byte string — the
