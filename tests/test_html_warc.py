@@ -616,3 +616,24 @@ def test_plan_archive_dedup_decisions(spark):
     cold = {r.url: r for r in plan_archive_dedup(batch).collect()}
     assert cold["https://s.example/a2"].record_type == "response"
     assert cold["https://s.example/a1"].refers_source == "batch"
+
+
+def test_iter_records_truncated_tail_clamps_end():
+    # a file cut off right after the last payload byte (no trailing
+    # CRLFCRLF): the yielded end offset must not point past EOF, so a
+    # CDX (offset, length) range read never over-reads
+    from wc_vector_indexing_spark.sources.warc import (
+        _iter_records,
+        to_warc_bytes,
+    )
+
+    data = to_warc_bytes([
+        {"url": "https://t.example/a", "html": "<p>aa</p>"},
+        {"url": "https://t.example/b", "html": "<p>bb</p>"},
+    ])
+    truncated = data[:-4]  # drop the final record's trailing CRLFCRLF
+    recs = list(_iter_records(truncated))
+    assert len(recs) == 3  # warcinfo + 2 responses
+    head, payload, start, end = recs[-1]
+    assert end == len(truncated)
+    assert payload.endswith(b"</p>")

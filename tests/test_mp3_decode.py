@@ -899,3 +899,65 @@ def test_mixed_block_intensity_centre_position():
     left, right = out[:, 0].astype(float), out[:, 1].astype(float)
     assert np.abs(left).max() > 50
     assert np.array_equal(left, right)
+
+
+# --------------------------------------- review fixes (foreign-input paths)
+def test_intensity_with_mismatched_block_types_is_corrupt():
+    # left long + right short in intensity mode: no coherent band
+    # mapping exists -> ValueError, never silent garbage
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitWriter, _write_big_pair, pack_side_info)
+
+    rate, bitrate = 44100, 128
+
+    def left_long():
+        w = _BitWriter()
+        for _ in range(4):
+            _write_big_pair(w, 1, -1, 1)
+        g = GranuleInfo(part2_3_length=len(w), big_values=4,
+                        global_gain=200, scalefac_compress=0,
+                        table_select=[1, 1, 0], region0_count=7,
+                        region1_count=7, count1table_select=1)
+        return g, w
+
+    def right_short():
+        w = _BitWriter()
+        g = GranuleInfo(part2_3_length=len(w), big_values=0,
+                        global_gain=210, scalefac_compress=0,
+                        window_switching=1, block_type=2, mixed_block=0,
+                        table_select=[0, 0, 0], subblock_gain=[0, 0, 0],
+                        count1table_select=1)
+        return g, w
+
+    grans = [[left_long(), right_short()] for _ in range(2)]
+    side = pack_side_info(
+        0, [[0] * 4, [0] * 4],
+        [[grans[gr][ch][0] for ch in range(2)] for gr in range(2)], nch=2)
+    main = _BitWriter()
+    for gr in range(2):
+        for ch in range(2):
+            main.bits.extend(grans[gr][ch][1].bits)
+    frame_len = 144 * 1000 * bitrate // rate
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                 (8 << 4) | (0 << 2), (1 << 6) | (1 << 4)])
+    body = hdr + side + main.to_bytes()
+    blob = body + b"\x00" * (frame_len - len(body))
+    with pytest.raises(ValueError, match="mismatched channel block"):
+        decode_mp3(blob)
+
+
+def test_scfsi_referencing_short_granule0_is_corrupt():
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitReader, _read_scalefactors)
+
+    g = GranuleInfo(part2_3_length=0, big_values=0, global_gain=210,
+                    scalefac_compress=0, window_switching=0,
+                    table_select=[0, 0, 0], count1table_select=1)
+    mixed_prev = {"long": [0] * 8, "short": [[0, 0, 0]] * 12}
+    with pytest.raises(ValueError, match="scfsi"):
+        _read_scalefactors(_BitReader(b"\x00" * 8), g, 1,
+                           [1, 0, 0, 0], mixed_prev)
+    short_prev = [[0, 0, 0]] * 12
+    with pytest.raises(ValueError, match="scfsi"):
+        _read_scalefactors(_BitReader(b"\x00" * 8), g, 1,
+                           [1, 0, 0, 0], short_prev)

@@ -807,24 +807,18 @@ def _read_scalefactors(r: _BitReader, g: GranuleInfo, gr: int,
         group = next(i for i, (lo, hi) in enumerate(SCFSI_BANDS)
                      if lo <= band < hi)
         if gr == 1 and scfsi_ch[group]:
+            # scfsi shares LONG scalefactors between granules; a set
+            # bit is only legal when granule 0 was long too (2.4.2.7),
+            # so a short/mixed granule-0 shape here is corrupt input
+            if prev is not None and not (
+                    isinstance(prev, list) and prev
+                    and isinstance(prev[0], int)):
+                raise ValueError(
+                    "MP3: scfsi set but granule 0 is not a long block")
             sf_long[band] = prev[band] if prev else 0
         elif slen:
             sf_long[band] = r.read(slen)
     return sf_long
-
-
-def _scalefactor_bits(g: GranuleInfo, gr: int, scfsi_ch: list[int]) -> int:
-    slen1, slen2 = SLEN[g.scalefac_compress]
-    if g.window_switching and g.block_type == 2:
-        return 6 * 3 * slen1 + 6 * 3 * slen2
-    bits = 0
-    for band in range(21):
-        group = next(i for i, (lo, hi) in enumerate(SCFSI_BANDS)
-                     if lo <= band < hi)
-        if gr == 1 and scfsi_ch[group]:
-            continue
-        bits += slen1 if band < 11 else slen2
-    return bits
 
 
 def _decode_huffman(r: _BitReader, g: GranuleInfo, sfb_long: list[int],
@@ -1242,8 +1236,20 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
                 xr_ch.append(xr)
                 sf_ch.append(sf)
             if nch == 2 and mode_ext & 1:  # intensity stereo
+                gl, grt = granules[gr][0], granules[gr][1]
+                if (gl.window_switching, gl.block_type, gl.mixed_block) != (
+                        grt.window_switching, grt.block_type,
+                        grt.mixed_block):
+                    # the intensity band mapping is defined on the
+                    # RIGHT channel's structure; a stream whose
+                    # channels disagree has no coherent mapping —
+                    # corrupt, not unsupported
+                    raise ValueError(
+                        "MP3: intensity stereo with mismatched channel "
+                        "block types"
+                    )
                 xr_ch = _intensity_stereo(
-                    xr_ch, granules[gr][1], sf_ch[1], rzero_ch[1],
+                    xr_ch, grt, sf_ch[1], rzero_ch[1],
                     rate, ms=bool(mode_ext & 2),
                 )
             elif nch == 2 and mode_ext & 2:  # MS stereo, all bands

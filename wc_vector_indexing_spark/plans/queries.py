@@ -5854,7 +5854,7 @@ def mp3_pcm_census_op(spark: SparkSession, sf: str, *, n: int = 48) -> DataFrame
     is real, yet still exact doc_id arithmetic for the DuckDB oracle.
     The encoder's Huffman table and quantizer depth CYCLE per doc_id
     across the enabled Table B.7 set (1, 2, 5, 9, 12 and the 16-23
-    linbits group at max_ix up to 40), so the fixture exercises every
+    linbits group at max_ix up to 28), so the fixture exercises every
     enabled big-value code path — multi-level requantization, sign
     grammar, linbits escapes — through the full decode, not just the
     |ix| <= 1 table-1 subset. None of the reported columns depend on
@@ -6570,6 +6570,46 @@ ORDER BY cnt DESC, token
 """
 
 
+def _warc_cdx_fixture_recs(d: int, hot_digest: bool = False) -> list[dict]:
+    """The planted-archive record list BOTH warc_cdx_index and
+    warc_revisit_resolve render (one source of truth — their two SQL
+    oracles assume the same framing): 1 + d%3 records with fixed-width
+    fields; slot j==2 (3-record files only) is a revisit of record 0.
+    ``hot_digest`` makes every body identical (skew knob)."""
+    import base64
+    import hashlib
+
+    recs: list[dict] = []
+    for j in range(1 + d % 3):
+        if j == 2:  # revisit of record 0 (archive dedup)
+            if hot_digest:
+                body = b"<p>shared-boilerplate-body</p>"
+            else:
+                body = f"<p>rec-{d:05d}-000-payloadbody</p>".encode()
+            dig = base64.b32encode(
+                hashlib.sha1(body).digest()).decode("ascii")
+            recs.append({
+                "url": f"https://w{d:05d}.example/p000",
+                "warc_date": f"2024-01-01T00:00:{(d + j) % 60:02d}Z",
+                "record_id": f"<urn:uuid:{d:05d}-{j:03d}>",
+                "revisit": True,
+                "refers_to": f"<urn:uuid:{d:05d}-000>",
+                "payload_digest": dig,
+            })
+            continue
+        if hot_digest:
+            html = "<p>shared-boilerplate-body</p>"
+        else:
+            html = f"<p>rec-{d:05d}-{j:03d}-payloadbody</p>"
+        recs.append({
+            "url": f"https://w{d:05d}.example/p{j:03d}",
+            "html": html,
+            "warc_date": f"2024-01-01T00:00:{(d + j) % 60:02d}Z",
+            "record_id": f"<urn:uuid:{d:05d}-{j:03d}>",
+        })
+    return recs
+
+
 def warc_cdx_index_op(spark: SparkSession, sf: str) -> DataFrame:
     """CDX index generation (sources/warc.warc_cdx_index — the
     random-access side door every web archive ships next to its
@@ -6596,39 +6636,14 @@ def warc_cdx_index_op(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, "documents", sf).select("doc_id").repartition(32)
 
     def render(batches):
-        import base64
-        import hashlib
-
         import pandas as pd
 
         for pdf in batches:
             paths, blobs = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                recs = []
-                for j in range(1 + d % 3):
-                    if j == 2:  # revisit of record 0 (archive dedup)
-                        body = f"<p>rec-{d:05d}-000-payloadbody</p>".encode()
-                        dig = base64.b32encode(
-                            hashlib.sha1(body).digest()).decode("ascii")
-                        recs.append({
-                            "url": f"https://w{d:05d}.example/p000",
-                            "warc_date":
-                                f"2024-01-01T00:00:{(d + j) % 60:02d}Z",
-                            "record_id": f"<urn:uuid:{d:05d}-{j:03d}>",
-                            "revisit": True,
-                            "refers_to": f"<urn:uuid:{d:05d}-000>",
-                            "payload_digest": dig,
-                        })
-                        continue
-                    recs.append({
-                        "url": f"https://w{d:05d}.example/p{j:03d}",
-                        "html": f"<p>rec-{d:05d}-{j:03d}-payloadbody</p>",
-                        "warc_date": f"2024-01-01T00:00:{(d + j) % 60:02d}Z",
-                        "record_id": f"<urn:uuid:{d:05d}-{j:03d}>",
-                    })
                 paths.append(f"mem://doc{d}.warc")
-                blobs.append(to_warc_bytes(recs))
+                blobs.append(to_warc_bytes(_warc_cdx_fixture_recs(d)))
             yield pd.DataFrame({"warc_path": paths, "content": blobs})
 
     raw = docs.mapInPandas(render, schema="warc_path string, content binary")
@@ -6702,45 +6717,13 @@ def warc_revisit_resolve_op(
     docs = load(spark, "documents", sf).select("doc_id").repartition(32)
 
     def render(batches):
-        import base64
-        import hashlib
-
         import pandas as pd
 
         for pdf in batches:
             paths, blobs = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                recs = []
-                for j in range(1 + d % 3):
-                    if hot_digest:
-                        html = "<p>shared-boilerplate-body</p>"
-                    else:
-                        html = f"<p>rec-{d:05d}-{j:03d}-payloadbody</p>"
-                    if j == 2:
-                        if hot_digest:
-                            body = b"<p>shared-boilerplate-body</p>"
-                        else:
-                            body = (f"<p>rec-{d:05d}-000-payloadbody</p>"
-                                    .encode())
-                        dig = base64.b32encode(
-                            hashlib.sha1(body).digest()).decode("ascii")
-                        recs.append({
-                            "url": f"https://w{d:05d}.example/p000",
-                            "warc_date":
-                                f"2024-01-01T00:00:{(d + j) % 60:02d}Z",
-                            "record_id": f"<urn:uuid:{d:05d}-{j:03d}>",
-                            "revisit": True,
-                            "refers_to": f"<urn:uuid:{d:05d}-000>",
-                            "payload_digest": dig,
-                        })
-                        continue
-                    recs.append({
-                        "url": f"https://w{d:05d}.example/p{j:03d}",
-                        "html": html,
-                        "warc_date": f"2024-01-01T00:00:{(d + j) % 60:02d}Z",
-                        "record_id": f"<urn:uuid:{d:05d}-{j:03d}>",
-                    })
+                recs = _warc_cdx_fixture_recs(d, hot_digest)
                 if not any(r.get("revisit") for r in recs):
                     continue  # only 3-record files carry a revisit
                 paths.append(f"mem://doc{d}.warc")

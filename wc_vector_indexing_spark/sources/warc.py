@@ -160,7 +160,11 @@ def _iter_records(data: bytes) -> Iterator[tuple[bytes, bytes, int, int]]:
         m = _CL_RE.search(head)
         if m:
             cl = int(m.group(1))
-            yield head, data[he + 4 : he + 4 + cl], start, he + 4 + cl + 4
+            # clamp: a file truncated right after the payload has no
+            # trailing CRLFCRLF — the end offset must not point past
+            # EOF or a CDX range read of (offset, length) over-reads
+            yield head, data[he + 4 : he + 4 + cl], start, min(
+                he + 4 + cl + 4, n)
             i = he + 4 + cl
         else:
             j = data.find(b"\r\n\r\nWARC/", he)
