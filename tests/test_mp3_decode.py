@@ -961,3 +961,64 @@ def test_scfsi_referencing_short_granule0_is_corrupt():
     with pytest.raises(ValueError, match="scfsi"):
         _read_scalefactors(_BitReader(b"\x00" * 8), g, 1,
                            [1, 0, 0, 0], short_prev)
+
+
+def test_lsf_short_block_scalefactor_partitions():
+    # LSF short blocks split 36 scalefactors over the range's SHORT
+    # partition row ((9,9,9,9) for range 0) — pin the bit layout and
+    # exact recovery, band-major window-minor order
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitReader, _BitWriter, _lsf_slens, _read_scalefactors_lsf)
+
+    sfc = ((3 * 5 + 2) << 4) + (2 << 2) + 1  # slens (3, 2, 2, 1), range 0
+    slens, rng, pre = _lsf_slens(sfc)
+    assert slens == (3, 2, 2, 1) and rng == 0 and pre == 0
+    flat_slens = [3] * 9 + [2] * 9 + [2] * 9 + [1] * 9
+    vals = [(i * 5 + 1) % (1 << s) for i, s in enumerate(flat_slens)]
+    w = _BitWriter()
+    for v, s in zip(vals, flat_slens):
+        w.write(v, s)
+    g = GranuleInfo(part2_3_length=len(w), big_values=0, global_gain=210,
+                    scalefac_compress=sfc, window_switching=1,
+                    block_type=2, mixed_block=0, table_select=[0, 0, 0])
+    r = _BitReader(w.to_bytes())
+    sf = _read_scalefactors_lsf(r, g)
+    assert r.pos == len(w) == sum(flat_slens)
+    for band in range(12):
+        assert sf[band] == vals[3 * band:3 * band + 3], band
+
+
+def test_lsf_short_block_full_stream():
+    # hand-assembled MPEG-2 mono frame whose single granule is a pure
+    # short block: planted |ix|=1 lines flow through the LSF side
+    # info, LSF short scalefactors, reorder and the short IMDCT
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitWriter, _write_big_pair, pack_side_info_lsf)
+
+    rate, bitrate = 22050, 64
+
+    def granule():
+        w = _BitWriter()
+        for _ in range(6):
+            _write_big_pair(w, 1, -1, 1)
+        g = GranuleInfo(part2_3_length=len(w), big_values=6,
+                        global_gain=200, scalefac_compress=0,
+                        window_switching=1, block_type=2, mixed_block=0,
+                        table_select=[1, 1, 0], subblock_gain=[0, 0, 0],
+                        count1table_select=1)
+        return g, w
+
+    g, w = granule()
+    side = pack_side_info_lsf(0, [g], nch=1)
+    assert len(side) == 9
+    payload = w.to_bytes()
+    frame_len = 72 * 1000 * bitrate // rate
+    # MPEG-2 (version bits 10), Layer III, 64 kbps (idx 8 in LSF
+    # table), 22050 Hz (idx 0), mono
+    hdr = bytes([0xFF, 0xE0 | (2 << 3) | (1 << 1) | 1,
+                 (8 << 4) | (0 << 2), (3 << 6)])
+    body = hdr + side + payload
+    assert len(body) <= frame_len
+    out, r2 = decode_mp3(body + b"\x00" * (frame_len - len(body)))
+    assert r2 == rate and out.shape == (576, 1)
+    assert np.abs(out).max() > 50
