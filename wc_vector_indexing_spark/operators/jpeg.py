@@ -185,6 +185,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             i += 2
             continue
         length = int.from_bytes(data[i + 2 : i + 4], "big")
+        if i + 4 > len(data) or length < 2:
+            # the 2-byte length field itself is cut off (or nonsense):
+            # without this, length < 2 makes the overrun check below
+            # vacuous and an empty seg leaks IndexError downstream
+            raise ValueError("truncated JPEG: segment header cut off")
         seg = data[i + 4 : i + 2 + length]
         if len(seg) < length - 2:
             raise ValueError("truncated JPEG: segment overruns the file")

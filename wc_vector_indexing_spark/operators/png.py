@@ -89,9 +89,14 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
         chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated PNG: chunk overruns the file")
         pos += 12 + length  # length + type + data + CRC
         if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", chunk)
+            if len(chunk) < 13:
+                raise ValueError("truncated PNG: short IHDR")
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk[:13])
             if interlace not in (0, 1):
                 raise ValueError(f"unknown PNG interlace method {interlace}")
             if depth not in (8, 16) or color not in _CHANNELS:

@@ -45,10 +45,17 @@ def avi_frames(data: bytes) -> list[bytes]:
     frames: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
+        # declared list/chunk sizes come from the file and may overrun
+        # the actual buffer on truncated files — clamp every boundary
+        # to len(buf) so a cut-off AVI raises the contract ValueError
+        # instead of leaking struct.error from a short slice
+        end = min(end, len(buf))
         while pos + 8 <= end:
             fourcc = buf[pos : pos + 4]
             (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
             body_start = pos + 8
+            if body_start + size > len(buf):
+                raise ValueError("truncated AVI: chunk overruns the file")
             if fourcc in (b"RIFF", b"LIST"):
                 walk(buf, body_start + 4, body_start + size)  # skip list type
             elif fourcc[2:4] in (b"dc", b"db") and size >= 2:
