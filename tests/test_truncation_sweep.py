@@ -187,3 +187,47 @@ def test_truncated_avi():
             decode_jpeg(f)
 
     assert _sweep(walk, data, stride=5) == []
+
+
+def test_truncated_gif_bmp_netpbm():
+    from tests.test_bmp_gif import encode_bmp, encode_gif
+    from wc_vector_indexing_spark.operators.multimodal import decode_image
+
+    yy, xx = np.mgrid[0:10, 0:12]
+    img = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    rgb = np.stack([img, img[::-1], img], axis=2)
+    assert _sweep(decode_image, encode_bmp(rgb)) == []
+    palette = np.stack([np.arange(16) * 16] * 3, axis=1).astype(np.uint8)
+    assert _sweep(decode_image, encode_gif(img % 16, palette)) == []
+    pgm = b"P5\n12 10\n255\n" + img.tobytes()
+    assert _sweep(decode_image, pgm) == []
+
+
+def test_truncated_office_zip_walkers():
+    from wc_vector_indexing_spark.sources.office import (
+        extract_docx_text,
+        extract_epub_chapters,
+        to_docx_bytes,
+        to_epub_bytes,
+    )
+
+    assert _sweep(extract_docx_text,
+                  to_docx_bytes(["first para", "second para"])) == []
+    assert _sweep(extract_epub_chapters,
+                  to_epub_bytes(["chapter one text", "chapter two"])) == []
+
+
+def test_truncated_parquet_footer():
+    import io
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wc_vector_indexing_spark.operators.parquet_meta import (
+        parse_parquet_footer,
+    )
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table({"a": list(range(50)), "b": ["x"] * 50}), buf)
+    assert _sweep(parse_parquet_footer, buf.getvalue(), stride=3) == []

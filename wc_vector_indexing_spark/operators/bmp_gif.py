@@ -170,26 +170,38 @@ def gif_frames(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
             break
         if block == 0x21:  # extension: introducer, label, sub-blocks
             pos += 2
-            while data[pos] != 0:
+            # sub-block walk: lengths come from the file, so a GIF cut
+            # off mid-block would index past EOF without the bound
+            while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
+            if pos >= len(data):
+                raise ValueError("truncated GIF: extension overruns file")
             pos += 1
         elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated GIF: short image descriptor")
             fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
             table = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
+                if pos + n * 3 > len(data):
+                    raise ValueError("truncated GIF: short color table")
                 table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(-1, 3)
                 pos += n * 3
             if table is None:
                 raise ValueError("GIF frame has no color table")
+            if pos >= len(data):
+                raise ValueError("truncated GIF: missing LZW data")
             min_code = data[pos]
             pos += 1
             lzw = bytearray()
-            while data[pos] != 0:
+            while pos < len(data) and data[pos] != 0:
                 ln = data[pos]
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            if pos >= len(data):
+                raise ValueError("truncated GIF: pixel data overruns file")
             pos += 1
             idx = np.array(_lzw_decode(bytes(lzw), min_code), dtype=np.int64)
             if len(idx) < fw * fh:
