@@ -1022,3 +1022,54 @@ def test_lsf_short_block_full_stream():
     out, r2 = decode_mp3(body + b"\x00" * (frame_len - len(body)))
     assert r2 == rate and out.shape == (576, 1)
     assert np.abs(out).max() > 50
+
+
+def test_intensity_allows_differing_long_window_types():
+    # left = START block (window_switching=1, block_type=1), right =
+    # normal long: both share the LONG band structure, so intensity is
+    # coherent and must decode — only a short/long shape disagreement
+    # is corrupt
+    from wc_vector_indexing_spark.operators.mp3_decode import (
+        _BitWriter, _write_big_pair, pack_side_info)
+
+    rate, bitrate = 44100, 128
+
+    def left_start_block():
+        w = _BitWriter()
+        for _ in range(4):
+            _write_big_pair(w, 1, -1, 1)
+        g = GranuleInfo(part2_3_length=len(w), big_values=4,
+                        global_gain=200, scalefac_compress=0,
+                        window_switching=1, block_type=1, mixed_block=0,
+                        table_select=[1, 1, 0], subblock_gain=[0, 0, 0],
+                        count1table_select=1)
+        return g, w
+
+    def right_long():
+        w = _BitWriter()
+        # scalefac_compress 4 -> slen (3, 0): positions for bands 0-10
+        for _ in range(11):
+            w.write(6, 3)
+        g = GranuleInfo(part2_3_length=len(w), big_values=0,
+                        global_gain=210, scalefac_compress=4,
+                        table_select=[0, 0, 0], region0_count=7,
+                        region1_count=7, count1table_select=1)
+        return g, w
+
+    grans = [[left_start_block(), right_long()] for _ in range(2)]
+    side = pack_side_info(
+        0, [[0] * 4, [0] * 4],
+        [[grans[gr][ch][0] for ch in range(2)] for gr in range(2)], nch=2)
+    main = _BitWriter()
+    for gr in range(2):
+        for ch in range(2):
+            main.bits.extend(grans[gr][ch][1].bits)
+    frame_len = 144 * 1000 * bitrate // rate
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                 (8 << 4) | (0 << 2), (1 << 6) | (1 << 4)])
+    body = hdr + side + main.to_bytes()
+    out, r2 = decode_mp3(body + b"\x00" * (frame_len - len(body)))
+    assert r2 == rate and out.shape[1] == 2
+    # is_pos 6 everywhere = hard left: right channel silent
+    assert np.abs(out[:, 0]).max() > 50
+    assert np.abs(out[:, 1]).max() == 0

@@ -1237,13 +1237,20 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
                 sf_ch.append(sf)
             if nch == 2 and mode_ext & 1:  # intensity stereo
                 gl, grt = granules[gr][0], granules[gr][1]
-                if (gl.window_switching, gl.block_type, gl.mixed_block) != (
-                        grt.window_switching, grt.block_type,
-                        grt.mixed_block):
+
+                def _shape(g: GranuleInfo) -> tuple[bool, bool]:
+                    # what the band mapping depends on: short vs long
+                    # spectrum layout, and the mixed split — NOT the
+                    # long window type (normal/start/stop all share
+                    # the long band structure)
+                    short = bool(g.window_switching and g.block_type == 2)
+                    return short, short and bool(g.mixed_block)
+
+                if _shape(gl) != _shape(grt):
                     # the intensity band mapping is defined on the
-                    # RIGHT channel's structure; a stream whose
-                    # channels disagree has no coherent mapping —
-                    # corrupt, not unsupported
+                    # RIGHT channel's structure; a short/long channel
+                    # disagreement has no coherent mapping — corrupt,
+                    # not unsupported
                     raise ValueError(
                         "MP3: intensity stereo with mismatched channel "
                         "block types"

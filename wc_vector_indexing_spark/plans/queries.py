@@ -18,6 +18,9 @@ each query re-expresses.
 
 from __future__ import annotations
 
+import base64
+import hashlib
+
 from dataclasses import dataclass
 from typing import Callable
 
@@ -6576,9 +6579,6 @@ def _warc_cdx_fixture_recs(d: int, hot_digest: bool = False) -> list[dict]:
     oracles assume the same framing): 1 + d%3 records with fixed-width
     fields; slot j==2 (3-record files only) is a revisit of record 0.
     ``hot_digest`` makes every body identical (skew knob)."""
-    import base64
-    import hashlib
-
     recs: list[dict] = []
     for j in range(1 + d % 3):
         if j == 2:  # revisit of record 0 (archive dedup)
@@ -6671,17 +6671,17 @@ r AS (
     FROM t
 )
 SELECT doc_id, j AS rec_index,
-       'example,w' || lpad(doc_id::VARCHAR, 5, '0') || ')/p'
+       'example,w' || printf('%05d', doc_id) || ')/p'
            || lpad(uj::VARCHAR, 3, '0') AS urlkey,
        '202401010000' || lpad(((doc_id + j) % 60)::VARCHAR, 2, '0') AS ts14,
-       'https://w' || lpad(doc_id::VARCHAR, 5, '0') || '.example/p'
+       'https://w' || printf('%05d', doc_id) || '.example/p'
            || lpad(uj::VARCHAR, 3, '0') AS url,
        CASE WHEN is_rev THEN 'warc/revisit' ELSE 'text/html' END AS mime,
        200::INT AS status,
        (95 + j * 315)::BIGINT AS offset,
        (CASE WHEN is_rev THEN 460 ELSE 315 END)::BIGINT AS length,
        CASE WHEN is_rev THEN 'revisit' ELSE 'response' END AS record_type,
-       CASE WHEN is_rev THEN '<urn:uuid:' || lpad(doc_id::VARCHAR, 5, '0')
+       CASE WHEN is_rev THEN '<urn:uuid:' || printf('%05d', doc_id)
             || '-000>' END AS refers_to
 FROM r
 ORDER BY doc_id, rec_index
@@ -6757,11 +6757,11 @@ r AS (
     FROM t
 )
 SELECT doc_id,
-       'example,w' || lpad(doc_id::VARCHAR, 5, '0') || ')/p000' AS urlkey,
-       'https://w' || lpad(doc_id::VARCHAR, 5, '0') || '.example/p000' AS url,
+       'example,w' || printf('%05d', doc_id) || ')/p000' AS urlkey,
+       'https://w' || printf('%05d', doc_id) || '.example/p000' AS url,
        '202401010000' || lpad(((doc_id + 2) % 60)::VARCHAR, 2, '0')
            AS revisit_ts14,
-       '<urn:uuid:' || lpad(doc_id::VARCHAR, 5, '0') || '-000>' AS refers_to,
+       '<urn:uuid:' || printf('%05d', doc_id) || '-000>' AS refers_to,
        ok AS resolved,
        CASE WHEN ok THEN doc_id END AS orig_doc,
        CASE WHEN ok THEN '202401010000'
@@ -6820,7 +6820,7 @@ def warc_dedup_write_op(spark: SparkSession, sf: str) -> DataFrame:
 WARC_DEDUP_WRITE_SQL = r"""
 WITH batch AS (
     SELECT doc_id,
-           'https://b.example/d' || lpad(doc_id::VARCHAR, 5, '0') AS url,
+           'https://b.example/d' || printf('%05d', doc_id) AS url,
            '202406010000' || lpad((doc_id % 60)::VARCHAR, 2, '0') AS ts14,
            'DIG' || lpad((doc_id % 40)::VARCHAR, 3, '0') AS digest,
            (100 + doc_id % 40)::BIGINT AS length
@@ -6911,7 +6911,7 @@ def cdx_snapshot_diff_op(spark: SparkSession, sf: str) -> DataFrame:
 CDX_SNAPSHOT_DIFF_SQL = r"""
 WITH d AS (
     SELECT doc_id,
-           'example,u)/p' || lpad(doc_id::VARCHAR, 5, '0') AS urlkey,
+           'example,u)/p' || printf('%05d', doc_id) AS urlkey,
            doc_id % 5 <> 0 AS in_old,
            doc_id % 7 <> 3 AS in_new,
            doc_id % 4 = 1 AS moved
@@ -6922,10 +6922,10 @@ SELECT urlkey,
             WHEN NOT in_new THEN 'gone'
             WHEN moved THEN 'changed' ELSE 'unchanged' END AS status,
        CASE WHEN in_old
-            THEN 'DA' || lpad(doc_id::VARCHAR, 5, '0') END AS old_digest,
+            THEN 'DA' || printf('%05d', doc_id) END AS old_digest,
        CASE WHEN in_new THEN
             CASE WHEN moved THEN 'DB' ELSE 'DA' END
-            || lpad(doc_id::VARCHAR, 5, '0') END AS new_digest,
+            || printf('%05d', doc_id) END AS new_digest,
        CASE WHEN in_old THEN '20240101'
             || lpad((doc_id % 24)::VARCHAR, 2, '0') || '0000'
             END AS old_ts,
