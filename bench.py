@@ -188,7 +188,7 @@ def main() -> None:
                 ],
                 "control_total": control_total,
                 "drift_factor": drift_factor,
-                "total_norm": value_norm,
+                "value_norm": value_norm,
             },
             fh,
             indent=1,
