@@ -618,6 +618,77 @@ def test_plan_archive_dedup_decisions(spark):
     assert cold["https://s.example/a1"].refers_source == "batch"
 
 
+def test_resolve_revisits_cap_edge_resolves_false_not_wrong(spark, tmp_path):
+    """The documented ``max_digest_candidates`` edge
+    (sources/warc.py resolve_revisits): when the newest-N cap excludes
+    the ONLY capture qualifying for a revisit (the revisit predates
+    every kept capture of a hotter-than-N digest), the revisit must
+    come back ``resolved=false`` with null originals — never silently
+    matched to a newer capture the as-of rule forbids."""
+    import base64
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.sources.warc import (
+        resolve_revisits,
+        to_warc_bytes,
+        warc_cdx_index,
+    )
+
+    body = b"<p>hot boilerplate</p>"
+    dig = base64.b32encode(hashlib.sha1(body).digest()).decode()
+    # three captures of one digest at 07:00 / 08:00 / 09:00; a revisit
+    # at 07:30 qualifies ONLY against the 07:00 capture
+    (tmp_path / "hot.warc").write_bytes(to_warc_bytes([
+        {"url": f"https://hot.example/p{i}", "html": body.decode(),
+         "warc_date": f"2024-03-05T{7 + i:02d}:00:00Z",
+         "record_id": f"<urn:uuid:h{i}>"}
+        for i in range(3)
+    ] + [
+        {"url": "https://hot.example/p0", "revisit": True,
+         "warc_date": "2024-03-05T07:30:00Z", "record_id": "<urn:uuid:r>",
+         "refers_to": "<urn:uuid:h0>", "payload_digest": dig},
+    ]))
+    raw = spark.read.format("binaryFile").load(str(tmp_path / "hot.warc")) \
+        .select(F.col("path").alias("warc_path"), "content")
+    cdx = warc_cdx_index(raw)
+    # uncapped: resolves to the 07:00 capture
+    full = resolve_revisits(cdx).collect()
+    assert len(full) == 1 and full[0].resolved
+    assert full[0].orig_ts14 == "20240305070000"
+    # cap=2 keeps only the 08:00/09:00 captures: the one qualifying
+    # capture is excluded -> resolved=false, NOT a match to 08:00+
+    capped = resolve_revisits(cdx, max_digest_candidates=2).collect()
+    assert len(capped) == 1
+    assert not capped[0].resolved
+    assert capped[0].orig_ts14 is None and capped[0].orig_offset is None
+
+
+def test_crawl_to_training_set_composition(spark):
+    """The end-to-end crawl composition entry over its planted fixture
+    at sf0.001: every duplicate/reject class lands in exactly the
+    stage planted for it — 6 writer-demoted byte dups (archive layer),
+    6 chrome-variant text dups (exact dedup), 6 German pages
+    (language), 3 digit pages (quality), 3 minhash near-dups — and the
+    6 surviving anchors carry 3 captures each (response + resolved
+    revisit + demoted dup) with the 36-token planted article."""
+    from wc_vector_indexing_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["crawl_to_training_set"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    by_split = {r.split: r for r in rows}
+    assert by_split["dropped_archive_dup"].n_docs == 6
+    assert by_split["dropped_exact_duplicate"].n_docs == 6
+    assert by_split["dropped_wrong_language"].n_docs == 6
+    assert by_split["dropped_low_quality"].n_docs == 3
+    assert by_split["dropped_near_duplicate"].n_docs == 3
+    splits = [r for r in rows if not r.split.startswith("dropped_")]
+    assert sum(r.n_docs for r in splits) == 6
+    assert sum(r.n_captures for r in splits) == 18
+    assert all(r.avg_tokens == 36.0 for r in splits)
+
+
 def test_iter_records_truncated_tail_clamps_end():
     # a file cut off right after the last payload byte (no trailing
     # CRLFCRLF): the yielded end offset must not point past EOF, so a

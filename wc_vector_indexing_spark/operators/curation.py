@@ -73,6 +73,13 @@ class CurationConfig:
     # languages. Fit = one small per-group quantile agg over survivors;
     # apply = pure map-literal filter (no corpus shuffle).
     lang_percentile: float | None = None
+    # language router feeding predicted_lang (the column the language
+    # filter and per-language percentile gate key on): 'stopwords' =
+    # the 4-Latin-language stopword-ratio argmax (textstats, the
+    # default); 'ngram' = the 14-language/7-script char-n-gram router
+    # (operators/langid.py) for corpora with CJK/Cyrillic/Arabic
+    # content. Both are pure codegen column expressions.
+    lang_router: str = "stopwords"
 
 
 class CurationResult:
@@ -130,11 +137,21 @@ def curate(
 
         docs = unicode_clean(docs, text_col).drop("was_dirty")
 
+    if config.lang_router == "ngram":
+        from wc_vector_indexing_spark.operators.langid import (
+            predicted_lang_ngram_col as _router,
+        )
+    elif config.lang_router == "stopwords":
+        _router = textstats.predicted_lang_col
+    else:
+        raise ValueError(
+            f"lang_router must be 'stopwords' or 'ngram', got "
+            f"{config.lang_router!r}")
     base = (
         fan_out(docs).withColumn(
             "quality_score", F.round(textstats.quality_score_col(F.col(text_col)), 4)
         )
-        .withColumn("predicted_lang", textstats.predicted_lang_col(F.col(text_col)))
+        .withColumn("predicted_lang", _router(F.col(text_col)))
         .persist()
     )
 

@@ -1097,6 +1097,79 @@ def lang_id_stopwords(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.lang_id(load(spark, "documents", sf))
 
 
+# (lang, expected script, planted sentence) — one per language the
+# char-n-gram router covers; the doc_id % 14 plant both lang_id_ngram_op
+# and its oracle's expectation CASEs are generated from. Latin plants
+# verified to win their marker argmax by ≥7 hits against ≤1 stray hit.
+_LANGID_PLANTS: list[tuple[str, str, str]] = [
+    ("en", "latin", "the report is ready and this is the part that goes "
+                    "with the data for this run"),
+    ("es", "latin", "los datos que tenemos para una prueba como esta son "
+                    "los que están en la lista de revisión"),
+    ("de", "latin", "der bericht ist fertig und die daten sind nicht alt "
+                    "auch werden die werte ein teil"),
+    ("fr", "latin", "les données sont dans une liste pour les tests avec "
+                    "des valeurs qui restent"),
+    ("it", "latin", "che i risultati sono una parte della prova con gli "
+                    "altri valori degli esempi per la sezione"),
+    ("pt", "latin", "os dados não são uma parte dos testes mais com a "
+                    "seção para os valores pelo menos"),
+    ("nl", "latin", "het rapport is een lijst van waarden die niet gelijk "
+                    "zijn voor de tests naar wens"),
+    ("tr", "latin", "bu rapor bir liste ve değerler için olarak kalan "
+                    "veriler ile birlikte bulunur"),
+    ("ru", "cyrillic", "отчет готов и данные остаются в списке для "
+                       "проверки значений"),
+    ("ja", "kana", "このレポートはデータの一覧であり値は検証のために残ります"),
+    ("zh", "han", "这份报告包含数据列表所有数值保留用于验证和检查"),
+    ("ko", "hangul", "이 보고서는 데이터 목록이며 값은 검증을 위해 유지됩니다"),
+    ("ar", "arabic", "هذا التقرير يحتوي على قائمة البيانات والقيم محفوظة للتحقق"),
+    ("hi", "devanagari", "यह रिपोर्ट आंकड़ों की सूची है और मान जाँच के लिए रखे गए हैं"),
+]
+
+
+def lang_id_ngram_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-n-gram language ID (operators/langid.py — script gate +
+    Cavnar-Trenkle-style Latin marker profiles, 14 languages / 7
+    scripts): each document gets a planted sentence in language
+    doc_id % 14 (digits of doc_id appended — they must not disturb
+    either stage). Planted truth ⇒ the oracle asserts the CLASSIFIER
+    OUTPUT equals the planted language/script, not merely that both
+    engines replay the same arithmetic: a router that misidentifies
+    any planted language hash-mismatches. Zero-shuffle codegen map
+    pass (the whole classifier is length/replace arithmetic)."""
+    from wc_vector_indexing_spark.operators.langid import lang_id_ngram
+
+    docs = load(spark, "documents", sf)
+    plant = F.when(F.lit(False), F.lit(""))
+    for i, (_, _, sentence) in enumerate(_LANGID_PLANTS):
+        plant = plant.when(F.col("doc_id") % 14 == i, F.lit(sentence))
+    planted = docs.select(
+        "doc_id",
+        F.concat(plant, F.lit(" "), F.col("doc_id").cast("string"))
+        .alias("text"),
+    )
+    return lang_id_ngram(planted).orderBy("doc_id")
+
+
+def _lang_id_ngram_sql() -> str:
+    """Planted-truth oracle for lang_id_ngram: expectation CASEs
+    generated from the same _LANGID_PLANTS table the Spark plant uses."""
+    script_arms = " ".join(
+        f"WHEN {i} THEN '{script}'"
+        for i, (_, script, _) in enumerate(_LANGID_PLANTS))
+    lang_arms = " ".join(
+        f"WHEN {i} THEN '{lang}'"
+        for i, (lang, _, _) in enumerate(_LANGID_PLANTS))
+    return f"""
+SELECT doc_id,
+       CASE (doc_id % 14)::INT {script_arms} END AS script,
+       CASE (doc_id % 14)::INT {lang_arms} END AS predicted_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def token_length_dist(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source token-length distribution (exact p25/p50/p90/max) —
     the sequence-length planning input for packing budgets and batch
@@ -2191,7 +2264,7 @@ def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     return report
 
 
-def _curation_ctes() -> str:
+def _curation_ctes(rel: str = "documents") -> str:
     """Shared CTE chain for the curation/training-pipeline oracles: the
     same stage sequence as operators/curation.curate under the registry
     config — quality + language gates, exact text dedup (keep-min),
@@ -2224,7 +2297,7 @@ def _curation_ctes() -> str:
     SELECT doc_id, text, {quality} AS q,
            {ratio('en')} AS en_r, {ratio('es')} AS es_r,
            {ratio('de')} AS de_r, {ratio('fr')} AS fr_r
-    FROM documents
+    FROM {rel}
 ), langd AS (
     SELECT doc_id, text, q,
            CASE WHEN en_r >= es_r AND en_r >= de_r AND en_r >= fr_r AND en_r >= {m} THEN 'en'
@@ -6938,6 +7011,294 @@ ORDER BY urlkey
 """
 
 
+_CRAWL_TOPICS = [
+    ("ocean", "tide", "reef", "coral"), ("desert", "dune", "sand", "cactus"),
+    ("forest", "pine", "moss", "fern"), ("glacier", "ice", "snow", "ridge"),
+    ("meadow", "grass", "clover", "bee"), ("canyon", "rock", "cliff", "river"),
+]
+# near-dup tail appended to one anchor article per even group: +4 new
+# 4-gram shingles on ~33 → Jaccard ≈ 0.85 ≥ the 0.5 curation threshold
+_CRAWL_ND_SUFFIX = " Additional trailing words appended here now."
+# digit-heavy plant: quality 0.43 < 0.5 → low_quality audit branch
+_CRAWL_LQ_PREFIX = "000 111 222 333 444 555 666 777 888 999 000 111 222 333 "
+# de-stopword plant: quality 0.67 ≥ 0.5 but predicted_lang='de' →
+# wrong_language audit branch
+_CRAWL_DE_PREFIX = ("der die und das ist ein eine zu den von der die und "
+                    "das ist ein eine zu den von seite ")
+
+
+def _crawl_article_parts(g: int) -> tuple[str, str]:
+    """(prefix, suffix) around the doc_id for group ``g``'s anchor
+    article — the ONE definition both the WARC fixture renderer and
+    the DuckDB oracle's CASE arms are generated from, so the planted
+    truth cannot drift between engines. Group-specific topic words sit
+    within every 4 tokens, pushing cross-group shingle Jaccard to ~0.2
+    (below the 0.5 near-dup threshold): without them every anchor
+    article would near-dup-cluster with every other."""
+    a, b, c, e = _CRAWL_TOPICS[g]
+    return (
+        f"the {a} {b} is part of the {c} {e} survey and it is clear "
+        f"that the {a} {e} record of page ",
+        f" can be used for the {b} {c} study tasks in it for training runs.",
+    )
+
+
+def _crawl_page(text: str, alt_chrome: bool = False) -> str:
+    """Wrap an article in link-dense nav/footer chrome the extractor
+    must strip (same block shapes html_main_text pins). ``alt_chrome``
+    adds one nav link — different bytes (different payload digest),
+    identical extracted text: the duplicate class only TEXT-level exact
+    dedup can catch after archive-level digest dedup misses it."""
+    extra = " <a href='/b'>Blog</a>" if alt_chrome else ""
+    return (
+        "<html><body><nav><a href='/'>Home</a> <a href='/a'>About</a> "
+        f"<a href='/c'>Contact</a>{extra}</nav><p>{text}</p>"
+        "<footer><a href='/p'>Privacy</a> <a href='/t'>Terms</a>"
+        "</footer></body></html>"
+    )
+
+
+def _crawl_fixture_recs(g: int, ids: list[int]) -> list[dict]:
+    """Group ``g``'s six WARC records — one planted instance of every
+    duplicate/reject class the crawl→training-set chain must handle:
+
+      slot 0  anchor response (good English article, survives)
+      slot 1  same EXTRACTED TEXT as slot 0 under different chrome →
+              different digest, caught only by exact text dedup
+      slot 2  true REVISIT record of slot 0 (same payload digest,
+              later ts, WARC-Refers-To pointer) → resolve_revisits
+      slot 3  byte-identical duplicate RESPONSE at another URL →
+              plan_archive_dedup writer decision drops it
+      slot 4  German article → wrong_language audit branch
+      slot 5  even g: near-dup of the anchor (minhash); odd g:
+              digit-heavy low-quality page
+    """
+    import base64
+    import hashlib
+
+    d = ids[6 * g: 6 * g + 6]
+    pre, suf = _crawl_article_parts(g)
+    anchor_html = _crawl_page(f"{pre}{d[0]}{suf}")
+    digest = base64.b32encode(
+        hashlib.sha1(anchor_html.encode()).digest()).decode("ascii")
+
+    def ts(slot: int) -> str:
+        return f"2024-01-01T00:00:{6 * g + slot:02d}Z"
+
+    def rec(slot: int, url_d: int, html: str) -> dict:
+        return {"url": f"https://crawl.example/{url_d}", "html": html,
+                "warc_date": ts(slot),
+                "record_id": f"<urn:uuid:rec{6 * g + slot}>"}
+
+    tail = (
+        _crawl_page(f"{pre}{d[0]}{suf}{_CRAWL_ND_SUFFIX}")
+        if g % 2 == 0
+        else _crawl_page(f"{_CRAWL_LQ_PREFIX}{d[5]}")
+    )
+    return [
+        rec(0, d[0], anchor_html),
+        rec(1, d[1], _crawl_page(f"{pre}{d[0]}{suf}", alt_chrome=True)),
+        {"url": f"https://crawl.example/{d[0]}", "revisit": True,
+         "warc_date": ts(2), "record_id": f"<urn:uuid:rec{6 * g + 2}>",
+         "refers_to": f"<urn:uuid:rec{6 * g}>", "payload_digest": digest},
+        rec(3, d[3], anchor_html),
+        rec(4, d[4], _crawl_page(f"{_CRAWL_DE_PREFIX}{d[4]}")),
+        rec(5, d[5], tail),
+    ]
+
+
+def crawl_to_training_set_op(spark: SparkSession, sf: str) -> DataFrame:
+    """THE crawl front door end to end, one lazy program (the r10
+    verdict's top task): raw WARC bytes → CDX index (revisit rows
+    included) → resolve_revisits (as-of digest resolution) →
+    plan_archive_dedup (writer response-vs-revisit decisions) →
+    main-text extraction (html_extract) → curation (quality → language
+    → exact + near dedup) → content-addressed train/val/test split →
+    packed per-split summary with capture provenance. Every stage is
+    an existing green operator; this entry is where cross-operator
+    schema/contract drift would hide (reference analogue: the full
+    Job_Index_Product::handle composition, class-indexer.php:284-477,
+    restated for a crawl corpus).
+
+    Fixture: six planted WARC files (6 records each, see
+    _crawl_fixture_recs) covering every duplicate class — archive-level
+    byte dups, revisit pointers, chrome-variant text dups, minhash
+    near-dups — plus language and quality rejects. Planted truth ⇒ the
+    DuckDB oracle reconstructs the post-archive page relation by slot
+    arithmetic and replays curation/split with the SAME shared CTE
+    chain the curation_pipeline oracle uses; n_captures folds revisit
+    resolution and writer decisions into the gated answer (3 captures
+    per anchor digest, 1 elsewhere).
+
+    Scale shape: the CDX build is one Arrow pass over file bytes; its
+    three consumers share one persisted build (at 100 TB the CDX is a
+    written artifact between stages). Dedup joins key on digest/url —
+    group sizes are duplicate-cluster sizes, never all-pairs; the
+    summary is a bounded 9-row collect."""
+    from wc_vector_indexing_spark.operators.curation import (
+        CurationConfig,
+        curate,
+    )
+    from wc_vector_indexing_spark.operators.html_extract import (
+        extract_documents,
+    )
+    from wc_vector_indexing_spark.operators.sampling import hash_split
+    from wc_vector_indexing_spark.operators.textstats import token_count
+    from wc_vector_indexing_spark.sources.warc import (
+        parse_warc,
+        plan_archive_dedup,
+        resolve_revisits,
+        to_warc_bytes,
+        warc_cdx_index,
+    )
+
+    ids = [
+        int(r[0])
+        for r in load(spark, "documents", sf)
+        .select("doc_id").orderBy("doc_id").limit(36).collect()
+    ]
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            paths, blobs = [], []
+            for g in pdf["g"]:
+                paths.append(f"mem://crawl{int(g)}.warc")
+                blobs.append(
+                    to_warc_bytes(_crawl_fixture_recs(int(g), ids),
+                                  version="1.1"))
+            yield pd.DataFrame({"warc_path": paths, "content": blobs})
+
+    gdf = spark.createDataFrame([(g,) for g in range(6)], "g int").repartition(6)
+    raw = gdf.mapInPandas(render, schema="warc_path string, content binary")
+    cdx = warc_cdx_index(raw).persist()
+    resolved = resolve_revisits(cdx)
+    responses = cdx.filter(F.col("record_type") == "response").select(
+        "url", "ts14", F.col("digest_sha1_b32").alias("digest"), "length")
+    decisions = plan_archive_dedup(responses)
+    rev_n = (resolved.filter(F.col("resolved"))
+             .groupBy("digest").agg(F.count(F.lit(1)).alias("n_rev")))
+    dup_n = (decisions.filter(F.col("record_type") == "revisit")
+             .groupBy("digest").agg(F.count(F.lit(1)).alias("n_dup")))
+    # captures-per-kept-page: the response itself + revisit records that
+    # resolve to its digest + byte-dup responses the writer demoted
+    caps = (decisions.filter(F.col("record_type") == "response")
+            .select("url", "digest")
+            .join(rev_n, "digest", "left").join(dup_n, "digest", "left")
+            .select(
+                "url",
+                (F.lit(1) + F.coalesce("n_rev", F.lit(0))
+                 + F.coalesce("n_dup", F.lit(0))).alias("n_captures")))
+    # inner join = the keep-set filter AND the provenance attach in one
+    # (caps carries exactly the first-capture urls); broadcast — the
+    # decision table is archive-index-sized, not corpus-sized
+    pages = parse_warc(raw).join(F.broadcast(caps), "url")
+    docs = extract_documents(
+        pages.select(
+            F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+            "n_captures", "html")
+    ).select("doc_id", "n_captures", "text")
+    result = curate(docs, CurationConfig(
+        min_quality=0.5, languages=("en",), minhash_token_hash="md5"))
+    split_summary = (
+        hash_split(result.curated, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_captures").alias("n_captures"),
+             F.round(F.avg(token_count(F.col("text"))), 2).alias("avg_tokens")))
+    dropped = (result.audit.groupBy("reject_reason")
+               .agg(F.count(F.lit(1)).alias("n_docs"))
+               .select(F.concat(F.lit("dropped_"),
+                                "reject_reason").alias("split"),
+                       "n_docs"))
+    arch = (decisions.filter(F.col("record_type") == "revisit")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.lit("dropped_archive_dup").alias("split"), "n_docs"))
+    out = split_summary.unionByName(
+        dropped.unionByName(arch).filter(F.col("n_docs") > 0)
+        .select("split", "n_docs",
+                F.lit(None).cast("long").alias("n_captures"),
+                F.lit(None).cast("double").alias("avg_tokens"))
+    ).orderBy("split")
+    rows = out.collect()  # eager bounded summary: release caches after
+    result.unpersist()
+    cdx.unpersist()
+    return spark.createDataFrame(
+        rows, "split string, n_docs long, n_captures long, avg_tokens double")
+
+
+def _crawl_to_training_sql() -> str:
+    """crawl_to_training_set's oracle: rebuild the post-archive-dedup
+    page relation from slot arithmetic (slots 2/3 are the revisit
+    pointer and the writer-demoted byte dup — planted truth says they
+    never reach extraction), replay curation with the SAME shared CTE
+    chain as the curation_pipeline oracle, then split + summarize with
+    per-anchor capture counts."""
+    arms_pre = " ".join(
+        f"WHEN {g} THEN '{_crawl_article_parts(g)[0]}'" for g in range(6))
+    arms_suf = " ".join(
+        f"WHEN {g} THEN '{_crawl_article_parts(g)[1]}'" for g in range(6))
+    return rf"""
+WITH RECURSIVE ids AS (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 36)
+), slots AS (
+    SELECT doc_id, (rnk % 6)::INT AS slot, (rnk // 6)::INT AS g FROM ids
+), anchors AS (
+    SELECT g, doc_id AS d0 FROM slots WHERE slot = 0
+), art AS (
+    SELECT s.doc_id, s.slot, s.g,
+           CASE s.g {arms_pre} END || a.d0 ||
+           CASE s.g {arms_suf} END AS anchor_text
+    FROM slots s JOIN anchors a USING (g)
+), pages AS (
+    SELECT doc_id,
+           CASE WHEN slot IN (0, 1) THEN anchor_text
+                WHEN slot = 5 AND g % 2 = 0
+                     THEN anchor_text || '{_CRAWL_ND_SUFFIX}'
+                WHEN slot = 5 THEN '{_CRAWL_LQ_PREFIX}' || doc_id
+                ELSE '{_CRAWL_DE_PREFIX}' || doc_id END AS text
+    FROM art WHERE slot IN (0, 1, 4, 5)
+), {_curation_ctes('pages')},
+curated AS (
+    SELECT s2.doc_id, s2.text FROM s2
+    LEFT JOIN near_dropped nd ON s2.doc_id = nd.doc_id
+    WHERE nd.doc_id IS NULL
+), caps AS (
+    SELECT doc_id, CASE WHEN slot = 0 THEN 3 ELSE 1 END AS n_captures
+    FROM slots
+), sp AS (
+    SELECT c.doc_id, c.text, k.n_captures,
+           (('0x' || substr(sha256(c.doc_id::VARCHAR), 1, 8))::UBIGINT
+            % 10000)::INT AS bucket
+    FROM curated c JOIN caps k USING (doc_id)
+), split_rows AS (
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs, sum(n_captures) AS n_captures,
+           round(avg(len(regexp_split_to_array(lower(trim(text)), '\s+'))),
+                 2) AS avg_tokens
+    FROM sp GROUP BY 1
+), dropped AS (
+    SELECT 'dropped_low_quality' AS split, count(*) AS n_docs FROM low_q
+    UNION ALL SELECT 'dropped_wrong_language', count(*) FROM wrong_lang
+    UNION ALL SELECT 'dropped_exact_duplicate', count(*) FROM exact_dropped
+    UNION ALL SELECT 'dropped_near_duplicate', count(*) FROM near_dropped
+    UNION ALL SELECT 'dropped_archive_dup',
+                     (SELECT count(*) FROM slots WHERE slot = 3)
+)
+SELECT split, n_docs::BIGINT AS n_docs,
+       n_captures::BIGINT AS n_captures, avg_tokens
+FROM (
+    SELECT split, n_docs, n_captures, avg_tokens FROM split_rows
+    UNION ALL
+    SELECT split, n_docs, NULL, NULL FROM dropped WHERE n_docs > 0
+)
+ORDER BY split
+"""
+
+
 def feed_discovery_op(
     spark: SparkSession, sf: str, *, n: int = 200, mega_entries: int = 0
 ) -> DataFrame:
@@ -8226,6 +8587,22 @@ REGISTRY: dict[str, QuerySpec] = {
         cdx_snapshot_diff_op, CDX_SNAPSHOT_DIFF_SQL,
         "crawl-over-crawl churn: new/gone/changed/unchanged per urlkey from two CDX snapshots"
     ),
+    # r11 window rotation: crawl_to_training_set (new, never
+    # driver-recorded — the end-to-end crawl composition the r10
+    # verdict ranked #1) promoted; parquet_footer_census (recorded
+    # r8 + r10) slides below the 50-entry cutoff in exchange.
+    "crawl_to_training_set": QuerySpec(
+        crawl_to_training_set_op, _crawl_to_training_sql(),
+        "raw WARC bytes → CDX/revisit-resolve/writer-dedup → main text → curate → split summary, one lazy program (planted-truth oracle)"
+    ),
+    # r11 window rotation: lang_id_ngram (new, never driver-recorded —
+    # the 14-language/7-script crawl router the r10 verdict ranked #4)
+    # promoted; compressed_frame_census (recorded r8 + r10) slides
+    # below the 50-entry cutoff in exchange.
+    "lang_id_ngram": QuerySpec(
+        lang_id_ngram_op, _lang_id_ngram_sql(),
+        "char-n-gram language ID: script gate + Latin marker profiles, 14 langs / 7 scripts (planted-truth oracle)"
+    ),
     "session_window_events": QuerySpec(
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
     ),
@@ -8282,17 +8659,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # session-3 r8 window rotation: compressed_frame_census (never
     # driver-recorded) promoted; docx_corpus_text (recorded r7) demoted
     # to the tail in exchange.
-    "compressed_frame_census": QuerySpec(
-        compressed_frame_census_op, COMPRESSED_CENSUS_SQL,
-        "gzip member + zstd frame/block-walk triage (planted-truth oracle)"
-    ),
     # session-3 r8 window rotation: parquet_footer_census (never
     # driver-recorded) promoted; epub_corpus_text (recorded r7) demoted
     # to the tail in exchange.
-    "parquet_footer_census": QuerySpec(
-        parquet_footer_census_op, PARQUET_CENSUS_SQL,
-        "Thrift-compact parquet footer triage vs real pyarrow files (planted-truth oracle)"
-    ),
     # session-3 r8 window rotation: subtitle_cues (never
     # driver-recorded) promoted; image_dedup_progressive (recorded r7)
     # demoted to the tail in exchange.
@@ -8407,6 +8776,18 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "importance_weights": QuerySpec(
         importance_weights_op, IMPORTANCE_SQL, "DSIR hashed-unigram importance weights"
+    ),
+    # r11 window rotation: demoted here (recorded r8 + r10) in exchange
+    # for lang_id_ngram above.
+    "compressed_frame_census": QuerySpec(
+        compressed_frame_census_op, COMPRESSED_CENSUS_SQL,
+        "gzip member + zstd frame/block-walk triage (planted-truth oracle)"
+    ),
+    # r11 window rotation: demoted here (recorded r8 + r10) in exchange
+    # for crawl_to_training_set above.
+    "parquet_footer_census": QuerySpec(
+        parquet_footer_census_op, PARQUET_CENSUS_SQL,
+        "Thrift-compact parquet footer triage vs real pyarrow files (planted-truth oracle)"
     ),
     # --- below the 50-entry driver gate window (all recorded green in
     # r1-r7; demoted in r8 to make room for the upgraded/new entries) ---

@@ -257,6 +257,18 @@ def _parse_pass(raw: DataFrame) -> DataFrame:
     return raw.mapInPandas(parse, schema=WARC_SCHEMA)
 
 
+def parse_warc(raw: DataFrame) -> DataFrame:
+    """Parse already-loaded whole-file WARC byte rows (columns:
+    warc_path, content binary) into the same (url, warc_date,
+    record_id, http_status, content_type, html, warc_path) rows
+    :func:`read_warc` produces — the entry point for compositions
+    whose raw bytes come from somewhere other than a binaryFile scan
+    (an in-memory render, a fetcher stage, an object-store lister).
+    Same Arrow pass as the file reader, so the two can never
+    disagree on what a record is."""
+    return _parse_pass(raw)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Read WARC file(s) into (url, warc_date, record_id, http_status,
     content_type, html, warc_path) — 200-status text/html response
@@ -268,7 +280,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select(F.col("path").alias("warc_path"), "content")
     )
-    return _parse_pass(raw)
+    return parse_warc(raw)
 
 
 def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
