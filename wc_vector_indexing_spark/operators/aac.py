@@ -20,6 +20,8 @@ this is north-star training-pipeline surface, public spec only.
 
 from __future__ import annotations
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 # ISO 14496-3 Table 1.18 (13818-7 Table 35): samplingFrequencyIndex
 SAMPLE_RATES = [
     96000, 88200, 64000, 48000, 44100, 32000,
@@ -30,6 +32,7 @@ PROFILES = ["main", "lc", "ssr", "ltp"]  # 2-bit profile (audioObjectType-1)
 _SAMPLES_PER_BLOCK = 1024
 
 
+@quarantine("adts")
 def parse_adts_headers(data: bytes) -> dict:
     """Walk ADTS frames; returns n_frames, duration_us (exact integer
     µs from total raw-data-block samples over the sample rate),

@@ -22,11 +22,14 @@ import struct
 
 import numpy as np
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 
 # --------------------------------------------------------------------------
 # BMP
 # --------------------------------------------------------------------------
 
+@quarantine("bmp")
 def decode_bmp(data: bytes) -> np.ndarray:
     """Decode an uncompressed BMP to ``(h, w, 3)`` RGB uint8."""
     if len(data) < 54 or data[:2] != b"BM":
@@ -150,6 +153,7 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@quarantine("gif")
 def gif_frames(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
     """Decode GIF image frames to RGB arrays (transparency index, if
     declared, resolves to the color-table value — compositing of
@@ -225,6 +229,7 @@ def gif_frames(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
     return frames
 
 
+@quarantine("gif")
 def decode_gif(data: bytes) -> np.ndarray:
     """First frame as ``(h, w, 3)`` RGB uint8."""
     return gif_frames(data, max_frames=1)[0]

@@ -23,6 +23,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 _FTEXT, _FHCRC, _FEXTRA, _FNAME, _FCOMMENT = 1, 2, 4, 8, 16
 
 _GZIP_OS = {
@@ -32,6 +34,7 @@ _GZIP_OS = {
 }
 
 
+@quarantine("gzip")
 def parse_gzip_member(data: bytes) -> dict:
     """→ mtime, os, fname, ftext, isize (RFC 1952 trailer: uncompressed
     size mod 2^32). Header-and-trailer read only; the deflate payload is
@@ -98,6 +101,7 @@ def to_gzip_bytes(
 _ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 
 
+@quarantine("zstd")
 def parse_zstd_frame(data: bytes) -> dict:
     """→ content_size (None when the FCS field is absent), window_log
     (None for single-segment frames), dict_id (None when absent),

@@ -19,7 +19,10 @@ from __future__ import annotations
 
 import struct
 
+from wc_vector_indexing_spark.operators.contract import quarantine
 
+
+@quarantine("flac")
 def parse_flac_streaminfo(data: bytes) -> dict:
     """fLaC header walk → sample_rate, channels, bits_per_sample,
     total_samples, duration_us (exact integer µs; 0 total_samples is

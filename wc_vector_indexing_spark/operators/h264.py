@@ -19,6 +19,8 @@ north-star training-pipeline surface, public spec only.
 
 from __future__ import annotations
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 NAL_NAMES = {
     1: "slice", 5: "idr_slice", 6: "sei", 7: "sps", 8: "pps", 9: "aud",
 }
@@ -127,6 +129,7 @@ def parse_sps(rbsp: bytes) -> dict:
     }
 
 
+@quarantine("h264 annexb")
 def parse_annexb(data: bytes) -> dict:
     """Annex B byte-stream walk: n_nals, per-type counts, and the first
     SPS's profile/level/resolution. Raises ValueError when no start

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 # zigzag order (T.81 Figure A.6): index i of the stream -> (row, col)
 _ZIGZAG = np.array(
     [
@@ -156,6 +158,7 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+@quarantine("jpeg")
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) or progressive (SOF2) JPEG to uint8
     ``(h, w)`` (grayscale) or ``(h, w, 3)`` (RGB, BT.601 YCbCr
@@ -288,6 +291,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vmax = max(c["v"] for c in frame["comps"])
                 mx = -(-frame["w"] // (8 * hmax))
                 my = -(-frame["h"] // (8 * vmax))
+                # same pre-allocation bound as _decode_scan: corrupted
+                # SOF dimensions must raise, not allocate
+                n_total = sum(
+                    my * mx * c["v"] * c["h"] for c in frame["comps"])
+                if n_total > 8 * max(len(data) - i, 0) + 64:
+                    raise ValueError(
+                        "corrupt JPEG: frame dimensions imply more "
+                        "blocks than the scan data could encode")
                 grids = [
                     np.zeros((my * c["v"], mx * c["h"], 64), dtype=np.int32)
                     for c in frame["comps"]
@@ -329,6 +340,14 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     # position. The Huffman walk is inherently sequential; everything
     # after it is not.
     n_blocks = [mcus_y * mcus_x * c["v"] * c["h"] for c in comps]
+    # allocation bound BEFORE the zeros() calls: every block costs at
+    # least one Huffman code (≥1 bit) in the scan, so a frame header
+    # whose corrupted dimensions imply more blocks than the remaining
+    # bits could ever encode is bad input, not a multi-GB allocation
+    if sum(n_blocks) > 8 * max(len(data) - pos, 0) + 64:
+        raise ValueError(
+            "corrupt JPEG: frame dimensions imply more blocks than the "
+            "scan data could encode")
     zz_all = [np.zeros((n, 64), dtype=np.int32) for n in n_blocks]
     slots = [np.zeros((n, 2), dtype=np.int64) for n in n_blocks]
     fill = [0] * len(comps)

@@ -75,6 +75,7 @@ from functools import lru_cache
 
 import numpy as np
 
+from wc_vector_indexing_spark.operators.contract import quarantine
 from wc_vector_indexing_spark.operators.mp3 import (
     _BITRATE_KBPS,
     _SAMPLE_RATE,
@@ -1130,6 +1131,7 @@ def _intensity_stereo_short(xr_ch, sf_right, rate: int, ms: bool,
 # decoder
 # --------------------------------------------------------------------------
 
+@quarantine("mp3")
 def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     """Decode an MPEG-1/2/2.5 Layer III stream -> ``(samples,
     sample_rate)`` with ``samples`` int16 of shape ``(n, n_channels)``

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import struct
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 _CONTAINERS = {
     b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"mvex",
     b"moof", b"traf", b"udta",
@@ -47,6 +49,7 @@ def _walk(data: bytes, pos: int, end: int, depth: int = 0):
         pos += size
 
 
+@quarantine("mp4")
 def parse_mp4(data: bytes) -> dict:
     """Box walk → brand, duration_us (mvhd), n_tracks, per-track codec
     fourccs (sorted, comma-joined), video width/height (first video

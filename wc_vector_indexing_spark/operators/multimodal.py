@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -95,6 +97,7 @@ def _netpbm_tokens(data: bytes, n: int, start: int) -> tuple[list[int], int]:
     return tokens, i
 
 
+@quarantine("image")
 def decode_image(content: bytes) -> np.ndarray:
     """Decode an image to a numpy array — grayscale ``(h, w)`` for PGM,
     ``(h, w, 3)`` for PPM — using nothing but numpy.
@@ -150,6 +153,7 @@ def decode_image(content: bytes) -> np.ndarray:
     return img.reshape((h, w, 3)) if channels == 3 else img.reshape((h, w))
 
 
+@quarantine("audio")
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     """Decode audio to ``(samples, sample_rate)``; ``samples`` is
     ``(n_frames, n_channels)`` int16. PCM WAV decodes with stdlib

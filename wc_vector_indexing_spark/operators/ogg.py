@@ -21,7 +21,10 @@ from __future__ import annotations
 
 import struct
 
+from wc_vector_indexing_spark.operators.contract import quarantine
 
+
+@quarantine("ogg")
 def parse_ogg(data: bytes) -> dict:
     """Page walk → codec ('opus'|'vorbis'|'unknown'), n_pages,
     n_streams (distinct serials), channels, sample_rate, duration_us

@@ -28,6 +28,8 @@ from __future__ import annotations
 import io
 import struct
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 # thrift compact protocol element types
 _STOP, _BOOL_T, _BOOL_F, _I8, _I16, _I32, _I64 = 0, 1, 2, 3, 4, 5, 6
 _DOUBLE, _BINARY, _LIST, _SET, _MAP, _STRUCT = 7, 8, 9, 10, 11, 12
@@ -131,6 +133,7 @@ def _read_struct(r: _Reader) -> dict:
     # unreachable
 
 
+@quarantine("parquet footer")
 def parse_parquet_footer(data: bytes) -> dict:
     """→ version, num_rows, n_row_groups, n_leaf_columns, first_rg_rows,
     codec (name of the first column chunk's codec), writer (created_by).

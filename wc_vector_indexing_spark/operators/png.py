@@ -19,6 +19,8 @@ import zlib
 
 import numpy as np
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 _MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # channels per pixel by PNG color type
@@ -76,6 +78,7 @@ def _unfilter(raw: bytes, offset: int, h: int, stride: int, bpp: int):
     return out, offset + h * (stride + 1)
 
 
+@quarantine("png")
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG to uint8/uint16 ``(h, w)``, ``(h, w, 3)`` or
     ``(h, w, 4)`` (palette images expand to RGB; gray+alpha to
@@ -91,6 +94,14 @@ def decode_png(data: bytes) -> np.ndarray:
         chunk = data[pos + 8 : pos + 8 + length]
         if len(chunk) < length:
             raise ValueError("truncated PNG: chunk overruns the file")
+        crc = data[pos + 8 + length : pos + 12 + length]
+        if len(crc) < 4:
+            raise ValueError("truncated PNG: chunk CRC cut off")
+        # verify the per-chunk CRC the spec mandates (§5.3): interior
+        # corruption must be DETECTED here, not decoded into silently
+        # wrong pixels that feed image dedup downstream
+        if struct.unpack(">I", crc)[0] != zlib.crc32(ctype + chunk):
+            raise ValueError(f"corrupt PNG: CRC mismatch in {ctype!r} chunk")
         pos += 12 + length  # length + type + data + CRC
         if ctype == b"IHDR":
             if len(chunk) < 13:

@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 from wc_vector_indexing_spark.operators.jpeg import decode_jpeg
 from wc_vector_indexing_spark.operators.multimodal import dhash64
 
+from wc_vector_indexing_spark.operators.contract import quarantine
 
+
+@quarantine("avi")
 def avi_frames(data: bytes) -> list[bytes]:
     """Walk the RIFF tree and return the MJPEG frame payloads in stream
     order. Raises NotImplementedError for non-AVI containers and for
@@ -73,6 +76,7 @@ def avi_frames(data: bytes) -> list[bytes]:
     return frames
 
 
+@quarantine("video")
 def decode_video(content: bytes, every_n: int = 1) -> list[np.ndarray]:
     """Decode every ``every_n``-th frame to a numpy image array."""
     return [decode_jpeg(f) for f in avi_frames(content)[::every_n]]

@@ -23,7 +23,10 @@ from __future__ import annotations
 
 import struct
 
+from wc_vector_indexing_spark.operators.contract import quarantine
 
+
+@quarantine("webp")
 def parse_webp(data: bytes) -> dict:
     """→ variant ('vp8'|'vp8l'|'vp8x'), width, height, lossless,
     has_alpha, animated. Raises ValueError for non-WebP bytes."""

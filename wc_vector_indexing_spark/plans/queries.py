@@ -5460,6 +5460,146 @@ ORDER BY format
 """
 
 
+def corrupt_media_quarantine_op(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corrupt-media quarantine (the r10 verdict's
+    interior-corruption theme made driver-gated): a mixed clean/corrupt
+    media corpus flows through the real decode path
+    (multimodal.extract_features with StdlibCodec, on_error='mark') and
+    every corrupt member must come out as a MARKED row — never a
+    failed task — with PNG corruption specifically DETECTED by the
+    chunk-CRC check rather than decoded into silently wrong pixels.
+
+    Planted fixture over the lowest-96 doc_ids, slot = doc_id % 6:
+      0 clean baseline JPEG   3 JPEG truncated to 60% (mid-scan)
+      1 clean PNG             4 PNG with one IDAT byte flipped
+      2 clean PCM WAV           (stored CRC now mismatches)
+      5 WAV chopped to 25 bytes (header gone)
+
+    The gated answer groups by (fmt, outcome) where fmt is sniffed
+    from the CONTENT magic bytes (pure codegen hex prefixes, not the
+    plant echoed back) and outcome folds the quarantine contract:
+    decoded / crc_detected (decode_error mentions the PNG CRC
+    mismatch) / quarantined. Planted truth ⇒ closed-form DuckDB
+    oracle. Scale shape: one Arrow render pass + one Arrow decode
+    pass + a 6-group count agg — zero corpus shuffles before the
+    final tiny aggregate; exactly how a 100 TB crawl would audit its
+    decode front door."""
+    from wc_vector_indexing_spark.operators.multimodal import (
+        StdlibCodec,
+        extract_features,
+    )
+
+    docs = (load(spark, "documents", sf).select("doc_id")
+            .orderBy("doc_id").limit(96).repartition(3))
+
+    def render(batches):
+        import io
+        import struct
+        import wave
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        from wc_vector_indexing_spark.operators.jpeg import encode_baseline
+
+        def png_bytes(img):
+            h, w = img.shape
+
+            def chunk(t, d):
+                return (struct.pack(">I", len(d)) + t + d
+                        + struct.pack(">I", zlib.crc32(t + d)))
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b""))
+
+        def wav_bytes(seed):
+            t = np.arange(400)
+            pcm = (np.sin(2 * np.pi * (220 + 10 * seed) * t / 8000)
+                   * 12000).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(8000)
+                wf.writeframes(pcm.tobytes())
+            return buf.getvalue()
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                slot, pat = d % 6, d % 17
+                yy, xx = np.mgrid[0:16, 0:16]
+                img = ((yy * (3 + pat) + xx * (5 + pat)) % 256).astype(
+                    np.uint8)
+                if slot == 0:
+                    blob = encode_baseline(img)
+                elif slot == 1:
+                    blob = png_bytes(img)
+                elif slot == 2:
+                    blob = wav_bytes(pat)
+                elif slot == 3:
+                    j = encode_baseline(img)
+                    blob = j[: int(len(j) * 0.6)]
+                elif slot == 4:
+                    p = bytearray(png_bytes(img))
+                    p[p.find(b"IDAT") + 8] ^= 0x80
+                    blob = bytes(p)
+                else:
+                    blob = wav_bytes(pat)[:25]
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = docs.mapInPandas(
+        render, schema="media_id long, content binary")
+    # fmt from the bytes themselves (magic sniff as codegen hex
+    # prefixes); kind routes the codec the same way a crawl pipeline
+    # would — by container, not by any planted column
+    media = media.withColumn(
+        "fmt",
+        F.when(F.hex(F.substring("content", 1, 2)) == "FFD8", "jpeg")
+        .when(F.hex(F.substring("content", 1, 4)) == "89504E47", "png")
+        .when(F.hex(F.substring("content", 1, 4)) == "52494646", "wav")
+        .otherwise("unknown"),
+    ).withColumn(
+        "kind", F.when(F.col("fmt") == "wav", "audio").otherwise("image")
+    )
+    feats = extract_features(media, codec=StdlibCodec(), on_error="mark")
+    outcome = (
+        F.when(F.col("decode_error").isNull(), "decoded")
+        .when(F.col("decode_error").contains("CRC mismatch"),
+              "crc_detected")
+        .otherwise("quarantined")
+    )
+    return (
+        feats.groupBy("fmt", outcome.alias("outcome"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("fmt", "outcome")
+    )
+
+
+CORRUPT_MEDIA_QUARANTINE_SQL = r"""
+WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 96),
+cls AS (
+    SELECT CASE doc_id % 6
+             WHEN 0 THEN 'jpeg' WHEN 3 THEN 'jpeg'
+             WHEN 1 THEN 'png'  WHEN 4 THEN 'png'
+             ELSE 'wav' END AS fmt,
+           CASE WHEN doc_id % 6 < 3 THEN 'decoded'
+                WHEN doc_id % 6 = 4 THEN 'crc_detected'
+                ELSE 'quarantined' END AS outcome
+    FROM ids)
+SELECT fmt, outcome, count(*) AS n_docs
+FROM cls GROUP BY 1, 2
+ORDER BY fmt, outcome
+"""
+
+
 def aac_adts_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """ADTS AAC header census (operators/aac.parse_adts_headers):
     every document renders into a structurally valid ADTS stream whose
@@ -8760,8 +8900,14 @@ REGISTRY: dict[str, QuerySpec] = {
         _quality_classifier_sql(),
         "fasttext-style hashed-bigram quality model (planted-fit oracle)",
     ),
-    "c4_line_filter": QuerySpec(
-        c4_line_filter_op, C4_SQL, "C4 line-level cleaning stats"
+    # r11 window rotation: corrupt_media_quarantine (new, never
+    # driver-recorded — end-to-end decode-front-door quarantine with
+    # PNG chunk-CRC detection) promoted; c4_line_filter (recorded
+    # r5-r10) slides below the 50-entry cutoff in exchange.
+    "corrupt_media_quarantine": QuerySpec(
+        corrupt_media_quarantine_op, CORRUPT_MEDIA_QUARANTINE_SQL,
+        "mixed clean/corrupt media through the marked decode path: "
+        "decoded / crc_detected / quarantined counts (planted-truth oracle)"
     ),
     "subtitle_cues": QuerySpec(
         subtitle_cues_op, SUBTITLE_CUES_SQL,
@@ -8788,6 +8934,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "parquet_footer_census": QuerySpec(
         parquet_footer_census_op, PARQUET_CENSUS_SQL,
         "Thrift-compact parquet footer triage vs real pyarrow files (planted-truth oracle)"
+    ),
+    # r11 window rotation: demoted here (recorded r5-r10) in exchange
+    # for corrupt_media_quarantine above.
+    "c4_line_filter": QuerySpec(
+        c4_line_filter_op, C4_SQL, "C4 line-level cleaning stats"
     ),
     # --- below the 50-entry driver gate window (all recorded green in
     # r1-r7; demoted in r8 to make room for the upgraded/new entries) ---

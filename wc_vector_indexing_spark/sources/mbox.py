@@ -27,6 +27,8 @@ import email.header
 import email.policy
 import email.utils
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 
 def _decode_header(value: str | None) -> str | None:
     if value is None:
@@ -87,6 +89,7 @@ def _parse_message_lines(lines: list[str], i: int) -> dict:
         raise ValueError(f"mbox: message {i} failed to parse: {exc}") from exc
 
 
+@quarantine("mbox")
 def parse_mbox(text: str, skip_bad: bool = False) -> list[dict]:
     """mbox text → [{msg_index, subject, sender, date_ts, body,
     n_parts}] in file order. date_ts is epoch seconds (None when the

@@ -40,6 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _CONTAINER = "{urn:oasis:names:tc:opendocument:xmlns:container}"
 _OPF = "{http://www.idpf.org/2007/opf}"
@@ -111,6 +113,7 @@ def _block_text(body: ET.Element) -> list[str]:
     return blocks
 
 
+@quarantine("docx")
 def extract_docx_text(data: bytes) -> tuple[str, int]:
     """DOCX bytes → (text, n_paragraphs). Raises ValueError for
     non-zip/corrupt input and NotImplementedError for encrypted OOXML
@@ -208,6 +211,7 @@ def _xhtml_text(xml: bytes) -> str:
     )
 
 
+@quarantine("epub")
 def extract_epub_chapters(data: bytes) -> list[str]:
     """EPUB bytes → per-chapter text in SPINE (reading) order. Raises
     ValueError for non-zip/corrupt input and NotImplementedError for

@@ -48,6 +48,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from wc_vector_indexing_spark.operators.contract import quarantine
+
 PDF_SCHEMA = T.StructType(
     [
         T.StructField("pdf_path", T.StringType()),
@@ -667,6 +669,7 @@ def _build_file_decryptor(data: bytes):
     return pdf_crypt.build_decryptor(enc_body, id0)
 
 
+@quarantine("pdf")
 def extract_pdf_text(data: bytes) -> list[str]:
     """data → per-page extracted text, in page-tree order. Raises
     ValueError for non-PDF/corrupt input and NotImplementedError at
