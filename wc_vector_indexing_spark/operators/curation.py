@@ -137,23 +137,27 @@ def curate(
 
         docs = unicode_clean(docs, text_col).drop("was_dirty")
 
+    scored = fan_out(docs).withColumn(
+        "quality_score", F.round(textstats.quality_score_col(F.col(text_col)), 4)
+    )
     if config.lang_router == "ngram":
+        # staged two-projection form — the single-Column router
+        # re-inlines every marker score into each argmax branch
+        # (~9x slower per row; see langid.with_predicted_lang)
         from wc_vector_indexing_spark.operators.langid import (
-            predicted_lang_ngram_col as _router,
+            with_predicted_lang,
         )
+
+        scored = with_predicted_lang(scored, text_col)
     elif config.lang_router == "stopwords":
-        _router = textstats.predicted_lang_col
+        scored = scored.withColumn(
+            "predicted_lang", textstats.predicted_lang_col(F.col(text_col))
+        )
     else:
         raise ValueError(
             f"lang_router must be 'stopwords' or 'ngram', got "
             f"{config.lang_router!r}")
-    base = (
-        fan_out(docs).withColumn(
-            "quality_score", F.round(textstats.quality_score_col(F.col(text_col)), 4)
-        )
-        .withColumn("predicted_lang", _router(F.col(text_col)))
-        .persist()
-    )
+    base = scored.persist()
 
     low_q = base.filter(F.col("quality_score") < config.min_quality)
     kept = base.filter(F.col("quality_score") >= config.min_quality)

@@ -111,7 +111,16 @@ def predicted_lang_ngram_col(text_col: str | Column) -> Column:
     (stream-safe, no join, no Python) — the drop-in alternative to
     textstats.predicted_lang_col for corpora that aren't 4-language
     Latin. Script gate first; marker-profile argmax within Latin with
-    the LATIN_MARKERS order as tie-break; no marker hits → 'other'."""
+    the LATIN_MARKERS order as tie-break; no marker hits → 'other'.
+
+    PERFORMANCE: prefer :func:`with_predicted_lang` for corpus-scale
+    use. As a single Column, the argmax inlines ``best`` (which holds
+    all 8 score subtrees) into every comparison branch — ~1150 copies
+    of ``lower(concat(text))`` in the final expression, which Catalyst
+    does not fully common-subexpression-eliminate; measured ~9x slower
+    than the staged two-projection form at 5k docs and growing with
+    text length. This form remains for expression-level composition
+    where the input is small."""
     script = script_col(text_col)
     scores = _marker_scores(text_col)
     langs = list(LATIN_MARKERS)
@@ -119,6 +128,10 @@ def predicted_lang_ngram_col(text_col: str | Column) -> Column:
     latin_pick = F.when(best <= 0, "other")
     for lang in langs:
         latin_pick = latin_pick.when(scores[lang] == best, lang)
+    return _script_route(script, latin_pick)
+
+
+def _script_route(script: Column, latin_pick: Column) -> Column:
     return (
         F.when(script == "hangul", "ko")
         .when(script == "kana", "ja")
@@ -131,15 +144,49 @@ def predicted_lang_ngram_col(text_col: str | Column) -> Column:
     )
 
 
+def with_predicted_lang(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "predicted_lang",
+    script_out: str | None = None,
+) -> DataFrame:
+    """Append the router's prediction (and optionally the script label)
+    to ``df`` — the corpus-scale form. Two projections: the first lands
+    each language's marker score and the script label as REAL columns
+    (each scanned expression evaluated exactly once per row); the
+    second computes the argmax over cheap column references.
+    CollapseProject leaves the stage boundary alone because the score
+    aliases are non-trivial and multiply referenced, so the scores are
+    never re-inlined into the 9 argmax branches the single-Column form
+    pays for. Still zero-shuffle, zero-Python, stream-safe."""
+    scores = _marker_scores(text_col)
+    langs = list(LATIN_MARKERS)
+    staged = df.select(
+        "*",
+        script_col(text_col).alias("_lid_script"),
+        *[scores[lang].alias(f"_lid_{lang}") for lang in langs],
+    )
+    best = F.greatest(*[F.col(f"_lid_{lang}") for lang in langs])
+    pick = F.when(best <= 0, "other")
+    for lang in langs:
+        pick = pick.when(F.col(f"_lid_{lang}") == best, lang)
+    lang_expr = _script_route(F.col("_lid_script"), pick)
+    keep = [*df.columns]
+    if script_out is not None:
+        keep.append(F.col("_lid_script").alias(script_out))
+    return staged.select(*keep, lang_expr.alias(out_col))
+
+
 def lang_id_ngram(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Char-n-gram language ID over a corpus: (id, script,
-    predicted_lang). One zero-shuffle codegen map pass — the router the
-    per-language curation gates key on when the corpus spans more
-    scripts than the stopword router covers."""
-    return docs.select(
-        F.col(id_col),
-        script_col(text_col).alias("script"),
-        predicted_lang_ngram_col(text_col).alias("predicted_lang"),
-    )
+    predicted_lang). One zero-shuffle codegen map pass (staged form,
+    see with_predicted_lang) — the router the per-language curation
+    gates key on when the corpus spans more scripts than the stopword
+    router covers."""
+    return with_predicted_lang(
+        docs.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col,
+        script_out="script",
+    ).select(id_col, "script", "predicted_lang")

@@ -1093,6 +1093,67 @@ FROM documents
 """
 
 
+def host_reputation_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain blocklist derivation (operators/reputation.py): per-host
+    page counts, boilerplate-duplicate rate, and mean quality decide
+    whether the HOST is kept — the aggregate stage crawl pipelines run
+    before any per-document gate. The documents table's ``source`` is
+    the host key; to exercise the dup-rate signal the fixture plants a
+    host-wide boilerplate page on every fifth doc of even-numbered
+    hosts (pure column CASE — the same plant replays in the oracle),
+    so even hosts show dup_rate 0.16 > the 0.15 bar and get blocked
+    while odd hosts ride on quality alone. One groupBy on host, text
+    digests (not bodies) through the shuffle; closed-form DuckDB
+    oracle shares the quality formula with QUALITY_SQL."""
+    from wc_vector_indexing_spark.operators.reputation import host_reputation
+
+    docs = load(spark, "documents", sf)
+    host_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    boiler = F.concat(
+        F.lit("subscribe to our newsletter and accept all cookies on "),
+        F.col("source"),
+    )
+    planted = docs.withColumn(
+        "text",
+        F.when((F.col("doc_id") % 5 == 4) & (host_num % 2 == 0), boiler)
+        .otherwise(F.col("text")),
+    )
+    return host_reputation(planted).orderBy("host")
+
+
+HOST_REPUTATION_SQL = """
+WITH planted AS (
+    SELECT source,
+           CASE WHEN doc_id % 5 = 4
+                 AND regexp_extract(source, '([0-9]+)', 1)::INT % 2 = 0
+                THEN 'subscribe to our newsletter and accept all cookies on '
+                     || source
+                ELSE text END AS text
+    FROM documents
+), scored AS (
+    SELECT source, md5(text) AS digest,
+           round(least(1.0, len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 100.0) * 0.4
+                 + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.3
+                 + (1.0 - least(1.0, length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) * 5.0)) * 0.3,
+                 4) AS q
+    FROM planted
+), agg AS (
+    SELECT source AS host,
+           count(*) AS n_pages,
+           count(DISTINCT digest) AS n_unique,
+           round(avg(q), 3) AS avg_quality
+    FROM scored GROUP BY source
+)
+SELECT host, n_pages, n_unique,
+       round(1 - n_unique::DOUBLE / n_pages, 4) AS dup_rate,
+       avg_quality,
+       (round(1 - n_unique::DOUBLE / n_pages, 4) > 0.15
+        OR avg_quality < 0.45) AS blocked
+FROM agg
+ORDER BY host
+"""
+
+
 def lang_id_stopwords(spark: SparkSession, sf: str) -> DataFrame:
     return textstats.lang_id(load(spark, "documents", sf))
 
@@ -8892,13 +8953,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "window_dedup": QuerySpec(
         window_dedup_op, WINDOW_DEDUP_SQL, "exact-substring 8-token window screen"
     ),
-    # r8 window rotation: quality_classifier (upgraded rows-only→oracle,
-    # never driver-recorded) promoted; script_mix (recorded r1-r7)
-    # demoted to the tail in exchange.
-    "quality_classifier": QuerySpec(
-        quality_classifier_op,
-        _quality_classifier_sql(),
-        "fasttext-style hashed-bigram quality model (planted-fit oracle)",
+    # r11 window rotation: host_reputation (new, never driver-recorded —
+    # the domain-blocklist aggregate stage) promoted; quality_classifier
+    # (recorded r8-r10) slides below the 50-entry cutoff in exchange.
+    "host_reputation": QuerySpec(
+        host_reputation_op, HOST_REPUTATION_SQL,
+        "per-host page/dup-rate/quality aggregates + block decision "
+        "(planted boilerplate oracle)"
     ),
     # r11 window rotation: corrupt_media_quarantine (new, never
     # driver-recorded — end-to-end decode-front-door quarantine with
@@ -8939,6 +9000,13 @@ REGISTRY: dict[str, QuerySpec] = {
     # for corrupt_media_quarantine above.
     "c4_line_filter": QuerySpec(
         c4_line_filter_op, C4_SQL, "C4 line-level cleaning stats"
+    ),
+    # r11 window rotation: demoted here (recorded r8-r10, upgraded
+    # rows-only→oracle in r8) in exchange for host_reputation above.
+    "quality_classifier": QuerySpec(
+        quality_classifier_op,
+        _quality_classifier_sql(),
+        "fasttext-style hashed-bigram quality model (planted-fit oracle)",
     ),
     # --- below the 50-entry driver gate window (all recorded green in
     # r1-r7; demoted in r8 to make room for the upgraded/new entries) ---
