@@ -96,14 +96,23 @@ def main() -> None:
     # pass is a valid sample). All samples land in BENCH_DETAIL.json with
     # per-query steady spread so noise stays visible, not silently folded.
     n_target = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "460"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "440"))
     bench_start = time.time()
     all_passes: list[dict[str, float]] = []
     for _ in range(n_target):
         t0 = time.time()
         all_passes.append(run_pass())
         last = time.time() - t0
-        if time.time() - bench_start + last > budget:
+        # Projection for the NEXT pass: a steady pass costs ~0.8x the
+        # cold pass (r10 measured 152/186 = 0.82; the warm-up pass pays
+        # per-query plan compile + codegen the steady passes don't).
+        # Projecting the next pass at full `last` cost blocked pass 2
+        # whenever the cold pass crossed budget/2 — which the r11
+        # catalog does on any host — leaving the headline all-cold.
+        # Budget dropped 460 -> 440 so a 0.8-projection undershoot
+        # (actual steady ~0.85x) still lands under the driver's hard
+        # wall-clock cap with warm-up included.
+        if time.time() - bench_start + 0.8 * last > budget:
             break
     # steady passes = everything after the warm-up (or the warm-up itself
     # when the budget only allowed one pass)
@@ -136,6 +145,20 @@ def main() -> None:
         polish.setdefault(name, []).append(t)
         if t >= 0 and (times[name] < 0 or t < times[name]):
             times[name] = t
+    # control polish (always, ~2-5 s): the drift factor must reflect
+    # STEADY host speed. When the budget only allowed one (unwarmed)
+    # pass, the controls' single sample carries first-touch compile
+    # cost — drift would read cold-start as host slowness and divide
+    # the headline by too much (a flattering bias). Two warm re-runs
+    # per control pin their mins at steady state; any cold inflation
+    # left in the headline then sits on the conservative side.
+    if sf == CONTROL_REF_SF:
+        for n in CONTROL_REF:
+            for _ in range(2):
+                t = run_one(n)
+                polish.setdefault(n, []).append(t)
+                if t >= 0 and (times[n] < 0 or t < times[n]):
+                    times[n] = t
     pass1 = steady[0]  # first steady (post-warm-up) pass
     total = round(sum(t for t in times.values() if t >= 0), 3)
     total_p1 = round(sum(t for t in pass1.values() if t >= 0), 3)
