@@ -708,3 +708,56 @@ def test_iter_records_truncated_tail_clamps_end():
     head, payload, start, end = recs[-1]
     assert end == len(truncated)
     assert payload.endswith(b"</p>")
+
+
+def test_gzip_members_corrupt_member_raises_value_error():
+    # bit rot inside a member's deflate stream: the walk must surface
+    # the contract class, never a bare zlib.error
+    import gzip as _gzip
+
+    import pytest
+
+    from wc_vector_indexing_spark.sources.warc import _gzip_members
+
+    good = _gzip.compress(b"member one payload") + _gzip.compress(
+        b"member two payload")
+    bad = bytearray(good)
+    bad[12] ^= 0xFF  # inside the first member's deflate data
+    with pytest.raises((ValueError, NotImplementedError)):
+        list(_gzip_members(bytes(bad)))
+
+
+def test_warc_readers_per_file_isolation(spark):
+    """One rotted .warc.gz in a crawl batch: on_error='skip' drops the
+    WHOLE corrupt file and keeps every other file's records;
+    on_error='raise' (default) surfaces a contract ValueError naming
+    the file — never a bare gzip/zlib error out of the Arrow pass."""
+    import gzip as _gzip
+
+    import pytest
+
+    from wc_vector_indexing_spark.sources.warc import (
+        parse_warc,
+        to_warc_bytes,
+        warc_cdx_index,
+    )
+
+    good = _gzip.compress(to_warc_bytes(
+        [{"url": "https://ok.example/a", "html": "<p>fine</p>"}]))
+    corrupt = bytearray(_gzip.compress(to_warc_bytes(
+        [{"url": "https://bad.example/b", "html": "<p>rotted</p>"}])))
+    corrupt[20] ^= 0xFF  # interior deflate corruption
+    raw = spark.createDataFrame(
+        [("mem://good.warc.gz", bytearray(good)),
+         ("mem://bad.warc.gz", bytes(corrupt))],
+        "warc_path string, content binary")
+
+    with pytest.raises(Exception, match="corrupt WARC file"):
+        parse_warc(raw).collect()
+    kept = parse_warc(raw, on_error="skip").collect()
+    assert {r.url for r in kept} == {"https://ok.example/a"}
+
+    with pytest.raises(Exception, match="corrupt WARC file"):
+        warc_cdx_index(raw).collect()
+    rows = warc_cdx_index(raw, on_error="skip").collect()
+    assert {r.warc_path for r in rows} == {"mem://good.warc.gz"}

@@ -228,36 +228,58 @@ def _parse_record(head: bytes, payload: bytes) -> dict | None:
     }
 
 
-def _parse_pass(raw: DataFrame) -> DataFrame:
+def _parse_pass(raw: DataFrame, on_error: str = "raise") -> DataFrame:
     """The shared Arrow parse stage over whole-file byte rows
     (columns: warc_path, content) — used verbatim by the batch reader
     and the streaming twin, so both paths can never diverge. Handles
     gzip transparently (single-stream and Common Crawl's
     member-per-record .warc.gz; ``gzip.decompress`` walks all
-    members)."""
+    members).
+
+    ``on_error`` is per-FILE isolation (crawl archives rot; at 100 TB
+    one corrupt ``.warc.gz`` must not fail the job): 'raise' (default)
+    surfaces the first bad file as contract ValueError; 'skip' drops
+    the WHOLE file's records (all-or-nothing — emitting the records
+    parsed before the corruption point would silently present a
+    partial archive as complete)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
         cols = [f.name for f in WARC_SCHEMA.fields]
         out: list[dict] = []
         for pdf in batches:
             for fpath, content in zip(pdf["warc_path"], pdf["content"]):
-                data = bytes(content)
-                if data[:2] == b"\x1f\x8b":
-                    data = gzip.decompress(data)
-                for head, payload, _start, _end in _iter_records(data):
-                    rec = _parse_record(head, payload)
-                    if rec is not None:
-                        rec["warc_path"] = fpath
-                        out.append(rec)
-                    if len(out) >= 1024:
-                        yield pd.DataFrame(out, columns=cols)
-                        out = []
+                file_rows: list[dict] = []
+                try:
+                    data = bytes(content)
+                    if data[:2] == b"\x1f\x8b":
+                        data = gzip.decompress(data)
+                    for head, payload, _start, _end in _iter_records(data):
+                        rec = _parse_record(head, payload)
+                        if rec is not None:
+                            rec["warc_path"] = fpath
+                            file_rows.append(rec)
+                except (ValueError, NotImplementedError, OSError,
+                        EOFError, zlib.error) as e:
+                    # OSError = gzip.BadGzipFile; EOFError/zlib.error =
+                    # truncated/corrupt deflate from gzip.decompress
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"corrupt WARC file {fpath}: {e!r}") from e
+                    continue
+                out.extend(file_rows)
+                if len(out) >= 1024:
+                    yield pd.DataFrame(out, columns=cols)
+                    out = []
         yield pd.DataFrame(out, columns=cols)
 
     return raw.mapInPandas(parse, schema=WARC_SCHEMA)
 
 
-def parse_warc(raw: DataFrame) -> DataFrame:
+def parse_warc(raw: DataFrame, on_error: str = "raise") -> DataFrame:
     """Parse already-loaded whole-file WARC byte rows (columns:
     warc_path, content binary) into the same (url, warc_date,
     record_id, http_status, content_type, html, warc_path) rows
@@ -265,11 +287,13 @@ def parse_warc(raw: DataFrame) -> DataFrame:
     whose raw bytes come from somewhere other than a binaryFile scan
     (an in-memory render, a fetcher stage, an object-store lister).
     Same Arrow pass as the file reader, so the two can never
-    disagree on what a record is."""
-    return _parse_pass(raw)
+    disagree on what a record is. ``on_error='skip'`` drops corrupt
+    files whole instead of failing the stage (see _parse_pass)."""
+    return _parse_pass(raw, on_error=on_error)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str,
+              on_error: str = "raise") -> DataFrame:
     """Read WARC file(s) into (url, warc_date, record_id, http_status,
     content_type, html, warc_path) — 200-status text/html response
     records only. Whole-file binary scan, one Arrow parse pass, zero
@@ -280,7 +304,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select(F.col("path").alias("warc_path"), "content")
     )
-    return parse_warc(raw)
+    return parse_warc(raw, on_error=on_error)
 
 
 def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -322,7 +346,12 @@ def _gzip_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
     rest = data
     while rest[:2] == b"\x1f\x8b":
         obj = zlib.decompressobj(31)
-        out = obj.decompress(rest)
+        try:
+            out = obj.decompress(rest)
+        except zlib.error as e:  # bit-rotted member: contract class,
+            # so Spark-side callers can quarantine the FILE instead of
+            # failing the stage
+            raise ValueError(f"gzip: corrupt member at {pos}: {e}") from e
         if not obj.eof:
             raise ValueError("gzip: truncated member")
         consumed = len(rest) - len(obj.unused_data)
@@ -351,7 +380,7 @@ def surt_key(url: str) -> str:
     return out
 
 
-def warc_cdx_index(raw: DataFrame) -> DataFrame:
+def warc_cdx_index(raw: DataFrame, on_error: str = "raise") -> DataFrame:
     """CDX index generation — the random-access side door every real
     web archive ships next to its WARCs (the public CDX(J) convention:
     one row per response record with its SURT url key, 14-digit
@@ -375,7 +404,12 @@ def warc_cdx_index(raw: DataFrame) -> DataFrame:
     ``warc/revisit``, the digest comes from the record's OWN
     WARC-Payload-Digest header (the ORIGINAL payload's digest — the
     revisit has no body of its own), and ``refers_to`` carries the
-    WARC-Refers-To record-id pointer (null on responses)."""
+    WARC-Refers-To record-id pointer (null on responses).
+
+    ``on_error`` = per-FILE isolation, same contract as the parse
+    pass: 'raise' (default) fails on the first corrupt archive with a
+    contract ValueError naming the file; 'skip' drops the whole file's
+    rows (never a partial index for a rotted archive)."""
     import base64
     import hashlib
 
@@ -430,6 +464,9 @@ def warc_cdx_index(raw: DataFrame) -> DataFrame:
                 "digest_sha1_b32": digest, "record_type": "response",
                 "refers_to": None}
 
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+
     def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["warc_path", "urlkey", "ts14", "url", "mime", "status",
                 "digest_sha1_b32", "offset", "length", "offset_kind",
@@ -437,31 +474,44 @@ def warc_cdx_index(raw: DataFrame) -> DataFrame:
         for pdf in batches:
             out: list[dict] = []
             for fpath, content in zip(pdf["warc_path"], pdf["content"]):
-                data = bytes(content)
-                if data[:2] == b"\x1f\x8b":
-                    decomp_base = 0
-                    for moff, mlen, mbytes in _gzip_members(data):
-                        recs = list(_iter_records(mbytes))
-                        for head, payload, start, end in recs:
+                # per-FILE isolation, all-or-nothing (a partially
+                # indexed archive would alias as a complete one)
+                file_rows: list[dict] = []
+                try:
+                    data = bytes(content)
+                    if data[:2] == b"\x1f\x8b":
+                        decomp_base = 0
+                        for moff, mlen, mbytes in _gzip_members(data):
+                            recs = list(_iter_records(mbytes))
+                            for head, payload, start, end in recs:
+                                row = row_of(head, payload)
+                                if row is None:
+                                    continue
+                                if len(recs) == 1:
+                                    row.update(offset=moff, length=mlen,
+                                               offset_kind="gzip-member")
+                                else:
+                                    row.update(offset=decomp_base + start,
+                                               length=end - start,
+                                               offset_kind="plain")
+                                file_rows.append(
+                                    {"warc_path": fpath, **row})
+                            decomp_base += len(mbytes)
+                    else:
+                        for head, payload, start, end in _iter_records(data):
                             row = row_of(head, payload)
-                            if row is None:
-                                continue
-                            if len(recs) == 1:
-                                row.update(offset=moff, length=mlen,
-                                           offset_kind="gzip-member")
-                            else:
-                                row.update(offset=decomp_base + start,
+                            if row is not None:
+                                row.update(offset=start,
                                            length=end - start,
                                            offset_kind="plain")
-                            out.append({"warc_path": fpath, **row})
-                        decomp_base += len(mbytes)
-                else:
-                    for head, payload, start, end in _iter_records(data):
-                        row = row_of(head, payload)
-                        if row is not None:
-                            row.update(offset=start, length=end - start,
-                                       offset_kind="plain")
-                            out.append({"warc_path": fpath, **row})
+                                file_rows.append(
+                                    {"warc_path": fpath, **row})
+                except (ValueError, NotImplementedError) as e:
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"corrupt WARC file {fpath}: {e!r}") from e
+                    continue
+                out.extend(file_rows)
             yield pd.DataFrame(out, columns=cols)
 
     return raw.mapInPandas(index, schema=schema)
