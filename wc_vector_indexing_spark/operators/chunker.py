@@ -83,10 +83,17 @@ def to_units(text: str) -> list[str]:
 
 def split_long_unit(unit: str, budget: int) -> list[str]:
     """Over-budget sentence → word fragments ≤ budget; over-budget single
-    word → fixed-width hard split (C4, class-chunker.php:197-242)."""
+    word → fixed-width hard split (C4, class-chunker.php:197-242).
+
+    Words are delimited by ANY whitespace run (the reference splits on
+    ``/\\s+/u``, class-chunker.php:199) — splitting on spaces alone made
+    ``'giantword\\nshort'`` one giant "word" whose fixed-width hard split
+    could land inside ``short``, losing a word the budget had room for
+    (hypothesis-found). Inside an over-budget unit, internal newlines
+    collapse to the single-space rejoin, same as the reference."""
     frags: list[str] = []
     cur = ""
-    for word in unit.split(" "):
+    for word in unit.split():
         while len(word) > budget:  # hard split a giant word
             if cur:
                 frags.append(cur + " ")

@@ -8896,9 +8896,16 @@ REGISTRY: dict[str, QuerySpec] = {
         video_dedup_op, VIDEO_DEDUP_SQL,
         "re-mux video dedup via frame-sequence signatures"
     ),
-    "wet_roundtrip": QuerySpec(
-        wet_roundtrip_op, WET_ROUNDTRIP_SQL,
-        "WET shard export + framed read-back census (planted-truth oracle)"
+    # r11 window rotation (amended): the original exchange demoted
+    # c4_line_filter for corrupt_media_quarantine, which left the
+    # curation family unrepresented in the gate window
+    # (test_driver_gate_category_coverage). c4_line_filter returns;
+    # wet_roundtrip (recorded r8-r10; the sources family keeps
+    # warc_corpus_text, mbox_corpus_text, feed_entries, sitemap_urls
+    # and archive_member_census in-window) moves below the cutoff
+    # instead.
+    "c4_line_filter": QuerySpec(
+        c4_line_filter_op, C4_SQL, "C4 line-level cleaning stats"
     ),
     # session-3 r8 window rotation: sitemap_urls (never
     # driver-recorded) promoted; media_format_census (recorded r7)
@@ -8996,10 +9003,12 @@ REGISTRY: dict[str, QuerySpec] = {
         parquet_footer_census_op, PARQUET_CENSUS_SQL,
         "Thrift-compact parquet footer triage vs real pyarrow files (planted-truth oracle)"
     ),
-    # r11 window rotation: demoted here (recorded r5-r10) in exchange
-    # for corrupt_media_quarantine above.
-    "c4_line_filter": QuerySpec(
-        c4_line_filter_op, C4_SQL, "C4 line-level cleaning stats"
+    # r11 window rotation: demoted here (recorded r8-r10) in the
+    # amended exchange that keeps c4_line_filter (the curation-family
+    # anchor) inside the gate window.
+    "wet_roundtrip": QuerySpec(
+        wet_roundtrip_op, WET_ROUNDTRIP_SQL,
+        "WET shard export + framed read-back census (planted-truth oracle)"
     ),
     # r11 window rotation: demoted here (recorded r8-r10, upgraded
     # rows-only→oracle in r8) in exchange for host_reputation above.
