@@ -72,3 +72,44 @@ def test_mixed_media_tar_composes_with_sniff_and_decode(spark, tmp_path):
     assert decoded.shape == (8, 8)
     assert int(np.abs(decode_image(by_member["imgs/x.jpg"]).astype(int)
                       - img.astype(int)).max()) <= 1
+
+
+def test_webdataset_sample_grouping(spark, tmp_path):
+    from wc_vector_indexing_spark.sources.archives import webdataset_samples
+
+    members = {
+        "train/n01.jpg": b"JPGBYTES1",
+        "train/n01.cls": b"7",
+        "train/n01.json": b'{"a":1}',
+        "train/n02.jpg": b"JPGBYTES22",
+        "train/n02.cls": b"3",
+        # multi-extension rule: part type is everything after the FIRST dot
+        "train/n02.seg.png": b"SEGPNG",
+        "README": b"not a sample part",  # extension-less -> dropped
+    }
+    _make_tar(str(tmp_path / "shard0.tar"), members)
+    rows = webdataset_samples(
+        read_archive_members(spark, str(tmp_path / "shard0.tar"))
+    ).collect()
+    by_key = {r.key: r for r in rows}
+    assert set(by_key) == {"n01", "n02"}
+    assert by_key["n01"].n_parts == 3
+    assert sorted(by_key["n01"].parts) == ["cls", "jpg", "json"]
+    assert bytes(by_key["n01"].parts["jpg"]) == b"JPGBYTES1"
+    assert sorted(by_key["n02"].parts) == ["cls", "jpg", "seg.png"]
+    assert bytes(by_key["n02"].parts["seg.png"]) == b"SEGPNG"
+    assert by_key["n02"].total_bytes == len(b"JPGBYTES22") + 1 + len(b"SEGPNG")
+
+
+def test_webdataset_same_key_across_archives_stays_separate(spark, tmp_path):
+    from wc_vector_indexing_spark.sources.archives import webdataset_samples
+
+    _make_tar(str(tmp_path / "s0.tar"), {"k.txt": b"zero"})
+    _make_tar(str(tmp_path / "s1.tar"), {"k.txt": b"one!"})
+    rows = webdataset_samples(
+        read_archive_members(spark, str(tmp_path / "s*.tar"))
+    ).collect()
+    # shard boundaries are sample boundaries: same key in two shards is
+    # two samples (WebDataset keys are only unique per shard)
+    assert len(rows) == 2
+    assert {bytes(r.parts["txt"]) for r in rows} == {b"zero", b"one!"}

@@ -1,0 +1,115 @@
+"""Avro object-container source (sources/avro.py): binary-encoding
+roundtrips, container framing (sync markers, codecs), contract-error
+surface, and the Spark reader's typed ingest + per-file isolation."""
+
+from __future__ import annotations
+
+import pytest
+
+from wc_vector_indexing_spark.sources.avro import (
+    parse_avro_file,
+    read_avro,
+    to_avro_bytes,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": ["null", "string"]},
+        {"name": "ok", "type": "boolean"},
+        {"name": "score", "type": "double"},
+        {"name": "emb", "type": {"type": "array", "items": "double"}},
+        {"name": "blob", "type": "bytes"},
+    ],
+}
+
+
+def _rows(n=7):
+    return [
+        {
+            "doc_id": i,
+            "text": f"tëxt-{i}",
+            "lang": None if i % 3 == 0 else f"l{i % 2}",
+            "ok": i % 2 == 0,
+            "score": i * 0.25,
+            "emb": [i * 0.5, -float(i)],
+            "blob": bytes([i, 255 - i]),
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip(codec):
+    rows = _rows()
+    schema, back = parse_avro_file(to_avro_bytes(SCHEMA, rows, codec=codec))
+    assert schema == SCHEMA
+    assert back == rows
+
+
+def test_multi_block_and_negative_longs():
+    rows = [{"doc_id": v, "text": "", "lang": None, "ok": False,
+             "score": 0.0, "emb": [], "blob": b""}
+            for v in (0, -1, 1, -(2**62), 2**62)]
+    _, back = parse_avro_file(
+        to_avro_bytes(SCHEMA, rows, max_block_records=2))
+    assert [r["doc_id"] for r in back] == [0, -1, 1, -(2**62), 2**62]
+
+
+def test_bad_magic_sync_and_codec_are_contract_errors():
+    data = to_avro_bytes(SCHEMA, _rows(3))
+    with pytest.raises(ValueError, match="magic"):
+        parse_avro_file(b"NOPE" + data[4:])
+    # corrupt the trailing block sync marker
+    bad = bytearray(data)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync"):
+        parse_avro_file(bytes(bad))
+
+
+def test_unsupported_schema_is_contract_seam():
+    with pytest.raises(NotImplementedError):
+        to_avro_bytes({"type": "record", "name": "x", "fields": [
+            {"name": "m", "type": {"type": "map", "values": "long"}}]}, [])
+    with pytest.raises(NotImplementedError):
+        to_avro_bytes({"type": "record", "name": "x", "fields": [
+            {"name": "a", "type": {"type": "array", "items": "null"}}]}, [])
+
+
+def test_spark_reader_typed_ingest(spark, tmp_path):
+    rows = _rows(10)
+    (tmp_path / "s0.avro").write_bytes(to_avro_bytes(SCHEMA, rows[:6]))
+    (tmp_path / "s1.avro").write_bytes(
+        to_avro_bytes(SCHEMA, rows[6:], codec="null"))
+    df = read_avro(spark, str(tmp_path / "*.avro"), SCHEMA)
+    got = {r.doc_id: r for r in df.collect()}
+    assert len(got) == 10
+    r3 = got[3]
+    assert r3.text == "tëxt-3" and r3.lang is None and r3.ok is False
+    assert r3.score == 0.75 and list(r3.emb) == [1.5, -3.0]
+    assert bytes(r3.blob) == bytes([3, 252])
+    assert got[4].lang == "l0"
+    # shard lineage rides every row
+    assert {r.avro_path.rsplit("/", 1)[-1] for r in got.values()} == {
+        "s0.avro", "s1.avro"}
+
+
+def test_spark_reader_on_error_skip_and_schema_mismatch(spark, tmp_path):
+    rows = _rows(6)
+    (tmp_path / "good.avro").write_bytes(to_avro_bytes(SCHEMA, rows[:4]))
+    bad = bytearray(to_avro_bytes(SCHEMA, rows[4:]))
+    bad[len(bad) // 2] ^= 0x55  # interior corruption
+    (tmp_path / "bad.avro").write_bytes(bytes(bad))
+
+    with pytest.raises(Exception, match="corrupt avro"):
+        read_avro(spark, str(tmp_path / "*.avro"), SCHEMA).count()
+    kept = read_avro(spark, str(tmp_path / "*.avro"), SCHEMA, on_error="skip")
+    assert {r.doc_id for r in kept.collect()} == {0, 1, 2, 3}
+
+    other = {"type": "record", "name": "doc",
+             "fields": [{"name": "doc_id", "type": "long"}]}
+    with pytest.raises(Exception, match="writer schema"):
+        read_avro(spark, str(tmp_path / "good.avro"), other).count()

@@ -443,3 +443,41 @@ def test_mutated_avi():
             decode_jpeg(f)
 
     assert _sweep(walk, data, stride=7) == []
+
+
+def test_tfrecord_crc_detects_all_corruption():
+    """TFRecord frames every record with TWO masked CRC-32Cs; like the
+    PNG chunk CRC, ANY single-byte corruption anywhere in the stream
+    must be DETECTED (contract exception) — a reader that skipped CRC
+    verification would hand silent wrong features to training."""
+    from wc_vector_indexing_spark.sources.tfrecord import (
+        decode_example,
+        iter_tfrecord,
+        to_tfrecord_bytes,
+    )
+
+    recs = [
+        {"doc_id": ("int64", [i]), "text": ("bytes", [f"body-{i}" * 2])}
+        for i in range(3)
+    ]
+    data = to_tfrecord_bytes(recs)
+
+    def parse(b: bytes):
+        return [decode_example(p) for p in iter_tfrecord(b)]
+
+    for pos, op, mutant in _mutants(data, 0, 1):
+        with pytest.raises(OK_ERRORS):
+            parse(mutant)
+
+
+def test_mutated_avro():
+    from tests.test_avro import SCHEMA, _rows
+    from wc_vector_indexing_spark.sources.avro import (
+        parse_avro_file,
+        to_avro_bytes,
+    )
+
+    for codec in ("null", "deflate"):
+        data = to_avro_bytes(SCHEMA, _rows(5), codec=codec,
+                             max_block_records=2)
+        assert _sweep(parse_avro_file, data) == [], codec

@@ -231,3 +231,35 @@ def test_truncated_parquet_footer():
     buf = io.BytesIO()
     pq.write_table(pa.table({"a": list(range(50)), "b": ["x"] * 50}), buf)
     assert _sweep(parse_parquet_footer, buf.getvalue(), stride=3) == []
+
+
+def test_truncated_tfrecord():
+    from wc_vector_indexing_spark.sources.tfrecord import (
+        decode_example,
+        iter_tfrecord,
+        to_tfrecord_bytes,
+    )
+
+    recs = [
+        {"doc_id": ("int64", [i]), "text": ("bytes", [f"body-{i}" * 3])}
+        for i in range(4)
+    ]
+    data = to_tfrecord_bytes(recs)
+
+    def parse(b: bytes):
+        return [decode_example(p) for p in iter_tfrecord(b)]
+
+    assert _sweep(parse, data) == []
+
+
+def test_truncated_avro():
+    from tests.test_avro import SCHEMA, _rows
+    from wc_vector_indexing_spark.sources.avro import (
+        parse_avro_file,
+        to_avro_bytes,
+    )
+
+    for codec in ("null", "deflate"):
+        data = to_avro_bytes(SCHEMA, _rows(5), codec=codec,
+                             max_block_records=2)
+        assert _sweep(parse_avro_file, data) == [], codec

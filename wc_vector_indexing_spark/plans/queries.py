@@ -8381,6 +8381,283 @@ ORDER BY ext
 """
 
 
+def tfrecord_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
+    """TFRecord source census (sources/tfrecord.py): the lowest-64
+    doc_ids' REAL text rides through the full stack — tf.train.Example
+    protobuf encode, masked-CRC32C framing, shard files (shard =
+    doc_id % 4, records in doc_id order), then back through the
+    binaryFile-based distributed reader — and is censused per shard:
+    record counts, id/char/float sums, max record index. Shard id is
+    taken from the FILE PATH, not the payload, so the oracle match
+    proves records landed in (and were read from) the right shards;
+    char sums prove the utf-8 text roundtrips exactly; the float sum
+    (doc_id * 0.5 — exactly representable in float32) exercises the
+    packed FloatList wire path. Reference behavior analogue: the bulk
+    export/import surface (logs.php:137 CSV export re-expressed for
+    the training-data interchange format)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.tfrecord import (
+        read_tfrecords,
+        to_tfrecord_bytes,
+    )
+
+    rows = (
+        load(spark, "documents", sf)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(64)
+        .collect()
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_tfrecord_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        for s in range(4):
+            recs = [
+                {
+                    "doc_id": ("int64", [int(r.doc_id)]),
+                    "text": ("bytes", [r.text or ""]),
+                    "f": ("float", [int(r.doc_id) * 0.5]),
+                }
+                for r in rows
+                if int(r.doc_id) % 4 == s
+            ]
+            with open(os.path.join(out, f"part-{s}.tfrecord"), "wb") as fh:
+                fh.write(to_tfrecord_bytes(recs))
+        with open(done, "w") as f:
+            f.write("ok")
+    back = read_tfrecords(
+        spark,
+        os.path.join(out, "part-*.tfrecord"),
+        {"doc_id": "int64", "text": "string", "f": "float"},
+    )
+    return (
+        back.groupBy(
+            F.regexp_extract("tfrecord_path", r"part-(\d)", 1)
+            .cast("int")
+            .alias("shard")
+        )
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.sum(F.col("f").cast("double")).alias("sum_f"),
+            F.max("record_index").alias("max_index"),
+        )
+        .orderBy("shard")
+    )
+
+
+TFRECORD_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, coalesce(text, '') AS text
+    FROM documents ORDER BY doc_id LIMIT 64
+)
+SELECT (doc_id % 4)::INT AS shard,
+       count(*) AS n_records,
+       sum(doc_id)::BIGINT AS sum_doc_id,
+       sum(length(text))::BIGINT AS sum_chars,
+       sum(doc_id * 0.5)::DOUBLE AS sum_f,
+       (count(*) - 1)::BIGINT AS max_index
+FROM ids
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+def webdataset_samples_op(spark: SparkSession, sf: str) -> DataFrame:
+    """WebDataset sample grouping (sources/archives.webdataset_samples):
+    the lowest-48 doc_ids become ``doc_{id}.txt`` (the REAL utf-8 text
+    bytes) + ``doc_{id}.cls`` (1-byte label) + — for every third id —
+    ``doc_{id}.json`` members across 2 tar shards (shard = doc_id % 2),
+    then read back through the archive source and grouped into samples.
+    Census per shard: samples, complete samples (all 3 parts), part and
+    byte totals. Byte totals are tar-member sizes, so the oracle match
+    proves the utf-8 text bytes and the key/part split both survive the
+    tar → member-explosion → groupBy path. Reference behavior analogue:
+    the media-library attachment grouping (attachment post + its sized
+    renditions assembled per parent, class-indexer.php product+children
+    assembly) re-expressed for the public WebDataset shard convention."""
+    import hashlib
+    import io
+    import os
+    import tarfile
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.archives import (
+        read_archive_members,
+        webdataset_samples,
+    )
+
+    rows = (
+        load(spark, "documents", sf)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(48)
+        .collect()
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_wds_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        tars = [
+            tarfile.open(os.path.join(out, f"wds{s}.tar"), "w")
+            for s in range(2)
+        ]
+        try:
+            for r in rows:
+                d = int(r.doc_id)
+                tf = tars[d % 2]
+                parts = {
+                    f"doc_{d}.txt": (r.text or "").encode("utf-8"),
+                    f"doc_{d}.cls": str(d % 7).encode(),
+                }
+                if d % 3 == 0:
+                    parts[f"doc_{d}.json"] = b'{"id":' + str(d).encode() + b"}"
+                for name, body in parts.items():
+                    info = tarfile.TarInfo(name)
+                    info.size = len(body)
+                    tf.addfile(info, io.BytesIO(body))
+        finally:
+            for tf in tars:
+                tf.close()
+        with open(done, "w") as f:
+            f.write("ok")
+    wd = webdataset_samples(
+        read_archive_members(spark, os.path.join(out, "wds*.tar"))
+    )
+    return (
+        wd.groupBy(
+            F.regexp_extract("archive", r"wds(\d)", 1).cast("int").alias("shard")
+        )
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum((F.col("n_parts") == 3).cast("long")).alias("n_complete"),
+            F.sum("n_parts").alias("sum_parts"),
+            F.sum("total_bytes").alias("sum_bytes"),
+        )
+        .orderBy("shard")
+    )
+
+
+WEBDATASET_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, coalesce(text, '') AS text
+    FROM documents ORDER BY doc_id LIMIT 48
+)
+SELECT (doc_id % 2)::INT AS shard,
+       count(*) AS n_samples,
+       sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_complete,
+       sum(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS sum_parts,
+       sum(strlen(text) + 1
+           + CASE WHEN doc_id % 3 = 0
+                  THEN 7 + length(doc_id::VARCHAR) ELSE 0 END
+       )::BIGINT AS sum_bytes
+FROM ids
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+def avro_corpus_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro container source census (sources/avro.py): the lowest-64
+    doc_ids' real text plus a nullable language union, a double score,
+    and a 2-vector embedding array ride through the full container
+    stack — binary encoding, deflate (even shards) and null (odd
+    shards) codecs, sync-marked blocks — into 4 shards (shard =
+    doc_id % 4), then back through the binaryFile-based distributed
+    reader. Census per shard: counts, id/char sums, union-null counts,
+    emb[0] sum. The char sum proves utf-8 strings roundtrip the
+    zigzag-varint length framing; the null count proves union branch
+    indices decode; the emb sum proves counted array segments decode.
+    Reference behavior analogue: the bulk import surface (CSV/event
+    ingest at logs.php scale) for the Kafka/Hive interchange format."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.avro import read_avro, to_avro_bytes
+
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": "string"},
+            {"name": "lang", "type": ["null", "string"]},
+            {"name": "emb", "type": {"type": "array", "items": "double"}},
+        ],
+    }
+    rows = (
+        load(spark, "documents", sf)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(64)
+        .collect()
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_avro_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        for s in range(4):
+            recs = [
+                {
+                    "doc_id": int(r.doc_id),
+                    "text": r.text or "",
+                    "lang": None if int(r.doc_id) % 5 == 0
+                    else f"l{int(r.doc_id) % 3}",
+                    "emb": [int(r.doc_id) * 0.25, int(r.doc_id) * 0.125],
+                }
+                for r in rows
+                if int(r.doc_id) % 4 == s
+            ]
+            with open(os.path.join(out, f"shard-{s}.avro"), "wb") as fh:
+                fh.write(to_avro_bytes(
+                    schema, recs,
+                    codec="deflate" if s % 2 == 0 else "null"))
+        with open(done, "w") as f:
+            f.write("ok")
+    back = read_avro(spark, os.path.join(out, "shard-*.avro"), schema)
+    return (
+        back.groupBy(
+            F.regexp_extract("avro_path", r"shard-(\d)", 1)
+            .cast("int")
+            .alias("shard")
+        )
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.sum(F.col("lang").isNull().cast("long")).alias("n_lang_null"),
+            F.sum(F.element_at("emb", 1)).alias("sum_emb0"),
+        )
+        .orderBy("shard")
+    )
+
+
+AVRO_CENSUS_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, coalesce(text, '') AS text
+    FROM documents ORDER BY doc_id LIMIT 64
+)
+SELECT (doc_id % 4)::INT AS shard,
+       count(*) AS n_records,
+       sum(doc_id)::BIGINT AS sum_doc_id,
+       sum(length(text))::BIGINT AS sum_chars,
+       sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_lang_null,
+       sum(doc_id * 0.25)::DOUBLE AS sum_emb0
+FROM ids
+GROUP BY 1
+ORDER BY shard
+"""
+
+
 def pdf_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
     """PDF-source extraction (sources/pdf.read_pdf_corpus): the
     lowest-40 doc_ids become 10 four-page PDFs (page text is two lines
@@ -8850,6 +9127,27 @@ REGISTRY: dict[str, QuerySpec] = {
         archive_member_census_op, ARCHIVE_CENSUS_SQL,
         "tar/zip archive-source member census (planted-truth oracle)"
     ),
+    # r11 window rotation (session 2): the three new interchange-format
+    # sources (never driver-recorded) promoted — TFRecord, WebDataset,
+    # Avro; mp3_frame_census (recorded r5-r10), feed_entries and
+    # sitemap_urls (both recorded r8-r10) slide below the cutoff in
+    # exchange (media family keeps the mp3 full-decode entries +
+    # image/audio/video dedup; sources family keeps warc_corpus_text,
+    # mbox_corpus_text and archive_member_census in-window).
+    "tfrecord_roundtrip": QuerySpec(
+        tfrecord_roundtrip_op, TFRECORD_SQL,
+        "TFRecord sink/source: tf.train.Example + masked-CRC32C framing "
+        "roundtrip census (planted-truth oracle)"
+    ),
+    "webdataset_samples": QuerySpec(
+        webdataset_samples_op, WEBDATASET_SQL,
+        "WebDataset tar-shard sample grouping census (planted-truth oracle)"
+    ),
+    "avro_corpus_census": QuerySpec(
+        avro_corpus_census_op, AVRO_CENSUS_SQL,
+        "Avro object-container source: zigzag/union/array decode census "
+        "(planted-truth oracle)"
+    ),
     # session-3 r8 window rotation: image_dedup_arith (never
     # driver-recorded, SOF9 QM decode) promoted; pdf_corpus_text
     # (recorded r7) demoted to the tail in exchange.
@@ -8880,14 +9178,6 @@ REGISTRY: dict[str, QuerySpec] = {
         mbox_corpus_text_op, MBOX_CORPUS_SQL,
         "mbox/MIME email source: per-message text + headers (planted-truth oracle)"
     ),
-    # session-3 r8 window rotation: feed_entries (never
-    # driver-recorded) promoted; html_main_text (recorded r7) demoted
-    # to the tail in exchange — sources family keeps warc_corpus_text
-    # and archive_member_census in the window.
-    "feed_entries": QuerySpec(
-        feed_entries_op, FEED_ENTRIES_SQL,
-        "RSS 2.0 / Atom feed-entry source (planted-truth oracle)"
-    ),
     "audio_dedup_fp": QuerySpec(
         audio_dedup_op, AUDIO_DEDUP_SQL,
         "perceptual audio near-dup pairs (planted-truth oracle)"
@@ -8907,15 +9197,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "c4_line_filter": QuerySpec(
         c4_line_filter_op, C4_SQL, "C4 line-level cleaning stats"
     ),
-    # session-3 r8 window rotation: sitemap_urls (never
-    # driver-recorded) promoted; media_format_census (recorded r7)
-    # demoted to the tail — media family keeps image_dedup_dhash,
-    # image_dedup_arith, audio_dedup_fp and video_dedup_remux in the
-    # window.
-    "sitemap_urls": QuerySpec(
-        sitemap_urls_op, SITEMAP_SQL,
-        "sitemaps.org urlset/sitemapindex discovery source (planted-truth oracle)"
-    ),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_op, MINHASH_LSH_SQL,
         "minhash+LSH near-dup pairs (md5 mode, full-pipeline SQL oracle)"
@@ -8927,10 +9208,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_incremental": QuerySpec(
         dedup_incremental_op, DEDUP_INCREMENTAL_SQL,
         "batch-vs-store signature dedup (md5-mode oracle, planted store)"
-    ),
-    "mp3_frame_census": QuerySpec(
-        mp3_frame_census_op, MP3_CENSUS_SQL,
-        "MP3 frame-header walk: duration/bitrate census (planted-truth oracle)"
     ),
     "fuzzy_self_join": QuerySpec(
         fuzzy_join_op, FUZZY_JOIN_SQL, "edit-distance self-join (symmetric-delete blocked)"
@@ -9016,6 +9293,21 @@ REGISTRY: dict[str, QuerySpec] = {
         quality_classifier_op,
         _quality_classifier_sql(),
         "fasttext-style hashed-bigram quality model (planted-fit oracle)",
+    ),
+    # r11 window rotation (session 2): demoted here (all recorded
+    # r8-r10 or earlier) in exchange for the three interchange-format
+    # sources above.
+    "feed_entries": QuerySpec(
+        feed_entries_op, FEED_ENTRIES_SQL,
+        "RSS 2.0 / Atom feed-entry source (planted-truth oracle)"
+    ),
+    "sitemap_urls": QuerySpec(
+        sitemap_urls_op, SITEMAP_SQL,
+        "sitemaps.org urlset/sitemapindex discovery source (planted-truth oracle)"
+    ),
+    "mp3_frame_census": QuerySpec(
+        mp3_frame_census_op, MP3_CENSUS_SQL,
+        "MP3 frame-header walk: duration/bitrate census (planted-truth oracle)"
     ),
     # --- below the 50-entry driver gate window (all recorded green in
     # r1-r7; demoted in r8 to make room for the upgraded/new entries) ---

@@ -87,3 +87,53 @@ def read_archive_members(
             )
 
     return raw.select("path", "content").mapInPandas(explode, schema=ARCHIVE_SCHEMA)
+
+
+# ------------------------------------------------------------- WebDataset
+
+def webdataset_samples(members: DataFrame) -> DataFrame:
+    """Group archive member rows into WebDataset-style SAMPLES.
+
+    The WebDataset convention (public webdataset format spec: tar
+    shards of ``{key}.{ext}`` members, e.g. ``n0123.jpg`` +
+    ``n0123.cls`` + ``n0123.json``) names each part of one training
+    sample with a shared basename key; the part type is everything
+    after the FIRST dot of the basename (so ``x.seg.png`` is part
+    ``seg.png`` of sample ``x``, per the spec's multi-extension rule).
+
+    Pure Catalyst — one groupBy on (archive, key): parts become a
+    sorted ``map<string,binary>``, so downstream decode UDFs address
+    parts by type. Parallelism follows the tar shards (the whole point
+    of the format at 100 TB: sequential-read shards, no per-sample
+    object-store round trips); the groupBy shuffles only member
+    bytes that were already in flight, and samples are tar-local so
+    AQE coalesces the exchange cheaply.
+
+    Returns (archive, key, parts map<string,binary>, n_parts,
+    total_bytes)."""
+    from pyspark.sql import functions as F
+
+    base = F.element_at(F.split(F.col("member"), "/"), -1)
+    key = F.substring_index(base, ".", 1)
+    ext = F.expr(
+        "substring(element_at(split(member, '/'), -1),"
+        " length(substring_index(element_at(split(member, '/'), -1), '.', 1)) + 2)"
+    )
+    return (
+        members.select(
+            "archive",
+            key.alias("key"),
+            ext.alias("ext"),
+            "size",
+            "content",
+        )
+        .where(F.col("ext") != "")  # extension-less members aren't parts
+        .groupBy("archive", "key")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("ext", "content")))
+            ).alias("parts"),
+            F.count("*").alias("n_parts"),
+            F.sum("size").alias("total_bytes"),
+        )
+    )
