@@ -113,3 +113,52 @@ def test_webdataset_same_key_across_archives_stays_separate(spark, tmp_path):
     # two samples (WebDataset keys are only unique per shard)
     assert len(rows) == 2
     assert {bytes(r.parts["txt"]) for r in rows} == {b"zero", b"one!"}
+
+
+def test_webdataset_write_read_roundtrip(spark, tmp_path):
+    """Egress half: samples -> tar shards -> back through the archive
+    source and sample grouping, losslessly; sample parts contiguous."""
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.sources.archives import (
+        webdataset_samples,
+        write_webdataset,
+    )
+
+    df = (
+        spark.range(12)
+        .select(
+            F.concat(F.lit("s"), F.col("id")).alias("key"),
+            F.map_from_arrays(
+                F.array(F.lit("txt"), F.lit("cls")),
+                F.array(
+                    F.encode(F.concat(F.lit("body-"), F.col("id")), "utf-8"),
+                    F.encode((F.col("id") % 3).cast("string"), "utf-8"),
+                ),
+            ).alias("parts"),
+        )
+        .repartition(3)
+    )
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(df, out)
+    assert sum(r.n_samples for r in manifest.collect()) == 12
+
+    back = webdataset_samples(
+        read_archive_members(spark, out + "/shard-*.tar")
+    ).collect()
+    assert len(back) == 12
+    got = {r.key: bytes(r.parts["txt"]) for r in back}
+    assert got == {f"s{i}": f"body-{i}".encode() for i in range(12)}
+
+    # contiguity: within every shard, the two members of a sample are
+    # adjacent in the tar stream
+    import glob
+
+    for shard in glob.glob(out + "/shard-*.tar"):
+        names = [m.name for m in tarfile.open(shard).getmembers()]
+        keys = [n.split(".")[0] for n in names]
+        assert keys == sorted(keys, key=keys.index)  # grouped runs
+        for i in range(0, len(keys), 2):
+            assert keys[i] == keys[i + 1]

@@ -169,3 +169,32 @@ def test_written_framing_is_spec_exact(spark, tmp_path):
     assert lcrc == masked_crc32c(data[:8])
     (dcrc,) = struct.unpack_from("<I", data, 12 + length)
     assert dcrc == masked_crc32c(data[12:12 + length])
+
+
+def test_packed_sequences_export_to_tfrecord(spark, tmp_path):
+    """The last mile of a training pipeline: packed model-input
+    sequences (operators/packing.pack_encoded shape) written as
+    TFRecord shards and read back losslessly — int64_list seq, scalar
+    metadata — i.e. the engine's curation output feeds a tf.data
+    loader with no bridge code."""
+    from pyspark.sql import functions as F
+
+    packed = spark.range(8).select(
+        F.lit("web").alias("group"),
+        F.col("id").alias("bin_id"),
+        (F.col("id") % 3 + 1).alias("n_docs"),
+        F.sequence(F.lit(0), F.col("id") + 2).alias("seq"),
+    )
+    out = str(tmp_path / "packed_tfr")
+    manifest = write_tfrecords(packed.repartition(2), out)
+    assert sum(r.n_records for r in manifest.collect()) == 8
+
+    back = read_tfrecords(
+        spark, out,
+        {"group": "string", "bin_id": "int64",
+         "n_docs": "int64", "seq": "int64_list"},
+    )
+    got = {r.bin_id: (r.group, r.n_docs, list(r.seq)) for r in back.collect()}
+    assert got == {
+        i: ("web", i % 3 + 1, list(range(i + 3))) for i in range(8)
+    }

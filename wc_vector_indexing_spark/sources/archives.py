@@ -137,3 +137,53 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
             F.sum("size").alias("total_bytes"),
         )
     )
+
+
+def write_webdataset(df: DataFrame, path: str) -> DataFrame:
+    """Write (key string, parts map<string,binary>) rows as WebDataset
+    tar shards — one ``shard-*.tar`` per partition, members named
+    ``{key}.{part}`` with the parts of one sample CONTIGUOUS in the
+    stream (the property sequential-read training loaders rely on;
+    parts are emitted in sorted-type order within a sample). The
+    egress half of :func:`webdataset_samples`: each task streams its
+    own tar, no driver funnel, so shard count = partition count and a
+    repartition upstream sizes shards. Returns the (shard, n_samples,
+    n_bytes) manifest as an eagerly-materialized DataFrame."""
+    import os
+    import tarfile
+    from typing import Iterator as _Iter
+
+    import pandas as _pd
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        shard = os.path.join(path, f"shard-{pid:05d}.tar")
+        n = 0
+        with tarfile.open(shard, "w") as tf:
+            for pdf in batches:
+                for key, parts in zip(pdf["key"], pdf["parts"]):
+                    for ext in sorted(parts):
+                        body = bytes(parts[ext])
+                        info = tarfile.TarInfo(f"{key}.{ext}")
+                        info.size = len(body)
+                        tf.addfile(info, io.BytesIO(body))
+                    n += 1
+        if n == 0:
+            os.remove(shard)
+            yield _pd.DataFrame({"shard": [], "n_samples": [], "n_bytes": []})
+        else:
+            yield _pd.DataFrame(
+                {"shard": [shard], "n_samples": [n],
+                 "n_bytes": [os.path.getsize(shard)]}
+            )
+
+    manifest = df.select("key", "parts").mapInPandas(
+        dump, schema="shard string, n_samples long, n_bytes long"
+    )
+    manifest = manifest.cache()
+    manifest.count()  # eager: the write IS the action (1 row/partition)
+    return manifest
