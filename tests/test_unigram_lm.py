@@ -1,0 +1,142 @@
+"""Unigram-LM tokenizer training (operators/unigram_lm.py): lattice
+forward-backward correctness, EM behavior, Viterbi optimality vs brute
+force, pruning invariants, and the Spark seeding/encoding halves."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+
+from wc_vector_indexing_spark.operators.unigram_lm import (
+    _forward_backward,
+    seed_candidates,
+    train_unigram,
+    train_unigram_from_counts,
+    unigram_encode_col,
+    viterbi_segment,
+)
+
+
+def _brute_segmentations(word: str, pieces: set[str], max_len: int):
+    """All segmentations of word into vocabulary pieces."""
+    if not word:
+        yield []
+        return
+    for ln in range(1, min(max_len, len(word)) + 1):
+        head = word[:ln]
+        if head in pieces:
+            for rest in _brute_segmentations(word[ln:], pieces, max_len):
+                yield [head] + rest
+
+
+def test_forward_backward_matches_brute_force_likelihood():
+    logp = {"a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.4),
+            "ba": math.log(0.1)}
+    word = "abab"
+    z, exp = _forward_backward(word, logp, 2)
+    segs = list(_brute_segmentations(word, set(logp), 2))
+    probs = [math.exp(sum(logp[p] for p in s)) for s in segs]
+    assert math.isclose(math.exp(z), sum(probs), rel_tol=1e-12)
+    # expected count of each piece = sum over segmentations of
+    # (count in segmentation) * P(segmentation) / Z
+    for piece in logp:
+        want = sum(
+            pr * s.count(piece) for s, pr in zip(segs, probs)
+        ) / sum(probs)
+        assert math.isclose(exp.get(piece, 0.0), want, rel_tol=1e-10), piece
+
+
+def test_forward_backward_oov_returns_none():
+    assert _forward_backward("axb", {"a": -1.0, "b": -1.0}, 2) is None
+
+
+def test_viterbi_matches_brute_force_argmax():
+    logp = {"a": math.log(0.25), "b": math.log(0.15), "ab": math.log(0.35),
+            "ba": math.log(0.15), "bab": math.log(0.10)}
+    for word in ("a", "ab", "aba", "abab", "babab", "aabba"):
+        segs = list(_brute_segmentations(word, set(logp), 3))
+        if not segs:
+            with pytest.raises(ValueError):
+                viterbi_segment(word, logp, 3)
+            continue
+        best = max(
+            segs,
+            key=lambda s: (sum(logp[p] for p in s), -len(s),
+                           [-ord(c) for c in "".join(s)]),
+        )
+        got = viterbi_segment(word, logp, 3)
+        assert math.isclose(
+            sum(logp[p] for p in got),
+            sum(logp[p] for p in best), rel_tol=1e-12
+        ), word
+
+
+def test_training_learns_the_compositional_piece():
+    # 'ab' dominates the corpus: the trained vocab must keep it and
+    # segment with it rather than chars
+    counts = {"abab": 50, "ab": 30, "ba": 2, "b": 1}
+    logp = train_unigram_from_counts(counts, vocab_size=6, max_piece_len=3)
+    assert "ab" in logp
+    assert viterbi_segment("abab", logp, 3) == ["ab", "ab"]
+    # single chars always survive pruning -> any a/b string segmentable
+    assert set("ab") <= set(logp)
+    viterbi_segment("bbbaaa", logp, 3)  # must not raise
+
+
+def test_vocab_size_and_char_floor():
+    counts = {"".join(w): 5 for w in itertools.product("abcd", repeat=3)}
+    logp = train_unigram_from_counts(counts, vocab_size=10, max_piece_len=3)
+    # chars can exceed vocab_size as a floor, never get pruned
+    assert set("abcd") <= set(logp)
+    assert len(logp) <= max(10, 4)
+    # normalized: probabilities sum to 1
+    assert math.isclose(sum(math.exp(v) for v in logp.values()), 1.0,
+                        rel_tol=1e-9)
+
+
+def test_training_is_deterministic():
+    counts = {"hello": 10, "help": 7, "yellow": 5, "low": 9}
+    a = train_unigram_from_counts(counts, vocab_size=20)
+    b = train_unigram_from_counts(counts, vocab_size=20)
+    assert a == b
+
+
+def test_spark_seed_candidates_and_end_to_end(spark):
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.bpe import word_counts
+
+    docs = spark.createDataFrame(
+        [("abab abab ab",), ("ab abab cd",), ("cd cd abab",)],
+        ["text"],
+    )
+    wc = word_counts(docs)
+    seeds = {r.piece: (r.score, r.n_occurrences)
+             for r in seed_candidates(wc, max_piece_len=3).collect()}
+    # 'abab' occurs 4x, 'ab' word 2x, 'cd' 3x; piece 'ab' appears in
+    # both words: occurrences = 4 (from abab, 2 positions... counted
+    # once per WORD occurrence per position): abab has positions 1,3 ->
+    # handled by the explode; verify via the independient formula:
+    # score('cd') = 3 words * len 2 = 6
+    assert seeds["cd"] == (6, 3)
+    # 'ab' substring: abab(4 words x 2 positions) + ab(2 words x 1) = 10
+    assert seeds["ab"] == (20, 10)
+
+    logp = train_unigram(docs, vocab_size=8, max_piece_len=3)
+    assert "ab" in logp
+    enc = docs.select(
+        unigram_encode_col(logp, "text", 3).alias("pieces")
+    ).collect()
+    assert enc[0].pieces[:2] == ["ab", "ab"]
+
+
+def test_encode_oov_falls_back_to_unk(spark):
+    logp = {"a": math.log(0.5), "b": math.log(0.5)}
+    docs = spark.createDataFrame([("ab aXb",)], ["text"])
+    (row,) = docs.select(
+        unigram_encode_col(logp, "text", 2).alias("p")
+    ).collect()
+    # 'aXb' is unsegmentable -> per-char fallback, OOV char becomes <unk>
+    assert list(row.p) == ["a", "b", "a", "<unk>", "b"]

@@ -8658,6 +8658,88 @@ ORDER BY shard
 """
 
 
+def unigram_seed_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM tokenizer seeding (operators/unigram_lm.
+    seed_candidates) — the DISTRIBUTED half of SentencePiece-style
+    training: word frequencies (bpe.word_counts, top-512) exploded
+    into every substring of length 1..4, scored frequency×length,
+    top-256 candidates. This is the stage whose cost scales with the
+    corpus (the EM loop after it runs over the bounded table), so it
+    is the stage the oracle pins: DuckDB replays the
+    split/count/cap/explode/score chain exactly. Reference behavior
+    analogue: the keyword/token surface feeding document assembly
+    (class-indexer.php)."""
+    from wc_vector_indexing_spark.operators.bpe import word_counts
+    from wc_vector_indexing_spark.operators.unigram_lm import seed_candidates
+
+    docs = load(spark, "documents", sf).select("text")
+    wc = word_counts(docs, max_words=512)
+    return (
+        seed_candidates(wc, max_piece_len=4, seed_size=256)
+        .select("piece", "score", "n_occurrences")
+        .orderBy(F.desc("score"), F.asc("piece"))
+    )
+
+
+UNIGRAM_SEED_SQL = r"""
+WITH words AS (
+    SELECT word, count(*) AS n
+    FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 512
+),
+lens AS (
+    SELECT word, n,
+           unnest(generate_series(1, least(length(word), 4))) AS l
+    FROM words
+),
+subs AS (
+    SELECT word, n, l,
+           unnest(generate_series(1, length(word) - l + 1)) AS s
+    FROM lens
+),
+pieces AS (
+    SELECT substr(word, s::INT, l::INT) AS piece, n FROM subs
+)
+SELECT piece,
+       sum(n * length(piece))::BIGINT AS score,
+       sum(n)::BIGINT AS n_occurrences
+FROM pieces
+GROUP BY piece
+ORDER BY score DESC, piece ASC
+LIMIT 256
+"""
+
+
+def unigram_tokenizer_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained unigram-LM tokenizer (operators/unigram_lm.
+    train_unigram): distributed word counts + distributed candidate
+    seeding, then the driver-local EM/prune loop (bounded by
+    construction — like bpe_merges, the iterative fit is genuinely
+    non-SQL, so this entry is rows-only; the distributed seeding
+    stage is oracle-pinned by unigram_seed_census and the
+    EM/Viterbi math is property-pinned against brute force in
+    test_unigram_lm.py). Returns the final vocabulary as
+    (rank, piece, logp) with logp rounded for cross-host stability."""
+    from wc_vector_indexing_spark.operators.unigram_lm import train_unigram
+
+    docs = load(spark, "documents", sf).select("text")
+    logp = train_unigram(
+        docs, vocab_size=160, max_words=512,
+        max_piece_len=4, seed_size=256,
+    )
+    ranked = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(i + 1, p, round(v, 6)) for i, (p, v) in enumerate(ranked)],
+        "rank int, piece string, logp double",
+    ).orderBy("rank")
+
+
 def pdf_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
     """PDF-source extraction (sources/pdf.read_pdf_corpus): the
     lowest-40 doc_ids become 10 four-page PDFs (page text is two lines
@@ -9148,6 +9230,15 @@ REGISTRY: dict[str, QuerySpec] = {
         "Avro object-container source: zigzag/union/array decode census "
         "(planted-truth oracle)"
     ),
+    # r11 window rotation (session 2, cont.): unigram_seed_census (new,
+    # never driver-recorded — the distributed half of unigram-LM
+    # tokenizer training) promoted; mbox_corpus_text (recorded r8-r10)
+    # slides below the cutoff in exchange.
+    "unigram_seed_census": QuerySpec(
+        unigram_seed_census_op, UNIGRAM_SEED_SQL,
+        "unigram-LM tokenizer candidate seeding: word-count cap + "
+        "substring explode + frequency-length scoring (replayed-chain oracle)"
+    ),
     # session-3 r8 window rotation: image_dedup_arith (never
     # driver-recorded, SOF9 QM decode) promoted; pdf_corpus_text
     # (recorded r7) demoted to the tail in exchange.
@@ -9170,13 +9261,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "warc_corpus_text": QuerySpec(
         warc_corpus_text_op, WARC_CORPUS_SQL,
         "byte-true WARC source: charset cascade + chunked decode (planted-truth oracle)"
-    ),
-    # session-3 r8 window rotation: mbox_corpus_text (never
-    # driver-recorded) promoted; matryoshka_recall (recorded r7)
-    # demoted to the tail in exchange.
-    "mbox_corpus_text": QuerySpec(
-        mbox_corpus_text_op, MBOX_CORPUS_SQL,
-        "mbox/MIME email source: per-message text + headers (planted-truth oracle)"
     ),
     "audio_dedup_fp": QuerySpec(
         audio_dedup_op, AUDIO_DEDUP_SQL,
@@ -9308,6 +9392,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "mp3_frame_census": QuerySpec(
         mp3_frame_census_op, MP3_CENSUS_SQL,
         "MP3 frame-header walk: duration/bitrate census (planted-truth oracle)"
+    ),
+    # r11 window rotation (session 2, cont.): demoted (recorded r8-r10)
+    # in exchange for unigram_seed_census above.
+    "mbox_corpus_text": QuerySpec(
+        mbox_corpus_text_op, MBOX_CORPUS_SQL,
+        "mbox/MIME email source: per-message text + headers (planted-truth oracle)"
     ),
     # --- below the 50-entry driver gate window (all recorded green in
     # r1-r7; demoted in r8 to make room for the upgraded/new entries) ---
@@ -9539,6 +9629,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "bpe_merges": QuerySpec(
         bpe_merges_op, None, "distributed-count + local-loop BPE tokenizer training"
+    ),
+    "unigram_tokenizer": QuerySpec(
+        unigram_tokenizer_op, None,
+        "SentencePiece-style unigram-LM tokenizer training (EM + prune "
+        "over the bounded count table; seeding stage oracle-pinned by "
+        "unigram_seed_census)"
     ),
     "compression_ratio": QuerySpec(
         compression_ratio_op, None, "zlib deflate-ratio quality signal"
