@@ -113,3 +113,32 @@ def test_spark_reader_on_error_skip_and_schema_mismatch(spark, tmp_path):
              "fields": [{"name": "doc_id", "type": "long"}]}
     with pytest.raises(Exception, match="writer schema"):
         read_avro(spark, str(tmp_path / "good.avro"), other).count()
+
+
+def test_streaming_twin_matches_batch(spark, tmp_path):
+    """read_avro_stream shares the batch parse pass: container drops
+    stream out as exactly the batch rows."""
+    from wc_vector_indexing_spark.sources.avro import read_avro_stream
+
+    rows = _rows(9)
+    (tmp_path / "d0.avro").write_bytes(to_avro_bytes(SCHEMA, rows[:5]))
+    (tmp_path / "d1.avro").write_bytes(
+        to_avro_bytes(SCHEMA, rows[5:], codec="null"))
+
+    q = (
+        read_avro_stream(spark, str(tmp_path / "*.avro"), SCHEMA)
+        .writeStream.format("memory")
+        .queryName("avro_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    streamed = spark.sql(
+        "SELECT doc_id, text, lang FROM avro_stream_out").collect()
+    batch = read_avro(spark, str(tmp_path / "*.avro"), SCHEMA) \
+        .select("doc_id", "text", "lang").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(batch) == 9

@@ -198,3 +198,35 @@ def test_packed_sequences_export_to_tfrecord(spark, tmp_path):
     assert got == {
         i: ("web", i % 3 + 1, list(range(i + 3))) for i in range(8)
     }
+
+
+def test_streaming_twin_matches_batch(spark, tmp_path):
+    """read_tfrecords_stream shares the batch parse pass: shards
+    dropped into a directory stream out as exactly the batch rows."""
+    from wc_vector_indexing_spark.sources.tfrecord import read_tfrecords_stream
+
+    out = tmp_path / "tfr"
+    out.mkdir()
+    for s in range(3):
+        recs = [{"doc_id": ("int64", [s * 10 + i]),
+                 "text": ("bytes", [f"t-{s}-{i}"])} for i in range(4)]
+        (out / f"part-{s}.tfrecord").write_bytes(to_tfrecord_bytes(recs))
+
+    spec = {"doc_id": "int64", "text": "string"}
+    q = (
+        read_tfrecords_stream(spark, str(out / "*.tfrecord"), spec)
+        .writeStream.format("memory")
+        .queryName("tfr_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    streamed = spark.sql(
+        "SELECT doc_id, text FROM tfr_stream_out").collect()
+    batch = read_tfrecords(spark, str(out / "*.tfrecord"), spec) \
+        .select("doc_id", "text").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(batch) == 12

@@ -303,19 +303,13 @@ def _spark_field(ftype) -> str:
     return _SPARK_TYPES[ftype]
 
 
-def read_avro(
-    spark: SparkSession,
-    path: str,
-    avro_schema: dict,
-    on_error: str = "raise",
+def _parse_pass(
+    raw: DataFrame, avro_schema: dict, on_error: str = "raise"
 ) -> DataFrame:
-    """Read Avro container shard(s) into typed rows. ``avro_schema``
-    is the reader schema (explicit-schema ingest, like
-    ``read_jsonl_corpus`` — no inference scan); files whose embedded
-    writer schema disagrees raise. Rows carry ``avro_path`` for
-    shard-level lineage. ``on_error='skip'`` drops a corrupt shard
-    WHOLE (all-or-nothing, same contract as the WARC/TFRecord
-    readers)."""
+    """The shared Arrow parse stage over whole-file byte rows (columns:
+    path, content) — used verbatim by the batch reader and the
+    streaming twin, so the two can never disagree on what a record
+    is."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
     fields = _check_record_schema(avro_schema)
@@ -323,7 +317,6 @@ def read_avro(
         ["avro_path string"] + [f"{n} {_spark_field(t)}" for n, t in fields]
     )
     want = json.dumps(avro_schema, sort_keys=True)
-    raw = spark.read.format("binaryFile").load(path)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["avro_path"] + [n for n, _ in fields]
@@ -348,3 +341,44 @@ def read_avro(
         yield pd.DataFrame(out, columns=cols)
 
     return raw.select("path", "content").mapInPandas(parse, schema=ddl)
+
+
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    avro_schema: dict,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Read Avro container shard(s) into typed rows. ``avro_schema``
+    is the reader schema (explicit-schema ingest, like
+    ``read_jsonl_corpus`` — no inference scan); files whose embedded
+    writer schema disagrees raise. Rows carry ``avro_path`` for
+    shard-level lineage. ``on_error='skip'`` drops a corrupt shard
+    WHOLE (all-or-nothing, same contract as the WARC/TFRecord
+    readers)."""
+    raw = spark.read.format("binaryFile").load(path)
+    return _parse_pass(raw, avro_schema, on_error)
+
+
+def read_avro_stream(
+    spark: SparkSession,
+    path: str,
+    avro_schema: dict,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Streaming twin of :func:`read_avro` — file-source ``readStream``
+    over the same binaryFile format with the SAME Arrow parse stage
+    (batch/stream can never disagree; the sources/warc.read_warc_stream
+    contract). New ``.avro`` container drops become micro-batches with
+    exactly-once via the file-source checkpoint."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        # the file-stream source requires an explicit schema;
+        # binaryFile's is fixed, so this is a restatement, not a choice
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+    )
+    return _parse_pass(raw, avro_schema, on_error)

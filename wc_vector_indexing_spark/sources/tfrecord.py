@@ -331,25 +331,17 @@ def _extract(feats: dict, name: str, kind: str):
     return vals[0] if vals else None
 
 
-def read_tfrecords(
-    spark: SparkSession,
-    path: str,
-    feature_spec: dict[str, str],
-    on_error: str = "raise",
+def _parse_pass(
+    raw: DataFrame, feature_spec: dict[str, str], on_error: str = "raise"
 ) -> DataFrame:
-    """Read TFRecord shard(s) of tf.train.Example into typed columns.
-
-    ``feature_spec`` maps feature name → kind: scalar kinds ``bytes
-    string int64 float`` take the first list element (null when the
-    feature is absent/empty); ``*_list`` kinds keep the whole list.
-    ``on_error='skip'`` drops a corrupt shard WHOLE (all-or-nothing,
-    same contract as the WARC reader — a partial shard presented as
-    complete is the worse failure at 100 TB)."""
+    """The shared Arrow parse stage over whole-file byte rows (columns:
+    path, content) — used verbatim by the batch reader and the
+    streaming twin, so the two can never disagree on what a record
+    is."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
     schema = _spec_schema(feature_spec)
     spec = dict(feature_spec)
-    raw = spark.read.format("binaryFile").load(path)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["tfrecord_path", "record_index", *spec]
@@ -376,6 +368,51 @@ def read_tfrecords(
         yield pd.DataFrame(out, columns=cols)
 
     return raw.select("path", "content").mapInPandas(parse, schema=schema)
+
+
+def read_tfrecords(
+    spark: SparkSession,
+    path: str,
+    feature_spec: dict[str, str],
+    on_error: str = "raise",
+) -> DataFrame:
+    """Read TFRecord shard(s) of tf.train.Example into typed columns.
+
+    ``feature_spec`` maps feature name → kind: scalar kinds ``bytes
+    string int64 float`` take the first list element (null when the
+    feature is absent/empty); ``*_list`` kinds keep the whole list.
+    ``on_error='skip'`` drops a corrupt shard WHOLE (all-or-nothing,
+    same contract as the WARC reader — a partial shard presented as
+    complete is the worse failure at 100 TB)."""
+    raw = spark.read.format("binaryFile").load(path)
+    return _parse_pass(raw, feature_spec, on_error)
+
+
+def read_tfrecords_stream(
+    spark: SparkSession,
+    path: str,
+    feature_spec: dict[str, str],
+    on_error: str = "raise",
+) -> DataFrame:
+    """Streaming twin of :func:`read_tfrecords`: a file-source
+    ``readStream`` over the same binaryFile format with the SAME Arrow
+    parse stage, so a streaming ingest and a batch backfill can never
+    disagree on what a record is (the contract every streaming reader
+    here keeps — see sources/warc.read_warc_stream). New ``.tfrecord``
+    shards dropped into ``path`` become micro-batches; the file-source
+    checkpoint gives exactly-once; ``maxFilesPerTrigger`` bounds each
+    micro-batch at 100 TB."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        # the file-stream source requires an explicit schema;
+        # binaryFile's is fixed, so this is a restatement, not a choice
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+    )
+    return _parse_pass(raw, feature_spec, on_error)
 
 
 # ------------------------------------------------------------ Spark writer
