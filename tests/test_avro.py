@@ -109,10 +109,41 @@ def test_spark_reader_on_error_skip_and_schema_mismatch(spark, tmp_path):
     kept = read_avro(spark, str(tmp_path / "*.avro"), SCHEMA, on_error="skip")
     assert {r.doc_id for r in kept.collect()} == {0, 1, 2, 3}
 
+    # a reader field the writer never had and no default: unresolvable
     other = {"type": "record", "name": "doc",
-             "fields": [{"name": "doc_id", "type": "long"}]}
-    with pytest.raises(Exception, match="writer schema"):
+             "fields": [{"name": "doc_id", "type": "long"},
+                        {"name": "added", "type": "long"}]}
+    with pytest.raises(Exception, match="no default"):
         read_avro(spark, str(tmp_path / "good.avro"), other).count()
+
+
+def test_schema_resolution_projection_default_and_promotion_seam(spark, tmp_path):
+    """Avro spec schema resolution: narrower reader schemas PROJECT
+    (writer-only fields dropped), reader-added fields take their
+    declared default, and type promotion stays a contract seam."""
+    (tmp_path / "old.avro").write_bytes(to_avro_bytes(SCHEMA, _rows(4)))
+
+    evolved = {
+        "type": "record", "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": "string"},
+            {"name": "split", "type": "string", "default": "train"},
+            {"name": "weight", "type": "double", "default": 1.0},
+        ],
+    }
+    got = {r.doc_id: r for r in
+           read_avro(spark, str(tmp_path / "old.avro"), evolved).collect()}
+    assert len(got) == 4
+    assert got[2].text == "tëxt-2"
+    assert got[2].split == "train" and got[2].weight == 1.0
+    # writer-only fields (lang/ok/score/emb/blob) are gone
+    assert "emb" not in got[2].asDict()
+
+    promoted = {"type": "record", "name": "doc",
+                "fields": [{"name": "doc_id", "type": "double"}]}
+    with pytest.raises(Exception, match="promotion"):
+        read_avro(spark, str(tmp_path / "old.avro"), promoted).count()
 
 
 def test_streaming_twin_matches_batch(spark, tmp_path):

@@ -303,20 +303,66 @@ def _spark_field(ftype) -> str:
     return _SPARK_TYPES[ftype]
 
 
+def _resolve_rows(
+    reader_fields: list[tuple[str, object]],
+    reader_schema: dict,
+    writer_schema: dict,
+    rows: list[dict],
+) -> list[dict]:
+    """Avro spec §Schema Resolution, record rules, applied after the
+    writer-schema decode: writer fields absent from the reader are
+    DROPPED; reader fields absent from the writer take their declared
+    ``default`` (error if none — the spec's unresolvable case); fields
+    present in both must have the identical type in this module's
+    subset (promotions are out of scope, a documented seam)."""
+    if json.dumps(writer_schema, sort_keys=True) == json.dumps(
+        reader_schema, sort_keys=True
+    ):
+        return rows
+    writer_types = {
+        f["name"]: f["type"] for f in writer_schema.get("fields", [])
+    }
+    defaults: dict[str, object] = {}
+    for f in reader_schema.get("fields", []):
+        name, ftype = f["name"], f["type"]
+        if name in writer_types:
+            if writer_types[name] != ftype:
+                raise NotImplementedError(
+                    f"type promotion for field {name!r} "
+                    f"({writer_types[name]} -> {ftype}) is unsupported"
+                )
+        elif "default" in f:
+            d = f["default"]
+            # spec: bytes defaults are JSON strings of latin-1 bytes
+            defaults[name] = (
+                d.encode("latin-1") if ftype == "bytes"
+                and isinstance(d, str) else d
+            )
+        else:
+            raise ValueError(
+                f"reader field {name!r} missing from writer schema "
+                "and has no default"
+            )
+    names = [n for n, _ in reader_fields]
+    return [
+        {n: (r[n] if n in r else defaults[n]) for n in names} for r in rows
+    ]
+
+
 def _parse_pass(
     raw: DataFrame, avro_schema: dict, on_error: str = "raise"
 ) -> DataFrame:
     """The shared Arrow parse stage over whole-file byte rows (columns:
     path, content) — used verbatim by the batch reader and the
     streaming twin, so the two can never disagree on what a record
-    is."""
+    is. ``avro_schema`` is the READER schema; files written under an
+    evolved schema resolve per :func:`_resolve_rows`."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
     fields = _check_record_schema(avro_schema)
     ddl = ", ".join(
         ["avro_path string"] + [f"{n} {_spark_field(t)}" for n, t in fields]
     )
-    want = json.dumps(avro_schema, sort_keys=True)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["avro_path"] + [n for n, _ in fields]
@@ -325,8 +371,7 @@ def _parse_pass(
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 try:
                     schema, rows = parse_avro_file(bytes(content))
-                    if json.dumps(schema, sort_keys=True) != want:
-                        raise ValueError("writer schema != reader schema")
+                    rows = _resolve_rows(fields, avro_schema, schema, rows)
                 except (ValueError, NotImplementedError) as e:
                     if on_error == "raise":
                         raise ValueError(
