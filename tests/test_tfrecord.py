@@ -230,3 +230,25 @@ def test_streaming_twin_matches_batch(spark, tmp_path):
         .select("doc_id", "text").collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
     assert len(batch) == 12
+
+
+def test_vectorized_crc_equals_bytewise_and_combines():
+    """The numpy lane kernel + GF(2) tree fold must equal the reference
+    byte loop at every size class (below/at/past the vector threshold,
+    word-aligned and not), and the zero-extension combine must satisfy
+    crc(A||B) == combine(crc(A), crc(B), |B|)."""
+    import random
+
+    from wc_vector_indexing_spark.sources.tfrecord import (
+        _crc32c_bytewise,
+        crc32c_combine,
+    )
+
+    rng = random.Random(42)
+    for n in (0, 1, 3, 4095, 4096, 4097, 4100, 65536, 70003,
+              (1 << 20) + 37):
+        data = rng.randbytes(n)
+        assert crc32c(data) == _crc32c_bytewise(data) ^ 0xFFFFFFFF, n
+    for la, lb in ((1, 1), (4096, 4096), (12345, 1), (100000, 99999)):
+        a, b = rng.randbytes(la), rng.randbytes(lb)
+        assert crc32c_combine(crc32c(a), crc32c(b), lb) == crc32c(a + b)

