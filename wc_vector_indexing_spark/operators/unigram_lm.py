@@ -266,20 +266,31 @@ def unigram_encode_col(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # distinct-word memo: corpora are Zipfian, so most Viterbi calls
+    # repeat — lives in the UDF closure, so each python worker keeps it
+    # across batches; bounded
+    memo: dict[str, list[str]] = {}
+
     # no type hints: `from __future__ import annotations` stringizes
     # them, which pandas_udf's signature inference rejects
     @pandas_udf("array<string>")
     def enc(texts):
+        def seg(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                try:
+                    got = viterbi_segment(w, logp, max_piece_len)
+                except ValueError:
+                    got = [c if c in logp else "<unk>" for c in w]
+                if len(memo) < 200_000:
+                    memo[w] = got
+            return got
+
         out = []
         for t in texts:
             pieces: list[str] = []
             for w in (t or "").lower().split():
-                try:
-                    pieces.extend(viterbi_segment(w, logp, max_piece_len))
-                except ValueError:
-                    pieces.extend(
-                        c if c in logp else "<unk>" for c in w
-                    )
+                pieces.extend(seg(w))
             out.append(pieces)
         return pd.Series(out)
 

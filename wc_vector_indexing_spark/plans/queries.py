@@ -8469,6 +8469,64 @@ ORDER BY shard
 """
 
 
+def tfrecord_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTRIBUTED TFRecord sink under the gate (sources/tfrecord.
+    write_tfrecords): the lowest-80 docs repartition over 4 tasks,
+    each task streams its own shard (no driver funnel), then the
+    shards read back through the distributed reader and reconcile
+    against the source relation — counts, id/char sums, and the
+    manifest's own totals. The fixture entry (tfrecord_roundtrip)
+    pins the wire format with driver-written bytes; THIS entry pins
+    the executor-side writer path. Output is global (shard assignment
+    is Spark's), so the oracle is the source-table aggregate."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.tfrecord import (
+        read_tfrecords,
+        write_tfrecords,
+    )
+
+    docs = (
+        load(spark, "documents", sf)
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+        .orderBy("doc_id")
+        .limit(80)
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_tfr_export_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        manifest = write_tfrecords(docs.repartition(4), out)
+        manifest.count()
+        with open(done, "w") as f:
+            f.write("ok")
+    back = read_tfrecords(
+        spark, os.path.join(out, "part-*.tfrecord"),
+        {"doc_id": "int64", "text": "string"},
+    )
+    return back.agg(
+        F.count("*").alias("n_records"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.countDistinct("tfrecord_path").alias("n_shards"),
+    )
+
+
+TFRECORD_EXPORT_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, coalesce(text, '') AS text
+    FROM documents ORDER BY doc_id LIMIT 80
+)
+SELECT count(*) AS n_records,
+       sum(doc_id)::BIGINT AS sum_doc_id,
+       sum(length(text))::BIGINT AS sum_chars,
+       4::BIGINT AS n_shards
+FROM ids
+"""
+
+
 def webdataset_samples_op(spark: SparkSession, sf: str) -> DataFrame:
     """WebDataset sample grouping (sources/archives.webdataset_samples):
     the lowest-48 doc_ids become ``doc_{id}.txt`` (the REAL utf-8 text
@@ -9221,6 +9279,15 @@ REGISTRY: dict[str, QuerySpec] = {
         "TFRecord sink/source: tf.train.Example + masked-CRC32C framing "
         "roundtrip census (planted-truth oracle)"
     ),
+    # r11 window rotation (session 2, cont.): tfrecord_export_roundtrip
+    # (new, never driver-recorded — the executor-side distributed
+    # writer path) promoted; warc_corpus_text (recorded r8-r10) slides
+    # below the cutoff in exchange.
+    "tfrecord_export_roundtrip": QuerySpec(
+        tfrecord_export_roundtrip_op, TFRECORD_EXPORT_SQL,
+        "distributed TFRecord write (one shard per task) read back and "
+        "reconciled against the source relation"
+    ),
     "webdataset_samples": QuerySpec(
         webdataset_samples_op, WEBDATASET_SQL,
         "WebDataset tar-shard sample grouping census (planted-truth oracle)"
@@ -9255,13 +9322,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # session-3 r8 window rotation: subtitle_cues (never
     # driver-recorded) promoted; image_dedup_progressive (recorded r7)
     # demoted to the tail in exchange.
-    # session-3 r8 window rotation: jsonld_extract (never
-    # driver-recorded, pure-Catalyst) promoted; overlapping_sessions
-    # (recorded r7) demoted to the tail in exchange.
-    "warc_corpus_text": QuerySpec(
-        warc_corpus_text_op, WARC_CORPUS_SQL,
-        "byte-true WARC source: charset cascade + chunked decode (planted-truth oracle)"
-    ),
     "audio_dedup_fp": QuerySpec(
         audio_dedup_op, AUDIO_DEDUP_SQL,
         "perceptual audio near-dup pairs (planted-truth oracle)"
@@ -9392,6 +9452,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "mp3_frame_census": QuerySpec(
         mp3_frame_census_op, MP3_CENSUS_SQL,
         "MP3 frame-header walk: duration/bitrate census (planted-truth oracle)"
+    ),
+    # r11 window rotation (session 2, cont.): demoted (recorded r8-r10)
+    # in exchange for tfrecord_export_roundtrip above.
+    "warc_corpus_text": QuerySpec(
+        warc_corpus_text_op, WARC_CORPUS_SQL,
+        "byte-true WARC source: charset cascade + chunked decode (planted-truth oracle)"
     ),
     # r11 window rotation (session 2, cont.): demoted (recorded r8-r10)
     # in exchange for unigram_seed_census above.
