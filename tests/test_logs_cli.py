@@ -250,3 +250,64 @@ def test_cli_prep_hash_sized_doc_ids(spark, tmp_path, capsys):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["input"] == 500 and 0 < out["prepped"] <= 500
+
+
+def test_cli_export_tfrecord(spark, tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+    from wc_vector_indexing_spark.sources.tfrecord import read_tfrecords
+
+    rc = main(
+        [
+            "export",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "tfr"),
+            "--format", "tfrecord",
+        ]
+    )
+    assert rc == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["n_records"] == 500
+    back = read_tfrecords(
+        spark, str(tmp_path / "tfr"),
+        {"doc_id": "int64", "text": "string"},
+    )
+    assert back.count() == 500
+
+
+def test_cli_tokenizer_train_and_sample(tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+
+    art = tmp_path / "uni.json"
+    rc = main(
+        [
+            "tokenizer",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--algo", "unigram",
+            "--vocab-size", "120",
+            "--save", str(art),
+            "--sample", "the orders",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    head = _json.loads(out[0])
+    assert head["units"] == 120
+    saved = _json.loads(art.read_text())
+    assert saved["algo"] == "unigram" and len(saved["pieces"]) == 120
+    assert out[1].startswith("sample: ")
+
+    rc = main(
+        [
+            "tokenizer",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--algo", "bpe",
+            "--vocab-size", "50",
+        ]
+    )
+    assert rc == 0
+    head = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert head["algo"] == "bpe" and head["units"] == 50

@@ -404,6 +404,19 @@ def cmd_export(args: argparse.Namespace) -> int:
     spark = get_spark("wcvec-cli", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     df = load(spark, args.table, args.sf_dir)
+    if args.format == "tfrecord":
+        from wc_vector_indexing_spark.sources.tfrecord import write_tfrecords
+
+        if getattr(args, "epoch_seed", ""):
+            raise SystemExit("--epoch-seed is not supported with tfrecord yet")
+        manifest = write_tfrecords(df, args.out)
+        shards = manifest.collect()
+        print(json.dumps({
+            "table": args.table, "format": "tfrecord",
+            "n_shards": len(shards),
+            "n_records": int(sum(r.n_records for r in shards)),
+        }))
+        return 0
     if getattr(args, "epoch_seed", ""):
         # deterministic training order: join the (shard, order_key)
         # assignment back, write partitioned by shard with rows sorted
@@ -452,6 +465,70 @@ def cmd_export(args: argparse.Namespace) -> int:
     pattern = f"{args.out}/**/*.{ext}*" if args.partition_by else f"{args.out}/*.{ext}*"
     files = sorted(_glob.glob(pattern, recursive=True))
     print(json.dumps({"table": args.table, "format": args.format, "n_shards": len(files)}))
+    return 0
+
+
+def cmd_tokenizer(args: argparse.Namespace) -> int:
+    """Train a subword tokenizer (BPE or unigram-LM) on a corpus
+    table, save the artifact as JSON, and optionally show a sample
+    segmentation — the reference CLI's chunk-inspection shape
+    (class-cli.php) applied to the tokenizer family."""
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.readers import load
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load(spark, args.table, args.sf_dir).select(args.text_col)
+
+    if args.algo == "bpe":
+        from wc_vector_indexing_spark.operators.bpe import (
+            segment_word,
+            train_bpe,
+        )
+
+        merges = train_bpe(
+            docs, num_merges=args.vocab_size, text_col=args.text_col
+        )
+        artifact = {"algo": "bpe", "merges": [list(m) for m in merges]}
+        n_units = len(merges)
+        if args.sample:
+            ranks = {tuple(m): i for i, m in enumerate(merges)}
+            pieces = [
+                p
+                for w in args.sample.lower().split()
+                for p in segment_word(w, ranks)
+            ]
+    else:
+        from wc_vector_indexing_spark.operators.unigram_lm import (
+            train_unigram,
+            viterbi_segment,
+        )
+
+        logp = train_unigram(
+            docs,
+            vocab_size=args.vocab_size,
+            text_col=args.text_col,
+            max_piece_len=args.max_piece_len,
+        )
+        artifact = {
+            "algo": "unigram",
+            "max_piece_len": args.max_piece_len,
+            "pieces": {p: round(v, 9) for p, v in sorted(logp.items())},
+        }
+        n_units = len(logp)
+        if args.sample:
+            pieces = [
+                p
+                for w in args.sample.lower().split()
+                for p in viterbi_segment(w, logp, args.max_piece_len)
+            ]
+    if args.save:
+        with open(args.save, "w") as fh:
+            json.dump(artifact, fh, indent=1, ensure_ascii=False)
+    print(json.dumps({"algo": args.algo, "units": n_units,
+                      "saved": args.save or None}))
+    if args.sample:
+        print("sample:", " ".join(pieces))
     return 0
 
 
@@ -611,7 +688,9 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ex.add_argument("--table", default="documents")
     ex.add_argument("--out", required=True)
-    ex.add_argument("--format", choices=["json", "csv", "parquet"], default="json")
+    ex.add_argument(
+        "--format", choices=["json", "csv", "parquet", "tfrecord"], default="json"
+    )
     ex.add_argument("--max-records", type=int, default=100_000)
     ex.add_argument("--partition-by", default=None, help="comma-separated columns")
     ex.add_argument("--compression", default=None)
@@ -627,6 +706,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="shuffle key for --epoch-seed (default: first column of the table)",
     )
     ex.set_defaults(fn=cmd_export)
+
+    tk = sub.add_parser("tokenizer", help="train a BPE or unigram-LM tokenizer")
+    tk.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    tk.add_argument("--table", default="documents")
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--algo", choices=["bpe", "unigram"], default="unigram")
+    tk.add_argument("--vocab-size", type=int, default=300,
+                    help="target pieces (unigram) / merges (bpe)")
+    tk.add_argument("--max-piece-len", type=int, default=4)
+    tk.add_argument("--save", default="", help="write the artifact JSON here")
+    tk.add_argument("--sample", default="", help="segment this text and print")
+    tk.set_defaults(fn=cmd_tokenizer)
 
     cr = sub.add_parser("crawl", help="WARC → extracted-text parquet corpus")
     cr.add_argument("--warc", required=True, help="WARC file/glob/dir")
