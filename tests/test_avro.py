@@ -173,3 +173,33 @@ def test_streaming_twin_matches_batch(spark, tmp_path):
         .select("doc_id", "text", "lang").collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
     assert len(batch) == 9
+
+
+def test_distributed_write_read_roundtrip(spark, tmp_path):
+    """Egress half: one container per partition, schema derived from
+    the DataFrame, nulls (incl. Arrow's NaN-for-null integers) and
+    arrays surviving the roundtrip."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.sources.avro import schema_for, write_avro
+
+    df = (
+        spark.range(14)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"),
+            F.when(F.col("id") % 3 == 0, F.col("id") * 2).alias("maybe"),
+            F.array(F.col("id") * 0.5, F.lit(1.0)).alias("emb"),
+        )
+        .repartition(3)
+    )
+    out = str(tmp_path / "avro_out")
+    manifest = write_avro(df, out)
+    assert sum(r.n_records for r in manifest.collect()) == 14
+
+    back = read_avro(spark, out + "/part-*.avro", schema_for(df))
+    got = {r.doc_id: r for r in back.collect()}
+    assert len(got) == 14
+    assert got[3].maybe == 6 and got[4].maybe is None
+    assert list(got[5].emb) == [2.5, 1.0]
+    assert got[7].text == "t7"

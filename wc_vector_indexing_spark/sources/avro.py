@@ -405,6 +405,89 @@ def read_avro(
     return _parse_pass(raw, avro_schema, on_error)
 
 
+_AVRO_TYPES = {"BooleanType": "boolean", "IntegerType": "int",
+               "LongType": "long", "FloatType": "float",
+               "DoubleType": "double", "BinaryType": "bytes",
+               "StringType": "string"}
+
+
+def schema_for(df: DataFrame, name: str = "row") -> dict:
+    """Derive the Avro record schema for a DataFrame over this
+    module's supported subset; nullable columns become [null, T]
+    unions, arrays of primitives map elementwise."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for f in df.schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.ArrayType):
+            elem = type(dt.elementType).__name__
+            if elem not in _AVRO_TYPES:
+                raise NotImplementedError(f"array<{elem}> for {f.name!r}")
+            ftype: object = {"type": "array", "items": _AVRO_TYPES[elem]}
+        else:
+            tname = type(dt).__name__
+            if tname not in _AVRO_TYPES:
+                raise NotImplementedError(f"{tname} for {f.name!r}")
+            ftype = _AVRO_TYPES[tname]
+        if f.nullable and not isinstance(ftype, dict):
+            ftype = ["null", ftype]
+        fields.append({"name": f.name, "type": ftype})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> DataFrame:
+    """Write ``df`` as one ``part-*.avro`` container per partition —
+    the egress half of :func:`read_avro`, same one-shard-per-task
+    model as the TFRecord/WebDataset writers (no driver funnel; shard
+    count = partition count). The record schema derives from the
+    DataFrame schema via :func:`schema_for`. Returns the eager
+    (shard, n_records) manifest."""
+    import os
+
+    avro_schema = schema_for(df)
+    # Arrow->pandas renders nulls in integral columns as float NaN;
+    # only genuinely-floating columns keep NaN as a value
+    float_cols = {
+        f["name"] for f in avro_schema["fields"]
+        if f["type"] in ("float", "double")
+        or f["type"] in (["null", "float"], ["null", "double"])
+    }
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        def norm(k, v):
+            if v is None:
+                return None
+            if isinstance(v, float) and v != v and k not in float_cols:
+                return None  # NaN standing in for a null
+            if isinstance(v, (list, tuple)):
+                return list(v)
+            if hasattr(v, "tolist") and not isinstance(v, bytes):
+                return v.tolist()  # numpy array/scalar -> python
+            return v
+
+        pid = TaskContext.get().partitionId()
+        shard = os.path.join(path, f"part-{pid:05d}.avro")
+        rows: list[dict] = []
+        for pdf in batches:
+            for r in pdf.to_dict("records"):
+                rows.append({k: norm(k, v) for k, v in r.items()})
+        if not rows:
+            yield pd.DataFrame({"shard": [], "n_records": []})
+            return
+        with open(shard, "wb") as fh:
+            fh.write(to_avro_bytes(avro_schema, rows, codec=codec))
+        yield pd.DataFrame({"shard": [shard], "n_records": [len(rows)]})
+
+    manifest = df.mapInPandas(dump, schema="shard string, n_records long")
+    manifest = manifest.cache()
+    manifest.count()  # eager: the write IS the action (1 row/partition)
+    return manifest
+
+
 def read_avro_stream(
     spark: SparkSession,
     path: str,
