@@ -140,3 +140,63 @@ def test_encode_oov_falls_back_to_unk(spark):
     ).collect()
     # 'aXb' is unsegmentable -> per-char fallback, OOV char becomes <unk>
     assert list(row.p) == ["a", "b", "a", "<unk>", "b"]
+
+
+def test_sample_segment_is_valid_deterministic_and_tempered():
+    from wc_vector_indexing_spark.operators.unigram_lm import sample_segment
+
+    logp = {"a": math.log(0.3), "b": math.log(0.1), "ab": math.log(0.5),
+            "ba": math.log(0.1)}
+    # validity + determinism across many seeds
+    for seed in range(40):
+        segs = sample_segment("ababab", logp, 2, alpha=0.5, seed=seed)
+        assert "".join(segs) == "ababab"
+        assert all(p in logp for p in segs)
+        assert segs == sample_segment("ababab", logp, 2, alpha=0.5, seed=seed)
+    # high alpha degenerates to Viterbi
+    best = viterbi_segment("ababab", logp, 2)
+    assert all(
+        sample_segment("ababab", logp, 2, alpha=60.0, seed=s) == best
+        for s in range(10)
+    )
+
+
+def test_sample_distribution_matches_tempered_posterior():
+    from wc_vector_indexing_spark.operators.unigram_lm import sample_segment
+
+    # 'ab' has exactly two segmentations: [ab] (p=0.6) and [a,b]
+    # (p=0.3*0.2=0.06); at alpha=1 the posterior of [ab] is
+    # 0.6/(0.66) ≈ 0.909
+    logp = {"a": math.log(0.3), "b": math.log(0.2), "ab": math.log(0.6)}
+    n = 3000
+    hits = sum(
+        sample_segment("ab", logp, 2, alpha=1.0, seed=s) == ["ab"]
+        for s in range(n)
+    )
+    assert abs(hits / n - 0.909) < 0.03
+
+
+def test_sampled_encode_col_stays_pure_and_varies_occurrences(spark):
+    from wc_vector_indexing_spark.operators.unigram_lm import (
+        unigram_sample_encode_col,
+    )
+
+    logp = {"a": math.log(0.3), "b": math.log(0.1), "ab": math.log(0.5),
+            "ba": math.log(0.1)}
+    docs = spark.createDataFrame([("abab abab abab abab abab abab",)],
+                                 ["text"])
+    first = docs.select(
+        unigram_sample_encode_col(logp, "text", 2, alpha=0.3, seed=7)
+        .alias("p")
+    ).collect()[0].p
+    again = docs.select(
+        unigram_sample_encode_col(logp, "text", 2, alpha=0.3, seed=7)
+        .alias("p")
+    ).collect()[0].p
+    assert list(first) == list(again)  # pure function of (text, seed)
+    assert "".join(first) == "abab" * 6
+    other = docs.select(
+        unigram_sample_encode_col(logp, "text", 2, alpha=0.3, seed=8)
+        .alias("p")
+    ).collect()[0].p
+    assert list(other) != list(first)  # a new seed redraws

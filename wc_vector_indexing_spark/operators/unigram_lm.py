@@ -226,6 +226,100 @@ def viterbi_segment(
     return best[n][2]
 
 
+def sample_segment(
+    word: str,
+    logp: dict[str, float],
+    max_piece_len: int = 4,
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> list[str]:
+    """Subword regularization (Kudo 2018 §3): draw a segmentation from
+    P(seg|word)^alpha via forward-filtering / backward-sampling on the
+    piece lattice. alpha→∞ degenerates to Viterbi; alpha→0 approaches
+    uniform over segmentations. The RNG is derived from (word, seed),
+    so the draw is a pure function — Spark task retries and re-runs
+    reproduce the same augmentation."""
+    import hashlib as _hashlib
+    import random as _random
+
+    n = len(word)
+    NEG = -math.inf
+    # tempered forward scores
+    alpha_f = [NEG] * (n + 1)
+    alpha_f[0] = 0.0
+    for i in range(1, n + 1):
+        acc = NEG
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None or alpha_f[j] == NEG:
+                continue
+            x = alpha_f[j] + alpha * lp
+            acc = x if acc == NEG else (
+                max(acc, x) + math.log1p(math.exp(-abs(acc - x))))
+        alpha_f[i] = acc
+    if alpha_f[n] == NEG:
+        raise ValueError(f"unsegmentable word {word!r} (OOV character)")
+    rng = _random.Random(
+        int.from_bytes(
+            _hashlib.sha256(f"{seed}\x00{word}".encode()).digest()[:8], "big"
+        )
+    )
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        cands: list[tuple[int, float]] = []
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None or alpha_f[j] == NEG:
+                continue
+            cands.append((j, alpha_f[j] + alpha * lp))
+        mx = max(w for _, w in cands)
+        weights = [math.exp(w - mx) for _, w in cands]
+        j = rng.choices([c[0] for c in cands], weights=weights)[0]
+        pieces.append(word[j:i])
+        i = j
+    pieces.reverse()
+    return pieces
+
+
+def unigram_sample_encode_col(
+    logp: dict[str, float],
+    text_col: str | Column,
+    max_piece_len: int = 4,
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> Column:
+    """Arrow-batched sampled encode for training-time augmentation:
+    per-word lattice sampling with the occurrence index folded into
+    the seed, so repeated words inside one text draw independent
+    segmentations while the whole column stays a pure function of
+    (text, seed) — retry-stable. OOV falls back like the exact
+    encoder."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringizes
+    # them, which pandas_udf's signature inference rejects
+    @pandas_udf("array<string>")
+    def enc(texts):
+        out = []
+        for t in texts:
+            pieces: list[str] = []
+            for k, w in enumerate((t or "").lower().split()):
+                try:
+                    pieces.extend(
+                        sample_segment(
+                            w, logp, max_piece_len, alpha, seed ^ (k + 1)
+                        )
+                    )
+                except ValueError:
+                    pieces.extend(c if c in logp else "<unk>" for c in w)
+            out.append(pieces)
+        return pd.Series(out)
+
+    return enc(F.col(text_col) if isinstance(text_col, str) else text_col)
+
+
 # ------------------------------------------------------------ Spark halves
 
 def train_unigram(
