@@ -203,3 +203,28 @@ def test_distributed_write_read_roundtrip(spark, tmp_path):
     assert got[3].maybe == 6 and got[4].maybe is None
     assert list(got[5].emb) == [2.5, 1.0]
     assert got[7].text == "t7"
+
+
+def test_logical_types_fall_back_to_base(spark, tmp_path):
+    """Spec rule: a reader without the logical type uses the base type
+    — foreign files with timestamp-micros/date/uuid annotations must
+    read as plain long/int/string, not hit the unsupported seam."""
+    schema = {
+        "type": "record", "name": "evt",
+        "fields": [
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-micros"}},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "uid", "type": ["null", {"type": "string",
+                                              "logicalType": "uuid"}]},
+        ],
+    }
+    rows = [{"ts": 1_700_000_000_000_000 + i, "day": 19_000 + i,
+             "uid": None if i == 0 else f"u-{i}"} for i in range(3)]
+    data = to_avro_bytes(schema, rows)
+    got_schema, back = parse_avro_file(data)
+    assert back == rows and got_schema == schema
+    (tmp_path / "evt.avro").write_bytes(data)
+    df = read_avro(spark, str(tmp_path / "evt.avro"), schema)
+    got = sorted((r.ts, r.day, r.uid) for r in df.collect())
+    assert got == [(r["ts"], r["day"], r["uid"]) for r in rows]

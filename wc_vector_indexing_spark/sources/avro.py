@@ -87,7 +87,22 @@ def _take(buf: bytes, i: int, n: int) -> tuple[bytes, int]:
     return buf[i:i + n], i + n
 
 
+def _base_type(schema):
+    """Logical types (timestamp-millis, date, uuid, ...) annotate a
+    base type; per the spec a reader that doesn't implement the
+    logical type MUST fall back to the base type — so {"type":"long",
+    "logicalType":"timestamp-micros"} reads as a plain long here."""
+    if (
+        isinstance(schema, dict)
+        and schema.get("type") in _PRIMS
+        and "logicalType" in schema
+    ):
+        return schema["type"]
+    return schema
+
+
 def _enc_value(schema, v) -> bytes:
+    schema = _base_type(schema)
     if isinstance(schema, list):  # union — branch index then value
         for idx, branch in enumerate(schema):
             if (v is None) == (branch == "null"):
@@ -119,6 +134,7 @@ def _enc_value(schema, v) -> bytes:
 
 
 def _dec_value(schema, buf: bytes, i: int):
+    schema = _base_type(schema)
     if isinstance(schema, list):
         idx, i = _dec_long(buf, i)
         if not 0 <= idx < len(schema):
@@ -175,14 +191,17 @@ def _check_record_schema(schema: dict) -> list[tuple[str, object]]:
         if not isinstance(f, dict) or "name" not in f or "type" not in f:
             raise ValueError(f"malformed avro field {f!r}")
         ftype = f["type"]
+        base = _base_type(ftype)
+        if isinstance(base, list):
+            base = [_base_type(b) for b in base]
         ok = (
-            ftype in _PRIMS
-            or (isinstance(ftype, list)
-                and all(b in _PRIMS for b in ftype))
-            or (isinstance(ftype, dict) and ftype.get("type") == "array"
-                and ftype.get("items") in _PRIMS
-                and ftype.get("items") != "null")  # zero-byte items would
-                # make a corrupted count field an unbounded loop
+            base in _PRIMS
+            or (isinstance(base, list)
+                and all(b in _PRIMS for b in base))
+            or (isinstance(base, dict) and base.get("type") == "array"
+                and _base_type(base.get("items")) in _PRIMS
+                and _base_type(base.get("items")) != "null")  # zero-byte
+                # items would make a corrupted count an unbounded loop
         )
         if not ok:
             raise NotImplementedError(f"unsupported field type {ftype}")
@@ -291,6 +310,9 @@ _SPARK_TYPES = {"boolean": "boolean", "int": "int", "long": "long",
 
 
 def _spark_field(ftype) -> str:
+    ftype = _base_type(ftype)
+    if isinstance(ftype, list):
+        ftype = [_base_type(b) for b in ftype]
     if isinstance(ftype, list):
         branches = [b for b in ftype if b != "null"]
         if len(branches) != 1:
