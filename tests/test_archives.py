@@ -162,3 +162,23 @@ def test_webdataset_write_read_roundtrip(spark, tmp_path):
         assert keys == sorted(keys, key=keys.index)  # grouped runs
         for i in range(0, len(keys), 2):
             assert keys[i] == keys[i + 1]
+
+
+def test_webdataset_duplicate_member_names_survive(spark, tmp_path):
+    """A malformed tar repeating a member name must not fail the
+    stage: the larger body wins deterministically."""
+    import io
+    import tarfile
+
+    from wc_vector_indexing_spark.sources.archives import webdataset_samples
+
+    with tarfile.open(str(tmp_path / "dup.tar"), "w") as tf:
+        for body in (b"short", b"the-longer-body"):
+            info = tarfile.TarInfo("k.txt")
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    (row,) = webdataset_samples(
+        read_archive_members(spark, str(tmp_path / "dup.tar"))
+    ).collect()
+    assert bytes(row.parts["txt"]) == b"the-longer-body"
+    assert row.n_parts == 1 and row.total_bytes == len(b"the-longer-body")

@@ -200,3 +200,13 @@ def test_sampled_encode_col_stays_pure_and_varies_occurrences(spark):
         .alias("p")
     ).collect()[0].p
     assert list(other) != list(first)  # a new seed redraws
+
+
+def test_char_floor_larger_than_vocab_terminates():
+    """Regression: an alphabet wider than vocab_size (CJK-scale) must
+    stop at the char floor, not spin in the prune loop forever."""
+    counts = {chr(0x4E00 + i): 2 for i in range(40)}  # 40 distinct chars
+    logp = train_unigram_from_counts(counts, vocab_size=10, max_piece_len=2)
+    assert len(logp) == 40  # the floor: every char survives
+    assert viterbi_segment(chr(0x4E00) + chr(0x4E01), logp, 2) == [
+        chr(0x4E00), chr(0x4E01)]

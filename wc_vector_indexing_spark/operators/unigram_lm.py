@@ -186,6 +186,12 @@ def train_unigram_from_counts(
         target = max(vocab_size, int(len(logp) * prune_keep))
         keep_multi = multi[: max(0, target - len(chars))]
         pieces = chars | set(keep_multi)
+        if len(pieces) == len(logp):
+            # char floor reached (alphabet alone exceeds vocab_size):
+            # nothing left to prune — without this, the loop never
+            # terminates on large-alphabet (e.g. CJK) corpora
+            logp = {p: logp[p] for p in pieces}
+            break
         logp = {p: logp[p] for p in pieces}
     # renormalize after the final prune
     z = sum(math.exp(v) for v in logp.values()) or 1.0

@@ -119,16 +119,27 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
         "substring(element_at(split(member, '/'), -1),"
         " length(substring_index(element_at(split(member, '/'), -1), '.', 1)) + 2)"
     )
+    parts = members.select(
+        "archive",
+        key.alias("key"),
+        ext.alias("ext"),
+        "size",
+        "content",
+    ).where(F.col("ext") != "")  # extension-less members aren't parts
+    # a malformed tar can repeat a member name; map_from_entries would
+    # fail the whole STAGE on the duplicate key (mapKeyDedupPolicy=
+    # EXCEPTION), so dedupe per part type first — deterministically,
+    # keeping the largest (then bytewise-greatest) body, the closest
+    # order-free analogue of tar's last-member-wins
+    parts = parts.groupBy("archive", "key", "ext").agg(
+        F.max(F.struct("size", "content")).alias("best")
+    ).select(
+        "archive", "key", "ext",
+        F.col("best.size").alias("size"),
+        F.col("best.content").alias("content"),
+    )
     return (
-        members.select(
-            "archive",
-            key.alias("key"),
-            ext.alias("ext"),
-            "size",
-            "content",
-        )
-        .where(F.col("ext") != "")  # extension-less members aren't parts
-        .groupBy("archive", "key")
+        parts.groupBy("archive", "key")
         .agg(
             F.map_from_entries(
                 F.array_sort(F.collect_list(F.struct("ext", "content")))
