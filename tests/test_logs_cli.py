@@ -311,3 +311,20 @@ def test_cli_tokenizer_train_and_sample(tmp_path, capsys):
     assert rc == 0
     head = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert head["algo"] == "bpe" and head["units"] == 50
+
+
+def test_cli_tokenizer_load_artifact(tmp_path, capsys):
+    import json as _json
+    import math as _math
+
+    from wc_vector_indexing_spark.cli import main
+
+    art = tmp_path / "uni.json"
+    art.write_text(_json.dumps({
+        "algo": "unigram", "max_piece_len": 2,
+        "pieces": {"a": _math.log(0.3), "b": _math.log(0.2),
+                   "ab": _math.log(0.5)},
+    }))
+    rc = main(["tokenizer", "--load", str(art), "--sample", "abab"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "sample: ab ab"

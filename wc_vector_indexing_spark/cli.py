@@ -473,6 +473,34 @@ def cmd_tokenizer(args: argparse.Namespace) -> int:
     table, save the artifact as JSON, and optionally show a sample
     segmentation — the reference CLI's chunk-inspection shape
     (class-cli.php) applied to the tokenizer family."""
+    if args.load:
+        # segment with a saved artifact — no Spark, no retrain
+        with open(args.load) as fh:
+            artifact = json.load(fh)
+        if artifact["algo"] == "unigram":
+            from wc_vector_indexing_spark.operators.unigram_lm import (
+                viterbi_segment,
+            )
+
+            logp = artifact["pieces"]
+            mpl = int(artifact.get("max_piece_len", 4))
+            pieces = [
+                p
+                for w in args.sample.lower().split()
+                for p in viterbi_segment(w, logp, mpl)
+            ]
+        else:
+            from wc_vector_indexing_spark.operators.bpe import segment_word
+
+            ranks = {tuple(m): i for i, m in enumerate(artifact["merges"])}
+            pieces = [
+                p
+                for w in args.sample.lower().split()
+                for p in segment_word(w, ranks)
+            ]
+        print("sample:", " ".join(pieces))
+        return 0
+
     from wc_vector_indexing_spark.session import get_spark
     from wc_vector_indexing_spark.sources.readers import load
 
@@ -716,6 +744,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="target pieces (unigram) / merges (bpe)")
     tk.add_argument("--max-piece-len", type=int, default=4)
     tk.add_argument("--save", default="", help="write the artifact JSON here")
+    tk.add_argument("--load", default="",
+                    help="segment --sample with a saved artifact (no retrain)")
     tk.add_argument("--sample", default="", help="segment this text and print")
     tk.set_defaults(fn=cmd_tokenizer)
 

@@ -446,6 +446,9 @@ def schema_for(df: DataFrame, name: str = "row") -> dict:
             elem = type(dt.elementType).__name__
             if elem not in _AVRO_TYPES:
                 raise NotImplementedError(f"array<{elem}> for {f.name!r}")
+            # unions of complex types are outside this module's subset,
+            # so a NULL array value writes as an empty array — the one
+            # (documented) lossy corner of the derived schema
             ftype: object = {"type": "array", "items": _AVRO_TYPES[elem]}
         else:
             tname = type(dt).__name__
