@@ -106,8 +106,8 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             return -1.0
 
-    def run_pass() -> dict[str, float]:
-        return {name: run_one(name) for name in REGISTRY}
+    def run_pass(names=None) -> dict[str, float]:
+        return {name: run_one(name) for name in (names or REGISTRY)}
 
     # The shared host this runs on shows >2x run-to-run noise (r7: pass1/best
     # ratios up to 3.07 on untouched queries — regressions were not
@@ -122,22 +122,45 @@ def main() -> None:
     n_target = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "440"))
     bench_start = time.time()
+    # Passes 3+ re-run only the HEAVY queries (running min >= heavy_min):
+    # the headline is a sum of minima, so tightening a 0.1 s query's min
+    # cannot move it, while the heavy tail carries nearly all the
+    # variance. The cheap queries keep their pass-1/2 minima — the
+    # conservative side, same argument as counting the warm-up pass.
+    # Without this, the r11-sized catalog (~220 s cold) exhausted the
+    # budget after ONE steady pass and the heavy minima stayed loose.
+    # 1.0 s keeps the heavy set ~49 queries / ~85 s at the r11 catalog —
+    # the largest set a third pass can hope to fit after two full passes
+    heavy_min = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_MIN", "1.0"))
     all_passes: list[dict[str, float]] = []
-    for _ in range(n_target):
+    mins: dict[str, float] = {}
+    for i in range(n_target):
+        if i < 2:
+            names = list(REGISTRY)
+        else:
+            names = [n for n, v in mins.items() if v >= heavy_min]
+            if not names:
+                break
+        if all_passes:
+            # Projection for the NEXT pass: a steady FULL pass costs
+            # ~0.8x the cold pass (r10 measured 0.82; the warm-up pays
+            # per-query plan compile + codegen the steady passes
+            # don't); a heavy pass costs ~0.9x the sum of its queries'
+            # current minima. Budget 440 against the driver's ~550 s
+            # cap so a projection undershoot still lands inside it.
+            proj = (
+                0.8 * last if i < 2
+                else 0.9 * sum(mins[n] for n in names)
+            )
+            if time.time() - bench_start + proj > budget:
+                break
         t0 = time.time()
-        all_passes.append(run_pass())
+        p = run_pass(names)
+        all_passes.append(p)
         last = time.time() - t0
-        # Projection for the NEXT pass: a steady pass costs ~0.8x the
-        # cold pass (r10 measured 152/186 = 0.82; the warm-up pass pays
-        # per-query plan compile + codegen the steady passes don't).
-        # Projecting the next pass at full `last` cost blocked pass 2
-        # whenever the cold pass crossed budget/2 — which the r11
-        # catalog does on any host — leaving the headline all-cold.
-        # Budget dropped 460 -> 440 so a 0.8-projection undershoot
-        # (actual steady ~0.85x) still lands under the driver's hard
-        # wall-clock cap with warm-up included.
-        if time.time() - bench_start + 0.8 * last > budget:
-            break
+        for n, v in p.items():
+            if v >= 0 and (mins.get(n, -1.0) < 0 or v < mins[n]):
+                mins[n] = v
     # steady passes = everything after the warm-up (or the warm-up itself
     # when the budget only allowed one pass)
     steady = all_passes[1:] if len(all_passes) > 1 else all_passes
@@ -151,7 +174,9 @@ def main() -> None:
     # (first-touch warm-up can only inflate, never deflate, so including
     # it is safe) — measured cross-invocation agreement of the min is
     # ~2x tighter than any single steady pass on this shared host
-    times = {n: fold([p[n] for p in all_passes]) for n in all_passes[0]}
+    times = {
+        n: fold([p[n] for p in all_passes if n in p]) for n in all_passes[0]
+    }
     # polish: spend leftover wall budget re-running the slowest queries
     # (largest share of the total => largest variance contribution),
     # tightening their minima where it moves the headline most
@@ -198,7 +223,7 @@ def main() -> None:
     detail = {
         n: {
             "best": times[n],
-            "all": [p[n] for p in all_passes] + polish.get(n, []),
+            "all": [p[n] for p in all_passes if n in p] + polish.get(n, []),
             **(
                 {
                     "spread": round(
@@ -206,7 +231,7 @@ def main() -> None:
                     )
                 }
                 if len(
-                    ok := [p[n] for p in steady if p[n] >= 0]
+                    ok := [p[n] for p in steady if n in p and p[n] >= 0]
                     + [t for t in polish.get(n, []) if t >= 0]
                 )
                 >= 2
