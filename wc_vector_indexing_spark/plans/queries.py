@@ -8527,6 +8527,140 @@ FROM ids
 """
 
 
+def webdataset_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTRIBUTED WebDataset sink under the gate (sources/archives.
+    write_webdataset): the lowest-60 docs become samples (txt part =
+    the real utf-8 text, cls part = 1-byte label), repartition over 3
+    tasks each streaming its own tar shard, then read back through
+    read_archive_members + webdataset_samples and reconciled against
+    the source relation. Pins the executor-side tar writer the pytest
+    roundtrip covers, inside the driver hash gate."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.archives import (
+        read_archive_members,
+        webdataset_samples,
+        write_webdataset,
+    )
+
+    docs = (
+        load(spark, "documents", sf)
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+        .orderBy("doc_id")
+        .limit(60)
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_wds_export_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        samples = docs.select(
+            F.concat(F.lit("doc_"), F.col("doc_id")).alias("key"),
+            F.map_from_arrays(
+                F.array(F.lit("txt"), F.lit("cls")),
+                F.array(
+                    F.encode("text", "utf-8"),
+                    F.encode((F.col("doc_id") % 7).cast("string"), "utf-8"),
+                ),
+            ).alias("parts"),
+        )
+        write_webdataset(samples.repartition(3), out)
+        with open(done, "w") as f:
+            f.write("ok")
+    back = webdataset_samples(
+        read_archive_members(spark, os.path.join(out, "shard-*.tar"))
+    )
+    return back.select(
+        F.regexp_extract("key", r"doc_(\d+)", 1).cast("long").alias("doc_id"),
+        "n_parts",
+        "total_bytes",
+    ).agg(
+        F.count("*").alias("n_samples"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_parts").alias("sum_parts"),
+        F.sum("total_bytes").alias("sum_bytes"),
+    )
+
+
+WEBDATASET_EXPORT_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, coalesce(text, '') AS text
+    FROM documents ORDER BY doc_id LIMIT 60
+)
+SELECT count(*) AS n_samples,
+       sum(doc_id)::BIGINT AS sum_doc_id,
+       (2 * count(*))::BIGINT AS sum_parts,
+       sum(strlen(text) + 1)::BIGINT AS sum_bytes
+FROM ids
+"""
+
+
+def avro_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTRIBUTED Avro sink under the gate (sources/avro.write_avro):
+    the lowest-60 docs (nullable lang union null when doc_id % 5 = 0,
+    2-vector double embedding) repartition over 3 tasks each writing
+    its own deflate container with the schema derived via schema_for,
+    read back through the distributed reader and reconciled against
+    the source relation — union nulls, array sums, utf-8 char sums."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.avro import (
+        read_avro,
+        schema_for,
+        write_avro,
+    )
+
+    docs = (
+        load(spark, "documents", sf)
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.when(
+                F.col("doc_id") % 5 != 0,
+                F.concat(F.lit("l"), (F.col("doc_id") % 3).cast("string")),
+            ).alias("lang"),
+            F.array(
+                F.col("doc_id") * 0.25, F.col("doc_id") * 0.125
+            ).alias("emb"),
+        )
+        .orderBy("doc_id")
+        .limit(60)
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_avro_export_{key}")
+    done = os.path.join(out, "_DONE")
+    schema = schema_for(docs)
+    if not os.path.exists(done):
+        write_avro(docs.repartition(3), out)
+        with open(done, "w") as f:
+            f.write("ok")
+    back = read_avro(spark, os.path.join(out, "part-*.avro"), schema)
+    return back.agg(
+        F.count("*").alias("n_records"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("n_lang_null"),
+        F.sum(F.element_at("emb", 1)).alias("sum_emb0"),
+    )
+
+
+AVRO_EXPORT_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, coalesce(text, '') AS text
+    FROM documents ORDER BY doc_id LIMIT 60
+)
+SELECT count(*) AS n_records,
+       sum(doc_id)::BIGINT AS sum_doc_id,
+       sum(length(text))::BIGINT AS sum_chars,
+       sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_lang_null,
+       sum(doc_id * 0.25)::DOUBLE AS sum_emb0
+FROM ids
+"""
+
+
 def webdataset_samples_op(spark: SparkSession, sf: str) -> DataFrame:
     """WebDataset sample grouping (sources/archives.webdataset_samples):
     the lowest-48 doc_ids become ``doc_{id}.txt`` (the REAL utf-8 text
@@ -9238,13 +9372,6 @@ REGISTRY: dict[str, QuerySpec] = {
         video_dedup_requant_op, VIDEO_REQUANT_SQL,
         "quality-re-encode video dedup via per-position banded Hamming join (planted-truth oracle)"
     ),
-    # r9 window rotation: jpeg_lossless_census (never driver-recorded,
-    # SOF3 Annex H decode) promoted; moving_average_events (recorded
-    # r8) demoted — temporal family keeps session_window_events.
-    "jpeg_lossless_census": QuerySpec(
-        jpeg_lossless_census_op, JPEG_LOSSLESS_CENSUS_SQL,
-        "SOF3 lossless-JPEG exact decode census, all 7 predictors (planted-truth oracle)"
-    ),
     # r9 window rotation: code_detect (never driver-recorded) promoted;
     # h264_sps_census (recorded r8) demoted to the tail in exchange.
     "code_detect": QuerySpec(
@@ -9258,10 +9385,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "heavy_hitters": QuerySpec(
         heavy_hitters_op, HEAVY_HITTERS_SQL,
         "exact heavy hitters via two-pass Misra-Gries (uncapped GROUP BY oracle)"
-    ),
-    "audio_overlap_partial": QuerySpec(
-        audio_overlap_partial_op, AUDIO_OVERLAP_SQL,
-        "windowed-fingerprint partial-copy audio overlap (planted-truth oracle)"
     ),
     "archive_member_census": QuerySpec(
         archive_member_census_op, ARCHIVE_CENSUS_SQL,
@@ -9291,6 +9414,23 @@ REGISTRY: dict[str, QuerySpec] = {
     "webdataset_samples": QuerySpec(
         webdataset_samples_op, WEBDATASET_SQL,
         "WebDataset tar-shard sample grouping census (planted-truth oracle)"
+    ),
+    # r11 window rotation (session 2, cont.): the two remaining
+    # distributed-writer paths gated — webdataset_export_roundtrip +
+    # avro_export_roundtrip (never driver-recorded); jpeg_lossless_census
+    # and audio_overlap_partial (both recorded r9-r10) slide below the
+    # cutoff in exchange (media family keeps image_dedup_dhash/
+    # image_dedup_arith/audio_dedup_fp/video_dedup_remux plus the mp3
+    # decode entries in-window).
+    "webdataset_export_roundtrip": QuerySpec(
+        webdataset_export_roundtrip_op, WEBDATASET_EXPORT_SQL,
+        "distributed WebDataset tar write (one shard per task) read back "
+        "and reconciled against the source relation"
+    ),
+    "avro_export_roundtrip": QuerySpec(
+        avro_export_roundtrip_op, AVRO_EXPORT_SQL,
+        "distributed Avro container write (schema derived, one container "
+        "per task) read back and reconciled against the source relation"
     ),
     "avro_corpus_census": QuerySpec(
         avro_corpus_census_op, AVRO_CENSUS_SQL,
@@ -9452,6 +9592,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "mp3_frame_census": QuerySpec(
         mp3_frame_census_op, MP3_CENSUS_SQL,
         "MP3 frame-header walk: duration/bitrate census (planted-truth oracle)"
+    ),
+    # r11 window rotation (session 2, cont.): demoted (recorded r9-r10)
+    # in exchange for webdataset_export_roundtrip + avro_export_roundtrip
+    # above.
+    "jpeg_lossless_census": QuerySpec(
+        jpeg_lossless_census_op, JPEG_LOSSLESS_CENSUS_SQL,
+        "SOF3 lossless-JPEG exact decode census, all 7 predictors (planted-truth oracle)"
+    ),
+    "audio_overlap_partial": QuerySpec(
+        audio_overlap_partial_op, AUDIO_OVERLAP_SQL,
+        "windowed-fingerprint partial-copy audio overlap (planted-truth oracle)"
     ),
     # r11 window rotation (session 2, cont.): demoted (recorded r8-r10)
     # in exchange for tfrecord_export_roundtrip above.
