@@ -106,3 +106,57 @@ def test_avro_container_roundtrip_property(rows, codec, block):
                 assert g == v
             else:
                 assert g == v
+
+
+_aname = st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                 min_size=1, max_size=8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    names=st.lists(_aname, min_size=1, max_size=4, unique=True),
+    n=st.integers(min_value=0, max_value=9),
+    data=st.data(),
+)
+def test_arrow_ipc_roundtrip_property(names, n, data):
+    from wc_vector_indexing_spark.sources.arrow_ipc import (
+        parse_arrow_file,
+        to_arrow_ipc_bytes,
+    )
+
+    type_pool = {
+        "long": st.one_of(st.none(), _int64),
+        "double": st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, allow_infinity=False, width=64)),
+        "string": st.one_of(st.none(), st.text(max_size=20)),
+        "binary": st.one_of(st.none(), st.binary(max_size=20)),
+        "array<long>": st.one_of(st.none(), st.lists(_int64, max_size=4)),
+    }
+    types = {nm: data.draw(st.sampled_from(sorted(type_pool)), label=nm)
+             for nm in names}
+    cols = {nm: [data.draw(type_pool[types[nm]]) for _ in range(n)]
+            for nm in names}
+    fmt = data.draw(st.sampled_from(["file", "stream"]))
+    comp = data.draw(st.sampled_from([None, "zstd", "lz4"]))
+    blob = to_arrow_ipc_bytes(cols, types, fmt=fmt, compression=comp,
+                              max_rows_per_batch=4)
+    parts = parse_arrow_file(blob, types)
+    got: dict[str, list] = {nm: [] for nm in names}
+    import pandas as pd
+
+    for _, pdf in parts:
+        for nm in names:
+            for v in pdf[nm]:
+                if v is None or v is pd.NA or (
+                        isinstance(v, float) and math.isnan(v)):
+                    got[nm].append(None)
+                elif types[nm] == "array<long>":
+                    got[nm].append([int(x) for x in v])
+                elif types[nm] == "long":
+                    got[nm].append(int(v))
+                else:
+                    got[nm].append(v)
+    for nm in names:
+        want = [list(v) if isinstance(v, list) else v for v in cols[nm]]
+        assert got[nm] == want, (nm, types[nm])

@@ -276,6 +276,30 @@ def test_cli_export_tfrecord(spark, tmp_path, capsys):
     assert back.count() == 500
 
 
+def test_cli_export_arrow(spark, tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+    from wc_vector_indexing_spark.sources.arrow_ipc import read_arrow_ipc
+
+    rc = main(
+        [
+            "export",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "arw"),
+            "--format", "arrow",
+        ]
+    )
+    assert rc == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["n_records"] == 500
+    back = read_arrow_ipc(
+        spark, str(tmp_path / "arw"),
+        {"doc_id": "long", "text": "string", "n_chars": "long"},
+    )
+    assert back.count() == 500
+
+
 def test_cli_tokenizer_train_and_sample(tmp_path, capsys):
     import json as _json
 

@@ -481,3 +481,27 @@ def test_mutated_avro():
         data = to_avro_bytes(SCHEMA, _rows(5), codec=codec,
                              max_block_records=2)
         assert _sweep(parse_avro_file, data) == [], codec
+
+
+def test_mutated_arrow_ipc():
+    """Arrow IPC has no per-buffer checksums, so a data-buffer flip
+    may legitimately decode to different VALUES; the contract here is
+    the usual sweep one — decode or contract exception, NEVER a bare
+    crash. In particular pyarrow's reader does not bounds-check on
+    read and a corrupt batch can segfault the worker in to_pandas;
+    sources/arrow_ipc runs Arrow's full validation per batch to turn
+    that into ArrowInvalid (this sweep is the regression pin)."""
+    from tests.test_arrow_ipc import TYPES, _cols
+    from wc_vector_indexing_spark.sources.arrow_ipc import (
+        parse_arrow_file,
+        to_arrow_ipc_bytes,
+    )
+
+    for fmt in ("file", "stream"):
+        for comp in (None, "zstd"):
+            data = to_arrow_ipc_bytes(_cols(5), TYPES, fmt=fmt,
+                                      compression=comp,
+                                      max_rows_per_batch=2)
+            bad = _sweep(lambda b: parse_arrow_file(b, TYPES), data,
+                         stride=3)
+            assert bad == [], (fmt, comp)

@@ -263,3 +263,19 @@ def test_truncated_avro():
         data = to_avro_bytes(SCHEMA, _rows(5), codec=codec,
                              max_block_records=2)
         assert _sweep(parse_avro_file, data) == [], codec
+
+
+def test_truncated_arrow_ipc():
+    from tests.test_arrow_ipc import TYPES, _cols
+    from wc_vector_indexing_spark.sources.arrow_ipc import (
+        parse_arrow_file,
+        to_arrow_ipc_bytes,
+    )
+
+    for fmt in ("file", "stream"):
+        for comp in (None, "zstd"):
+            data = to_arrow_ipc_bytes(_cols(5), TYPES, fmt=fmt,
+                                      compression=comp,
+                                      max_rows_per_batch=2)
+            bad = _sweep(lambda b: parse_arrow_file(b, TYPES), data)
+            assert bad == [], (fmt, comp)

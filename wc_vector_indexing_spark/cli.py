@@ -404,15 +404,22 @@ def cmd_export(args: argparse.Namespace) -> int:
     spark = get_spark("wcvec-cli", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     df = load(spark, args.table, args.sf_dir)
-    if args.format == "tfrecord":
-        from wc_vector_indexing_spark.sources.tfrecord import write_tfrecords
-
+    if args.format in ("tfrecord", "arrow"):
         if getattr(args, "epoch_seed", ""):
-            raise SystemExit("--epoch-seed is not supported with tfrecord yet")
-        manifest = write_tfrecords(df, args.out)
+            raise SystemExit(
+                f"--epoch-seed is not supported with {args.format} yet")
+        if args.format == "tfrecord":
+            from wc_vector_indexing_spark.sources.tfrecord import (
+                write_tfrecords as _writer,
+            )
+        else:
+            from wc_vector_indexing_spark.sources.arrow_ipc import (
+                write_arrow_ipc as _writer,
+            )
+        manifest = _writer(df, args.out)
         shards = manifest.collect()
         print(json.dumps({
-            "table": args.table, "format": "tfrecord",
+            "table": args.table, "format": args.format,
             "n_shards": len(shards),
             "n_records": int(sum(r.n_records for r in shards)),
         }))
@@ -717,7 +724,7 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--table", default="documents")
     ex.add_argument("--out", required=True)
     ex.add_argument(
-        "--format", choices=["json", "csv", "parquet", "tfrecord"], default="json"
+        "--format", choices=["json", "csv", "parquet", "tfrecord", "arrow"], default="json"
     )
     ex.add_argument("--max-records", type=int, default=100_000)
     ex.add_argument("--partition-by", default=None, help="comma-separated columns")

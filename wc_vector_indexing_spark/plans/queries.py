@@ -8527,6 +8527,153 @@ FROM ids
 """
 
 
+def arrow_ipc_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow IPC source census (sources/arrow_ipc.py): the lowest-64
+    doc_ids' REAL text rides through the columnar interchange stack —
+    shard = doc_id % 4, each shard written in a DIFFERENT (encoding,
+    compression) combination (file/none, file/zstd, stream/none,
+    file/lz4) and in 7-row record batches — then back through the
+    binaryFile-based distributed reader. Shard id comes from the FILE
+    PATH, so the oracle match proves rows landed in (and were read
+    from) the right shards; char sums prove utf-8 text roundtrips;
+    sum over the array<long> column exercises the nested list path;
+    max(batch_index) pins the record-batch chunking. Reference
+    behavior analogue: the bulk export/import surface (logs.php:137
+    CSV export re-expressed for the Arrow interchange format)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+        to_arrow_ipc_bytes,
+    )
+
+    rows = (
+        load(spark, "documents", sf)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(64)
+        .collect()
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_arrow_{key}")
+    done = os.path.join(out, "_DONE")
+    types = {"doc_id": "long", "text": "string", "f": "double",
+             "toks": "array<long>"}
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        variants = [("file", None), ("file", "zstd"),
+                    ("stream", None), ("file", "lz4")]
+        for s, (fmt, comp) in enumerate(variants):
+            mine = [r for r in rows if int(r.doc_id) % 4 == s]
+            cols = {
+                "doc_id": [int(r.doc_id) for r in mine],
+                "text": [r.text or "" for r in mine],
+                "f": [int(r.doc_id) * 0.25 for r in mine],
+                "toks": [[int(r.doc_id), int(r.doc_id) * 2] for r in mine],
+            }
+            with open(os.path.join(out, f"part-{s}.arrow"), "wb") as fh:
+                fh.write(to_arrow_ipc_bytes(
+                    cols, types, fmt=fmt, compression=comp,
+                    max_rows_per_batch=7))
+        with open(done, "w") as f:
+            f.write("ok")
+    back = read_arrow_ipc(spark, os.path.join(out, "part-*.arrow"), types)
+    return (
+        back.groupBy(
+            F.regexp_extract("arrow_path", r"part-(\d)", 1)
+            .cast("int")
+            .alias("shard")
+        )
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.sum("f").alias("sum_f"),
+            F.sum(
+                F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + x)
+            ).alias("sum_toks"),
+            F.max("batch_index").cast("long").alias("max_batch"),
+        )
+        .orderBy("shard")
+    )
+
+
+ARROW_IPC_CENSUS_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, coalesce(text, '') AS text
+    FROM documents ORDER BY doc_id LIMIT 64
+)
+SELECT (doc_id % 4)::INT AS shard,
+       count(*) AS n_records,
+       sum(doc_id)::BIGINT AS sum_doc_id,
+       sum(length(text))::BIGINT AS sum_chars,
+       sum(doc_id * 0.25)::DOUBLE AS sum_f,
+       sum(doc_id * 3)::BIGINT AS sum_toks,
+       CAST(floor((count(*) - 1) / 7.0) AS BIGINT) AS max_batch
+FROM ids
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+def arrow_ipc_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTRIBUTED Arrow IPC sink under the gate (sources/arrow_ipc.
+    write_arrow_ipc): the lowest-80 docs repartition over 4 tasks,
+    each task writes its own zstd-compressed IPC-file shard (no
+    driver funnel), then the shards read back through the distributed
+    reader and reconcile against the source relation. The fixture
+    entry (arrow_ipc_census) pins the wire format with driver-written
+    bytes; THIS entry pins the executor-side writer path incl. the
+    nullable-long Int64 route (text is left nullable on purpose)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.arrow_ipc import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    docs = (
+        load(spark, "documents", sf)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(80)
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_arrow_export_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        manifest = write_arrow_ipc(docs.repartition(4), out)
+        manifest.count()
+        with open(done, "w") as f:
+            f.write("ok")
+    back = read_arrow_ipc(
+        spark, os.path.join(out, "part-*.arrow"),
+        {"doc_id": "long", "text": "string"},
+    )
+    return back.agg(
+        F.count("*").alias("n_records"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(F.length(F.coalesce("text", F.lit("")))).alias("sum_chars"),
+        F.countDistinct("arrow_path").alias("n_shards"),
+    )
+
+
+ARROW_IPC_EXPORT_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 80
+)
+SELECT count(*) AS n_records,
+       sum(doc_id)::BIGINT AS sum_doc_id,
+       sum(length(coalesce(text, '')))::BIGINT AS sum_chars,
+       4::BIGINT AS n_shards
+FROM ids
+"""
+
+
 def webdataset_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     """DISTRIBUTED WebDataset sink under the gate (sources/archives.
     write_webdataset): the lowest-60 docs become samples (txt part =
@@ -9372,20 +9519,9 @@ REGISTRY: dict[str, QuerySpec] = {
         video_dedup_requant_op, VIDEO_REQUANT_SQL,
         "quality-re-encode video dedup via per-position banded Hamming join (planted-truth oracle)"
     ),
-    # r9 window rotation: code_detect (never driver-recorded) promoted;
-    # h264_sps_census (recorded r8) demoted to the tail in exchange.
-    "code_detect": QuerySpec(
-        code_detect_op, CODE_DETECT_SQL,
-        "code-vs-prose routing features + flag, integer-only codegen (direct SQL oracle)"
-    ),
     # round 7: new oracle-backed entries (never recorded ⇒ in-window)
-    # r9 window rotation: heavy_hitters (never driver-recorded,
-    # two-pass Misra-Gries) promoted; id3_text_census (recorded r8)
-    # demoted to the tail in exchange.
-    "heavy_hitters": QuerySpec(
-        heavy_hitters_op, HEAVY_HITTERS_SQL,
-        "exact heavy hitters via two-pass Misra-Gries (uncapped GROUP BY oracle)"
-    ),
+    # (code_detect and heavy_hitters, recorded through r10, moved
+    # below the cutoff in the session-3 Arrow IPC rotation)
     "archive_member_census": QuerySpec(
         archive_member_census_op, ARCHIVE_CENSUS_SQL,
         "tar/zip archive-source member census (planted-truth oracle)"
@@ -9445,6 +9581,24 @@ REGISTRY: dict[str, QuerySpec] = {
         unigram_seed_census_op, UNIGRAM_SEED_SQL,
         "unigram-LM tokenizer candidate seeding: word-count cap + "
         "substring explode + frequency-length scoring (replayed-chain oracle)"
+    ),
+    # r11 window rotation (session 3): the Arrow IPC (Feather V2)
+    # interchange pair (new, never driver-recorded) promoted —
+    # arrow_ipc_census pins the wire format across both encodings and
+    # three compressions, arrow_ipc_export_roundtrip pins the
+    # executor-side one-shard-per-task writer; heavy_hitters (recorded
+    # r9-r10) and code_detect (recorded r6-r10) slide below the cutoff
+    # in exchange (text-profile family keeps c4_line_filter +
+    # gopher_quality in-window).
+    "arrow_ipc_census": QuerySpec(
+        arrow_ipc_census_op, ARROW_IPC_CENSUS_SQL,
+        "Arrow IPC source: file+stream encodings, zstd/lz4/none "
+        "compression, batch chunking census (planted-truth oracle)"
+    ),
+    "arrow_ipc_export_roundtrip": QuerySpec(
+        arrow_ipc_export_roundtrip_op, ARROW_IPC_EXPORT_SQL,
+        "distributed Arrow IPC write (one zstd shard per task) read "
+        "back and reconciled against the source relation"
     ),
     # session-3 r8 window rotation: image_dedup_arith (never
     # driver-recorded, SOF9 QM decode) promoted; pdf_corpus_text
@@ -9537,6 +9691,16 @@ REGISTRY: dict[str, QuerySpec] = {
         corrupt_media_quarantine_op, CORRUPT_MEDIA_QUARANTINE_SQL,
         "mixed clean/corrupt media through the marked decode path: "
         "decoded / crc_detected / quarantined counts (planted-truth oracle)"
+    ),
+    # demoted in the session-3 Arrow IPC rotation (both recorded
+    # through r10; parity_check still verifies them every round)
+    "code_detect": QuerySpec(
+        code_detect_op, CODE_DETECT_SQL,
+        "code-vs-prose routing features + flag, integer-only codegen (direct SQL oracle)"
+    ),
+    "heavy_hitters": QuerySpec(
+        heavy_hitters_op, HEAVY_HITTERS_SQL,
+        "exact heavy hitters via two-pass Misra-Gries (uncapped GROUP BY oracle)"
     ),
     "subtitle_cues": QuerySpec(
         subtitle_cues_op, SUBTITLE_CUES_SQL,
