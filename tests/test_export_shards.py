@@ -53,6 +53,21 @@ def test_csv_roundtrip_with_header(spark, tmp_path):
     )
 
 
+def test_orc_roundtrip_with_partitioning(spark, tmp_path):
+    out = str(tmp_path / "orc")
+    df = _docs(spark)
+    write_shards(df, out, fmt="orc", partition_by=["source"],
+                 compression="zlib")
+    assert glob.glob(f"{out}/source=s0/*.orc")
+    back = read_shards(spark, out, fmt="orc")
+    assert back.count() == 250
+    assert sorted(r.doc_id for r in back.collect()) == list(range(250))
+    # predicate pushdown reaches the ORC scan
+    plan = (back.filter("doc_id = 7")._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "PushedFilters: [" in plan and "doc_id" in plan
+
+
 def test_unknown_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown format"):
         write_shards(_docs(spark, 5), str(tmp_path / "x"), fmt="avro")

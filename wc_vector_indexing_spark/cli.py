@@ -468,7 +468,8 @@ def cmd_export(args: argparse.Namespace) -> int:
         partition_by=args.partition_by.split(",") if args.partition_by else None,
         compression=args.compression,
     )
-    ext = {"json": "json", "csv": "csv", "parquet": "parquet"}[args.format]
+    ext = {"json": "json", "csv": "csv", "parquet": "parquet",
+           "orc": "orc"}[args.format]
     pattern = f"{args.out}/**/*.{ext}*" if args.partition_by else f"{args.out}/*.{ext}*"
     files = sorted(_glob.glob(pattern, recursive=True))
     print(json.dumps({"table": args.table, "format": args.format, "n_shards": len(files)}))
@@ -724,7 +725,7 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--table", default="documents")
     ex.add_argument("--out", required=True)
     ex.add_argument(
-        "--format", choices=["json", "csv", "parquet", "tfrecord", "arrow"], default="json"
+        "--format", choices=["json", "csv", "parquet", "orc", "tfrecord", "arrow"], default="json"
     )
     ex.add_argument("--max-records", type=int, default=100_000)
     ex.add_argument("--partition-by", default=None, help="comma-separated columns")

@@ -1,5 +1,5 @@
-"""Sharded training-data export: size-bounded JSONL / CSV / parquet
-shards, optionally hive-partitioned by a grouping column.
+"""Sharded training-data export: size-bounded JSONL / CSV / parquet /
+ORC shards, optionally hive-partitioned by a grouping column.
 
 The output side of the curation pipeline: after dedup + quality gating +
 packing, training jobs want the corpus as N similarly-sized shard files
@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-FORMATS = ("json", "csv", "parquet")
+FORMATS = ("json", "csv", "parquet", "orc")
 
 
 def write_shards(
