@@ -228,3 +228,44 @@ def test_logical_types_fall_back_to_base(spark, tmp_path):
     df = read_avro(spark, str(tmp_path / "evt.avro"), schema)
     got = sorted((r.ts, r.day, r.uid) for r in df.collect())
     assert got == [(r["ts"], r["day"], r["uid"]) for r in rows]
+
+
+def test_write_null_array_element_is_contract_error(spark, tmp_path):
+    """A null element in an INTEGRAL array is corrupt input (Avro
+    array<long> has no null item) -> contract error, not int(nan). In
+    a FLOAT array the null merges to NaN (documented lossy corner,
+    same as scalar float columns)."""
+    from wc_vector_indexing_spark.sources.avro import (
+        parse_avro_file,
+        write_avro,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1, None, 3])], "doc_id long, toks array<long>")
+    with pytest.raises(Exception, match="null element in array column"):
+        write_avro(df.coalesce(1), str(tmp_path / "bad"))
+
+    fdf = spark.createDataFrame(
+        [(1, [0.5, None])], "doc_id long, emb array<double>")
+    out = str(tmp_path / "floats")
+    write_avro(fdf.coalesce(1), out)
+    import glob as _glob
+
+    with open(_glob.glob(f"{out}/part-*.avro")[0], "rb") as fh:
+        _, rows = parse_avro_file(fh.read())
+    assert rows[0]["emb"][0] == 0.5 and rows[0]["emb"][1] != rows[0]["emb"][1]
+
+
+def test_iter_container_chunks_equal_eager_bytes():
+    """The streaming writer path must be byte-identical to the eager
+    one (same blocks, same sync markers)."""
+    from wc_vector_indexing_spark.sources.avro import iter_avro_container
+
+    rows = _rows(9)
+    for codec in ("null", "deflate"):
+        eager = to_avro_bytes(SCHEMA, rows, codec=codec,
+                              max_block_records=4)
+        chunks = list(iter_avro_container(SCHEMA, iter(rows), codec=codec,
+                                          max_block_records=4))
+        assert len(chunks) == 1 + 3  # header + ceil(9/4) blocks
+        assert b"".join(chunks) == eager

@@ -252,3 +252,29 @@ def test_vectorized_crc_equals_bytewise_and_combines():
     for la, lb in ((1, 1), (4096, 4096), (12345, 1), (100000, 99999)):
         a, b = rng.randbytes(la), rng.randbytes(lb)
         assert crc32c_combine(crc32c(a), crc32c(b), lb) == crc32c(a + b)
+
+
+def test_write_nullable_int_column(spark, tmp_path):
+    """A NULL in a nullable long column arrives in pandas as float NaN;
+    the writer must emit an empty Int64List (feature present, no
+    values), not crash on int(nan)."""
+    out = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, None)], "doc_id long, text string")
+    manifest = write_tfrecords(df.coalesce(1), out)
+    assert manifest.collect()[0].n_records == 3
+    back = read_tfrecords(
+        spark, f"{out}/part-*.tfrecord",
+        {"doc_id": "int64", "text": "string"})
+    got = sorted(((r.doc_id, r.text) for r in back.collect()),
+                 key=str)
+    assert got == sorted([(1, "a"), (None, "b"), (3, None)], key=str)
+
+
+def test_write_null_array_element_is_contract_error(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, [1, None, 3])], "doc_id long, toks array<long>")
+    with _pytest.raises(Exception, match="null element in array column"):
+        write_tfrecords(df.coalesce(1), str(tmp_path / "bad"))

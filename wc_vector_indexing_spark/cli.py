@@ -408,6 +408,15 @@ def cmd_export(args: argparse.Namespace) -> int:
         if getattr(args, "epoch_seed", ""):
             raise SystemExit(
                 f"--epoch-seed is not supported with {args.format} yet")
+        # these writers shard one-file-per-partition and ignore the
+        # write_shards knobs; reject rather than silently drop them
+        for flag, default in (("partition_by", None),
+                              ("compression", None),
+                              ("max_records", 100_000)):
+            if getattr(args, flag, default) != default:
+                raise SystemExit(
+                    f"--{flag.replace('_', '-')} is not supported with "
+                    f"{args.format} yet")
         if args.format == "tfrecord":
             from wc_vector_indexing_spark.sources.tfrecord import (
                 write_tfrecords as _writer,

@@ -91,8 +91,10 @@ def shard_manifest(
 
     from pyspark.sql import functions as F
 
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
     reader = {"json": spark.read.json, "csv": lambda p: spark.read.option("header", True).csv(p),
-              "parquet": spark.read.parquet}[fmt]
+              "parquet": spark.read.parquet, "orc": spark.read.orc}[fmt]
     counts = (
         reader(path)
         .groupBy(F.input_file_name().alias("uri"))

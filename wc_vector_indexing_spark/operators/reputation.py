@@ -35,9 +35,11 @@ def host_reputation(
     """Per-host aggregates + block decision:
 
       host, n_pages, n_unique (distinct text digests), dup_rate
-      (1 - unique/pages: the boilerplate-farm signal), avg_quality
-      (mean of the per-document quality score), blocked
-      (dup_rate > max_dup_rate OR avg_quality < min_avg_quality).
+      (1 - unique/text-bearing pages: the boilerplate-farm signal;
+      null-text pages are excluded from the denominator and a host
+      with no text at all gets a NULL dup_rate), avg_quality (mean of
+      the per-document quality score), blocked (null-safe
+      dup_rate > max_dup_rate OR avg_quality < min_avg_quality).
 
     ``blocked`` hosts are what a frontier scheduler de-prioritizes and
     a curation pipeline drops wholesale — cheaper than per-document
@@ -47,17 +49,30 @@ def host_reputation(
         docs.groupBy(F.col(host_col).alias("host"))
         .agg(
             F.count(F.lit(1)).alias("n_pages"),
+            # null-text pages (extraction failures) stay in n_pages —
+            # crawl volume — but are NOT duplicate evidence: the digest
+            # distinct skips them, so the dup-rate denominator must be
+            # the pages that HAVE text or a host of failures reads as
+            # 100% duplicated and gets wrongly blocklisted
+            F.count(text_col).alias("n_text_pages"),
             F.countDistinct(F.md5(text_col)).alias("n_unique"),
             F.round(F.avg(F.round(q, 4)), 3).alias("avg_quality"),
         )
         .withColumn(
             "dup_rate",
-            F.round(1 - F.col("n_unique") / F.col("n_pages"), 4),
+            # try_divide: an all-null host has a 0 denominator, which
+            # under ANSI mode is a stage-killing error, not a NULL
+            F.round(
+                1 - F.try_divide(F.col("n_unique"),
+                                 F.col("n_text_pages")), 4),
         )
         .withColumn(
             "blocked",
-            (F.col("dup_rate") > max_dup_rate)
-            | (F.col("avg_quality") < min_avg_quality),
+            # null-safe: a host with no parseable text has neither a
+            # dup nor a quality signal — not blocked by THIS stage
+            F.coalesce(F.col("dup_rate") > max_dup_rate, F.lit(False))
+            | F.coalesce(
+                F.col("avg_quality") < min_avg_quality, F.lit(False)),
         )
         .select(
             "host", "n_pages", "n_unique", "dup_rate", "avg_quality",

@@ -1140,15 +1140,18 @@ WITH planted AS (
 ), agg AS (
     SELECT source AS host,
            count(*) AS n_pages,
+           count(digest) AS n_text_pages,
            count(DISTINCT digest) AS n_unique,
            round(avg(q), 3) AS avg_quality
     FROM scored GROUP BY source
 )
 SELECT host, n_pages, n_unique,
-       round(1 - n_unique::DOUBLE / n_pages, 4) AS dup_rate,
+       round(1 - n_unique::DOUBLE / nullif(n_text_pages, 0), 4) AS dup_rate,
        avg_quality,
-       (round(1 - n_unique::DOUBLE / n_pages, 4) > 0.15
-        OR avg_quality < 0.45) AS blocked
+       (coalesce(
+            round(1 - n_unique::DOUBLE / nullif(n_text_pages, 0), 4) > 0.15,
+            false)
+        OR coalesce(avg_quality < 0.45, false)) AS blocked
 FROM agg
 ORDER BY host
 """

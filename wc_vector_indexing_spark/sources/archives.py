@@ -192,9 +192,7 @@ def write_webdataset(df: DataFrame, path: str) -> DataFrame:
                  "n_bytes": [os.path.getsize(shard)]}
             )
 
-    manifest = df.select("key", "parts").mapInPandas(
-        dump, schema="shard string, n_samples long, n_bytes long"
-    )
-    manifest = manifest.cache()
-    manifest.count()  # eager: the write IS the action (1 row/partition)
-    return manifest
+    from wc_vector_indexing_spark.sources.readers import eager_manifest
+
+    return eager_manifest(df.select("key", "parts"), dump,
+                          schema="shard string, n_samples long, n_bytes long")

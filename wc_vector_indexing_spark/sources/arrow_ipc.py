@@ -235,17 +235,9 @@ def read_arrow_ipc_stream(
     """Streaming twin of :func:`read_arrow_ipc` — file-source
     ``readStream`` with the SAME Arrow parse stage (batch/stream can
     never disagree; the sources/warc.read_warc_stream contract)."""
-    raw = (
-        spark.readStream.format("binaryFile")
-        # the file-stream source requires an explicit schema;
-        # binaryFile's is fixed, so this is a restatement, not a choice
-        .schema(
-            "path string, modificationTime timestamp, "
-            "length long, content binary"
-        )
-        .load(path)
-    )
-    return _parse_pass(raw, columns, on_error)
+    from wc_vector_indexing_spark.sources.readers import binaryfile_stream
+
+    return _parse_pass(binaryfile_stream(spark, path), columns, on_error)
 
 
 def _ddl_for(df: DataFrame) -> dict[str, str]:
@@ -322,7 +314,6 @@ def write_arrow_ipc(
             writer.write_table(table, max_chunksize=max_rows_per_batch)
         yield pd.DataFrame({"shard": [shard], "n_records": [len(table)]})
 
-    manifest = df.mapInPandas(dump, schema="shard string, n_records long")
-    manifest = manifest.cache()
-    manifest.count()  # eager: the write IS the action (1 row/partition)
-    return manifest
+    from wc_vector_indexing_spark.sources.readers import eager_manifest
+
+    return eager_manifest(df, dump)

@@ -211,33 +211,56 @@ def _check_record_schema(schema: dict) -> list[tuple[str, object]]:
 
 # --------------------------------------------------------------- container
 
-def to_avro_bytes(schema: dict, rows: list[dict], codec: str = "deflate",
-                  max_block_records: int = 1024) -> bytes:
-    """Serialize ``rows`` (dicts keyed by field name) as one Avro
-    object-container file. Deterministic output (sync marker is a hash
-    of the schema), so fixtures are byte-stable."""
+def iter_avro_container(schema: dict, rows, codec: str = "deflate",
+                        max_block_records: int = 1024):
+    """Yield one Avro object-container file as byte chunks — the
+    header first, then one chunk per data block of up to
+    ``max_block_records`` rows. ``rows`` may be any iterable: peak
+    memory is one block, not the container, which is what lets the
+    distributed sink stream a ~1 GB shard through an executor without
+    materializing it (see :func:`write_avro`). Deterministic output
+    (sync marker is a hash of the schema), so fixtures are
+    byte-stable."""
     if codec not in ("null", "deflate"):
         raise ValueError("codec must be 'null' or 'deflate'")
     fields = _check_record_schema(schema)
     schema_json = json.dumps(schema, sort_keys=True).encode("utf-8")
     sync = hashlib.md5(schema_json).digest()
     meta = {"avro.schema": schema_json, "avro.codec": codec.encode()}
-    out = bytearray(MAGIC)
-    out += _enc_long(len(meta))
+    head = bytearray(MAGIC)
+    head += _enc_long(len(meta))
     for k in sorted(meta):
-        out += _enc_value("string", k) + _enc_value("bytes", meta[k])
-    out += _enc_long(0)  # map terminator
-    out += sync
-    for start in range(0, len(rows), max_block_records):
-        chunk = rows[start:start + max_block_records]
+        head += _enc_value("string", k) + _enc_value("bytes", meta[k])
+    head += _enc_long(0)  # map terminator
+    head += sync
+    yield bytes(head)
+
+    def block(chunk: list[dict]) -> bytes:
         body = b"".join(
             b"".join(_enc_value(ftype, row.get(name)) for name, ftype in fields)
             for row in chunk
         )
         if codec == "deflate":
             body = zlib.compress(body)[2:-4]  # raw deflate per spec
-        out += _enc_long(len(chunk)) + _enc_long(len(body)) + body + sync
-    return bytes(out)
+        return _enc_long(len(chunk)) + _enc_long(len(body)) + body + sync
+
+    chunk: list[dict] = []
+    for row in rows:
+        chunk.append(row)
+        if len(chunk) >= max_block_records:
+            yield block(chunk)
+            chunk = []
+    if chunk:
+        yield block(chunk)
+
+
+def to_avro_bytes(schema: dict, rows: list[dict], codec: str = "deflate",
+                  max_block_records: int = 1024) -> bytes:
+    """Serialize ``rows`` (dicts keyed by field name) as one Avro
+    object-container file (the eager convenience form of
+    :func:`iter_avro_container`)."""
+    return b"".join(iter_avro_container(
+        schema, rows, codec=codec, max_block_records=max_block_records))
 
 
 def _read_meta_map(buf: bytes, i: int) -> tuple[dict[str, bytes], int]:
@@ -478,6 +501,16 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> DataFrame:
         if f["type"] in ("float", "double")
         or f["type"] in (["null", "float"], ["null", "double"])
     }
+    float_array_cols = {
+        f["name"] for f in avro_schema["fields"]
+        if isinstance(f["type"], dict)
+        and f["type"].get("items") in ("float", "double")
+    }
+    int_array_cols = {
+        f["name"] for f in avro_schema["fields"]
+        if isinstance(f["type"], dict)
+        and f["type"].get("items") in ("int", "long")
+    }
     os.makedirs(path, exist_ok=True)
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -488,29 +521,66 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> DataFrame:
                 return None
             if isinstance(v, float) and v != v and k not in float_cols:
                 return None  # NaN standing in for a null
-            if isinstance(v, (list, tuple)):
-                return list(v)
             if hasattr(v, "tolist") and not isinstance(v, bytes):
-                return v.tolist()  # numpy array/scalar -> python
+                v = v.tolist()  # numpy array/scalar -> python
+            if isinstance(v, (list, tuple)):
+                vals = list(v)
+                # a null ELEMENT arrives as None or (numpy
+                # float-ification of an integral child array) NaN;
+                # this module's arrays are arrays of non-null prims,
+                # so outside genuinely-floating arrays that is corrupt
+                # input — the contract error beats int(nan) killing
+                # the stage. Float arrays keep NaN as a value (the
+                # same documented null→NaN merge as scalar columns).
+                if any(e is None for e in vals) or (
+                        k not in float_array_cols
+                        and any(isinstance(e, float) and e != e
+                                for e in vals)):
+                    raise ValueError(
+                        f"null element in array column {k!r}; Avro "
+                        "array<prim> items cannot carry nulls")
+                if k in int_array_cols and any(
+                        isinstance(e, float) for e in vals):
+                    vals = [int(e) for e in vals]  # un-float-ify
+                return vals
             return v
 
         pid = TaskContext.get().partitionId()
         shard = os.path.join(path, f"part-{pid:05d}.avro")
-        rows: list[dict] = []
-        for pdf in batches:
-            for r in pdf.to_dict("records"):
-                rows.append({k: norm(k, v) for k, v in r.items()})
-        if not rows:
+
+        def rows_iter():
+            for pdf in batches:
+                for r in pdf.to_dict("records"):
+                    yield {k: norm(k, v) for k, v in r.items()}
+
+        it = rows_iter()
+        try:
+            first = next(it)
+        except StopIteration:
             yield pd.DataFrame({"shard": [], "n_records": []})
             return
-        with open(shard, "wb") as fh:
-            fh.write(to_avro_bytes(avro_schema, rows, codec=codec))
-        yield pd.DataFrame({"shard": [shard], "n_records": [len(rows)]})
+        n = 0
 
-    manifest = df.mapInPandas(dump, schema="shard string, n_records long")
-    manifest = manifest.cache()
-    manifest.count()  # eager: the write IS the action (1 row/partition)
-    return manifest
+        def counted():
+            nonlocal n
+            yield first
+            n += 1
+            for r in it:
+                yield r
+                n += 1
+
+        # stream block-by-block: peak memory is one Arrow batch + one
+        # Avro block, never the whole shard (the TFRecord writer's
+        # record-streaming posture, kept here at block granularity)
+        with open(shard, "wb") as fh:
+            for chunk in iter_avro_container(avro_schema, counted(),
+                                             codec=codec):
+                fh.write(chunk)
+        yield pd.DataFrame({"shard": [shard], "n_records": [n]})
+
+    from wc_vector_indexing_spark.sources.readers import eager_manifest
+
+    return eager_manifest(df, dump)
 
 
 def read_avro_stream(
@@ -524,14 +594,6 @@ def read_avro_stream(
     (batch/stream can never disagree; the sources/warc.read_warc_stream
     contract). New ``.avro`` container drops become micro-batches with
     exactly-once via the file-source checkpoint."""
-    raw = (
-        spark.readStream.format("binaryFile")
-        # the file-stream source requires an explicit schema;
-        # binaryFile's is fixed, so this is a restatement, not a choice
-        .schema(
-            "path string, modificationTime timestamp, "
-            "length long, content binary"
-        )
-        .load(path)
-    )
-    return _parse_pass(raw, avro_schema, on_error)
+    from wc_vector_indexing_spark.sources.readers import binaryfile_stream
+
+    return _parse_pass(binaryfile_stream(spark, path), avro_schema, on_error)

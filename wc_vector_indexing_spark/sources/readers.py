@@ -63,6 +63,40 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
     return {t: load(spark, t, sf_dir) for t in TABLES}
 
 
+# binaryFile's fixed output schema; the file-STREAM source requires it
+# restated explicitly, and every whole-file streaming twin (WARC,
+# TFRecord, Avro, Arrow IPC) shares this one definition.
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def binaryfile_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source ``readStream`` over the binaryFile layout that every
+    whole-file reader here parses — the shared front half of the
+    streaming twins. The schema is a restatement of binaryFile's fixed
+    output, not a choice; it lives in ONE place so a Spark-side change
+    is a one-line fix."""
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(BINARYFILE_SCHEMA)
+        .load(path)
+    )
+
+
+def eager_manifest(df: DataFrame, dump,
+                   schema: str = "shard string, n_records long") -> DataFrame:
+    """One-shard-per-task sink epilogue shared by the interchange
+    writers: run ``dump`` (an Arrow mapInPandas partition function
+    that writes its own shard and yields one manifest row), cache, and
+    force the action — the write IS the action, and the manifest is
+    bounded at one row per partition."""
+    manifest = df.mapInPandas(dump, schema=schema)
+    manifest = manifest.cache()
+    manifest.count()
+    return manifest
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register all tables as temp views for the SQL API."""
     for t in TABLES:

@@ -547,17 +547,9 @@ def read_tfrecords_stream(
     shards dropped into ``path`` become micro-batches; the file-source
     checkpoint gives exactly-once; ``maxFilesPerTrigger`` bounds each
     micro-batch at 100 TB."""
-    raw = (
-        spark.readStream.format("binaryFile")
-        # the file-stream source requires an explicit schema;
-        # binaryFile's is fixed, so this is a restatement, not a choice
-        .schema(
-            "path string, modificationTime timestamp, "
-            "length long, content binary"
-        )
-        .load(path)
-    )
-    return _parse_pass(raw, feature_spec, on_error)
+    from wc_vector_indexing_spark.sources.readers import binaryfile_stream
+
+    return _parse_pass(binaryfile_stream(spark, path), feature_spec, on_error)
 
 
 # ------------------------------------------------------------ Spark writer
@@ -566,10 +558,29 @@ def _row_features(row: dict, kinds: dict[str, str]) -> dict[str, tuple[str, list
     feats = {}
     for name, kind in kinds.items():
         v = row[name]
-        if v is None:
+        # Arrow->pandas renders NULL in an integral column as float NaN
+        # (and sometimes pd.NA); only a genuinely-floating column keeps
+        # NaN as a value — same documented posture as the Avro sink
+        if v is None or v is pd.NA or (
+                kind != "float" and isinstance(v, float) and v != v):
             feats[name] = (kind, [])
         elif isinstance(v, (list, tuple, np.ndarray)):
-            feats[name] = (kind, list(v))
+            vals = list(v)
+            # a null ELEMENT in an integral/bytes array arrives as
+            # None or (numpy float-ification) NaN; tf.train.Example
+            # lists have no null element, and a hole in a token array
+            # is corrupt input — the contract error beats int(nan)
+            # killing the stage. Float arrays keep NaN as a value
+            # (null→NaN is the same documented merge as scalars).
+            if any(e is None for e in vals) or (
+                    kind != "float"
+                    and any(isinstance(e, float) and e != e for e in vals)):
+                raise ValueError(
+                    f"null element in array column {name!r}; "
+                    "tf.train.Example features cannot carry nulls")
+            if kind == "int64" and any(isinstance(e, float) for e in vals):
+                vals = [int(e) for e in vals]  # un-float-ify
+            feats[name] = (kind, vals)
         else:
             feats[name] = (kind, [v])
     return feats
@@ -620,7 +631,6 @@ def write_tfrecords(df: DataFrame, path: str) -> DataFrame:
         else:
             yield pd.DataFrame({"shard": [shard], "n_records": [n]})
 
-    manifest = df.mapInPandas(dump, schema="shard string, n_records long")
-    manifest = manifest.cache()
-    manifest.count()  # eager: the write IS the action (bounded: 1 row/partition)
-    return manifest
+    from wc_vector_indexing_spark.sources.readers import eager_manifest
+
+    return eager_manifest(df, dump)

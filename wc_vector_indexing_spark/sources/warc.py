@@ -321,17 +321,10 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
     drops land in object storage, ``maxFilesPerTrigger`` bounds each
     micro-batch, and everything downstream of the parse is the same
     zero-shuffle Arrow pass the batch path runs."""
-    raw = (
-        spark.readStream.format("binaryFile")
-        # the file-stream source requires an explicit schema;
-        # binaryFile's is fixed, so this is a restatement, not a choice
-        .schema(
-            "path string, modificationTime timestamp, "
-            "length long, content binary"
-        )
-        .load(path)
-        .select(F.col("path").alias("warc_path"), "content")
-    )
+    from wc_vector_indexing_spark.sources.readers import binaryfile_stream
+
+    raw = binaryfile_stream(spark, path).select(
+        F.col("path").alias("warc_path"), "content")
     return _parse_pass(raw)
 
 
