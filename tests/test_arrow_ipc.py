@@ -177,3 +177,48 @@ def test_streaming_twin_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(sink).orderBy("doc_id").collect()
     assert [(r.doc_id, r.text) for r in got] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_partitioned_writer_hive_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(30)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 3)).alias("source"),
+            F.concat(F.lit("d"), F.col("id")).alias("text"),
+        )
+    )
+    out = str(tmp_path / "hive")
+    manifest = write_arrow_ipc(df, out, partition_by=["source"])
+    man = manifest.collect()
+    assert sum(r.n_records for r in man) == 30
+    assert {r.shard.split("/")[-2] for r in man} == {
+        "source=s0", "source=s1", "source=s2"}
+    # payload excludes the partition column; readers recover it from
+    # the path
+    back = read_arrow_ipc(
+        spark, os.path.join(out, "source=s1", "part-*.arrow"),
+        {"doc_id": "long", "text": "string"},
+    )
+    rows = back.collect()
+    assert sorted(r.doc_id for r in rows) == [1, 4, 7, 10, 13, 16, 19,
+                                              22, 25, 28]
+    with pytest.raises(Exception, match="arrow shard lacks reader columns"):
+        read_arrow_ipc(spark, os.path.join(out, "source=s1", "part-*.arrow"),
+                       {"source": "string"}).collect()
+
+
+def test_partitioned_writer_null_and_escaped_values(spark, tmp_path):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, lang="en/US", text="a"),
+        Row(doc_id=2, lang=None, text="b"),
+    ])
+    out = str(tmp_path / "esc")
+    write_arrow_ipc(df, out, partition_by=["lang"])
+    dirs = sorted(p.name for p in (tmp_path / "esc").iterdir()
+                  if p.is_dir())
+    assert dirs == ["lang=__HIVE_DEFAULT_PARTITION__", "lang=en%2FUS"]

@@ -352,3 +352,25 @@ def test_cli_tokenizer_load_artifact(tmp_path, capsys):
     rc = main(["tokenizer", "--load", str(art), "--sample", "abab"])
     assert rc == 0
     assert capsys.readouterr().out.strip() == "sample: ab ab"
+
+
+def test_cli_export_arrow_partitioned(spark, tmp_path, capsys):
+    import glob as _glob
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+
+    rc = main(
+        [
+            "export",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "arw"),
+            "--format", "arrow",
+            "--partition-by", "lang",
+            "--compression", "lz4",
+        ]
+    )
+    assert rc == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["n_records"] == 500
+    assert _glob.glob(str(tmp_path / "arw" / "lang=*" / "part-*.arrow"))

@@ -278,3 +278,37 @@ def test_write_null_array_element_is_contract_error(spark, tmp_path):
         [(1, [1, None, 3])], "doc_id long, toks array<long>")
     with _pytest.raises(Exception, match="null element in array column"):
         write_tfrecords(df.coalesce(1), str(tmp_path / "bad"))
+
+
+def test_partitioned_writer_hive_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(24)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 2)).alias("source"),
+            F.concat(F.lit("d"), F.col("id")).alias("text"),
+        )
+    )
+    out = str(tmp_path / "hive")
+    manifest = write_tfrecords(df, out, partition_by=["source"])
+    man = manifest.collect()
+    assert sum(r.n_records for r in man) == 24
+    assert {r.shard.split("/")[-2] for r in man} == {"source=s0",
+                                                     "source=s1"}
+    back = read_tfrecords(
+        spark, f"{out}/source=s0/part-*.tfrecord",
+        {"doc_id": "int64", "text": "string"})
+    rows = back.collect()
+    assert sorted(r.doc_id for r in rows) == list(range(0, 24, 2))
+    # payload excludes the partition column (hive convention)
+    from wc_vector_indexing_spark.sources.tfrecord import (
+        decode_example,
+        iter_tfrecord,
+    )
+    import glob as _glob
+
+    with open(_glob.glob(f"{out}/source=s0/part-*.tfrecord")[0], "rb") as fh:
+        ex = decode_example(next(iter_tfrecord(fh.read())))
+    assert "source" not in ex

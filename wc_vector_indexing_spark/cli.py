@@ -408,24 +408,34 @@ def cmd_export(args: argparse.Namespace) -> int:
         if getattr(args, "epoch_seed", ""):
             raise SystemExit(
                 f"--epoch-seed is not supported with {args.format} yet")
-        # these writers shard one-file-per-partition and ignore the
-        # write_shards knobs; reject rather than silently drop them
-        for flag, default in (("partition_by", None),
-                              ("compression", None),
-                              ("max_records", 100_000)):
-            if getattr(args, flag, default) != default:
-                raise SystemExit(
-                    f"--{flag.replace('_', '-')} is not supported with "
-                    f"{args.format} yet")
+        # these writers shard one-file-per-partition; reject the
+        # write_shards knobs they don't honor rather than silently
+        # dropping them (--partition-by IS honored: hive layout)
+        if getattr(args, "max_records", 100_000) != 100_000:
+            raise SystemExit(
+                f"--max-records is not supported with {args.format} yet")
+        part = (args.partition_by.split(",")
+                if getattr(args, "partition_by", None) else None)
         if args.format == "tfrecord":
             from wc_vector_indexing_spark.sources.tfrecord import (
-                write_tfrecords as _writer,
+                write_tfrecords,
             )
+
+            if getattr(args, "compression", None):
+                raise SystemExit(
+                    "--compression is not supported with tfrecord")
+            manifest = write_tfrecords(df, args.out, partition_by=part)
         else:
             from wc_vector_indexing_spark.sources.arrow_ipc import (
-                write_arrow_ipc as _writer,
+                write_arrow_ipc,
             )
-        manifest = _writer(df, args.out)
+
+            comp = getattr(args, "compression", None) or "zstd"
+            manifest = write_arrow_ipc(
+                df, args.out,
+                compression=None if comp == "none" else comp,
+                partition_by=part,
+            )
         shards = manifest.collect()
         print(json.dumps({
             "table": args.table, "format": args.format,

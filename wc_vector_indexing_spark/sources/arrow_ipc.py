@@ -265,11 +265,15 @@ def _ddl_for(df: DataFrame) -> dict[str, str]:
     return out
 
 
+MAX_OPEN_SHARDS = 128
+
+
 def write_arrow_ipc(
     df: DataFrame,
     path: str,
     compression: str | None = "zstd",
     max_rows_per_batch: int = 1 << 16,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Write ``df`` as one ``part-*.arrow`` IPC-file shard per
     partition — the egress half of :func:`read_arrow_ipc`, same
@@ -277,43 +281,96 @@ def write_arrow_ipc(
     (no driver funnel; shard count = partition count). Returns the
     eager (shard, n_records) manifest. Compressed by default: besides
     the bytes, zstd/lz4 framing is the only interior-corruption
-    detection this format has (see module docstring)."""
+    detection this format has (see module docstring).
+
+    ``partition_by`` writes hive-style ``col=value/`` directories
+    (values escaped, NULL as the hive sentinel, partition columns
+    dropped from the payload) after a repartition on those columns;
+    a task keeps one open IPC writer per value it holds, streaming
+    record batches as they arrive — more than ``MAX_OPEN_SHARDS``
+    distinct values in one task is a contract error."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
-    types = _ddl_for(df)
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in frame: {missing}")
+    data_df = df.drop(*partition_by) if partition_by else df
+    if not data_df.columns:
+        raise ValueError("partition_by consumes every column")
+    types = _ddl_for(data_df)
     schema = _target_schema(types)
+    data_cols = list(types)
     # Arrow->pandas renders nulls in integral columns as float NaN;
     # route integral columns through pandas' nullable Int dtypes so a
     # NaN goes back to a NULL, not a cast error (float columns keep
     # NaN as a value — same documented posture as the Avro sink)
     int_cols = [n for n, t in types.items() if t in ("int", "long")]
     os.makedirs(path, exist_ok=True)
+    if partition_by:
+        df = df.repartition(*partition_by)
+
+    from wc_vector_indexing_spark.sources.readers import (
+        eager_manifest,
+        hive_partition_path,
+    )
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        shard = os.path.join(path, f"part-{pid:05d}.arrow")
-        tables = []
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.copy()
+        opts = ipc.IpcWriteOptions(compression=compression)
+        # shard path -> (file handle, ipc writer, [row count])
+        handles: dict[str, tuple] = {}
+
+        def writer_for(pvals) -> tuple:
+            base = (hive_partition_path(path, partition_by, pvals)
+                    if partition_by else path)
+            shard = os.path.join(base, f"part-{pid:05d}.arrow")
+            if shard not in handles:
+                if len(handles) >= MAX_OPEN_SHARDS:
+                    raise ValueError(
+                        f"more than {MAX_OPEN_SHARDS} partition values "
+                        "in one task; use a coarser partition_by or "
+                        "more tasks")
+                os.makedirs(base, exist_ok=True)
+                fh = open(shard, "wb")
+                handles[shard] = (fh, ipc.new_file(fh, schema, options=opts),
+                                  [0])
+            return handles[shard]
+
+        def emit(pdf: pd.DataFrame, writer, count):
+            pdf = pdf[data_cols].copy()
             for c in int_cols:
                 pdf[c] = pdf[c].astype("Int64")
-            tables.append(pa.Table.from_pandas(
-                pdf, schema=schema, preserve_index=False))
-        if not tables:
-            yield pd.DataFrame({"shard": [], "n_records": []})
-            return
-        table = pa.concat_tables(tables)
-        opts = ipc.IpcWriteOptions(compression=compression)
-        with open(shard, "wb") as fh, ipc.new_file(
-                fh, schema, options=opts) as writer:
+            table = pa.Table.from_pandas(
+                pdf, schema=schema, preserve_index=False)
             writer.write_table(table, max_chunksize=max_rows_per_batch)
-        yield pd.DataFrame({"shard": [shard], "n_records": [len(table)]})
+            count[0] += len(pdf)
 
-    from wc_vector_indexing_spark.sources.readers import eager_manifest
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if not partition_by:
+                    _, writer, count = writer_for(())
+                    emit(pdf, writer, count)
+                    continue
+                for pvals, part in pdf.groupby(partition_by, dropna=False,
+                                               sort=True):
+                    if len(partition_by) == 1 and not isinstance(
+                            pvals, tuple):
+                        pvals = (pvals,)
+                    _, writer, count = writer_for(pvals)
+                    emit(part, writer, count)
+        finally:
+            for fh, writer, _ in handles.values():
+                writer.close()
+                fh.close()
+        yield pd.DataFrame({
+            "shard": list(handles),
+            "n_records": [c[0] for _, _, c in handles.values()],
+        })
 
     return eager_manifest(df, dump)

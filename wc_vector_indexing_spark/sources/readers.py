@@ -84,6 +84,26 @@ def binaryfile_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def hive_partition_path(base: str, partition_by: list[str], values) -> str:
+    """``base/col=value/...`` directory for one partition-value tuple,
+    hive-style: values URL-escaped (Spark's own convention for
+    partition directories), NULL as the hive default-partition
+    sentinel. Shared by the partitioned interchange sinks."""
+    from urllib.parse import quote
+
+    parts = []
+    for col, v in zip(partition_by, values):
+        if v is None or (isinstance(v, float) and v != v):
+            sv = HIVE_NULL
+        else:
+            sv = quote(str(v), safe="")
+        parts.append(f"{col}={sv}")
+    return os.path.join(base, *parts)
+
+
 def eager_manifest(df: DataFrame, dump,
                    schema: str = "shard string, n_records long") -> DataFrame:
     """One-shard-per-task sink epilogue shared by the interchange

@@ -586,20 +586,42 @@ def _row_features(row: dict, kinds: dict[str, str]) -> dict[str, tuple[str, list
     return feats
 
 
-def write_tfrecords(df: DataFrame, path: str) -> DataFrame:
+MAX_OPEN_SHARDS = 128
+
+
+def write_tfrecords(df: DataFrame, path: str,
+                    partition_by: list[str] | None = None) -> DataFrame:
     """Write ``df`` as one ``part-*.tfrecord`` shard per partition —
     the distributed sink half (each task serializes and writes its own
     shard; no driver funnel). String columns become utf-8 BytesList
     features, binary → BytesList, integral → Int64List, float/double →
     FloatList, arrays elementwise. Returns the (shard, n_records)
     manifest as a DataFrame (an eager, bounded action — one row per
-    partition)."""
+    partition).
+
+    ``partition_by`` writes hive-style ``col=value/`` directories
+    (Spark's partitionBy convention: values escaped, NULL as the hive
+    default-partition sentinel, partition columns dropped from the
+    payload — readers recover them from the path). The frame gets a
+    repartition on the partition columns first, so each value's rows
+    co-locate and a task keeps one open shard per value it holds
+    (framing is append-friendly, so shards stream record-by-record);
+    more than ``MAX_OPEN_SHARDS`` distinct values in one task is a
+    contract error — at that cardinality, partition on something
+    coarser or raise the task count."""
     import os
 
     from pyspark.sql import types as T
 
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in frame: {missing}")
+    data_fields = [f for f in df.schema.fields if f.name not in partition_by]
+    if not data_fields:
+        raise ValueError("partition_by consumes every column")
     kinds: dict[str, str] = {}
-    for f in df.schema.fields:
+    for f in data_fields:
         dt = f.dataType
         elem = dt.elementType if isinstance(dt, T.ArrayType) else dt
         if isinstance(elem, (T.StringType, T.BinaryType)):
@@ -612,25 +634,48 @@ def write_tfrecords(df: DataFrame, path: str) -> DataFrame:
         else:
             raise ValueError(f"cannot map column {f.name}: {dt} to a Feature")
     os.makedirs(path, exist_ok=True)
+    if partition_by:
+        df = df.repartition(*partition_by)
+
+    from wc_vector_indexing_spark.sources.readers import (
+        eager_manifest,
+        hive_partition_path,
+    )
 
     def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        shard = os.path.join(path, f"part-{pid:05d}.tfrecord")
-        n = 0
-        with open(shard, "wb") as fh:
+        handles: dict[str, tuple] = {}  # shard path -> (fh, [count])
+
+        def shard_for(pvals) -> tuple:
+            base = (hive_partition_path(path, partition_by, pvals)
+                    if partition_by else path)
+            shard = os.path.join(base, f"part-{pid:05d}.tfrecord")
+            if shard not in handles:
+                if len(handles) >= MAX_OPEN_SHARDS:
+                    raise ValueError(
+                        f"more than {MAX_OPEN_SHARDS} partition values "
+                        "in one task; use a coarser partition_by or "
+                        "more tasks")
+                os.makedirs(base, exist_ok=True)
+                handles[shard] = (open(shard, "wb"), [0])
+            return handles[shard]
+
+        try:
             for pdf in batches:
                 for row in pdf.to_dict("records"):
-                    fh.write(frame_record(
-                        encode_example(_row_features(row, kinds))))
-                    n += 1
-        if n == 0:
-            os.remove(shard)  # binaryFile chokes on empty shards downstream
-            yield pd.DataFrame({"shard": [], "n_records": []})
-        else:
-            yield pd.DataFrame({"shard": [shard], "n_records": [n]})
-
-    from wc_vector_indexing_spark.sources.readers import eager_manifest
+                    pvals = tuple(row[c] for c in partition_by)
+                    fh, count = shard_for(pvals)
+                    fh.write(frame_record(encode_example(_row_features(
+                        {k: row[k] for k in kinds}, kinds))))
+                    count[0] += 1
+        finally:
+            for fh, _ in handles.values():
+                fh.close()
+        yield pd.DataFrame({
+            "shard": list(handles),
+            "n_records": [c[0] for _, c in handles.values()],
+        })
 
     return eager_manifest(df, dump)
