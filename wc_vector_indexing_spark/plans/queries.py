@@ -9251,6 +9251,199 @@ ORDER BY page_no
 """
 
 
+def _markup_fixture_rows(spark: SparkSession, sf: str, n: int = 48):
+    """Lowest-``n`` docs with text sanitized to single-spaced trimmed
+    form, so the markup extractors are exact identity on the planted
+    payload (whitespace normalization is theirs to do otherwise)."""
+    import re as _re
+
+    rows = (
+        load(spark, "documents", sf)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    )
+    return [(int(r.doc_id), _re.sub(r"\s+", " ", r.text or "").strip())
+            for r in rows]
+
+
+def markdown_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Markdown-source extraction (sources/markup.read_markdown_corpus):
+    the lowest-48 docs each become one ``.md`` file — ATX heading,
+    the REAL text inside a fenced code block (fence content is kept
+    verbatim by contract, so the oracle can replay the plant exactly),
+    and a trailing link whose URL must be stripped to its text. Direct
+    per-document value match. Reference behavior analogue: plain()
+    HTML→text (class-indexer.php document assembly) for the markdown
+    corpus family."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.markup import read_markdown_corpus
+
+    rows = _markup_fixture_rows(spark, sf)
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_md_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        for doc_id, t in rows:
+            md = (f"# Doc {doc_id}\n\n```text\n{t}\n```\n\n"
+                  f"[tail](https://example.com/{doc_id})\n")
+            with open(os.path.join(out, f"doc-{doc_id:06d}.md"), "w",
+                      encoding="utf-8") as fh:
+                fh.write(md)
+        with open(done, "w") as f:
+            f.write("ok")
+    docs = read_markdown_corpus(spark, os.path.join(out, "doc-*.md"))
+    return (
+        docs.select(
+            F.regexp_extract("path", r"doc-(\d+)\.md", 1)
+            .cast("long").alias("doc_id"),
+            "text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+MARKDOWN_CORPUS_SQL = r"""
+WITH ids AS (
+    SELECT doc_id,
+           trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+    FROM documents ORDER BY doc_id LIMIT 48
+)
+SELECT doc_id,
+       'Doc ' || doc_id || chr(10) || chr(10)
+       || CASE WHEN length(t) > 0 THEN t || chr(10) || chr(10) ELSE '' END
+       || 'tail' AS text
+FROM ids
+ORDER BY doc_id
+"""
+
+
+def latex_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
+    """LaTeX-source extraction (sources/markup.read_latex_corpus): the
+    lowest-48 docs each become one ``.tex`` document — preamble (which
+    must be DROPPED), a sectioning command whose argument must be
+    unwrapped, and the REAL text inside a verbatim environment (kept
+    verbatim by contract — so the oracle can replay the plant
+    exactly). Direct per-document value match."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.markup import read_latex_corpus
+
+    rows = _markup_fixture_rows(spark, sf)
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_tex_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        for doc_id, t in rows:
+            tex = (
+                "\\documentclass{article}\n\\usepackage{amsmath}\n"
+                "\\begin{document}\n"
+                f"\\section{{Doc {doc_id}}}\n"
+                f"\\begin{{verbatim}}\n{t}\n\\end{{verbatim}}\n"
+                "\\end{document}\n"
+            )
+            with open(os.path.join(out, f"doc-{doc_id:06d}.tex"), "w",
+                      encoding="utf-8") as fh:
+                fh.write(tex)
+        with open(done, "w") as f:
+            f.write("ok")
+    docs = read_latex_corpus(spark, os.path.join(out, "doc-*.tex"))
+    return (
+        docs.select(
+            F.regexp_extract("path", r"doc-(\d+)\.tex", 1)
+            .cast("long").alias("doc_id"),
+            "text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+LATEX_CORPUS_SQL = r"""
+WITH ids AS (
+    SELECT doc_id,
+           trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+    FROM documents ORDER BY doc_id LIMIT 48
+)
+SELECT doc_id,
+       'Doc ' || doc_id
+       || CASE WHEN length(t) > 0 THEN chr(10) || chr(10) || t ELSE '' END
+       AS text
+FROM ids
+ORDER BY doc_id
+"""
+
+
+def ipynb_corpus_cells_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Notebook-source extraction (sources/markup.read_ipynb_corpus):
+    the lowest-48 docs each become one nbformat-4 notebook with a
+    markdown heading cell (de-markup'd on read), a code cell (kept
+    verbatim), and a raw cell carrying the REAL text (kept verbatim) —
+    one output row per cell in notebook order. Direct value match over
+    (doc_id, cell_index, cell_type, text)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.markup import (
+        read_ipynb_corpus,
+        to_ipynb_bytes,
+    )
+
+    rows = _markup_fixture_rows(spark, sf)
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_ipynb_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        for doc_id, t in rows:
+            nb = to_ipynb_bytes([
+                ("markdown", f"# Doc {doc_id}"),
+                ("code", f"print({doc_id})"),
+                ("raw", t),
+            ])
+            with open(os.path.join(out, f"doc-{doc_id:06d}.ipynb"),
+                      "wb") as fh:
+                fh.write(nb)
+        with open(done, "w") as f:
+            f.write("ok")
+    cells = read_ipynb_corpus(spark, os.path.join(out, "doc-*.ipynb"))
+    return (
+        cells.select(
+            F.regexp_extract("path", r"doc-(\d+)\.ipynb", 1)
+            .cast("long").alias("doc_id"),
+            "cell_index", "cell_type", "text",
+        )
+        .orderBy("doc_id", "cell_index")
+    )
+
+
+IPYNB_CORPUS_SQL = r"""
+WITH ids AS (
+    SELECT doc_id,
+           trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+    FROM documents ORDER BY doc_id LIMIT 48
+)
+SELECT doc_id, cell_index, cell_type, text
+FROM (
+    SELECT doc_id, 0 AS cell_index, 'markdown' AS cell_type,
+           'Doc ' || doc_id AS text FROM ids
+    UNION ALL
+    SELECT doc_id, 1, 'code', 'print(' || doc_id || ')' FROM ids
+    UNION ALL
+    SELECT doc_id, 2, 'raw', t FROM ids
+)
+ORDER BY doc_id, cell_index
+"""
+
+
 def docx_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
     """DOCX-source extraction (sources/office.read_docx_corpus): the
     lowest-30 doc_ids each become one DOCX whose two paragraphs derive
@@ -9508,13 +9701,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "session_window_events": QuerySpec(
         session_window_events, SESSION_WINDOW_SQL, "native session_window gap sessions"
     ),
-    # session-3 r8 window rotation: robots_txt_gate (never
-    # driver-recorded) promoted; events_anomaly (recorded r7) demoted
-    # to the tail in exchange.
-    "robots_txt_gate": QuerySpec(
-        robots_txt_gate_op, ROBOTS_GATE_SQL,
-        "RFC 9309 robots.txt parse + longest-match crawl gate (planted-truth oracle)"
-    ),
     # r9 window rotation: video_dedup_requant (never driver-recorded,
     # the quality-re-encode case the exact signature join misses)
     # promoted; mp4_box_census (recorded r8) demoted to the tail.
@@ -9603,6 +9789,29 @@ REGISTRY: dict[str, QuerySpec] = {
         "distributed Arrow IPC write (one zstd shard per task) read "
         "back and reconciled against the source relation"
     ),
+    # r11 window rotation (session 3, cont.): the markup source family
+    # (new, never driver-recorded) promoted — markdown, LaTeX, and
+    # Jupyter-notebook text extraction, each a direct per-document
+    # value match over planted-truth fixtures; robots_txt_gate
+    # (recorded r7-r10), knn_lsh_top10 (recorded r8-r10) and
+    # fuzzy_self_join (recorded r5-r10) slide below the cutoff in
+    # exchange (dedup family keeps minhash/survivors/incremental +
+    # the ngram entries in-window; retrieval keeps bm25/mmr).
+    "markdown_corpus_text": QuerySpec(
+        markdown_corpus_text_op, MARKDOWN_CORPUS_SQL,
+        "Markdown-source text extraction: headings/links/emphasis "
+        "stripped, fences verbatim (planted-truth oracle)"
+    ),
+    "latex_corpus_text": QuerySpec(
+        latex_corpus_text_op, LATEX_CORPUS_SQL,
+        "LaTeX-source text extraction: preamble dropped, sections "
+        "unwrapped, verbatim kept (planted-truth oracle)"
+    ),
+    "ipynb_corpus_cells": QuerySpec(
+        ipynb_corpus_cells_op, IPYNB_CORPUS_SQL,
+        "Jupyter-notebook cell extraction: markdown de-markup'd, "
+        "code/raw verbatim, notebook order (planted-truth oracle)"
+    ),
     # session-3 r8 window rotation: image_dedup_arith (never
     # driver-recorded, SOF9 QM decode) promoted; pdf_corpus_text
     # (recorded r7) demoted to the tail in exchange.
@@ -9650,9 +9859,6 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup_incremental_op, DEDUP_INCREMENTAL_SQL,
         "batch-vs-store signature dedup (md5-mode oracle, planted store)"
     ),
-    "fuzzy_self_join": QuerySpec(
-        fuzzy_join_op, FUZZY_JOIN_SQL, "edit-distance self-join (symmetric-delete blocked)"
-    ),
     "training_data_pipeline": QuerySpec(
         training_data_pipeline_op, _training_pipeline_sql(),
         "curate -> DSIR gate -> split, end to end (full-composition SQL oracle)"
@@ -9663,12 +9869,6 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "exact_substring_removal": QuerySpec(
         exact_substring_removal_op, EXACT_SUBSTR_SQL, "ExactSubstr duplicated-span removal"
-    ),
-    # r8 window rotation: knn_lsh_top10 (upgraded rows-only→oracle via
-    # embedded planes, never driver-recorded) promoted; mixing_recipe
-    # (recorded) demoted to the tail in exchange.
-    "knn_lsh_top10": QuerySpec(
-        knn_lsh_op, _knn_lsh_sql(), "LSH-bucketed ANN (embedded-planes oracle)"
     ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
@@ -9704,6 +9904,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "heavy_hitters": QuerySpec(
         heavy_hitters_op, HEAVY_HITTERS_SQL,
         "exact heavy hitters via two-pass Misra-Gries (uncapped GROUP BY oracle)"
+    ),
+    # demoted in the session-3 markup-source rotation (all recorded
+    # through r10; parity_check still verifies them every round)
+    "robots_txt_gate": QuerySpec(
+        robots_txt_gate_op, ROBOTS_GATE_SQL,
+        "RFC 9309 robots.txt parse + longest-match crawl gate (planted-truth oracle)"
+    ),
+    "fuzzy_self_join": QuerySpec(
+        fuzzy_join_op, FUZZY_JOIN_SQL, "edit-distance self-join (symmetric-delete blocked)"
+    ),
+    "knn_lsh_top10": QuerySpec(
+        knn_lsh_op, _knn_lsh_sql(), "LSH-bucketed ANN (embedded-planes oracle)"
     ),
     "subtitle_cues": QuerySpec(
         subtitle_cues_op, SUBTITLE_CUES_SQL,
