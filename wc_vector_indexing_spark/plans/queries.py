@@ -9444,6 +9444,80 @@ ORDER BY doc_id, cell_index
 """
 
 
+def wikipedia_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Wikipedia dump extraction (sources/wikixml.read_wiki_pages): the
+    lowest-48 docs become ONE pages-articles-multistream dump (4 pages
+    per bz2 stream → 12 page streams, so the slice-parallel offset walk
+    is driver-validated, not just the parse) plus its offset index.
+    Every 6th page is a redirect; the rest carry a heading (unwrapped),
+    an infobox template (dropped), the REAL text inside ``<nowiki>``
+    (verbatim by contract — the oracle's exact-replay channel), and a
+    piped see-also link (reduced to its label). Direct value match over
+    (page_id, title, ns, is_redirect, text). Reference behavior
+    analogue: plain() HTML→text (class-indexer.php document assembly)
+    for the wiki-dump corpus family."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.wikixml import (
+        read_wiki_pages,
+        to_wiki_multistream,
+    )
+
+    rows = _markup_fixture_rows(spark, sf)
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_wiki_{key}")
+    done = os.path.join(out, "_DONE")
+    dump_path = os.path.join(out, "pages-multistream.xml.bz2")
+    index_path = os.path.join(out, "pages-multistream-index.txt")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        pages = []
+        for rnk, (doc_id, t) in enumerate(rows):
+            if rnk % 6 == 5:
+                pages.append({
+                    "title": f"Doc {doc_id}", "ns": 0, "page_id": doc_id,
+                    "redirect": "Doc 0", "text": "#REDIRECT [[Doc 0]]",
+                })
+            else:
+                pages.append({
+                    "title": f"Doc {doc_id}", "ns": 0, "page_id": doc_id,
+                    "text": (f"== Doc {doc_id} ==\n{{{{Infobox|planted}}}}\n"
+                             f"<nowiki>{t}</nowiki>\n[[Doc 0|see also]]"),
+                })
+        dump, index = to_wiki_multistream(pages, pages_per_stream=4)
+        with open(dump_path, "wb") as f:
+            f.write(dump)
+        with open(index_path, "w", encoding="utf-8") as f:
+            f.write(index)
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        read_wiki_pages(spark, dump_path, index_path)
+        .select("page_id", "title", "ns", "is_redirect", "text")
+        .orderBy("page_id")
+    )
+
+
+WIKIPEDIA_CORPUS_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk,
+           trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 48)
+)
+SELECT doc_id AS page_id,
+       'Doc ' || doc_id AS title,
+       0::INT AS ns,
+       (rnk % 6 = 5) AS is_redirect,
+       CASE WHEN rnk % 6 = 5 THEN 'REDIRECT Doc 0'
+            ELSE 'Doc ' || doc_id || chr(10) || t || chr(10) || 'see also'
+       END AS text
+FROM ids
+ORDER BY page_id
+"""
+
+
 def docx_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
     """DOCX-source extraction (sources/office.read_docx_corpus): the
     lowest-30 doc_ids each become one DOCX whose two paragraphs derive
@@ -9875,8 +9949,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_ngram_containment": QuerySpec(
         dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
     ),
-    "window_dedup": QuerySpec(
-        window_dedup_op, WINDOW_DEDUP_SQL, "exact-substring 8-token window screen"
+    # r11 window rotation (session 4): wikipedia_corpus_text (new, never
+    # driver-recorded — the multistream wiki-dump source with
+    # slice-parallel bz2 offset walk + wikitext extraction) promoted;
+    # window_dedup (recorded r8-r10) slides below the 50-entry cutoff
+    # in exchange.
+    "wikipedia_corpus_text": QuerySpec(
+        wikipedia_corpus_text_op, WIKIPEDIA_CORPUS_SQL,
+        "MediaWiki multistream dump: slice-parallel bz2 walk + wikitext "
+        "→ text with redirect flags (planted-truth oracle)"
     ),
     # r11 window rotation: host_reputation (new, never driver-recorded —
     # the domain-blocklist aggregate stage) promoted; quality_classifier
@@ -9997,6 +10078,11 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # --- below the 50-entry driver gate window (all recorded green in
     # r1-r7; demoted in r8 to make room for the upgraded/new entries) ---
+    # r11 session-4 demotion (recorded r8-r10), in exchange for
+    # wikipedia_corpus_text above:
+    "window_dedup": QuerySpec(
+        window_dedup_op, WINDOW_DEDUP_SQL, "exact-substring 8-token window screen"
+    ),
     "temperature_mix": QuerySpec(
         temperature_mix_op, TEMPERATURE_SQL, "alpha-temperature language rebalancing"
     ),
