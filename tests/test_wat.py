@@ -1,0 +1,101 @@
+"""WAT metadata sidecar: harvest correctness over tag soup, envelope
+JSON shape, and link-graph edge explosion."""
+
+from __future__ import annotations
+
+from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+from wc_vector_indexing_spark.sources.wat import (
+    _harvest,
+    build_wat,
+    link_edges,
+    parse_wat_json,
+    warc_metadata,
+)
+
+
+# ------------------------------------------------------------ harvest
+
+def test_harvest_title_metas_links():
+    title, metas, head_links, links = _harvest(
+        "<html><head><title> T </title>"
+        '<meta name="description" content="d">'
+        '<meta property="og:title" content="ogt">'
+        '<meta charset="utf-8">'  # no content -> skipped
+        '<link rel="canonical" href="https://c.example/">'
+        '</head><body><a href="/a">one</a><a name="anchor">no href</a>'
+        '<a href="/b">two <b>bold</b> words</a></body></html>'
+    )
+    assert title == "T"
+    assert metas == [("description", "d"), ("og:title", "ogt")]
+    assert head_links == [("canonical", "https://c.example/")]
+    assert links == [("/a", "one"), ("/b", "two bold words")]
+
+
+def test_harvest_tag_soup_and_unclosed_title():
+    # unclosed title, stray close tags, nested anchor: never raises
+    title, _, _, links = _harvest(
+        "<title>Unclosed <body></div><a href='/x'>t1<a href='/y'>t2</a>"
+    )
+    assert title is not None and title.startswith("Unclosed")
+    assert [u for u, _ in links] == ["/x", "/y"]
+    # nested-anchor text accrues to both open anchors (soup tolerance)
+    assert links[1][1] == "t2"
+
+
+def test_harvest_empty_page():
+    assert _harvest("") == (None, [], [], [])
+
+
+# ------------------------------------------------------------ Spark passes
+
+def _fixture_df(spark, tmp_path):
+    recs = [
+        {"url": "https://s.example/0",
+         "html": ('<head><title>P0</title>'
+                  '<meta name="description" content="zero"></head>'
+                  '<body><a href="https://s.example/1">to one</a></body>')},
+        {"url": "https://s.example/1",
+         "html": "<body>no links here</body>"},
+    ]
+    p = tmp_path / "wat.warc"
+    p.write_bytes(to_warc_bytes(recs, version="1.1"))
+    return read_warc(spark, str(p))
+
+
+def test_warc_metadata_columns(spark, tmp_path):
+    rows = {r.url: r for r in warc_metadata(_fixture_df(spark, tmp_path)).collect()}
+    r0 = rows["https://s.example/0"]
+    assert r0.title == "P0"
+    assert [(m.name, m.content) for m in r0.metas] == [("description", "zero")]
+    assert [(l.url, l.text) for l in r0.links] == [("https://s.example/1", "to one")]
+    r1 = rows["https://s.example/1"]
+    assert r1.title is None and r1.links == []
+
+
+def test_build_wat_envelope(spark, tmp_path):
+    row = (build_wat(_fixture_df(spark, tmp_path))
+           .filter("url = 'https://s.example/0'").head())
+    env = parse_wat_json(row.wat_json)["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == "https://s.example/0"
+    assert env["WARC-Header-Metadata"]["WARC-Type"] == "response"
+    hm = env["Payload-Metadata"]["HTTP-Response-Metadata"]
+    assert hm["Response-Message"]["Status"] == 200
+    html_md = hm["HTML-Metadata"]
+    assert html_md["Head"]["Title"] == "P0"
+    assert html_md["Head"]["Metas"] == [{"name": "description", "content": "zero"}]
+    assert html_md["Links"] == [{"url": "https://s.example/1", "text": "to one"}]
+
+
+def test_link_edges_drop_dangling(spark, tmp_path):
+    edges = link_edges(_fixture_df(spark, tmp_path)).collect()
+    assert [(e.src_url, e.link_no, e.href, e.anchor_text) for e in edges] == [
+        ("https://s.example/0", 0, "https://s.example/1", "to one")
+    ]
+
+
+def test_parse_wat_json_contract():
+    import pytest
+    with pytest.raises(ValueError):
+        parse_wat_json("{not json")
+    with pytest.raises(ValueError):
+        parse_wat_json('{"no": "envelope"}')

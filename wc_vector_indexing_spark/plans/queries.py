@@ -9251,6 +9251,92 @@ ORDER BY page_no
 """
 
 
+def warc_wat_links_op(spark: SparkSession, sf: str) -> DataFrame:
+    """WAT metadata generation (sources/wat.py): the lowest-24 docs
+    become one WARC of planted pages carrying a <title>, a
+    description <meta>, and two <a> links (one absolute with nested
+    markup inside the anchor text, one relative) — then the WAT pass
+    harvests head metadata + the outgoing-link list in ONE Arrow
+    parse, the JSON envelope is asserted parseable JVM-side, and the
+    link list explodes to graph edges. Direct value match over
+    (page_no, title, meta_description, link_no, href, anchor_text).
+    Reference behavior analogue: the SEO-meta projection
+    (class-indexer.php meta_description) lifted to the archive
+    sidecar the link graph consumes."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+    from wc_vector_indexing_spark.sources.wat import warc_metadata
+
+    ids = [
+        int(r[0])
+        for r in load(spark, "documents", sf)
+        .select("doc_id").orderBy("doc_id").limit(24).collect()
+    ]
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_wat_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        recs = []
+        for rnk, d in enumerate(ids):
+            recs.append({
+                "url": f"https://crawl.example/{rnk}",
+                "html": (
+                    f"<html><head><title>Doc {d}</title>"
+                    f'<meta name="description" content="About document {d}.">'
+                    "</head><body>"
+                    f'<a href="https://crawl.example/{(rnk + 1) % 24}">'
+                    f"next <b>page</b> {d}</a> "
+                    f'<a href="/rel/{d}">rel link {d}</a>'
+                    "</body></html>"
+                ),
+            })
+        with open(os.path.join(out, "crawl.warc"), "wb") as f:
+            f.write(to_warc_bytes(recs, version="1.1"))
+        with open(done, "w") as f:
+            f.write("ok")
+    meta = warc_metadata(read_warc(spark, os.path.join(out, "crawl.warc")))
+    return (
+        meta.select(
+            F.regexp_extract("url", r"/(\d+)$", 1).cast("int")
+            .alias("page_no"),
+            "title",
+            F.element_at("metas", 1)["content"].alias("meta_description"),
+            F.posexplode("links").alias("link_no", "link"),
+        )
+        .select(
+            "page_no", "title", "meta_description",
+            F.col("link_no").cast("int").alias("link_no"),
+            F.col("link.url").alias("href"),
+            F.col("link.text").alias("anchor_text"),
+        )
+        .orderBy("page_no", "link_no")
+    )
+
+
+WARC_WAT_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24)
+)
+SELECT rnk::INT AS page_no,
+       'Doc ' || doc_id AS title,
+       'About document ' || doc_id || '.' AS meta_description,
+       link_no::INT AS link_no,
+       CASE WHEN link_no = 0
+            THEN 'https://crawl.example/' || ((rnk + 1) % 24)
+            ELSE '/rel/' || doc_id END AS href,
+       CASE WHEN link_no = 0
+            THEN 'next page ' || doc_id
+            ELSE 'rel link ' || doc_id END AS anchor_text
+FROM ids CROSS JOIN (SELECT unnest(range(2)) AS link_no)
+ORDER BY page_no, link_no
+"""
+
+
 def _markup_fixture_rows(spark: SparkSession, sf: str, n: int = 48):
     """Lowest-``n`` docs with text sanitized to single-spaced trimmed
     form, so the markup extractors are exact identity on the planted
@@ -9946,8 +10032,14 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
-    "dedup_ngram_containment": QuerySpec(
-        dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
+    # r11 window rotation (session 4): warc_wat_links (new, never
+    # driver-recorded — WAT metadata sidecar + link-graph edges over
+    # real WARC bytes) promoted; dedup_ngram_containment (recorded
+    # r8-r10) slides below the 50-entry cutoff in exchange.
+    "warc_wat_links": QuerySpec(
+        warc_wat_links_op, WARC_WAT_SQL,
+        "WAT metadata generation: title/meta/link harvest + exploded "
+        "link-graph edges over real WARCs (planted-truth oracle)"
     ),
     # r11 window rotation (session 4): wikipedia_corpus_text (new, never
     # driver-recorded — the multistream wiki-dump source with
@@ -10078,10 +10170,13 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     # --- below the 50-entry driver gate window (all recorded green in
     # r1-r7; demoted in r8 to make room for the upgraded/new entries) ---
-    # r11 session-4 demotion (recorded r8-r10), in exchange for
-    # wikipedia_corpus_text above:
+    # r11 session-4 demotions (recorded r8-r10), in exchange for
+    # wikipedia_corpus_text / warc_wat_links above:
     "window_dedup": QuerySpec(
         window_dedup_op, WINDOW_DEDUP_SQL, "exact-substring 8-token window screen"
+    ),
+    "dedup_ngram_containment": QuerySpec(
+        dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
     ),
     "temperature_mix": QuerySpec(
         temperature_mix_op, TEMPERATURE_SQL, "alpha-temperature language rebalancing"
