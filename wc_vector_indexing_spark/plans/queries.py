@@ -9251,6 +9251,79 @@ ORDER BY page_no
 """
 
 
+def wordpiece_pair_scores_op(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece first-iteration pair-likelihood table
+    (operators/wordpiece.pair_scores): word counts over the lowest-64
+    docs (the SAME distributed aggregation BPE training uses), then
+    the ``count(ab)·10^9 div (count(a)·count(b))`` integer score in
+    pure Catalyst — transform/zip_with/explode, two bounded aggs,
+    broadcast joins. The oracle replays the whole chain: whitespace
+    tokenize, ##-prefixed symbol split by position, pair/symbol
+    counting, exact integer division, top-20 ordering."""
+    from wc_vector_indexing_spark.operators.bpe import word_counts
+    from wc_vector_indexing_spark.operators.wordpiece import pair_scores
+
+    docs = (
+        load(spark, "documents", sf)
+        .orderBy("doc_id").limit(64).select("text")
+    )
+    return pair_scores(word_counts(docs), top_k=20)
+
+
+WORDPIECE_PAIRS_SQL = r"""
+WITH docs64 AS (
+    SELECT text FROM documents ORDER BY doc_id LIMIT 64
+), toks AS (
+    SELECT UNNEST(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                        '\s+')) AS word
+    FROM docs64
+), words AS (
+    SELECT word, count(*)::BIGINT AS n FROM toks WHERE word <> ''
+    GROUP BY word
+), positions AS (
+    SELECT word, n, UNNEST(range(1, length(word) + 1)) AS i FROM words
+), sym_counts AS (
+    SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+                ELSE '##' || substr(word, i::INT, 1) END AS sym,
+           sum(n)::BIGINT AS sym_n
+    FROM positions GROUP BY sym
+), pairs AS (
+    SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+                ELSE '##' || substr(word, i::INT, 1) END AS a,
+           '##' || substr(word, (i + 1)::INT, 1) AS b,
+           sum(n)::BIGINT AS pair_n
+    FROM positions WHERE i < length(word) GROUP BY a, b
+)
+SELECT a, b, pair_n,
+       (pair_n * 1000000000) // (an.sym_n * bn.sym_n) AS score_ppb
+FROM pairs
+JOIN sym_counts an ON an.sym = pairs.a
+JOIN sym_counts bn ON bn.sym = pairs.b
+ORDER BY score_ppb DESC, a, b
+LIMIT 20
+"""
+
+
+def wordpiece_vocab_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained WordPiece vocabulary (operators/wordpiece): the full
+    trainer — distributed word counts + driver-local likelihood merge
+    loop with integer-exact argmax — over the lowest-64 docs;
+    (token_id, token) in vocab order (alphabet first, merges after).
+    Rows-only by nature (the iterative merge loop, like bpe_merges /
+    unigram_tokenizer); the argmax rule itself is golden-pinned in
+    tests/test_wordpiece.py."""
+    from wc_vector_indexing_spark.operators.wordpiece import train_wordpiece
+
+    docs = (
+        load(spark, "documents", sf)
+        .orderBy("doc_id").limit(64).select("text")
+    )
+    vocab = train_wordpiece(docs, vocab_size=160)
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab)], "token_id int, token string"
+    )
+
+
 def warc_wat_links_op(spark: SparkSession, sf: str) -> DataFrame:
     """WAT metadata generation (sources/wat.py): the lowest-24 docs
     become one WARC of planted pages carrying a <title>, a
@@ -9931,6 +10004,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "unigram-LM tokenizer candidate seeding: word-count cap + "
         "substring explode + frequency-length scoring (replayed-chain oracle)"
     ),
+    # r11 window rotation (session 4): wordpiece_pair_scores (new,
+    # never driver-recorded — the distributed likelihood-score half of
+    # WordPiece training, integer-exact) promoted; dedup_survivors
+    # (recorded r8-r10) slides below the cutoff in exchange (dedup
+    # family keeps minhash/incremental/jaccard/clusters in-window).
+    "wordpiece_pair_scores": QuerySpec(
+        wordpiece_pair_scores_op, WORDPIECE_PAIRS_SQL,
+        "WordPiece pair-likelihood table: ##-symbol split + integer "
+        "score div, full-chain replayed oracle"
+    ),
     # r11 window rotation (session 3): the Arrow IPC (Feather V2)
     # interchange pair (new, never driver-recorded) promoted —
     # arrow_ipc_census pins the wire format across both encodings and
@@ -10010,10 +10093,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_op, MINHASH_LSH_SQL,
         "minhash+LSH near-dup pairs (md5 mode, full-pipeline SQL oracle)"
-    ),
-    "dedup_survivors": QuerySpec(
-        dedup_survivors_op, DEDUP_SURVIVORS_SQL,
-        "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
     ),
     "dedup_incremental": QuerySpec(
         dedup_incremental_op, DEDUP_INCREMENTAL_SQL,
@@ -10177,6 +10256,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dedup_ngram_containment": QuerySpec(
         dedup_ngram_containment, NGRAM_CONTAINMENT_SQL, "asymmetric containment near-dup pairs"
+    ),
+    "dedup_survivors": QuerySpec(
+        dedup_survivors_op, DEDUP_SURVIVORS_SQL,
+        "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
     ),
     "temperature_mix": QuerySpec(
         temperature_mix_op, TEMPERATURE_SQL, "alpha-temperature language rebalancing"
@@ -10406,6 +10489,12 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "bpe_merges": QuerySpec(
         bpe_merges_op, None, "distributed-count + local-loop BPE tokenizer training"
+    ),
+    "wordpiece_vocab": QuerySpec(
+        wordpiece_vocab_op, None,
+        "WordPiece tokenizer training (likelihood merge loop over the "
+        "bounded count table; scoring stage oracle-pinned by "
+        "wordpiece_pair_scores)"
     ),
     "unigram_tokenizer": QuerySpec(
         unigram_tokenizer_op, None,
