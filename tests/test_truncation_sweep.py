@@ -100,6 +100,20 @@ def test_truncated_media_header_walkers():
     assert _sweep(parse_webp, to_webp_bytes("vp8", 320, 200)) == []
 
 
+def test_truncated_tiff_exif_walkers():
+    from wc_vector_indexing_spark.operators.tiff import (
+        parse_exif,
+        parse_tiff,
+        to_jpeg_exif_bytes,
+        to_tiff_bytes,
+    )
+
+    assert _sweep(parse_tiff,
+                  to_tiff_bytes(640, 480, 16, 5, 2, 6, 3, "MM",
+                                n_pages=3)) == []
+    assert _sweep(parse_exif, to_jpeg_exif_bytes(orientation=6)) == []
+
+
 def test_truncated_compressed_walkers():
     from wc_vector_indexing_spark.operators.compressed import (
         parse_gzip_member,

@@ -255,6 +255,8 @@ _MAGICS = (
     (b"OggS", "ogg"),
     (b"PAR1", "parquet"),
     (b"\x28\xb5\x2f\xfd", "zstd"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
 )
 
 

@@ -5856,6 +5856,129 @@ ORDER BY doc_id
 """
 
 
+def tiff_ifd_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """TIFF triage (operators/tiff.parse_tiff): every document renders
+    into a valid TIFF — byte order, dimensions, bits/compression/
+    photometric/orientation/samples tags, and a 1-3 page IFD chain,
+    all chosen by doc_id arithmetic — and the header walk reads them
+    back WITHOUT touching strip data. Planted truth ⇒ DuckDB oracle.
+    One zero-shuffle Arrow render+parse pass."""
+    from wc_vector_indexing_spark.operators.tiff import (
+        parse_tiff,
+        to_tiff_bytes,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "byte_order", "width", "height",
+                "bits_per_sample", "compression", "photometric",
+                "orientation", "samples_per_pixel", "n_ifds"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                data = to_tiff_bytes(
+                    width=1 + (d * 7) % 5000,
+                    height=1 + (d * 11) % 4000,
+                    bits_per_sample=[1, 8, 16][d % 3],
+                    compression=1 + (d * 3) % 7,
+                    photometric=d % 4,
+                    orientation=1 + d % 8,
+                    samples_per_pixel=1 + d % 4,
+                    byte_order="II" if d % 2 == 0 else "MM",
+                    n_pages=1 + d % 3,
+                )
+                meta = parse_tiff(data)
+                out.append({"doc_id": d, **{k: meta[k] for k in cols[1:]}})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, byte_order string, width long, height long, "
+               "bits_per_sample long, compression long, photometric long, "
+               "orientation long, samples_per_pixel long, n_ifds long",
+    ).orderBy("doc_id")
+
+
+TIFF_CENSUS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       1 + (doc_id * 7) % 5000 AS width,
+       1 + (doc_id * 11) % 4000 AS height,
+       CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 8 ELSE 16 END AS bits_per_sample,
+       1 + (doc_id * 3) % 7 AS compression,
+       doc_id % 4 AS photometric,
+       1 + doc_id % 8 AS orientation,
+       1 + doc_id % 4 AS samples_per_pixel,
+       1 + doc_id % 3 AS n_ifds
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def exif_metadata_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """JPEG/Exif camera-metadata triage (operators/tiff.parse_exif):
+    three of every four documents render into a JPEG carrying an APP1
+    Exif segment (orientation / make / model in IFD0,
+    DateTimeOriginal in the spec's Exif sub-IFD, offsets relative to
+    the embedded TIFF header); every fourth is a bare SOI+EOI JPEG —
+    the absent-segment path comes back as has_exif=false with NULL
+    fields, never an error. Planted truth ⇒ DuckDB oracle. One
+    zero-shuffle Arrow render+parse pass."""
+    from wc_vector_indexing_spark.operators.tiff import (
+        parse_exif,
+        to_jpeg_exif_bytes,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "has_exif", "orientation", "make", "model",
+                "datetime_original"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 4 == 3:
+                    data = b"\xff\xd8\xff\xd9"
+                else:
+                    data = to_jpeg_exif_bytes(
+                        orientation=1 + d % 8,
+                        make=f"Cam{d % 5}",
+                        model=f"M{d % 3}",
+                        datetime_original=f"2024:01:{1 + d % 28:02d}"
+                                          " 00:00:00",
+                    )
+                meta = parse_exif(data)
+                out.append({"doc_id": d, **{k: meta[k] for k in cols[1:]}})
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, has_exif boolean, orientation long, "
+               "make string, model string, datetime_original string",
+    ).orderBy("doc_id")
+
+
+EXIF_CENSUS_SQL = r"""
+SELECT doc_id,
+       doc_id % 4 != 3 AS has_exif,
+       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 1 + doc_id % 8 END AS orientation,
+       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'Cam' || (doc_id % 5) END AS make,
+       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'M' || (doc_id % 3) END AS model,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE '2024:01:' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+                 || ' 00:00:00' END AS datetime_original
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def ogg_page_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """Ogg/Opus/Vorbis triage (operators/ogg.parse_ogg): every document
     renders into a valid Ogg page chain — BOS identification packet
@@ -10102,13 +10225,6 @@ REGISTRY: dict[str, QuerySpec] = {
         training_data_pipeline_op, _training_pipeline_sql(),
         "curate -> DSIR gate -> split, end to end (full-composition SQL oracle)"
     ),
-    "curation_pipeline": QuerySpec(
-        curation_pipeline_op, _curation_sql(),
-        "end-to-end curation audit (md5 minhash, full-pipeline SQL oracle)"
-    ),
-    "exact_substring_removal": QuerySpec(
-        exact_substring_removal_op, EXACT_SUBSTR_SQL, "ExactSubstr duplicated-span removal"
-    ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
     # r11 window rotation (session 4): warc_wat_links (new, never
@@ -10129,6 +10245,21 @@ REGISTRY: dict[str, QuerySpec] = {
         wikipedia_corpus_text_op, WIKIPEDIA_CORPUS_SQL,
         "MediaWiki multistream dump: slice-parallel bz2 walk + wikitext "
         "→ text with redirect flags (planted-truth oracle)"
+    ),
+    # r11 window rotation (session 4): tiff_ifd_census +
+    # exif_metadata_census (new, never driver-recorded — the TIFF IFD
+    # walk and the JPEG/APP1 Exif camera-metadata read) promoted;
+    # exact_substring_removal (recorded r8-r10) and curation_pipeline
+    # (recorded r5-r10) slide below the 50-entry cutoff in exchange.
+    "tiff_ifd_census": QuerySpec(
+        tiff_ifd_census_op, TIFF_CENSUS_SQL,
+        "TIFF IFD-chain triage: both byte orders, offset heap, "
+        "multi-page counts (planted-truth oracle)"
+    ),
+    "exif_metadata_census": QuerySpec(
+        exif_metadata_census_op, EXIF_CENSUS_SQL,
+        "JPEG/Exif APP1 camera metadata incl. the absent-segment path "
+        "(planted-truth oracle)"
     ),
     # r11 window rotation: host_reputation (new, never driver-recorded —
     # the domain-blocklist aggregate stage) promoted; quality_classifier
@@ -10260,6 +10391,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_survivors": QuerySpec(
         dedup_survivors_op, DEDUP_SURVIVORS_SQL,
         "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
+    ),
+    "curation_pipeline": QuerySpec(
+        curation_pipeline_op, _curation_sql(),
+        "end-to-end curation audit (md5 minhash, full-pipeline SQL oracle)"
+    ),
+    "exact_substring_removal": QuerySpec(
+        exact_substring_removal_op, EXACT_SUBSTR_SQL, "ExactSubstr duplicated-span removal"
     ),
     "temperature_mix": QuerySpec(
         temperature_mix_op, TEMPERATURE_SQL, "alpha-temperature language rebalancing"
