@@ -93,6 +93,39 @@ def test_link_edges_drop_dangling(spark, tmp_path):
     ]
 
 
+def test_host_link_graph_resolution_rules(spark, tmp_path):
+    recs = [
+        {"url": "http://a.example/p1",
+         "html": ('<a href="https://b.example/x">cross</a>'
+                  '<a href="/local">self</a>'
+                  '<a href="mailto:z@c.example">drop</a>'
+                  '<a href="#frag">drop</a>'
+                  '<a href="rel/dot">drop</a>')},
+        {"url": "http://a.example/p2",
+         "html": '<a href="https://b.example/y">cross</a>'},
+    ]
+    p = tmp_path / "g.warc"
+    p.write_bytes(to_warc_bytes(recs, version="1.1"))
+    from wc_vector_indexing_spark.sources.wat import host_link_graph
+    got = {(r.src_host, r.dst_host): (r.n_links, r.n_src_pages)
+           for r in host_link_graph(read_warc(spark, str(p))).collect()}
+    # mailto/fragment/dot-relative dropped; root-relative is a self-edge
+    assert got == {("a.example", "b.example"): (2, 2),
+                   ("a.example", "a.example"): (1, 1)}
+
+
+def test_anchor_text_tie_break(spark, tmp_path):
+    recs = [{"url": f"http://a.example/p{i}",
+             "html": f'<a href="https://t.example/">{w}</a>'}
+            for i, w in enumerate(["beta", "alpha", "beta", "alpha"])]
+    p = tmp_path / "a.warc"
+    p.write_bytes(to_warc_bytes(recs, version="1.1"))
+    from wc_vector_indexing_spark.sources.wat import anchor_text_index
+    row = anchor_text_index(read_warc(spark, str(p))).head()
+    assert (row.target, row.n_refs, row.top_anchor) == (
+        "https://t.example/", 4, "alpha")  # 2-2 tie -> lexicographic
+
+
 def test_parse_wat_json_contract():
     import pytest
     with pytest.raises(ValueError):

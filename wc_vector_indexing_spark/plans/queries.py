@@ -9533,6 +9533,120 @@ ORDER BY page_no, link_no
 """
 
 
+def _linkgraph_fixture(spark: SparkSession, sf: str) -> str:
+    """24 planted pages across three hosts (h0/h1/h2.example), each
+    carrying an absolute link to the NEXT host's landing page (anchor
+    text varies by page half, planting an argmax tie), a root-relative
+    self link, and a mailto: link the resolver must drop. Returns the
+    WARC path."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.warc import to_warc_bytes
+
+    n_ids = (
+        load(spark, "documents", sf).select("doc_id")
+        .orderBy("doc_id").limit(24).count()
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_linkgraph_{key}")
+    done = os.path.join(out, "_DONE")
+    warc_path = os.path.join(out, "crawl.warc")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        recs = []
+        for rnk in range(n_ids):
+            i, j = rnk % 3, (rnk + 1) % 3
+            word = "to" if rnk < 12 else "goto"
+            recs.append({
+                "url": f"https://h{i}.example/page/{rnk}",
+                "html": (
+                    "<html><body>"
+                    f'<a href="https://h{j}.example/">{word} {j}</a>'
+                    f'<a href="/self/{rnk}">self {rnk}</a>'
+                    '<a href="mailto:x@example.com">mail</a>'
+                    "</body></html>"
+                ),
+            })
+        with open(warc_path, "wb") as f:
+            f.write(to_warc_bytes(recs, version="1.1"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return warc_path
+
+
+def host_link_graph_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level link graph (sources/wat.host_link_graph): the planted
+    3-host crawl's WAT link explode → (src_host, dst_host) hash agg —
+    absolute links cross hosts, root-relative links resolve to
+    self-edges, mailto: drops. The shuffle key is host pairs (bounded
+    vocabulary), never pages. Planted truth ⇒ closed-form oracle."""
+    from wc_vector_indexing_spark.sources.warc import read_warc
+    from wc_vector_indexing_spark.sources.wat import host_link_graph
+
+    warc_path = _linkgraph_fixture(spark, sf)
+    return (
+        host_link_graph(read_warc(spark, warc_path))
+        .orderBy("src_host", "dst_host")
+    )
+
+
+HOST_LINK_GRAPH_SQL = r"""
+WITH hosts AS (SELECT UNNEST(range(3)) AS i)
+SELECT src_host, dst_host, n_links, n_src_pages
+FROM (
+    SELECT 'h' || i || '.example' AS src_host,
+           'h' || ((i + 1) % 3) || '.example' AS dst_host,
+           8::BIGINT AS n_links, 8::BIGINT AS n_src_pages
+    FROM hosts
+    UNION ALL
+    SELECT 'h' || i || '.example', 'h' || i || '.example',
+           8::BIGINT, 8::BIGINT
+    FROM hosts
+)
+ORDER BY src_host, dst_host
+"""
+
+
+def anchor_text_index_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text retrieval signal (sources/wat.anchor_text_index):
+    per resolved target, incoming-reference count + most frequent
+    anchor text over the same planted crawl — the landing pages
+    receive a deliberate 4-vs-4 anchor tie ('to j' vs 'goto j') so
+    the lexicographic argmax tie-break is driver-validated, and the
+    self links pin the n_refs=1 tail. Planted truth ⇒ closed-form
+    oracle."""
+    from wc_vector_indexing_spark.sources.warc import read_warc
+    from wc_vector_indexing_spark.sources.wat import anchor_text_index
+
+    warc_path = _linkgraph_fixture(spark, sf)
+    return (
+        anchor_text_index(read_warc(spark, warc_path))
+        .orderBy("target")
+    )
+
+
+ANCHOR_TEXT_SQL = r"""
+WITH ids AS (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24)
+)
+SELECT target, n_refs, top_anchor
+FROM (
+    SELECT 'https://h' || j || '.example/' AS target,
+           8::BIGINT AS n_refs,
+           'goto ' || j AS top_anchor
+    FROM (SELECT DISTINCT (rnk + 1) % 3 AS j FROM ids)
+    UNION ALL
+    SELECT 'https://h' || (rnk % 3) || '.example/self/' || rnk,
+           1::BIGINT, 'self ' || rnk
+    FROM ids
+)
+ORDER BY target
+"""
+
+
 def _markup_fixture_rows(spark: SparkSession, sf: str, n: int = 48):
     """Lowest-``n`` docs with text sanitized to single-spaced trimmed
     form, so the markup extractors are exact identity on the planted
@@ -10217,14 +10331,6 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup_minhash_op, MINHASH_LSH_SQL,
         "minhash+LSH near-dup pairs (md5 mode, full-pipeline SQL oracle)"
     ),
-    "dedup_incremental": QuerySpec(
-        dedup_incremental_op, DEDUP_INCREMENTAL_SQL,
-        "batch-vs-store signature dedup (md5-mode oracle, planted store)"
-    ),
-    "training_data_pipeline": QuerySpec(
-        training_data_pipeline_op, _training_pipeline_sql(),
-        "curate -> DSIR gate -> split, end to end (full-composition SQL oracle)"
-    ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
     # r11 window rotation (session 4): warc_wat_links (new, never
@@ -10235,6 +10341,21 @@ REGISTRY: dict[str, QuerySpec] = {
         warc_wat_links_op, WARC_WAT_SQL,
         "WAT metadata generation: title/meta/link harvest + exploded "
         "link-graph edges over real WARCs (planted-truth oracle)"
+    ),
+    # r11 window rotation (session 4): host_link_graph +
+    # anchor_text_index (new, never driver-recorded — the WAT-derived
+    # host graph and anchor-text retrieval signal) promoted;
+    # training_data_pipeline (recorded r8-r10) and dedup_incremental
+    # (recorded r8-r10) slide below the 50-entry cutoff in exchange.
+    "host_link_graph": QuerySpec(
+        host_link_graph_op, HOST_LINK_GRAPH_SQL,
+        "host-level link graph from WAT links: cross-host + self edges, "
+        "mailto dropped (planted-truth oracle)"
+    ),
+    "anchor_text_index": QuerySpec(
+        anchor_text_index_op, ANCHOR_TEXT_SQL,
+        "per-target anchor-text argmax with tie-break + ref counts "
+        "(planted-truth oracle)"
     ),
     # r11 window rotation (session 4): wikipedia_corpus_text (new, never
     # driver-recorded — the multistream wiki-dump source with
@@ -10391,6 +10512,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_survivors": QuerySpec(
         dedup_survivors_op, DEDUP_SURVIVORS_SQL,
         "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
+    ),
+    "dedup_incremental": QuerySpec(
+        dedup_incremental_op, DEDUP_INCREMENTAL_SQL,
+        "batch-vs-store signature dedup (md5-mode oracle, planted store)"
+    ),
+    "training_data_pipeline": QuerySpec(
+        training_data_pipeline_op, _training_pipeline_sql(),
+        "curate -> DSIR gate -> split, end to end (full-composition SQL oracle)"
     ),
     "curation_pipeline": QuerySpec(
         curation_pipeline_op, _curation_sql(),

@@ -184,6 +184,79 @@ def link_edges(records: DataFrame) -> DataFrame:
     )
 
 
+def _resolved_target() -> "F.Column":
+    """Absolute http(s) hrefs pass through; root-relative hrefs
+    resolve against the source page's scheme+host (the only relative
+    form the planted crawl emits and the overwhelmingly dominant one
+    in real markup); anything else (mailto:, javascript:, fragments,
+    dot-relative) is NULL = dropped by the consumers."""
+    from wc_vector_indexing_spark.operators.urls import url_host, url_scheme
+
+    return (
+        F.when(F.col("href").rlike("^https?://"), F.col("href"))
+        .when(
+            F.col("href").startswith("/"),
+            F.concat(url_scheme("src_url"), F.lit("://"),
+                     url_host("src_url"), F.col("href")),
+        )
+    )
+
+
+def host_link_graph(records: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links, n_src_pages): the host-level
+    link graph — what domain ranking, crawl-frontier prioritization,
+    and host-reputation scoring consume. One generator explode over
+    the WAT metadata pass, then ONE hash aggregation on the
+    (src_host, dst_host) pair key; hosts are a bounded vocabulary
+    relative to pages, so the shuffle carries host pairs, never
+    pages. Relative links resolve to their own host (a self-edge —
+    real: internal linking is a reputation signal)."""
+    from wc_vector_indexing_spark.operators.urls import url_host
+
+    edges = link_edges(records).withColumn("target", _resolved_target())
+    return (
+        edges.filter(F.col("target").isNotNull())
+        .select(
+            url_host("src_url").alias("src_host"),
+            url_host("target").alias("dst_host"),
+            "src_url",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("src_url").alias("n_src_pages"),
+        )
+    )
+
+
+def anchor_text_index(records: DataFrame) -> DataFrame:
+    """(target, n_refs, top_anchor): per resolved link target, the
+    incoming-reference count and the most frequent anchor text (ties
+    break on the lexicographically smallest text) — the classic
+    anchor-text retrieval signal (anchors describe the TARGET better
+    than the target's own page; the original web-search insight).
+    Two aggregations on the target key plus ONE window for the
+    argmax; everything after the metadata pass is Catalyst."""
+    from pyspark.sql.window import Window
+
+    edges = link_edges(records).withColumn("target", _resolved_target())
+    per_text = (
+        edges.filter(F.col("target").isNotNull())
+        .groupBy("target", F.col("anchor_text").alias("text"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("target").orderBy(F.desc("n"), F.asc("text"))
+    return (
+        per_text.withColumn("rk", F.row_number().over(w))
+        .groupBy("target")
+        .agg(
+            F.sum("n").alias("n_refs"),
+            F.max(F.when(F.col("rk") == 1, F.col("text")))
+            .alias("top_anchor"),
+        )
+    )
+
+
 def parse_wat_json(s: str) -> dict:
     """Test/consumer helper: one WAT envelope string → dict (plain
     json.loads with the contract ValueError)."""
