@@ -92,3 +92,62 @@ def test_corrupt_quarantine():
 def test_sniff_routes_parquet():
     assert sniff_format(to_parquet_bytes(3, 1)) == "parquet"
     assert sniff_format(b"\x28\xb5\x2f\xfd" + bytes(8)) == "zstd"
+
+
+def test_column_stats_match_pyarrow_metadata():
+    import pyarrow.parquet as pq
+    import io
+
+    from wc_vector_indexing_spark.operators.parquet_meta import (
+        parquet_column_stats,
+        to_parquet_bytes,
+    )
+
+    data = to_parquet_bytes(16, 3, codec="zstd", row_group_size=5)
+    got = parquet_column_stats(data)
+    meta = pq.ParquetFile(io.BytesIO(data)).metadata
+    assert len(got) == meta.num_row_groups * meta.num_columns
+    for s in got:
+        col = meta.row_group(s["rg"]).column(s["column"] == "c0" and 0
+                                             or int(s["column"][1:]))
+        assert s["num_values"] == col.num_values
+        assert s["min_v"] == col.statistics.min
+        assert s["max_v"] == col.statistics.max
+        assert s["null_count"] == col.statistics.null_count
+
+
+def test_column_stats_string_and_null_columns():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wc_vector_indexing_spark.operators.parquet_meta import (
+        parquet_column_stats,
+    )
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({"s": ["m", "a", "z", None], "v": [3.5, None, -1.5, 0.0]}),
+        buf,
+    )
+    got = {s["column"]: s for s in parquet_column_stats(buf.getvalue())}
+    assert got["s"]["min_v"] == "a" and got["s"]["max_v"] == "z"
+    assert got["s"]["null_count"] == 1
+    assert got["v"]["min_v"] == -1.5 and got["v"]["max_v"] == 3.5
+
+
+def test_skippable_row_groups_rules():
+    from wc_vector_indexing_spark.operators.parquet_meta import (
+        parquet_column_stats,
+        skippable_row_groups,
+        to_parquet_bytes,
+    )
+
+    stats = parquet_column_stats(to_parquet_bytes(18, 1, row_group_size=6))
+    # c0 = row index: rg bounds [0..5], [6..11], [12..17]
+    assert skippable_row_groups(stats, "c0", 7) == ([1], [0, 2])
+    assert skippable_row_groups(stats, "c0", 99) == ([], [0, 1, 2])
+    # absent stats are conservatively kept
+    blind = [{**s, "min_v": None, "max_v": None} for s in stats]
+    assert skippable_row_groups(blind, "c0", 99) == ([0, 1, 2], [])

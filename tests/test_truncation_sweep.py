@@ -245,6 +245,11 @@ def test_truncated_parquet_footer():
     buf = io.BytesIO()
     pq.write_table(pa.table({"a": list(range(50)), "b": ["x"] * 50}), buf)
     assert _sweep(parse_parquet_footer, buf.getvalue(), stride=3) == []
+    from wc_vector_indexing_spark.operators.parquet_meta import (
+        parquet_column_stats,
+    )
+
+    assert _sweep(parquet_column_stats, buf.getvalue(), stride=3) == []
 
 
 def test_truncated_tfrecord():

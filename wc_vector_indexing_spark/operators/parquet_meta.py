@@ -176,6 +176,94 @@ def parse_parquet_footer(data: bytes) -> dict:
     }
 
 
+_TYPE_INT32, _TYPE_INT64, _TYPE_FLOAT, _TYPE_DOUBLE, _TYPE_BYTES = 1, 2, 4, 5, 6
+
+
+def _decode_stat(raw: bytes | None, ptype: int):
+    """Statistics min/max are plain-encoded per the physical type."""
+    if raw is None or not isinstance(raw, bytes):
+        return None
+    if ptype == _TYPE_INT32 and len(raw) == 4:
+        return struct.unpack("<i", raw)[0]
+    if ptype == _TYPE_INT64 and len(raw) == 8:
+        return struct.unpack("<q", raw)[0]
+    if ptype == _TYPE_FLOAT and len(raw) == 4:
+        return float(struct.unpack("<f", raw)[0])
+    if ptype == _TYPE_DOUBLE and len(raw) == 8:
+        return struct.unpack("<d", raw)[0]
+    if ptype == _TYPE_BYTES:
+        return raw.decode("utf-8", "replace")
+    return None
+
+
+@quarantine("parquet footer")
+def parquet_column_stats(data: bytes) -> list[dict]:
+    """Per-(row_group, column) min/max/null statistics straight from
+    the footer — the file-skipping index: at 100 TB, a predicate that
+    prunes by these bounds never schedules the row group at all (the
+    same machinery Spark's parquet filter pushdown consults; this
+    parse makes it inspectable as a census). One dict per column
+    chunk: rg, column (dotted path), type, num_values, null_count,
+    min_v, max_v (decoded for int/float/bytes physical types;
+    new-field 5/6 preferred, deprecated 1/2 the fallback per the
+    format's stats history)."""
+    if len(data) < 12 or data[:4] != b"PAR1" or data[-4:] != b"PAR1":
+        raise ValueError("parquet: missing PAR1 magic")
+    footer_len = struct.unpack("<I", data[-8:-4])[0]
+    if footer_len + 8 > len(data):
+        raise ValueError("parquet: footer length overruns the file")
+    meta = _read_struct(_Reader(data[len(data) - 8 - footer_len : -8]))
+    out: list[dict] = []
+    for rg_no, rg in enumerate(meta.get(4) or []):
+        if not isinstance(rg, dict):
+            raise ValueError("parquet: row group is not a struct")
+        for chunk in rg.get(1) or []:
+            cm = chunk.get(3) if isinstance(chunk, dict) else None
+            if not isinstance(cm, dict):
+                raise ValueError("parquet: column chunk without metadata")
+            ptype = cm.get(1)
+            path = cm.get(3) or []
+            if not isinstance(path, list):
+                raise ValueError("parquet: column path is not a list")
+            name = ".".join(
+                p.decode("utf-8", "replace") if isinstance(p, bytes) else str(p)
+                for p in path
+            )
+            stats = cm.get(12) if isinstance(cm.get(12), dict) else {}
+            min_raw = stats.get(6, stats.get(2))
+            max_raw = stats.get(5, stats.get(1))
+            out.append({
+                "rg": rg_no,
+                "column": name,
+                "type": ptype,
+                "num_values": cm.get(5),
+                "null_count": stats.get(3),
+                "min_v": _decode_stat(min_raw, ptype),
+                "max_v": _decode_stat(max_raw, ptype),
+            })
+    return out
+
+
+def skippable_row_groups(
+    stats: list[dict], column: str, value,
+) -> tuple[list[int], list[int]]:
+    """(kept, skipped) row-group indexes for an equality predicate
+    ``column = value`` judged purely by footer min/max — the driver-
+    side planning decision file skipping makes before any I/O. A row
+    group with missing bounds is conservatively KEPT (absent stats
+    must never drop data)."""
+    kept, skipped = [], []
+    for s in stats:
+        if s["column"] != column:
+            continue
+        lo, hi = s["min_v"], s["max_v"]
+        if lo is not None and hi is not None and (value < lo or value > hi):
+            skipped.append(s["rg"])
+        else:
+            kept.append(s["rg"])
+    return kept, skipped
+
+
 def to_parquet_bytes(
     n_rows: int,
     n_cols: int,

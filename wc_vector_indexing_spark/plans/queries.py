@@ -6681,6 +6681,76 @@ ORDER BY doc_id
 """
 
 
+def parquet_column_stats_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet per-row-group column statistics
+    (operators/parquet_meta.parquet_column_stats): the lowest-60 docs
+    each become a REAL pyarrow-written 2-column file with
+    doc_id-derived row count and a fixed row-group size of 6, and the
+    pure-Python Thrift parse reads back every column chunk's
+    num_values / null_count / min / max — the footer bounds that
+    file-skipping (predicate pushdown's row-group pruning) consults
+    at 100 TB before scheduling any I/O. Deterministic values ⇒ the
+    DuckDB oracle reproduces every bound by row-group arithmetic."""
+    from wc_vector_indexing_spark.operators.parquet_meta import (
+        parquet_column_stats,
+        to_parquet_bytes,
+    )
+
+    docs = (
+        load(spark, "documents", sf).select("doc_id")
+        .orderBy("doc_id").limit(60).repartition(8)
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "rg", "column_name", "num_values",
+                "null_count", "min_v", "max_v"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_rows = 10 + d % 13
+                data = to_parquet_bytes(n_rows, 2, codec="snappy",
+                                        row_group_size=6)
+                for s in parquet_column_stats(data):
+                    out.append({
+                        "doc_id": d, "rg": s["rg"],
+                        "column_name": s["column"],
+                        "num_values": s["num_values"],
+                        "null_count": s["null_count"],
+                        "min_v": s["min_v"], "max_v": s["max_v"],
+                    })
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, rg int, column_name string, num_values long, "
+               "null_count long, min_v long, max_v long",
+    ).orderBy("doc_id", "rg", "column_name")
+
+
+PARQUET_STATS_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, 10 + doc_id % 13 AS n
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 60)
+), rgs AS (
+    SELECT doc_id, n, UNNEST(range((n + 5) // 6)) AS rg FROM ids
+), cells AS (
+    SELECT doc_id, n, rg, UNNEST(range(2)) AS j FROM rgs
+)
+SELECT doc_id,
+       rg::INT AS rg,
+       'c' || j AS column_name,
+       (LEAST(n, rg * 6 + 6) - rg * 6)::BIGINT AS num_values,
+       0::BIGINT AS null_count,
+       (rg * 6 * (j + 1))::BIGINT AS min_v,
+       ((LEAST(n, rg * 6 + 6) - 1) * (j + 1))::BIGINT AS max_v
+FROM cells
+ORDER BY doc_id, rg, column_name
+"""
+
+
 def sitemap_urls_op(spark: SparkSession, sf: str) -> DataFrame:
     """Sitemap source (sources/feeds.parse_sitemap, sitemaps.org
     protocol): every document renders into a sitemap — a <urlset> with
@@ -10327,10 +10397,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "c4_line_filter": QuerySpec(
         c4_line_filter_op, C4_SQL, "C4 line-level cleaning stats"
     ),
-    "dedup_minhash_lsh": QuerySpec(
-        dedup_minhash_op, MINHASH_LSH_SQL,
-        "minhash+LSH near-dup pairs (md5 mode, full-pipeline SQL oracle)"
-    ),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_JACCARD_SQL, "n-gram jaccard pairs"),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
     # r11 window rotation (session 4): warc_wat_links (new, never
@@ -10341,6 +10407,16 @@ REGISTRY: dict[str, QuerySpec] = {
         warc_wat_links_op, WARC_WAT_SQL,
         "WAT metadata generation: title/meta/link harvest + exploded "
         "link-graph edges over real WARCs (planted-truth oracle)"
+    ),
+    # r11 window rotation (session 4): parquet_column_stats (new,
+    # never driver-recorded — the footer min/max bounds file skipping
+    # consults) promoted; dedup_minhash_lsh (recorded r8-r10) slides
+    # below the 50-entry cutoff in exchange (dedup family keeps
+    # jaccard/clusters/exact + the embedding-LSH entry in-window).
+    "parquet_column_stats": QuerySpec(
+        parquet_column_stats_op, PARQUET_STATS_SQL,
+        "per-row-group parquet column min/max/null stats from the "
+        "footer (real pyarrow writer, closed-form oracle)"
     ),
     # r11 window rotation (session 4): host_link_graph +
     # anchor_text_index (new, never driver-recorded — the WAT-derived
@@ -10512,6 +10588,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_survivors": QuerySpec(
         dedup_survivors_op, DEDUP_SURVIVORS_SQL,
         "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        dedup_minhash_op, MINHASH_LSH_SQL,
+        "minhash+LSH near-dup pairs (md5 mode, full-pipeline SQL oracle)"
     ),
     "dedup_incremental": QuerySpec(
         dedup_incremental_op, DEDUP_INCREMENTAL_SQL,
