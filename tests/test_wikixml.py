@@ -165,3 +165,30 @@ def test_reader_quarantines_corrupt_stream(spark, tmp_path):
     rows = read_wiki_dump(spark, str(dp), str(ip), on_error="skip").collect()
     # the corrupt middle stream's 2 pages quarantine; the rest survive
     assert sorted(r.page_id for r in rows) == [100, 101, 104, 105]
+
+
+def test_wiki_dump_diff_statuses(spark, tmp_path):
+    from wc_vector_indexing_spark.sources.wikixml import (
+        read_wiki_dump,
+        wiki_dump_diff,
+    )
+
+    v1 = _pages(4)
+    v2 = [dict(p) for p in v1[1:]]          # page 100 gone
+    v2[0]["text"] = "edited"                # 101 changed (body)
+    v2[1]["title"] = "Doc 2 moved"          # 102 changed (title only)
+    v2.append({"title": "New", "ns": 0, "page_id": 999, "text": "n"})
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    d1, i1 = _write_fixture(tmp_path / "a", v1)
+    d2, i2 = _write_fixture(tmp_path / "b", v2)
+    got = {r.page_id: (r.title, r.status)
+           for r in wiki_dump_diff(read_wiki_dump(spark, d1, i1),
+                                   read_wiki_dump(spark, d2, i2)).collect()}
+    assert got == {
+        100: ("Doc 0", "gone"),
+        101: ("Doc 1", "changed"),
+        102: ("Doc 2 moved", "changed"),  # digest equal, title moved
+        103: ("Doc 3", "unchanged"),
+        999: ("New", "new"),
+    }

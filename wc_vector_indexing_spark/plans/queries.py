@@ -9717,6 +9717,81 @@ ORDER BY target
 """
 
 
+def wiki_dump_diff_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Dump-over-dump page churn (sources/wikixml.wiki_dump_diff): two
+    planted multistream dump versions — v2 drops every 5th page
+    (gone), edits every 5th+1's wikitext (changed), renames every
+    5th+2's title (changed: a digest-equal page whose title moved must
+    NOT read as unchanged), keeps the rest byte-identical (unchanged),
+    and adds four brand-new pages (new). Both sides go through the
+    real slice-parallel readers; ONE full-outer join on page_id.
+    Closed-form oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.wikixml import (
+        read_wiki_dump,
+        to_wiki_multistream,
+        wiki_dump_diff,
+    )
+
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_wikidiff_{key}")
+    done = os.path.join(out, "_DONE")
+    paths = {v: (os.path.join(out, f"{v}.xml.bz2"),
+                 os.path.join(out, f"{v}-index.txt"))
+             for v in ("v1", "v2")}
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        v1, v2 = [], []
+        for rnk in range(24):
+            page = {"title": f"Doc {rnk}", "ns": 0, "page_id": 100 + rnk,
+                    "text": f"Stable body {rnk}."}
+            v1.append(page)
+            slot = rnk % 5
+            if slot == 0:
+                continue  # gone in v2
+            p2 = dict(page)
+            if slot == 1:
+                p2["text"] = f"Edited body {rnk}."
+            elif slot == 2:
+                p2["title"] = f"Doc {rnk} moved"
+            v2.append(p2)
+        for k in range(4):
+            v2.append({"title": f"New {k}", "ns": 0, "page_id": 1000 + k,
+                       "text": f"Fresh page {k}."})
+        for v, pages in (("v1", v1), ("v2", v2)):
+            dump, index = to_wiki_multistream(pages, pages_per_stream=4)
+            with open(paths[v][0], "wb") as f:
+                f.write(dump)
+            with open(paths[v][1], "w", encoding="utf-8") as f:
+                f.write(index)
+        with open(done, "w") as f:
+            f.write("ok")
+    old = read_wiki_dump(spark, *paths["v1"])
+    new = read_wiki_dump(spark, *paths["v2"])
+    return wiki_dump_diff(old, new).orderBy("page_id")
+
+
+WIKI_DUMP_DIFF_SQL = r"""
+WITH ids AS (SELECT UNNEST(range(24)) AS rnk)
+SELECT page_id, title, status
+FROM (
+    SELECT 100 + rnk AS page_id,
+           CASE WHEN rnk % 5 = 2 THEN 'Doc ' || rnk || ' moved'
+                ELSE 'Doc ' || rnk END AS title,
+           CASE rnk % 5 WHEN 0 THEN 'gone' WHEN 1 THEN 'changed'
+                WHEN 2 THEN 'changed' ELSE 'unchanged' END AS status
+    FROM ids
+    UNION ALL
+    SELECT 1000 + k, 'New ' || k, 'new'
+    FROM (SELECT UNNEST(range(4)) AS k)
+)
+ORDER BY page_id
+"""
+
+
 def _markup_fixture_rows(spark: SparkSession, sf: str, n: int = 48):
     """Lowest-``n`` docs with text sanitized to single-spaced trimmed
     form, so the markup extractors are exact identity on the planted
@@ -10382,10 +10457,6 @@ REGISTRY: dict[str, QuerySpec] = {
         audio_dedup_op, AUDIO_DEDUP_SQL,
         "perceptual audio near-dup pairs (planted-truth oracle)"
     ),
-    "video_dedup_remux": QuerySpec(
-        video_dedup_op, VIDEO_DEDUP_SQL,
-        "re-mux video dedup via frame-sequence signatures"
-    ),
     # r11 window rotation (amended): the original exchange demoted
     # c4_line_filter for corrupt_media_quarantine, which left the
     # curation family unrepresented in the gate window
@@ -10432,6 +10503,16 @@ REGISTRY: dict[str, QuerySpec] = {
         anchor_text_index_op, ANCHOR_TEXT_SQL,
         "per-target anchor-text argmax with tie-break + ref counts "
         "(planted-truth oracle)"
+    ),
+    # r11 window rotation (session 4): wiki_dump_diff (new, never
+    # driver-recorded — dump-over-dump churn through the slice-parallel
+    # readers) promoted; c4_line_filter stays per the category pin, so
+    # j7_priority_union (recorded r8-r10) slides below the cutoff in
+    # exchange.
+    "wiki_dump_diff": QuerySpec(
+        wiki_dump_diff_op, WIKI_DUMP_DIFF_SQL,
+        "wiki dump version diff: new/gone/changed/unchanged incl. the "
+        "title-moved case (closed-form oracle)"
     ),
     # r11 window rotation (session 4): wikipedia_corpus_text (new, never
     # driver-recorded — the multistream wiki-dump source with
@@ -10589,6 +10670,14 @@ REGISTRY: dict[str, QuerySpec] = {
         dedup_survivors_op, DEDUP_SURVIVORS_SQL,
         "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
     ),
+    # r11 session-4 demotion (recorded; media family keeps
+    # image_dedup_dhash + audio_dedup_fp in-window):
+    "video_dedup_remux": QuerySpec(
+        video_dedup_op, VIDEO_DEDUP_SQL,
+        "re-mux video dedup via frame-sequence signatures"
+    ),
+    "j7_priority_union": QuerySpec(j7_priority_union, J7_SQL, "priority union dedupe"),
+    "q7_nation_volume": QuerySpec(r2.q7_nation_volume, r2.Q7_SQL, "bilateral volume by year"),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_op, MINHASH_LSH_SQL,
         "minhash+LSH near-dup pairs (md5 mode, full-pipeline SQL oracle)"
@@ -10746,8 +10835,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "q21_waiting_suppliers": QuerySpec(r2.q21_waiting_suppliers, r2.Q21_SQL, "EXISTS/NOT-EXISTS self-join"),
     "train_test_split": QuerySpec(train_test_split_counts, SPLIT_SQL, "content-addressed splits"),
     "sessionize_events": QuerySpec(sessionize_events, SESSIONIZE_SQL, "gap sessionization"),
-    "j7_priority_union": QuerySpec(j7_priority_union, J7_SQL, "priority union dedupe"),
-    "q7_nation_volume": QuerySpec(r2.q7_nation_volume, r2.Q7_SQL, "bilateral volume by year"),
     "q8_market_share": QuerySpec(r2.q8_market_share, r2.Q8_SQL, "conditional-sum market share"),
     "q9_product_profit": QuerySpec(r2.q9_product_profit, r2.Q9_SQL, "profit by nation/year"),
     "q11_important_parts": QuerySpec(r2.q11_important_parts, r2.Q11_SQL, "HAVING vs scalar total"),

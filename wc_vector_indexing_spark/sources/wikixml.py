@@ -299,6 +299,45 @@ def read_wiki_dump(spark: SparkSession, dump_path: str, index_path: str,
     )
 
 
+def wiki_dump_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Dump-over-dump churn — the wiki analogue of the CDX snapshot
+    diff (sources/warc.cdx_snapshot_diff): one row per page_id across
+    two dump versions with status new / gone / changed / unchanged
+    (changed = wikitext digest OR title moved; comparison is digests
+    through the shuffle, never bodies — the same discipline as
+    host_reputation). ONE full-outer join on page_id, all Catalyst;
+    at real dump scale both sides are the slice-parallel readers, so
+    the join is the only shuffle in the plan.
+
+    Input: two :func:`read_wiki_dump` DataFrames (or anything with
+    page_id / title / wikitext)."""
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            "page_id",
+            F.col("title").alias(f"{side}_title"),
+            F.md5(F.coalesce(F.col("wikitext"), F.lit("")))
+            .alias(f"{side}_digest"),
+        )
+
+    o, n = keyed(old, "old"), keyed(new, "new")
+    joined = o.join(n, "page_id", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("new"))
+        .when(F.col("new_digest").isNull(), F.lit("gone"))
+        .when(
+            (F.col("old_digest") == F.col("new_digest"))
+            & (F.col("old_title") == F.col("new_title")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        "page_id",
+        F.coalesce("new_title", "old_title").alias("title"),
+        status.alias("status"),
+    )
+
+
 def read_wiki_pages(spark: SparkSession, dump_path: str, index_path: str,
                     on_error: str = "raise") -> DataFrame:
     """(page_id, title, ns, is_redirect, text): the training-corpus
