@@ -132,3 +132,48 @@ def test_parse_wat_json_contract():
         parse_wat_json("{not json")
     with pytest.raises(ValueError):
         parse_wat_json('{"no": "envelope"}')
+
+
+def test_wat_link_edges_streaming_twin(spark, tmp_path):
+    """WAT runs unchanged over the streaming crawl front door: the
+    metadata harvest is a stateless Arrow pass, so read_warc_stream →
+    link_edges must produce exactly the batch edges over the same
+    files (shared parse + harvest code ⇒ a streaming crawl and a
+    batch backfill can never disagree on the link graph)."""
+    from wc_vector_indexing_spark.sources.warc import (
+        read_warc_stream,
+        to_warc_bytes,
+    )
+    from wc_vector_indexing_spark.sources.wat import link_edges
+
+    drop = tmp_path / "crawl"
+    drop.mkdir()
+    recs = [
+        {"url": f"https://s.example/{i}",
+         "html": (f'<a href="https://s.example/{(i + 1) % 4}">next {i}</a>'
+                  f'<a href="/rel/{i}">rel</a>')}
+        for i in range(4)
+    ]
+    (drop / "d.warc").write_bytes(to_warc_bytes(recs, version="1.1"))
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        link_edges(read_warc_stream(spark, str(drop)))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    stream_rows = sorted(
+        (r.src_url, r.link_no, r.href, r.anchor_text)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    batch_rows = sorted(
+        (r.src_url, r.link_no, r.href, r.anchor_text)
+        for r in link_edges(read_warc(spark, str(drop / "d.warc"))).collect()
+    )
+    assert stream_rows == batch_rows and len(stream_rows) == 8
