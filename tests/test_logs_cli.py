@@ -374,3 +374,78 @@ def test_cli_export_arrow_partitioned(spark, tmp_path, capsys):
     manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert manifest["n_records"] == 500
     assert _glob.glob(str(tmp_path / "arw" / "lang=*" / "part-*.arrow"))
+
+
+def test_cli_tokenizer_wordpiece_roundtrip(tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+
+    art = tmp_path / "wp.json"
+    rc = main(
+        [
+            "tokenizer",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--algo", "wordpiece",
+            "--vocab-size", "140",
+            "--save", str(art),
+            "--sample", "the orders",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    head = _json.loads(out[0])
+    assert head["algo"] == "wordpiece" and head["units"] <= 140
+    saved = _json.loads(art.read_text())
+    assert saved["algo"] == "wordpiece" and saved["vocab"]
+    sample_line = out[1]
+    assert sample_line.startswith("sample: ")
+
+    # --load segments identically without retraining (no Spark)
+    rc = main(["tokenizer", "--load", str(art), "--sample", "the orders"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == sample_line
+
+
+def test_cli_wat_command(tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+    from wc_vector_indexing_spark.sources.warc import to_warc_bytes
+
+    warc = tmp_path / "w.warc"
+    warc.write_bytes(to_warc_bytes([
+        {"url": f"https://e.example/{i}",
+         "html": (f"<title>P{i}</title>"
+                  f'<a href="https://e.example/{(i + 1) % 3}">next</a>')}
+        for i in range(3)
+    ], version="1.1"))
+    out = str(tmp_path / "wat_out")
+    rc = main(["wat", "--warc", str(warc), "--out", out])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"pages": 3, "pages_with_title": 3, "edges": 3,
+                       "out": out}
+
+
+def test_cli_wiki_command(tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+    from wc_vector_indexing_spark.sources.wikixml import to_wiki_multistream
+
+    pages = [{"title": f"Doc {i}", "ns": 0, "page_id": i + 1,
+              "text": f"Body {i}."} for i in range(5)]
+    pages[2]["redirect"] = "Doc 0"
+    pages.append({"title": "Talk:X", "ns": 1, "page_id": 99, "text": "t"})
+    dump, index = to_wiki_multistream(pages, pages_per_stream=2)
+    (tmp_path / "d.xml.bz2").write_bytes(dump)
+    (tmp_path / "i.txt").write_text(index)
+    out = str(tmp_path / "wiki_out")
+    rc = main(["wiki", "--dump", str(tmp_path / "d.xml.bz2"),
+               "--index", str(tmp_path / "i.txt"), "--out", out,
+               "--main-ns-only"])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 6 pages - 1 redirect - 1 talk-ns = 4 kept
+    assert summary["pages_written"] == 4 and summary["redirects"] == 0

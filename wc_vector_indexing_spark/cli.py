@@ -516,6 +516,17 @@ def cmd_tokenizer(args: argparse.Namespace) -> int:
                 for w in args.sample.lower().split()
                 for p in viterbi_segment(w, logp, mpl)
             ]
+        elif artifact["algo"] == "wordpiece":
+            from wc_vector_indexing_spark.operators.wordpiece import (
+                wordpiece_tokenize,
+            )
+
+            vset = set(artifact["vocab"])
+            pieces = [
+                p
+                for w in args.sample.lower().split()
+                for p in wordpiece_tokenize(w, vset)
+            ]
         else:
             from wc_vector_indexing_spark.operators.bpe import segment_word
 
@@ -552,6 +563,24 @@ def cmd_tokenizer(args: argparse.Namespace) -> int:
                 p
                 for w in args.sample.lower().split()
                 for p in segment_word(w, ranks)
+            ]
+    elif args.algo == "wordpiece":
+        from wc_vector_indexing_spark.operators.wordpiece import (
+            train_wordpiece,
+            wordpiece_tokenize,
+        )
+
+        vocab = train_wordpiece(
+            docs, vocab_size=args.vocab_size, text_col=args.text_col
+        )
+        artifact = {"algo": "wordpiece", "vocab": vocab}
+        n_units = len(vocab)
+        if args.sample:
+            vset = set(vocab)
+            pieces = [
+                p
+                for w in args.sample.lower().split()
+                for p in wordpiece_tokenize(w, vset)
             ]
     else:
         from wc_vector_indexing_spark.operators.unigram_lm import (
@@ -616,6 +645,64 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         "docs_written": stats["docs"],
         "kept_blocks": int(stats["kept_blocks"] or 0),
         "boilerplate_blocks_dropped": int(stats["boilerplate_blocks"] or 0),
+        "out": args.out,
+    }))
+    return 0
+
+
+def cmd_wat(args: argparse.Namespace) -> int:
+    """WARC file(s) → the WAT metadata sidecar (one row per page with
+    the JSON envelope) plus the exploded link-edge list — the
+    materialize-once pass every link-graph/anchor-text consumer reads
+    instead of re-parsing HTML. Prints a JSON summary."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.warc import read_warc
+    from wc_vector_indexing_spark.sources.wat import build_wat, link_edges
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    records = read_warc(spark, args.warc)
+    build_wat(records).write.mode("overwrite").parquet(args.out + "/wat")
+    link_edges(records).write.mode("overwrite").parquet(args.out + "/edges")
+    wat = spark.read.parquet(args.out + "/wat")
+    edges = spark.read.parquet(args.out + "/edges")
+    print(json.dumps({
+        "pages": wat.count(),
+        "pages_with_title": wat.filter(F.col("title").isNotNull()).count(),
+        "edges": edges.count(),
+        "out": args.out,
+    }))
+    return 0
+
+
+def cmd_wiki(args: argparse.Namespace) -> int:
+    """MediaWiki pages-articles-multistream dump + index → extracted
+    plain-text parquet corpus (slice-parallel bz2 walk; wikitext
+    structure stripped). Prints a JSON summary."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.wikixml import read_wiki_pages
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = read_wiki_pages(spark, args.dump, args.index,
+                            on_error="skip")
+    if args.main_ns_only:
+        pages = pages.filter((F.col("ns") == 0) & ~F.col("is_redirect"))
+    pages.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    stats = out.agg(
+        F.count("*").alias("pages"),
+        F.sum(F.col("is_redirect").cast("int")).alias("redirects"),
+        F.sum(F.length("text")).alias("chars"),
+    ).head()
+    print(json.dumps({
+        "pages_written": stats["pages"],
+        "redirects": int(stats["redirects"] or 0),
+        "text_chars": int(stats["chars"] or 0),
         "out": args.out,
     }))
     return 0
@@ -762,11 +849,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ex.set_defaults(fn=cmd_export)
 
-    tk = sub.add_parser("tokenizer", help="train a BPE or unigram-LM tokenizer")
+    tk = sub.add_parser(
+        "tokenizer", help="train a BPE, unigram-LM, or WordPiece tokenizer")
     tk.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     tk.add_argument("--table", default="documents")
     tk.add_argument("--text-col", default="text")
-    tk.add_argument("--algo", choices=["bpe", "unigram"], default="unigram")
+    tk.add_argument("--algo", choices=["bpe", "unigram", "wordpiece"],
+                    default="unigram")
     tk.add_argument("--vocab-size", type=int, default=300,
                     help="target pieces (unigram) / merges (bpe)")
     tk.add_argument("--max-piece-len", type=int, default=4)
@@ -782,6 +871,21 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--min-chars", type=int, default=25,
                     help="drop pages whose extracted text is shorter")
     cr.set_defaults(fn=cmd_crawl)
+
+    wa = sub.add_parser("wat", help="WARC → WAT metadata + link-edge parquet")
+    wa.add_argument("--warc", required=True, help="WARC file/glob/dir")
+    wa.add_argument("--out", required=True,
+                    help="writes <out>/wat and <out>/edges")
+    wa.set_defaults(fn=cmd_wat)
+
+    wk = sub.add_parser("wiki",
+                        help="MediaWiki multistream dump → text parquet")
+    wk.add_argument("--dump", required=True, help="multistream .xml.bz2 path")
+    wk.add_argument("--index", required=True, help="multistream index path")
+    wk.add_argument("--out", required=True)
+    wk.add_argument("--main-ns-only", action="store_true",
+                    help="keep ns=0 pages and drop redirects")
+    wk.set_defaults(fn=cmd_wiki)
     return p
 
 
