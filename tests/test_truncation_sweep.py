@@ -100,6 +100,18 @@ def test_truncated_media_header_walkers():
     assert _sweep(parse_webp, to_webp_bytes("vp8", 320, 200)) == []
 
 
+def test_truncated_wiki_dump_slices():
+    from wc_vector_indexing_spark.sources.wikixml import (
+        decode_slice,
+        to_wiki_multistream,
+    )
+
+    pages = [{"title": f"D{i}", "ns": 0, "page_id": i + 1,
+              "text": f"body {i}"} for i in range(6)]
+    dump, _ = to_wiki_multistream(pages, pages_per_stream=2)
+    assert _sweep(decode_slice, dump) == []
+
+
 def test_truncated_tiff_exif_walkers():
     from wc_vector_indexing_spark.operators.tiff import (
         parse_exif,

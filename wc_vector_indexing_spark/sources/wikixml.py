@@ -223,6 +223,27 @@ _PAGE_SCHEMA = ("page_id long, title string, ns int, redirect string, "
                 "timestamp string, wikitext string")
 
 
+def decode_slice(blob: bytes) -> list[dict]:
+    """One dump slice (concatenated bz2 streams) → page dicts. The
+    per-task decode body, module-level so the corruption sweeps can
+    drive it directly: any malformed input is the contract
+    ValueError, never a bare bz2/XML internal error."""
+    try:
+        texts: list[str] = []
+        while blob:
+            d = bz2.BZ2Decompressor()
+            texts.append(d.decompress(blob).decode("utf-8"))
+            if not d.eof:
+                raise ValueError("truncated bz2 stream")
+            blob = d.unused_data
+    except (OSError, UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt dump slice: {e!r}") from e
+    # the EOF slice swallows the closing-tag stream; inside <text> a
+    # literal closer would be &lt;-escaped, so splitting on it is exact
+    frag = "".join(texts).split("</mediawiki>")[0]
+    return parse_pages(frag)
+
+
 def read_wiki_dump(spark: SparkSession, dump_path: str, index_path: str,
                    on_error: str = "raise", slices_per_task: int = 1,
                    ) -> DataFrame:
@@ -268,24 +289,12 @@ def read_wiki_dump(spark: SparkSession, dump_path: str, index_path: str,
                     fh.seek(start)
                     n = -1 if pd.isna(end) else int(end) - start
                     blob = fh.read(n)
-                # stream walk: one decompressor per concatenated stream
                 try:
-                    texts: list[str] = []
-                    while blob:
-                        d = bz2.BZ2Decompressor()
-                        texts.append(d.decompress(blob).decode("utf-8"))
-                        if not d.eof:
-                            raise ValueError("truncated bz2 stream")
-                        blob = d.unused_data
-                    # the EOF slice swallows the closing-tag stream;
-                    # inside <text> a literal closer would be &lt;-escaped,
-                    # so splitting on it is exact
-                    frag = "".join(texts).split("</mediawiki>")[0]
-                    for p in parse_pages(frag):
+                    for p in decode_slice(blob):
                         rows.append((p["page_id"], p["title"], p["ns"],
                                      p["redirect"], p["timestamp"],
                                      p["wikitext"]))
-                except (OSError, ValueError, UnicodeDecodeError) as e:
+                except ValueError as e:
                     if on_error == "raise":
                         raise ValueError(
                             f"corrupt stream at offset {start}: {e!r}") from e
