@@ -334,6 +334,18 @@ def test_mutated_wiki_dump_slices():
     assert _sweep(decode_slice, dump, stride=2) == []
 
 
+def test_mutated_aiff_au_walkers():
+    from wc_vector_indexing_spark.operators.aiff_au import (
+        parse_aiff,
+        parse_au,
+        to_aiff_bytes,
+        to_au_bytes,
+    )
+
+    assert _sweep(parse_aiff, to_aiff_bytes(2, 44100, 16, 44100)) == []
+    assert _sweep(parse_au, to_au_bytes("pcm16", 16000, 2, 100)) == []
+
+
 def test_mutated_tiff_exif_walkers():
     from wc_vector_indexing_spark.operators.tiff import (
         parse_exif,

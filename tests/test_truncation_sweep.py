@@ -112,6 +112,20 @@ def test_truncated_wiki_dump_slices():
     assert _sweep(decode_slice, dump) == []
 
 
+def test_truncated_aiff_au_walkers():
+    from wc_vector_indexing_spark.operators.aiff_au import (
+        parse_aiff,
+        parse_au,
+        to_aiff_bytes,
+        to_au_bytes,
+    )
+
+    assert _sweep(parse_aiff, to_aiff_bytes(2, 44100, 16, 44100)) == []
+    assert _sweep(parse_aiff,
+                  to_aiff_bytes(1, 8000, 8, 8000, compression="ulaw")) == []
+    assert _sweep(parse_au, to_au_bytes("pcm16", 16000, 2, 100)) == []
+
+
 def test_truncated_tiff_exif_walkers():
     from wc_vector_indexing_spark.operators.tiff import (
         parse_exif,

@@ -257,6 +257,8 @@ _MAGICS = (
     (b"\x28\xb5\x2f\xfd", "zstd"),
     (b"II*\x00", "tiff"),
     (b"MM\x00*", "tiff"),
+    (b"FORM", "form"),  # refined below: AIFF / AIFC
+    (b".snd", "au"),
 )
 
 
@@ -272,6 +274,8 @@ def sniff_format(content: bytes) -> str:
                 return {b"WAVE": "wav", b"AVI ": "avi", b"WEBP": "webp"}.get(
                     tag, "riff"
                 )
+            if name == "form":
+                return "aiff" if b[8:12] in (b"AIFF", b"AIFC") else "form"
             return name
     # tagless MPEG audio: 11-bit frame sync with valid version/layer
     # bits (0xFF Ex/Fx, not the 0xFF 0xD8 JPEG case handled above).

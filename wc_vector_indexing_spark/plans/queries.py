@@ -5856,6 +5856,116 @@ ORDER BY doc_id
 """
 
 
+def aiff_au_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """AIFF/AIFC + Sun AU triage (operators/aiff_au): even docs render
+    a FORM/AIFF (every 5th an AIFC with a ulaw fourcc) whose COMM
+    carries the 80-bit extended-float sample rate; odd docs render an
+    AU header (every 7th with the streaming unknown-size sentinel →
+    NULL frames/duration). Planted truth ⇒ DuckDB oracle incl. the
+    integer duration arithmetic. One zero-shuffle Arrow render+parse
+    pass."""
+    from wc_vector_indexing_spark.operators.aiff_au import (
+        parse_aiff,
+        parse_au,
+        to_aiff_bytes,
+        to_au_bytes,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id")
+    rates = [8000, 11025, 16000, 22050, 44100, 48000]
+    encs = ["ulaw8", "pcm8", "pcm16", "pcm24", "pcm32",
+            "float32", "float64", "alaw8"]
+
+    def render(batches):
+        import pandas as pd
+
+        cols = ["doc_id", "fmt", "codec", "channels", "bits",
+                "sample_rate", "n_frames", "duration_ms"]
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = d // 2
+                if d % 2 == 0:
+                    comp = "ulaw" if k % 5 == 0 else None
+                    data = to_aiff_bytes(
+                        channels=1 + k % 3,
+                        sample_frames=1000 + (k * 37) % 9000,
+                        bits=[8, 16, 24, 32][k % 4],
+                        sample_rate=rates[k % 6],
+                        compression=comp,
+                    )
+                    m = parse_aiff(data)
+                    out.append({
+                        "doc_id": d, "fmt": m["variant"],
+                        "codec": m["compression"],
+                        "channels": m["channels"], "bits": m["bits"],
+                        "sample_rate": m["sample_rate"],
+                        "n_frames": m["sample_frames"],
+                        "duration_ms": m["duration_ms"],
+                    })
+                else:
+                    data = to_au_bytes(encs[k % 8], rates[k % 6],
+                                       1 + k % 3, 500 + (k * 23) % 4000)
+                    if k % 7 == 0:  # streaming sentinel
+                        b = bytearray(data)
+                        b[8:12] = b"\xff\xff\xff\xff"
+                        data = bytes(b)
+                    m = parse_au(data)
+                    out.append({
+                        "doc_id": d, "fmt": "au", "codec": m["encoding"],
+                        "channels": m["channels"], "bits": m["bits"],
+                        "sample_rate": m["sample_rate"],
+                        "n_frames": m["n_frames"],
+                        "duration_ms": m["duration_ms"],
+                    })
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(
+        render,
+        schema="doc_id long, fmt string, codec string, channels long, "
+               "bits long, sample_rate long, n_frames long, duration_ms long",
+    ).orderBy("doc_id")
+
+
+AIFF_AU_CENSUS_SQL = r"""
+WITH t AS (
+    SELECT doc_id, doc_id // 2 AS k FROM documents
+), aiff AS (
+    SELECT doc_id,
+           CASE WHEN k % 5 = 0 THEN 'aifc' ELSE 'aiff' END AS fmt,
+           CASE WHEN k % 5 = 0 THEN 'ulaw' ELSE 'NONE' END AS codec,
+           1 + k % 3 AS channels,
+           CASE k % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24
+                ELSE 32 END AS bits,
+           CASE k % 6 WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 16000
+                WHEN 3 THEN 22050 WHEN 4 THEN 44100 ELSE 48000
+           END AS sample_rate,
+           1000 + (k * 37) % 9000 AS n_frames
+    FROM t WHERE doc_id % 2 = 0
+), au AS (
+    SELECT doc_id, 'au' AS fmt,
+           CASE k % 8 WHEN 0 THEN 'ulaw8' WHEN 1 THEN 'pcm8'
+                WHEN 2 THEN 'pcm16' WHEN 3 THEN 'pcm24' WHEN 4 THEN 'pcm32'
+                WHEN 5 THEN 'float32' WHEN 6 THEN 'float64'
+                ELSE 'alaw8' END AS codec,
+           1 + k % 3 AS channels,
+           CASE k % 8 WHEN 2 THEN 16 WHEN 3 THEN 24 WHEN 4 THEN 32
+                WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 8 END AS bits,
+           CASE k % 6 WHEN 0 THEN 8000 WHEN 1 THEN 11025 WHEN 2 THEN 16000
+                WHEN 3 THEN 22050 WHEN 4 THEN 44100 ELSE 48000
+           END AS sample_rate,
+           CASE WHEN k % 7 = 0 THEN NULL
+                ELSE 500 + (k * 23) % 4000 END AS n_frames
+    FROM t WHERE doc_id % 2 = 1
+)
+SELECT doc_id, fmt, codec, channels, bits, sample_rate, n_frames,
+       (n_frames * 1000) // sample_rate AS duration_ms
+FROM (SELECT * FROM aiff UNION ALL SELECT * FROM au)
+ORDER BY doc_id
+"""
+
+
 def tiff_ifd_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """TIFF triage (operators/tiff.parse_tiff): every document renders
     into a valid TIFF — byte order, dimensions, bits/compression/
@@ -10225,9 +10335,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_pagerank": QuerySpec(
         event_pagerank_op, PAGERANK_SQL, "transition-graph weighted PageRank (5 rounds)"
     ),
-    "mmr_rerank_top10": QuerySpec(
-        mmr_rerank_op, MMR_SQL, "MMR diversified rerank (recursive-CTE oracle)"
-    ),
     "image_dedup_dhash": QuerySpec(
         image_dedup_op, IMAGE_DEDUP_SQL,
         "perceptual dHash image near-dup pairs (planted-truth oracle)"
@@ -10326,10 +10433,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # round 7: new oracle-backed entries (never recorded ⇒ in-window)
     # (code_detect and heavy_hitters, recorded through r10, moved
     # below the cutoff in the session-3 Arrow IPC rotation)
-    "archive_member_census": QuerySpec(
-        archive_member_census_op, ARCHIVE_CENSUS_SQL,
-        "tar/zip archive-source member census (planted-truth oracle)"
-    ),
     # r11 window rotation (session 2): the three new interchange-format
     # sources (never driver-recorded) promoted — TFRecord, WebDataset,
     # Avro; mp3_frame_census (recorded r5-r10), feed_entries and
@@ -10524,6 +10627,19 @@ REGISTRY: dict[str, QuerySpec] = {
         "MediaWiki multistream dump: slice-parallel bz2 walk + wikitext "
         "→ text with redirect flags (planted-truth oracle)"
     ),
+    "archive_member_census": QuerySpec(
+        archive_member_census_op, ARCHIVE_CENSUS_SQL,
+        "tar/zip archive-source member census (planted-truth oracle)"
+    ),
+    # r11 window rotation (session 4): aiff_au_census (new, never
+    # driver-recorded — the AIFF extended-float + AU header reads)
+    # promoted; mmr_rerank_top10 (recorded r8-r10; retrieval family
+    # keeps bm25_search in-window) slides below the cutoff in exchange.
+    "aiff_au_census": QuerySpec(
+        aiff_au_census_op, AIFF_AU_CENSUS_SQL,
+        "AIFF/AIFC + Sun AU triage incl. 80-bit extended rate and the "
+        "AU unknown-size sentinel (planted-truth oracle)"
+    ),
     # r11 window rotation (session 4): tiff_ifd_census +
     # exif_metadata_census (new, never driver-recorded — the TIFF IFD
     # walk and the JPEG/APP1 Exif camera-metadata read) promoted;
@@ -10669,6 +10785,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_survivors": QuerySpec(
         dedup_survivors_op, DEDUP_SURVIVORS_SQL,
         "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
+    ),
+    "mmr_rerank_top10": QuerySpec(
+        mmr_rerank_op, MMR_SQL, "MMR diversified rerank (recursive-CTE oracle)"
     ),
     # r11 session-4 demotion (recorded; media family keeps
     # image_dedup_dhash + audio_dedup_fp in-window):
