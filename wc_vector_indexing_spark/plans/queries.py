@@ -9789,6 +9789,90 @@ ORDER BY src_host, dst_host
 """
 
 
+def host_pagerank_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain ranking as a composition: raw WARC bytes → WAT link
+    harvest → host-level edge aggregate (sources/wat.host_link_graph)
+    → 5 rounds of weighted PageRank (operators/graph.pagerank) — the
+    crawl-frontier prioritization signal, built entirely from
+    already-green operators. The planted crawl is ASYMMETRIC (every
+    even page adds an extra link to h0) so the fixpoint is
+    non-uniform and every iteration moves mass. Oracle: closed-form
+    host edges + the same 5 rounds as chained CTEs (the
+    event_pagerank replay pattern over the WAT-derived graph)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.operators.graph import pagerank
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+    from wc_vector_indexing_spark.sources.wat import host_link_graph
+
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_hostpr_{key}")
+    done = os.path.join(out, "_DONE")
+    warc_path = os.path.join(out, "crawl.warc")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        recs = []
+        for rnk in range(24):
+            i, j = rnk % 3, (rnk + 1) % 3
+            links = f'<a href="https://h{j}.example/">next</a>'
+            if rnk % 2 == 0:
+                links += '<a href="https://h0.example/">hub</a>'
+            recs.append({
+                "url": f"https://h{i}.example/page/{rnk}",
+                "html": f"<html><body>{links}</body></html>",
+            })
+        with open(warc_path, "wb") as f:
+            f.write(to_warc_bytes(recs, version="1.1"))
+        with open(done, "w") as f:
+            f.write("ok")
+    g = host_link_graph(read_warc(spark, warc_path))
+    return (
+        pagerank(g, iterations=5, damping=0.85,
+                 src="src_host", dst="dst_host", weight="n_links")
+        .orderBy("node")
+    )
+
+
+def _host_pagerank_sql(iterations: int = 5, d: float = 0.85) -> str:
+    prev = "r0"
+    rounds = []
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f"it{i} AS (\n"
+            f"    SELECT nodes.node,"
+            f" (1 - {d}) / nn.n + {d} * coalesce(c.s, 0) AS rank\n"
+            f"    FROM nodes CROSS JOIN nn\n"
+            f"    LEFT JOIN (SELECT en.dst AS node,"
+            f" sum({prev}.rank * en.wn) AS s\n"
+            f"               FROM {prev} JOIN en ON {prev}.node = en.src"
+            f" GROUP BY en.dst) c\n"
+            f"    USING (node))"
+        )
+        prev = f"it{i}"
+    return (
+        """
+WITH edges(src, dst, w) AS (
+    VALUES ('h0.example', 'h1.example', 8.0),
+           ('h0.example', 'h0.example', 4.0),
+           ('h1.example', 'h2.example', 8.0),
+           ('h1.example', 'h0.example', 4.0),
+           ('h2.example', 'h0.example', 12.0)
+),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+en AS (SELECT e.src, e.dst, e.w / o.ow AS wn FROM edges e JOIN outw o USING (src)),
+nodes AS (
+    SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+"""
+        + ",\n".join(rounds)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM {prev} ORDER BY node"
+    )
+
+
 def anchor_text_index_op(spark: SparkSession, sf: str) -> DataFrame:
     """Anchor-text retrieval signal (sources/wat.anchor_text_index):
     per resolved target, incoming-reference count + most frequent
@@ -10556,10 +10640,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # session-3 r8 window rotation: subtitle_cues (never
     # driver-recorded) promoted; image_dedup_progressive (recorded r7)
     # demoted to the tail in exchange.
-    "audio_dedup_fp": QuerySpec(
-        audio_dedup_op, AUDIO_DEDUP_SQL,
-        "perceptual audio near-dup pairs (planted-truth oracle)"
-    ),
     # r11 window rotation (amended): the original exchange demoted
     # c4_line_filter for corrupt_media_quarantine, which left the
     # curation family unrepresented in the gate window
@@ -10616,6 +10696,16 @@ REGISTRY: dict[str, QuerySpec] = {
         wiki_dump_diff_op, WIKI_DUMP_DIFF_SQL,
         "wiki dump version diff: new/gone/changed/unchanged incl. the "
         "title-moved case (closed-form oracle)"
+    ),
+    # r11 window rotation (session 4): host_pagerank (new, never
+    # driver-recorded — WARC → WAT → host graph → PageRank, one lazy
+    # composition of green operators) promoted; audio_dedup_fp
+    # (recorded r8-r10; media family keeps image_dedup_dhash and the
+    # censuses in-window) slides below the cutoff in exchange.
+    "host_pagerank": QuerySpec(
+        host_pagerank_op, _host_pagerank_sql(),
+        "crawl-frontier domain ranking: WAT host graph through 5 "
+        "PageRank rounds (chained-CTE replay oracle)"
     ),
     # r11 window rotation (session 4): wikipedia_corpus_text (new, never
     # driver-recorded — the multistream wiki-dump source with
@@ -10785,6 +10875,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_survivors": QuerySpec(
         dedup_survivors_op, DEDUP_SURVIVORS_SQL,
         "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
+    ),
+    "audio_dedup_fp": QuerySpec(
+        audio_dedup_op, AUDIO_DEDUP_SQL,
+        "perceptual audio near-dup pairs (planted-truth oracle)"
     ),
     "mmr_rerank_top10": QuerySpec(
         mmr_rerank_op, MMR_SQL, "MMR diversified rerank (recursive-CTE oracle)"
