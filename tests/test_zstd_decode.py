@@ -1,0 +1,109 @@
+"""Pure-Python zstd decoder vs the independent libzstd writer
+(pyarrow): round-trips across levels and corpus shapes (these pin the
+predefined FSE distributions end-to-end — a wrong constant cannot
+reproduce libzstd output byte-exactly), multi-frame and skippable
+framing, and contract error paths."""
+
+from __future__ import annotations
+
+import struct
+
+import pyarrow as pa
+import pytest
+
+from wc_vector_indexing_spark.operators.zstd_decode import (
+    fse_build_table,
+    fse_read_ncount,
+    zstd_decompress,
+)
+
+
+def _zstd(payload: bytes, level: int = 3) -> bytes:
+    return bytes(pa.Codec("zstd", compression_level=level).compress(payload))
+
+
+def _lcg(n: int, seed: int = 42, mod: int = 256) -> bytes:
+    out, x = bytearray(), seed
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append((x >> 16) % mod)
+    return bytes(out)
+
+
+def _wordsoup(n: int, seed: int = 7) -> bytes:
+    words = [b"alpha", b"beta", b"gamma", b"delta", b"epsilon", b"zeta"]
+    out, x = bytearray(), seed
+    while len(out) < n:
+        x = (x * 48271) % 2147483647
+        out += words[x % len(words)] + b" "
+    return bytes(out[:n])
+
+
+CORPORA = [
+    b"",
+    b"a",
+    b"hello world " * 200,              # single RLE-ish sequence
+    bytes(range(256)) * 40,             # full byte alphabet
+    _lcg(5000),                         # high entropy -> raw blocks
+    _lcg(100000, mod=4),                # tiny alphabet -> heavy FSE
+    _wordsoup(3000),
+    _wordsoup(300000),                  # > 128 KB: multi-block + repeats
+    b"x" * 400000,                      # long RLE
+]
+
+
+@pytest.mark.parametrize("level", [1, 3, 9, 19])
+def test_roundtrip_against_libzstd(level):
+    for payload in CORPORA:
+        assert zstd_decompress(_zstd(payload, level)) == payload
+
+
+def test_multiframe_and_skippable():
+    a, b = b"first frame " * 50, b"second frame " * 50
+    skip = struct.pack("<II", 0x184D2A53, 5) + b"metaz"
+    assert zstd_decompress(_zstd(a) + skip + _zstd(b)) == a + b
+    assert zstd_decompress(skip) == b""
+
+
+def test_bad_magic_and_truncation():
+    with pytest.raises(ValueError):
+        zstd_decompress(b"\x00\x01\x02\x03\x04\x05")
+    good = _zstd(b"hello world " * 100)
+    with pytest.raises(ValueError):
+        zstd_decompress(good[:-3])  # drops part of the last block
+    with pytest.raises(ValueError):
+        zstd_decompress(good[:5])
+
+
+def test_content_size_mismatch_detected():
+    comp = bytearray(_zstd(b"hello world " * 100, 1))
+    # frame content size is the 2 bytes after the FHD byte here
+    assert comp[4] >> 6 == 1  # fcs_code 1 -> 2-byte size
+    comp[5] ^= 0x01
+    with pytest.raises(ValueError, match="content size"):
+        zstd_decompress(bytes(comp))
+
+
+def test_dictionary_frames_are_a_seam():
+    # hand-build a frame header with a dictionary-id flag set
+    frame = struct.pack("<I", 0xFD2FB528) + bytes([0x01, 0x00, 0x42])
+    with pytest.raises(NotImplementedError):
+        zstd_decompress(frame)
+
+
+def test_fse_ncount_roundtrip_shape():
+    # RLE-heavy corpus forces an FSE-compressed table somewhere; unit-
+    # pin the ncount parser on a hand-built stream instead: accuracy 5,
+    # one symbol with the full range
+    # acc bits = 0 (5), then prob 32 for symbol 0: raw 6-bit value 63
+    # (large-path: 63 - threshold 30 = 33 -> prob 32)
+    stream = bytes([0xF0, 0x03])
+    counts, acc, used = fse_read_ncount(stream, 10, 9)
+    assert acc == 5 and counts == [32] and used == 2
+    table = fse_build_table(counts, acc)
+    assert len(table) == 32 and all(t[0] == 0 for t in table)
+
+
+def test_fse_build_rejects_overflow():
+    with pytest.raises(ValueError):
+        fse_build_table([16, 17], 5)  # 33 slots into a 32-cell table

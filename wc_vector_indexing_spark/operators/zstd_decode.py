@@ -1,0 +1,663 @@
+"""Pure-Python Zstandard frame decoder (RFC 8878) — upgrades the
+zstd story from header triage (operators/compressed.py, which walks
+frame/block headers without entropy-decoding) to a FULL decode:
+FSE (tANS) table construction and normalized-count parsing, Huffman
+literals (single- and four-stream, direct and FSE-compressed weight
+descriptions, treeless repeats), the three interleaved sequence
+bitstreams (literal-length / offset / match-length with predefined,
+RLE, compressed and repeat table modes), repeat-offset history with
+the RFC's literals-length-0 substitution quirks, and overlapping
+match copies. Wikipedia/CC-adjacent dumps increasingly ship .zst;
+the decode-front-door posture (sniff → route → quarantine) needs a
+decoder behind the route, not only a census.
+
+Validated against an implementation it shares nothing with: the
+fixtures and tests round-trip through pyarrow's bundled libzstd
+compressor at multiple levels and sizes (tests/test_zstd_decode.py),
+the same independent-writer discipline as the parquet footer parser.
+The predefined FSE distributions and code tables are import-time
+checked for exact slot-sum/arity and then pinned end-to-end by those
+round-trips — a wrong constant cannot decode libzstd output
+byte-exactly across varied inputs.
+
+Scope: single-segment and windowed frames, skippable frames, multi-
+frame concatenation. Dictionary-referencing frames raise
+NotImplementedError (external-dictionary resolution is a documented
+seam); the optional xxh64 content checksum is length-validated but
+not recomputed (stdlib has no xxh64 — documented, not hidden).
+
+Spark shape: the decoder is a per-blob scalar; the census entry runs
+it inside one zero-shuffle Arrow pass, and at cluster scale it rides
+``mapInPandas`` exactly like the JPEG/MP3 decode family.
+
+Reference note: the reference engine decodes no compressed
+containers (SURVEY §1.1); north-star training-pipeline surface,
+public spec (RFC 8878) only.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from wc_vector_indexing_spark.operators.contract import quarantine
+
+ZSTD_MAGIC = 0xFD2FB528
+SKIPPABLE_LO, SKIPPABLE_HI = 0x184D2A50, 0x184D2A5F
+
+# ------------------------------------------------------------- bit I/O
+
+
+class _FwdBits:
+    """Forward little-endian bit reader (FSE normalized counts)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise ValueError("zstd: ncount bitstream overrun")
+        lo = self.pos >> 3
+        hi = (end + 7) >> 3
+        val = int.from_bytes(self.data[lo:hi], "little") >> (self.pos & 7)
+        self.pos = end
+        return val & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        save = self.pos
+        try:
+            return self.read(n)
+        finally:
+            self.pos = save
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class _BackBits:
+    """Backward bit reader: a zstd entropy stream is flushed little-
+    endian and read from the END, after stripping the 1-sentinel
+    padding bit from the final byte."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes) -> None:
+        if not data or data[-1] == 0:
+            raise ValueError("zstd: entropy stream missing padding sentinel")
+        self.data = data
+        self.bitpos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def read(self, n: int) -> int:
+        """Top ``n`` bits; zero-fills past the start (the RFC's
+        exhaustion rule for Huffman-weight FSE) — callers that must
+        not over-read check ``bitpos`` themselves."""
+        if n == 0:
+            return 0
+        self.bitpos -= n
+        pos = self.bitpos
+        if pos >= 0:
+            lo = pos >> 3
+            hi = (pos + n + 7) >> 3
+            return (int.from_bytes(self.data[lo:hi], "little")
+                    >> (pos & 7)) & ((1 << n) - 1)
+        # zero-fill below the start
+        avail = n + pos  # bits actually present
+        if avail <= 0:
+            return 0
+        hi = (avail + 7) >> 3
+        return (int.from_bytes(self.data[:hi], "little")
+                & ((1 << avail) - 1)) << (-pos)
+
+
+# ------------------------------------------------------------- FSE
+
+
+def fse_read_ncount(data: bytes, max_symbol: int, max_accuracy: int,
+                    ) -> tuple[list[int], int, int]:
+    """Parse an FSE table description (RFC 8878 §4.1.1) →
+    (normalized_counts, accuracy_log, bytes_consumed)."""
+    br = _FwdBits(data)
+    accuracy_log = br.read(4) + 5
+    if accuracy_log > max_accuracy:
+        raise ValueError(f"zstd: accuracy {accuracy_log} > {max_accuracy}")
+    remaining = (1 << accuracy_log) + 1
+    counts: list[int] = []
+    while remaining > 1:
+        if len(counts) > max_symbol:
+            raise ValueError("zstd: too many FSE symbols")
+        bits = remaining.bit_length()
+        val = br.peek(bits)
+        lower_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        if (val & lower_mask) < threshold:
+            br.read(bits - 1)
+            val &= lower_mask
+        else:
+            br.read(bits)
+            if val > lower_mask:
+                val -= threshold
+        prob = val - 1
+        counts.append(prob)
+        remaining -= -prob if prob < 0 else prob
+        if prob == 0:
+            while True:
+                repeat = br.read(2)
+                counts.extend([0] * repeat)
+                if repeat != 3:
+                    break
+    if remaining != 1:
+        raise ValueError("zstd: FSE counts exceed table size")
+    return counts, accuracy_log, br.bytes_consumed()
+
+
+def fse_build_table(counts: list[int], accuracy_log: int,
+                    ) -> list[tuple[int, int, int]]:
+    """Normalized counts → decoding table: per cell
+    (symbol, num_bits, new_state_base). Standard tANS spread — the
+    less-than-one (-1) symbols take single cells from the TOP."""
+    size = 1 << accuracy_log
+    symbols = [0] * size
+    freq: dict[int, int] = {}
+    high = size - 1
+    for s, p in enumerate(counts):
+        if p == -1:
+            symbols[high] = s
+            high -= 1
+            freq[s] = 1
+    pos, step, mask = 0, (size >> 1) + (size >> 3) + 3, size - 1
+    for s, p in enumerate(counts):
+        if p <= 0:
+            continue
+        freq[s] = p
+        for _ in range(p):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("zstd: FSE spread did not close")
+    table: list[tuple[int, int, int]] = []
+    for i in range(size):
+        s = symbols[i]
+        counter = freq[s]
+        freq[s] = counter + 1
+        nbits = accuracy_log - (counter.bit_length() - 1)
+        table.append((s, nbits, (counter << nbits) - size))
+    return table
+
+
+class _FseState:
+    __slots__ = ("table", "state")
+
+    def __init__(self, table: list[tuple[int, int, int]],
+                 stream: _BackBits, accuracy_log: int) -> None:
+        self.table = table
+        self.state = stream.read(accuracy_log)
+
+    def symbol(self) -> int:
+        return self.table[self.state][0]
+
+    def update(self, stream: _BackBits) -> bool:
+        """Advance; returns False when the stream was exhausted (the
+        zero-fill final update)."""
+        _, nbits, base = self.table[self.state]
+        short = stream.bitpos < nbits
+        self.state = base + stream.read(nbits)
+        return not short
+
+
+# ------------------------------------------------------------- Huffman
+
+
+def _huffman_table(weights: list[int]) -> tuple[list[tuple[int, int]], int]:
+    """Weights (last one implied by the caller via
+    :func:`_complete_weights`) → (lookup table indexed by max_bits
+    peeked bits → (symbol, num_bits), max_bits)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0 or total & (total - 1):
+        raise ValueError("zstd: huffman weights do not sum to a power of 2")
+    max_bits = total.bit_length() - 1
+    if max_bits > 11:
+        raise ValueError("zstd: huffman code length over the 11-bit limit")
+    table: list[tuple[int, int]] = [(-1, 0)] * (1 << max_bits)
+    pos = 0
+    for w in range(1, max_bits + 1):
+        cells = 1 << (w - 1)
+        nbits = max_bits + 1 - w
+        for sym, sw in enumerate(weights):
+            if sw != w:
+                continue
+            for _ in range(cells):
+                table[pos] = (sym, nbits)
+                pos += 1
+    if pos != len(table):
+        raise ValueError("zstd: huffman table not fully populated")
+    return table, max_bits
+
+
+def _complete_weights(weights: list[int]) -> list[int]:
+    """Append the implied last weight (RFC: the last symbol's weight
+    makes the kraft sum a power of two)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: all-zero huffman weights")
+    next_pow = 1 << total.bit_length()
+    left = next_pow - total
+    if left & (left - 1):
+        raise ValueError("zstd: invalid huffman weight sum")
+    return weights + [left.bit_length()]
+
+
+def _read_huffman(data: bytes) -> tuple[list[tuple[int, int]], int, int]:
+    """Huffman tree description → (table, max_bits, bytes consumed)."""
+    if not data:
+        raise ValueError("zstd: empty huffman description")
+    hbyte = data[0]
+    if hbyte >= 128:  # direct: 4-bit weights
+        n = hbyte - 127
+        nbytes = (n + 1) // 2
+        if 1 + nbytes > len(data):
+            raise ValueError("zstd: truncated direct huffman weights")
+        weights = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0x0F))
+        consumed = 1 + nbytes
+    else:  # FSE-compressed weights, two interleaved states
+        csize = hbyte
+        if 1 + csize > len(data):
+            raise ValueError("zstd: truncated huffman weight stream")
+        region = data[1:1 + csize]
+        counts, acc, hdr = fse_read_ncount(region, 255, 6)
+        table = fse_build_table(counts, acc)
+        stream = _BackBits(region[hdr:])
+        s1 = _FseState(table, stream, acc)
+        s2 = _FseState(table, stream, acc)
+        weights = []
+        while True:
+            weights.append(s1.symbol())
+            if not s1.update(stream):
+                weights.append(s2.symbol())
+                break
+            weights.append(s2.symbol())
+            if not s2.update(stream):
+                weights.append(s1.symbol())
+                break
+            if len(weights) > 255:
+                raise ValueError("zstd: huffman weight overflow")
+        consumed = 1 + csize
+    tbl, max_bits = _huffman_table(_complete_weights(weights))
+    return tbl, max_bits, consumed
+
+
+def _huffman_decode_stream(data: bytes, table: list[tuple[int, int]],
+                           max_bits: int, count: int) -> bytes:
+    stream = _BackBits(data)
+    out = bytearray()
+    for _ in range(count):
+        if stream.bitpos <= 0:
+            raise ValueError("zstd: huffman stream exhausted early")
+        idx = stream.read(max_bits)  # zero-fill past the start is legal
+        sym, nbits = table[idx]
+        if sym < 0:
+            raise ValueError("zstd: invalid huffman code")
+        stream.bitpos += max_bits - nbits  # only consume nbits
+        out.append(sym)
+    return bytes(out)
+
+
+# ------------------------------------------------------------- sequences
+
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12,
+                       13, 14, 15, 16]
+_LL_BASE = list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128,
+                              256, 512, 1024, 2048, 4096, 8192, 16384,
+                              32768, 65536]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11,
+                       12, 13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [35, 37, 39, 41, 43, 47, 51, 59, 67, 83,
+                                 99, 131, 259, 515, 1027, 2051, 4099,
+                                 8195, 16387, 32771, 65539]
+
+# RFC 8878 predefined distributions (import-time slot-sum asserted;
+# end-to-end pinned by the libzstd round-trip tests)
+_LL_DEFAULT = ([4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+                2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+                -1, -1, -1, -1], 6)
+_OF_DEFAULT = ([1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1], 5)
+_ML_DEFAULT = ([1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+                -1, -1, -1, -1, -1], 6)
+
+for _tbl, _acc in (_LL_DEFAULT, _OF_DEFAULT, _ML_DEFAULT):
+    assert sum(p if p > 0 else 1 for p in _tbl) == 1 << _acc, \
+        "zstd predefined FSE distribution arity broken"
+assert len(_LL_DEFAULT[0]) == 36 and len(_ML_DEFAULT[0]) == 53
+assert len(_LL_BITS) == len(_LL_BASE) == 36
+assert len(_ML_BITS) == len(_ML_BASE) == 53
+
+_PREDEFINED = {
+    "ll": fse_build_table(*_LL_DEFAULT),
+    "of": fse_build_table(*_OF_DEFAULT),
+    "ml": fse_build_table(*_ML_DEFAULT),
+}
+_PRED_ACC = {"ll": 6, "of": 5, "ml": 6}
+_MAX_ACC = {"ll": 9, "of": 8, "ml": 9}
+_MAX_SYM = {"ll": 35, "of": 31, "ml": 52}
+
+
+def _rle_table(symbol: int) -> list[tuple[int, int, int]]:
+    return [(symbol, 0, 0)]
+
+
+class _FrameTables:
+    """Per-frame repeatable entropy state: the previous block's
+    Huffman literals table and the three sequence FSE tables."""
+
+    def __init__(self) -> None:
+        self.huffman: tuple[list[tuple[int, int]], int] | None = None
+        self.fse: dict[str, tuple[list[tuple[int, int, int]], int]] = {}
+
+
+def _decode_literals(block: bytes, tables: _FrameTables,
+                     ) -> tuple[bytes, int]:
+    """Literals section → (literals, bytes consumed)."""
+    if not block:
+        raise ValueError("zstd: empty compressed block")
+    b0 = block[0]
+    ltype = b0 & 3
+    size_format = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if size_format in (0, 2):
+            regen, hdr = b0 >> 3, 1
+        elif size_format == 1:
+            if len(block) < 2:
+                raise ValueError("zstd: truncated literals header")
+            regen, hdr = (b0 >> 4) | (block[1] << 4), 2
+        else:
+            if len(block) < 3:
+                raise ValueError("zstd: truncated literals header")
+            regen = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            hdr = 3
+        if ltype == 0:
+            if hdr + regen > len(block):
+                raise ValueError("zstd: raw literals overrun")
+            return block[hdr:hdr + regen], hdr + regen
+        if hdr + 1 > len(block):
+            raise ValueError("zstd: RLE literals overrun")
+        return bytes([block[hdr]]) * regen, hdr + 1
+    # Compressed (2) / Treeless (3)
+    if size_format == 0:
+        if len(block) < 3:
+            raise ValueError("zstd: truncated literals header")
+        bits = b0 >> 4 | block[1] << 4 | block[2] << 12
+        regen, csize = bits & 0x3FF, bits >> 10
+        hdr, streams = 3, 1
+    elif size_format == 1:
+        if len(block) < 3:
+            raise ValueError("zstd: truncated literals header")
+        bits = b0 >> 4 | block[1] << 4 | block[2] << 12
+        regen, csize = bits & 0x3FF, bits >> 10
+        hdr, streams = 3, 4
+    elif size_format == 2:
+        if len(block) < 4:
+            raise ValueError("zstd: truncated literals header")
+        bits = b0 >> 4 | block[1] << 4 | block[2] << 12 | block[3] << 20
+        regen, csize = bits & 0x3FFF, bits >> 14
+        hdr, streams = 4, 4
+    else:
+        if len(block) < 5:
+            raise ValueError("zstd: truncated literals header")
+        bits = (b0 >> 4 | block[1] << 4 | block[2] << 12
+                | block[3] << 20 | block[4] << 28)
+        regen, csize = bits & 0x3FFFF, bits >> 18
+        hdr, streams = 5, 4
+    if hdr + csize > len(block):
+        raise ValueError("zstd: compressed literals overrun")
+    region = block[hdr:hdr + csize]
+    if ltype == 2:
+        table, max_bits, used = _read_huffman(region)
+        tables.huffman = (table, max_bits)
+        region = region[used:]
+    else:
+        if tables.huffman is None:
+            raise ValueError("zstd: treeless literals with no prior tree")
+        table, max_bits = tables.huffman
+    if streams == 1:
+        lits = _huffman_decode_stream(region, table, max_bits, regen)
+    else:
+        if len(region) < 6:
+            raise ValueError("zstd: missing 4-stream jump table")
+        s1, s2, s3 = struct.unpack("<HHH", region[:6])
+        body = region[6:]
+        if s1 + s2 + s3 > len(body):
+            raise ValueError("zstd: 4-stream sizes overrun")
+        chunk = (regen + 3) // 4
+        sizes = [s1, s2, s3, len(body) - s1 - s2 - s3]
+        counts = [chunk, chunk, chunk, regen - 3 * chunk]
+        if counts[3] < 0:
+            raise ValueError("zstd: negative final stream count")
+        lits = bytearray()
+        off = 0
+        for sz, cnt in zip(sizes, counts):
+            lits += _huffman_decode_stream(body[off:off + sz], table,
+                                           max_bits, cnt)
+            off += sz
+        lits = bytes(lits)
+    if len(lits) != regen:
+        raise ValueError("zstd: literal count mismatch")
+    return lits, hdr + csize
+
+
+def _sequence_table(kind: str, mode: int, data: bytes,
+                    tables: _FrameTables,
+                    ) -> tuple[list[tuple[int, int, int]], int, int]:
+    """One of the three sequence tables → (table, accuracy, consumed)."""
+    if mode == 0:
+        tbl, acc = _PREDEFINED[kind], _PRED_ACC[kind]
+        tables.fse[kind] = (tbl, acc)  # Repeat_Mode may reference it
+        return tbl, acc, 0
+    if mode == 1:
+        if not data:
+            raise ValueError("zstd: truncated RLE table byte")
+        if data[0] > _MAX_SYM[kind]:
+            raise ValueError(f"zstd: RLE symbol too big for {kind}")
+        tbl = _rle_table(data[0])
+        tables.fse[kind] = (tbl, 0)
+        return tbl, 0, 1
+    if mode == 2:
+        counts, acc, used = fse_read_ncount(data, _MAX_SYM[kind],
+                                            _MAX_ACC[kind])
+        tbl = fse_build_table(counts, acc)
+        tables.fse[kind] = (tbl, acc)
+        return tbl, acc, used
+    if kind not in tables.fse:
+        raise ValueError(f"zstd: repeat mode with no prior {kind} table")
+    tbl, acc = tables.fse[kind]
+    return tbl, acc, 0
+
+
+def _decode_block(block: bytes, out: bytearray, reps: list[int],
+                  tables: _FrameTables) -> None:
+    """One Compressed_Block → appends to ``out``, updates reps."""
+    lits, used = _decode_literals(block, tables)
+    seq_region = block[used:]
+    if not seq_region:
+        raise ValueError("zstd: missing sequences section")
+    b0 = seq_region[0]
+    if b0 == 0:
+        out += lits
+        return
+    if b0 < 128:
+        nseq, pos = b0, 1
+    elif b0 < 255:
+        if len(seq_region) < 2:
+            raise ValueError("zstd: truncated sequence count")
+        nseq, pos = ((b0 - 128) << 8) | seq_region[1], 2
+    else:
+        if len(seq_region) < 3:
+            raise ValueError("zstd: truncated sequence count")
+        nseq = seq_region[1] | (seq_region[2] << 8)
+        nseq += 0x7F00
+        pos = 3
+    if pos >= len(seq_region):
+        raise ValueError("zstd: truncated compression modes")
+    modes = seq_region[pos]
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence mode bits set")
+    pos += 1
+    ll_tbl, ll_acc, c = _sequence_table("ll", (modes >> 6) & 3,
+                                        seq_region[pos:], tables)
+    pos += c
+    of_tbl, of_acc, c = _sequence_table("of", (modes >> 4) & 3,
+                                        seq_region[pos:], tables)
+    pos += c
+    ml_tbl, ml_acc, c = _sequence_table("ml", (modes >> 2) & 3,
+                                        seq_region[pos:], tables)
+    pos += c
+    stream = _BackBits(seq_region[pos:])
+    ll_st = _FseState(ll_tbl, stream, ll_acc)
+    of_st = _FseState(of_tbl, stream, of_acc)
+    ml_st = _FseState(ml_tbl, stream, ml_acc)
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_st.symbol()
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        of_val = (1 << of_code) + stream.read(of_code)
+        ml_code = ml_st.symbol()
+        ml = _ML_BASE[ml_code] + stream.read(_ML_BITS[ml_code])
+        ll_code = ll_st.symbol()
+        ll = _LL_BASE[ll_code] + stream.read(_LL_BITS[ll_code])
+        if stream.bitpos < 0:
+            raise ValueError("zstd: sequence bitstream overrun")
+        # repeat-offset resolution (RFC 8878 §3.1.1.5)
+        if of_val > 3:
+            offset = of_val - 3
+            reps[:] = [offset, reps[0], reps[1]]
+        else:
+            idx = of_val - 1 if ll != 0 else of_val
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                reps[:] = [reps[1], reps[0], reps[2]]
+            elif idx == 2:
+                offset = reps[2]
+                reps[:] = [reps[2], reps[0], reps[1]]
+            else:  # ll == 0 and of_val == 3
+                offset = reps[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: zero repeat offset")
+                reps[:] = [offset, reps[0], reps[1]]
+        out += lits[lit_pos:lit_pos + ll]
+        lit_pos += ll
+        if offset > len(out):
+            raise ValueError("zstd: match offset beyond history")
+        if offset >= ml:
+            start = len(out) - offset
+            out += out[start:start + ml]
+        else:  # overlapping copy: byte-at-a-time semantics
+            start = len(out) - offset
+            for k in range(ml):
+                out.append(out[start + k])
+        if i + 1 < nseq:
+            ll_st.update(stream)
+            ml_st.update(stream)
+            of_st.update(stream)
+    if lit_pos > len(lits):
+        raise ValueError("zstd: literal run overran the literals")
+    out += lits[lit_pos:]
+
+
+# ------------------------------------------------------------- frames
+
+
+@quarantine("zstd")
+def zstd_decompress(data: bytes) -> bytes:
+    """Full RFC 8878 decode of one-or-more concatenated frames
+    (skippable frames skipped). Raises ValueError for corrupt input,
+    NotImplementedError for dictionary-referencing frames."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("zstd: truncated frame magic")
+        (magic,) = struct.unpack_from("<I", data, pos)
+        if SKIPPABLE_LO <= magic <= SKIPPABLE_HI:
+            if pos + 8 > len(data):
+                raise ValueError("zstd: truncated skippable frame")
+            (fsize,) = struct.unpack_from("<I", data, pos + 4)
+            pos += 8 + fsize
+            if pos > len(data):
+                raise ValueError("zstd: skippable frame overruns input")
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ValueError(f"zstd: bad magic 0x{magic:08x}")
+        pos += 4
+        if pos >= len(data):
+            raise ValueError("zstd: missing frame header")
+        fhd = data[pos]
+        pos += 1
+        if fhd & 0x08:
+            raise ValueError("zstd: reserved FHD bit set")
+        dict_flag = fhd & 3
+        checksum = bool(fhd & 0x04)
+        single_seg = bool(fhd & 0x20)
+        fcs_code = fhd >> 6
+        if not single_seg:
+            if pos >= len(data):
+                raise ValueError("zstd: missing window descriptor")
+            pos += 1
+        if dict_flag:
+            raise NotImplementedError(
+                "zstd: dictionary-referencing frames are a documented seam")
+        fcs_len = {0: (1 if single_seg else 0), 1: 2, 2: 4, 3: 8}[fcs_code]
+        content_size = None
+        if fcs_len:
+            if pos + fcs_len > len(data):
+                raise ValueError("zstd: truncated frame content size")
+            content_size = int.from_bytes(data[pos:pos + fcs_len], "little")
+            if fcs_len == 2:
+                content_size += 256
+            pos += fcs_len
+        frame_start = len(out)
+        reps = [1, 4, 8]
+        tables = _FrameTables()
+        while True:
+            if pos + 3 > len(data):
+                raise ValueError("zstd: truncated block header")
+            hdr = int.from_bytes(data[pos:pos + 3], "little")
+            pos += 3
+            last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+            if btype == 0:  # Raw
+                if pos + bsize > len(data):
+                    raise ValueError("zstd: raw block overruns input")
+                out += data[pos:pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE
+                if pos >= len(data):
+                    raise ValueError("zstd: truncated RLE block")
+                out += bytes([data[pos]]) * bsize
+                pos += 1
+            elif btype == 2:  # Compressed
+                if pos + bsize > len(data):
+                    raise ValueError("zstd: compressed block overruns input")
+                _decode_block(data[pos:pos + bsize], out, reps, tables)
+                pos += bsize
+            else:
+                raise ValueError("zstd: reserved block type")
+            if last:
+                break
+        if checksum:
+            if pos + 4 > len(data):
+                raise ValueError("zstd: truncated content checksum")
+            pos += 4  # xxh64 low-32: length-validated, not recomputed
+        if content_size is not None and len(out) - frame_start != content_size:
+            raise ValueError("zstd: decoded size != frame content size")
+    return bytes(out)

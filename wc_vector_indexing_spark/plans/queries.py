@@ -5856,6 +5856,56 @@ ORDER BY doc_id
 """
 
 
+def zstd_decode_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Full RFC 8878 zstd decode (operators/zstd_decode): the
+    lowest-60 docs' raw text is compressed by libzstd (pyarrow — an
+    implementation the decoder shares nothing with) at a
+    doc_id-cycled compression level, then decoded back by the
+    pure-Python FSE/Huffman/sequence machinery inside one Arrow
+    pass. The oracle is the text itself — byte-exact decode IS the
+    value match, which end-to-end pins the predefined FSE
+    distributions and code tables against libzstd's output."""
+    from wc_vector_indexing_spark.operators.zstd_decode import (
+        zstd_decompress,
+    )
+
+    docs = (
+        load(spark, "documents", sf).select("doc_id", "text")
+        .orderBy("doc_id").limit(60).repartition(8)
+    )
+
+    def roundtrip(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        levels = [1, 3, 9, 19]
+        for pdf in batches:
+            out = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                raw = (t or "").encode("utf-8")
+                codec = pa.Codec("zstd", compression_level=levels[d % 4])
+                comp = bytes(codec.compress(raw))
+                dec = zstd_decompress(comp)
+                out.append({"doc_id": d,
+                            "text": dec.decode("utf-8"),
+                            "n_raw": len(raw)})
+            yield pd.DataFrame(out, columns=["doc_id", "text", "n_raw"])
+
+    return docs.mapInPandas(
+        roundtrip, schema="doc_id long, text string, n_raw long",
+    ).orderBy("doc_id")
+
+
+ZSTD_DECODE_SQL = r"""
+SELECT doc_id,
+       coalesce(text, '') AS text,
+       strlen(coalesce(text, ''))::BIGINT AS n_raw
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 60)
+ORDER BY doc_id
+"""
+
+
 def aiff_au_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """AIFF/AIFC + Sun AU triage (operators/aiff_au): even docs render
     a FORM/AIFF (every 5th an AIFC with a ulaw fourcc) whose COMM
@@ -10419,10 +10469,6 @@ REGISTRY: dict[str, QuerySpec] = {
     "event_pagerank": QuerySpec(
         event_pagerank_op, PAGERANK_SQL, "transition-graph weighted PageRank (5 rounds)"
     ),
-    "image_dedup_dhash": QuerySpec(
-        image_dedup_op, IMAGE_DEDUP_SQL,
-        "perceptual dHash image near-dup pairs (planted-truth oracle)"
-    ),
     # r9 window rotation: feed_discovery (never driver-recorded, the
     # crawl front door upgraded from streaming-only to oracle-backed)
     # promoted; flac_streaminfo_census (recorded r8) demoted in
@@ -10627,10 +10673,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # session-3 r8 window rotation: image_dedup_arith (never
     # driver-recorded, SOF9 QM decode) promoted; pdf_corpus_text
     # (recorded r7) demoted to the tail in exchange.
-    "image_dedup_arith": QuerySpec(
-        image_dedup_arith_op, IMAGE_DEDUP_PROG_SQL,
-        "SOF9 arithmetic-JPEG (QM-coder) decode inside dHash dedup (planted-truth oracle)"
-    ),
     # session-3 r8 window rotation: compressed_frame_census (never
     # driver-recorded) promoted; docx_corpus_text (recorded r7) demoted
     # to the tail in exchange.
@@ -10720,6 +10762,20 @@ REGISTRY: dict[str, QuerySpec] = {
     "archive_member_census": QuerySpec(
         archive_member_census_op, ARCHIVE_CENSUS_SQL,
         "tar/zip archive-source member census (planted-truth oracle)"
+    ),
+    "image_dedup_dhash": QuerySpec(
+        image_dedup_op, IMAGE_DEDUP_SQL,
+        "perceptual dHash image near-dup pairs (planted-truth oracle)"
+    ),
+    # r11 window rotation (session 4): zstd_decode_roundtrip (new,
+    # never driver-recorded — the full RFC 8878 entropy decode against
+    # the independent libzstd writer) promoted; image_dedup_arith
+    # (recorded r8-r10; the perceptual family keeps image_dedup_dhash
+    # in-window per the category pin) slides below the cutoff.
+    "zstd_decode_roundtrip": QuerySpec(
+        zstd_decode_roundtrip_op, ZSTD_DECODE_SQL,
+        "pure-Python RFC 8878 zstd decode of libzstd output at 4 "
+        "levels (byte-exact text oracle)"
     ),
     # r11 window rotation (session 4): aiff_au_census (new, never
     # driver-recorded — the AIFF extended-float + AU header reads)
@@ -10875,6 +10931,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_survivors": QuerySpec(
         dedup_survivors_op, DEDUP_SURVIVORS_SQL,
         "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
+    ),
+    "image_dedup_arith": QuerySpec(
+        image_dedup_arith_op, IMAGE_DEDUP_PROG_SQL,
+        "SOF9 arithmetic-JPEG (QM-coder) decode inside dHash dedup (planted-truth oracle)"
     ),
     "audio_dedup_fp": QuerySpec(
         audio_dedup_op, AUDIO_DEDUP_SQL,
