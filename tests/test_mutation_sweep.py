@@ -334,6 +334,25 @@ def test_mutated_wiki_dump_slices():
     assert _sweep(decode_slice, dump, stride=2) == []
 
 
+def test_mutated_zstd_decode():
+    import pyarrow as pa
+
+    from wc_vector_indexing_spark.operators.zstd_decode import (
+        zstd_decompress,
+    )
+
+    payload = b"the quick brown fox " * 100
+    comp = bytes(pa.Codec("zstd", compression_level=3).compress(payload))
+    assert _sweep(zstd_decompress, comp) == []
+    # silent-wrong-output guard: a mutated frame may legally decode
+    # (entropy streams have dead bits) but must never claim to be the
+    # CLEAN payload under a changed compressed byte when the frame
+    # carries a content size — mismatches raise; equal output means
+    # the mutation hit a genuinely dead bit, which is fine.
+    clean = zstd_decompress(comp)
+    assert clean == payload
+
+
 def test_mutated_aiff_au_walkers():
     from wc_vector_indexing_spark.operators.aiff_au import (
         parse_aiff,

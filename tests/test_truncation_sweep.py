@@ -112,6 +112,18 @@ def test_truncated_wiki_dump_slices():
     assert _sweep(decode_slice, dump) == []
 
 
+def test_truncated_zstd_decode():
+    import pyarrow as pa
+
+    from wc_vector_indexing_spark.operators.zstd_decode import (
+        zstd_decompress,
+    )
+
+    comp = bytes(pa.Codec("zstd", compression_level=3)
+                 .compress(b"the quick brown fox " * 100))
+    assert _sweep(zstd_decompress, comp) == []
+
+
 def test_truncated_aiff_au_walkers():
     from wc_vector_indexing_spark.operators.aiff_au import (
         parse_aiff,
