@@ -107,3 +107,37 @@ def test_fse_ncount_roundtrip_shape():
 def test_fse_build_rejects_overflow():
     with pytest.raises(ValueError):
         fse_build_table([16, 17], 5)  # 33 slots into a 32-cell table
+
+
+def test_xxh64_matches_jvm_xxhash64(spark):
+    """Cross-validate the pure-Python xxh64 against the JVM's (Spark
+    F.xxhash64, seed 42) — two implementations sharing nothing."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.operators.zstd_decode import xxh64
+
+    samples = [b"", b"a", b"hello world", bytes(range(256)), b"x" * 1000,
+               b"the quick brown fox " * 37]
+    df = spark.createDataFrame([(s,) for s in samples], ["b"])
+    jvm = [r[0] for r in df.select(F.xxhash64("b")).collect()]
+    for s, j in zip(samples, jvm):
+        mine = xxh64(s, seed=42)
+        signed = mine - (1 << 64) if mine >= (1 << 63) else mine
+        assert signed == j
+
+
+def test_content_checksum_verified():
+    import struct
+
+    from wc_vector_indexing_spark.operators.zstd_decode import xxh64
+
+    payload = b"checksum me " * 50
+    f = bytearray(_zstd(payload))
+    assert not f[4] & 4
+    f[4] |= 4  # set the Content_Checksum_Flag
+    f += struct.pack("<I", xxh64(payload) & 0xFFFFFFFF)
+    assert zstd_decompress(bytes(f)) == payload
+    f[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        zstd_decompress(bytes(f))
+    assert zstd_decompress(bytes(f), verify_checksum=False) == payload

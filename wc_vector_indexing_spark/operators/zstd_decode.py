@@ -44,6 +44,64 @@ from wc_vector_indexing_spark.operators.contract import quarantine
 ZSTD_MAGIC = 0xFD2FB528
 SKIPPABLE_LO, SKIPPABLE_HI = 0x184D2A50, 0x184D2A5F
 
+# ------------------------------------------------------------- xxh64
+
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (the public xxHash spec) — zstd's content checksum
+    carries its low 32 bits. Cross-validated against the JVM's
+    xxhash64 (Spark's `F.xxhash64`, seed 42) in the tests, the same
+    independent-implementation discipline as the libzstd round-trips."""
+    n = len(data)
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        i = 0
+        for i in range(0, n - 31, 32):
+            a, b, c, d = struct.unpack_from("<QQQQ", data, i)
+            v1 = (_rotl((v1 + a * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + b * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + c * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + d * _P2) & _M64, 31) * _P1) & _M64
+        i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (_rotl((v * _P2) & _M64, 31) * _P1) & _M64)
+                 * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+        i = 0
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h = (_rotl(h ^ (_rotl((k * _P2) & _M64, 31) * _P1) & _M64, 27)
+             * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = (_rotl(h ^ (k * _P1) & _M64, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ (data[i] * _P5) & _M64, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
 # ------------------------------------------------------------- bit I/O
 
 
@@ -579,9 +637,11 @@ def _decode_block(block: bytes, out: bytearray, reps: list[int],
 
 
 @quarantine("zstd")
-def zstd_decompress(data: bytes) -> bytes:
+def zstd_decompress(data: bytes, verify_checksum: bool = True) -> bytes:
     """Full RFC 8878 decode of one-or-more concatenated frames
-    (skippable frames skipped). Raises ValueError for corrupt input,
+    (skippable frames skipped). Frames carrying the optional content
+    checksum are VERIFIED (xxh64 low-32 of the decoded frame) unless
+    ``verify_checksum=False``. Raises ValueError for corrupt input,
     NotImplementedError for dictionary-referencing frames."""
     out = bytearray()
     pos = 0
@@ -657,7 +717,14 @@ def zstd_decompress(data: bytes) -> bytes:
         if checksum:
             if pos + 4 > len(data):
                 raise ValueError("zstd: truncated content checksum")
-            pos += 4  # xxh64 low-32: length-validated, not recomputed
+            if verify_checksum:
+                (want,) = struct.unpack_from("<I", data, pos)
+                got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+                if got != want:
+                    raise ValueError(
+                        f"zstd: content checksum mismatch "
+                        f"(got {got:08x}, frame says {want:08x})")
+            pos += 4
         if content_size is not None and len(out) - frame_start != content_size:
             raise ValueError("zstd: decoded size != frame content size")
     return bytes(out)
