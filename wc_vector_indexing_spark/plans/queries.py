@@ -5906,6 +5906,59 @@ ORDER BY doc_id
 """
 
 
+def zstd_jsonl_corpus_op(spark: SparkSession, sf: str) -> DataFrame:
+    """.zst JSONL corpus source (sources/zstd_text.read_zstd_jsonl):
+    the lowest-48 docs become FOUR libzstd-compressed JSONL shards
+    (this Spark has no native-Hadoop zstd codec, so the pure-Python
+    decoder is the only way to read them at all); one decode per
+    shard per task, then get_json_object field extraction JVM-side.
+    Direct value match over (doc_id, text) — raw text, newlines and
+    all, through the JSON escape/unescape round trip."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow as _pa
+
+    from wc_vector_indexing_spark.sources.zstd_text import read_zstd_jsonl
+
+    rows = (
+        load(spark, "documents", sf).select("doc_id", "text")
+        .orderBy("doc_id").limit(48).collect()
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_zstjsonl_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        shards: list[list[str]] = [[], [], [], []]
+        for rnk, r in enumerate(rows):
+            shards[rnk % 4].append(_json.dumps(
+                {"doc_id": int(r.doc_id), "text": r.text or ""},
+                sort_keys=True))
+        for i, lines in enumerate(shards):
+            blob = ("\n".join(lines) + "\n").encode("utf-8")
+            comp = bytes(_pa.Codec("zstd", compression_level=3)
+                         .compress(blob))
+            with open(os.path.join(out, f"shard-{i}.jsonl.zst"), "wb") as f:
+                f.write(comp)
+        with open(done, "w") as f:
+            f.write("ok")
+    docs = read_zstd_jsonl(
+        spark, os.path.join(out, "shard-*.jsonl.zst"),
+        {"doc_id": "long", "text": "string"},
+    )
+    return docs.select("doc_id", "text").orderBy("doc_id")
+
+
+ZSTD_JSONL_SQL = r"""
+SELECT doc_id, coalesce(text, '') AS text
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 48)
+ORDER BY doc_id
+"""
+
+
 def aiff_au_census_op(spark: SparkSession, sf: str) -> DataFrame:
     """AIFF/AIFC + Sun AU triage (operators/aiff_au): even docs render
     a FORM/AIFF (every 5th an AIFC with a ulaw fourcc) whose COMM
@@ -10473,10 +10526,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # crawl front door upgraded from streaming-only to oracle-backed)
     # promoted; flac_streaminfo_census (recorded r8) demoted in
     # exchange.
-    "feed_discovery": QuerySpec(
-        feed_discovery_op, FEED_DISCOVERY_SQL,
-        "URL-frontier feed/sitemap discovery with cross-feed dedup (planted-truth oracle)"
-    ),
     # r8 window rotation: dedup_embedding_lsh (upgraded rows-only→oracle
     # via embedded planes, never driver-recorded) promoted;
     # psl_registrable_domain (recorded) demoted to the tail in exchange.
@@ -10767,6 +10816,15 @@ REGISTRY: dict[str, QuerySpec] = {
         image_dedup_op, IMAGE_DEDUP_SQL,
         "perceptual dHash image near-dup pairs (planted-truth oracle)"
     ),
+    # r11 window rotation (session 4): zstd_jsonl_corpus (new, never
+    # driver-recorded — the .zst JSONL front door the decoder exists
+    # for) promoted; feed_discovery (recorded r9-r10) slides below the
+    # cutoff in exchange.
+    "zstd_jsonl_corpus": QuerySpec(
+        zstd_jsonl_corpus_op, ZSTD_JSONL_SQL,
+        ".zst JSONL shards through the pure-Python decoder + JVM-side "
+        "JSON extraction (raw-text identity oracle)"
+    ),
     # r11 window rotation (session 4): zstd_decode_roundtrip (new,
     # never driver-recorded — the full RFC 8878 entropy decode against
     # the independent libzstd writer) promoted; image_dedup_arith
@@ -10931,6 +10989,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_survivors": QuerySpec(
         dedup_survivors_op, DEDUP_SURVIVORS_SQL,
         "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
+    ),
+    "feed_discovery": QuerySpec(
+        feed_discovery_op, FEED_DISCOVERY_SQL,
+        "URL-frontier feed/sitemap discovery with cross-feed dedup (planted-truth oracle)"
     ),
     "image_dedup_arith": QuerySpec(
         image_dedup_arith_op, IMAGE_DEDUP_PROG_SQL,
