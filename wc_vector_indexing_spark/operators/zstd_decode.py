@@ -613,6 +613,10 @@ def _decode_block(block: bytes, out: bytearray, reps: list[int],
                 if offset == 0:
                     raise ValueError("zstd: zero repeat offset")
                 reps[:] = [offset, reps[0], reps[1]]
+        if lit_pos + ll > len(lits):
+            # a silent short slice here would be wrong OUTPUT, not an
+            # error — the exact decode-feeding-dedup risk class
+            raise ValueError("zstd: sequence literal run overruns literals")
         out += lits[lit_pos:lit_pos + ll]
         lit_pos += ll
         if offset > len(out):
