@@ -271,6 +271,7 @@ def read_wiki_dump(spark: SparkSession, dump_path: str, index_path: str,
         idx.filter(F.length(F.trim("value")) > 0)
         .select(F.split("value", ":", 3).getItem(0).cast("long")
                 .alias("start"))
+        .filter(F.col("start").isNotNull())  # malformed line ≠ a slice
         .distinct()
     )
     w = Window.orderBy("start")
