@@ -449,3 +449,23 @@ def test_cli_wiki_command(tmp_path, capsys):
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # 6 pages - 1 redirect - 1 talk-ns = 4 kept
     assert summary["pages_written"] == 4 and summary["redirects"] == 0
+
+
+def test_cli_zst_command(tmp_path, capsys):
+    import json as _json
+
+    import pyarrow as _pa
+
+    from wc_vector_indexing_spark.cli import main
+
+    lines = [_json.dumps({"id": i, "text": f"doc {i}"}) for i in range(6)]
+    for shard in (0, 1):
+        blob = ("\n".join(lines[shard * 3:(shard + 1) * 3]) + "\n").encode()
+        (tmp_path / f"s{shard}.jsonl.zst").write_bytes(
+            bytes(_pa.Codec("zstd").compress(blob)))
+    out = str(tmp_path / "corpus")
+    rc = main(["zst", "--src", str(tmp_path / "*.jsonl.zst"), "--out", out,
+               "--field", "id:long", "--field", "text"])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_written"] == 6 and summary["shards_read"] == 2

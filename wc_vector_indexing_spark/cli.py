@@ -708,6 +708,39 @@ def cmd_wiki(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_zst(args: argparse.Namespace) -> int:
+    """.zst JSONL shards → parquet corpus through the pure-Python
+    RFC 8878 decoder (this deployment's Spark has no native zstd
+    codec). --field NAME:TYPE picks the JSONL columns; omit --field
+    for raw (path, line_no, line) rows. Prints a JSON summary."""
+    from pyspark.sql import functions as F
+
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.zstd_text import (
+        read_zstd_jsonl,
+        read_zstd_lines,
+    )
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.field:
+        fields = {}
+        for spec in args.field:
+            name, _, typ = spec.partition(":")
+            fields[name] = typ or "string"
+        df = read_zstd_jsonl(spark, args.src, fields, on_error="skip")
+    else:
+        df = read_zstd_lines(spark, args.src, on_error="skip")
+    df.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    print(json.dumps({
+        "rows_written": out.count(),
+        "shards_read": out.select("path").distinct().count(),
+        "out": args.out,
+    }))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="wcvec", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -886,6 +919,15 @@ def build_parser() -> argparse.ArgumentParser:
     wk.add_argument("--main-ns-only", action="store_true",
                     help="keep ns=0 pages and drop redirects")
     wk.set_defaults(fn=cmd_wiki)
+
+    zs = sub.add_parser("zst", help=".zst JSONL/text shards → parquet "
+                                    "(pure-Python zstd decode)")
+    zs.add_argument("--src", required=True, help=".zst file/glob/dir")
+    zs.add_argument("--out", required=True)
+    zs.add_argument("--field", action="append", default=[],
+                    help="JSONL field as NAME:TYPE (repeatable); omit "
+                         "for raw lines")
+    zs.set_defaults(fn=cmd_zst)
     return p
 
 
