@@ -192,3 +192,32 @@ def test_wiki_dump_diff_statuses(spark, tmp_path):
         103: ("Doc 3", "unchanged"),
         999: ("New", "new"),
     }
+
+
+def test_wikitext_links_rules():
+    from wc_vector_indexing_spark.sources.wikixml import wikitext_links
+
+    wt = ("[[Plain Target]] [[under_scored|label]] [[Frag#Section|x]] "
+          "[[Category:Tax]] [[File:Pic.png|cap]] [[lower first]] "
+          "<nowiki>[[Not A Link]]</nowiki> <!-- [[Hidden]] --> [[ ]]")
+    assert wikitext_links(wt) == [
+        "Plain Target", "Under scored", "Frag", "Lower first"]
+
+
+def test_wiki_link_edges_spark(spark, tmp_path):
+    from wc_vector_indexing_spark.sources.wikixml import (
+        read_wiki_dump,
+        wiki_link_edges,
+    )
+
+    pages = _pages(3)
+    pages[0]["text"] = "[[Doc 1]] then [[doc_2|go]]"
+    pages[1]["text"] = "no links at all"
+    pages[2]["text"] = "[[Doc 0#top]]"
+    dp, ip = _write_fixture(tmp_path, pages)
+    got = sorted(
+        (r.src_title, r.link_no, r.dst_title)
+        for r in wiki_link_edges(read_wiki_dump(spark, dp, ip)).collect()
+    )
+    assert got == [("Doc 0", 0, "Doc 1"), ("Doc 0", 1, "Doc 2"),
+                   ("Doc 2", 0, "Doc 0")]

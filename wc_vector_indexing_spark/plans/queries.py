@@ -10071,6 +10071,65 @@ def wiki_dump_diff_op(spark: SparkSession, sf: str) -> DataFrame:
     return wiki_dump_diff(old, new).orderBy("page_id")
 
 
+def wiki_link_graph_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Wiki article link graph (sources/wikixml.wiki_link_edges): 24
+    planted pages each carry a plain link, a piped link written with
+    an UNDERSCORED lowercase target (the canonicalization path —
+    underscores → spaces, first char uppercased), a section-fragment
+    link (fragment dropped), plus a Category: and a commented-out
+    link that must NOT edge. Runs through the real multistream
+    reader. Direct value match over (src_title, link_no, dst_title).
+    The wiki analogue of warc_wat_links."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.wikixml import (
+        read_wiki_dump,
+        to_wiki_multistream,
+        wiki_link_edges,
+    )
+
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_wikigraph_{key}")
+    done = os.path.join(out, "_DONE")
+    dump_path = os.path.join(out, "dump.xml.bz2")
+    index_path = os.path.join(out, "index.txt")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        pages = []
+        for rnk in range(24):
+            text = (
+                f"See [[Doc {(rnk + 1) % 24}]] and "
+                f"[[doc_{(rnk + 2) % 24}|the piped one]] and "
+                f"[[Doc {(rnk + 3) % 24}#History|section]]. "
+                "[[Category:Planted]] <!-- [[Doc 99]] -->"
+            )
+            pages.append({"title": f"Doc {rnk}", "ns": 0,
+                          "page_id": 100 + rnk, "text": text})
+        dump, index = to_wiki_multistream(pages, pages_per_stream=4)
+        with open(dump_path, "wb") as f:
+            f.write(dump)
+        with open(index_path, "w", encoding="utf-8") as f:
+            f.write(index)
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        wiki_link_edges(read_wiki_dump(spark, dump_path, index_path))
+        .orderBy("src_title", "link_no")
+    )
+
+
+WIKI_LINK_GRAPH_SQL = r"""
+WITH ids AS (SELECT UNNEST(range(24)) AS rnk)
+SELECT 'Doc ' || rnk AS src_title,
+       link_no,
+       'Doc ' || ((rnk + 1 + link_no) % 24) AS dst_title
+FROM ids CROSS JOIN (SELECT UNNEST(range(3)) AS link_no)
+ORDER BY src_title, link_no
+"""
+
+
 WIKI_DUMP_DIFF_SQL = r"""
 WITH ids AS (SELECT UNNEST(range(24)) AS rnk)
 SELECT page_id, title, status
@@ -10572,10 +10631,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # promoted; subtitle_cues (recorded r9) slides below the 50-entry
     # cutoff in exchange (c4_line_filter stays: the curation-family
     # anchor rule needs one of c4/gopher/importance in the window).
-    "warc_dedup_write": QuerySpec(
-        warc_dedup_write_op, WARC_DEDUP_WRITE_SQL,
-        "archive-writer response-vs-revisit decisions vs a prior index (window+join SQL mirror)"
-    ),
     # r10 window rotation: cdx_snapshot_diff (new, never driver-recorded)
     # promoted; jsonld_extract (recorded r9) slides below the cutoff in
     # exchange.
@@ -10777,6 +10832,16 @@ REGISTRY: dict[str, QuerySpec] = {
         anchor_text_index_op, ANCHOR_TEXT_SQL,
         "per-target anchor-text argmax with tie-break + ref counts "
         "(planted-truth oracle)"
+    ),
+    # r11 window rotation (session 4): wiki_link_graph (new, never
+    # driver-recorded — article-graph edges with MediaWiki title
+    # canonicalization) promoted; warc_dedup_write (recorded r10;
+    # the archive family keeps cdx/revisit/wat entries in-window)
+    # slides below the cutoff in exchange.
+    "wiki_link_graph": QuerySpec(
+        wiki_link_graph_op, WIKI_LINK_GRAPH_SQL,
+        "wiki article link graph: canonicalized targets, fragments "
+        "dropped, category/comment links excluded (closed-form oracle)"
     ),
     # r11 window rotation (session 4): wiki_dump_diff (new, never
     # driver-recorded — dump-over-dump churn through the slice-parallel
@@ -10989,6 +11054,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_survivors": QuerySpec(
         dedup_survivors_op, DEDUP_SURVIVORS_SQL,
         "minhash -> components -> keep-min survivors per source (md5-mode oracle)"
+    ),
+    "warc_dedup_write": QuerySpec(
+        warc_dedup_write_op, WARC_DEDUP_WRITE_SQL,
+        "archive-writer response-vs-revisit decisions vs a prior index (window+join SQL mirror)"
     ),
     "feed_discovery": QuerySpec(
         feed_discovery_op, FEED_DISCOVERY_SQL,

@@ -309,6 +309,49 @@ def read_wiki_dump(spark: SparkSession, dump_path: str, index_path: str,
     )
 
 
+_WT_LINK_SCAN = re.compile(r"\[\[([^\[\]|]+)(?:\|[^\[\]]*)?\]\]")
+_EXCLUDED_NS = ("file:", "image:", "category:")
+
+
+def wikitext_links(wt: str) -> list[str]:
+    """Internal link TARGETS of one page, in order — the wiki link
+    graph's raw edges. Comments and ``<nowiki>`` spans are carved out
+    first (a link inside either does not link); File:/Image:/Category:
+    targets are excluded (media/taxonomy, not the article graph);
+    section fragments are dropped; titles are canonicalized the
+    MediaWiki way (underscores → spaces, collapse whitespace, first
+    character uppercased)."""
+    wt = _WT_COMMENT.sub("", _WT_NOWIKI.sub("", wt))
+    out: list[str] = []
+    for m in _WT_LINK_SCAN.finditer(wt):
+        target = m.group(1).split("#", 1)[0]
+        target = " ".join(target.replace("_", " ").split())
+        if not target or target.lower().startswith(_EXCLUDED_NS):
+            continue
+        out.append(target[0].upper() + target[1:])
+    return out
+
+
+def wiki_link_edges(pages: DataFrame) -> DataFrame:
+    """(src_title, link_no, dst_title): the article link graph from a
+    :func:`read_wiki_dump` DataFrame — the wiki analogue of the WAT
+    ``link_edges`` (sources/wat.py). One Arrow pass over wikitext;
+    pages with no links drop, by edge-list convention."""
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for title, wt in zip(pdf["title"], pdf["wikitext"]):
+                for i, dst in enumerate(wikitext_links(wt or "")):
+                    rows.append((title, i, dst))
+            yield pd.DataFrame(
+                rows, columns=["src_title", "link_no", "dst_title"])
+
+    return pages.select("title", "wikitext").mapInPandas(
+        scan, schema="src_title string, link_no long, dst_title string")
+
+
 def wiki_dump_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Dump-over-dump churn — the wiki analogue of the CDX snapshot
     diff (sources/warc.cdx_snapshot_diff): one row per page_id across
