@@ -67,6 +67,24 @@ def test_aiff_errors():
         parse_aiff(b"FORM" + struct.pack(">I", 4) + b"AIFF")
 
 
+def test_aiff_sub_1hz_rate_is_value_error_not_zero_division():
+    # A COMM 80-bit rate in (0, 0.5) passes the <=0 gate but rounds to
+    # 0 Hz; the duration division must not escape @quarantine as
+    # ZeroDivisionError. Exponent 0x3FFD (bias 16383 → 2^-2) with a
+    # normalized mantissa encodes 0.25 Hz.
+    base = to_aiff_bytes(1, 100, 16, 8000)
+    comm_at = base.index(b"COMM")
+    rate_at = comm_at + 8 + 8  # fourcc + size + (chans, frames, bits)
+    crafted = (
+        base[:rate_at]
+        + struct.pack(">H", 0x3FFD)
+        + struct.pack(">Q", 1 << 63)
+        + base[rate_at + 10:]
+    )
+    with pytest.raises(ValueError, match="sub-1Hz"):
+        parse_aiff(crafted)
+
+
 def test_au_roundtrip():
     got = parse_au(to_au_bytes("pcm16", 16000, 2, 16000))
     assert got == {

@@ -86,6 +86,15 @@ def test_exif_non_jpeg_raises():
         parse_exif(b"II*\x00")
 
 
+def test_exif_fill_bytes_before_marker():
+    # JPEG B.1.1.2: 0xFF fill bytes may pad before any marker; a
+    # spec-valid file must not be quarantined for them
+    j = to_jpeg_exif_bytes(orientation=5)
+    padded = j[:2] + b"\xff\xff\xff" + j[2:]
+    got = parse_exif(padded)
+    assert got["has_exif"] is True and got["orientation"] == 5
+
+
 def test_exif_stops_at_sos():
     # APP1 after SOS must not be read (spec: metadata precedes scan)
     j = bytearray(to_jpeg_exif_bytes(orientation=3))

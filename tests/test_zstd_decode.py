@@ -141,3 +141,79 @@ def test_content_checksum_verified():
     with pytest.raises(ValueError, match="checksum mismatch"):
         zstd_decompress(bytes(f))
     assert zstd_decompress(bytes(f), verify_checksum=False) == payload
+
+
+# ------------------------------------------------- allocation bounds
+
+
+def _rle_block(size: int, sym: int = 0x41, last: bool = False) -> bytes:
+    hdr = (size << 3) | (1 << 1) | (1 if last else 0)
+    return hdr.to_bytes(3, "little") + bytes([sym])
+
+
+def _raw_frame(blocks: bytes, fhd: int = 0, wd: int = 0,
+               fcs: bytes = b"") -> bytes:
+    """Hand-crafted frame: FHD 0 = windowed/no-checksum/no-FCS; the
+    window descriptor byte 0 declares a 1 KiB window."""
+    f = struct.pack("<I", 0xFD2FB528) + bytes([fhd])
+    if not fhd & 0x20:  # windowed frames carry the descriptor
+        f += bytes([wd])
+    return f + fcs + blocks
+
+
+def test_rle_bomb_capped_by_max_output():
+    # the ADVICE repro: a few hundred bytes of RLE blocks regenerating
+    # megabytes — must hit the max_output guard, not the allocator
+    blocks = b"".join(_rle_block(1024) for _ in range(50))
+    blocks += _rle_block(1024, last=True)
+    bomb = _raw_frame(blocks)
+    assert len(bomb) < 256
+    with pytest.raises(ValueError, match="max_output"):
+        zstd_decompress(bomb, max_output=4096)
+    # a trusting caller may lift the cap explicitly
+    assert zstd_decompress(bomb, max_output=None) == b"A" * 1024 * 51
+
+
+def test_block_size_over_window_rejected():
+    # window descriptor 0 → 1 KiB window; a 2 KiB block violates
+    # RFC 8878 Block_Size <= min(Window_Size, 128KB)
+    with pytest.raises(ValueError, match="exceeds"):
+        zstd_decompress(_raw_frame(_rle_block(2048, last=True)))
+    # 128 KiB absolute cap even under a huge window (descriptor 0xF8
+    # → exponent 31 would exceed the refusal band, use exponent 17 →
+    # 128 MiB window)
+    big_wd = 17 << 3
+    with pytest.raises(ValueError, match="exceeds"):
+        zstd_decompress(
+            _raw_frame(_rle_block(200 * 1024, last=True), wd=big_wd))
+
+
+def test_window_log_refusal_band():
+    with pytest.raises(ValueError, match="window log"):
+        zstd_decompress(_raw_frame(_rle_block(8, last=True), wd=0xF8))
+
+
+def test_lying_fcs_fails_incrementally():
+    # fcs_code=1 → 2-byte FCS (value+256); declare 256 bytes, emit
+    # 2 KiB across two blocks under a 128 KiB window — the first
+    # block already overruns the declaration
+    fhd = 0x40
+    wd = 7 << 3  # exponent 7 → 128 KiB window
+    blocks = _rle_block(1024) + _rle_block(1024, last=True)
+    f = _raw_frame(blocks, fhd=fhd, wd=wd, fcs=struct.pack("<H", 0))
+    with pytest.raises(ValueError, match="overran its declared"):
+        zstd_decompress(f)
+
+
+def test_huffman_stream_exact_consumption():
+    from wc_vector_indexing_spark.operators.zstd_decode import (
+        _huffman_decode_stream,
+        _huffman_table,
+    )
+
+    table, max_bits = _huffman_table([1, 1])
+    # sentinel bit + 2 payload bits → exactly 2 one-bit symbols
+    assert len(_huffman_decode_stream(bytes([0b111]), table, max_bits,
+                                      2)) == 2
+    with pytest.raises(ValueError, match="exactly consumed"):
+        _huffman_decode_stream(bytes([0b111]), table, max_bits, 1)

@@ -109,6 +109,11 @@ def parse_aiff(data: bytes) -> dict:
     channels, frames, bits, rate, compression = comm
     if rate <= 0:
         raise ValueError("AIFF: non-positive sample rate")
+    if int(round(rate)) < 1:
+        # A crafted 80-bit COMM rate in (0, 0.5) passes the <=0 gate but
+        # rounds to 0 Hz — the duration division below would raise
+        # ZeroDivisionError, which is outside the @quarantine contract.
+        raise ValueError("AIFF: sub-1Hz sample rate")
     return {
         "variant": "aifc" if form_type == b"AIFC" else "aiff",
         "channels": channels,

@@ -149,6 +149,12 @@ def parse_exif(data: bytes) -> dict:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"Exif: bad marker byte at {pos}")
+        # JPEG B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them instead of misreading one as a length.
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

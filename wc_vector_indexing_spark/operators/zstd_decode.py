@@ -23,8 +23,9 @@ byte-exactly across varied inputs.
 Scope: single-segment and windowed frames, skippable frames, multi-
 frame concatenation. Dictionary-referencing frames raise
 NotImplementedError (external-dictionary resolution is a documented
-seam); the optional xxh64 content checksum is length-validated but
-not recomputed (stdlib has no xxh64 — documented, not hidden).
+seam); the optional content checksum IS verified — via the
+from-scratch xxh64 below, itself cross-validated against the JVM's
+xxhash64 (tests/test_zstd_decode.py).
 
 Spark shape: the decoder is a per-blob scalar; the census entry runs
 it inside one zero-shuffle Arrow pass, and at cluster scale it rides
@@ -364,6 +365,10 @@ def _huffman_decode_stream(data: bytes, table: list[tuple[int, int]],
             raise ValueError("zstd: invalid huffman code")
         stream.bitpos += max_bits - nbits  # only consume nbits
         out.append(sym)
+    if stream.bitpos != 0:
+        # RFC 8878 §4.2.2: a conformant stream is consumed exactly —
+        # leftover non-padding bits are corruption libzstd rejects.
+        raise ValueError("zstd: huffman stream not exactly consumed")
     return bytes(out)
 
 
@@ -541,8 +546,11 @@ def _sequence_table(kind: str, mode: int, data: bytes,
 
 
 def _decode_block(block: bytes, out: bytearray, reps: list[int],
-                  tables: _FrameTables) -> None:
-    """One Compressed_Block → appends to ``out``, updates reps."""
+                  tables: _FrameTables, block_max: int) -> None:
+    """One Compressed_Block → appends to ``out``, updates reps.
+    ``block_max`` (min(Window_Size, 128KiB)) bounds the regenerated
+    size INSIDE the sequence loop — a crafted ~100k-sequence block
+    could otherwise materialize gigabytes before any caller check."""
     lits, used = _decode_literals(block, tables)
     seq_region = block[used:]
     if not seq_region:
@@ -583,7 +591,12 @@ def _decode_block(block: bytes, out: bytearray, reps: list[int],
     of_st = _FseState(of_tbl, stream, of_acc)
     ml_st = _FseState(ml_tbl, stream, ml_acc)
     lit_pos = 0
+    out_start = len(out)
     for i in range(nseq):
+        if len(out) - out_start > block_max:
+            raise ValueError(
+                "zstd: block regenerated more than "
+                "min(window, 128KiB) bytes")
         of_code = of_st.symbol()
         if of_code > 31:
             raise ValueError("zstd: offset code out of range")
@@ -640,13 +653,30 @@ def _decode_block(block: bytes, out: bytearray, reps: list[int],
 # ------------------------------------------------------------- frames
 
 
+#: Decompression-bomb ceiling for untrusted shards (sources/zstd_text
+#: feeds whole .zst dumps through mapInPandas): one blob may not
+#: regenerate more than this many bytes unless the caller raises it.
+DEFAULT_MAX_OUTPUT = 1 << 30  # 1 GiB
+
+_BLOCK_MAX_ABS = 128 * 1024  # RFC 8878 §3.1.1.2.3 absolute block cap
+
+
 @quarantine("zstd")
-def zstd_decompress(data: bytes, verify_checksum: bool = True) -> bytes:
+def zstd_decompress(data: bytes, verify_checksum: bool = True,
+                    max_output: int | None = DEFAULT_MAX_OUTPUT) -> bytes:
     """Full RFC 8878 decode of one-or-more concatenated frames
     (skippable frames skipped). Frames carrying the optional content
     checksum are VERIFIED (xxh64 low-32 of the decoded frame) unless
     ``verify_checksum=False``. Raises ValueError for corrupt input,
-    NotImplementedError for dictionary-referencing frames."""
+    NotImplementedError for dictionary-referencing frames.
+
+    Allocation is bounded (the walker duty contract.py assigns —
+    MemoryError is deliberately not quarantined): every block must obey
+    Block_Size <= min(Window_Size, 128 KiB) (§3.1.1.2.3), a declared
+    Frame_Content_Size is enforced incrementally (a lying small FCS
+    fails at the first overrun, not after materializing the bomb), and
+    total regenerated bytes across frames are capped at ``max_output``
+    (pass ``None`` only for trusted input)."""
     out = bytearray()
     pos = 0
     while pos < len(data):
@@ -674,9 +704,19 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True) -> bytes:
         checksum = bool(fhd & 0x04)
         single_seg = bool(fhd & 0x20)
         fcs_code = fhd >> 6
+        window_size = None
         if not single_seg:
             if pos >= len(data):
                 raise ValueError("zstd: missing window descriptor")
+            wd = data[pos]
+            exponent, mantissa = wd >> 3, wd & 7
+            window_log = 10 + exponent
+            if window_log > 31:
+                # libzstd's own default refusal band; nothing legit in a
+                # text-corpus shard needs >2 GiB of window.
+                raise ValueError(f"zstd: window log {window_log} too large")
+            window_base = 1 << window_log
+            window_size = window_base + (window_base >> 3) * mantissa
             pos += 1
         if dict_flag:
             raise NotImplementedError(
@@ -690,6 +730,10 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True) -> bytes:
             if fcs_len == 2:
                 content_size += 256
             pos += fcs_len
+        if single_seg:
+            # §3.1.1.1.2: single-segment frames use FCS as the window.
+            window_size = content_size
+        block_max = min(window_size, _BLOCK_MAX_ABS)
         frame_start = len(out)
         reps = [1, 4, 8]
         tables = _FrameTables()
@@ -699,6 +743,11 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True) -> bytes:
             hdr = int.from_bytes(data[pos:pos + 3], "little")
             pos += 3
             last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
+            if bsize > block_max:
+                raise ValueError(
+                    f"zstd: block size {bsize} exceeds "
+                    f"min(window {window_size}, 128KiB)")
+            block_out_start = len(out)
             if btype == 0:  # Raw
                 if pos + bsize > len(data):
                     raise ValueError("zstd: raw block overruns input")
@@ -712,10 +761,23 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True) -> bytes:
             elif btype == 2:  # Compressed
                 if pos + bsize > len(data):
                     raise ValueError("zstd: compressed block overruns input")
-                _decode_block(data[pos:pos + bsize], out, reps, tables)
+                _decode_block(data[pos:pos + bsize], out, reps, tables,
+                              block_max)
                 pos += bsize
             else:
                 raise ValueError("zstd: reserved block type")
+            if len(out) - block_out_start > block_max:
+                raise ValueError(
+                    "zstd: block regenerated more than "
+                    "min(window, 128KiB) bytes")
+            if (content_size is not None
+                    and len(out) - frame_start > content_size):
+                raise ValueError(
+                    "zstd: frame overran its declared content size")
+            if max_output is not None and len(out) > max_output:
+                raise ValueError(
+                    f"zstd: output exceeds max_output={max_output} "
+                    "(decompression-bomb guard; raise for trusted input)")
             if last:
                 break
         if checksum:

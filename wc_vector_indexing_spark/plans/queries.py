@@ -9876,17 +9876,22 @@ def host_link_graph_op(spark: SparkSession, sf: str) -> DataFrame:
 
 
 HOST_LINK_GRAPH_SQL = r"""
-WITH hosts AS (SELECT UNNEST(range(3)) AS i)
+WITH ids AS (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24)
+),
+per_host AS (
+    SELECT rnk % 3 AS i, count(*)::BIGINT AS n FROM ids GROUP BY rnk % 3
+)
 SELECT src_host, dst_host, n_links, n_src_pages
 FROM (
     SELECT 'h' || i || '.example' AS src_host,
            'h' || ((i + 1) % 3) || '.example' AS dst_host,
-           8::BIGINT AS n_links, 8::BIGINT AS n_src_pages
-    FROM hosts
+           n AS n_links, n AS n_src_pages
+    FROM per_host
     UNION ALL
-    SELECT 'h' || i || '.example', 'h' || i || '.example',
-           8::BIGINT, 8::BIGINT
-    FROM hosts
+    SELECT 'h' || i || '.example', 'h' || i || '.example', n, n
+    FROM per_host
 )
 ORDER BY src_host, dst_host
 """
@@ -9998,13 +10003,27 @@ ANCHOR_TEXT_SQL = r"""
 WITH ids AS (
     SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rnk
     FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24)
+),
+cross_links AS (
+    SELECT (rnk + 1) % 3 AS j,
+           (CASE WHEN rnk < 12 THEN 'to ' ELSE 'goto ' END)
+               || ((rnk + 1) % 3) AS anchor
+    FROM ids
+),
+anchor_counts AS (
+    SELECT j, anchor, count(*) AS c FROM cross_links GROUP BY j, anchor
+),
+ranked AS (
+    SELECT j, anchor,
+           sum(c) OVER (PARTITION BY j) AS tot,
+           row_number() OVER (PARTITION BY j ORDER BY c DESC, anchor) AS rn
+    FROM anchor_counts
 )
 SELECT target, n_refs, top_anchor
 FROM (
     SELECT 'https://h' || j || '.example/' AS target,
-           8::BIGINT AS n_refs,
-           'goto ' || j AS top_anchor
-    FROM (SELECT DISTINCT (rnk + 1) % 3 AS j FROM ids)
+           tot::BIGINT AS n_refs, anchor AS top_anchor
+    FROM ranked WHERE rn = 1
     UNION ALL
     SELECT 'https://h' || (rnk % 3) || '.example/self/' || rnk,
            1::BIGINT, 'self ' || rnk
