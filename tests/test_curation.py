@@ -245,3 +245,55 @@ def test_curate_lang_percentile_empty_survivors_is_noop(spark):
     assert curated.count() == 0
     assert docs.count() == audit.count()
     assert {r.reject_reason for r in audit.collect()} == {"low_quality"}
+
+
+def test_curate_host_prior_stage(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=GOOD, source="hostA"),
+        Row(doc_id=2, text="1234567890 " * 30, source="hostD"),  # low q
+        # (hostD is absent from the prior: neutral 1.0x multiplier —
+        # on hostA the 1.2x top-rank boost would push this past the
+        # quality gate into the language gate)
+        Row(doc_id=3, text=GOOD, source="hostB"),   # blocked host
+        Row(doc_id=4, text=GOOD + " And a distinct closing line here.",
+            source="hostC"),  # unranked host, distinct text (no dedup)
+    ])
+    prior = spark.createDataFrame([
+        Row(host="hostA", blocked=False, host_rank=0.9),
+        Row(host="hostB", blocked=True, host_rank=0.1),
+    ])
+    curated, audit = curate(
+        docs, CurationConfig(near_dup_threshold=1.01), host_prior=prior)
+    reasons = {r.doc_id: r.reject_reason for r in audit.collect()}
+    assert reasons[3] == "blocked_host"
+    assert reasons[2] == "low_quality"
+    kept = {r.doc_id for r in curated.collect()}
+    assert kept == {1, 4}
+    assert curated.columns == ["doc_id", "text", "source"]
+
+
+def test_curate_host_prior_reweights_quality(spark):
+    from pyspark.sql import Row
+
+    # a borderline doc (quality 0.5252 raw): a bottom-ranked host's
+    # 0.8x multiplier pushes it under the 0.5 gate (0.42); a
+    # top-ranked host's 1.2x keeps it comfortably above (0.63)
+    borderline = "the and is to of " * 2 + "12345 " * 20
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=borderline, source="top"),
+        Row(doc_id=2, text=borderline, source="bottom"),
+    ])
+    prior = spark.createDataFrame([
+        Row(host="top", host_rank=1.0),
+        Row(host="bottom", host_rank=0.0),
+    ])
+    curated, audit = curate(
+        docs,
+        CurationConfig(languages=None, near_dup_threshold=1.01),
+        host_prior=prior,
+    )
+    reasons = {r.doc_id: r.reject_reason for r in audit.collect()}
+    kept = {r.doc_id for r in curated.collect()}
+    assert kept == {1} and reasons[2] == "low_quality"

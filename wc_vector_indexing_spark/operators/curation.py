@@ -110,20 +110,35 @@ def curate(
     config: CurationConfig | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    host_prior: DataFrame | None = None,
+    host_col: str = "source",
 ) -> CurationResult:
     """Returns a :class:`CurationResult` (unpacks as ``curated, audit``):
 
       curated — the surviving rows of ``docs`` (all original columns)
       audit   — (doc_id, reject_reason) for every dropped row, reason ∈
-                {low_quality, wrong_language, c4_boilerplate, gopher_rules,
-                blocklisted, below_lang_percentile, compress_outlier,
-                repetitive, exact_duplicate, near_duplicate}
+                {blocked_host, low_quality, wrong_language,
+                c4_boilerplate, gopher_rules, blocklisted,
+                below_lang_percentile, compress_outlier, repetitive,
+                exact_duplicate, near_duplicate}
+
+    ``host_prior`` (optional) is the CCNet/RefinedWeb-style host-level
+    prior — a bounded table with a ``host`` column plus optionally
+    ``blocked`` (boolean: the whole host drops wholesale, the cheapest
+    gate so it runs FIRST, before any per-row scoring) and/or
+    ``host_rank`` (e.g. link-graph PageRank: documents' quality is
+    re-weighted by ``0.8 + 0.4·rank/max(rank)``, so a top-ranked host
+    boosts borderline pages 1.2x while an unranked/bottom host damps
+    them 0.8x, BEFORE the min_quality gate). Hosts are a bounded
+    vocabulary, so both the gate and the re-weight join broadcast —
+    the corpus never shuffles for this stage.
 
     The audit branches are DISJOINT subsets of ``docs`` (each stage
     only examines the previous stage's survivors), so
     ``|curated| = |docs| - |audit|`` — curation_report relies on this.
     """
     config = config or CurationConfig()
+    orig_cols = list(docs.columns)
 
     # quality and language are pure column expressions over each row —
     # appended in place, NOT computed as separate frames joined back
@@ -137,9 +152,44 @@ def curate(
 
         docs = unicode_clean(docs, text_col).drop("was_dirty")
 
-    scored = fan_out(docs).withColumn(
-        "quality_score", F.round(textstats.quality_score_col(F.col(text_col)), 4)
-    )
+    rank_mult = None
+    if host_prior is not None:
+        # host gate first: dropping a blocklisted host costs one
+        # broadcast anti-join — cheaper than scoring its pages. The
+        # prior table is bounded (hosts, not pages): broadcast both
+        # uses; the corpus never shuffles.
+        if "blocked" in host_prior.columns:
+            blocked = host_prior.filter(F.col("blocked")).select("host")
+            on = docs[host_col] == blocked["host"]
+            host_dropped = docs.join(
+                F.broadcast(blocked), on, "left_semi").select(id_col)
+            docs = docs.join(F.broadcast(blocked), on, "left_anti")
+        else:
+            host_dropped = docs.limit(0).select(id_col)
+        if "host_rank" in host_prior.columns:
+            # normalize on the driver: the prior is a bounded table
+            # and the scalar keeps the multiplier a pure literal
+            # expression instead of a second corpus-wide join
+            mx = host_prior.agg(F.max("host_rank")).first()[0]
+            rank_norm = (
+                F.col("host_rank") / F.lit(float(mx))
+                if mx else F.lit(1.0)
+            )
+            pr = host_prior.select(
+                "host", rank_norm.alias("_rank_norm"))
+            docs = docs.join(
+                F.broadcast(pr), docs[host_col] == pr["host"], "left"
+            ).drop("host")
+            # unranked hosts (no in/out links) sit at the neutral 1.0x
+            rank_mult = 0.8 + 0.4 * F.coalesce(
+                F.col("_rank_norm"), F.lit(0.5))
+    else:
+        host_dropped = docs.limit(0).select(id_col)
+
+    quality = F.round(textstats.quality_score_col(F.col(text_col)), 4)
+    if rank_mult is not None:
+        quality = F.round(quality * rank_mult, 4)
+    scored = fan_out(docs).withColumn("quality_score", quality)
     if config.lang_router == "ngram":
         # staged two-projection form — the single-Column router
         # re-inlines every marker score into each argmax branch
@@ -297,7 +347,8 @@ def curate(
     kept = kept.join(near_dropped, id_col, "left_anti")
 
     audit = (
-        low_q.select(id_col).withColumn("reject_reason", F.lit("low_quality"))
+        host_dropped.withColumn("reject_reason", F.lit("blocked_host"))
+        .unionByName(low_q.select(id_col).withColumn("reject_reason", F.lit("low_quality")))
         .unionByName(wrong_lang.select(id_col).withColumn("reject_reason", F.lit("wrong_language")))
         .unionByName(c4_dropped.withColumn("reject_reason", F.lit("c4_boilerplate")))
         .unionByName(gopher_dropped.withColumn("reject_reason", F.lit("gopher_rules")))
@@ -308,7 +359,7 @@ def curate(
         .unionByName(exact_dropped.withColumn("reject_reason", F.lit("exact_duplicate")))
         .unionByName(near_dropped.withColumn("reject_reason", F.lit("near_duplicate")))
     )
-    return CurationResult(kept.select(*docs.columns), audit, cached=(base, filtered))
+    return CurationResult(kept.select(*orig_cols), audit, cached=(base, filtered))
 
 
 def curation_report(docs: DataFrame, audit: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -2328,14 +2328,16 @@ def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     return report
 
 
-def _curation_ctes(rel: str = "documents") -> str:
+def _curation_ctes(rel: str = "documents", mult_col: str | None = None) -> str:
     """Shared CTE chain for the curation/training-pipeline oracles: the
     same stage sequence as operators/curation.curate under the registry
     config — quality + language gates, exact text dedup (keep-min),
     md5-mode minhash near-dup clustering (scaffold CTEs over the
     survivor relation, default 256 bucket cap, threshold 0.5,
     recursive-CTE components) ending at ``near_dropped``; curated
-    survivors = s2 − near_dropped."""
+    survivors = s2 − near_dropped. ``mult_col`` (a column of ``rel``)
+    replays the host-prior quality re-weight: q = round(round(raw, 4)
+    * mult, 4), the operator's exact double-rounding."""
     from wc_vector_indexing_spark.operators.textstats import (
         LANG_MIN_RATIO,
         STOPWORDS,
@@ -2357,6 +2359,8 @@ def _curation_ctes(rel: str = "documents") -> str:
         "+ (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.3 "
         "+ (1.0 - least(1.0, length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) * 5.0)) * 0.3, 4)"
     )
+    if mult_col is not None:
+        quality = f"round({quality} * {mult_col}, 4)"
     return f"""scored AS (
     SELECT doc_id, text, {quality} AS q,
            {ratio('en')} AS en_r, {ratio('es')} AS es_r,
@@ -9943,7 +9947,10 @@ def host_pagerank_op(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _host_pagerank_sql(iterations: int = 5, d: float = 0.85) -> str:
+def _pagerank_rounds(iterations: int = 5, d: float = 0.85) -> tuple[str, str]:
+    """(rounds CTE text, final relation name): the chained-CTE replay
+    of operators/graph.pagerank — expects CTEs ``en(src, dst, wn)``,
+    ``nodes(node)``, ``nn(n)``, ``r0(node, rank)`` in scope."""
     prev = "r0"
     rounds = []
     for i in range(1, iterations + 1):
@@ -9959,6 +9966,11 @@ def _host_pagerank_sql(iterations: int = 5, d: float = 0.85) -> str:
             f"    USING (node))"
         )
         prev = f"it{i}"
+    return ",\n".join(rounds), prev
+
+
+def _host_pagerank_sql(iterations: int = 5, d: float = 0.85) -> str:
+    rounds, prev = _pagerank_rounds(iterations, d)
     return (
         """
 WITH edges(src, dst, w) AS (
@@ -9976,7 +9988,7 @@ nodes AS (
 nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
 r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
 """
-        + ",\n".join(rounds)
+        + rounds
         + f"\nSELECT node, round(rank, 6) AS rank FROM {prev} ORDER BY node"
     )
 
@@ -10030,6 +10042,186 @@ FROM (
     FROM ids
 )
 ORDER BY target
+"""
+
+
+def curation_with_host_prior_op(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet/RefinedWeb-style host-prior curation (operators/curation.py
+    ``host_prior`` param): link-graph PageRank plus the host_reputation
+    blocklist gate/re-weight documents BEFORE the per-document gates —
+    the reason the WAT link-graph operators exist. Composition: a
+    planted crawl (one page per document host; hosts = the documents
+    table's bounded source vocabulary in lexicographic order; edge rule
+    i → (i+1)%n plus an even-i hub edge to host 0) → real WARC read →
+    WAT link harvest → host_link_graph → 5-round weighted PageRank →
+    per-host rank; host_reputation over the boilerplate-planted corpus
+    (same plant as the host_reputation entry) → blocked hosts. Both
+    signals land in ONE bounded prior table that curate() broadcasts:
+    blocked hosts drop wholesale (reason ``blocked_host``) before any
+    per-row scoring, rank re-weights quality 0.8–1.2x ahead of the
+    min_quality gate, then language gate + exact + md5-minhash near
+    dedup run exactly as in curation_pipeline. Oracle: data-derived
+    host count (the r11 ADVICE lesson — no hard-coded fixture sizes),
+    chained-CTE PageRank replay, reputation aggregate, and the shared
+    curation CTEs with the multiplier column.
+
+    Reference analogue: the priority-ordered candidate union J7
+    (class-scheduler.php:143-154), restated as quality priority."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.operators.curation import (
+        CurationConfig,
+        curate,
+        curation_report,
+    )
+    from wc_vector_indexing_spark.operators.graph import pagerank
+    from wc_vector_indexing_spark.operators.reputation import host_reputation
+    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
+    from wc_vector_indexing_spark.sources.wat import host_link_graph
+
+    docs = load(spark, "documents", sf)
+    # the host vocabulary is bounded (20 sources at every sf) — a
+    # driver collect here is the same class as broadcast-dim loading
+    hosts = sorted(r[0] for r in docs.select("source").distinct().collect())
+    n = len(hosts)
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_hostprior_{key}")
+    done = os.path.join(out, "_DONE")
+    warc_path = os.path.join(out, "crawl.warc")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        recs = []
+        for i, h in enumerate(hosts):
+            links = f'<a href="https://{hosts[(i + 1) % n]}.example/">next</a>'
+            if i % 2 == 0:
+                links += f'<a href="https://{hosts[0]}.example/">hub</a>'
+            recs.append({
+                "url": f"https://{h}.example/page/{i}",
+                "html": f"<html><body>{links}</body></html>",
+            })
+        with open(warc_path, "wb") as f:
+            f.write(to_warc_bytes(recs, version="1.1"))
+        with open(done, "w") as f:
+            f.write("ok")
+    g = host_link_graph(read_warc(spark, warc_path))
+    rank = (
+        pagerank(g, iterations=5, damping=0.85,
+                 src="src_host", dst="dst_host", weight="n_links")
+        .select(
+            F.expr("replace(node, '.example', '')").alias("host"),
+            F.col("rank").alias("host_rank"),
+        )
+    )
+    host_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    boiler = F.concat(
+        F.lit("subscribe to our newsletter and accept all cookies on "),
+        F.col("source"),
+    )
+    planted = docs.withColumn(
+        "text",
+        F.when((F.col("doc_id") % 5 == 4) & (host_num % 2 == 0), boiler)
+        .otherwise(F.col("text")),
+    )
+    rep = host_reputation(planted).select("host", "blocked")
+    prior = rank.join(rep, "host", "outer")
+    result = curate(
+        planted,
+        CurationConfig(
+            min_quality=0.5, languages=("en",), minhash_token_hash="md5"
+        ),
+        host_prior=prior,
+    )
+    report = curation_report(planted, result.audit)  # eager
+    result.unpersist()
+    return report
+
+
+def _curation_host_prior_sql(iterations: int = 5, d: float = 0.85) -> str:
+    """curation_with_host_prior's oracle: data-derived hosts + edge
+    replay → chained-CTE PageRank → reputation blocklist → host-gated,
+    rank-re-weighted curation CTEs → the audit report arithmetic."""
+    rounds, prev = _pagerank_rounds(iterations, d)
+    q_raw = (
+        "round(least(1.0, len(regexp_split_to_array(lower(trim(text)), '\\s+')) / 100.0) * 0.4 "
+        "+ (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)) * 0.3 "
+        "+ (1.0 - least(1.0, length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) * 5.0)) * 0.3, 4)"
+    )
+    return f"""
+WITH RECURSIVE hosts AS (
+    SELECT host, row_number() OVER (ORDER BY host) - 1 AS i,
+           count(*) OVER () AS cnt
+    FROM (SELECT DISTINCT source AS host FROM documents)
+),
+eraw AS (
+    SELECT h.host || '.example' AS src, t.host || '.example' AS dst
+    FROM hosts h JOIN hosts t ON t.i = (h.i + 1) % h.cnt
+    UNION ALL
+    SELECT h.host || '.example', z.host || '.example'
+    FROM hosts h JOIN hosts z ON z.i = 0 AND h.i % 2 = 0
+),
+hedges AS (SELECT src, dst, count(*)::DOUBLE AS w FROM eraw GROUP BY src, dst),
+outw AS (SELECT src, sum(w) AS ow FROM hedges GROUP BY src),
+en AS (SELECT e.src, e.dst, e.w / o.ow AS wn FROM hedges e JOIN outw o USING (src)),
+nodes AS (
+    SELECT DISTINCT node FROM (SELECT src AS node FROM hedges UNION ALL SELECT dst FROM hedges)
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+{rounds},
+rank_tbl AS (
+    SELECT replace(node, '.example', '') AS host, round(rank, 6) AS rank
+    FROM {prev}
+),
+planted AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 5 = 4
+                 AND regexp_extract(source, '([0-9]+)', 1)::INT % 2 = 0
+                THEN 'subscribe to our newsletter and accept all cookies on '
+                     || source
+                ELSE text END AS text
+    FROM documents
+),
+repq AS (SELECT source, md5(text) AS digest, {q_raw} AS q FROM planted),
+rep AS (
+    SELECT source AS host,
+           count(digest) AS n_text_pages,
+           count(DISTINCT digest) AS n_unique,
+           round(avg(q), 3) AS avg_quality
+    FROM repq GROUP BY source
+),
+blocked AS (
+    SELECT host FROM rep
+    WHERE coalesce(round(1 - n_unique::DOUBLE / nullif(n_text_pages, 0), 4) > 0.15,
+                   false)
+       OR coalesce(avg_quality < 0.45, false)
+),
+mx AS (SELECT max(rank) AS m FROM rank_tbl),
+pre AS (
+    SELECT p.doc_id, p.text,
+           0.8 + 0.4 * coalesce(r.rank / mx.m, 0.5) AS mult
+    FROM planted p CROSS JOIN mx
+    LEFT JOIN rank_tbl r ON p.source = r.host
+    WHERE p.source NOT IN (SELECT host FROM blocked)
+),
+{_curation_ctes('pre', mult_col='mult')},
+audit AS (
+    SELECT 'blocked_host' AS reject_reason,
+           (SELECT count(*) FROM planted
+            WHERE source IN (SELECT host FROM blocked)) AS n
+    UNION ALL SELECT 'low_quality', count(*) FROM low_q
+    UNION ALL SELECT 'wrong_language', count(*) FROM wrong_lang
+    UNION ALL SELECT 'exact_duplicate', count(*) FROM exact_dropped
+    UNION ALL SELECT 'near_duplicate', count(*) FROM near_dropped
+)
+SELECT reject_reason, n::BIGINT AS n FROM (
+    SELECT reject_reason, n FROM audit WHERE n > 0
+    UNION ALL
+    SELECT 'kept',
+           (SELECT count(*) FROM documents) - (SELECT sum(n) FROM audit)
+)
+ORDER BY reject_reason
 """
 
 
@@ -10881,6 +11073,11 @@ REGISTRY: dict[str, QuerySpec] = {
         host_pagerank_op, _host_pagerank_sql(),
         "crawl-frontier domain ranking: WAT host graph through 5 "
         "PageRank rounds (chained-CTE replay oracle)"
+    ),
+    "curation_with_host_prior": QuerySpec(
+        curation_with_host_prior_op, _curation_host_prior_sql(),
+        "CCNet-style host prior: WAT PageRank + reputation blocklist "
+        "gate/re-weight documents before the per-document gates"
     ),
     # r11 window rotation (session 4): wikipedia_corpus_text (new, never
     # driver-recorded — the multistream wiki-dump source with
