@@ -7913,6 +7913,226 @@ ORDER BY split
 """
 
 
+def wiki_to_training_set_op(spark: SparkSession, sf: str) -> DataFrame:
+    """The wiki front door end to end, one lazy program (mirrors
+    crawl_to_training_set for the dump-sourced corpus): multistream
+    dump bytes → slice-parallel bz2 walk + wikitext extraction
+    (sources/wikixml.read_wiki_pages) → redirect/namespace gate →
+    DECONTAMINATION against the crawl corpus (wiki text is the classic
+    dedup/decontamination source: an anti-join on whitespace-normalized
+    content digests against the documents table) → curation (quality →
+    language → exact + md5-minhash near dedup) → content-addressed
+    train/val/test split → packed per-split summary.
+
+    Fixture: the lowest-36 docs become one 9-stream dump (4 pages per
+    bz2 stream), six 6-page blocks sharing the crawl fixture's topic
+    templates: slot 0 anchor article (heading + nowiki body), slot 1
+    a DIFFERENT wikitext (infobox variant) extracting to the identical
+    text — the markup-level exact-dup class, slot 2 the near-dup tail,
+    slot 3 the digit low-quality plant, slot 4 the contamination plant
+    (verbatim normalized documents.text — caught by the crawl digest
+    join, never reaching curation), slot 5 a redirect. Planted truth ⇒
+    the DuckDB oracle rebuilds the page relation by slot arithmetic,
+    replays the digest join against documents, and reuses the shared
+    curation CTE chain.
+
+    Scale shape: extraction is the slice-parallel Arrow walk; the
+    decontamination join keys on content DIGEST — both sides large in
+    production, so it is a plain shuffled hash join (no broadcast),
+    with map-side distinct on the crawl side; dedup group sizes are
+    duplicate-cluster sizes; the summary is a bounded ≤9-row collect."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.operators.curation import (
+        CurationConfig,
+        curate,
+    )
+    from wc_vector_indexing_spark.operators.sampling import hash_split
+    from wc_vector_indexing_spark.operators.textstats import token_count
+    from wc_vector_indexing_spark.sources.wikixml import (
+        read_wiki_pages,
+        to_wiki_multistream,
+    )
+
+    rows = _markup_fixture_rows(spark, sf)[:36]
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_wikitrain_{key}")
+    done = os.path.join(out, "_DONE")
+    dump_path = os.path.join(out, "pages-multistream.xml.bz2")
+    index_path = os.path.join(out, "pages-multistream-index.txt")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        pages = []
+        for rnk, (doc_id, t) in enumerate(rows):
+            g, slot = rnk // 6, rnk % 6
+            d0 = rows[g * 6][0]
+            pre, suf = _crawl_article_parts(g)
+            article = f"{pre}{d0}{suf}"
+            if slot == 5:
+                pages.append({
+                    "title": f"Doc {doc_id}", "ns": 0, "page_id": doc_id,
+                    "redirect": f"Doc {d0}",
+                    "text": f"#REDIRECT [[Doc {d0}]]",
+                })
+                continue
+            if slot in (0, 1):
+                body = f"== Doc {d0} ==\n<nowiki>{article}</nowiki>"
+                if slot == 1:  # different bytes, identical extraction
+                    body = "{{Infobox|planted}}\n" + body
+            elif slot == 2:
+                body = (f"== Doc {d0} ==\n"
+                        f"<nowiki>{article}{_CRAWL_ND_SUFFIX}</nowiki>")
+            elif slot == 3:
+                body = f"<nowiki>{_CRAWL_LQ_PREFIX}{doc_id}</nowiki>"
+            else:  # slot 4: verbatim crawl text — the contamination plant
+                body = f"<nowiki>{t}</nowiki>"
+            pages.append({
+                "title": f"Doc {doc_id}", "ns": 0, "page_id": doc_id,
+                "text": body,
+            })
+        dump, index = to_wiki_multistream(pages, pages_per_stream=4)
+        with open(dump_path, "wb") as f:
+            f.write(dump)
+        with open(index_path, "w", encoding="utf-8") as f:
+            f.write(index)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    wiki = read_wiki_pages(spark, dump_path, index_path)
+    redirects = (
+        wiki.filter(F.col("is_redirect"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("dropped_redirect").alias("split"), "n_docs"))
+    articles = wiki.filter((F.col("ns") == 0) & ~F.col("is_redirect"))
+
+    def norm_digest(c):
+        return F.md5(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+    crawl_digests = (
+        load(spark, "documents", sf)
+        .select(norm_digest(F.coalesce(F.col("text"), F.lit("")))
+                .alias("digest"))
+        .distinct())
+    wdocs = articles.select(
+        F.col("page_id").alias("doc_id"), "text",
+    ).withColumn("digest", norm_digest(F.col("text")))
+    contaminated = (
+        wdocs.join(crawl_digests, "digest", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("dropped_crawl_duplicate").alias("split"), "n_docs"))
+    clean = wdocs.join(crawl_digests, "digest", "left_anti").drop("digest")
+
+    result = curate(clean, CurationConfig(
+        min_quality=0.5, languages=("en",), minhash_token_hash="md5"))
+    split_summary = (
+        hash_split(result.curated, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg(token_count(F.col("text"))), 2)
+             .alias("avg_tokens")))
+    dropped = (result.audit.groupBy("reject_reason")
+               .agg(F.count(F.lit(1)).alias("n_docs"))
+               .select(F.concat(F.lit("dropped_"),
+                                "reject_reason").alias("split"),
+                       "n_docs"))
+    out_df = split_summary.unionByName(
+        dropped.unionByName(redirects).unionByName(contaminated)
+        .filter(F.col("n_docs") > 0)
+        .select("split", "n_docs",
+                F.lit(None).cast("double").alias("avg_tokens"))
+    ).orderBy("split")
+    rows_out = out_df.collect()  # eager bounded summary: release caches
+    result.unpersist()
+    return spark.createDataFrame(
+        rows_out, "split string, n_docs long, avg_tokens double")
+
+
+def _wiki_to_training_sql() -> str:
+    """wiki_to_training_set's oracle: rebuild the extracted page
+    relation by slot arithmetic (slot 5 never parses as an article;
+    slot 4 is verbatim normalized crawl text), replay the
+    decontamination digest join against documents, then the shared
+    curation CTE chain + split/summary arithmetic."""
+    arms_pre = " ".join(
+        f"WHEN {g} THEN '{_crawl_article_parts(g)[0]}'" for g in range(6))
+    arms_suf = " ".join(
+        f"WHEN {g} THEN '{_crawl_article_parts(g)[1]}'" for g in range(6))
+    return rf"""
+WITH RECURSIVE ids AS (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk,
+           trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 36)
+), slots AS (
+    SELECT doc_id, t, (rnk % 6)::INT AS slot, (rnk // 6)::INT AS g FROM ids
+), anchors AS (
+    SELECT g, doc_id AS d0 FROM slots WHERE slot = 0
+), art AS (
+    SELECT s.doc_id, s.slot, s.t, a.d0,
+           CASE s.g {arms_pre} END || a.d0 ||
+           CASE s.g {arms_suf} END AS anchor_text
+    FROM slots s JOIN anchors a USING (g)
+), wiki AS (
+    SELECT doc_id,
+           CASE WHEN slot IN (0, 1)
+                     THEN 'Doc ' || d0 || chr(10) || anchor_text
+                WHEN slot = 2
+                     THEN 'Doc ' || d0 || chr(10) || anchor_text
+                          || '{_CRAWL_ND_SUFFIX}'
+                WHEN slot = 3 THEN '{_CRAWL_LQ_PREFIX}' || doc_id
+                ELSE t END AS text
+    FROM art WHERE slot < 5
+), crawl_dig AS (
+    SELECT DISTINCT
+           md5(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))
+               AS digest
+    FROM documents
+), contaminated AS (
+    SELECT doc_id FROM wiki
+    WHERE md5(trim(regexp_replace(text, '\s+', ' ', 'g')))
+          IN (SELECT digest FROM crawl_dig)
+), wrem AS (
+    SELECT w.doc_id, w.text FROM wiki w
+    LEFT JOIN contaminated c USING (doc_id)
+    WHERE c.doc_id IS NULL
+), {_curation_ctes('wrem')},
+curated AS (
+    SELECT s2.doc_id, s2.text FROM s2
+    LEFT JOIN near_dropped nd ON s2.doc_id = nd.doc_id
+    WHERE nd.doc_id IS NULL
+), sp AS (
+    SELECT text,
+           (('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::UBIGINT
+            % 10000)::INT AS bucket
+    FROM curated
+), split_rows AS (
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(len(regexp_split_to_array(lower(trim(text)), '\s+'))),
+                 2) AS avg_tokens
+    FROM sp GROUP BY 1
+), dropped AS (
+    SELECT 'dropped_redirect' AS split,
+           (SELECT count(*) FROM slots WHERE slot = 5) AS n_docs
+    UNION ALL SELECT 'dropped_crawl_duplicate',
+                     (SELECT count(*) FROM contaminated)
+    UNION ALL SELECT 'dropped_low_quality', count(*) FROM low_q
+    UNION ALL SELECT 'dropped_wrong_language', count(*) FROM wrong_lang
+    UNION ALL SELECT 'dropped_exact_duplicate', count(*) FROM exact_dropped
+    UNION ALL SELECT 'dropped_near_duplicate', count(*) FROM near_dropped
+)
+SELECT split, n_docs::BIGINT AS n_docs, avg_tokens
+FROM (
+    SELECT split, n_docs, avg_tokens FROM split_rows
+    UNION ALL
+    SELECT split, n_docs, NULL FROM dropped WHERE n_docs > 0
+)
+ORDER BY split
+"""
+
+
 def feed_discovery_op(
     spark: SparkSession, sf: str, *, n: int = 200, mega_entries: int = 0
 ) -> DataFrame:
@@ -10856,6 +11076,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "crawl_to_training_set": QuerySpec(
         crawl_to_training_set_op, _crawl_to_training_sql(),
         "raw WARC bytes → CDX/revisit-resolve/writer-dedup → main text → curate → split summary, one lazy program (planted-truth oracle)"
+    ),
+    "wiki_to_training_set": QuerySpec(
+        wiki_to_training_set_op, _wiki_to_training_sql(),
+        "multistream dump bytes → slice-parallel extract → crawl "
+        "decontamination anti-join → curate → split summary, one lazy "
+        "program (planted-truth oracle)"
     ),
     # r11 window rotation: lang_id_ngram (new, never driver-recorded —
     # the 14-language/7-script crawl router the r10 verdict ranked #4)
