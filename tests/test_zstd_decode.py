@@ -217,3 +217,148 @@ def test_huffman_stream_exact_consumption():
                                       2)) == 2
     with pytest.raises(ValueError, match="exactly consumed"):
         _huffman_decode_stream(bytes([0b111]), table, max_bits, 1)
+
+
+# ------------------------------------------------- dictionary frames
+
+import shutil
+import subprocess
+import tempfile
+from pathlib import Path
+
+_ZSTD_CLI = shutil.which("zstd")
+
+
+def _train_dict(tmp: Path, n_samples: int = 64, maxdict: int = 4096) -> Path:
+    """Train a real dictionary with the zstd CLI (the independent
+    writer, same discipline as the libzstd round-trips above)."""
+    samples = []
+    for i in range(n_samples):
+        body = (
+            f"shared header tokens across every sample file number {i} "
+            f"with a common tail of boilerplate words {_wordsoup(160, i).decode('latin1')}"
+        )
+        p = tmp / f"s{i}.txt"
+        p.write_bytes(body.encode("latin1"))
+        samples.append(str(p))
+    dpath = tmp / "dict.bin"
+    subprocess.run(
+        [_ZSTD_CLI, "--train", *samples, "-o", str(dpath),
+         f"--maxdict={maxdict}"],
+        check=True, capture_output=True)
+    return dpath
+
+
+def _cli_compress(payload: bytes, dict_path: Path | None,
+                  tmp: Path, name: str) -> bytes:
+    src = tmp / name
+    src.write_bytes(payload)
+    cmd = [_ZSTD_CLI, "-q", "-f", str(src), "-o", str(src) + ".zst"]
+    if dict_path is not None:
+        cmd[1:1] = ["-D", str(dict_path)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return (tmp / (name + ".zst")).read_bytes()
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="zstd CLI not available")
+def test_dictionary_roundtrip_against_cli():
+    from wc_vector_indexing_spark.operators.zstd_decode import (
+        ZDICT_MAGIC,
+        parse_zstd_dictionary,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        dpath = _train_dict(tmp)
+        dict_bytes = dpath.read_bytes()
+        assert struct.unpack_from("<I", dict_bytes, 0)[0] == ZDICT_MAGIC
+        zd = parse_zstd_dictionary(dict_bytes)
+        assert zd.dict_id != 0 and len(zd.content) > 0
+        payloads = [
+            b"shared header tokens across every sample file number 7 "
+            b"with a common tail of boilerplate words and some novel "
+            b"content the dictionary has never seen before 12345",
+            _wordsoup(5000, 99),
+            b"x",  # tiny payload: dict still referenced
+        ]
+        for i, payload in enumerate(payloads):
+            frame = _cli_compress(payload, dpath, tmp, f"p{i}.bin")
+            assert zstd_decompress(frame, dictionary=dict_bytes) == payload
+            # pre-parsed dictionary object takes the same path
+            assert zstd_decompress(frame, dictionary=zd) == payload
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="zstd CLI not available")
+def test_dictionary_seam_and_mismatch():
+    from wc_vector_indexing_spark.operators.zstd_decode import (
+        parse_zstd_dictionary,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        dpath = _train_dict(tmp)
+        payload = b"shared header tokens across every sample file"
+        frame = _cli_compress(payload, dpath, tmp, "p.bin")
+        # frame names a dictionary id, none supplied: the documented
+        # external-resolution seam
+        with pytest.raises(NotImplementedError, match="references"):
+            zstd_decompress(frame)
+        # wrong dictionary: flip the stored id
+        wrong = bytearray(dpath.read_bytes())
+        wrong[4] ^= 0xFF
+        with pytest.raises(ValueError, match="wants dictionary"):
+            zstd_decompress(frame, dictionary=bytes(wrong))
+        # id-checked before use: parse still fine
+        assert parse_zstd_dictionary(bytes(wrong)).dict_id != \
+            parse_zstd_dictionary(dpath.read_bytes()).dict_id
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="zstd CLI not available")
+def test_raw_content_dictionary_roundtrip():
+    # a non-magic dictionary file is pure prefix content (§5); the CLI
+    # accepts it the same way, so the round trip pins our handling
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        raw = (b"raw content prefix dictionary with recurring phrases "
+               b"the encoder may copy from ") * 20
+        dpath = tmp / "raw.dict"
+        dpath.write_bytes(raw)
+        payload = (b"a payload that repeats: raw content prefix "
+                   b"dictionary with recurring phrases the encoder may "
+                   b"copy from and then diverges into its own text")
+        frame = _cli_compress(payload, dpath, tmp, "p.bin")
+        assert zstd_decompress(frame, dictionary=raw) == payload
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="zstd CLI not available")
+def test_zstd_lines_source_with_dictionary(spark):
+    from wc_vector_indexing_spark.sources.zstd_text import read_zstd_lines
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        dpath = _train_dict(tmp)
+        shard_dir = tmp / "shards"
+        shard_dir.mkdir()
+        want = {}
+        for s in range(3):
+            lines = [
+                f"shared header tokens across every sample shard {s} line {i}"
+                for i in range(10)
+            ]
+            payload = ("\n".join(lines) + "\n").encode()
+            frame = _cli_compress(payload, dpath, tmp, f"shard{s}.bin")
+            (shard_dir / f"shard{s}.zst").write_bytes(frame)
+            want[f"shard{s}.zst"] = lines
+        got = read_zstd_lines(
+            spark, str(shard_dir / "*.zst"), dict_path=str(dpath)
+        ).collect()
+        by_shard = {}
+        for r in got:
+            by_shard.setdefault(r.path.rsplit("/", 1)[-1], []).append(
+                (r.line_no, r.line))
+        assert {k: [ln for _, ln in sorted(v)] for k, v in by_shard.items()} \
+            == want
+        # without the dictionary the shards must fail loudly, not
+        # decode garbage
+        with pytest.raises(Exception, match="dictionary"):
+            read_zstd_lines(spark, str(shard_dir / "*.zst")).collect()

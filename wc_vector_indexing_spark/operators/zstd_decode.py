@@ -21,11 +21,15 @@ round-trips — a wrong constant cannot decode libzstd output
 byte-exactly across varied inputs.
 
 Scope: single-segment and windowed frames, skippable frames, multi-
-frame concatenation. Dictionary-referencing frames raise
-NotImplementedError (external-dictionary resolution is a documented
-seam); the optional content checksum IS verified — via the
-from-scratch xxh64 below, itself cross-validated against the JVM's
-xxhash64 (tests/test_zstd_decode.py).
+frame concatenation, and DICTIONARY frames (RFC 8878 §5: structured
+dictionaries with entropy-table seeds, initial repeat offsets, and
+content-prefix history, plus raw-content dictionaries) — round-tripped
+against the zstd CLI's own --train dictionaries. A frame that
+references a dictionary ID with none supplied still raises
+NotImplementedError (external RESOLUTION — fetching the right dict for
+an ID — remains the caller's seam). The optional content checksum IS
+verified — via the from-scratch xxh64 below, itself cross-validated
+against the JVM's xxhash64 (tests/test_zstd_decode.py).
 
 Spark shape: the decoder is a per-blob scalar; the census entry runs
 it inside one zero-shuffle Arrow pass, and at cluster scale it rides
@@ -546,11 +550,14 @@ def _sequence_table(kind: str, mode: int, data: bytes,
 
 
 def _decode_block(block: bytes, out: bytearray, reps: list[int],
-                  tables: _FrameTables, block_max: int) -> None:
-    """One Compressed_Block → appends to ``out``, updates reps.
-    ``block_max`` (min(Window_Size, 128KiB)) bounds the regenerated
-    size INSIDE the sequence loop — a crafted ~100k-sequence block
-    could otherwise materialize gigabytes before any caller check."""
+                  tables: _FrameTables, block_max: int,
+                  hist: bytes = b"") -> None:
+    """One Compressed_Block → appends to ``out`` (the current FRAME's
+    buffer), updates reps. ``block_max`` (min(Window_Size, 128KiB))
+    bounds the regenerated size INSIDE the sequence loop — a crafted
+    ~100k-sequence block could otherwise materialize gigabytes before
+    any caller check. ``hist`` is the dictionary content prefix (§5):
+    match offsets may reach ``len(out) + len(hist)`` back."""
     lits, used = _decode_literals(block, tables)
     seq_region = block[used:]
     if not seq_region:
@@ -632,15 +639,23 @@ def _decode_block(block: bytes, out: bytearray, reps: list[int],
             raise ValueError("zstd: sequence literal run overruns literals")
         out += lits[lit_pos:lit_pos + ll]
         lit_pos += ll
-        if offset > len(out):
+        if offset > len(out) + len(hist):
             raise ValueError("zstd: match offset beyond history")
-        if offset >= ml:
-            start = len(out) - offset
-            out += out[start:start + ml]
-        else:  # overlapping copy: byte-at-a-time semantics
-            start = len(out) - offset
-            for k in range(ml):
-                out.append(out[start + k])
+        if offset <= len(out):
+            if offset >= ml:
+                start = len(out) - offset
+                out += out[start:start + ml]
+            else:  # overlapping copy: byte-at-a-time semantics
+                start = len(out) - offset
+                for k in range(ml):
+                    out.append(out[start + k])
+        else:
+            # match starts inside the dictionary content prefix; may
+            # cross into the frame's own output — byte-at-a-time with
+            # the source position recomputed handles both (and overlap)
+            for _ in range(ml):
+                p = len(out) - offset
+                out.append(hist[len(hist) + p] if p < 0 else out[p])
         if i + 1 < nseq:
             ll_st.update(stream)
             ml_st.update(stream)
@@ -661,14 +676,72 @@ DEFAULT_MAX_OUTPUT = 1 << 30  # 1 GiB
 _BLOCK_MAX_ABS = 128 * 1024  # RFC 8878 §3.1.1.2.3 absolute block cap
 
 
+ZDICT_MAGIC = 0xEC30A437  # RFC 8878 §5
+
+
+class ZstdDictionary:
+    """Parsed decode dictionary (RFC 8878 §5): the entropy tables that
+    seed a frame's Repeat/Treeless modes, the initial offset history,
+    and the content prefix match offsets may reach into."""
+
+    __slots__ = ("dict_id", "huffman", "fse", "content", "reps")
+
+    def __init__(self, dict_id, huffman, fse, content, reps):
+        self.dict_id = dict_id
+        self.huffman = huffman
+        self.fse = fse
+        self.content = content
+        self.reps = reps
+
+
+def parse_zstd_dictionary(data: bytes) -> ZstdDictionary:
+    """Dictionary file bytes → :class:`ZstdDictionary`. A file without
+    the 0xEC30A437 magic is a RAW-CONTENT dictionary (§5: "content-only
+    dictionary"): every byte is prefix history, no entropy tables, no
+    ID. Structured dictionaries carry a Huffman literals table, the
+    OF/ML/LL FSE tables (that order), three initial repeat offsets, and
+    the content."""
+    if len(data) < 8 or struct.unpack_from("<I", data, 0)[0] != ZDICT_MAGIC:
+        return ZstdDictionary(0, None, {}, bytes(data), [1, 4, 8])
+    (dict_id,) = struct.unpack_from("<I", data, 4)
+    pos = 8
+    huff_table, max_bits, used = _read_huffman(data[pos:])
+    pos += used
+    fse: dict[str, tuple[list[tuple[int, int, int]], int]] = {}
+    for kind in ("of", "ml", "ll"):
+        counts, acc, used = fse_read_ncount(
+            data[pos:], _MAX_SYM[kind], _MAX_ACC[kind])
+        fse[kind] = (fse_build_table(counts, acc), acc)
+        pos += used
+    if pos + 12 > len(data):
+        raise ValueError("zstd dict: truncated repeat offsets")
+    reps = list(struct.unpack_from("<III", data, pos))
+    pos += 12
+    content = bytes(data[pos:])
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ValueError("zstd dict: repeat offset outside content")
+    return ZstdDictionary(dict_id, (huff_table, max_bits), fse, content,
+                          reps)
+
+
 @quarantine("zstd")
 def zstd_decompress(data: bytes, verify_checksum: bool = True,
-                    max_output: int | None = DEFAULT_MAX_OUTPUT) -> bytes:
+                    max_output: int | None = DEFAULT_MAX_OUTPUT,
+                    dictionary: bytes | ZstdDictionary | None = None,
+                    ) -> bytes:
     """Full RFC 8878 decode of one-or-more concatenated frames
     (skippable frames skipped). Frames carrying the optional content
     checksum are VERIFIED (xxh64 low-32 of the decoded frame) unless
-    ``verify_checksum=False``. Raises ValueError for corrupt input,
-    NotImplementedError for dictionary-referencing frames.
+    ``verify_checksum=False``. Raises ValueError for corrupt input.
+
+    ``dictionary``: raw dictionary-file bytes (or a pre-parsed
+    :class:`ZstdDictionary`) applied to every frame — entropy-table
+    seeds, initial repeat offsets, and content-prefix history (§5).
+    A frame that references a dictionary ID with none supplied raises
+    NotImplementedError (the external-resolution seam); a supplied
+    structured dictionary whose ID mismatches the frame's raises
+    ValueError.
 
     Allocation is bounded (the walker duty contract.py assigns —
     MemoryError is deliberately not quarantined): every block must obey
@@ -677,6 +750,11 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True,
     fails at the first overrun, not after materializing the bomb), and
     total regenerated bytes across frames are capped at ``max_output``
     (pass ``None`` only for trusted input)."""
+    zdict = None
+    if dictionary is not None:
+        zdict = (dictionary if isinstance(dictionary, ZstdDictionary)
+                 else parse_zstd_dictionary(dictionary))
+    hist = zdict.content if zdict is not None else b""
     out = bytearray()
     pos = 0
     while pos < len(data):
@@ -718,9 +796,22 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True,
             window_base = 1 << window_log
             window_size = window_base + (window_base >> 3) * mantissa
             pos += 1
-        if dict_flag:
+        did_len = (0, 1, 2, 4)[dict_flag]
+        frame_did = None
+        if did_len:
+            if pos + did_len > len(data):
+                raise ValueError("zstd: truncated dictionary id")
+            frame_did = int.from_bytes(data[pos:pos + did_len], "little")
+            pos += did_len
+        if frame_did and zdict is None:
             raise NotImplementedError(
-                "zstd: dictionary-referencing frames are a documented seam")
+                f"zstd: frame references dictionary {frame_did} and none "
+                "was supplied (external-resolution seam)")
+        if (frame_did and zdict is not None and zdict.dict_id
+                and zdict.dict_id != frame_did):
+            raise ValueError(
+                f"zstd: frame wants dictionary {frame_did}, "
+                f"supplied {zdict.dict_id}")
         fcs_len = {0: (1 if single_seg else 0), 1: 2, 2: 4, 3: 8}[fcs_code]
         content_size = None
         if fcs_len:
@@ -734,9 +825,16 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True,
             # §3.1.1.1.2: single-segment frames use FCS as the window.
             window_size = content_size
         block_max = min(window_size, _BLOCK_MAX_ABS)
-        frame_start = len(out)
-        reps = [1, 4, 8]
+        # per-FRAME output buffer: frames are independent by spec, so a
+        # match offset may reach the current frame's output and the
+        # dictionary content prefix — never a PREVIOUS frame's bytes
+        # (the old shared buffer allowed exactly that corruption class)
+        fout = bytearray()
+        reps = list(zdict.reps) if zdict is not None else [1, 4, 8]
         tables = _FrameTables()
+        if zdict is not None:
+            tables.huffman = zdict.huffman
+            tables.fse = dict(zdict.fse)
         while True:
             if pos + 3 > len(data):
                 raise ValueError("zstd: truncated block header")
@@ -747,34 +845,34 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True,
                 raise ValueError(
                     f"zstd: block size {bsize} exceeds "
                     f"min(window {window_size}, 128KiB)")
-            block_out_start = len(out)
+            block_out_start = len(fout)
             if btype == 0:  # Raw
                 if pos + bsize > len(data):
                     raise ValueError("zstd: raw block overruns input")
-                out += data[pos:pos + bsize]
+                fout += data[pos:pos + bsize]
                 pos += bsize
             elif btype == 1:  # RLE
                 if pos >= len(data):
                     raise ValueError("zstd: truncated RLE block")
-                out += bytes([data[pos]]) * bsize
+                fout += bytes([data[pos]]) * bsize
                 pos += 1
             elif btype == 2:  # Compressed
                 if pos + bsize > len(data):
                     raise ValueError("zstd: compressed block overruns input")
-                _decode_block(data[pos:pos + bsize], out, reps, tables,
-                              block_max)
+                _decode_block(data[pos:pos + bsize], fout, reps, tables,
+                              block_max, hist)
                 pos += bsize
             else:
                 raise ValueError("zstd: reserved block type")
-            if len(out) - block_out_start > block_max:
+            if len(fout) - block_out_start > block_max:
                 raise ValueError(
                     "zstd: block regenerated more than "
                     "min(window, 128KiB) bytes")
-            if (content_size is not None
-                    and len(out) - frame_start > content_size):
+            if content_size is not None and len(fout) > content_size:
                 raise ValueError(
                     "zstd: frame overran its declared content size")
-            if max_output is not None and len(out) > max_output:
+            if (max_output is not None
+                    and len(out) + len(fout) > max_output):
                 raise ValueError(
                     f"zstd: output exceeds max_output={max_output} "
                     "(decompression-bomb guard; raise for trusted input)")
@@ -785,12 +883,13 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True,
                 raise ValueError("zstd: truncated content checksum")
             if verify_checksum:
                 (want,) = struct.unpack_from("<I", data, pos)
-                got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+                got = xxh64(bytes(fout)) & 0xFFFFFFFF
                 if got != want:
                     raise ValueError(
                         f"zstd: content checksum mismatch "
                         f"(got {got:08x}, frame says {want:08x})")
             pos += 4
-        if content_size is not None and len(out) - frame_start != content_size:
+        if content_size is not None and len(fout) != content_size:
             raise ValueError("zstd: decoded size != frame content size")
+        out += fout
     return bytes(out)

@@ -38,6 +38,11 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None  # DuckDB oracle; None => non-SQL-expressible (rows-only check)
     description: str
+    # eager-summary entries (fn collects a bounded report and returns a
+    # driver-built frame, hiding the real program from .explain): this
+    # returns the LAZY pre-collect composition so tools/plan_audit.py
+    # can audit the actual shuffle/join/python shape
+    audit_fn: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 # --------------------------------------------------------------------------
@@ -2249,6 +2254,40 @@ def training_data_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "split string, n_docs long, avg_tokens double")
 
 
+def _training_pipeline_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """training_data_pipeline's plan-audit surface: the composition up
+    to the split summary, with the DSIR percentile threshold taken at
+    a fixed literal (the real op derives it with one bounded scalar
+    action; the corpus program's shape is identical either way)."""
+    from wc_vector_indexing_spark.operators.curation import (
+        CurationConfig,
+        curate,
+    )
+    from wc_vector_indexing_spark.operators.importance import (
+        importance_weights,
+    )
+    from wc_vector_indexing_spark.operators.sampling import hash_split
+    from wc_vector_indexing_spark.operators.textstats import token_count
+
+    docs = load(spark, "documents", sf)
+    result = curate(docs, CurationConfig(
+        min_quality=0.5, languages=("en",), minhash_token_hash="md5"))
+    curated = result.curated
+    w = importance_weights(
+        curated, F.col("source").isin("src1", "src2", "src3"),
+        n_buckets=1024)
+    selected = curated.join(
+        w.filter(F.col("log_weight") >= 0.0).select("doc_id"),
+        "doc_id", "left_semi")
+    return (
+        hash_split(selected, "doc_id")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg(token_count(F.col("text"))), 2)
+             .alias("avg_tokens"))
+        .orderBy("split"))
+
+
 def importance_resample_op(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance RESAMPLING (operators/sampling.gumbel_top_k over
     operators/importance weights): Gumbel-max weighted top-200 without
@@ -2326,6 +2365,21 @@ def curation_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
     report = curation_report(docs, result.audit)  # eager — safe to release now
     result.unpersist()
     return report
+
+
+def _curation_pipeline_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """curation_pipeline's plan-audit surface: the lazy audit-chain
+    aggregate (curation_report itself is a bounded driver collect)."""
+    from wc_vector_indexing_spark.operators.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    docs = load(spark, "documents", sf)
+    result = curate(docs, CurationConfig(
+        min_quality=0.5, languages=("en",), minhash_token_hash="md5"))
+    return result.audit.groupBy("reject_reason").agg(
+        F.count(F.lit(1)).alias("n"))
 
 
 def _curation_ctes(rel: str = "documents", mult_col: str | None = None) -> str:
@@ -5912,15 +5966,21 @@ ORDER BY doc_id
 
 def zstd_jsonl_corpus_op(spark: SparkSession, sf: str) -> DataFrame:
     """.zst JSONL corpus source (sources/zstd_text.read_zstd_jsonl):
-    the lowest-48 docs become FOUR libzstd-compressed JSONL shards
+    the lowest-48 docs become FOUR zstd-compressed JSONL shards
     (this Spark has no native-Hadoop zstd codec, so the pure-Python
     decoder is the only way to read them at all); one decode per
     shard per task, then get_json_object field extraction JVM-side.
+    When the zstd CLI is present the shards are DICTIONARY-compressed
+    with a CLI-trained dictionary (the Common Crawl CDX shard shape)
+    and read through ``dict_path`` — the §5 decode path rides the
+    driver gate, not only pytest; otherwise plain libzstd shards.
     Direct value match over (doc_id, text) — raw text, newlines and
     all, through the JSON escape/unescape round trip."""
     import hashlib
     import json as _json
     import os
+    import shutil as _shutil
+    import subprocess as _sp
     import tempfile
 
     import pyarrow as _pa
@@ -5932,8 +5992,9 @@ def zstd_jsonl_corpus_op(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("doc_id").limit(48).collect()
     )
     key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"wcvi_zstjsonl_{key}")
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_zstjsonl2_{key}")
     done = os.path.join(out, "_DONE")
+    dict_file = os.path.join(out, "shards.dict")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
         shards: list[list[str]] = [[], [], [], []]
@@ -5941,17 +6002,43 @@ def zstd_jsonl_corpus_op(spark: SparkSession, sf: str) -> DataFrame:
             shards[rnk % 4].append(_json.dumps(
                 {"doc_id": int(r.doc_id), "text": r.text or ""},
                 sort_keys=True))
+        cli = _shutil.which("zstd")
+        if cli is not None:
+            # train on the individual JSONL lines (one sample per
+            # file, the CLI's contract), then dict-compress each shard
+            sdir = os.path.join(out, "_samples")
+            os.makedirs(sdir, exist_ok=True)
+            samples = []
+            for i, lines in enumerate(shards):
+                for j, ln in enumerate(lines):
+                    p = os.path.join(sdir, f"s{i}_{j}.txt")
+                    with open(p, "w", encoding="utf-8") as f:
+                        f.write(ln)
+                    samples.append(p)
+            _sp.run([cli, "--train", *samples, "-o", dict_file,
+                     "--maxdict=16384"], check=True, capture_output=True)
         for i, lines in enumerate(shards):
             blob = ("\n".join(lines) + "\n").encode("utf-8")
-            comp = bytes(_pa.Codec("zstd", compression_level=3)
-                         .compress(blob))
-            with open(os.path.join(out, f"shard-{i}.jsonl.zst"), "wb") as f:
-                f.write(comp)
+            shard_path = os.path.join(out, f"shard-{i}.jsonl.zst")
+            if cli is not None:
+                raw_path = os.path.join(out, f"shard-{i}.jsonl")
+                with open(raw_path, "wb") as f:
+                    f.write(blob)
+                _sp.run([cli, "-q", "-f", "-D", dict_file, raw_path,
+                         "-o", shard_path], check=True,
+                        capture_output=True)
+                os.unlink(raw_path)
+            else:
+                comp = bytes(_pa.Codec("zstd", compression_level=3)
+                             .compress(blob))
+                with open(shard_path, "wb") as f:
+                    f.write(comp)
         with open(done, "w") as f:
             f.write("ok")
     docs = read_zstd_jsonl(
         spark, os.path.join(out, "shard-*.jsonl.zst"),
         {"doc_id": "long", "text": "string"},
+        dict_path=dict_file if os.path.exists(dict_file) else None,
     )
     return docs.select("doc_id", "text").orderBy("doc_id")
 
@@ -7749,6 +7836,21 @@ def crawl_to_training_set_op(spark: SparkSession, sf: str) -> DataFrame:
     written artifact between stages). Dedup joins key on digest/url —
     group sizes are duplicate-cluster sizes, never all-pairs; the
     summary is a bounded 9-row collect."""
+    out, caches = _crawl_training_program(spark, sf)
+    rows = out.collect()  # eager bounded summary: release caches after
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(
+        rows, "split string, n_docs long, n_captures long, avg_tokens double")
+
+
+def _crawl_training_program(
+    spark: SparkSession, sf: str,
+) -> tuple[DataFrame, tuple]:
+    """crawl_to_training_set's LAZY composition (pre-collect) plus the
+    persisted handles to release — also the plan-audit surface
+    (QuerySpec.audit_fn), so PLANS.md shows the real shuffle/python
+    shape instead of the driver-built summary frame."""
     from wc_vector_indexing_spark.operators.curation import (
         CurationConfig,
         curate,
@@ -7835,11 +7937,7 @@ def crawl_to_training_set_op(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(None).cast("long").alias("n_captures"),
                 F.lit(None).cast("double").alias("avg_tokens"))
     ).orderBy("split")
-    rows = out.collect()  # eager bounded summary: release caches after
-    result.unpersist()
-    cdx.unpersist()
-    return spark.createDataFrame(
-        rows, "split string, n_docs long, n_captures long, avg_tokens double")
+    return out, (result, cdx)
 
 
 def _crawl_to_training_sql() -> str:
@@ -7941,6 +8039,19 @@ def wiki_to_training_set_op(spark: SparkSession, sf: str) -> DataFrame:
     production, so it is a plain shuffled hash join (no broadcast),
     with map-side distinct on the crawl side; dedup group sizes are
     duplicate-cluster sizes; the summary is a bounded ≤9-row collect."""
+    out_df, caches = _wiki_training_program(spark, sf)
+    rows_out = out_df.collect()  # eager bounded summary: release caches
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(
+        rows_out, "split string, n_docs long, avg_tokens double")
+
+
+def _wiki_training_program(
+    spark: SparkSession, sf: str,
+) -> tuple[DataFrame, tuple]:
+    """wiki_to_training_set's LAZY composition (pre-collect) plus the
+    persisted handles to release — also the plan-audit surface."""
     import hashlib
     import os
     import tempfile
@@ -8043,10 +8154,7 @@ def wiki_to_training_set_op(spark: SparkSession, sf: str) -> DataFrame:
         .select("split", "n_docs",
                 F.lit(None).cast("double").alias("avg_tokens"))
     ).orderBy("split")
-    rows_out = out_df.collect()  # eager bounded summary: release caches
-    result.unpersist()
-    return spark.createDataFrame(
-        rows_out, "split string, n_docs long, avg_tokens double")
+    return out_df, (result,)
 
 
 def _wiki_to_training_sql() -> str:
@@ -10287,15 +10395,35 @@ def curation_with_host_prior_op(spark: SparkSession, sf: str) -> DataFrame:
 
     Reference analogue: the priority-ordered candidate union J7
     (class-scheduler.php:143-154), restated as quality priority."""
-    import hashlib
-    import os
-    import tempfile
-
     from wc_vector_indexing_spark.operators.curation import (
         CurationConfig,
         curate,
         curation_report,
     )
+
+    planted, prior = _host_prior_inputs(spark, sf)
+    result = curate(
+        planted,
+        CurationConfig(
+            min_quality=0.5, languages=("en",), minhash_token_hash="md5"
+        ),
+        host_prior=prior,
+    )
+    report = curation_report(planted, result.audit)  # eager
+    result.unpersist()
+    return report
+
+
+def _host_prior_inputs(
+    spark: SparkSession, sf: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(planted corpus, host prior table) for curation_with_host_prior:
+    the planted crawl fixture → WAT link graph → PageRank rank, joined
+    with the host_reputation blocklist over the boilerplate plant."""
+    import hashlib
+    import os
+    import tempfile
+
     from wc_vector_indexing_spark.operators.graph import pagerank
     from wc_vector_indexing_spark.operators.reputation import host_reputation
     from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
@@ -10346,6 +10474,18 @@ def curation_with_host_prior_op(spark: SparkSession, sf: str) -> DataFrame:
     )
     rep = host_reputation(planted).select("host", "blocked")
     prior = rank.join(rep, "host", "outer")
+    return planted, prior
+
+
+def _curation_host_prior_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """curation_with_host_prior's plan-audit surface: the lazy
+    audit-chain aggregate over the host-prior-gated curation."""
+    from wc_vector_indexing_spark.operators.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    planted, prior = _host_prior_inputs(spark, sf)
     result = curate(
         planted,
         CurationConfig(
@@ -10353,9 +10493,8 @@ def curation_with_host_prior_op(spark: SparkSession, sf: str) -> DataFrame:
         ),
         host_prior=prior,
     )
-    report = curation_report(planted, result.audit)  # eager
-    result.unpersist()
-    return report
+    return result.audit.groupBy("reject_reason").agg(
+        F.count(F.lit(1)).alias("n"))
 
 
 def _curation_host_prior_sql(iterations: int = 5, d: float = 0.85) -> str:
@@ -11075,13 +11214,15 @@ REGISTRY: dict[str, QuerySpec] = {
     # r8 + r10) slides below the 50-entry cutoff in exchange.
     "crawl_to_training_set": QuerySpec(
         crawl_to_training_set_op, _crawl_to_training_sql(),
-        "raw WARC bytes → CDX/revisit-resolve/writer-dedup → main text → curate → split summary, one lazy program (planted-truth oracle)"
+        "raw WARC bytes → CDX/revisit-resolve/writer-dedup → main text → curate → split summary, one lazy program (planted-truth oracle)",
+        audit_fn=lambda spark, sf: _crawl_training_program(spark, sf)[0],
     ),
     "wiki_to_training_set": QuerySpec(
         wiki_to_training_set_op, _wiki_to_training_sql(),
         "multistream dump bytes → slice-parallel extract → crawl "
         "decontamination anti-join → curate → split summary, one lazy "
-        "program (planted-truth oracle)"
+        "program (planted-truth oracle)",
+        audit_fn=lambda spark, sf: _wiki_training_program(spark, sf)[0],
     ),
     # r11 window rotation: lang_id_ngram (new, never driver-recorded —
     # the 14-language/7-script crawl router the r10 verdict ranked #4)
@@ -11303,7 +11444,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "curation_with_host_prior": QuerySpec(
         curation_with_host_prior_op, _curation_host_prior_sql(),
         "CCNet-style host prior: WAT PageRank + reputation blocklist "
-        "gate/re-weight documents before the per-document gates"
+        "gate/re-weight documents before the per-document gates",
+        audit_fn=_curation_host_prior_audit,
     ),
     # r11 window rotation (session 4): wikipedia_corpus_text (new, never
     # driver-recorded — the multistream wiki-dump source with
@@ -11534,11 +11676,13 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "training_data_pipeline": QuerySpec(
         training_data_pipeline_op, _training_pipeline_sql(),
-        "curate -> DSIR gate -> split, end to end (full-composition SQL oracle)"
+        "curate -> DSIR gate -> split, end to end (full-composition SQL oracle)",
+        audit_fn=_training_pipeline_audit,
     ),
     "curation_pipeline": QuerySpec(
         curation_pipeline_op, _curation_sql(),
-        "end-to-end curation audit (md5 minhash, full-pipeline SQL oracle)"
+        "end-to-end curation audit (md5 minhash, full-pipeline SQL oracle)",
+        audit_fn=_curation_pipeline_audit,
     ),
     "exact_substring_removal": QuerySpec(
         exact_substring_removal_op, EXACT_SUBSTR_SQL, "ExactSubstr duplicated-span removal"

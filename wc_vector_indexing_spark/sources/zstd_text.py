@@ -31,11 +31,22 @@ from wc_vector_indexing_spark.operators.zstd_decode import zstd_decompress
 
 
 def read_zstd_lines(spark: SparkSession, path: str,
-                    on_error: str = "raise") -> DataFrame:
+                    on_error: str = "raise",
+                    dict_path: str | None = None) -> DataFrame:
     """(path, line_no, line): every text line of every ``.zst`` shard,
-    in file order. One decode per shard per task, zero shuffle."""
+    in file order. One decode per shard per task, zero shuffle.
+
+    ``dict_path``: a zstd dictionary file (RFC 8878 §5 structured, or
+    raw-content) for dictionary-compressed shards — Common Crawl's own
+    CDX ``.zst`` shards ship this way. Read ONCE on the driver (dicts
+    are ~16-112 KiB) and shipped to executors inside the task closure,
+    the same distribution class as a broadcast dim table."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
+    dict_bytes: bytes | None = None
+    if dict_path is not None:
+        with open(dict_path, "rb") as fh:
+            dict_bytes = fh.read()
     raw = (
         spark.read.format("binaryFile").load(path)
         .select("path", "content")
@@ -47,7 +58,9 @@ def read_zstd_lines(spark: SparkSession, path: str,
             rows: list[tuple] = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    text = zstd_decompress(bytes(content)).decode("utf-8")
+                    text = zstd_decompress(
+                        bytes(content), dictionary=dict_bytes,
+                    ).decode("utf-8")
                 except (ValueError, NotImplementedError,
                         UnicodeDecodeError) as e:
                     if on_error == "raise":
@@ -68,13 +81,16 @@ def read_zstd_lines(spark: SparkSession, path: str,
 
 
 def read_zstd_jsonl(spark: SparkSession, path: str, fields: dict[str, str],
-                    on_error: str = "raise") -> DataFrame:
+                    on_error: str = "raise",
+                    dict_path: str | None = None) -> DataFrame:
     """(path, line_no, <fields>): JSONL rows from ``.zst`` shards.
     ``fields`` maps output column → Spark cast type (e.g.
     ``{"id": "long", "text": "string"}``); extraction is
     ``get_json_object`` — pure Catalyst over the decoded line column,
-    so adding fields never adds Python work."""
-    lines = read_zstd_lines(spark, path, on_error=on_error)
+    so adding fields never adds Python work. ``dict_path`` as in
+    :func:`read_zstd_lines`."""
+    lines = read_zstd_lines(spark, path, on_error=on_error,
+                            dict_path=dict_path)
     cols = [F.get_json_object("line", f"$.{name}").cast(typ).alias(name)
             for name, typ in fields.items()]
     return lines.select("path", "line_no", *cols)
