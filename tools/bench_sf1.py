@@ -248,6 +248,19 @@ def run(names: list[str], full: bool = False) -> None:
     keep = {"skewed_curvature"} | (
         set() if full else {"full_catalog", "full_catalog_n"})
     prev_queries = {} if full else dict(artifact.get("queries", {}))
+    if not full:
+        # a targeted run must MERGE its flags with the standing
+        # full-catalog verdicts, not clobber them: the r11 artifact
+        # ended up with overlapping_sessions superlinear in
+        # full_catalog but absent from flagged_superlinear exactly
+        # this way
+        for key in ("flagged_superlinear", "errored"):
+            for n in artifact.get(key, []):
+                if n not in results:
+                    (flagged if key == "flagged_superlinear"
+                     else errored).append(n)
+        flagged[:] = sorted(set(flagged))
+        errored[:] = sorted(set(errored))
     artifact = {k: v for k, v in artifact.items() if k in keep}
     artifact |= {
         "sf_small": 0.1,
