@@ -1,0 +1,47 @@
+"""Frontier politeness scheduler: per-host ordering, crawl-delay
+spacing, host-affine fetcher assignment."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+
+from wc_vector_indexing_spark.operators.frontier import schedule_frontier
+
+
+def _fetcher(host: str, n: int = 32) -> int:
+    return int(hashlib.md5(host.encode()).hexdigest()[:8], 16) % n
+
+
+def test_schedule_orders_and_spaces(spark):
+    frontier = spark.createDataFrame([
+        Row(url="https://a.example/1", host="a.example", priority=1.0),
+        Row(url="https://a.example/2", host="a.example", priority=9.0),
+        Row(url="https://a.example/3", host="a.example", priority=9.0),
+        Row(url="https://b.example/1", host="b.example", priority=5.0),
+    ])
+    politeness = spark.createDataFrame(
+        [Row(host="a.example", crawl_delay_s=2.5)])
+    got = {r.url: r for r in schedule_frontier(
+        frontier, politeness, n_fetchers=8).collect()}
+    # priority desc, then url asc: /2 (9.0) before /3 (9.0) before /1
+    assert got["https://a.example/2"].slot == 0
+    assert got["https://a.example/3"].slot == 1
+    assert got["https://a.example/1"].slot == 2
+    assert got["https://a.example/1"].scheduled_offset_s == 5.0
+    # host absent from politeness uses the default 1.0s delay
+    assert got["https://b.example/1"].slot == 0
+    assert got["https://b.example/1"].scheduled_offset_s == 0.0
+    # host-affine md5 assignment, engine-portable
+    for r in got.values():
+        assert r.fetcher == _fetcher(r.host, 8)
+
+
+def test_schedule_without_priority_column(spark):
+    frontier = spark.createDataFrame([
+        Row(url="https://a.example/z", host="a.example"),
+        Row(url="https://a.example/a", host="a.example"),
+    ])
+    got = {r.url: r.slot for r in schedule_frontier(frontier).collect()}
+    assert got == {"https://a.example/a": 0, "https://a.example/z": 1}

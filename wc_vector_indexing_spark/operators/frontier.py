@@ -1,0 +1,86 @@
+"""Crawl-frontier politeness scheduler — the stage between URL
+discovery (sources/feeds.feed_discovery / the CDX frontier) and the
+fetch fleet: order each host's URLs by priority, space them by the
+host's robots crawl-delay, and pin every host to ONE fetcher so
+politeness is enforceable locally (a host split across fetchers needs
+distributed rate-limit coordination; host-affine assignment needs
+none — the Mercator/IRLbot frontier design, public literature).
+
+Scale shape (a billion-URL frontier):
+  * ONE shuffle: the per-host window (rank within host). Hosts are the
+    partition key; the politeness table (host, crawl_delay_s) is
+    bounded by the host vocabulary and BROADCASTS.
+  * Priority joins (e.g. host PageRank from sources/wat +
+    operators/graph) are also host-keyed broadcasts.
+  * Fetcher assignment is a pure hash — deterministic, no coordination,
+    stable across runs for the same fleet size.
+  * Zipf skew: a mega-host's URLs land in one window partition. That is
+    INTENT, not accident — its schedule is serialized by crawl-delay
+    anyway, so parallelizing it buys nothing; every other host rides in
+    parallel.
+
+Reference analogue: the reference's sync scheduler orders per-site
+work into a priority queue (class-scheduler.php J7 candidate union);
+this is that contract restated for a polite crawl frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def schedule_frontier(
+    frontier: DataFrame,
+    politeness: DataFrame | None = None,
+    n_fetchers: int = 32,
+    default_delay_s: float = 1.0,
+    host_col: str = "host",
+    url_col: str = "url",
+    priority_col: str | None = "priority",
+) -> DataFrame:
+    """(url, host, slot, scheduled_offset_s, fetcher): the polite fetch
+    plan for ``frontier``.
+
+      slot               — 0-based rank of the URL within its host:
+                           priority DESC (when ``priority_col`` is
+                           given), then url ASC for a total, stable
+                           order.
+      scheduled_offset_s — slot * the host's crawl delay (from
+                           ``politeness``: (host, crawl_delay_s) rows;
+                           hosts absent there use ``default_delay_s``).
+      fetcher            — md5(host) first-8-hex % n_fetchers:
+                           host-affine, so one fetcher owns a host's
+                           whole schedule and the crawl-delay contract
+                           needs no cross-worker coordination; md5 (not
+                           a JVM-private hash) so the assignment is
+                           engine-portable and replayable.
+    """
+    order = (
+        [F.col(priority_col).desc(), F.col(url_col).asc()]
+        if priority_col is not None and priority_col in frontier.columns
+        else [F.col(url_col).asc()]
+    )
+    w = Window.partitionBy(host_col).orderBy(*order)
+    out = frontier.withColumn("slot", F.row_number().over(w) - 1)
+    if politeness is not None:
+        pol = politeness.select(
+            F.col(host_col).alias("_pol_host"),
+            F.col("crawl_delay_s").cast("double").alias("_delay"),
+        )
+        out = out.join(
+            F.broadcast(pol), out[host_col] == pol["_pol_host"], "left"
+        ).drop("_pol_host")
+    else:
+        out = out.withColumn("_delay", F.lit(None).cast("double"))
+    delay = F.coalesce(F.col("_delay"), F.lit(float(default_delay_s)))
+    return (
+        out.withColumn(
+            "scheduled_offset_s", F.round(F.col("slot") * delay, 3))
+        .withColumn(
+            "fetcher",
+            (F.conv(F.substring(F.md5(F.col(host_col).cast("string")),
+                                1, 8), 16, 10).cast("long")
+             % F.lit(int(n_fetchers))).cast("int"))
+        .select(url_col, host_col, "slot", "scheduled_offset_s", "fetcher")
+    )

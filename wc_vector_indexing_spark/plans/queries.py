@@ -10584,6 +10584,146 @@ ORDER BY reject_reason
 """
 
 
+def frontier_schedule_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Polite crawl-frontier scheduling (operators/frontier.py): every
+    document becomes a frontier URL on its source host; even-numbered
+    hosts carry a planted robots crawl-delay, odd hosts ride the 1.0 s
+    default; priority = n_chars (ties broken by url). One window
+    shuffle on host; the politeness table broadcasts; fetcher
+    assignment is the engine-portable md5-prefix hash, so the whole
+    schedule — slots, spacing, fleet affinity — replays in DuckDB.
+    Reference analogue: the scheduler's priority-ordered per-site queue
+    (class-scheduler.php), restated for a polite fetch fleet."""
+    from wc_vector_indexing_spark.operators.frontier import (
+        schedule_frontier,
+    )
+
+    docs = load(spark, "documents", sf)
+    host_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    frontier = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("source").alias("host"),
+        F.col("n_chars").cast("double").alias("priority"),
+    )
+    politeness = (
+        docs.select(F.col("source").alias("host"), host_num.alias("hn"))
+        .distinct()
+        .filter(F.col("hn") % 2 == 0)
+        .select("host",
+                ((F.col("hn") % 5 + 1) * 0.5).alias("crawl_delay_s"))
+    )
+    return (
+        schedule_frontier(frontier, politeness, n_fetchers=8)
+        .orderBy("host", "slot")
+    )
+
+
+FRONTIER_SCHEDULE_SQL = r"""
+WITH f AS (
+    SELECT 'https://' || source || '.example/p/' || doc_id AS url,
+           source AS host, n_chars::DOUBLE AS priority
+    FROM documents
+), pol AS (
+    SELECT host,
+           (regexp_extract(host, '([0-9]+)', 1)::INT % 5 + 1) * 0.5 AS delay
+    FROM (SELECT DISTINCT source AS host FROM documents)
+    WHERE regexp_extract(host, '([0-9]+)', 1)::INT % 2 = 0
+), ranked AS (
+    SELECT url, host,
+           (row_number() OVER (PARTITION BY host
+                               ORDER BY priority DESC, url) - 1)::INT
+               AS slot
+    FROM f
+)
+SELECT r.url, r.host, r.slot,
+       round(r.slot * coalesce(p.delay, 1.0), 3)::DOUBLE
+           AS scheduled_offset_s,
+       (('0x' || substr(md5(r.host), 1, 8))::BIGINT % 8)::INT AS fetcher
+FROM ranked r LEFT JOIN pol p USING (host)
+ORDER BY host, slot
+"""
+
+
+def mirror_hosts_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Mirror-site clusters (operators/mirrors.py): the plant gives
+    each host pair (2g, 2g+1) an identical per-page content set —
+    perfect mirrors — except groups g%3==2, whose odd host diverges on
+    every even page (Jaccard ≈ 0.32 < 0.6 → correctly NOT mirrors);
+    page 0 of every host is a global boilerplate footer whose digest
+    sits on all hosts and must be excluded by the hosts-per-digest cap
+    (8) while still counting toward set sizes. Pairing self-joins on
+    digest (group sizes = hosts-per-digest, never all-pairs); the
+    DuckDB oracle replays plant → digest sets → capped pair evidence →
+    Jaccard gate → recursive-CTE components."""
+    from wc_vector_indexing_spark.operators.mirrors import (
+        mirror_host_clusters,
+    )
+
+    docs = load(spark, "documents", sf)
+    hn = (F.col("doc_id") % 20).cast("int")
+    pg = F.floor(F.col("doc_id") / 20).cast("int")
+    g = F.floor(hn / 2).cast("int")
+    base = F.concat(F.lit("mirror body "), g.cast("string"),
+                    F.lit(" page "), pg.cast("string"))
+    planted = docs.select(
+        "doc_id", "source",
+        F.when(pg == 0, F.lit("global boilerplate footer"))
+        .when((hn % 2 == 1) & (g % 3 == 2) & (pg % 2 == 0),
+              F.concat(base, F.lit(" x"), hn.cast("string")))
+        .otherwise(base)
+        .alias("text"),
+    )
+    return (
+        mirror_host_clusters(planted, min_jaccard=0.6,
+                             max_hosts_per_digest=8)
+        .orderBy("host")
+    )
+
+
+MIRROR_HOSTS_SQL = r"""
+WITH RECURSIVE planted AS (
+    SELECT source AS host, (doc_id % 20)::INT AS hn,
+           (doc_id // 20)::INT AS pg
+    FROM documents
+), pt AS (
+    SELECT host,
+           CASE WHEN pg = 0 THEN 'global boilerplate footer'
+                WHEN hn % 2 = 1 AND (hn // 2) % 3 = 2 AND pg % 2 = 0
+                     THEN 'mirror body ' || (hn // 2) || ' page ' || pg
+                          || ' x' || hn
+                ELSE 'mirror body ' || (hn // 2) || ' page ' || pg
+           END AS text
+    FROM planted
+), digests AS (SELECT DISTINCT host, md5(text) AS d FROM pt),
+sizes AS (SELECT host, count(*) AS n FROM digests GROUP BY host),
+usable AS (SELECT d FROM digests GROUP BY d HAVING count(*) BETWEEN 2 AND 8),
+dd AS (SELECT dg.host, dg.d FROM digests dg JOIN usable u USING (d)),
+pairs AS (
+    SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+    FROM dd a JOIN dd b ON a.d = b.d AND a.host < b.host
+    GROUP BY 1, 2
+), medges AS (
+    SELECT host_a, host_b
+    FROM pairs
+    JOIN sizes sa ON sa.host = pairs.host_a
+    JOIN sizes sb ON sb.host = pairs.host_b
+    WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.6
+), e AS (
+    SELECT host_a AS src, host_b AS dst FROM medges
+    UNION
+    SELECT host_b, host_a FROM medges
+), reach(node, r) AS (
+    SELECT src, src FROM e
+    UNION
+    SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node
+)
+SELECT node AS host, min(r) AS cluster_host
+FROM reach GROUP BY node
+ORDER BY host
+"""
+
+
 def wiki_dump_diff_op(spark: SparkSession, sf: str) -> DataFrame:
     """Dump-over-dump page churn (sources/wikixml.wiki_dump_diff): two
     planted multistream dump versions — v2 drops every 5th page
@@ -11446,6 +11586,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "CCNet-style host prior: WAT PageRank + reputation blocklist "
         "gate/re-weight documents before the per-document gates",
         audit_fn=_curation_host_prior_audit,
+    ),
+    "frontier_schedule": QuerySpec(
+        frontier_schedule_op, FRONTIER_SCHEDULE_SQL,
+        "polite crawl-frontier scheduling: per-host priority slots x "
+        "robots crawl-delay, host-affine fetcher assignment"
+    ),
+    "mirror_hosts": QuerySpec(
+        mirror_hosts_op, MIRROR_HOSTS_SQL,
+        "mirror-site clusters: digest-set Jaccard over host pairs "
+        "(boilerplate-capped evidence) + connected components"
     ),
     # r11 window rotation (session 4): wikipedia_corpus_text (new, never
     # driver-recorded — the multistream wiki-dump source with
