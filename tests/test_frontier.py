@@ -45,3 +45,28 @@ def test_schedule_without_priority_column(spark):
     ])
     got = {r.url: r.slot for r in schedule_frontier(frontier).collect()}
     assert got == {"https://a.example/a": 0, "https://a.example/z": 1}
+
+
+def test_recrawl_priority_change_regimes(spark):
+    from wc_vector_indexing_spark.operators.frontier import recrawl_priority
+
+    rows = [
+        # u1: 3 captures, changes every time (span 2 days)
+        Row(url="u1", ts=0.0, digest="a"),
+        Row(url="u1", ts=86400.0, digest="b"),
+        Row(url="u1", ts=172800.0, digest="c"),
+        # u2: 2 captures, never changes
+        Row(url="u2", ts=0.0, digest="x"),
+        Row(url="u2", ts=86400.0, digest="x"),
+        # u3: single capture — no evidence
+        Row(url="u3", ts=86400.0, digest="y"),
+    ]
+    now = 4 * 86400.0
+    got = {r.url: r for r in recrawl_priority(
+        spark.createDataFrame(rows), now_ts=now).collect()}
+    assert got["u1"].n_changes == 2 and got["u1"].change_rate == 1.0
+    # 2 days stale x 1 change/day = 2 expected missed changes
+    assert got["u1"].priority == 2.0
+    assert got["u2"].n_changes == 0 and got["u2"].priority == 0.0
+    assert got["u3"].change_rate is None and got["u3"].priority == 0.0
+    assert got["u3"].staleness_s == 3 * 86400.0

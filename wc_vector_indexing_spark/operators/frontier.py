@@ -30,6 +30,66 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def recrawl_priority(
+    captures: DataFrame,
+    now_ts: float,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """(url, n_obs, n_changes, change_rate, staleness_s, priority):
+    per-URL re-crawl priority from capture history — the
+    change-frequency estimation a frontier uses to decide WHAT to
+    re-fetch (Cho & Garcia-Molina's refresh-scheduling line of work,
+    public literature; feeds :func:`schedule_frontier`'s priority).
+
+      n_changes   — observed content changes: captures whose digest
+                    differs from the PREVIOUS capture's (one window
+                    lag per url, ordered by ts).
+      change_rate — n_changes / observed span in days (NULL when a
+                    url has a single capture: no evidence).
+      staleness_s — now_ts - last capture ts.
+      priority    — change_rate * staleness in days: the expected
+                    number of missed changes, the natural refresh
+                    ordering (NULL-evidence urls get 0.0 — new/unknown
+                    urls are scheduled by discovery, not refresh).
+
+    ``now_ts`` is an explicit epoch-seconds parameter, never wall
+    clock: schedules must be deterministic and replayable. ONE window
+    shuffle on url + one aggregate on the same key (no second
+    exchange — the agg reuses the window's partitioning)."""
+    obs = captures.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("double").alias("ts"),
+        F.col(digest_col).alias("digest"),
+    ).withColumn(
+        "changed",
+        (F.col("digest") != F.lag("digest").over(
+            Window.partitionBy("url").orderBy("ts"))).cast("int"),
+    )
+    per_url = obs.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.coalesce(F.sum("changed"), F.lit(0)).alias("n_changes"),
+        (F.max("ts") - F.min("ts")).alias("span_s"),
+        F.max("ts").alias("last_ts"),
+    )
+    day = 86400.0
+    rate = F.when(
+        F.col("span_s") > 0,
+        F.col("n_changes") / (F.col("span_s") / day))
+    staleness = F.lit(float(now_ts)) - F.col("last_ts")
+    return per_url.select(
+        "url",
+        "n_obs",
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.round(rate, 6).alias("change_rate"),
+        F.round(staleness, 3).alias("staleness_s"),
+        F.round(
+            F.coalesce(rate * (staleness / day), F.lit(0.0)), 6
+        ).alias("priority"),
+    )
+
+
 def schedule_frontier(
     frontier: DataFrame,
     politeness: DataFrame | None = None,

@@ -10645,6 +10645,78 @@ ORDER BY host, slot
 """
 
 
+_RECRAWL_NOW = 1700000000.0 + 30 * 86400
+
+
+def recrawl_priority_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-rate refresh priority (operators/frontier.
+    recrawl_priority): every document becomes a URL with 1 + doc_id%4
+    planted captures 12 h apart; doc_id%3 routes the change pattern —
+    every capture (0), never (1), once at the third capture (2) — so
+    the estimator sees all three change regimes plus the
+    single-capture no-evidence tail. now is an explicit epoch literal
+    (schedules must replay deterministically). One window shuffle +
+    one same-key aggregate; closed-form oracle."""
+    from wc_vector_indexing_spark.operators.frontier import (
+        recrawl_priority,
+    )
+
+    docs = load(spark, "documents", sf)
+    k = F.explode(
+        F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))).alias("k")
+    caps = docs.select("doc_id", k).select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        (F.lit(1700000000.0) + (F.col("doc_id") % 7) * 3600
+         + F.col("k") * 43200).alias("ts"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("D"), F.col("doc_id").cast("string"),
+                        F.lit("-"), F.col("k").cast("string")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("D"), F.col("doc_id").cast("string")))
+        .otherwise(
+            F.concat(F.lit("D"), F.col("doc_id").cast("string"),
+                     F.lit("-"),
+                     F.floor(F.col("k") / 2).cast("string")))
+        .alias("digest"),
+    )
+    return recrawl_priority(caps, now_ts=_RECRAWL_NOW).orderBy("url")
+
+
+RECRAWL_PRIORITY_SQL = rf"""
+WITH caps AS (
+    SELECT 'u' || doc_id AS url,
+           1700000000.0 + (doc_id % 7) * 3600 + k * 43200 AS ts,
+           CASE WHEN doc_id % 3 = 0 THEN 'D' || doc_id || '-' || k
+                WHEN doc_id % 3 = 1 THEN 'D' || doc_id
+                ELSE 'D' || doc_id || '-' || (k // 2) END AS digest
+    FROM documents, unnest(range(0, doc_id % 4 + 1)) AS t(k)
+), obs AS (
+    SELECT url, ts, digest,
+           (digest <> lag(digest) OVER (PARTITION BY url ORDER BY ts))::INT
+               AS changed
+    FROM caps
+), per_url AS (
+    SELECT url, count(*) AS n_obs,
+           coalesce(sum(changed), 0) AS n_changes,
+           max(ts) - min(ts) AS span_s,
+           max(ts) AS last_ts
+    FROM obs GROUP BY url
+)
+SELECT url, n_obs, n_changes::BIGINT AS n_changes,
+       round(CASE WHEN span_s > 0
+                  THEN n_changes / (span_s / 86400.0) END, 6)
+           ::DOUBLE AS change_rate,
+       round({_RECRAWL_NOW} - last_ts, 3)::DOUBLE AS staleness_s,
+       round(coalesce(
+           CASE WHEN span_s > 0
+                THEN n_changes / (span_s / 86400.0) END
+           * (({_RECRAWL_NOW} - last_ts) / 86400.0), 0.0), 6)
+           ::DOUBLE AS priority
+FROM per_url
+ORDER BY url
+"""
+
+
 def mirror_hosts_op(spark: SparkSession, sf: str) -> DataFrame:
     """Mirror-site clusters (operators/mirrors.py): the plant gives
     each host pair (2g, 2g+1) an identical per-page content set —
@@ -11591,6 +11663,11 @@ REGISTRY: dict[str, QuerySpec] = {
         frontier_schedule_op, FRONTIER_SCHEDULE_SQL,
         "polite crawl-frontier scheduling: per-host priority slots x "
         "robots crawl-delay, host-affine fetcher assignment"
+    ),
+    "recrawl_priority": QuerySpec(
+        recrawl_priority_op, RECRAWL_PRIORITY_SQL,
+        "change-rate refresh priority from capture history (expected "
+        "missed changes; feeds frontier scheduling)"
     ),
     "mirror_hosts": QuerySpec(
         mirror_hosts_op, MIRROR_HOSTS_SQL,
