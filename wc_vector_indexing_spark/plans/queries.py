@@ -9359,6 +9359,41 @@ ORDER BY shard
 """
 
 
+def safetensors_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTRIBUTED safetensors sink+source under the gate (sources/
+    safetensors.py): the embeddings table repartitions over 4 tasks,
+    each writes its own (ids I64, vectors F32[n,64]) shard, then the
+    shards read back through the binaryFile+Arrow parse pass and must
+    reproduce every (vec_id, embedding) row VALUE-EXACTLY — float32 is
+    bit-preserved through the format, so the oracle is the embeddings
+    table itself, no aggregate folding."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.safetensors import (
+        read_safetensors_vectors,
+        write_safetensors_vectors,
+    )
+
+    emb = load(spark, "embeddings", sf).select("vec_id", "embedding")
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_safetensors_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        write_safetensors_vectors(emb.repartition(4), out)
+        with open(done, "w") as f:
+            f.write("ok")
+    back = read_safetensors_vectors(
+        spark, os.path.join(out, "part-*.safetensors"))
+    return back.select("vec_id", "embedding").orderBy("vec_id")
+
+
+SAFETENSORS_EXPORT_SQL = r"""
+SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+"""
+
+
 def arrow_ipc_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     """DISTRIBUTED Arrow IPC sink under the gate (sources/arrow_ipc.
     write_arrow_ipc): the lowest-80 docs repartition over 4 tasks,
@@ -11696,6 +11731,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # driver-recorded — the .zst JSONL front door the decoder exists
     # for) promoted; feed_discovery (recorded r9-r10) slides below the
     # cutoff in exchange.
+    "safetensors_export_roundtrip": QuerySpec(
+        safetensors_export_roundtrip_op, SAFETENSORS_EXPORT_SQL,
+        "distributed safetensors embedding-matrix export + read-back, "
+        "value-exact against the embeddings table"
+    ),
     "zstd_jsonl_corpus": QuerySpec(
         zstd_jsonl_corpus_op, ZSTD_JSONL_SQL,
         ".zst JSONL shards through the pure-Python decoder + JVM-side "

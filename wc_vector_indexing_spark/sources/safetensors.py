@@ -1,0 +1,263 @@
+"""safetensors interchange — the training-ecosystem tensor format
+(public spec: github.com/huggingface/safetensors; format = 8-byte LE
+header length, JSON tensor table {name: {dtype, shape, data_offsets}}
+plus optional ``__metadata__`` str→str map, then the raw
+little-endian tensor buffer). Embedding matrices, centroid tables,
+and projection weights ship between pipelines in exactly this shape;
+the parser is pure stdlib+numpy (same independent-writer discipline
+as the Avro/TFRecord modules — round-trip tests pin it against our
+own writer AND hand-built fixtures).
+
+Validation posture (decode-front-door contract): header length
+bounded (the spec's own 100 MB cap — a crafted length cannot allocate
+the file), JSON must be an object, dtypes from the spec's table,
+offsets must tile the data buffer EXACTLY (sorted, zero-origin,
+gapless, end == buffer size — overlap or gap is corruption), element
+counts must multiply out to the byte span. BF16 raises
+NotImplementedError (numpy has no bfloat16; documented seam, not a
+silent F16 reinterpretation).
+
+Spark shape: the writer emits one shard per partition from a
+``mapInPandas`` pass (no driver funnel); the reader is one
+``binaryFile`` scan + one Arrow parse pass, zero shuffle. Shards are
+whole-file units (the format is one contiguous buffer — the natural
+parallelism unit is the shard, as with Arrow IPC / Avro here).
+
+Reference note: the reference engine has no tensor interchange
+(SURVEY §1.1); north-star training-pipeline surface, public spec
+only.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# spec dtype → (numpy little-endian dtype, itemsize)
+_DTYPES = {
+    "F64": "<f8", "F32": "<f4", "F16": "<f2",
+    "I64": "<i8", "I32": "<i4", "I16": "<i2", "I8": "<i1",
+    "U64": "<u8", "U32": "<u4", "U16": "<u2", "U8": "<u1",
+    "BOOL": "|b1",
+}
+_NP_TO_SPEC = {np.dtype(v).str.lstrip("<|=").lower(): k
+               for k, v in _DTYPES.items()}
+
+MAX_HEADER_BYTES = 100 * 1024 * 1024  # the spec's own cap
+
+
+def to_safetensors_bytes(
+    tensors: dict[str, np.ndarray],
+    metadata: dict[str, str] | None = None,
+) -> bytes:
+    """Serialize ``tensors`` (name → ndarray) into one safetensors
+    blob: offsets assigned in insertion order, gapless from 0."""
+    header: dict[str, object] = {}
+    if metadata:
+        header["__metadata__"] = {str(k): str(v)
+                                  for k, v in metadata.items()}
+    payload = bytearray()
+    for name, arr in tensors.items():
+        a = np.ascontiguousarray(arr)
+        key = a.dtype.str.lstrip("<|=").lower()
+        spec = _NP_TO_SPEC.get(key)
+        if spec is None:
+            raise ValueError(f"safetensors: unsupported dtype {a.dtype}")
+        a = a.astype(_DTYPES[spec], copy=False)  # force little-endian
+        start = len(payload)
+        payload += a.tobytes()
+        header[name] = {
+            "dtype": spec,
+            "shape": list(a.shape),
+            "data_offsets": [start, len(payload)],
+        }
+    hj = json.dumps(header, separators=(",", ":")).encode("utf-8")
+    # the reference implementation pads the header with spaces to
+    # 8-byte alignment so the buffer starts aligned
+    pad = (-(8 + len(hj))) % 8
+    hj += b" " * pad
+    return struct.pack("<Q", len(hj)) + hj + bytes(payload)
+
+
+def parse_safetensors(
+    data: bytes,
+) -> tuple[dict[str, np.ndarray], dict[str, str]]:
+    """One blob → (tensors by name, metadata). Raises ValueError for
+    corrupt bytes, NotImplementedError for BF16 (documented seam)."""
+    if len(data) < 8:
+        raise ValueError("safetensors: truncated header length")
+    (hlen,) = struct.unpack_from("<Q", data, 0)
+    if hlen > MAX_HEADER_BYTES:
+        raise ValueError(f"safetensors: header length {hlen} over the "
+                         "spec's 100MB cap")
+    if 8 + hlen > len(data):
+        raise ValueError("safetensors: header overruns the file")
+    try:
+        header = json.loads(data[8:8 + hlen].decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"safetensors: bad header JSON: {e}") from e
+    if not isinstance(header, dict):
+        raise ValueError("safetensors: header is not a JSON object")
+    metadata = header.pop("__metadata__", {})
+    if not isinstance(metadata, dict) or not all(
+            isinstance(k, str) and isinstance(v, str)
+            for k, v in metadata.items()):
+        raise ValueError("safetensors: __metadata__ must map str to str")
+    buf = memoryview(data)[8 + hlen:]
+    spans = []
+    tensors: dict[str, np.ndarray] = {}
+    for name, info in header.items():
+        if not isinstance(info, dict):
+            raise ValueError(f"safetensors: tensor {name!r} entry is "
+                             "not an object")
+        dtype = info.get("dtype")
+        if dtype == "BF16":
+            raise NotImplementedError(
+                "safetensors: BF16 has no numpy dtype — documented seam")
+        if dtype not in _DTYPES:
+            raise ValueError(f"safetensors: unknown dtype {dtype!r}")
+        shape = info.get("shape")
+        if (not isinstance(shape, list)
+                or any(not isinstance(s, int) or s < 0 for s in shape)):
+            raise ValueError(f"safetensors: bad shape for {name!r}")
+        off = info.get("data_offsets")
+        if (not isinstance(off, list) or len(off) != 2
+                or any(not isinstance(o, int) or o < 0 for o in off)
+                or off[1] < off[0] or off[1] > len(buf)):
+            raise ValueError(f"safetensors: bad offsets for {name!r}")
+        np_dtype = np.dtype(_DTYPES[dtype])
+        n_elem = 1
+        for s in shape:
+            n_elem *= s
+        if off[1] - off[0] != n_elem * np_dtype.itemsize:
+            raise ValueError(
+                f"safetensors: {name!r} byte span {off[1] - off[0]} != "
+                f"shape {shape} x itemsize {np_dtype.itemsize}")
+        spans.append((off[0], off[1]))
+        tensors[name] = np.frombuffer(
+            buf[off[0]:off[1]], dtype=np_dtype).reshape(shape)
+    # offsets must TILE the buffer: sorted, zero-origin, gapless,
+    # ending at the buffer end (overlap/gap = corruption per spec)
+    spans.sort()
+    pos = 0
+    for s, e in spans:
+        if s != pos:
+            raise ValueError(
+                f"safetensors: offset gap/overlap at byte {pos} (next "
+                f"span starts {s})")
+        pos = e
+    if pos != len(buf):
+        raise ValueError(
+            f"safetensors: buffer has {len(buf) - pos} trailing bytes "
+            "not covered by any tensor")
+    return tensors, metadata
+
+
+# ------------------------------------------------------------- Spark
+
+
+def write_safetensors_vectors(
+    df: DataFrame, path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Write an (id, vector) frame as one safetensors shard per
+    partition — tensor ``ids`` (I64, [n]) + tensor ``vectors``
+    (F32, [n, dim]) — the embedding-matrix export shape. Ragged or
+    null vectors are contract errors (a tensor has one dim). Returns
+    the eager (shard, n_rows) manifest, one row per non-empty
+    partition."""
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    src = df.select(id_col, vec_col)
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        ids: list[int] = []
+        vecs: list[list[float]] = []
+        dim = None
+        for pdf in batches:
+            for i, v in zip(pdf[id_col], pdf[vec_col]):
+                if v is None or (isinstance(v, float) and v != v):
+                    raise ValueError(
+                        f"safetensors: null vector for id {i}")
+                v = list(v)
+                if dim is None:
+                    dim = len(v)
+                elif len(v) != dim:
+                    raise ValueError(
+                        f"safetensors: ragged vector for id {i} "
+                        f"({len(v)} != {dim})")
+                ids.append(int(i))
+                vecs.append(v)
+        if not ids:
+            yield pd.DataFrame({"shard": [], "n_rows": []})
+            return
+        blob = to_safetensors_bytes(
+            {
+                "ids": np.asarray(ids, dtype="<i8"),
+                "vectors": np.asarray(vecs, dtype="<f4"),
+            },
+            metadata={"id_col": id_col, "vec_col": vec_col},
+        )
+        shard = os.path.join(
+            path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.safetensors")
+        tmp = shard + ".inprogress"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.rename(tmp, shard)  # atomic publish: no torn shard visible
+        yield pd.DataFrame({"shard": [shard], "n_rows": [len(ids)]})
+
+    from wc_vector_indexing_spark.sources.readers import eager_manifest
+
+    return eager_manifest(src, dump, schema="shard string, n_rows long")
+
+
+def read_safetensors_vectors(
+    spark: SparkSession, path: str,
+    on_error: str = "raise",
+) -> DataFrame:
+    """(shard, vec_id, embedding): every (id, vector) row of every
+    ``*.safetensors`` shard written by :func:`write_safetensors_
+    vectors`. One binaryFile scan + one Arrow parse pass, zero
+    shuffle; ``on_error='skip'`` quarantines a corrupt shard WHOLE
+    (all-or-nothing, the WARC/TFRecord contract)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    raw = spark.read.format("binaryFile").load(path).select(
+        "path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["shard", "vec_id", "embedding"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    tensors, _meta = parse_safetensors(bytes(content))
+                    ids = tensors["ids"]
+                    vecs = tensors["vectors"]
+                    if ids.ndim != 1 or vecs.ndim != 2 or \
+                            len(ids) != len(vecs):
+                        raise ValueError(
+                            "safetensors: ids/vectors shape mismatch")
+                except (ValueError, KeyError, NotImplementedError) as e:
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"corrupt safetensors shard {fpath}: {e!r}"
+                        ) from e
+                    continue
+                rows.extend(
+                    (fpath, int(i), [float(x) for x in v])
+                    for i, v in zip(ids, vecs))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(
+        parse, schema="shard string, vec_id long, embedding array<float>")
