@@ -51,3 +51,38 @@ def test_corrupt_shard_quarantine(spark, tmp_path):
     rows = read_zstd_lines(spark, str(tmp_path / "*.zst"),
                            on_error="skip").collect()
     assert [(r.line,) for r in rows] == [("good",)]
+
+
+def test_streaming_twin_matches_batch(spark, tmp_path):
+    """read_zstd_lines_stream shares the batch decode pass: shards
+    dropped into a directory stream out as exactly the batch rows."""
+    import pyarrow as pa
+
+    from wc_vector_indexing_spark.sources.zstd_text import (
+        read_zstd_lines,
+        read_zstd_lines_stream,
+    )
+
+    out = tmp_path / "zst"
+    out.mkdir()
+    for s in range(3):
+        payload = "".join(f"shard {s} line {i}\n" for i in range(5))
+        blob = bytes(pa.Codec("zstd").compress(payload.encode()))
+        (out / f"part-{s}.zst").write_bytes(blob)
+
+    q = (
+        read_zstd_lines_stream(spark, str(out / "*.zst"))
+        .writeStream.format("memory")
+        .queryName("zst_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    streamed = spark.sql(
+        "SELECT path, line_no, line FROM zst_stream_out").collect()
+    batch = read_zstd_lines(spark, str(out / "*.zst")).collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(batch) == 15

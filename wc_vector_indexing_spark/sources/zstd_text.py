@@ -30,27 +30,24 @@ from pyspark.sql import functions as F
 from wc_vector_indexing_spark.operators.zstd_decode import zstd_decompress
 
 
-def read_zstd_lines(spark: SparkSession, path: str,
-                    on_error: str = "raise",
-                    dict_path: str | None = None) -> DataFrame:
-    """(path, line_no, line): every text line of every ``.zst`` shard,
-    in file order. One decode per shard per task, zero shuffle.
+def _load_dict(dict_path: str | None) -> bytes | None:
+    """Dictionary bytes, read ONCE on the driver (dicts are ~16-112
+    KiB) and shipped to executors inside the task closure — the same
+    distribution class as a broadcast dim table."""
+    if dict_path is None:
+        return None
+    with open(dict_path, "rb") as fh:
+        return fh.read()
 
-    ``dict_path``: a zstd dictionary file (RFC 8878 §5 structured, or
-    raw-content) for dictionary-compressed shards — Common Crawl's own
-    CDX ``.zst`` shards ship this way. Read ONCE on the driver (dicts
-    are ~16-112 KiB) and shipped to executors inside the task closure,
-    the same distribution class as a broadcast dim table."""
+
+def _decode_pass(raw: DataFrame, on_error: str,
+                 dict_bytes: bytes | None) -> DataFrame:
+    """The shared Arrow decode+line-split pass — ONE definition for the
+    batch reader and its streaming twin, so an ingest stream and a
+    batch backfill can never disagree on what a shard's lines are
+    (the contract every streaming reader here keeps)."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
-    dict_bytes: bytes | None = None
-    if dict_path is not None:
-        with open(dict_path, "rb") as fh:
-            dict_bytes = fh.read()
-    raw = (
-        spark.read.format("binaryFile").load(path)
-        .select("path", "content")
-    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["path", "line_no", "line"]
@@ -78,6 +75,37 @@ def read_zstd_lines(spark: SparkSession, path: str,
 
     return raw.mapInPandas(
         decode, schema="path string, line_no long, line string")
+
+
+def read_zstd_lines(spark: SparkSession, path: str,
+                    on_error: str = "raise",
+                    dict_path: str | None = None) -> DataFrame:
+    """(path, line_no, line): every text line of every ``.zst`` shard,
+    in file order. One decode per shard per task, zero shuffle.
+
+    ``dict_path``: a zstd dictionary file (RFC 8878 §5 structured, or
+    raw-content) for dictionary-compressed shards — Common Crawl's own
+    CDX ``.zst`` shards ship this way."""
+    raw = (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content")
+    )
+    return _decode_pass(raw, on_error, _load_dict(dict_path))
+
+
+def read_zstd_lines_stream(spark: SparkSession, path: str,
+                           on_error: str = "raise",
+                           dict_path: str | None = None) -> DataFrame:
+    """Streaming twin of :func:`read_zstd_lines`: a file-source
+    ``readStream`` over the same binaryFile layout with the SAME Arrow
+    decode pass (see sources/tfrecord.read_tfrecords_stream for the
+    contract). New ``.zst`` shards dropped into ``path`` become
+    micro-batches; the file-source checkpoint gives exactly-once;
+    ``maxFilesPerTrigger`` bounds each micro-batch at 100 TB."""
+    from wc_vector_indexing_spark.sources.readers import binaryfile_stream
+
+    raw = binaryfile_stream(spark, path).select("path", "content")
+    return _decode_pass(raw, on_error, _load_dict(dict_path))
 
 
 def read_zstd_jsonl(spark: SparkSession, path: str, fields: dict[str, str],
