@@ -183,3 +183,33 @@ def test_sitemap_directives_are_group_independent():
         "https://a.example/sitemap.xml",  # dedup is the frontier's job
     ]
     assert parse_robots_sitemaps("User-agent: *\nDisallow:\n") == []
+
+
+def test_parse_crawl_delay_groups_and_malformed():
+    from wc_vector_indexing_spark.operators.robots import parse_crawl_delay
+
+    t = (
+        "User-agent: bingbot\nCrawl-delay: 2.5\n"
+        "User-agent: *\nDisallow: /x\nCrawl-delay: 1\nCrawl-delay: 9\n"
+        "User-agent: greedy\nCrawl-delay: -3\n"
+    )
+    assert parse_crawl_delay(t) == 1.0            # first star delay wins
+    assert parse_crawl_delay(t, "BingBot") == 2.5  # case-insensitive agent
+    assert parse_crawl_delay(t, "greedy") == 1.0   # negative ignored -> *
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert parse_crawl_delay("User-agent: *\nDisallow: /\n") is None
+
+
+def test_parse_delays_dataframe(spark):
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.robots import parse_delays
+
+    df = spark.createDataFrame([
+        Row(domain="a.example",
+            robots_txt="User-agent: *\nCrawl-delay: 0.5\n"),
+        Row(domain="b.example", robots_txt="User-agent: *\nDisallow: /\n"),
+        Row(domain="c.example", robots_txt=None),
+    ])
+    got = {r.host: r.crawl_delay_s for r in parse_delays(df).collect()}
+    assert got == {"a.example": 0.5}

@@ -201,3 +201,66 @@ def robots_gate(
             F.col("pattern").alias("matched_pattern"),
         )
     )
+
+
+def parse_crawl_delay(text: str, agent: str = "*") -> float | None:
+    """Crawl-delay seconds for ``agent`` — a de-facto extension
+    directive outside RFC 9309's rule table (Bing/Yandex-class
+    crawlers honor it; RFC 9309 §2.2.4 says unknown records are
+    allowed and ignored by rule matching). Group selection mirrors
+    :func:`parse_robots`: the matching agent group wins over the ``*``
+    group; the FIRST delay in file order wins within a tier;
+    non-numeric or negative values are ignored (malformed extension
+    records must not poison the gate). None = no directive."""
+    agent = agent.lower()
+    exact: float | None = None
+    star: float | None = None
+    group_agents: list[str] = []
+    in_agent_run = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                group_agents = []
+                in_agent_run = True
+            group_agents.append(val.lower())
+            continue
+        in_agent_run = False
+        if key == "crawl-delay":
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d < 0:
+                continue
+            if agent in group_agents and exact is None:
+                exact = d
+            if "*" in group_agents and star is None:
+                star = d
+    return exact if exact is not None else star
+
+
+def parse_delays(robots_df: DataFrame, agent: str = "*") -> DataFrame:
+    """(domain, robots_txt) → (host, crawl_delay_s) rows for hosts
+    that declare one — the politeness table
+    operators/frontier.schedule_frontier broadcasts. Same dim-side
+    Arrow pass shape as :func:`parse_rules`."""
+
+    def explode(batches):
+        import pandas as pd
+
+        cols = ["host", "crawl_delay_s"]
+        for pdf in batches:
+            out = []
+            for domain, text in zip(pdf["domain"], pdf["robots_txt"]):
+                d = parse_crawl_delay(text or "", agent)
+                if d is not None:
+                    out.append({"host": domain, "crawl_delay_s": d})
+            yield pd.DataFrame(out, columns=cols)
+
+    return robots_df.mapInPandas(
+        explode, schema="host string, crawl_delay_s double")

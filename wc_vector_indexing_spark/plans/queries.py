@@ -10752,6 +10752,140 @@ ORDER BY url
 """
 
 
+def crawl_ops_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl OPERATIONS end to end, one lazy program over green
+    operators (the ops-side sibling of crawl_to_training_set's
+    data-prep composition): planted per-host robots.txt → RFC 9309
+    rule parse + gate (every doc_id%7==3 URL sits under the disallowed
+    /private/ prefix) + Crawl-delay extraction (even-numbered hosts
+    declare one; odd hosts ride the 1.0 s default) → change-rate
+    re-crawl priority from planted capture history (the recrawl_
+    priority regimes, keyed on the composed URL) → polite host-affine
+    schedule. The full schedule is the result — every row crosses
+    FOUR operator contracts (robots gate column names, priority join
+    key, politeness broadcast, window slotting), which is where
+    cross-operator drift would hide. Everything is arithmetic on
+    doc_id, so the DuckDB oracle replays the whole program."""
+    from wc_vector_indexing_spark.operators.frontier import (
+        recrawl_priority,
+        schedule_frontier,
+    )
+    from wc_vector_indexing_spark.operators.robots import (
+        parse_delays,
+        parse_rules,
+        robots_gate,
+    )
+
+    docs = load(spark, "documents", sf)
+    host_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    path = F.when(F.col("doc_id") % 7 == 3,
+                  F.concat(F.lit("/private/p"),
+                           F.col("doc_id").cast("string"))) \
+        .otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+    pages = docs.select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        path.alias("path"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example"),
+                 path).alias("url"),
+    )
+    robots_df = (
+        docs.select(F.col("source").alias("domain"),
+                    host_num.alias("hn")).distinct()
+        .select(
+            "domain",
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private/\n"),
+                F.when(
+                    F.col("hn") % 2 == 0,
+                    F.concat(F.lit("Crawl-delay: "),
+                             ((F.col("hn") % 5 + 1) * 0.5).cast("string"),
+                             F.lit("\n")),
+                ).otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+    )
+    rules = parse_rules(robots_df)
+    allowed = robots_gate(pages, rules).filter(F.col("allowed"))
+    # capture history on the composed URL — same regimes as
+    # recrawl_priority's own entry
+    k = F.explode(
+        F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))).alias("k")
+    caps = pages.select("doc_id", "url", k).select(
+        "url",
+        (F.lit(1700000000.0) + (F.col("doc_id") % 7) * 3600
+         + F.col("k") * 43200).alias("ts"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("D"), F.col("doc_id").cast("string"),
+                        F.lit("-"), F.col("k").cast("string")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("D"), F.col("doc_id").cast("string")))
+        .otherwise(
+            F.concat(F.lit("D"), F.col("doc_id").cast("string"),
+                     F.lit("-"),
+                     F.floor(F.col("k") / 2).cast("string")))
+        .alias("digest"),
+    )
+    pri = recrawl_priority(caps, now_ts=_RECRAWL_NOW).select(
+        "url", "priority")
+    frontier = allowed.join(pri, "url").select(
+        "url", F.col("domain").alias("host"), "priority")
+    politeness = parse_delays(robots_df)
+    return (
+        schedule_frontier(frontier, politeness, n_fetchers=8)
+        .orderBy("host", "slot")
+    )
+
+
+CRAWL_OPS_SQL = rf"""
+WITH pages AS (
+    SELECT doc_id, source AS host,
+           regexp_extract(source, '([0-9]+)', 1)::INT AS hn,
+           'https://' || source || '.example' ||
+           CASE WHEN doc_id % 7 = 3 THEN '/private/p' || doc_id
+                ELSE '/p/' || doc_id END AS url,
+           doc_id % 7 = 3 AS blocked
+    FROM documents
+), caps AS (
+    SELECT p.url,
+           1700000000.0 + (p.doc_id % 7) * 3600 + k * 43200 AS ts,
+           CASE WHEN p.doc_id % 3 = 0 THEN 'D' || p.doc_id || '-' || k
+                WHEN p.doc_id % 3 = 1 THEN 'D' || p.doc_id
+                ELSE 'D' || p.doc_id || '-' || (k // 2) END AS digest
+    FROM pages p, unnest(range(0, p.doc_id % 4 + 1)) AS t(k)
+), obs AS (
+    SELECT url, ts, digest,
+           (digest <> lag(digest) OVER (PARTITION BY url ORDER BY ts))::INT
+               AS changed
+    FROM caps
+), pri AS (
+    SELECT url,
+           coalesce(
+               CASE WHEN max(ts) - min(ts) > 0
+                    THEN coalesce(sum(changed), 0)
+                         / ((max(ts) - min(ts)) / 86400.0) END
+               * (({_RECRAWL_NOW} - max(ts)) / 86400.0), 0.0) AS priority
+    FROM obs GROUP BY url
+), frontier AS (
+    SELECT p.url, p.host, p.hn, round(pri.priority, 6) AS priority
+    FROM pages p JOIN pri USING (url)
+    WHERE NOT p.blocked
+), ranked AS (
+    SELECT url, host, hn,
+           (row_number() OVER (PARTITION BY host
+                               ORDER BY priority DESC, url) - 1)::INT
+               AS slot
+    FROM frontier
+)
+SELECT url, host, slot,
+       round(slot * CASE WHEN hn % 2 = 0 THEN (hn % 5 + 1) * 0.5
+                         ELSE 1.0 END, 3)::DOUBLE AS scheduled_offset_s,
+       (('0x' || substr(md5(host), 1, 8))::BIGINT % 8)::INT AS fetcher
+FROM ranked
+ORDER BY host, slot
+"""
+
+
 def mirror_hosts_op(spark: SparkSession, sf: str) -> DataFrame:
     """Mirror-site clusters (operators/mirrors.py): the plant gives
     each host pair (2g, 2g+1) an identical per-page content set —
@@ -11703,6 +11837,12 @@ REGISTRY: dict[str, QuerySpec] = {
         recrawl_priority_op, RECRAWL_PRIORITY_SQL,
         "change-rate refresh priority from capture history (expected "
         "missed changes; feeds frontier scheduling)"
+    ),
+    "crawl_ops_pipeline": QuerySpec(
+        crawl_ops_pipeline_op, CRAWL_OPS_SQL,
+        "crawl ops end to end: robots parse+gate + Crawl-delay -> "
+        "change-rate priority -> polite host-affine schedule, one "
+        "lazy program"
     ),
     "mirror_hosts": QuerySpec(
         mirror_hosts_op, MIRROR_HOSTS_SQL,
