@@ -70,3 +70,35 @@ def test_recrawl_priority_change_regimes(spark):
     assert got["u2"].n_changes == 0 and got["u2"].priority == 0.0
     assert got["u3"].change_rate is None and got["u3"].priority == 0.0
     assert got["u3"].staleness_s == 3 * 86400.0
+
+
+def test_schedule_properties(spark):
+    """Slots are dense 0..n-1 per host; offsets are slot-monotone and
+    exact multiples of the host delay; fetcher is host-constant."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(url=f"https://h{rng.randrange(5)}.example/{i}",
+            host=None, priority=float(rng.randrange(100)))
+        for i in range(200)
+    ]
+    rows = [Row(url=r.url, host=r.url.split("/")[2], priority=r.priority)
+            for r in rows]
+    politeness = spark.createDataFrame(
+        [Row(host=f"h{i}.example", crawl_delay_s=0.5 * (i + 1))
+         for i in range(3)])  # h3/h4 ride the default
+    got = schedule_frontier(
+        spark.createDataFrame(rows), politeness, n_fetchers=4).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r)
+    assert sum(len(v) for v in by_host.values()) == len(rows)
+    for host, rs in by_host.items():
+        slots = sorted(r.slot for r in rs)
+        assert slots == list(range(len(rs)))  # dense
+        delay = {"h0.example": 0.5, "h1.example": 1.0,
+                 "h2.example": 1.5}.get(host, 1.0)
+        for r in rs:
+            assert r.scheduled_offset_s == round(r.slot * delay, 3)
+        assert len({r.fetcher for r in rs}) == 1  # host-affine

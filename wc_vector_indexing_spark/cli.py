@@ -404,6 +404,32 @@ def cmd_export(args: argparse.Namespace) -> int:
     spark = get_spark("wcvec-cli", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
     df = load(spark, args.table, args.sf_dir)
+    if args.format == "safetensors":
+        from wc_vector_indexing_spark.sources.safetensors import (
+            write_safetensors_vectors,
+        )
+
+        for knob, default in (("epoch_seed", ""), ("partition_by", None),
+                              ("compression", None)):
+            if getattr(args, knob, default) not in (default, ""):
+                raise SystemExit(
+                    f"--{knob.replace('_', '-')} is not supported with "
+                    "safetensors")
+        id_col = getattr(args, "key_col", "") or df.columns[0]
+        vec_col = "embedding"
+        if vec_col not in df.columns:
+            raise SystemExit(
+                f"safetensors export needs an 'embedding' column; table "
+                f"{args.table!r} has {df.columns}")
+        manifest = write_safetensors_vectors(
+            df, args.out, id_col=id_col, vec_col=vec_col)
+        shards = manifest.collect()
+        print(json.dumps({
+            "table": args.table, "format": "safetensors",
+            "n_shards": len(shards),
+            "n_records": int(sum(r.n_rows for r in shards)),
+        }))
+        return 0
     if args.format in ("tfrecord", "arrow"):
         if getattr(args, "epoch_seed", ""):
             raise SystemExit(
@@ -741,6 +767,78 @@ def cmd_zst(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_frontier(args: argparse.Namespace) -> int:
+    """Polite crawl-frontier schedule: a URL parquet (url, host[,
+    priority]) → per-host priority slots spaced by robots Crawl-delay,
+    host-affine fetcher assignment. --robots supplies a (domain,
+    robots_txt) parquet for the politeness table; --captures a (url,
+    ts, digest) capture-history parquet + --now to derive priority as
+    expected missed changes (recrawl_priority), overriding any
+    priority column. Prints a JSON summary."""
+    from wc_vector_indexing_spark.operators.frontier import (
+        recrawl_priority,
+        schedule_frontier,
+    )
+    from wc_vector_indexing_spark.session import get_spark
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    frontier = spark.read.parquet(args.urls)
+    if args.captures:
+        if not args.now:
+            raise SystemExit("--captures requires --now (epoch seconds; "
+                             "schedules must replay deterministically)")
+        pri = recrawl_priority(
+            spark.read.parquet(args.captures), now_ts=float(args.now))
+        frontier = frontier.drop("priority").join(
+            pri.select("url", "priority"), "url", "left")
+    politeness = None
+    if args.robots:
+        from wc_vector_indexing_spark.operators.robots import parse_delays
+
+        politeness = parse_delays(spark.read.parquet(args.robots))
+    sched = schedule_frontier(
+        frontier, politeness, n_fetchers=args.fetchers,
+        default_delay_s=args.default_delay)
+    sched.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    print(json.dumps({
+        "urls": out.count(),
+        "hosts": out.select("host").distinct().count(),
+        "fetchers": args.fetchers,
+        "out": args.out,
+    }))
+    return 0
+
+
+def cmd_mirrors(args: argparse.Namespace) -> int:
+    """Mirror-site clusters over a corpus parquet: host-pair Jaccard on
+    content-digest sets (boilerplate-capped evidence) + connected
+    components. Prints cluster count + mirror hosts."""
+    from wc_vector_indexing_spark.operators.mirrors import (
+        mirror_host_clusters,
+    )
+    from wc_vector_indexing_spark.session import get_spark
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.src)
+    clusters = mirror_host_clusters(
+        docs, host_col=args.host_col, text_col=args.text_col,
+        min_jaccard=args.min_jaccard,
+        max_hosts_per_digest=args.cap)
+    clusters.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    n_hosts = out.count()
+    n_clusters = out.select("cluster_host").distinct().count()
+    print(json.dumps({
+        "mirror_hosts": n_hosts,
+        "clusters": n_clusters,
+        "out": args.out,
+    }))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="wcvec", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -864,7 +962,10 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--table", default="documents")
     ex.add_argument("--out", required=True)
     ex.add_argument(
-        "--format", choices=["json", "csv", "parquet", "orc", "tfrecord", "arrow"], default="json"
+        "--format",
+        choices=["json", "csv", "parquet", "orc", "tfrecord", "arrow",
+                 "safetensors"],
+        default="json"
     )
     ex.add_argument("--max-records", type=int, default=100_000)
     ex.add_argument("--partition-by", default=None, help="comma-separated columns")
@@ -928,6 +1029,34 @@ def build_parser() -> argparse.ArgumentParser:
                     help="JSONL field as NAME:TYPE (repeatable); omit "
                          "for raw lines")
     zs.set_defaults(fn=cmd_zst)
+
+    fr = sub.add_parser("frontier", help="polite crawl-frontier schedule "
+                                         "(priority slots × crawl-delay)")
+    fr.add_argument("--urls", required=True,
+                    help="parquet of (url, host[, priority])")
+    fr.add_argument("--robots", default="",
+                    help="parquet of (domain, robots_txt) for Crawl-delay")
+    fr.add_argument("--captures", default="",
+                    help="parquet of (url, ts, digest) capture history — "
+                         "derives priority as expected missed changes")
+    fr.add_argument("--now", default="",
+                    help="epoch seconds for staleness (required with "
+                         "--captures)")
+    fr.add_argument("--fetchers", type=int, default=32)
+    fr.add_argument("--default-delay", type=float, default=1.0)
+    fr.add_argument("--out", required=True)
+    fr.set_defaults(fn=cmd_frontier)
+
+    mi = sub.add_parser("mirrors", help="mirror-site clusters "
+                                        "(host digest-set Jaccard)")
+    mi.add_argument("--src", required=True, help="corpus parquet")
+    mi.add_argument("--host-col", default="source")
+    mi.add_argument("--text-col", default="text")
+    mi.add_argument("--min-jaccard", type=float, default=0.6)
+    mi.add_argument("--cap", type=int, default=64,
+                    help="max hosts per digest counted as evidence")
+    mi.add_argument("--out", required=True)
+    mi.set_defaults(fn=cmd_mirrors)
     return p
 
 
