@@ -336,3 +336,16 @@ def test_truncated_arrow_ipc():
                                       max_rows_per_batch=2)
             bad = _sweep(lambda b: parse_arrow_file(b, TYPES), data)
             assert bad == [], (fmt, comp)
+
+
+def test_truncated_safetensors():
+    from wc_vector_indexing_spark.sources.safetensors import (
+        parse_safetensors,
+        to_safetensors_bytes,
+    )
+
+    blob = to_safetensors_bytes({
+        "ids": np.arange(12, dtype="<i8"),
+        "vectors": np.linspace(0, 1, 48, dtype="<f4").reshape(12, 4),
+    }, metadata={"k": "v"})
+    assert _sweep(parse_safetensors, blob) == []
