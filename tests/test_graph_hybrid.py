@@ -212,3 +212,24 @@ def test_semantic_contamination_zero_norm_guard(spark):
            semantic_contamination(train, evals, threshold=0.9).collect()}
     assert set(got) == {1}
     assert got[1].eval_id == 10 and got[1].max_cos == pytest.approx(1.0)
+
+
+def test_trustrank_seed_personalization(spark):
+    """Trust concentrates on the seed and decays with distance; nodes
+    unreachable from the seed converge to ~0 (vs uniform PageRank
+    where every node keeps (1-d)/N of teleport mass)."""
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([
+        Row(src="seed", dst="near", weight=1.0),
+        Row(src="near", dst="far", weight=1.0),
+        Row(src="island", dst="island2", weight=1.0),
+    ])
+    tr = {r.node: r.rank for r in pagerank(
+        edges, iterations=8, seeds=["seed"]).collect()}
+    assert tr["seed"] > tr["near"] > tr["far"] > 0
+    assert tr["island"] == 0.0 and tr["island2"] == 0.0
+    pr = {r.node: r.rank for r in pagerank(edges, iterations=8).collect()}
+    assert pr["island2"] > 0  # uniform teleport keeps islands alive

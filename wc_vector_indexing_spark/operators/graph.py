@@ -66,6 +66,7 @@ def pagerank(
     weight: str = "weight",
     checkpoint_rounds: bool | None = None,
     small_graph_nodes: int = 100_000,
+    seeds: list | None = None,
 ) -> DataFrame:
     """(node, rank): ``iterations`` rounds of weighted PageRank,
 
@@ -75,6 +76,18 @@ def pagerank(
     where out(u) = Σ_v w(u,v). Dangling nodes (no out-edges) simply
     stop contributing — see module docstring. Ranks are rounded to 6dp
     for engine-portable comparison; the fixpoint math runs in double.
+
+    ``seeds``: seed-personalized variant (TrustRank, Gyöngyi et al.
+    2004 — public literature): the teleport vector concentrates on the
+    seed set instead of being uniform, so
+
+        rank₀(v)    = 1/|S| if v ∈ S else 0
+        rankₜ₊₁(v) = (1-d)·[v ∈ S]/|S| + d · Σ rankₜ(u)·w(u,v)/out(u)
+
+    — trust flows OUT of hand-curated good hosts and decays with
+    distance; pages unreachable from the seeds converge to 0. Seed
+    lists are hand-curated and dims-sized, so a plain literal
+    ``isin`` is the right distribution.
 
     ``checkpoint_rounds``: cut lineage with an EAGER localCheckpoint
     after each round. Required on big graphs (round t+1 must not
@@ -110,8 +123,16 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))  # empty graph → empty frame
     if checkpoint_rounds is None:
         checkpoint_rounds = n > small_graph_nodes
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if seeds is not None:
+        if not seeds:
+            raise ValueError("pagerank: seeds must be non-empty when given")
+        seed_mask = F.col("node").isin(*seeds).cast("double")
+        base_col = F.lit((1.0 - damping) / len(seeds)) * seed_mask
+        ranks = nodes.withColumn(
+            "rank", F.lit(1.0 / len(seeds)) * seed_mask)
+    else:
+        base_col = F.lit((1.0 - damping) / n)
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contrib = (
             ranks.join(en, ranks["node"] == en["src"])
@@ -122,7 +143,7 @@ def pagerank(
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
-                (F.lit(base) + damping * F.coalesce("s", F.lit(0.0))).alias("rank"),
+                (base_col + damping * F.coalesce("s", F.lit(0.0))).alias("rank"),
             )
         )
         if checkpoint_rounds:

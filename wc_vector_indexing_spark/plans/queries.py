@@ -10274,13 +10274,26 @@ def host_pagerank_op(spark: SparkSession, sf: str) -> DataFrame:
     non-uniform and every iteration moves mass. Oracle: closed-form
     host edges + the same 5 rounds as chained CTEs (the
     event_pagerank replay pattern over the WAT-derived graph)."""
+    from wc_vector_indexing_spark.operators.graph import pagerank
+    from wc_vector_indexing_spark.sources.warc import read_warc
+    from wc_vector_indexing_spark.sources.wat import host_link_graph
+
+    g = host_link_graph(read_warc(spark, _hostpr_fixture(spark, sf)))
+    return (
+        pagerank(g, iterations=5, damping=0.85,
+                 src="src_host", dst="dst_host", weight="n_links")
+        .orderBy("node")
+    )
+
+
+def _hostpr_fixture(spark: SparkSession, sf: str) -> str:
+    """The asymmetric 3-host planted crawl host_pagerank and
+    host_trustrank share (every even page adds a hub edge to h0)."""
     import hashlib
     import os
     import tempfile
 
-    from wc_vector_indexing_spark.operators.graph import pagerank
-    from wc_vector_indexing_spark.sources.warc import read_warc, to_warc_bytes
-    from wc_vector_indexing_spark.sources.wat import host_link_graph
+    from wc_vector_indexing_spark.sources.warc import to_warc_bytes
 
     key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"wcvi_hostpr_{key}")
@@ -10302,25 +10315,76 @@ def host_pagerank_op(spark: SparkSession, sf: str) -> DataFrame:
             f.write(to_warc_bytes(recs, version="1.1"))
         with open(done, "w") as f:
             f.write("ok")
-    g = host_link_graph(read_warc(spark, warc_path))
+    return warc_path
+
+
+def host_trustrank_op(spark: SparkSession, sf: str) -> DataFrame:
+    """TrustRank over the planted host graph (operators/graph.pagerank
+    ``seeds`` — Gyöngyi et al. 2004, public literature): the teleport
+    vector concentrates on the hand-curated seed host h0.example, so
+    trust flows h0 → h1 → h2 and decays with link distance instead of
+    renormalizing uniformly — the spam-demotion sibling of
+    host_pagerank, same WAT-derived graph, same chained-CTE oracle
+    with a seed-masked base term."""
+    from wc_vector_indexing_spark.operators.graph import pagerank
+    from wc_vector_indexing_spark.sources.warc import read_warc
+    from wc_vector_indexing_spark.sources.wat import host_link_graph
+
+    g = host_link_graph(read_warc(spark, _hostpr_fixture(spark, sf)))
     return (
         pagerank(g, iterations=5, damping=0.85,
-                 src="src_host", dst="dst_host", weight="n_links")
+                 src="src_host", dst="dst_host", weight="n_links",
+                 seeds=["h0.example"])
         .orderBy("node")
     )
 
 
-def _pagerank_rounds(iterations: int = 5, d: float = 0.85) -> tuple[str, str]:
+def _host_trustrank_sql(iterations: int = 5, d: float = 0.85) -> str:
+    base = (f"(1 - {d}) * (CASE WHEN nodes.node = 'h0.example' "
+            f"THEN 1.0 ELSE 0.0 END)")
+    rounds, prev = _pagerank_rounds(iterations, d, base_sql=base)
+    return (
+        """
+WITH edges(src, dst, w) AS (
+    VALUES ('h0.example', 'h1.example', 8.0),
+           ('h0.example', 'h0.example', 4.0),
+           ('h1.example', 'h2.example', 8.0),
+           ('h1.example', 'h0.example', 4.0),
+           ('h2.example', 'h0.example', 12.0)
+),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+en AS (SELECT e.src, e.dst, e.w / o.ow AS wn FROM edges e JOIN outw o USING (src)),
+nodes AS (
+    SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (
+    SELECT node,
+           CASE WHEN node = 'h0.example' THEN 1.0 ELSE 0.0 END AS rank
+    FROM nodes
+),
+"""
+        + rounds
+        + f"\nSELECT node, round(rank, 6) AS rank FROM {prev} ORDER BY node"
+    )
+
+
+def _pagerank_rounds(iterations: int = 5, d: float = 0.85,
+                     base_sql: str | None = None) -> tuple[str, str]:
     """(rounds CTE text, final relation name): the chained-CTE replay
     of operators/graph.pagerank — expects CTEs ``en(src, dst, wn)``,
-    ``nodes(node)``, ``nn(n)``, ``r0(node, rank)`` in scope."""
+    ``nodes(node)``, ``nn(n)``, ``r0(node, rank)`` in scope.
+    ``base_sql`` overrides the teleport term (default: the uniform
+    ``(1-d)/N``); the TrustRank replay passes the seed-masked form."""
+    if base_sql is None:
+        base_sql = f"(1 - {d}) / nn.n"
     prev = "r0"
     rounds = []
     for i in range(1, iterations + 1):
         rounds.append(
             f"it{i} AS (\n"
             f"    SELECT nodes.node,"
-            f" (1 - {d}) / nn.n + {d} * coalesce(c.s, 0) AS rank\n"
+            f" {base_sql} + {d} * coalesce(c.s, 0) AS rank\n"
             f"    FROM nodes CROSS JOIN nn\n"
             f"    LEFT JOIN (SELECT en.dst AS node,"
             f" sum({prev}.rank * en.wn) AS s\n"
@@ -11822,6 +11886,11 @@ REGISTRY: dict[str, QuerySpec] = {
         "crawl-frontier domain ranking: WAT host graph through 5 "
         "PageRank rounds (chained-CTE replay oracle)"
     ),
+    "host_trustrank": QuerySpec(
+        host_trustrank_op, _host_trustrank_sql(),
+        "seed-personalized TrustRank over the WAT host graph (trust "
+        "flows out of curated seeds and decays with link distance)"
+    ),
     "curation_with_host_prior": QuerySpec(
         curation_with_host_prior_op, _curation_host_prior_sql(),
         "CCNet-style host prior: WAT PageRank + reputation blocklist "
@@ -11854,10 +11923,10 @@ REGISTRY: dict[str, QuerySpec] = {
     # slice-parallel bz2 offset walk + wikitext extraction) promoted;
     # window_dedup (recorded r8-r10) slides below the 50-entry cutoff
     # in exchange.
-    "wikipedia_corpus_text": QuerySpec(
-        wikipedia_corpus_text_op, WIKIPEDIA_CORPUS_SQL,
-        "MediaWiki multistream dump: slice-parallel bz2 walk + wikitext "
-        "→ text with redirect flags (planted-truth oracle)"
+    "safetensors_export_roundtrip": QuerySpec(
+        safetensors_export_roundtrip_op, SAFETENSORS_EXPORT_SQL,
+        "distributed safetensors embedding-matrix export + read-back, "
+        "value-exact against the embeddings table"
     ),
     "archive_member_census": QuerySpec(
         archive_member_census_op, ARCHIVE_CENSUS_SQL,
@@ -11867,15 +11936,15 @@ REGISTRY: dict[str, QuerySpec] = {
         image_dedup_op, IMAGE_DEDUP_SQL,
         "perceptual dHash image near-dup pairs (planted-truth oracle)"
     ),
+    "wikipedia_corpus_text": QuerySpec(
+        wikipedia_corpus_text_op, WIKIPEDIA_CORPUS_SQL,
+        "MediaWiki multistream dump: slice-parallel bz2 walk + wikitext "
+        "→ text with redirect flags (planted-truth oracle)"
+    ),
     # r11 window rotation (session 4): zstd_jsonl_corpus (new, never
     # driver-recorded — the .zst JSONL front door the decoder exists
     # for) promoted; feed_discovery (recorded r9-r10) slides below the
     # cutoff in exchange.
-    "safetensors_export_roundtrip": QuerySpec(
-        safetensors_export_roundtrip_op, SAFETENSORS_EXPORT_SQL,
-        "distributed safetensors embedding-matrix export + read-back, "
-        "value-exact against the embeddings table"
-    ),
     "zstd_jsonl_corpus": QuerySpec(
         zstd_jsonl_corpus_op, ZSTD_JSONL_SQL,
         ".zst JSONL shards through the pure-Python decoder + JVM-side "
