@@ -180,3 +180,36 @@ def test_collocations_min_count_floor(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="rare pair rare pair")])
     assert collocations(docs, min_count=5, k=10).count() == 0
     assert collocations(docs, min_count=2, k=10).count() > 0
+
+
+def test_bm25_anchor_boost_changes_ranking(spark):
+    """A body-weak doc with query-matching incoming anchors must
+    overtake a body-only match; docs missing a zone still score."""
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.retrieval import (
+        bm25_anchor_search,
+        bm25_search,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="vector search engine with vector index"),
+        Row(doc_id=2, text="a page about gardening and soil"),
+        Row(doc_id=3, text="cooking with cast iron pans"),
+    ])
+    anchors = spark.createDataFrame([
+        Row(doc_id=2, anchor="vector database guide"),
+        Row(doc_id=2, anchor="the best vector index"),
+        Row(doc_id=3, anchor="banana bread recipe"),
+    ])
+    plain = [r.doc_id for r in bm25_search(docs, "vector", k=3).collect()]
+    assert plain == [1]  # only doc 1's body matches
+    boosted = bm25_anchor_search(
+        docs, anchors, "vector", k=3, w_anchor=5.0)
+    rows = {r.doc_id: r.score for r in boosted.collect()}
+    assert set(rows) == {1, 2}  # doc 2 enters via the anchor zone
+    assert rows[2] > rows[1]    # heavy anchor weight overtakes body
+    # body-favouring weights keep doc 1 first
+    mild = [r.doc_id for r in bm25_anchor_search(
+        docs, anchors, "vector", k=3, w_anchor=0.1).collect()]
+    assert mild[0] == 1

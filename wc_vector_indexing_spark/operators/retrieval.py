@@ -90,6 +90,19 @@ def bm25_search(
             F.count("*").cast("double").alias("n_docs"),
             F.avg("_dl").alias("avgdl"),
         )
+    scored = _bm25_raw(idx, stats, terms, k1, b, id_col)
+    return (
+        scored.select(id_col, F.round("score_raw", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    )
+
+
+def _bm25_raw(idx: DataFrame, stats: DataFrame, terms: list[str],
+              k1: float, b: float, id_col: str) -> DataFrame:
+    """(id, score_raw): the UNROUNDED per-doc BM25 sum over the query
+    slice of an index frame — the shared core of bm25_search and the
+    anchor-boosted zone combiner (which must weight raw sums before
+    any rounding)."""
     hits = idx.filter(F.col("tok").isin(terms))
     df_tbl = hits.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -99,13 +112,74 @@ def bm25_search(
         F.col("tf")
         + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    scored = (
+    return (
         hits.join(F.broadcast(df_tbl), "tok")
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.round(F.sum(part), 4).alias("score"))
+        .agg(F.sum(part).alias("score_raw"))
     )
-    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def bm25_anchor_search(
+    docs: DataFrame,
+    anchors: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    w_body: float = 1.0,
+    w_anchor: float = 2.0,
+    text_col: str = "text",
+    anchor_text_col: str = "anchor",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Anchor-boosted lexical retrieval — weighted zone scoring over
+    two fields (the original web-search insight: incoming anchor text
+    describes the TARGET better than its own body; zone scoring per
+    Manning et al., IR ch. 6):
+
+        score(d) = w_body·BM25_body(d) + w_anchor·BM25_anchor(d)
+
+    Each zone gets its OWN length normalization and df statistics (the
+    anchor zone's corpus is the targets that have anchors). ``anchors``
+    carries one row per incoming anchor string (id_col,
+    anchor_text_col) — e.g. link_edges' resolved targets, or
+    anchor_text_index exploded; token counts are row-order-insensitive
+    so no concatenation step is needed. Zones score independently and
+    outer-join on id (a doc may hit in one zone only); top-k by
+    (score desc, id asc)."""
+    terms = sorted({t for t in _py_tokens(query)})
+    if not terms:
+        raise ValueError("query has no indexable terms")
+    body_idx = bm25_index(docs, text_col, id_col)
+    ntok = F.size(_tokens(text_col))
+    body_stats = docs.select(ntok.alias("_dl")).filter(F.col("_dl") > 0).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+    )
+    a_idx = bm25_index(
+        anchors.select(id_col, F.col(anchor_text_col).alias("text")),
+        "text", id_col)
+    a_stats = a_idx.groupBy(id_col).agg(F.first("dl").alias("_dl")).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("_dl").alias("avgdl"),
+    )
+    body = _bm25_raw(body_idx, body_stats, terms, k1, b, id_col).select(
+        id_col, F.col("score_raw").alias("_s_body"))
+    anchor = _bm25_raw(a_idx, a_stats, terms, k1, b, id_col).select(
+        id_col, F.col("score_raw").alias("_s_anchor"))
+    combined = (
+        body.join(anchor, id_col, "full_outer")
+        .select(
+            id_col,
+            F.round(
+                w_body * F.coalesce("_s_body", F.lit(0.0))
+                + w_anchor * F.coalesce("_s_anchor", F.lit(0.0)),
+                4,
+            ).alias("score"),
+        )
+    )
+    return combined.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
 def _py_tokens(text: str) -> list[str]:

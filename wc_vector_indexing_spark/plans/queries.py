@@ -3574,6 +3574,92 @@ LIMIT 10
 """
 
 
+def bm25_anchor_search_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-boosted retrieval (operators/retrieval.bm25_anchor_search
+    — weighted zone scoring: the incoming-anchor-text zone gets its own
+    BM25 with its own length normalization and df statistics, then
+    zones combine w_body·body + w_anchor·anchor). The plant gives every
+    doc_id%4==0 target two query-bearing anchors and every %4==1 an
+    unrelated anchor, so the anchor zone promotes body-weak targets
+    past body-only matches — the ranking CHANGE is what the gate pins.
+    Same query terms as bm25_search; full two-zone DuckDB replay."""
+    from wc_vector_indexing_spark.operators.retrieval import (
+        bm25_anchor_search,
+    )
+
+    docs = load(spark, "documents", sf)
+    anchors = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.array(F.lit("vector index guide"),
+                           F.lit("stream vector notes")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.array(F.lit("unrelated words here")))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("anchor"),
+    )
+    return bm25_anchor_search(
+        docs, anchors, "hash stream vector", k=10,
+        w_body=1.0, w_anchor=2.0)
+
+
+BM25_ANCHOR_SQL = r"""
+WITH btoks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+    FROM documents
+),
+btf AS (SELECT doc_id, tok, count(*) AS tf FROM btoks GROUP BY doc_id, tok),
+bdl AS (SELECT doc_id, sum(tf) AS dl FROM btf GROUP BY doc_id),
+bstats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM bdl),
+bhits AS (
+    SELECT btf.doc_id, btf.tok, btf.tf, bdl.dl FROM btf JOIN bdl USING (doc_id)
+    WHERE btf.tok IN ('hash', 'stream', 'vector')
+),
+bdf AS (SELECT tok, count(*) AS df FROM bhits GROUP BY tok),
+bscore AS (
+    SELECT doc_id,
+           sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+    FROM bhits JOIN bdf USING (tok) CROSS JOIN bstats
+    GROUP BY doc_id
+),
+arows AS (
+    SELECT doc_id, t.a FROM documents, unnest(
+        CASE WHEN doc_id % 4 = 0
+                  THEN ['vector index guide', 'stream vector notes']
+             WHEN doc_id % 4 = 1 THEN ['unrelated words here']
+             ELSE [] END) AS t(a)
+),
+atoks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(a), '[^a-z]+'), x -> x <> '')) AS tok
+    FROM arows
+),
+atf AS (SELECT doc_id, tok, count(*) AS tf FROM atoks GROUP BY doc_id, tok),
+adl AS (SELECT doc_id, sum(tf) AS dl FROM atf GROUP BY doc_id),
+astats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM adl),
+ahits AS (
+    SELECT atf.doc_id, atf.tok, atf.tf, adl.dl FROM atf JOIN adl USING (doc_id)
+    WHERE atf.tok IN ('hash', 'stream', 'vector')
+),
+adf AS (SELECT tok, count(*) AS df FROM ahits GROUP BY tok),
+ascore AS (
+    SELECT doc_id,
+           sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS s
+    FROM ahits JOIN adf USING (tok) CROSS JOIN astats
+    GROUP BY doc_id
+)
+SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+       round(1.0 * coalesce(b.s, 0.0) + 2.0 * coalesce(a.s, 0.0), 4) AS score
+FROM bscore b FULL OUTER JOIN ascore a ON b.doc_id = a.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def bigram_logprob_op(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated bigram LM scoring (operators/lm_score.bigram_score):
     per-doc mean negative log-prob under a Jelinek-Mercer bigram/unigram
@@ -11575,6 +11661,11 @@ REGISTRY: dict[str, QuerySpec] = {
     # advisor rule: fresh operators get driver-gate visibility; the
     # long-stable j8/a1/k2 rows moved below the cutoff in exchange)
     "bm25_search": QuerySpec(bm25_search_op, BM25_SQL, "BM25 lexical top-10 retrieval"),
+    "bm25_anchor_search": QuerySpec(
+        bm25_anchor_search_op, BM25_ANCHOR_SQL,
+        "anchor-boosted retrieval: per-zone BM25 (body + incoming "
+        "anchor text) with weighted zone combination"
+    ),
     # r9 window rotation: the two MP3 full-decode entries (never
     # driver-recorded) promoted; ogg_page_census + webp_dims_census
     # (both recorded r8) demoted to the tail in exchange.
@@ -11871,11 +11962,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # readers) promoted; c4_line_filter stays per the category pin, so
     # j7_priority_union (recorded r8-r10) slides below the cutoff in
     # exchange.
-    "wiki_dump_diff": QuerySpec(
-        wiki_dump_diff_op, WIKI_DUMP_DIFF_SQL,
-        "wiki dump version diff: new/gone/changed/unchanged incl. the "
-        "title-moved case (closed-form oracle)"
-    ),
     # r11 window rotation (session 4): host_pagerank (new, never
     # driver-recorded — WARC → WAT → host graph → PageRank, one lazy
     # composition of green operators) promoted; audio_dedup_fp
@@ -11935,6 +12021,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "image_dedup_dhash": QuerySpec(
         image_dedup_op, IMAGE_DEDUP_SQL,
         "perceptual dHash image near-dup pairs (planted-truth oracle)"
+    ),
+    "wiki_dump_diff": QuerySpec(
+        wiki_dump_diff_op, WIKI_DUMP_DIFF_SQL,
+        "wiki dump version diff: new/gone/changed/unchanged incl. the "
+        "title-moved case (closed-form oracle)"
     ),
     "wikipedia_corpus_text": QuerySpec(
         wikipedia_corpus_text_op, WIKIPEDIA_CORPUS_SQL,
