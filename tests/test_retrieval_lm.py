@@ -213,3 +213,43 @@ def test_bm25_anchor_boost_changes_ranking(spark):
     mild = [r.doc_id for r in bm25_anchor_search(
         docs, anchors, "vector", k=3, w_anchor=0.1).collect()]
     assert mild[0] == 1
+
+
+def test_retrieval_metrics_trec_definitions(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    results = spark.createDataFrame([
+        # q1: relevant docs at ranks 2 and 4; one relevant missed
+        Row(query_id=1, doc_id=10, rank=1),
+        Row(query_id=1, doc_id=11, rank=2),
+        Row(query_id=1, doc_id=12, rank=3),
+        Row(query_id=1, doc_id=13, rank=4),
+        # q2: nothing relevant retrieved
+        Row(query_id=2, doc_id=20, rank=1),
+    ])
+    qrels = spark.createDataFrame([
+        Row(query_id=1, doc_id=11, rel=2),
+        Row(query_id=1, doc_id=13, rel=1),
+        Row(query_id=1, doc_id=99, rel=3),  # never retrieved
+        Row(query_id=2, doc_id=21, rel=1),
+        Row(query_id=3, doc_id=30, rel=1),  # query with no results
+    ])
+    got = {r.query_id: r for r in retrieval_metrics(
+        results, qrels, k=10).collect()}
+    q1 = got[1]
+    assert q1.recall_at_k == round(2 / 3, 4)
+    assert q1.mrr == 0.5  # first relevant at rank 2
+    dcg = (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(5)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) \
+        + (2**1 - 1) / math.log2(4)
+    assert q1.ndcg == round(dcg / idcg, 4)
+    assert got[2].recall_at_k == 0.0 and got[2].mrr == 0.0 \
+        and got[2].ndcg == 0.0
+    # q3 has qrels but no results: present with zero metrics
+    assert got[3].n_retrieved == 0 and got[3].recall_at_k == 0.0

@@ -304,3 +304,83 @@ def mmr_rerank(
     return spark.createDataFrame(
         out, schema=f"{id_col} long, position int, relevance double, mmr double"
     )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """(query_id, n_retrieved, n_relevant, recall_at_k, mrr, ndcg):
+    per-query retrieval quality under the standard definitions
+    (TREC-style; public literature):
+
+        recall@k = |top-k ∩ relevant| / |relevant|
+        MRR@k    = 1 / rank of the first relevant hit (0 if none)
+        nDCG@k   = Σ_{hits} (2^rel − 1)/log2(rank+1), normalized by
+                   the ideal DCG over that query's relevance grades
+
+    ``results`` carries (query, doc, rank) with rank 1-based —
+    whatever retriever produced it (BM25, ANN, hybrid RRF); ``qrels``
+    carries (query, doc, graded rel ≥ 1). Shapes: one broadcast-or-
+    shuffled join on (query, doc) + per-query aggregates; the ideal
+    DCG is a window over qrels (rel desc) — both sides key on the
+    query, so everything co-partitions after one exchange. Queries
+    with no qrels are dropped (no denominator); queries with qrels but
+    no results row still appear via the qrels side with zero metrics."""
+    from pyspark.sql import Window
+
+    r = results.select(
+        F.col(query_col).alias("q"), F.col(id_col).alias("d"),
+        F.col(rank_col).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= k)
+    g = qrels.select(
+        F.col(query_col).alias("q"), F.col(id_col).alias("d"),
+        F.col(rel_col).cast("double").alias("rel"),
+    ).filter(F.col("rel") > 0)
+    hits = r.join(g, ["q", "d"])
+    per_hit = hits.select(
+        "q", "rank", "rel",
+        ((F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+         / F.log2(F.col("rank") + 1.0)).alias("dcg_term"),
+    )
+    agg_hits = per_hit.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rank").alias("first_rank"),
+        F.sum("dcg_term").alias("dcg"),
+    )
+    # ideal DCG: the query's grades sorted descending, capped at k
+    w = Window.partitionBy("q").orderBy(F.desc("rel"), F.asc("d"))
+    ideal = (
+        g.withColumn("irank", F.row_number().over(w))
+        .filter(F.col("irank") <= k)
+        .groupBy("q")
+        .agg(
+            F.sum((F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+                  / F.log2(F.col("irank") + 1.0)).alias("idcg"))
+    )
+    n_rel = g.groupBy("q").agg(F.count(F.lit(1)).alias("n_relevant"))
+    n_ret = r.groupBy("q").agg(F.count(F.lit(1)).alias("n_retrieved"))
+    return (
+        n_rel.join(ideal, "q")
+        .join(n_ret, "q", "left")
+        .join(agg_hits, "q", "left")
+        .select(
+            F.col("q").alias(query_col),
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            "n_relevant",
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_relevant"), 4
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0)), 4
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), 4
+            ).alias("ndcg"),
+        )
+    )

@@ -3660,6 +3660,91 @@ LIMIT 10
 """
 
 
+def retrieval_eval_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval-quality metrics (operators/retrieval.retrieval_metrics
+    — TREC-style recall@k / MRR / nDCG, the eval harness every
+    retrieval stack needs next to its retrievers): 5 planted queries ×
+    10 ranked results each (lowest-50 docs, rank = slot arithmetic),
+    graded qrels over the lowest-75 (so each query has relevant docs
+    that were never retrieved, plus graded ties for the ideal-DCG
+    window). Pure arithmetic ⇒ the oracle replays the metric formulas
+    exactly, including the log2 discount and the grade-desc ideal
+    ordering."""
+    from wc_vector_indexing_spark.operators.retrieval import (
+        retrieval_metrics,
+    )
+
+    w = Window.orderBy("doc_id")
+    base = (
+        load(spark, "documents", sf).select("doc_id")
+        .orderBy("doc_id").limit(75)
+        .withColumn("rnk", F.row_number().over(w) - 1)
+    )
+    results = base.filter(F.col("rnk") < 50).select(
+        (F.col("rnk") % 5).alias("query_id"),
+        "doc_id",
+        (F.col("rnk") / 5 + 1).cast("long").alias("rank"),
+    )
+    rel = (
+        F.when(F.col("rnk") % 3 == 0, F.lit(2))
+        .when(F.col("rnk") % 7 == 1, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    qrels = base.select(
+        (F.col("rnk") % 5).alias("query_id"), "doc_id", rel.alias("rel")
+    ).filter(F.col("rel") > 0)
+    return retrieval_metrics(results, qrels, k=10).orderBy("query_id")
+
+
+RETRIEVAL_EVAL_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 75)
+), results AS (
+    SELECT (rnk % 5)::INT AS q, doc_id AS d, (rnk // 5 + 1)::BIGINT AS rank
+    FROM ids WHERE rnk < 50
+), qrels AS (
+    SELECT (rnk % 5)::INT AS q, doc_id AS d,
+           (CASE WHEN rnk % 3 = 0 THEN 2
+                 WHEN rnk % 7 = 1 THEN 1 ELSE 0 END)::DOUBLE AS rel
+    FROM ids
+    WHERE (rnk % 3 = 0 OR rnk % 7 = 1)
+), hits AS (
+    SELECT r.q, r.rank, g.rel,
+           (pow(2.0, g.rel) - 1.0) / log2(r.rank + 1.0) AS dcg_term
+    FROM results r JOIN qrels g ON r.q = g.q AND r.d = g.d
+    WHERE r.rank <= 10
+), agg_hits AS (
+    SELECT q, count(*) AS n_hits, min(rank) AS first_rank,
+           sum(dcg_term) AS dcg
+    FROM hits GROUP BY q
+), ideal AS (
+    SELECT q, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg
+    FROM (
+        SELECT q, rel,
+               row_number() OVER (PARTITION BY q ORDER BY rel DESC, d) AS irank
+        FROM qrels
+    ) WHERE irank <= 10
+    GROUP BY q
+), n_rel AS (SELECT q, count(*) AS n_relevant FROM qrels GROUP BY q),
+n_ret AS (
+    SELECT q, count(*) AS n_retrieved FROM results WHERE rank <= 10 GROUP BY q
+)
+SELECT n_rel.q AS query_id,
+       coalesce(n_ret.n_retrieved, 0)::BIGINT AS n_retrieved,
+       n_rel.n_relevant::BIGINT AS n_relevant,
+       round(coalesce(a.n_hits, 0) / n_rel.n_relevant, 4)::DOUBLE
+           AS recall_at_k,
+       round(coalesce(1.0 / a.first_rank, 0.0), 4)::DOUBLE AS mrr,
+       round(coalesce(a.dcg / ideal.idcg, 0.0), 4)::DOUBLE AS ndcg
+FROM n_rel
+JOIN ideal USING (q)
+LEFT JOIN n_ret USING (q)
+LEFT JOIN agg_hits a USING (q)
+ORDER BY query_id
+"""
+
+
 def bigram_logprob_op(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated bigram LM scoring (operators/lm_score.bigram_score):
     per-doc mean negative log-prob under a Jelinek-Mercer bigram/unigram
@@ -11666,6 +11751,11 @@ REGISTRY: dict[str, QuerySpec] = {
         "anchor-boosted retrieval: per-zone BM25 (body + incoming "
         "anchor text) with weighted zone combination"
     ),
+    "retrieval_eval": QuerySpec(
+        retrieval_eval_op, RETRIEVAL_EVAL_SQL,
+        "TREC-style retrieval quality metrics: recall@k / MRR / nDCG "
+        "per query over planted results and graded qrels"
+    ),
     # r9 window rotation: the two MP3 full-decode entries (never
     # driver-recorded) promoted; ogg_page_census + webp_dims_census
     # (both recorded r8) demoted to the tail in exchange.
@@ -11952,11 +12042,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # canonicalization) promoted; warc_dedup_write (recorded r10;
     # the archive family keeps cdx/revisit/wat entries in-window)
     # slides below the cutoff in exchange.
-    "wiki_link_graph": QuerySpec(
-        wiki_link_graph_op, WIKI_LINK_GRAPH_SQL,
-        "wiki article link graph: canonicalized targets, fragments "
-        "dropped, category/comment links excluded (closed-form oracle)"
-    ),
     # r11 window rotation (session 4): wiki_dump_diff (new, never
     # driver-recorded — dump-over-dump churn through the slice-parallel
     # readers) promoted; c4_line_filter stays per the category pin, so
@@ -12021,6 +12106,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "image_dedup_dhash": QuerySpec(
         image_dedup_op, IMAGE_DEDUP_SQL,
         "perceptual dHash image near-dup pairs (planted-truth oracle)"
+    ),
+    "wiki_link_graph": QuerySpec(
+        wiki_link_graph_op, WIKI_LINK_GRAPH_SQL,
+        "wiki article link graph: canonicalized targets, fragments "
+        "dropped, category/comment links excluded (closed-form oracle)"
     ),
     "wiki_dump_diff": QuerySpec(
         wiki_dump_diff_op, WIKI_DUMP_DIFF_SQL,
