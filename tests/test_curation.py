@@ -274,6 +274,55 @@ def test_curate_host_prior_stage(spark):
     assert curated.columns == ["doc_id", "text", "source"]
 
 
+def test_curate_mirror_clusters_gate(spark):
+    """mirror_clusters drops every doc on a NON-canonical mirror host
+    wholesale (reason mirror_host) before per-row gates; the canonical
+    member and unclustered hosts flow through untouched."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=GOOD, source="hostA"),
+        Row(doc_id=2, text=GOOD, source="hostB"),        # mirror of A
+        Row(doc_id=3, text=GOOD + " And a distinct closing line here.",
+            source="hostC"),                             # unclustered
+    ])
+    clusters = spark.createDataFrame([
+        Row(host="hostA", cluster_host="hostA"),
+        Row(host="hostB", cluster_host="hostA"),
+    ])
+    curated, audit = curate(
+        docs, CurationConfig(near_dup_threshold=1.01),
+        mirror_clusters=clusters)
+    reasons = {r.doc_id: r.reject_reason for r in audit.collect()}
+    assert reasons == {2: "mirror_host"}
+    assert {r.doc_id for r in curated.collect()} == {1, 3}
+
+
+def test_curate_host_prior_with_host_col_named_host(spark):
+    """A corpus whose host column is literally named 'host' must keep
+    that column through the rank-reweight join — the prior side's host
+    column is aliased before joining so the post-join drop can't take
+    the corpus's own column with it (ADVICE r12)."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=GOOD, source="s1", host="hostA"),
+        Row(doc_id=2, text=GOOD + " And a distinct closing line here.",
+            source="s2", host="hostB"),
+    ])
+    prior = spark.createDataFrame([
+        Row(host="hostA", blocked=False, host_rank=1.0),
+        Row(host="hostB", blocked=True, host_rank=0.5),
+    ])
+    curated, audit = curate(
+        docs, CurationConfig(near_dup_threshold=1.01),
+        host_prior=prior, host_col="host")
+    assert curated.columns == ["doc_id", "text", "source", "host"]
+    assert [(r.doc_id, r.host) for r in curated.collect()] == [(1, "hostA")]
+    reasons = {r.doc_id: r.reject_reason for r in audit.collect()}
+    assert reasons == {2: "blocked_host"}
+
+
 def test_curate_host_prior_reweights_quality(spark):
     from pyspark.sql import Row
 

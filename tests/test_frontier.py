@@ -72,6 +72,32 @@ def test_recrawl_priority_change_regimes(spark):
     assert got["u3"].staleness_s == 3 * 86400.0
 
 
+def test_recrawl_priority_tied_ts_deterministic_and_clamped(spark):
+    """Captures sharing a timestamp order by (ts, digest), so n_changes
+    replays identically regardless of input row order; a now_ts earlier
+    than the last capture clamps staleness (and so priority) at 0
+    instead of going negative (ADVICE r12)."""
+    from wc_vector_indexing_spark.operators.frontier import recrawl_priority
+
+    rows = [
+        Row(url="u1", ts=0.0, digest="b"),
+        Row(url="u1", ts=0.0, digest="a"),  # tied ts: a then b by digest
+        Row(url="u1", ts=86400.0, digest="b"),
+    ]
+    for perm in (rows, rows[::-1], [rows[2], rows[0], rows[1]]):
+        got = recrawl_priority(
+            spark.createDataFrame(perm).repartition(3), now_ts=86400.0
+        ).collect()[0]
+        # ordered a, b, b -> exactly one change, replayed for every
+        # input order and partitioning
+        assert got.n_changes == 1, perm
+        assert got.staleness_s == 0.0 and got.priority == 0.0
+    # now_ts BEFORE the last capture: clamp, don't go negative
+    got = recrawl_priority(
+        spark.createDataFrame(rows), now_ts=0.0).collect()[0]
+    assert got.staleness_s == 0.0 and got.priority == 0.0
+
+
 def test_schedule_properties(spark):
     """Slots are dense 0..n-1 per host; offsets are slot-monotone and
     exact multiples of the host delay; fetcher is host-constant."""

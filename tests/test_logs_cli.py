@@ -276,6 +276,54 @@ def test_cli_export_tfrecord(spark, tmp_path, capsys):
     assert back.count() == 500
 
 
+def test_cli_export_safetensors_rejects_unhonored_knobs(spark, tmp_path):
+    """The safetensors branch must reject EVERY write_shards knob it
+    doesn't honor — --max-records previously slipped through silently
+    (ADVICE r12) — and validate --key-col against the table before
+    writing."""
+    import pytest
+
+    from wc_vector_indexing_spark.cli import main
+
+    base = [
+        "export",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--table", "embeddings",
+        "--out", str(tmp_path / "st"),
+        "--format", "safetensors",
+    ]
+    with pytest.raises(SystemExit, match="max-records"):
+        main(base + ["--max-records", "7"])
+    with pytest.raises(SystemExit, match="key-col"):
+        main(base + ["--key-col", "no_such_col"])
+    assert not (tmp_path / "st").exists()
+
+
+def test_cli_export_safetensors(spark, tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+    from wc_vector_indexing_spark.sources.safetensors import (
+        read_safetensors_vectors,
+    )
+
+    rc = main(
+        [
+            "export",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--table", "embeddings",
+            "--out", str(tmp_path / "st"),
+            "--format", "safetensors",
+        ]
+    )
+    assert rc == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["n_records"] == 500
+    back = read_safetensors_vectors(
+        spark, str(tmp_path / "st" / "*.safetensors"))
+    assert back.count() == 500
+
+
 def test_cli_export_arrow(spark, tmp_path, capsys):
     import json as _json
 

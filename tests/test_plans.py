@@ -225,7 +225,8 @@ def test_driver_gate_category_coverage():
     assert gs & {"bm25_search", "mmr_rerank_top10", "matryoshka_recall"}
     # media / perceptual family
     assert gs & {"image_dedup_dhash", "audio_dedup_fp", "video_dedup_remux",
-                 "media_format_census"}
+                 "media_format_census", "audio_dedup_mp3",
+                 "video_dedup_requant", "mp3_pcm_census"}
     # curation / quality family
     assert gs & {"c4_line_filter", "gopher_quality", "importance_weights"}
     # sources family (crawl/archive front doors)
@@ -235,6 +236,33 @@ def test_driver_gate_category_coverage():
         k for k in list(REGISTRY)[:50] if REGISTRY[k].sql is None
     ]
     assert not rows_only_in_window, rows_only_in_window
+
+
+def test_gate_window_returns_only_hashable_columns(spark):
+    """DRIVER-HASHER CONTRACT (r12 gate err): the driver canonicalizes
+    gate results via pandas sort/factorize, which cannot hash list
+    values — so no gate-window entry may return an array/map/struct
+    column. (The registry's rounding/total-order rules covered value
+    noise but not column hashability; this pins the class so a
+    rotation can never re-introduce it — r12's
+    safetensors_export_roundtrip returned a raw array<float> and
+    errored the gate before comparison.)"""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    gate = [k for k, s in REGISTRY.items() if s.sql is not None][:50]
+    offenders = []
+    for name in gate:
+        schema = REGISTRY[name].fn(spark, SF).schema
+        complex_cols = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders.append((name, complex_cols))
+    assert not offenders, (
+        "gate-window entries return driver-unhashable complex columns "
+        f"(fold them to scalars on both sides): {offenders}"
+    )
 
 
 def test_c4_and_gopher_are_zero_shuffle_map_passes(spark):

@@ -61,13 +61,98 @@ def test_validation_contract():
     bad = struct.pack("<Q", len(hj)) + hj + bytes(blob)[8 + hlen:]
     with pytest.raises(ValueError, match="byte span"):
         parse_safetensors(bad)
-    # BF16 is a documented seam, not a reinterpretation
+    # unknown dtypes still reject (BF16 itself decodes — tests below)
     hdr = json.loads(bytes(blob)[8:8 + hlen])
-    hdr["t"]["dtype"] = "BF16"
+    hdr["t"]["dtype"] = "F8_E4M3"
     hj = json.dumps(hdr, separators=(",", ":")).encode()
-    with pytest.raises(NotImplementedError, match="BF16"):
+    with pytest.raises(ValueError, match="unknown dtype"):
         parse_safetensors(
             struct.pack("<Q", len(hj)) + hj + bytes(blob)[8 + hlen:])
+
+
+def test_bf16_decode_is_lossless_widening():
+    """A hand-built BF16 tensor (bit patterns chosen by hand, no
+    writer involved) decodes to EXACTLY bits<<16 as float32 — the
+    public bfloat16 layout. Covers normals, subnormal, zero/-zero,
+    ±inf, and NaN."""
+    bits = np.array(
+        [0x3F80,   # 1.0
+         0xBF80,   # -1.0
+         0x4049,   # ~3.140625 (pi truncated to bf16)
+         0x0001,   # smallest subnormal
+         0x0000, 0x8000,   # +0, -0
+         0x7F80, 0xFF80,   # +inf, -inf
+         0x7FC0],  # quiet NaN
+        dtype="<u2")
+    hdr = {"t": {"dtype": "BF16", "shape": [9],
+                 "data_offsets": [0, 18]}}
+    hj = json.dumps(hdr, separators=(",", ":")).encode()
+    blob = struct.pack("<Q", len(hj)) + hj + bits.tobytes()
+    got, _ = parse_safetensors(blob)
+    expect = (bits.astype("<u4") << np.uint32(16)).view("<f4")
+    assert got["t"].dtype == np.dtype("<f4")
+    assert np.array_equal(
+        got["t"].view("<u4"), expect.view("<u4"))  # bit-exact, NaN incl.
+
+
+def test_bf16_roundtrip_rne_and_exact_values():
+    """Writer-side BF16: values exactly representable in bfloat16
+    round-trip value-exactly; a value between two bf16 neighbours
+    rounds to nearest (ties to even); NaN stays NaN."""
+    from wc_vector_indexing_spark.sources.safetensors import (
+        bf16_bits_to_f32,
+        f32_to_bf16_bits,
+    )
+
+    exact = np.array([1.0, -2.5, 0.25, 96.0, 0.0, -0.0], dtype="<f4")
+    blob = to_safetensors_bytes(
+        {"v": exact}, dtype_overrides={"v": "BF16"})
+    got, _ = parse_safetensors(blob)
+    assert np.array_equal(got["v"], exact)
+    assert np.array_equal(got["v"].view("<u4"), exact.view("<u4"))
+    # 1.0 + 2^-8 sits exactly between bf16(1.0) and bf16(1.0078125):
+    # RNE ties to the even mantissa -> 1.0; 1.0 + 3*2^-9 is past the
+    # midpoint and rounds up
+    tie = np.float32(1.0) + np.float32(2.0 ** -8)
+    up = np.float32(1.0) + np.float32(3.0 * 2.0 ** -9)
+    bits = f32_to_bf16_bits(np.array([tie, up], dtype="<f4"))
+    assert bits[0] == 0x3F80          # 1.0 (tie to even)
+    assert bits[1] == 0x3F81          # 1.0078125
+    back = bf16_bits_to_f32(bits)
+    assert back[0] == np.float32(1.0)
+    assert back[1] == np.float32(1.0078125)
+    # NaN survives encode (quiet bit forced, sign kept)
+    nan_bits = f32_to_bf16_bits(np.array([np.nan, -np.nan], dtype="<f4"))
+    assert np.isnan(bf16_bits_to_f32(nan_bits)).all()
+    # inf must NOT be produced by rounding a finite value
+    big = np.float32(3.3895314e38)  # max bf16 normal
+    assert f32_to_bf16_bits(np.array([big], dtype="<f4"))[0] == 0x7F7F
+
+
+def test_spark_bf16_shard_roundtrip(spark, tmp_path):
+    """Distributed BF16 export: bf16-exact planted vectors survive the
+    write→read cycle value-exactly; the shard really stores 2-byte
+    elements (half the F32 payload)."""
+    from pyspark.sql import Row
+
+    rows = [Row(vec_id=i, embedding=[float(i), -0.5, 0.25])
+            for i in range(16)]
+    df = spark.createDataFrame(rows).repartition(2)
+    write_safetensors_vectors(
+        df, str(tmp_path / "bf"), vec_dtype="BF16")
+    import glob as _glob
+
+    shard = _glob.glob(str(tmp_path / "bf" / "*.safetensors"))[0]
+    hdr_len = struct.unpack("<Q", open(shard, "rb").read(8))[0]
+    hdr = json.loads(open(shard, "rb").read()[8:8 + hdr_len])
+    assert hdr["vectors"]["dtype"] == "BF16"
+    span = hdr["vectors"]["data_offsets"]
+    assert span[1] - span[0] == hdr["vectors"]["shape"][0] * 3 * 2
+    back = read_safetensors_vectors(
+        spark, str(tmp_path / "bf" / "*.safetensors"))
+    got = {r.vec_id: r.embedding for r in back.collect()}
+    assert got[9] == [9.0, -0.5, 0.25]
+    assert len(got) == 16
 
 
 def test_offset_gap_rejected():

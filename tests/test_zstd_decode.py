@@ -362,3 +362,115 @@ def test_zstd_lines_source_with_dictionary(spark):
         # decode garbage
         with pytest.raises(Exception, match="dictionary"):
             read_zstd_lines(spark, str(shard_dir / "*.zst")).collect()
+
+
+def _train_dict_variant(tmp: Path, tag: str, n_samples: int = 64,
+                        maxdict: int = 4096) -> Path:
+    """A second independent CLI-trained dictionary whose samples (and
+    so ID + entropy tables) differ from _train_dict's."""
+    samples = []
+    for i in range(n_samples):
+        body = (
+            f"variant-{tag} corpus preamble row {i} :: "
+            f"{_wordsoup(200, 1000 + i).decode('latin1')}"
+        )
+        p = tmp / f"v{tag}{i}.txt"
+        p.write_bytes(body.encode("latin1"))
+        samples.append(str(p))
+    dpath = tmp / f"dict-{tag}.bin"
+    subprocess.run(
+        [_ZSTD_CLI, "--train", *samples, "-o", str(dpath),
+         f"--maxdict={maxdict}"],
+        check=True, capture_output=True)
+    return dpath
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="zstd CLI not available")
+def test_dict_store_resolves_per_frame_ids():
+    """External dictionary-ID resolution (the Common Crawl CDX .zst
+    case): frames trained against DIFFERENT dictionaries decode in one
+    call when a dict_store maps each frame's declared ID; an
+    unresolvable ID keeps the explicit seam; a store entry whose bytes
+    declare a different ID than its key is rejected."""
+    from wc_vector_indexing_spark.operators.zstd_decode import (
+        parse_zstd_dictionary,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        d1, d2 = _train_dict(tmp), _train_dict_variant(tmp, "b")
+        b1, b2 = d1.read_bytes(), d2.read_bytes()
+        id1 = parse_zstd_dictionary(b1).dict_id
+        id2 = parse_zstd_dictionary(b2).dict_id
+        assert id1 and id2 and id1 != id2
+        p1 = b"shared header tokens plus novel text for dict one 111"
+        p2 = b"variant-b corpus preamble plus novel text for dict two"
+        f1 = _cli_compress(p1, d1, tmp, "a.bin")
+        f2 = _cli_compress(p2, d2, tmp, "b.bin")
+        store = {id1: b1, id2: b2}
+        assert zstd_decompress(f1, dict_store=store) == p1
+        assert zstd_decompress(f2, dict_store=store) == p2
+        # CONCATENATED frames from different dictionaries: per-frame
+        # resolution inside one input
+        assert zstd_decompress(f1 + f2, dict_store=store) == p1 + p2
+        # unresolvable ID: the seam stays explicit
+        with pytest.raises(NotImplementedError, match="resolves"):
+            zstd_decompress(f1, dict_store={id2: b2})
+        # a store entry whose bytes declare a different ID is corrupt
+        with pytest.raises(ValueError, match="dict_store entry"):
+            zstd_decompress(f1, dict_store={id1: b2})
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="zstd CLI not available")
+def test_zstd_lines_source_with_dict_store_directory(spark):
+    """Source-level resolution: a DIRECTORY of trained dictionaries is
+    scanned once on the driver and keyed by declared ID; shards
+    compressed against different dictionary generations read in one
+    scan, and the explicit {id: path} map form agrees."""
+    from wc_vector_indexing_spark.operators.zstd_decode import (
+        parse_zstd_dictionary,
+    )
+    from wc_vector_indexing_spark.sources.zstd_text import read_zstd_lines
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        d1, d2 = _train_dict(tmp), _train_dict_variant(tmp, "s")
+        store_dir = tmp / "dicts"
+        store_dir.mkdir()
+        (store_dir / "gen1.dict").write_bytes(d1.read_bytes())
+        (store_dir / "gen2.dict").write_bytes(d2.read_bytes())
+        (store_dir / "README.txt").write_bytes(b"not a dictionary")
+        shard_dir = tmp / "shards"
+        shard_dir.mkdir()
+        want = {}
+        for s, dpath in enumerate((d1, d2, d1)):
+            lines = [f"generation shard {s} line {i}" for i in range(6)]
+            payload = ("\n".join(lines) + "\n").encode()
+            frame = _cli_compress(payload, dpath, tmp, f"g{s}.bin")
+            (shard_dir / f"g{s}.zst").write_bytes(frame)
+            want[f"g{s}.zst"] = lines
+        got = read_zstd_lines(
+            spark, str(shard_dir / "*.zst"), dict_store=str(store_dir)
+        ).collect()
+        by_shard = {}
+        for r in got:
+            by_shard.setdefault(r.path.rsplit("/", 1)[-1], []).append(
+                (r.line_no, r.line))
+        assert {k: [ln for _, ln in sorted(v)]
+                for k, v in by_shard.items()} == want
+        # explicit {id: path} map form resolves identically
+        id1 = parse_zstd_dictionary(d1.read_bytes()).dict_id
+        id2 = parse_zstd_dictionary(d2.read_bytes()).dict_id
+        got2 = read_zstd_lines(
+            spark, str(shard_dir / "*.zst"),
+            dict_store={id1: str(d1), id2: str(d2)},
+        ).count()
+        assert got2 == 18
+        # a store that can't resolve shard g1's ID quarantines exactly
+        # that shard under on_error='skip'
+        part = read_zstd_lines(
+            spark, str(shard_dir / "*.zst"),
+            dict_store={id1: str(d1)}, on_error="skip",
+        ).collect()
+        assert {r.path.rsplit("/", 1)[-1] for r in part} == \
+            {"g0.zst", "g2.zst"}

@@ -410,12 +410,17 @@ def cmd_export(args: argparse.Namespace) -> int:
         )
 
         for knob, default in (("epoch_seed", ""), ("partition_by", None),
-                              ("compression", None)):
+                              ("compression", None),
+                              ("max_records", 100_000)):
             if getattr(args, knob, default) not in (default, ""):
                 raise SystemExit(
                     f"--{knob.replace('_', '-')} is not supported with "
                     "safetensors")
         id_col = getattr(args, "key_col", "") or df.columns[0]
+        if id_col not in df.columns:
+            raise SystemExit(
+                f"--key-col {id_col!r} not in table {args.table!r} "
+                f"(columns: {df.columns})")
         vec_col = "embedding"
         if vec_col not in df.columns:
             raise SystemExit(

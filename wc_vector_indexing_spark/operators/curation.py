@@ -112,15 +112,26 @@ def curate(
     id_col: str = "doc_id",
     host_prior: DataFrame | None = None,
     host_col: str = "source",
+    mirror_clusters: DataFrame | None = None,
 ) -> CurationResult:
     """Returns a :class:`CurationResult` (unpacks as ``curated, audit``):
 
       curated — the surviving rows of ``docs`` (all original columns)
       audit   — (doc_id, reject_reason) for every dropped row, reason ∈
-                {blocked_host, low_quality, wrong_language,
+                {mirror_host, blocked_host, low_quality, wrong_language,
                 c4_boilerplate, gopher_rules, blocklisted,
                 below_lang_percentile, compress_outlier, repetitive,
                 exact_duplicate, near_duplicate}
+
+    ``mirror_clusters`` (optional) is the output of
+    :func:`~wc_vector_indexing_spark.operators.mirrors.mirror_host_clusters`
+    — (host, cluster_host) rows; every document on a NON-canonical
+    mirror host (host != cluster_host) drops wholesale with reason
+    ``mirror_host`` before any per-row work (the RefinedWeb-style
+    frontier-level dedup: recognize the mirrored HOST once instead of
+    re-discovering its pages one by one in content dedup). The
+    cluster table is host-bounded, so the gate is a broadcast
+    anti-join — the corpus never shuffles for it.
 
     ``host_prior`` (optional) is the CCNet/RefinedWeb-style host-level
     prior — a bounded table with a ``host`` column plus optionally
@@ -152,6 +163,21 @@ def curate(
 
         docs = unicode_clean(docs, text_col).drop("was_dirty")
 
+    if mirror_clusters is not None:
+        # mirror gate first: an entire non-canonical mirror host drops
+        # for the cost of one broadcast anti-join, before any scoring
+        mirrors = (
+            mirror_clusters
+            .filter(F.col("host") != F.col("cluster_host"))
+            .select("host")
+        )
+        m_on = docs[host_col] == mirrors["host"]
+        mirror_dropped = docs.join(
+            F.broadcast(mirrors), m_on, "left_semi").select(id_col)
+        docs = docs.join(F.broadcast(mirrors), m_on, "left_anti")
+    else:
+        mirror_dropped = docs.limit(0).select(id_col)
+
     rank_mult = None
     if host_prior is not None:
         # host gate first: dropping a blocklisted host costs one
@@ -175,11 +201,16 @@ def curate(
                 F.col("host_rank") / F.lit(float(mx))
                 if mx else F.lit(1.0)
             )
+            # alias the prior side's host column before joining: a bare
+            # .drop("host") would also remove the corpus's own column
+            # when host_col == "host" (ADVICE r12)
             pr = host_prior.select(
-                "host", rank_norm.alias("_rank_norm"))
+                F.col("host").alias("_prior_host"),
+                rank_norm.alias("_rank_norm"))
             docs = docs.join(
-                F.broadcast(pr), docs[host_col] == pr["host"], "left"
-            ).drop("host")
+                F.broadcast(pr), docs[host_col] == pr["_prior_host"],
+                "left",
+            ).drop("_prior_host")
             # unranked hosts (no in/out links) sit at the neutral 1.0x
             rank_mult = 0.8 + 0.4 * F.coalesce(
                 F.col("_rank_norm"), F.lit(0.5))
@@ -347,7 +378,8 @@ def curate(
     kept = kept.join(near_dropped, id_col, "left_anti")
 
     audit = (
-        host_dropped.withColumn("reject_reason", F.lit("blocked_host"))
+        mirror_dropped.withColumn("reject_reason", F.lit("mirror_host"))
+        .unionByName(host_dropped.withColumn("reject_reason", F.lit("blocked_host")))
         .unionByName(low_q.select(id_col).withColumn("reject_reason", F.lit("low_quality")))
         .unionByName(wrong_lang.select(id_col).withColumn("reject_reason", F.lit("wrong_language")))
         .unionByName(c4_dropped.withColumn("reject_reason", F.lit("c4_boilerplate")))

@@ -55,9 +55,14 @@ def recrawl_priority(
                     urls are scheduled by discovery, not refresh).
 
     ``now_ts`` is an explicit epoch-seconds parameter, never wall
-    clock: schedules must be deterministic and replayable. ONE window
-    shuffle on url + one aggregate on the same key (no second
-    exchange — the agg reuses the window's partitioning)."""
+    clock: schedules must be deterministic and replayable. To keep
+    them so, the per-url window orders by (ts, digest) — captures
+    sharing a timestamp would otherwise make lag(digest) run-order
+    dependent — and staleness clamps at 0 when ``now_ts`` predates the
+    last capture (a replay against a newer history must not produce
+    negative priorities). ONE window shuffle on url + one aggregate on
+    the same key (no second exchange — the agg reuses the window's
+    partitioning)."""
     obs = captures.select(
         F.col(url_col).alias("url"),
         F.col(ts_col).cast("double").alias("ts"),
@@ -65,7 +70,7 @@ def recrawl_priority(
     ).withColumn(
         "changed",
         (F.col("digest") != F.lag("digest").over(
-            Window.partitionBy("url").orderBy("ts"))).cast("int"),
+            Window.partitionBy("url").orderBy("ts", "digest"))).cast("int"),
     )
     per_url = obs.groupBy("url").agg(
         F.count(F.lit(1)).alias("n_obs"),
@@ -77,7 +82,8 @@ def recrawl_priority(
     rate = F.when(
         F.col("span_s") > 0,
         F.col("n_changes") / (F.col("span_s") / day))
-    staleness = F.lit(float(now_ts)) - F.col("last_ts")
+    staleness = F.greatest(
+        F.lit(float(now_ts)) - F.col("last_ts"), F.lit(0.0))
     return per_url.select(
         "url",
         "n_obs",

@@ -729,6 +729,8 @@ def parse_zstd_dictionary(data: bytes) -> ZstdDictionary:
 def zstd_decompress(data: bytes, verify_checksum: bool = True,
                     max_output: int | None = DEFAULT_MAX_OUTPUT,
                     dictionary: bytes | ZstdDictionary | None = None,
+                    dict_store: dict[int, bytes | ZstdDictionary]
+                    | None = None,
                     ) -> bytes:
     """Full RFC 8878 decode of one-or-more concatenated frames
     (skippable frames skipped). Frames carrying the optional content
@@ -738,10 +740,17 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True,
     ``dictionary``: raw dictionary-file bytes (or a pre-parsed
     :class:`ZstdDictionary`) applied to every frame — entropy-table
     seeds, initial repeat offsets, and content-prefix history (§5).
-    A frame that references a dictionary ID with none supplied raises
-    NotImplementedError (the external-resolution seam); a supplied
-    structured dictionary whose ID mismatches the frame's raises
-    ValueError.
+    A supplied structured dictionary whose ID mismatches a frame's
+    raises ValueError.
+
+    ``dict_store``: dictionary-ID → dictionary bytes (or pre-parsed)
+    for PER-FRAME external resolution — Common Crawl's CDX ``.zst``
+    shards reference trained dictionaries by ID exactly this way.
+    Each frame resolves its own declared ID, so one input may mix
+    frames from different dictionaries. A frame whose ID resolves
+    nowhere (no ``dictionary``, no matching ``dict_store`` entry)
+    still raises NotImplementedError — resolution must be explicit,
+    never guessed.
 
     Allocation is bounded (the walker duty contract.py assigns —
     MemoryError is deliberately not quarantined): every block must obey
@@ -754,7 +763,21 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True,
     if dictionary is not None:
         zdict = (dictionary if isinstance(dictionary, ZstdDictionary)
                  else parse_zstd_dictionary(dictionary))
-    hist = zdict.content if zdict is not None else b""
+    store_cache: dict[int, ZstdDictionary] = {}
+
+    def _resolve(did: int) -> ZstdDictionary:
+        got = store_cache.get(did)
+        if got is None:
+            raw = dict_store[did]
+            got = (raw if isinstance(raw, ZstdDictionary)
+                   else parse_zstd_dictionary(raw))
+            if got.dict_id and got.dict_id != did:
+                raise ValueError(
+                    f"zstd: dict_store entry {did} is a dictionary "
+                    f"with ID {got.dict_id}")
+            store_cache[did] = got
+        return got
+
     out = bytearray()
     pos = 0
     while pos < len(data):
@@ -803,15 +826,20 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True,
                 raise ValueError("zstd: truncated dictionary id")
             frame_did = int.from_bytes(data[pos:pos + did_len], "little")
             pos += did_len
-        if frame_did and zdict is None:
-            raise NotImplementedError(
-                f"zstd: frame references dictionary {frame_did} and none "
-                "was supplied (external-resolution seam)")
-        if (frame_did and zdict is not None and zdict.dict_id
-                and zdict.dict_id != frame_did):
-            raise ValueError(
-                f"zstd: frame wants dictionary {frame_did}, "
-                f"supplied {zdict.dict_id}")
+        frame_zdict = zdict
+        if frame_did:
+            if zdict is not None:
+                if zdict.dict_id and zdict.dict_id != frame_did:
+                    raise ValueError(
+                        f"zstd: frame wants dictionary {frame_did}, "
+                        f"supplied {zdict.dict_id}")
+            elif dict_store is not None and frame_did in dict_store:
+                frame_zdict = _resolve(frame_did)
+            else:
+                raise NotImplementedError(
+                    f"zstd: frame references dictionary {frame_did} "
+                    "and no dictionary or dict_store entry resolves it "
+                    "(external-resolution seam)")
         fcs_len = {0: (1 if single_seg else 0), 1: 2, 2: 4, 3: 8}[fcs_code]
         content_size = None
         if fcs_len:
@@ -830,11 +858,13 @@ def zstd_decompress(data: bytes, verify_checksum: bool = True,
         # dictionary content prefix — never a PREVIOUS frame's bytes
         # (the old shared buffer allowed exactly that corruption class)
         fout = bytearray()
-        reps = list(zdict.reps) if zdict is not None else [1, 4, 8]
+        hist = frame_zdict.content if frame_zdict is not None else b""
+        reps = (list(frame_zdict.reps) if frame_zdict is not None
+                else [1, 4, 8])
         tables = _FrameTables()
-        if zdict is not None:
-            tables.huffman = zdict.huffman
-            tables.fse = dict(zdict.fse)
+        if frame_zdict is not None:
+            tables.huffman = frame_zdict.huffman
+            tables.fse = dict(frame_zdict.fse)
         while True:
             if pos + 3 > len(data):
                 raise ValueError("zstd: truncated block header")

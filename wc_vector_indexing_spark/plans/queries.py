@@ -9535,11 +9535,17 @@ def safetensors_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     safetensors.py): the embeddings table repartitions over 4 tasks,
     each writes its own (ids I64, vectors F32[n,64]) shard, then the
     shards read back through the binaryFile+Arrow parse pass and must
-    reproduce every (vec_id, embedding) row VALUE-EXACTLY — float32 is
-    bit-preserved through the format, so the oracle is the embeddings
-    table itself, no aggregate folding."""
+    reproduce every (vec_id, embedding) row. float32 is bit-preserved
+    through the format (pinned bit-exactly by test_safetensors.py);
+    under the DRIVER gate each vector folds to a scalar checksum —
+    sum over elements of floor(float64(x) * 1e6) — because the
+    driver's result hasher cannot hash array columns (the r12 gate
+    err). The fold is exact and order-free on both sides: float32 →
+    float64 is lossless, the multiply is ONE ieee754 double op, floor
+    is exact, and the int64 sum is associative."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from wc_vector_indexing_spark.sources.safetensors import (
@@ -9552,16 +9558,105 @@ def safetensors_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), f"wcvi_safetensors_{key}")
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
+        # shards are uuid-suffixed: a crashed previous write would leave
+        # stale part files a retry ADDS to — clear before re-writing
+        if os.path.isdir(out):
+            shutil.rmtree(out)
         write_safetensors_vectors(emb.repartition(4), out)
         with open(done, "w") as f:
             f.write("ok")
     back = read_safetensors_vectors(
         spark, os.path.join(out, "part-*.safetensors"))
-    return back.select("vec_id", "embedding").orderBy("vec_id")
+    checksum = F.aggregate(
+        "embedding",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    return back.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        checksum.alias("vec_checksum"),
+    ).orderBy("vec_id")
 
 
 SAFETENSORS_EXPORT_SQL = r"""
-SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+SELECT vec_id,
+       len(embedding)::INT AS dim,
+       CAST(list_sum(list_transform(embedding,
+            e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)))
+            AS BIGINT) AS vec_checksum
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+def safetensors_bf16_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
+    """BF16 interchange under the gate (sources/safetensors.py
+    f32_to_bf16_bits / bf16_bits_to_f32): planted vectors built ONLY
+    from bfloat16-exact values (small integers, quarters, 1.5-steps —
+    each needs ≤8 significand bits) write as BF16 shards (2-byte
+    elements, the dominant dtype of real HF checkpoints), read back
+    through the bits<<16 widening, and must reproduce the plant
+    VALUE-EXACTLY — for bf16-exact inputs the RNE encode is the
+    identity, so the oracle is the closed-form plant itself. Scalar
+    checksum fold (driver-hasher contract: no array columns in the
+    gate window). RNE rounding of non-exact values is pinned by
+    test_safetensors.py, not here."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.safetensors import (
+        read_safetensors_vectors,
+        write_safetensors_vectors,
+    )
+
+    planted = load(spark, "embeddings", sf).select(
+        "vec_id",
+        F.array(
+            (F.col("vec_id") % 13 - 6).cast("float"),
+            ((F.col("vec_id") % 7) * F.lit(0.25)).cast("float"),
+            F.lit(-0.5).cast("float"),
+            ((F.col("vec_id") % 5) * F.lit(1.5)).cast("float"),
+        ).alias("embedding"),
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_st_bf16_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        write_safetensors_vectors(
+            planted.repartition(4), out, vec_dtype="BF16")
+        with open(done, "w") as f:
+            f.write("ok")
+    back = read_safetensors_vectors(
+        spark, os.path.join(out, "part-*.safetensors"))
+    checksum = F.aggregate(
+        "embedding",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    return back.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        checksum.alias("vec_checksum"),
+    ).orderBy("vec_id")
+
+
+SAFETENSORS_BF16_SQL = r"""
+SELECT vec_id,
+       4::INT AS dim,
+       (CAST(floor(((vec_id % 13) - 6.0) * 1000000.0) AS BIGINT)
+        + CAST(floor((vec_id % 7) * 0.25 * 1000000.0) AS BIGINT)
+        + CAST(floor(-0.5 * 1000000.0) AS BIGINT)
+        + CAST(floor((vec_id % 5) * 1.5 * 1000000.0) AS BIGINT))
+           AS vec_checksum
+FROM embeddings
+ORDER BY vec_id
 """
 
 
@@ -10962,7 +11057,8 @@ WITH caps AS (
     FROM documents, unnest(range(0, doc_id % 4 + 1)) AS t(k)
 ), obs AS (
     SELECT url, ts, digest,
-           (digest <> lag(digest) OVER (PARTITION BY url ORDER BY ts))::INT
+           (digest <> lag(digest)
+                OVER (PARTITION BY url ORDER BY ts, digest))::INT
                AS changed
     FROM caps
 ), per_url AS (
@@ -10976,11 +11072,12 @@ SELECT url, n_obs, n_changes::BIGINT AS n_changes,
        round(CASE WHEN span_s > 0
                   THEN n_changes / (span_s / 86400.0) END, 6)
            ::DOUBLE AS change_rate,
-       round({_RECRAWL_NOW} - last_ts, 3)::DOUBLE AS staleness_s,
+       round(greatest({_RECRAWL_NOW} - last_ts, 0.0), 3)
+           ::DOUBLE AS staleness_s,
        round(coalesce(
            CASE WHEN span_s > 0
                 THEN n_changes / (span_s / 86400.0) END
-           * (({_RECRAWL_NOW} - last_ts) / 86400.0), 0.0), 6)
+           * (greatest({_RECRAWL_NOW} - last_ts, 0.0) / 86400.0), 0.0), 6)
            ::DOUBLE AS priority
 FROM per_url
 ORDER BY url
@@ -11090,7 +11187,8 @@ WITH pages AS (
     FROM pages p, unnest(range(0, p.doc_id % 4 + 1)) AS t(k)
 ), obs AS (
     SELECT url, ts, digest,
-           (digest <> lag(digest) OVER (PARTITION BY url ORDER BY ts))::INT
+           (digest <> lag(digest)
+                OVER (PARTITION BY url ORDER BY ts, digest))::INT
                AS changed
     FROM caps
 ), pri AS (
@@ -11099,7 +11197,7 @@ WITH pages AS (
                CASE WHEN max(ts) - min(ts) > 0
                     THEN coalesce(sum(changed), 0)
                          / ((max(ts) - min(ts)) / 86400.0) END
-               * (({_RECRAWL_NOW} - max(ts)) / 86400.0), 0.0) AS priority
+               * (greatest({_RECRAWL_NOW} - max(ts), 0.0) / 86400.0), 0.0) AS priority
     FROM obs GROUP BY url
 ), frontier AS (
     SELECT p.url, p.host, p.hn, round(pri.priority, 6) AS priority
@@ -12097,7 +12195,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "safetensors_export_roundtrip": QuerySpec(
         safetensors_export_roundtrip_op, SAFETENSORS_EXPORT_SQL,
         "distributed safetensors embedding-matrix export + read-back, "
-        "value-exact against the embeddings table"
+        "value-exact against the embeddings table (scalar checksum "
+        "fold — driver-hasher contract)"
+    ),
+    # r13 window rotation: safetensors_bf16_roundtrip (new, never
+    # driver-recorded — the BF16 checkpoint-interchange path) promoted;
+    # the tail entry at the old #50 (image_dedup_dhash, recorded
+    # r8-r12) slides below the cutoff in exchange.
+    "safetensors_bf16_roundtrip": QuerySpec(
+        safetensors_bf16_roundtrip_op, SAFETENSORS_BF16_SQL,
+        "BF16 safetensors shard write + bits<<16 read-back over "
+        "bf16-exact planted vectors (closed-form oracle)"
     ),
     "archive_member_census": QuerySpec(
         archive_member_census_op, ARCHIVE_CENSUS_SQL,

@@ -13,9 +13,11 @@ bounded (the spec's own 100 MB cap — a crafted length cannot allocate
 the file), JSON must be an object, dtypes from the spec's table,
 offsets must tile the data buffer EXACTLY (sorted, zero-origin,
 gapless, end == buffer size — overlap or gap is corruption), element
-counts must multiply out to the byte span. BF16 raises
-NotImplementedError (numpy has no bfloat16; documented seam, not a
-silent F16 reinterpretation).
+counts must multiply out to the byte span. BF16 (the dominant dtype
+of real HF checkpoints; numpy has no bfloat16 dtype) decodes through
+the lossless bits<<16 widening to float32 and encodes with round-to-
+nearest-even truncation — public IEEE-754 arithmetic, not an F16
+reinterpretation.
 
 Spark shape: the writer emits one shard per partition from a
 ``mapInPandas`` pass (no driver funnel); the reader is one
@@ -51,12 +53,44 @@ _NP_TO_SPEC = {np.dtype(v).str.lstrip("<|=").lower(): k
 MAX_HEADER_BYTES = 100 * 1024 * 1024  # the spec's own cap
 
 
+def f32_to_bf16_bits(a: np.ndarray) -> np.ndarray:
+    """float32 → bfloat16 bit patterns (uint16) with round-to-nearest-
+    even — the hardware conversion semantics (bfloat16 = the top 16
+    bits of the IEEE-754 binary32 layout; public arithmetic, no
+    library dtype needed). NaNs keep their sign + top payload bits
+    with the quiet bit forced so rounding can't collapse a NaN into
+    infinity."""
+    f = np.ascontiguousarray(a, dtype="<f4")
+    bits = f.view("<u4")
+    rne = ((bits.astype(np.uint64) + 0x7FFF + ((bits >> 16) & 1)) >> 16
+           ).astype("<u2")
+    nan = np.isnan(f)
+    if nan.any():
+        rne = rne.copy()
+        rne[nan] = ((bits[nan] >> 16).astype("<u2") | 0x0040)
+    return rne.reshape(f.shape)
+
+
+def bf16_bits_to_f32(u16: np.ndarray) -> np.ndarray:
+    """bfloat16 bit patterns (uint16) → float32: every bf16 value is
+    exactly representable in binary32, so the widening is lossless
+    (bits << 16)."""
+    u = np.ascontiguousarray(u16, dtype="<u2")
+    return (u.astype("<u4") << np.uint32(16)).view("<f4").reshape(u.shape)
+
+
 def to_safetensors_bytes(
     tensors: dict[str, np.ndarray],
     metadata: dict[str, str] | None = None,
+    dtype_overrides: dict[str, str] | None = None,
 ) -> bytes:
     """Serialize ``tensors`` (name → ndarray) into one safetensors
-    blob: offsets assigned in insertion order, gapless from 0."""
+    blob: offsets assigned in insertion order, gapless from 0.
+
+    ``dtype_overrides`` maps a tensor name to a spec dtype to store it
+    as; the only conversion offered is float32 → ``"BF16"`` (round-to-
+    nearest-even, the checkpoint-interchange case — numpy has no
+    bfloat16 dtype so it can't arrive as an ndarray)."""
     header: dict[str, object] = {}
     if metadata:
         header["__metadata__"] = {str(k): str(v)
@@ -64,11 +98,25 @@ def to_safetensors_bytes(
     payload = bytearray()
     for name, arr in tensors.items():
         a = np.ascontiguousarray(arr)
-        key = a.dtype.str.lstrip("<|=").lower()
-        spec = _NP_TO_SPEC.get(key)
-        if spec is None:
-            raise ValueError(f"safetensors: unsupported dtype {a.dtype}")
-        a = a.astype(_DTYPES[spec], copy=False)  # force little-endian
+        want = (dtype_overrides or {}).get(name)
+        if want is not None and want != "BF16":
+            raise ValueError(
+                f"safetensors: dtype_overrides supports only 'BF16', "
+                f"got {want!r} for {name!r}")
+        if want == "BF16":
+            if a.dtype != np.dtype("<f4"):
+                raise ValueError(
+                    f"safetensors: BF16 override needs float32 input, "
+                    f"{name!r} is {a.dtype}")
+            a = f32_to_bf16_bits(a)
+            spec = "BF16"
+        else:
+            key = a.dtype.str.lstrip("<|=").lower()
+            spec = _NP_TO_SPEC.get(key)
+            if spec is None:
+                raise ValueError(
+                    f"safetensors: unsupported dtype {a.dtype}")
+            a = a.astype(_DTYPES[spec], copy=False)  # force little-endian
         start = len(payload)
         payload += a.tobytes()
         header[name] = {
@@ -116,10 +164,7 @@ def parse_safetensors(
             raise ValueError(f"safetensors: tensor {name!r} entry is "
                              "not an object")
         dtype = info.get("dtype")
-        if dtype == "BF16":
-            raise NotImplementedError(
-                "safetensors: BF16 has no numpy dtype — documented seam")
-        if dtype not in _DTYPES:
+        if dtype != "BF16" and dtype not in _DTYPES:
             raise ValueError(f"safetensors: unknown dtype {dtype!r}")
         shape = info.get("shape")
         if (not isinstance(shape, list)
@@ -130,7 +175,10 @@ def parse_safetensors(
                 or any(not isinstance(o, int) or o < 0 for o in off)
                 or off[1] < off[0] or off[1] > len(buf)):
             raise ValueError(f"safetensors: bad offsets for {name!r}")
-        np_dtype = np.dtype(_DTYPES[dtype])
+        # BF16 (the dominant dtype of real HF checkpoints) has no numpy
+        # dtype — stored bits are uint16; the lossless bits<<16 widening
+        # surfaces it as float32
+        np_dtype = np.dtype("<u2" if dtype == "BF16" else _DTYPES[dtype])
         n_elem = 1
         for s in shape:
             n_elem *= s
@@ -139,8 +187,10 @@ def parse_safetensors(
                 f"safetensors: {name!r} byte span {off[1] - off[0]} != "
                 f"shape {shape} x itemsize {np_dtype.itemsize}")
         spans.append((off[0], off[1]))
-        tensors[name] = np.frombuffer(
-            buf[off[0]:off[1]], dtype=np_dtype).reshape(shape)
+        raw = np.frombuffer(buf[off[0]:off[1]], dtype=np_dtype)
+        tensors[name] = (
+            bf16_bits_to_f32(raw).reshape(shape) if dtype == "BF16"
+            else raw.reshape(shape))
     # offsets must TILE the buffer: sorted, zero-origin, gapless,
     # ending at the buffer end (overlap/gap = corruption per spec)
     spans.sort()
@@ -164,16 +214,21 @@ def parse_safetensors(
 def write_safetensors_vectors(
     df: DataFrame, path: str,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    vec_dtype: str = "F32",
 ) -> DataFrame:
     """Write an (id, vector) frame as one safetensors shard per
     partition — tensor ``ids`` (I64, [n]) + tensor ``vectors``
-    (F32, [n, dim]) — the embedding-matrix export shape. Ragged or
-    null vectors are contract errors (a tensor has one dim). Returns
-    the eager (shard, n_rows) manifest, one row per non-empty
-    partition."""
+    (``vec_dtype``: F32 bit-exact, or BF16 with round-to-nearest-even
+    quantization — the checkpoint-ecosystem default, half the bytes)
+    — the embedding-matrix export shape. Ragged or null vectors are
+    contract errors (a tensor has one dim). Returns the eager
+    (shard, n_rows) manifest, one row per non-empty partition."""
     import os
     import uuid
 
+    if vec_dtype not in ("F32", "BF16"):
+        raise ValueError(
+            f"vec_dtype must be 'F32' or 'BF16', got {vec_dtype!r}")
     os.makedirs(path, exist_ok=True)
     src = df.select(id_col, vec_col)
 
@@ -207,6 +262,8 @@ def write_safetensors_vectors(
                 "vectors": np.asarray(vecs, dtype="<f4"),
             },
             metadata={"id_col": id_col, "vec_col": vec_col},
+            dtype_overrides=(
+                {"vectors": "BF16"} if vec_dtype == "BF16" else None),
         )
         shard = os.path.join(
             path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.safetensors")

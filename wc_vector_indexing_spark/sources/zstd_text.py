@@ -40,8 +40,53 @@ def _load_dict(dict_path: str | None) -> bytes | None:
         return fh.read()
 
 
+def _load_dict_store(
+    dict_store: str | dict[int, str] | None,
+) -> dict[int, bytes] | None:
+    """External dictionary-ID resolution table, built ONCE on the
+    driver: either an explicit ``{dict_id: path}`` map, or a DIRECTORY
+    whose dictionary files are scanned and keyed by the ID each file
+    declares (RFC 8878 §5 header) — the layout a crawl operation keeps
+    its trained dictionaries in. The loaded store ships to executors
+    in the task closure (dictionaries are KiB-scale, hosts are few —
+    the broadcast-dim distribution class)."""
+    if dict_store is None:
+        return None
+    from wc_vector_indexing_spark.operators.zstd_decode import (
+        parse_zstd_dictionary,
+    )
+
+    if isinstance(dict_store, dict):
+        out: dict[int, bytes] = {}
+        for did, p in dict_store.items():
+            with open(p, "rb") as fh:
+                out[int(did)] = fh.read()
+        return out
+    import glob as _glob
+    import os
+
+    out = {}
+    for p in sorted(_glob.glob(os.path.join(dict_store, "*"))):
+        if not os.path.isfile(p):
+            continue
+        with open(p, "rb") as fh:
+            raw = fh.read()
+        try:
+            did = parse_zstd_dictionary(raw).dict_id
+        except ValueError:
+            continue  # not a dictionary file; directories may mix
+        if did:
+            out[did] = raw
+    if not out:
+        raise ValueError(
+            f"zstd dict_store {dict_store!r}: no dictionary files with "
+            "a declared ID found")
+    return out
+
+
 def _decode_pass(raw: DataFrame, on_error: str,
-                 dict_bytes: bytes | None) -> DataFrame:
+                 dict_bytes: bytes | None,
+                 store: dict[int, bytes] | None = None) -> DataFrame:
     """The shared Arrow decode+line-split pass — ONE definition for the
     batch reader and its streaming twin, so an ingest stream and a
     batch backfill can never disagree on what a shard's lines are
@@ -57,6 +102,7 @@ def _decode_pass(raw: DataFrame, on_error: str,
                 try:
                     text = zstd_decompress(
                         bytes(content), dictionary=dict_bytes,
+                        dict_store=store,
                     ).decode("utf-8")
                 except (ValueError, NotImplementedError,
                         UnicodeDecodeError) as e:
@@ -79,23 +125,35 @@ def _decode_pass(raw: DataFrame, on_error: str,
 
 def read_zstd_lines(spark: SparkSession, path: str,
                     on_error: str = "raise",
-                    dict_path: str | None = None) -> DataFrame:
+                    dict_path: str | None = None,
+                    dict_store: str | dict[int, str] | None = None,
+                    ) -> DataFrame:
     """(path, line_no, line): every text line of every ``.zst`` shard,
     in file order. One decode per shard per task, zero shuffle.
 
     ``dict_path``: a zstd dictionary file (RFC 8878 §5 structured, or
-    raw-content) for dictionary-compressed shards — Common Crawl's own
-    CDX ``.zst`` shards ship this way."""
+    raw-content) applied to every frame — Common Crawl's own CDX
+    ``.zst`` shards ship dictionary-compressed this way.
+
+    ``dict_store``: external dictionary-ID resolution — a directory of
+    trained dictionaries (keyed by the ID each declares) or an
+    explicit ``{dict_id: path}`` map; each FRAME resolves its own
+    declared ID, so shards compressed against different dictionary
+    generations read in one scan. A frame whose ID resolves nowhere
+    raises (or quarantines its shard under ``on_error='skip'``)."""
     raw = (
         spark.read.format("binaryFile").load(path)
         .select("path", "content")
     )
-    return _decode_pass(raw, on_error, _load_dict(dict_path))
+    return _decode_pass(raw, on_error, _load_dict(dict_path),
+                        _load_dict_store(dict_store))
 
 
 def read_zstd_lines_stream(spark: SparkSession, path: str,
                            on_error: str = "raise",
-                           dict_path: str | None = None) -> DataFrame:
+                           dict_path: str | None = None,
+                           dict_store: str | dict[int, str] | None = None,
+                           ) -> DataFrame:
     """Streaming twin of :func:`read_zstd_lines`: a file-source
     ``readStream`` over the same binaryFile layout with the SAME Arrow
     decode pass (see sources/tfrecord.read_tfrecords_stream for the
@@ -105,20 +163,23 @@ def read_zstd_lines_stream(spark: SparkSession, path: str,
     from wc_vector_indexing_spark.sources.readers import binaryfile_stream
 
     raw = binaryfile_stream(spark, path).select("path", "content")
-    return _decode_pass(raw, on_error, _load_dict(dict_path))
+    return _decode_pass(raw, on_error, _load_dict(dict_path),
+                        _load_dict_store(dict_store))
 
 
 def read_zstd_jsonl(spark: SparkSession, path: str, fields: dict[str, str],
                     on_error: str = "raise",
-                    dict_path: str | None = None) -> DataFrame:
+                    dict_path: str | None = None,
+                    dict_store: str | dict[int, str] | None = None,
+                    ) -> DataFrame:
     """(path, line_no, <fields>): JSONL rows from ``.zst`` shards.
     ``fields`` maps output column → Spark cast type (e.g.
     ``{"id": "long", "text": "string"}``); extraction is
     ``get_json_object`` — pure Catalyst over the decoded line column,
-    so adding fields never adds Python work. ``dict_path`` as in
-    :func:`read_zstd_lines`."""
+    so adding fields never adds Python work. ``dict_path`` /
+    ``dict_store`` as in :func:`read_zstd_lines`."""
     lines = read_zstd_lines(spark, path, on_error=on_error,
-                            dict_path=dict_path)
+                            dict_path=dict_path, dict_store=dict_store)
     cols = [F.get_json_object("line", f"$.{name}").cast(typ).alias(name)
             for name, typ in fields.items()]
     return lines.select("path", "line_no", *cols)
