@@ -230,7 +230,9 @@ def test_driver_gate_category_coverage():
     # curation / quality family
     assert gs & {"c4_line_filter", "gopher_quality", "importance_weights"}
     # sources family (crawl/archive front doors)
-    assert gs & {"html_main_text", "archive_member_census"}
+    assert gs & {"html_main_text", "archive_member_census",
+                 "warc_cdx_index", "warc_revisit_resolve",
+                 "warc_wat_links"}
     # rows-only entries never occupy window slots
     rows_only_in_window = [
         k for k in list(REGISTRY)[:50] if REGISTRY[k].sql is None

@@ -11255,6 +11255,152 @@ def mirror_hosts_op(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _mirror_curation_inputs(
+    spark: SparkSession, sf: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(planted corpus, mirror clusters) for curation_with_mirrors:
+    host-pair groups g = (doc_id%20)//2 with g%3==0 carry text
+    depending only on (g, page) — the two hosts of each such pair are
+    PERFECT mirrors (src0/src1, src6/src7, src12/src13, src18/src19);
+    every other host keeps its real document text so the downstream
+    gates have realistic work. Detection runs on the same corpus being
+    curated (the real composition shape)."""
+    from wc_vector_indexing_spark.operators.mirrors import (
+        mirror_host_clusters,
+    )
+
+    docs = load(spark, "documents", sf)
+    hn = (F.col("doc_id") % 20).cast("int")
+    g = F.floor(hn / 2).cast("int")
+    pg = F.floor(F.col("doc_id") / 20).cast("int")
+    planted = docs.select(
+        "doc_id", "source",
+        F.when(
+            g % 3 == 0,
+            F.concat(F.lit("mirrored body for group "), g.cast("string"),
+                     F.lit(" page "), pg.cast("string")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clusters = mirror_host_clusters(
+        planted, host_col="source", min_jaccard=0.6,
+        max_hosts_per_digest=8)
+    return planted, clusters
+
+
+def curation_with_mirrors_op(spark: SparkSession, sf: str) -> DataFrame:
+    """RefinedWeb-style mirror-aware curation (operators/curation.py
+    ``mirror_clusters`` param consuming operators/mirrors.py): detect
+    mirrored HOSTS on the corpus itself, drop every page of each
+    non-canonical mirror wholesale (reason ``mirror_host``, one
+    broadcast anti-join) BEFORE content dedup ever sees them, then run
+    the standard gate chain (quality, language, exact, md5-minhash
+    near dedup). The frontier-level win: a mirrored host's pages never
+    reach the shuffling dedup stages at all. Oracle replays plant →
+    digest-set Jaccard → recursive-CTE components → host gate → the
+    shared curation CTEs → audit arithmetic."""
+    from wc_vector_indexing_spark.operators.curation import (
+        CurationConfig,
+        curate,
+        curation_report,
+    )
+
+    planted, clusters = _mirror_curation_inputs(spark, sf)
+    result = curate(
+        planted,
+        CurationConfig(
+            min_quality=0.5, languages=("en",), minhash_token_hash="md5"
+        ),
+        mirror_clusters=clusters,
+    )
+    report = curation_report(planted, result.audit)  # eager
+    result.unpersist()
+    return report
+
+
+def _curation_mirrors_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """curation_with_mirrors' plan-audit surface: the lazy audit-chain
+    aggregate over the mirror-gated curation."""
+    from wc_vector_indexing_spark.operators.curation import (
+        CurationConfig,
+        curate,
+    )
+
+    planted, clusters = _mirror_curation_inputs(spark, sf)
+    result = curate(
+        planted,
+        CurationConfig(
+            min_quality=0.5, languages=("en",), minhash_token_hash="md5"
+        ),
+        mirror_clusters=clusters,
+    )
+    return result.audit.groupBy("reject_reason").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def _curation_mirrors_sql() -> str:
+    """curation_with_mirrors' oracle: the mirror_hosts detection CTEs
+    over the blended plant, the non-canonical host gate, then the
+    shared curation CTE chain and the report arithmetic."""
+    return f"""
+WITH RECURSIVE planted AS (
+    SELECT doc_id, source,
+           CASE WHEN ((doc_id % 20) // 2) % 3 = 0
+                THEN 'mirrored body for group ' || ((doc_id % 20) // 2)
+                     || ' page ' || (doc_id // 20)
+                ELSE text END AS text
+    FROM documents
+),
+digests AS (SELECT DISTINCT source AS host, md5(text) AS d FROM planted),
+hsizes AS (SELECT host, count(*) AS n FROM digests GROUP BY host),
+usable AS (SELECT d FROM digests GROUP BY d HAVING count(*) BETWEEN 2 AND 8),
+dd AS (SELECT dg.host, dg.d FROM digests dg JOIN usable u USING (d)),
+mpairs AS (
+    SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+    FROM dd a JOIN dd b ON a.d = b.d AND a.host < b.host
+    GROUP BY 1, 2
+), medges AS (
+    SELECT host_a, host_b
+    FROM mpairs
+    JOIN hsizes sa ON sa.host = mpairs.host_a
+    JOIN hsizes sb ON sb.host = mpairs.host_b
+    WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.6
+), me AS (
+    SELECT host_a AS src, host_b AS dst FROM medges
+    UNION
+    SELECT host_b, host_a FROM medges
+), mreach(node, r) AS (
+    SELECT src, src FROM me
+    UNION
+    SELECT me.src, mreach.r FROM me JOIN mreach ON me.dst = mreach.node
+), mdropped AS (
+    SELECT node AS host FROM mreach GROUP BY node
+    HAVING node <> min(r)
+),
+pre AS (
+    SELECT doc_id, text FROM planted
+    WHERE source NOT IN (SELECT host FROM mdropped)
+),
+{_curation_ctes('pre')},
+audit AS (
+    SELECT 'mirror_host' AS reject_reason,
+           (SELECT count(*) FROM planted
+            WHERE source IN (SELECT host FROM mdropped)) AS n
+    UNION ALL SELECT 'low_quality', count(*) FROM low_q
+    UNION ALL SELECT 'wrong_language', count(*) FROM wrong_lang
+    UNION ALL SELECT 'exact_duplicate', count(*) FROM exact_dropped
+    UNION ALL SELECT 'near_duplicate', count(*) FROM near_dropped
+)
+SELECT reject_reason, n::BIGINT AS n FROM (
+    SELECT reject_reason, n FROM audit WHERE n > 0
+    UNION ALL
+    SELECT 'kept',
+           (SELECT count(*) FROM documents) - (SELECT sum(n) FROM audit)
+)
+ORDER BY reject_reason
+"""
+
+
 MIRROR_HOSTS_SQL = r"""
 WITH RECURSIVE planted AS (
     SELECT source AS host, (doc_id % 20)::INT AS hn,
@@ -12206,6 +12352,16 @@ REGISTRY: dict[str, QuerySpec] = {
         safetensors_bf16_roundtrip_op, SAFETENSORS_BF16_SQL,
         "BF16 safetensors shard write + bits<<16 read-back over "
         "bf16-exact planted vectors (closed-form oracle)"
+    ),
+    # r13 window rotation: curation_with_mirrors (new, never
+    # driver-recorded — mirror detection composed into the curation
+    # gate chain per the r12 verdict's #5) promoted; archive_member_
+    # census (recorded r8-r12) slides below the cutoff in exchange.
+    "curation_with_mirrors": QuerySpec(
+        curation_with_mirrors_op, _curation_mirrors_sql(),
+        "mirror-host clusters gate the curation chain wholesale "
+        "(reason mirror_host) before content dedup (replayed oracle)",
+        audit_fn=_curation_mirrors_audit,
     ),
     "archive_member_census": QuerySpec(
         archive_member_census_op, ARCHIVE_CENSUS_SQL,

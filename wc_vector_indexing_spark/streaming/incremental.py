@@ -632,3 +632,101 @@ def interval_join_stream(
         & (rt >= lt - F.expr(f"INTERVAL {int(gap_seconds)} SECONDS"))
     )
     return l.join(r, cond, "inner")
+
+
+CAPTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("ts", T.DoubleType(), False),
+        T.StructField("digest", T.StringType(), False),
+    ]
+)
+
+
+def frontier_ops_plan(
+    captures: DataFrame,
+    politeness: DataFrame | None = None,
+    *,
+    now_ts: float,
+    n_fetchers: int = 32,
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """The crawl-ops loop as ONE batch composition over the capture
+    ledger (url, host, ts, digest): change-rate refresh priorities
+    (operators/frontier.recrawl_priority) → per-url host attach → the
+    polite fetch schedule (schedule_frontier). This is the SHARED code
+    path of :func:`start_frontier_ops_stream` — the streaming twin
+    recomputes exactly this plan per micro-batch, so an ops stream and
+    a batch backfill can never disagree on the next schedule slice.
+
+    Replayed capture rows (a crashed micro-batch re-appending its
+    shard) collapse via dropDuplicates on the full observation key —
+    one observation is one (url, ts, digest) fact, so the plan is
+    idempotent over at-least-once ledger appends."""
+    from wc_vector_indexing_spark.operators.frontier import (
+        recrawl_priority,
+        schedule_frontier,
+    )
+
+    caps = captures.dropDuplicates(["url", "ts", "digest"])
+    pri = recrawl_priority(caps, now_ts=now_ts).select("url", "priority")
+    hosts = caps.groupBy("url").agg(F.max("host").alias("host"))
+    frontier = pri.join(hosts, "url").select("url", "host", "priority")
+    return schedule_frontier(
+        frontier, politeness, n_fetchers=n_fetchers,
+        default_delay_s=default_delay_s)
+
+
+def start_frontier_ops_stream(
+    spark,
+    captures_path: str,
+    *,
+    store_dir: str,
+    schedule_dir: str,
+    checkpoint_dir: str,
+    now_ts: float,
+    politeness: DataFrame | None = None,
+    n_fetchers: int = 32,
+    default_delay_s: float = 1.0,
+):
+    """Streaming twin of the crawl-ops loop: new capture shards
+    (parquet (url, host, ts, digest) files dropped into
+    ``captures_path``) stream through ``foreachBatch`` — each
+    micro-batch APPENDS to the persistent capture ledger at
+    ``store_dir``, then the schedule at ``schedule_dir`` is recomputed
+    from the whole ledger via :func:`frontier_ops_plan` (the batch
+    code path, verbatim) and atomically replaced: the politeness
+    scheduler is naturally incremental — new captures → refreshed
+    priorities → next schedule slice.
+
+    Exactly-once posture: the file-source checkpoint bounds replay to
+    unprocessed shards; a crash between ledger-append and checkpoint
+    commit re-appends a shard, which the plan's observation-key
+    dropDuplicates collapses — so a crash-replayed stream CONVERGES to
+    the batch composition over the same shards (pinned by
+    test_streaming.test_frontier_ops_stream_restart_converges).
+
+    100 TB posture: the ledger is the compact observation tuple, never
+    page bodies; the per-batch recompute is recrawl_priority's single
+    url-keyed window + same-key aggregate over it plus the one
+    host-window schedule shuffle. ``now_ts`` stays an explicit
+    parameter — schedules must replay deterministically, so wall-clock
+    never enters the plan. Returns the StreamingQuery."""
+    stream = spark.readStream.schema(CAPTURE_SCHEMA).parquet(captures_path)
+
+    def process_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch.write.mode("append").parquet(store_dir)
+        sched = frontier_ops_plan(
+            spark.read.parquet(store_dir), politeness,
+            now_ts=now_ts, n_fetchers=n_fetchers,
+            default_delay_s=default_delay_s)
+        sched.write.mode("overwrite").parquet(schedule_dir)
+
+    return (
+        stream.writeStream
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
