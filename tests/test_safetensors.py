@@ -61,9 +61,9 @@ def test_validation_contract():
     bad = struct.pack("<Q", len(hj)) + hj + bytes(blob)[8 + hlen:]
     with pytest.raises(ValueError, match="byte span"):
         parse_safetensors(bad)
-    # unknown dtypes still reject (BF16 itself decodes — tests below)
+    # unknown dtypes still reject (BF16/FP8 decode — tests below)
     hdr = json.loads(bytes(blob)[8:8 + hlen])
-    hdr["t"]["dtype"] = "F8_E4M3"
+    hdr["t"]["dtype"] = "F6_E3M2"
     hj = json.dumps(hdr, separators=(",", ":")).encode()
     with pytest.raises(ValueError, match="unknown dtype"):
         parse_safetensors(
@@ -153,6 +153,36 @@ def test_spark_bf16_shard_roundtrip(spark, tmp_path):
     got = {r.vec_id: r.embedding for r in back.collect()}
     assert got[9] == [9.0, -0.5, 0.25]
     assert len(got) == 16
+
+
+def test_fp8_decode_tables():
+    """Hand-built FP8 tensors decode through the 256-entry LUTs with
+    the OCP conventions: E4M3FN has no infinities (0x7E = 448 max
+    normal, 0x7F = NaN), E5M2 is IEEE-style (0x7C = inf, 0x7D = NaN);
+    subnormals and signed zero decode exactly."""
+
+    def one(dtype, bits):
+        hdr = {"t": {"dtype": dtype, "shape": [len(bits)],
+                     "data_offsets": [0, len(bits)]}}
+        hj = json.dumps(hdr, separators=(",", ":")).encode()
+        blob = struct.pack("<Q", len(hj)) + hj + bytes(bits)
+        got, _ = parse_safetensors(blob)
+        assert got["t"].dtype == np.dtype("<f4")
+        return got["t"]
+
+    e4 = one("F8_E4M3", [0x38, 0x40, 0xC4, 0x7E, 0x01, 0x00, 0x80, 0x7F])
+    assert e4[0] == 1.0 and e4[1] == 2.0 and e4[2] == -3.0
+    assert e4[3] == 448.0                      # max normal, NOT inf
+    assert e4[4] == 2.0 ** -9                  # smallest subnormal
+    assert e4[5] == 0.0 and np.signbit(e4[6]) and e4[6] == 0.0
+    assert np.isnan(e4[7])
+    e5 = one("F8_E5M2", [0x3C, 0x42, 0x7B, 0x7C, 0xFC, 0x7D, 0x01])
+    assert e5[0] == 1.0 and e5[1] == 3.0
+    assert e5[2] == 57344.0                    # max normal
+    assert np.isinf(e5[3]) and e5[3] > 0
+    assert np.isinf(e5[4]) and e5[4] < 0
+    assert np.isnan(e5[5])
+    assert e5[6] == 2.0 ** -16                 # smallest subnormal
 
 
 def test_offset_gap_rejected():

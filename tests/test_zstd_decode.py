@@ -221,6 +221,7 @@ def test_huffman_stream_exact_consumption():
 
 # ------------------------------------------------- dictionary frames
 
+import json
 import shutil
 import subprocess
 import tempfile
@@ -474,3 +475,34 @@ def test_zstd_lines_source_with_dict_store_directory(spark):
         ).collect()
         assert {r.path.rsplit("/", 1)[-1] for r in part} == \
             {"g0.zst", "g2.zst"}
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="zstd CLI not available")
+def test_cli_zst_with_dict_store(spark, tmp_path, capsys):
+    """The zst CLI resolves dictionary-compressed shards through
+    --dict-store (directory form)."""
+    from wc_vector_indexing_spark.cli import main
+
+    d1 = _train_dict(tmp_path)
+    store_dir = tmp_path / "dicts"
+    store_dir.mkdir()
+    (store_dir / "gen1.dict").write_bytes(d1.read_bytes())
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    payload = ('\n'.join(
+        '{"id": %d, "text": "shared header tokens row %d"}' % (i, i)
+        for i in range(5)) + "\n").encode()
+    (shard_dir / "a.zst").write_bytes(
+        _cli_compress(payload, d1, tmp_path, "a.bin"))
+    rc = main([
+        "zst", "--src", str(shard_dir / "*.zst"),
+        "--out", str(tmp_path / "out"),
+        "--field", "id:long", "--field", "text:string",
+        "--dict-store", str(store_dir),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_written"] == 5 and out["shards_read"] == 1
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.filter("id = 3").collect()[0].text == \
+        "shared header tokens row 3"

@@ -759,9 +759,13 @@ def cmd_zst(args: argparse.Namespace) -> int:
         for spec in args.field:
             name, _, typ = spec.partition(":")
             fields[name] = typ or "string"
-        df = read_zstd_jsonl(spark, args.src, fields, on_error="skip")
+        df = read_zstd_jsonl(spark, args.src, fields, on_error="skip",
+                             dict_path=args.dict or None,
+                             dict_store=args.dict_store or None)
     else:
-        df = read_zstd_lines(spark, args.src, on_error="skip")
+        df = read_zstd_lines(spark, args.src, on_error="skip",
+                             dict_path=args.dict or None,
+                             dict_store=args.dict_store or None)
     df.write.mode("overwrite").parquet(args.out)
     out = spark.read.parquet(args.out)
     print(json.dumps({
@@ -1033,6 +1037,11 @@ def build_parser() -> argparse.ArgumentParser:
     zs.add_argument("--field", action="append", default=[],
                     help="JSONL field as NAME:TYPE (repeatable); omit "
                          "for raw lines")
+    zs.add_argument("--dict", default="",
+                    help="zstd dictionary file applied to every frame")
+    zs.add_argument("--dict-store", dest="dict_store", default="",
+                    help="directory of trained dictionaries, keyed by "
+                         "the ID each declares (per-frame resolution)")
     zs.set_defaults(fn=cmd_zst)
 
     fr = sub.add_parser("frontier", help="polite crawl-frontier schedule "

@@ -53,6 +53,40 @@ _NP_TO_SPEC = {np.dtype(v).str.lstrip("<|=").lower(): k
 MAX_HEADER_BYTES = 100 * 1024 * 1024  # the spec's own cap
 
 
+def _fp8_decode_table(exp_bits: int, mant_bits: int, bias: int,
+                      ieee_special: bool) -> np.ndarray:
+    """256-entry byte → float32 lookup for an FP8 format (OCP 8-bit
+    floating point, public spec). ``ieee_special=True`` gives the
+    IEEE-style top exponent (E5M2: inf when mantissa 0, NaN
+    otherwise); ``False`` gives the E4M3FN convention (no infinities —
+    the top exponent is ordinary except all-ones mantissa = NaN, which
+    buys the 448 max normal)."""
+    vals = np.empty(256, dtype="<f4")
+    e_max = (1 << exp_bits) - 1
+    m_den = float(1 << mant_bits)
+    for b in range(256):
+        s = -1.0 if b & 0x80 else 1.0
+        e = (b >> mant_bits) & e_max
+        m = b & ((1 << mant_bits) - 1)
+        if e == e_max and ieee_special:
+            vals[b] = s * np.inf if m == 0 else np.nan
+        elif e == e_max and not ieee_special and m == (1 << mant_bits) - 1:
+            vals[b] = np.nan
+        elif e == 0:
+            vals[b] = s * (m / m_den) * 2.0 ** (1 - bias)
+        else:
+            vals[b] = s * (1.0 + m / m_den) * 2.0 ** (e - bias)
+    return vals
+
+
+# built once at import: E4M3 = OCP E4M3FN (bias 7, no inf, max 448);
+# E5M2 = IEEE-style binary8 (bias 15, inf/NaN, max 57344)
+_F8_TABLES = {
+    "F8_E4M3": _fp8_decode_table(4, 3, 7, ieee_special=False),
+    "F8_E5M2": _fp8_decode_table(5, 2, 15, ieee_special=True),
+}
+
+
 def f32_to_bf16_bits(a: np.ndarray) -> np.ndarray:
     """float32 → bfloat16 bit patterns (uint16) with round-to-nearest-
     even — the hardware conversion semantics (bfloat16 = the top 16
@@ -164,7 +198,8 @@ def parse_safetensors(
             raise ValueError(f"safetensors: tensor {name!r} entry is "
                              "not an object")
         dtype = info.get("dtype")
-        if dtype != "BF16" and dtype not in _DTYPES:
+        if (dtype != "BF16" and dtype not in _F8_TABLES
+                and dtype not in _DTYPES):
             raise ValueError(f"safetensors: unknown dtype {dtype!r}")
         shape = info.get("shape")
         if (not isinstance(shape, list)
@@ -175,10 +210,15 @@ def parse_safetensors(
                 or any(not isinstance(o, int) or o < 0 for o in off)
                 or off[1] < off[0] or off[1] > len(buf)):
             raise ValueError(f"safetensors: bad offsets for {name!r}")
-        # BF16 (the dominant dtype of real HF checkpoints) has no numpy
-        # dtype — stored bits are uint16; the lossless bits<<16 widening
-        # surfaces it as float32
-        np_dtype = np.dtype("<u2" if dtype == "BF16" else _DTYPES[dtype])
+        # BF16 / FP8 (the dominant dtypes of real HF checkpoints) have
+        # no numpy dtype — stored bits are uint16/uint8; the lossless
+        # widenings (bits<<16, 256-entry LUT) surface them as float32
+        if dtype == "BF16":
+            np_dtype = np.dtype("<u2")
+        elif dtype in _F8_TABLES:
+            np_dtype = np.dtype("<u1")
+        else:
+            np_dtype = np.dtype(_DTYPES[dtype])
         n_elem = 1
         for s in shape:
             n_elem *= s
@@ -188,9 +228,12 @@ def parse_safetensors(
                 f"shape {shape} x itemsize {np_dtype.itemsize}")
         spans.append((off[0], off[1]))
         raw = np.frombuffer(buf[off[0]:off[1]], dtype=np_dtype)
-        tensors[name] = (
-            bf16_bits_to_f32(raw).reshape(shape) if dtype == "BF16"
-            else raw.reshape(shape))
+        if dtype == "BF16":
+            tensors[name] = bf16_bits_to_f32(raw).reshape(shape)
+        elif dtype in _F8_TABLES:
+            tensors[name] = _F8_TABLES[dtype][raw].reshape(shape)
+        else:
+            tensors[name] = raw.reshape(shape)
     # offsets must TILE the buffer: sorted, zero-origin, gapless,
     # ending at the buffer end (overlap/gap = corruption per spec)
     spans.sort()
