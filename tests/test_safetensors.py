@@ -237,3 +237,50 @@ def test_ragged_vectors_are_contract_errors(spark, tmp_path):
     ]).coalesce(1)
     with pytest.raises(Exception, match="ragged"):
         write_safetensors_vectors(df, str(tmp_path / "r"))
+
+
+def test_index_reader_headers_only(spark, tmp_path):
+    """read_safetensors_index inventories every tensor of every shard
+    (name, dtype, shape-json, n_params, n_bytes) without decoding
+    data; BF16/FP8 spans validate at their 2-/1-byte itemsizes; a
+    corrupt shard quarantines whole under on_error='skip'."""
+    from wc_vector_indexing_spark.sources.safetensors import (
+        f32_to_bf16_bits,
+        read_safetensors_index,
+    )
+
+    w = np.arange(12, dtype="<f4").reshape(3, 4)
+    blob_a = to_safetensors_bytes(
+        {"emb": w, "bias": np.zeros(3, dtype="<f4")},
+        metadata={"origin": "test"})
+    # hand-build a BF16+FP8 shard
+    bf = f32_to_bf16_bits(w)
+    hdr = {
+        "w_bf16": {"dtype": "BF16", "shape": [3, 4],
+                   "data_offsets": [0, 24]},
+        "w_fp8": {"dtype": "F8_E4M3", "shape": [8],
+                  "data_offsets": [24, 32]},
+    }
+    hj = json.dumps(hdr, separators=(",", ":")).encode()
+    blob_b = (struct.pack("<Q", len(hj)) + hj
+              + bf.tobytes() + bytes(range(8)))
+    (tmp_path / "a.safetensors").write_bytes(blob_a)
+    (tmp_path / "b.safetensors").write_bytes(blob_b)
+    got = {
+        (r.shard.rsplit("/", 1)[-1], r.tensor):
+            (r.dtype, r.shape, r.n_params, r.n_bytes)
+        for r in read_safetensors_index(
+            spark, str(tmp_path / "*.safetensors")).collect()
+    }
+    assert got[("a.safetensors", "emb")] == ("F32", "[3,4]", 12, 48)
+    assert got[("a.safetensors", "bias")] == ("F32", "[3]", 3, 12)
+    assert got[("b.safetensors", "w_bf16")] == ("BF16", "[3,4]", 12, 24)
+    assert got[("b.safetensors", "w_fp8")] == ("F8_E4M3", "[8]", 8, 8)
+    # corrupt shard: truncated buffer -> whole-shard quarantine
+    (tmp_path / "c.safetensors").write_bytes(blob_a[:-4])
+    with pytest.raises(Exception, match="corrupt safetensors"):
+        read_safetensors_index(
+            spark, str(tmp_path / "*.safetensors")).count()
+    ok = read_safetensors_index(
+        spark, str(tmp_path / "*.safetensors"), on_error="skip")
+    assert ok.count() == 4

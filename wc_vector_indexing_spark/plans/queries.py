@@ -9647,6 +9647,97 @@ def safetensors_bf16_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def safetensors_tensor_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpoint-inventory census (sources/safetensors.
+    read_safetensors_index): a planted model directory — six writer
+    shards each holding an F32 weight, an I64 id table, and a BF16
+    quantized copy, plus one HAND-BUILT shard of F8_E4M3/F8_E5M2
+    tensors (bytes laid out from the spec, no writer involved) — reads
+    back HEADERS ONLY and must reproduce every (tensor, dtype, shape,
+    n_params, n_bytes) row closed-form. Pins the metadata pass a model
+    consumer runs before deciding what to load, across every itemsize
+    class (8/4/2/1 bytes)."""
+    import hashlib
+    import os
+    import shutil
+    import struct as _struct
+    import tempfile
+
+    import numpy as np
+
+    from wc_vector_indexing_spark.sources.safetensors import (
+        read_safetensors_index,
+        to_safetensors_bytes,
+    )
+
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_st_census_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.makedirs(out)
+        for k in range(6):
+            blob = to_safetensors_bytes(
+                {
+                    "ids": np.arange(k + 3, dtype="<i8"),
+                    "q": np.arange(4 * (k + 1), dtype="<f4"),
+                    "w": np.zeros((k + 1, 8), dtype="<f4"),
+                },
+                dtype_overrides={"q": "BF16"},
+            )
+            with open(os.path.join(out, f"shard{k}.safetensors"),
+                      "wb") as f:
+                f.write(blob)
+        import json as _json
+
+        hdr = {
+            "a_e4m3": {"dtype": "F8_E4M3", "shape": [32],
+                       "data_offsets": [0, 32]},
+            "b_e5m2": {"dtype": "F8_E5M2", "shape": [4, 4],
+                       "data_offsets": [32, 48]},
+        }
+        hj = _json.dumps(hdr, separators=(",", ":")).encode()
+        with open(os.path.join(out, "shard6.safetensors"), "wb") as f:
+            f.write(_struct.pack("<Q", len(hj)) + hj + bytes(48))
+        with open(done, "w") as f:
+            f.write("ok")
+    idx = read_safetensors_index(
+        spark, os.path.join(out, "*.safetensors"))
+    return idx.select(
+        F.regexp_extract("shard", r"shard(\d+)\.safetensors", 1)
+        .cast("int").alias("shard_no"),
+        "tensor", "dtype", "shape", "n_params", "n_bytes",
+    ).orderBy("shard_no", "tensor")
+
+
+SAFETENSORS_CENSUS_SQL = r"""
+WITH ks AS (SELECT k::INT AS k FROM range(0, 6) t(k)),
+rows_ AS (
+    SELECT k AS shard_no, 'ids' AS tensor, 'I64' AS dtype,
+           '[' || (k + 3) || ']' AS shape,
+           (k + 3)::BIGINT AS n_params, ((k + 3) * 8)::BIGINT AS n_bytes
+    FROM ks
+    UNION ALL
+    SELECT k, 'q', 'BF16', '[' || (4 * (k + 1)) || ']',
+           (4 * (k + 1))::BIGINT, (4 * (k + 1) * 2)::BIGINT
+    FROM ks
+    UNION ALL
+    SELECT k, 'w', 'F32', '[' || (k + 1) || ',8]',
+           ((k + 1) * 8)::BIGINT, ((k + 1) * 8 * 4)::BIGINT
+    FROM ks
+    UNION ALL
+    SELECT 6, 'a_e4m3', 'F8_E4M3', '[32]', 32::BIGINT, 32::BIGINT
+    UNION ALL
+    SELECT 6, 'b_e5m2', 'F8_E5M2', '[4,4]', 16::BIGINT, 16::BIGINT
+)
+SELECT shard_no::INT AS shard_no, tensor, dtype, shape,
+       n_params, n_bytes
+FROM rows_
+ORDER BY shard_no, tensor
+"""
+
+
 SAFETENSORS_BF16_SQL = r"""
 SELECT vec_id,
        4::INT AS dim,
@@ -12328,11 +12419,9 @@ REGISTRY: dict[str, QuerySpec] = {
         "change-rate priority -> polite host-affine schedule, one "
         "lazy program"
     ),
-    "mirror_hosts": QuerySpec(
-        mirror_hosts_op, MIRROR_HOSTS_SQL,
-        "mirror-site clusters: digest-set Jaccard over host pairs "
-        "(boilerplate-capped evidence) + connected components"
-    ),
+    # r13 window rotation: mirror_hosts (recorded r12) demoted below
+    # the cutoff in exchange for safetensors_tensor_census; the mirror
+    # family stays in-window via curation_with_mirrors.
     # r11 window rotation (session 4): wikipedia_corpus_text (new, never
     # driver-recorded — the multistream wiki-dump source with
     # slice-parallel bz2 offset walk + wikitext extraction) promoted;
@@ -12362,6 +12451,20 @@ REGISTRY: dict[str, QuerySpec] = {
         "mirror-host clusters gate the curation chain wholesale "
         "(reason mirror_host) before content dedup (replayed oracle)",
         audit_fn=_curation_mirrors_audit,
+    ),
+    # r13 window rotation: safetensors_tensor_census (new, never
+    # driver-recorded — the headers-only checkpoint inventory across
+    # all four itemsize classes incl. hand-built FP8 shards) promoted;
+    # the next recorded tail entry slides below the cutoff in exchange.
+    "safetensors_tensor_census": QuerySpec(
+        safetensors_tensor_census_op, SAFETENSORS_CENSUS_SQL,
+        "headers-only checkpoint tensor inventory over writer + "
+        "hand-built BF16/FP8 shards (closed-form oracle)"
+    ),
+    "mirror_hosts": QuerySpec(
+        mirror_hosts_op, MIRROR_HOSTS_SQL,
+        "mirror-site clusters: digest-set Jaccard over host pairs "
+        "(boilerplate-capped evidence) + connected components"
     ),
     "archive_member_census": QuerySpec(
         archive_member_census_op, ARCHIVE_CENSUS_SQL,

@@ -170,7 +170,8 @@ def parse_safetensors(
     data: bytes,
 ) -> tuple[dict[str, np.ndarray], dict[str, str]]:
     """One blob → (tensors by name, metadata). Raises ValueError for
-    corrupt bytes, NotImplementedError for BF16 (documented seam)."""
+    corrupt bytes. BF16 and FP8 tensors come back widened to float32
+    (lossless; numpy has no sub-single float dtypes)."""
     if len(data) < 8:
         raise ValueError("safetensors: truncated header length")
     (hlen,) = struct.unpack_from("<Q", data, 0)
@@ -361,3 +362,106 @@ def read_safetensors_vectors(
 
     return raw.mapInPandas(
         parse, schema="shard string, vec_id long, embedding array<float>")
+
+
+def read_safetensors_index(
+    spark: SparkSession, path: str,
+    on_error: str = "raise",
+) -> DataFrame:
+    """(shard, tensor, dtype, shape, n_params, n_bytes, param_dtype):
+    the tensor inventory of every ``*.safetensors`` file — what a
+    checkpoint consumer asks first (which tensors, which dtypes, how
+    many parameters). HEADERS ONLY: the JSON table is validated and
+    each tensor's byte span checked against the buffer size, but no
+    tensor data is decoded — so the pass is metadata-cheap even over
+    multi-GB shards. One binaryFile scan + one Arrow parse pass, zero
+    shuffle; ``on_error='skip'`` quarantines a corrupt shard whole.
+
+    ``shape`` is returned as its canonical JSON string (e.g.
+    ``[4096,128]``) so downstream groupBys and the DuckDB oracle
+    treat it as a plain scalar."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    raw = spark.read.format("binaryFile").load(path).select(
+        "path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["shard", "tensor", "dtype", "shape", "n_params", "n_bytes"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                try:
+                    rows.extend(_index_rows(fpath, data))
+                except ValueError as e:
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"corrupt safetensors shard {fpath}: {e!r}"
+                        ) from e
+                    continue
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(
+        parse,
+        schema="shard string, tensor string, dtype string, "
+               "shape string, n_params long, n_bytes long")
+
+
+def _index_rows(fpath: str, data: bytes) -> list[tuple]:
+    """Header-only walk shared with the full parser's validation rules
+    (length cap, JSON object, dtype table, span == shape x itemsize,
+    offsets tile the buffer) — without touching tensor bytes."""
+    if len(data) < 8:
+        raise ValueError("safetensors: truncated header length")
+    (hlen,) = struct.unpack_from("<Q", data, 0)
+    if hlen > MAX_HEADER_BYTES:
+        raise ValueError("safetensors: header length over the cap")
+    if 8 + hlen > len(data):
+        raise ValueError("safetensors: header overruns the file")
+    try:
+        header = json.loads(data[8:8 + hlen].decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"safetensors: bad header JSON: {e}") from e
+    if not isinstance(header, dict):
+        raise ValueError("safetensors: header is not a JSON object")
+    header.pop("__metadata__", None)
+    buf_len = len(data) - 8 - hlen
+    itemsize = {**{k: np.dtype(v).itemsize for k, v in _DTYPES.items()},
+                "BF16": 2, "F8_E4M3": 1, "F8_E5M2": 1}
+    rows: list[tuple] = []
+    spans = []
+    for name, info in header.items():
+        if not isinstance(info, dict):
+            raise ValueError(f"safetensors: tensor {name!r} entry is "
+                             "not an object")
+        dtype = info.get("dtype")
+        if dtype not in itemsize:
+            raise ValueError(f"safetensors: unknown dtype {dtype!r}")
+        shape = info.get("shape")
+        if (not isinstance(shape, list)
+                or any(not isinstance(s, int) or s < 0 for s in shape)):
+            raise ValueError(f"safetensors: bad shape for {name!r}")
+        off = info.get("data_offsets")
+        if (not isinstance(off, list) or len(off) != 2
+                or any(not isinstance(o, int) or o < 0 for o in off)
+                or off[1] < off[0] or off[1] > buf_len):
+            raise ValueError(f"safetensors: bad offsets for {name!r}")
+        n_elem = 1
+        for s in shape:
+            n_elem *= s
+        if off[1] - off[0] != n_elem * itemsize[dtype]:
+            raise ValueError(
+                f"safetensors: {name!r} byte span != shape x itemsize")
+        spans.append((off[0], off[1]))
+        rows.append((fpath, name, dtype,
+                     json.dumps(shape, separators=(",", ":")),
+                     n_elem, off[1] - off[0]))
+    spans.sort()
+    pos = 0
+    for s, e in spans:
+        if s != pos:
+            raise ValueError("safetensors: offset gap/overlap")
+        pos = e
+    if pos != buf_len:
+        raise ValueError("safetensors: trailing bytes")
+    return rows
