@@ -284,3 +284,50 @@ def test_index_reader_headers_only(spark, tmp_path):
     ok = read_safetensors_index(
         spark, str(tmp_path / "*.safetensors"), on_error="skip")
     assert ok.count() == 4
+
+
+def test_checkpoint_completeness(spark, tmp_path):
+    """checkpoint_completeness verifies a sharded model directory
+    against its HF-convention index: ok / missing (mapped shard or
+    tensor absent) / misplaced (present in a different shard) /
+    unindexed (present but unmapped) all surface."""
+    from wc_vector_indexing_spark.sources.safetensors import (
+        checkpoint_completeness,
+    )
+
+    s0 = to_safetensors_bytes({
+        "layer0.w": np.zeros((2, 4), dtype="<f4"),
+        "layer0.b": np.zeros(2, dtype="<f4"),
+        "stray.t": np.zeros(3, dtype="<f4"),      # not in the index
+    })
+    s1 = to_safetensors_bytes({
+        "layer1.w": np.zeros((2, 4), dtype="<f4"),
+    })
+    (tmp_path / "model-00000.safetensors").write_bytes(s0)
+    (tmp_path / "model-00001.safetensors").write_bytes(s1)
+    index = {
+        "metadata": {"total_size": 0},
+        "weight_map": {
+            "layer0.w": "model-00000.safetensors",
+            "layer0.b": "model-00000.safetensors",
+            # index says shard 0, it actually lives in shard 1
+            "layer1.w": "model-00000.safetensors",
+            # mapped but nowhere on disk
+            "layer2.w": "model-00002.safetensors",
+        },
+    }
+    (tmp_path / "model.safetensors.index.json").write_text(
+        json.dumps(index))
+    got = {r.tensor: r.status for r in
+           checkpoint_completeness(spark, str(tmp_path)).collect()}
+    assert got == {
+        "layer0.w": "ok", "layer0.b": "ok",
+        "layer1.w": "misplaced",
+        "layer2.w": "missing",
+        "stray.t": "unindexed",
+    }
+    # a malformed weight_map is a contract error
+    (tmp_path / "model.safetensors.index.json").write_text(
+        json.dumps({"weight_map": ["not", "a", "map"]}))
+    with pytest.raises(ValueError, match="weight_map"):
+        checkpoint_completeness(spark, str(tmp_path))

@@ -9738,6 +9738,85 @@ ORDER BY shard_no, tensor
 """
 
 
+def checkpoint_completeness_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Sharded-checkpoint completeness audit (sources/safetensors.
+    checkpoint_completeness): a planted model directory — 4 shards of
+    8 tensors each plus the HF-convention index JSON whose weight_map
+    plants one misplaced mapping per shard (tensor t_{k}_7 mapped to
+    shard (k+1)%4), one missing tensor (mapped to a shard that does
+    not exist), and one unindexed tensor per shard (t_{k}_0 omitted
+    from the map) — audited with the broadcast full-outer join over
+    the headers-only inventory. Closed-form oracle."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from wc_vector_indexing_spark.sources.safetensors import (
+        checkpoint_completeness,
+        to_safetensors_bytes,
+    )
+
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_st_ckpt_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.makedirs(out)
+        wmap: dict[str, str] = {}
+        for k in range(4):
+            shard = f"model-{k:05d}.safetensors"
+            tensors = {
+                f"t_{k}_{j}": np.zeros(j + 1, dtype="<f4")
+                for j in range(8)
+            }
+            with open(os.path.join(out, shard), "wb") as f:
+                f.write(to_safetensors_bytes(tensors))
+            for j in range(1, 8):
+                if j == 7:  # planted misplacement
+                    wmap[f"t_{k}_7"] = \
+                        f"model-{(k + 1) % 4:05d}.safetensors"
+                else:
+                    wmap[f"t_{k}_{j}"] = shard
+        wmap["t_gone"] = "model-99999.safetensors"  # planted missing
+        with open(os.path.join(out, "model.safetensors.index.json"),
+                  "w") as f:
+            _json.dump({"weight_map": wmap}, f)
+        with open(done, "w") as f:
+            f.write("ok")
+    return checkpoint_completeness(spark, out).select(
+        "tensor", "mapped_shard", "found_shard", "status")
+
+
+CHECKPOINT_COMPLETENESS_SQL = r"""
+WITH ks AS (SELECT k::INT AS k FROM range(0, 4) t(k)),
+js AS (SELECT j::INT AS j FROM range(0, 8) t(j)),
+rows_ AS (
+    SELECT 't_' || k || '_' || j AS tensor,
+           CASE WHEN j = 0 THEN NULL
+                WHEN j = 7 THEN 'model-' || format('{:05d}', (k + 1) % 4)
+                     || '.safetensors'
+                ELSE 'model-' || format('{:05d}', k) || '.safetensors'
+           END AS mapped_shard,
+           'model-' || format('{:05d}', k) || '.safetensors'
+               AS found_shard,
+           CASE WHEN j = 0 THEN 'unindexed'
+                WHEN j = 7 THEN 'misplaced'
+                ELSE 'ok' END AS status
+    FROM ks, js
+    UNION ALL
+    SELECT 't_gone', 'model-99999.safetensors', NULL, 'missing'
+)
+SELECT tensor, mapped_shard, found_shard, status
+FROM rows_
+ORDER BY tensor
+"""
+
+
 SAFETENSORS_BF16_SQL = r"""
 SELECT vec_id,
        4::INT AS dim,
@@ -12109,9 +12188,9 @@ REGISTRY: dict[str, QuerySpec] = {
         mp3_lsf_census_op, MP3_LSF_CENSUS_SQL,
         "MPEG-2/2.5 LSF Layer III full decode at all six low rates (planted-truth oracle)"
     ),
-    "event_pagerank": QuerySpec(
-        event_pagerank_op, PAGERANK_SQL, "transition-graph weighted PageRank (5 rounds)"
-    ),
+    # r13 window rotation: event_pagerank (recorded r8-r12) demoted
+    # below the cutoff in exchange for checkpoint_completeness; the
+    # graph family stays in-window via host_pagerank/host_trustrank.
     # r9 window rotation: feed_discovery (never driver-recorded, the
     # crawl front door upgraded from streaming-only to oracle-backed)
     # promoted; flac_streaminfo_census (recorded r8) demoted in
@@ -12460,6 +12539,17 @@ REGISTRY: dict[str, QuerySpec] = {
         safetensors_tensor_census_op, SAFETENSORS_CENSUS_SQL,
         "headers-only checkpoint tensor inventory over writer + "
         "hand-built BF16/FP8 shards (closed-form oracle)"
+    ),
+    # r13 window rotation: checkpoint_completeness (new, never
+    # driver-recorded — the HF index-vs-shards audit) promoted; the
+    # next recorded tail entry slides below the cutoff in exchange.
+    "checkpoint_completeness": QuerySpec(
+        checkpoint_completeness_op, CHECKPOINT_COMPLETENESS_SQL,
+        "sharded-checkpoint index audit: ok/missing/misplaced/"
+        "unindexed via broadcast full-outer join (closed-form oracle)"
+    ),
+    "event_pagerank": QuerySpec(
+        event_pagerank_op, PAGERANK_SQL, "transition-graph weighted PageRank (5 rounds)"
     ),
     "mirror_hosts": QuerySpec(
         mirror_hosts_op, MIRROR_HOSTS_SQL,

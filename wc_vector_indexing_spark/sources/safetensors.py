@@ -39,6 +39,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # spec dtype → (numpy little-endian dtype, itemsize)
 _DTYPES = {
@@ -465,3 +466,57 @@ def _index_rows(fpath: str, data: bytes) -> list[tuple]:
     if pos != buf_len:
         raise ValueError("safetensors: trailing bytes")
     return rows
+
+
+def checkpoint_completeness(
+    spark: SparkSession, model_dir: str,
+    index_name: str = "model.safetensors.index.json",
+) -> DataFrame:
+    """(tensor, mapped_shard, found_shard, dtype, n_params, status):
+    verify a sharded-checkpoint directory against its index file (the
+    HF ``model.safetensors.index.json`` convention — a ``weight_map``
+    of tensor name → shard filename, public format). status ∈
+
+      ok            — tensor present in the shard the index maps it to
+      missing       — mapped shard absent or tensor not in it
+      misplaced     — tensor exists but in a different shard
+      unindexed     — tensor present in a shard but absent from the map
+
+    The index is a bounded driver-side JSON (tensor-count rows, KiB-MiB
+    scale — the broadcast-dim class); shard inventories come from the
+    headers-only distributed pass (:func:`read_safetensors_index`), so
+    no tensor data is read. One broadcast full-outer join, no corpus
+    shuffle."""
+    import json as _json
+    import os
+
+    with open(os.path.join(model_dir, index_name)) as fh:
+        idx = _json.load(fh)
+    wmap = idx.get("weight_map")
+    if not isinstance(wmap, dict) or not all(
+            isinstance(k, str) and isinstance(v, str)
+            for k, v in wmap.items()):
+        raise ValueError(
+            f"checkpoint index {index_name}: weight_map must map "
+            "tensor name to shard filename")
+    mapped = spark.createDataFrame(
+        [(t, s) for t, s in sorted(wmap.items())],
+        "tensor string, mapped_shard string")
+    inv = read_safetensors_index(
+        spark, os.path.join(model_dir, "*.safetensors"))
+    found = inv.select(
+        "tensor",
+        F.element_at(F.split("shard", "/"), -1).alias("found_shard"),
+        "dtype", "n_params",
+    )
+    joined = mapped.join(F.broadcast(found), "tensor", "full_outer")
+    status = (
+        F.when(F.col("mapped_shard").isNull(), F.lit("unindexed"))
+        .when(F.col("found_shard").isNull(), F.lit("missing"))
+        .when(F.col("mapped_shard") == F.col("found_shard"), F.lit("ok"))
+        .otherwise(F.lit("misplaced"))
+    )
+    return joined.select(
+        "tensor", "mapped_shard", "found_shard", "dtype", "n_params",
+        status.alias("status"),
+    ).orderBy("tensor")
