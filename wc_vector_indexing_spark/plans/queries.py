@@ -9830,6 +9830,243 @@ ORDER BY vec_id
 """
 
 
+def gguf_tensor_census_op(spark: SparkSession, sf: str) -> DataFrame:
+    """GGUF checkpoint-inventory census (sources/gguf.read_gguf_index):
+    a planted model directory — four writer shards each holding an F32
+    weight, a Q8_0 and a Q4_0 quantized tensor, a BF16 copy, and an
+    I64 id table, plus one HAND-BUILT shard carrying a Q6_K tensor
+    (bytes laid out from the spec with no writer involved; Q6_K is a
+    census-only type — its 210-byte/256-element block size is known
+    from the public ggml table but decode is a refused seam) — reads
+    back HEADERS ONLY and must reproduce every (tensor, ggml_type,
+    shape, n_params, n_bytes) row closed-form. Pins the llama.cpp-side
+    model inventory pass across float, integer, and block-quant size
+    classes without touching a single tensor byte."""
+    import hashlib
+    import os
+    import shutil
+    import struct as _struct
+    import tempfile
+
+    import numpy as np
+
+    from wc_vector_indexing_spark.sources.gguf import (
+        read_gguf_index,
+        to_gguf_bytes,
+    )
+
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_gguf_census_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.makedirs(out)
+        for k in range(4):
+            blob = to_gguf_bytes(
+                {"general.architecture": "census", "shard_no": k},
+                [
+                    ("w", np.zeros((k + 1, 8), dtype=np.float32), "F32"),
+                    ("q8", np.zeros((2, 32 * (k + 1)),
+                                    dtype=np.float32), "Q8_0"),
+                    ("q4", np.zeros(32 * (k + 2),
+                                    dtype=np.float32), "Q4_0"),
+                    ("bf", np.zeros(16 * (k + 1),
+                                    dtype=np.float32), "BF16"),
+                    ("ids", np.arange(k + 3, dtype=np.int64), "I64"),
+                ])
+            with open(os.path.join(out, f"shard{k}.gguf"), "wb") as f:
+                f.write(blob)
+        # hand-built shard 4: one Q6_K tensor, header bytes laid out
+        # straight from the spec (magic | v3 | counts | kv | info)
+        hdr = bytearray()
+        hdr += b"GGUF" + _struct.pack("<I", 3)
+        hdr += _struct.pack("<Q", 1) + _struct.pack("<Q", 1)
+        key_b = b"general.alignment"
+        hdr += _struct.pack("<Q", len(key_b)) + key_b
+        hdr += _struct.pack("<I", 4) + _struct.pack("<I", 32)  # UINT32 32
+        name_b = b"kq"
+        hdr += _struct.pack("<Q", len(name_b)) + name_b
+        hdr += _struct.pack("<I", 1) + _struct.pack("<Q", 256)  # ne=[256]
+        hdr += _struct.pack("<I", 14) + _struct.pack("<Q", 0)  # Q6_K @ 0
+        base = (len(hdr) + 31) // 32 * 32
+        hdr += b"\x00" * (base - len(hdr)) + b"\x00" * 210
+        with open(os.path.join(out, "shard4.gguf"), "wb") as f:
+            f.write(bytes(hdr))
+        with open(done, "w") as f:
+            f.write("ok")
+    idx = read_gguf_index(spark, os.path.join(out, "*.gguf"))
+    return idx.select(
+        F.regexp_extract("shard", r"shard(\d+)\.gguf", 1)
+        .cast("int").alias("shard_no"),
+        "tensor", "ggml_type", "shape", "n_params", "n_bytes",
+    ).orderBy("shard_no", "tensor")
+
+
+GGUF_CENSUS_SQL = r"""
+WITH ks AS (SELECT k::INT AS k FROM range(0, 4) t(k)),
+rows_ AS (
+    SELECT k AS shard_no, 'w' AS tensor, 'F32' AS ggml_type,
+           '[' || (k + 1) || ',8]' AS shape,
+           ((k + 1) * 8)::BIGINT AS n_params,
+           ((k + 1) * 8 * 4)::BIGINT AS n_bytes
+    FROM ks
+    UNION ALL
+    SELECT k, 'q8', 'Q8_0', '[2,' || (32 * (k + 1)) || ']',
+           (64 * (k + 1))::BIGINT, (2 * (k + 1) * 34)::BIGINT
+    FROM ks
+    UNION ALL
+    SELECT k, 'q4', 'Q4_0', '[' || (32 * (k + 2)) || ']',
+           (32 * (k + 2))::BIGINT, ((k + 2) * 18)::BIGINT
+    FROM ks
+    UNION ALL
+    SELECT k, 'bf', 'BF16', '[' || (16 * (k + 1)) || ']',
+           (16 * (k + 1))::BIGINT, (16 * (k + 1) * 2)::BIGINT
+    FROM ks
+    UNION ALL
+    SELECT k, 'ids', 'I64', '[' || (k + 3) || ']',
+           (k + 3)::BIGINT, ((k + 3) * 8)::BIGINT
+    FROM ks
+    UNION ALL
+    SELECT 4, 'kq', 'Q6_K', '[256]', 256::BIGINT, 210::BIGINT
+)
+SELECT shard_no::INT AS shard_no, tensor, ggml_type, shape,
+       n_params, n_bytes
+FROM rows_
+ORDER BY shard_no, tensor
+"""
+
+
+def gguf_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTRIBUTED GGUF sink+source under the gate (sources/gguf.py):
+    the embeddings table repartitions over 4 tasks, each task writes
+    its own GGUF shard (every vector a ``vec.<id>`` F32 tensor with
+    spec-aligned offsets), then the shards read back through the
+    binaryFile+Arrow header walk and must reproduce every (vec_id,
+    embedding) row. Same scalar-checksum fold as the safetensors
+    twin (driver-hasher contract: no array columns in the gate
+    window); float32 is bit-preserved through the format. Q8_0/Q4_0
+    quantized export is pinned by test_gguf.py (fp16 block scales are
+    not SQL-expressible)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.gguf import (
+        read_gguf_vectors,
+        write_gguf_vectors,
+    )
+
+    emb = load(spark, "embeddings", sf).select("vec_id", "embedding")
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_gguf_export_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        write_gguf_vectors(emb.repartition(4), out)
+        with open(done, "w") as f:
+            f.write("ok")
+    back = read_gguf_vectors(spark, os.path.join(out, "part-*.gguf"))
+    checksum = F.aggregate(
+        "embedding",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    )
+    return back.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        checksum.alias("vec_checksum"),
+    ).orderBy("vec_id")
+
+
+# same closed form as the safetensors twin: the fold is format-blind
+GGUF_EXPORT_SQL = SAFETENSORS_EXPORT_SQL
+
+
+def zipnum_prefix_lookup_op(spark: SparkSession, sf: str) -> DataFrame:
+    """ZipNum cluster prefix lookup (sources/cdx.py): the documents
+    table plants a 7-host capture index — urlkey
+    ``example,host<doc_id%7>)/doc/<doc_id>``, ts14
+    ``2024<doc_id padded>``, WARC locator fields derived closed-form —
+    written through the DISTRIBUTED ZipNum writer (range-partitioned
+    global sort, gzip-member blocks of 40 lines, cluster.idx emitted
+    at 1/40 the row count), then host3's captures come back through
+    the BLOCK-PRUNED lookup: the cluster.idx range scan selects only
+    the blocks whose key span intersects the prefix, only those gzip
+    members are ranged-read (the Common Crawl cc-index consumption
+    path — index bytes touched are O(answer), not O(index); pruning
+    ratio asserted in test_cdx.py), and the exact prefix filter
+    applies to the decoded lines. Closed-form oracle over documents."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.cdx import (
+        write_zipnum,
+        zipnum_lookup,
+    )
+
+    docs = load(spark, "documents", sf).select("doc_id").orderBy(
+        "doc_id").limit(500)
+    captures = docs.select(
+        F.format_string("example,host%d)/doc/%04d",
+                        (F.col("doc_id") % 7).cast("int"),
+                        F.col("doc_id").cast("int")).alias("urlkey"),
+        F.format_string("2024%010d",
+                        F.col("doc_id").cast("int")).alias("ts14"),
+        F.to_json(F.struct(
+            F.format_string("https://host%d.example/doc/%04d",
+                            (F.col("doc_id") % 7).cast("int"),
+                            F.col("doc_id").cast("int")).alias("url"),
+            F.lit("text/html").alias("mime"),
+            F.lit(200).alias("status"),
+            F.format_string("sha1:%04d",
+                            F.col("doc_id").cast("int")).alias("digest"),
+            F.lit("crawl-00.warc.gz").alias("filename"),
+            (F.col("doc_id") * 1000).cast("long").alias("offset"),
+            F.lit(999).cast("long").alias("length"),
+        )).alias("fields_json"),
+    )
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_zipnum_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        write_zipnum(captures, out, lines_per_block=40, n_shards=4)
+        with open(done, "w") as f:
+            f.write("ok")
+    return (
+        zipnum_lookup(spark, out, "example,host3)/")
+        .select("urlkey", "ts14", "url", "mime", "status", "digest",
+                "warc_filename", "warc_offset", "warc_length")
+        .orderBy("urlkey", "ts14")
+    )
+
+
+ZIPNUM_LOOKUP_SQL = r"""
+WITH ids AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 500
+)
+SELECT 'example,host3)/doc/' || format('{:04d}', doc_id) AS urlkey,
+       '2024' || format('{:010d}', doc_id) AS ts14,
+       'https://host3.example/doc/' || format('{:04d}', doc_id) AS url,
+       'text/html' AS mime,
+       200::INT AS status,
+       'sha1:' || format('{:04d}', doc_id) AS digest,
+       'crawl-00.warc.gz' AS warc_filename,
+       (doc_id * 1000)::BIGINT AS warc_offset,
+       999::BIGINT AS warc_length
+FROM ids
+WHERE doc_id % 7 = 3
+ORDER BY urlkey, ts14
+"""
+
+
 def arrow_ipc_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     """DISTRIBUTED Arrow IPC sink under the gate (sources/arrow_ipc.
     write_arrow_ipc): the lowest-80 docs repartition over 4 tasks,
@@ -12482,21 +12719,34 @@ REGISTRY: dict[str, QuerySpec] = {
         "gate/re-weight documents before the per-document gates",
         audit_fn=_curation_host_prior_audit,
     ),
-    "frontier_schedule": QuerySpec(
-        frontier_schedule_op, FRONTIER_SCHEDULE_SQL,
-        "polite crawl-frontier scheduling: per-host priority slots x "
-        "robots crawl-delay, host-affine fetcher assignment"
+    # r13 window rotation (session 2): gguf_tensor_census +
+    # gguf_export_roundtrip (new, never driver-recorded — the
+    # llama.cpp-side checkpoint container joining the safetensors
+    # interchange family) promoted; recrawl_priority +
+    # crawl_ops_pipeline (both recorded r12) slide below the 50-entry
+    # cutoff in exchange.
+    "gguf_tensor_census": QuerySpec(
+        gguf_tensor_census_op, GGUF_CENSUS_SQL,
+        "headers-only GGUF tensor inventory over writer + hand-built "
+        "shards incl. block-quant (Q8_0/Q4_0/Q6_K) sizes from the "
+        "public ggml table (closed-form oracle)"
     ),
-    "recrawl_priority": QuerySpec(
-        recrawl_priority_op, RECRAWL_PRIORITY_SQL,
-        "change-rate refresh priority from capture history (expected "
-        "missed changes; feeds frontier scheduling)"
+    "gguf_export_roundtrip": QuerySpec(
+        gguf_export_roundtrip_op, GGUF_EXPORT_SQL,
+        "distributed GGUF embedding export + header-walk read-back, "
+        "value-exact against the embeddings table (scalar checksum "
+        "fold — driver-hasher contract)"
     ),
-    "crawl_ops_pipeline": QuerySpec(
-        crawl_ops_pipeline_op, CRAWL_OPS_SQL,
-        "crawl ops end to end: robots parse+gate + Crawl-delay -> "
-        "change-rate priority -> polite host-affine schedule, one "
-        "lazy program"
+    # r13 window rotation (session 2): zipnum_prefix_lookup (new, never
+    # driver-recorded — the ZipNum cluster.idx block-pruned CDX(J)
+    # consumption path, the read side of warc_cdx_index) promoted;
+    # frontier_schedule (recorded r12) slides below the 50-entry
+    # cutoff in exchange.
+    "zipnum_prefix_lookup": QuerySpec(
+        zipnum_prefix_lookup_op, ZIPNUM_LOOKUP_SQL,
+        "ZipNum CDX(J) prefix lookup: cluster.idx range-pruned block "
+        "fetch over the distributed sorted-shard writer (closed-form "
+        "oracle)"
     ),
     # r13 window rotation: mirror_hosts (recorded r12) demoted below
     # the cutoff in exchange for safetensors_tensor_census; the mirror
@@ -12547,6 +12797,24 @@ REGISTRY: dict[str, QuerySpec] = {
         checkpoint_completeness_op, CHECKPOINT_COMPLETENESS_SQL,
         "sharded-checkpoint index audit: ok/missing/misplaced/"
         "unindexed via broadcast full-outer join (closed-form oracle)"
+    ),
+    # demoted r13 session 2 (all recorded r12) — see the gguf/zipnum
+    # rotations above
+    "frontier_schedule": QuerySpec(
+        frontier_schedule_op, FRONTIER_SCHEDULE_SQL,
+        "polite crawl-frontier scheduling: per-host priority slots x "
+        "robots crawl-delay, host-affine fetcher assignment"
+    ),
+    "recrawl_priority": QuerySpec(
+        recrawl_priority_op, RECRAWL_PRIORITY_SQL,
+        "change-rate refresh priority from capture history (expected "
+        "missed changes; feeds frontier scheduling)"
+    ),
+    "crawl_ops_pipeline": QuerySpec(
+        crawl_ops_pipeline_op, CRAWL_OPS_SQL,
+        "crawl ops end to end: robots parse+gate + Crawl-delay -> "
+        "change-rate priority -> polite host-affine schedule, one "
+        "lazy program"
     ),
     "event_pagerank": QuerySpec(
         event_pagerank_op, PAGERANK_SQL, "transition-graph weighted PageRank (5 rounds)"

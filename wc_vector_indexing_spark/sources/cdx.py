@@ -1,0 +1,285 @@
+"""ZipNum CDX(J) index source: the compressed, secondary-indexed layout
+Common Crawl and pywb publish their capture indexes in — and the
+partition-pruned lookup that makes a 100 TB archive's index queryable
+without scanning it.
+
+Public format (pywb ``zipnum`` cluster, the layout behind Common
+Crawl's ``cc-index`` `cdx-*.gz` + ``cluster.idx``):
+
+* CDXJ line: ``<urlkey> <ts14> <json>`` — SURT url key, 14-digit
+  timestamp, then a JSON object carrying url/mime/status/digest and the
+  WARC locator (filename, offset, length).
+* ZipNum shard (``cdx-NNNNN.gz``): the SORTED line stream cut into
+  blocks of N lines, each block deflated as its OWN gzip member, the
+  members concatenated.  A block is therefore independently
+  fetchable+decodable by (file, offset, length) byte range.
+* ``cluster.idx``: plain text, one line per block, sorted —
+  ``<first_urlkey> <first_ts>\t<shard_file>\t<offset>\t<length>\t<seq>``
+  — the secondary index.  It is ~1/N the size of the index (one row
+  per 3000 captures in the public cluster), so range-pruning against
+  it costs megabytes while the index itself is hundreds of gigabytes.
+
+Scale shape: :func:`zipnum_lookup` reads ``cluster.idx`` as a Spark
+text scan, range-filters it to the blocks whose [first-key, next-key)
+span intersects the query prefix, and ONLY those (file, offset,
+length) ranges are fetched and gunzipped — the index bytes touched are
+O(answer + 2 blocks), independent of archive size.  The surviving
+block list joins back to the shard files via ranged reads inside one
+Arrow pass; nothing corpus-sized shuffles, and the full-scan reader
+(:func:`read_cdxj`) stays one binaryFile + gzip-member walk with
+per-file quarantine.
+
+Reference behavior: the reference's remote vector-store list endpoint
+pages by key prefix (includes/class-vector-store.php paginated list);
+this module re-expresses prefix lookup against the public web-archive
+index layout instead of a private HTTP API.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wc_vector_indexing_spark.sources.warc import _gzip_members
+
+CDXJ_SCHEMA = (
+    "urlkey string, ts14 string, url string, mime string, status int, "
+    "digest string, warc_filename string, warc_offset long, "
+    "warc_length long, cdx_path string"
+)
+
+
+def parse_cdxj_line(line: str) -> tuple:
+    """One CDXJ line → (urlkey, ts14, url, mime, status, digest,
+    warc_filename, warc_offset, warc_length).  The key and timestamp
+    are space-separated; everything after the second space is one JSON
+    object (the public CDXJ convention — the JSON itself may contain
+    spaces)."""
+    head, sep, rest = line.partition(" {")
+    if not sep:
+        raise ValueError(f"cdxj: no JSON object in line {line[:80]!r}")
+    parts = head.split(" ")
+    if len(parts) != 2 or not parts[1].isdigit():
+        raise ValueError(f"cdxj: bad 'urlkey ts' prefix {head[:80]!r}")
+    try:
+        meta = json.loads("{" + rest)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"cdxj: bad JSON: {e}") from e
+    status = meta.get("status")
+    off = meta.get("offset")
+    length = meta.get("length")
+    return (
+        parts[0], parts[1], meta.get("url"), meta.get("mime"),
+        int(status) if status is not None else None,
+        meta.get("digest"), meta.get("filename"),
+        int(off) if off is not None else None,
+        int(length) if length is not None else None,
+    )
+
+
+def to_cdxj_line(urlkey: str, ts14: str, fields: dict) -> str:
+    """Writer half: one canonical CDXJ line (sorted JSON keys, compact
+    separators, ints as ints — deterministic bytes for fixtures)."""
+    return (f"{urlkey} {ts14} "
+            f"{json.dumps(fields, separators=(',', ':'), sort_keys=True)}")
+
+
+def read_cdxj(
+    spark: SparkSession, path: str, on_error: str = "raise",
+) -> DataFrame:
+    """Full-scan CDXJ reader: ``.gz`` shards walk their gzip members
+    (ZipNum blocks decode independently; a plain single-member gzip or
+    an uncompressed ``.cdxj`` file reads the same way), lines parse to
+    typed columns.  One binaryFile scan + one Arrow pass, zero
+    shuffle; ``on_error='skip'`` quarantines a corrupt shard WHOLE."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["urlkey", "ts14", "url", "mime", "status", "digest",
+                "warc_filename", "warc_offset", "warc_length", "cdx_path"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                try:
+                    if data[:2] == b"\x1f\x8b":
+                        text = b"".join(
+                            m for _, _, m in _gzip_members(data))
+                    else:
+                        text = data
+                    rows.extend(
+                        parse_cdxj_line(ln) + (fpath,)
+                        for ln in text.decode("utf-8").splitlines()
+                        if ln.strip())
+                except (ValueError, UnicodeDecodeError) as e:
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"corrupt cdx shard {fpath}: {e!r}") from e
+                    continue
+            yield pd.DataFrame(rows, columns=cols)
+
+    return raw.mapInPandas(parse, schema=CDXJ_SCHEMA)
+
+
+def write_zipnum(
+    df: DataFrame, out_dir: str,
+    lines_per_block: int = 100,
+    n_shards: int = 4,
+) -> None:
+    """Distributed ZipNum writer: the (urlkey, ts14, fields-json) frame
+    range-partitions on (urlkey, ts14) into ``n_shards`` SORTED shards
+    — the global sort ZipNum requires — then each task cuts its lines
+    into ``lines_per_block``-line blocks, gzips each block as its own
+    member, writes ``cdx-NNNNN.gz``, and emits that shard's
+    ``cluster.idx`` rows (one per block: first key, shard file, byte
+    offset, length, running seq).  The driver only concatenates the
+    per-shard idx slices — bounded at one line per block, the same
+    1/N reduction the public cluster.idx has."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in os.listdir(out_dir):
+        if stale.startswith("cdx-") or stale == "cluster.idx":
+            os.remove(os.path.join(out_dir, stale))
+
+    parted = (
+        df.select("urlkey", "ts14", "fields_json")
+        .repartitionByRange(n_shards, "urlkey", "ts14")
+        .sortWithinPartitions("urlkey", "ts14")
+    )
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        lines: list[tuple[str, str, str]] = []
+        for pdf in batches:
+            lines.extend(zip(pdf["urlkey"], pdf["ts14"], pdf["fields_json"]))
+        idx_rows: list[tuple] = []
+        if lines:
+            shard = f"cdx-{pid:05d}.gz"
+            tmp = os.path.join(out_dir, f".{shard}.tmp")
+            offset = 0
+            with open(tmp, "wb") as f:
+                for b in range(0, len(lines), lines_per_block):
+                    block = lines[b:b + lines_per_block]
+                    payload = "".join(
+                        to_cdxj_line(k, t, json.loads(j)) + "\n"
+                        for k, t, j in block).encode("utf-8")
+                    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                    member = co.compress(payload) + co.flush()
+                    f.write(member)
+                    idx_rows.append(
+                        (f"{block[0][0]} {block[0][1]}", shard,
+                         offset, len(member), b // lines_per_block))
+                    offset += len(member)
+            os.replace(tmp, os.path.join(out_dir, shard))
+        yield pd.DataFrame(
+            idx_rows, columns=["key", "shard", "offset", "length", "seq"])
+
+    idx = parted.mapInPandas(
+        dump,
+        schema="key string, shard string, offset long, length long, "
+               "seq long",
+    ).collect()  # bounded: one row per BLOCK (1/lines_per_block of rows)
+    idx.sort(key=lambda r: (r["key"], r["shard"], r["seq"]))
+    with open(os.path.join(out_dir, "cluster.idx"), "w") as f:
+        seq = 0
+        for r in idx:
+            f.write(f"{r['key']}\t{r['shard']}\t{r['offset']}"
+                    f"\t{r['length']}\t{seq}\n")
+            seq += 1
+
+
+def _prefix_upper(prefix: str) -> str:
+    """Smallest string greater than every key with this prefix."""
+    return prefix + "￿"
+
+
+def zipnum_blocks_for_range(
+    spark: SparkSession, idx_path: str, lo: str, hi: str,
+) -> DataFrame:
+    """cluster.idx rows whose block key-span [first_key, next_first_key)
+    intersects [lo, hi).  A block's span ends at the NEXT block's first
+    key (lead over the global seq order), so the one block that starts
+    before ``lo`` but may still contain keys >= lo survives — the
+    binary-search-lower-bound semantics of the public readers,
+    expressed as a window lead + two pushed-down range predicates."""
+    from pyspark.sql import Window
+
+    idx = (
+        spark.read.text(idx_path)
+        .select(F.split("value", "\t").alias("f"))
+        .select(
+            F.col("f")[0].alias("key"),
+            F.col("f")[1].alias("shard"),
+            F.col("f")[2].cast("long").alias("offset"),
+            F.col("f")[3].cast("long").alias("length"),
+            F.col("f")[4].cast("long").alias("seq"),
+        )
+    )
+    w = Window.orderBy("seq")  # cluster.idx is bounded (1 row / block)
+    spanned = idx.withColumn("next_key", F.lead("key").over(w))
+    return spanned.filter(
+        (F.col("key") < F.lit(hi))
+        & (F.col("next_key").isNull() | (F.col("next_key") >= F.lit(lo)))
+    ).select("key", "shard", "offset", "length", "seq")
+
+
+def zipnum_lookup(
+    spark: SparkSession, index_dir: str, prefix: str,
+    ts_from: str | None = None, ts_to: str | None = None,
+) -> DataFrame:
+    """Prefix lookup against a ZipNum cluster WITHOUT scanning it: the
+    ``cluster.idx`` range scan picks the surviving blocks, only those
+    (shard, offset, length) gzip members are ranged-read and decoded,
+    and the exact prefix (+ optional ts14 range) filter applies to the
+    decoded lines.  Index bytes touched = matched blocks + at most one
+    boundary block per side, independent of total index size.
+
+    The key space is ``<urlkey> <ts14>`` (the cluster.idx sort), so
+    the range is [prefix, prefix+U+FFFF) over the composite string."""
+    import os
+
+    lo, hi = prefix, _prefix_upper(prefix)
+    blocks = zipnum_blocks_for_range(
+        spark, os.path.join(index_dir, "cluster.idx"), lo, hi)
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["urlkey", "ts14", "url", "mime", "status", "digest",
+                "warc_filename", "warc_offset", "warc_length", "cdx_path"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for shard, off, length in zip(
+                    pdf["shard"], pdf["offset"], pdf["length"]):
+                fpath = os.path.join(index_dir, shard)
+                with open(fpath, "rb") as f:
+                    f.seek(int(off))
+                    member = f.read(int(length))
+                obj = zlib.decompressobj(31)
+                payload = obj.decompress(member)
+                if not obj.eof or obj.unused_data:
+                    raise ValueError(
+                        f"zipnum: block at {shard}:{off} is not one "
+                        "exact gzip member")
+                rows.extend(
+                    parse_cdxj_line(ln) + (fpath,)
+                    for ln in payload.decode("utf-8").splitlines()
+                    if ln.strip())
+            yield pd.DataFrame(rows, columns=cols)
+
+    hits = blocks.select("shard", "offset", "length").mapInPandas(
+        fetch, schema=CDXJ_SCHEMA)
+    out = hits.filter(F.col("urlkey").startswith(prefix))
+    if ts_from is not None:
+        out = out.filter(F.col("ts14") >= ts_from)
+    if ts_to is not None:
+        out = out.filter(F.col("ts14") < ts_to)
+    return out
