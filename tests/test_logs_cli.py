@@ -517,3 +517,74 @@ def test_cli_zst_command(tmp_path, capsys):
     assert rc == 0
     summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows_written"] == 6 and summary["shards_read"] == 2
+
+
+def test_cli_export_gguf_and_cdx_lookup(spark, tmp_path, capsys):
+    import json as _json
+
+    from wc_vector_indexing_spark.cli import main
+    from wc_vector_indexing_spark.sources.gguf import read_gguf_vectors
+
+    rc = main(
+        [
+            "export",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--table", "embeddings",
+            "--out", str(tmp_path / "gguf"),
+            "--format", "gguf",
+        ]
+    )
+    assert rc == 0
+    manifest = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["format"] == "gguf"
+    assert manifest["ggml_type"] == "F32"
+    back = read_gguf_vectors(spark, str(tmp_path / "gguf"))
+    assert manifest["n_records"] > 0
+    assert back.count() == manifest["n_records"]
+    # quantized export via the --compression knob
+    rc = main(
+        [
+            "export",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--table", "embeddings",
+            "--out", str(tmp_path / "gguf_q8"),
+            "--format", "gguf",
+            "--compression", "q8_0",
+        ]
+    )
+    assert rc == 0
+    q8 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q8["ggml_type"] == "Q8_0"
+    # unhonored knobs are rejected, not silently ignored
+    import pytest
+
+    with pytest.raises(SystemExit, match="max-records"):
+        main(["export", "--sf-dir", "/root/testdata/sf0.001",
+              "--table", "embeddings", "--out", str(tmp_path / "x"),
+              "--format", "gguf", "--max-records", "7"])
+    with pytest.raises(SystemExit, match="compression"):
+        main(["export", "--sf-dir", "/root/testdata/sf0.001",
+              "--table", "embeddings", "--out", str(tmp_path / "x"),
+              "--format", "gguf", "--compression", "zstd"])
+
+    # cdx: build a ZipNum cluster from a capture parquet, then the
+    # block-pruned prefix lookup over it
+    caps = spark.createDataFrame(
+        [(f"example,h{i % 3})/p{i:03d}", f"2024{i:010d}",
+          _json.dumps({"url": f"https://h{i % 3}.example/p{i:03d}",
+                       "status": 200, "digest": f"sha1:{i}",
+                       "filename": "c.warc.gz", "offset": i, "length": 9}))
+         for i in range(90)],
+        "urlkey string, ts14 string, fields_json string")
+    caps.write.mode("overwrite").parquet(str(tmp_path / "caps"))
+    rc = main(["cdx", "--index-dir", str(tmp_path / "zn"),
+               "--build", str(tmp_path / "caps"),
+               "--lines-per-block", "10", "--shards", "2"])
+    assert rc == 0
+    built = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["rows"] == 90 and built["blocks"] >= 9
+    rc = main(["cdx", "--index-dir", str(tmp_path / "zn"),
+               "--prefix", "example,h1)/"])
+    assert rc == 0
+    looked = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert looked["n_captures"] == 30 and looked["n_urls"] == 30

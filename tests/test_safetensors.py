@@ -331,3 +331,43 @@ def test_checkpoint_completeness(spark, tmp_path):
         json.dumps({"weight_map": ["not", "a", "map"]}))
     with pytest.raises(ValueError, match="weight_map"):
         checkpoint_completeness(spark, str(tmp_path))
+
+
+def test_checkpoint_drift_statuses_and_deltas(spark):
+    from wc_vector_indexing_spark.sources.safetensors import (
+        checkpoint_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.5, -0.5]), (3, [1.0, 1.0]),
+         (4, [3.0, 4.0, 5.0])],
+        "vec_id long, embedding array<float>")
+    b = spark.createDataFrame(
+        [(1, [1.0, 2.0]),            # unchanged
+         (2, [0.5, 0.75]),           # changed: delta 1.25 in dim 1
+         (4, [3.0, 4.0]),            # reshaped 3 -> 2
+         (5, [9.0, 9.0])],           # added
+        "vec_id long, embedding array<float>")
+    got = {r["id"]: r.asDict()
+           for r in checkpoint_drift(a, b).collect()}
+    assert got[1]["status"] == "unchanged"
+    assert got[1]["l2_delta"] == 0.0 and got[1]["max_abs_delta"] == 0.0
+    assert got[2]["status"] == "changed"
+    assert got[2]["l2_delta"] == 1.25 and got[2]["max_abs_delta"] == 1.25
+    assert got[3]["status"] == "removed"
+    assert got[3]["dim_a"] == 2 and got[3]["dim_b"] is None
+    assert got[3]["l2_delta"] is None
+    assert got[4]["status"] == "reshaped"
+    assert got[4]["dim_a"] == 3 and got[4]["dim_b"] == 2
+    assert got[4]["l2_delta"] is None
+    assert got[5]["status"] == "added"
+    assert got[5]["dim_a"] is None and got[5]["dim_b"] == 2
+    # atol: a sub-threshold wiggle counts as unchanged
+    b2 = spark.createDataFrame(
+        [(1, [1.0, 2.0009765625])],  # fp-exact 2 + 2^-10 wiggle
+        "vec_id long, embedding array<float>")
+    a1 = a.filter("vec_id = 1")
+    strict = checkpoint_drift(a1, b2).collect()[0]
+    loose = checkpoint_drift(a1, b2, atol=0.01).collect()[0]
+    assert strict["status"] == "changed"
+    assert loose["status"] == "unchanged"

@@ -435,6 +435,43 @@ def cmd_export(args: argparse.Namespace) -> int:
             "n_records": int(sum(r.n_rows for r in shards)),
         }))
         return 0
+    if args.format == "gguf":
+        from wc_vector_indexing_spark.sources.gguf import (
+            write_gguf_vectors,
+        )
+
+        for knob, default in (("epoch_seed", ""), ("partition_by", None),
+                              ("max_records", 100_000)):
+            if getattr(args, knob, default) not in (default, ""):
+                raise SystemExit(
+                    f"--{knob.replace('_', '-')} is not supported with "
+                    "gguf")
+        # --compression doubles as the ggml quantization type (the
+        # format's own size knob): none => F32, else Q8_0 / Q4_0
+        comp = (getattr(args, "compression", None) or "f32").lower()
+        ggml_type = {"f32": "F32", "q8_0": "Q8_0", "q4_0": "Q4_0"}.get(comp)
+        if ggml_type is None:
+            raise SystemExit(
+                "--compression for gguf must be one of f32/q8_0/q4_0")
+        id_col = getattr(args, "key_col", "") or df.columns[0]
+        if id_col not in df.columns:
+            raise SystemExit(
+                f"--key-col {id_col!r} not in table {args.table!r} "
+                f"(columns: {df.columns})")
+        if "embedding" not in df.columns:
+            raise SystemExit(
+                f"gguf export needs an 'embedding' column; table "
+                f"{args.table!r} has {df.columns}")
+        shards = write_gguf_vectors(
+            df, args.out, id_col=id_col, vec_col="embedding",
+            ggml_type=ggml_type)
+        print(json.dumps({
+            "table": args.table, "format": "gguf",
+            "ggml_type": ggml_type,
+            "n_shards": len(shards),
+            "n_records": int(sum(r.n_rows for r in shards)),
+        }))
+        return 0
     if args.format in ("tfrecord", "arrow"):
         if getattr(args, "epoch_seed", ""):
             raise SystemExit(
@@ -776,6 +813,58 @@ def cmd_zst(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_cdx(args: argparse.Namespace) -> int:
+    """ZipNum CDX(J) index: --build turns a capture parquet (urlkey,
+    ts14, fields_json) into sorted gzip-member shards + cluster.idx;
+    --prefix queries an existing cluster through the block-pruned
+    lookup (only the gzip members whose key span intersects the
+    prefix are fetched and decoded). Prints a JSON summary, or the
+    matching CDXJ rows as JSON lines with --print-rows."""
+    from wc_vector_indexing_spark.session import get_spark
+    from wc_vector_indexing_spark.sources.cdx import (
+        write_zipnum,
+        zipnum_lookup,
+    )
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.build:
+        df = spark.read.parquet(args.build)
+        missing = {"urlkey", "ts14", "fields_json"} - set(df.columns)
+        if missing:
+            raise SystemExit(
+                f"--build parquet must have urlkey/ts14/fields_json "
+                f"columns; missing {sorted(missing)}")
+        write_zipnum(df, args.index_dir,
+                     lines_per_block=args.lines_per_block,
+                     n_shards=args.shards)
+        import os as _os
+        n_blocks = sum(
+            1 for _ in open(_os.path.join(args.index_dir, "cluster.idx")))
+        print(json.dumps({
+            "index_dir": args.index_dir, "rows": df.count(),
+            "blocks": n_blocks,
+        }))
+        return 0
+    if not args.prefix:
+        raise SystemExit("need --build (write) or --prefix (lookup)")
+    hits = zipnum_lookup(
+        spark, args.index_dir, args.prefix,
+        ts_from=args.ts_from or None, ts_to=args.ts_to or None)
+    if args.print_rows:
+        for r in hits.orderBy("urlkey", "ts14").collect():
+            print(json.dumps(
+                {k: r[k] for k in ("urlkey", "ts14", "url", "status",
+                                   "digest", "warc_filename",
+                                   "warc_offset", "warc_length")}))
+    else:
+        print(json.dumps({
+            "prefix": args.prefix, "n_captures": hits.count(),
+            "n_urls": hits.select("urlkey").distinct().count(),
+        }))
+    return 0
+
+
 def cmd_frontier(args: argparse.Namespace) -> int:
     """Polite crawl-frontier schedule: a URL parquet (url, host[,
     priority]) → per-host priority slots spaced by robots Crawl-delay,
@@ -973,7 +1062,7 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument(
         "--format",
         choices=["json", "csv", "parquet", "orc", "tfrecord", "arrow",
-                 "safetensors"],
+                 "safetensors", "gguf"],
         default="json"
     )
     ex.add_argument("--max-records", type=int, default=100_000)
@@ -1043,6 +1132,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="directory of trained dictionaries, keyed by "
                          "the ID each declares (per-frame resolution)")
     zs.set_defaults(fn=cmd_zst)
+
+    cx = sub.add_parser("cdx", help="ZipNum CDX(J) index: build sorted "
+                                    "shards + cluster.idx, or block-"
+                                    "pruned prefix lookup")
+    cx.add_argument("--index-dir", required=True)
+    cx.add_argument("--build", default="",
+                    help="capture parquet (urlkey, ts14, fields_json) "
+                         "to index")
+    cx.add_argument("--lines-per-block", type=int, default=3000)
+    cx.add_argument("--shards", type=int, default=4)
+    cx.add_argument("--prefix", default="", help="SURT urlkey prefix")
+    cx.add_argument("--ts-from", default="")
+    cx.add_argument("--ts-to", default="")
+    cx.add_argument("--print-rows", action="store_true")
+    cx.set_defaults(fn=cmd_cdx)
 
     fr = sub.add_parser("frontier", help="polite crawl-frontier schedule "
                                          "(priority slots × crawl-delay)")

@@ -10067,6 +10067,115 @@ ORDER BY urlkey, ts14
 """
 
 
+def checkpoint_param_drift_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-format checkpoint drift audit (sources/safetensors.
+    checkpoint_drift): version 1 of a planted fp-exact vector set
+    writes as SAFETENSORS shards, version 2 — with one removal class
+    (id%17), one perturbation class (id%10: element 2 moves -0.5 →
+    +0.75, an exact 1.25 delta), one reshape class (id%23, truncated
+    to 3 dims), and five added ids — writes as GGUF shards, then the
+    two checkpoint directories diff through the format-blind
+    (id, vector) contract: full-outer join + JVM-side zip_with/
+    aggregate delta fold, statuses added/removed/reshaped/changed/
+    unchanged with exact l2/max-abs deltas. All planted values are
+    float32-exact so every delta is closed-form; the diff plan has
+    ONE shuffle (the join) and no Python. Precedence inside version
+    2: removal > perturbation > reshape."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.gguf import (
+        read_gguf_vectors,
+        write_gguf_vectors,
+    )
+    from wc_vector_indexing_spark.sources.safetensors import (
+        checkpoint_drift,
+        read_safetensors_vectors,
+        write_safetensors_vectors,
+    )
+
+    ids = load(spark, "embeddings", sf).select("vec_id")
+    base_vec = F.array(
+        (F.col("vec_id") % 13 - 6).cast("float"),
+        ((F.col("vec_id") % 7) * F.lit(0.25)).cast("float"),
+        F.lit(-0.5).cast("float"),
+        ((F.col("vec_id") % 5) * F.lit(1.5)).cast("float"),
+    )
+    pert_vec = F.array(
+        (F.col("vec_id") % 13 - 6).cast("float"),
+        ((F.col("vec_id") % 7) * F.lit(0.25)).cast("float"),
+        F.lit(0.75).cast("float"),
+        ((F.col("vec_id") % 5) * F.lit(1.5)).cast("float"),
+    )
+    v1 = ids.select("vec_id", base_vec.alias("embedding"))
+    kept = ids.filter(F.col("vec_id") % 17 != 0)
+    v2_body = kept.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 == 0, pert_vec)
+        .when(F.col("vec_id") % 23 == 0, F.slice(base_vec, 1, 3))
+        .otherwise(base_vec).alias("embedding"),
+    )
+    # added rows: the 5 lowest ids NEGATED (-(id+1) is never a real
+    # vec_id at any scale factor, so no collision with version-1 ids)
+    added = ids.orderBy("vec_id").limit(5).select(
+        (-(F.col("vec_id") + 1)).alias("vec_id"),
+        base_vec.alias("embedding"))
+    v2 = v2_body.unionByName(added)
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out_a = os.path.join(tempfile.gettempdir(), f"wcvi_drift_a_{key}")
+    out_b = os.path.join(tempfile.gettempdir(), f"wcvi_drift_b_{key}")
+    done = os.path.join(out_b, "_DONE")
+    if not os.path.exists(done):
+        for d in (out_a, out_b):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        write_safetensors_vectors(v1.repartition(4), out_a)
+        write_gguf_vectors(v2.repartition(4), out_b)
+        with open(done, "w") as f:
+            f.write("ok")
+    a = read_safetensors_vectors(
+        spark, os.path.join(out_a, "part-*.safetensors"))
+    b = read_gguf_vectors(spark, os.path.join(out_b, "part-*.gguf"))
+    return checkpoint_drift(a, b).orderBy("id")
+
+
+CHECKPOINT_DRIFT_SQL = r"""
+WITH statuses AS (
+    SELECT vec_id,
+           CASE WHEN vec_id % 17 = 0 THEN 'removed'
+                WHEN vec_id % 10 = 0 THEN 'changed'
+                WHEN vec_id % 23 = 0 THEN 'reshaped'
+                ELSE 'unchanged' END AS status
+    FROM embeddings
+),
+body AS (
+    SELECT vec_id AS id, status,
+           4::INT AS dim_a,
+           CASE WHEN status = 'removed' THEN NULL
+                WHEN status = 'reshaped' THEN 3
+                ELSE 4 END::INT AS dim_b,
+           CASE WHEN status = 'changed' THEN 1.25
+                WHEN status = 'unchanged' THEN 0.0
+                ELSE NULL END::DOUBLE AS l2_delta,
+           CASE WHEN status = 'changed' THEN 1.25
+                WHEN status = 'unchanged' THEN 0.0
+                ELSE NULL END::DOUBLE AS max_abs_delta
+    FROM statuses
+),
+added AS (
+    SELECT -(vec_id + 1) AS id, 'added' AS status,
+           NULL::INT AS dim_a, 4::INT AS dim_b,
+           NULL::DOUBLE AS l2_delta, NULL::DOUBLE AS max_abs_delta
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+)
+SELECT id, status, dim_a, dim_b, l2_delta, max_abs_delta
+FROM (SELECT * FROM body UNION ALL SELECT * FROM added)
+ORDER BY id
+"""
+
+
 def arrow_ipc_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     """DISTRIBUTED Arrow IPC sink under the gate (sources/arrow_ipc.
     write_arrow_ipc): the lowest-80 docs repartition over 4 tasks,
@@ -12559,10 +12668,16 @@ REGISTRY: dict[str, QuerySpec] = {
         "distributed WebDataset tar write (one shard per task) read back "
         "and reconciled against the source relation"
     ),
-    "avro_export_roundtrip": QuerySpec(
-        avro_export_roundtrip_op, AVRO_EXPORT_SQL,
-        "distributed Avro container write (schema derived, one container "
-        "per task) read back and reconciled against the source relation"
+    # r13 window rotation (session 2): checkpoint_param_drift (new,
+    # never driver-recorded — the cross-format safetensors→GGUF
+    # checkpoint diff audit) promoted; avro_export_roundtrip (recorded
+    # r11-r12; the avro family stays in-window via avro_corpus_census)
+    # slides below the 50-entry cutoff in exchange.
+    "checkpoint_param_drift": QuerySpec(
+        checkpoint_param_drift_op, CHECKPOINT_DRIFT_SQL,
+        "cross-format checkpoint drift: safetensors v1 vs GGUF v2 "
+        "full-outer diff with exact planted deltas (added/removed/"
+        "reshaped/changed/unchanged; closed-form oracle)"
     ),
     "avro_corpus_census": QuerySpec(
         avro_corpus_census_op, AVRO_CENSUS_SQL,
@@ -12798,8 +12913,13 @@ REGISTRY: dict[str, QuerySpec] = {
         "sharded-checkpoint index audit: ok/missing/misplaced/"
         "unindexed via broadcast full-outer join (closed-form oracle)"
     ),
-    # demoted r13 session 2 (all recorded r12) — see the gguf/zipnum
+    # demoted r13 session 2 (all recorded) — see the gguf/zipnum/drift
     # rotations above
+    "avro_export_roundtrip": QuerySpec(
+        avro_export_roundtrip_op, AVRO_EXPORT_SQL,
+        "distributed Avro container write (schema derived, one container "
+        "per task) read back and reconciled against the source relation"
+    ),
     "frontier_schedule": QuerySpec(
         frontier_schedule_op, FRONTIER_SCHEDULE_SQL,
         "polite crawl-frontier scheduling: per-host priority slots x "

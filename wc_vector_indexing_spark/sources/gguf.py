@@ -533,11 +533,13 @@ def write_gguf_vectors(
     id_col: str = "vec_id", vec_col: str = "embedding",
     ggml_type: str = "F32",
     metadata: dict | None = None,
-) -> None:
+) -> list:
     """Distributed GGUF export: one shard per partition, each vector a
     ``vec.<id>`` tensor of the requested ggml type.  Same
     atomic-publish shape as ``write_safetensors_vectors``: tensor
-    bytes build in memory per partition, shard published by rename."""
+    bytes build in memory per partition, shard published by rename.
+    Returns the collected (shard, n_rows) manifest — bounded at one
+    row per partition."""
     import os
     import uuid
 
@@ -557,11 +559,11 @@ def write_gguf_vectors(
             with open(tmp, "wb") as f:
                 f.write(to_gguf_bytes(meta, tensors))
             os.replace(tmp, os.path.join(out_dir, name))
-        yield pd.DataFrame({"n": [len(tensors)]})
+            yield pd.DataFrame({"shard": [name], "n_rows": [len(tensors)]})
 
     os.makedirs(out_dir, exist_ok=True)
     for stale in os.listdir(out_dir):
         if stale.endswith(".gguf") or stale.endswith(".tmp"):
             os.remove(os.path.join(out_dir, stale))
-    df.select(id_col, vec_col).mapInPandas(dump, schema="n long").agg(
-        {"n": "sum"}).collect()
+    return df.select(id_col, vec_col).mapInPandas(
+        dump, schema="shard string, n_rows long").collect()

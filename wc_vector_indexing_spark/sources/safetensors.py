@@ -520,3 +520,67 @@ def checkpoint_completeness(
         "tensor", "mapped_shard", "found_shard", "dtype", "n_params",
         status.alias("status"),
     ).orderBy("tensor")
+
+
+def checkpoint_drift(
+    a: DataFrame, b: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    atol: float = 0.0,
+) -> DataFrame:
+    """(id, status, dim_a, dim_b, l2_delta, max_abs_delta): parameter-
+    level diff of two checkpoint versions — the promote-or-retrain
+    audit a training pipeline runs between checkpoint drops (the
+    corpus_diff of model weights; reference behavior: the re-embed
+    decision in includes/class-sync-manager.php compares fingerprints
+    before re-upserting vectors). status ∈
+
+      added      — id only in ``b`` (new tensor/vector)
+      removed    — id only in ``a``
+      reshaped   — present in both with different dimensions
+      changed    — same shape, some |delta| > atol
+      unchanged  — same shape, all |delta| <= atol
+
+    Inputs are any (id, vector) frames — e.g. two
+    :func:`read_safetensors_vectors` or ``read_gguf_vectors`` loads.
+    The delta fold (zip_with + aggregate + sqrt) runs JVM-side in
+    whole-stage codegen over ONE shuffle (the full-outer hash join on
+    id); nothing collects, nothing is Python in the hot path, so the
+    pass scales to checkpoint-sized matrices by partition count
+    alone."""
+    av = a.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("_vec_a"))
+    bv = b.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("_vec_b"))
+    joined = av.join(bv, "id", "full_outer")
+    sq_sum = F.aggregate(
+        F.zip_with("_vec_a", "_vec_b",
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    max_abs = F.array_max(
+        F.zip_with("_vec_a", "_vec_b",
+                   lambda x, y: F.abs(x.cast("double")
+                                      - y.cast("double"))))
+    both = F.col("_vec_a").isNotNull() & F.col("_vec_b").isNotNull()
+    same_dim = F.size("_vec_a") == F.size("_vec_b")
+    status = (
+        F.when(F.col("_vec_a").isNull(), F.lit("added"))
+        .when(F.col("_vec_b").isNull(), F.lit("removed"))
+        .when(~same_dim, F.lit("reshaped"))
+        .when(max_abs > F.lit(float(atol)), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        "id",
+        status.alias("status"),
+        F.when(F.col("_vec_a").isNotNull(),
+               F.size("_vec_a")).alias("dim_a"),
+        F.when(F.col("_vec_b").isNotNull(),
+               F.size("_vec_b")).alias("dim_b"),
+        F.when(both & same_dim, F.round(F.sqrt(sq_sum), 6))
+        .alias("l2_delta"),
+        F.when(both & same_dim, F.round(max_abs, 6))
+        .alias("max_abs_delta"),
+    )
