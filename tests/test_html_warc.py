@@ -761,3 +761,101 @@ def test_warc_readers_per_file_isolation(spark):
         warc_cdx_index(raw).collect()
     rows = warc_cdx_index(raw, on_error="skip").collect()
     assert {r.warc_path for r in rows} == {"mem://good.warc.gz"}
+
+
+def test_fetch_warc_records_gzip_member_random_access(spark, tmp_path):
+    """CDX locator → ranged fetch: member-per-record .warc.gz records
+    come back exactly, and a corrupted NEIGHBOR member cannot poison a
+    fetch that never touches its byte range."""
+    from wc_vector_indexing_spark.sources.warc import (
+        fetch_warc_records,
+        parse_warc,
+        to_warc_gz_bytes,
+        warc_cdx_index,
+    )
+
+    recs = [
+        {"url": f"https://w.example/p{j}",
+         "html": f"<html><body>page {j} body</body></html>"}
+        for j in range(5)
+    ]
+    blob = to_warc_gz_bytes(recs, member_per_record=True)
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(blob)
+    raw = spark.read.format("binaryFile").load(str(p)).selectExpr(
+        "path as warc_path", "content")
+    idx = warc_cdx_index(raw)
+    assert idx.count() == 5
+    assert idx.select("offset_kind").distinct().collect()[0][0] \
+        == "gzip-member"
+    got = fetch_warc_records(idx).toPandas().sort_values("url")
+    assert list(got["url"]) == [f"https://w.example/p{j}"
+                                for j in range(5)]
+    assert list(got["html"]) == [
+        f"<html><body>page {j} body</body></html>" for j in range(5)]
+    # corrupt the LAST member on disk; the index rows were materialized
+    # BEFORE (the real usage: index at crawl time, fetch later), and
+    # fetching the other members never touches the rotted byte range
+    locs = idx.toPandas().sort_values("offset").reset_index(drop=True)
+    last = locs.iloc[-1]
+    data = bytearray(blob)
+    # flip a DEFLATE-payload byte (not the ignored MTIME field): either
+    # the huffman stream breaks or the member CRC catches it
+    data[int(last["offset"]) + int(last["length"]) // 2] ^= 0xFF
+    p.write_bytes(bytes(data))
+    loc_cols = ["warc_path", "offset", "length", "offset_kind"]
+    all_locs = spark.createDataFrame(locs[loc_cols])
+    keep = spark.createDataFrame(locs[loc_cols].iloc[:-1])
+    ok = fetch_warc_records(keep).toPandas()
+    assert len(ok) == 4
+    # the corrupt locator raises by name, and skip drops ONLY it
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="gzip|member|corrupt"):
+        fetch_warc_records(all_locs).collect()
+    assert fetch_warc_records(all_locs, on_error="skip").count() == 4
+    # sanity: the full-scan reader agrees with the fetched rows
+    p.write_bytes(blob)
+    full = parse_warc(raw).select("url").toPandas()
+    assert sorted(full["url"]) == sorted(got["url"])
+
+
+def test_fetch_warc_records_plain_offsets(spark, tmp_path):
+    """plain offset_kind: direct seek+read on uncompressed .warc, and
+    sequential-prefix decompress on a multi-record-member .warc.gz."""
+    from wc_vector_indexing_spark.sources.warc import (
+        fetch_warc_records,
+        to_warc_bytes,
+        to_warc_gz_bytes,
+        warc_cdx_index,
+    )
+
+    recs = [
+        {"url": f"https://w.example/p{j}",
+         "html": f"<html><body>plain {j}</body></html>"}
+        for j in range(3)
+    ]
+    for name, blob in (
+            ("plain.warc", to_warc_bytes(recs)),
+            ("whole.warc.gz",
+             to_warc_gz_bytes(recs, member_per_record=False))):
+        p = tmp_path / name
+        p.write_bytes(blob)
+        raw = spark.read.format("binaryFile").load(str(p)).selectExpr(
+            "path as warc_path", "content")
+        idx = warc_cdx_index(raw)
+        assert set(idx.toPandas()["offset_kind"]) == {"plain"}
+        got = fetch_warc_records(idx).toPandas().sort_values("url")
+        assert list(got["html"]) == [
+            f"<html><body>plain {j}</body></html>" for j in range(3)], name
+    # a short length is an overrun contract error on the plain file
+    short = warc_cdx_index(
+        spark.read.format("binaryFile")
+        .load(str(tmp_path / "plain.warc"))
+        .selectExpr("path as warc_path", "content")
+    ).selectExpr("warc_path", "offset", "length * 1000 as length",
+                 "offset_kind")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="overrun"):
+        fetch_warc_records(short).collect()

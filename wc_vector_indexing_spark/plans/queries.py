@@ -10176,6 +10176,78 @@ ORDER BY id
 """
 
 
+def cdx_random_access_fetch_op(spark: SparkSession, sf: str) -> DataFrame:
+    """CDX → ranged record fetch (sources/warc.fetch_warc_records —
+    the replay leg closing the index loop): the lowest-120 docs plant
+    REAL on-disk member-per-record ``.warc.gz`` files (1-3 response
+    records each, Common Crawl's layout), ``warc_cdx_index`` reports
+    each record's COMPRESSED byte range, and every locator then
+    fetches back through seek + single-member gunzip — no archive
+    scan, bytes read O(records requested) — recovering each planted
+    page byte-exactly. Closed-form oracle over documents; the
+    corrupt-neighbor isolation and plain-offset paths are pinned in
+    test_html_warc.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from wc_vector_indexing_spark.sources.warc import (
+        fetch_warc_records,
+        to_warc_gz_bytes,
+        warc_cdx_index,
+    )
+
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_cdxfetch_{key}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.makedirs(out)
+        ids = [int(r[0]) for r in load(spark, "documents", sf)
+               .select("doc_id").orderBy("doc_id").limit(120).collect()]
+        for d in ids:
+            recs = [
+                {"url": f"https://w{d:05d}.example/p{j}",
+                 "html": f"<html><body>doc {d:04d} rec {j} "
+                         f"{'x' * (d % 7)}</body></html>"}
+                for j in range(1 + d % 3)
+            ]
+            with open(os.path.join(out, f"doc{d}.warc.gz"), "wb") as f:
+                f.write(to_warc_gz_bytes(recs, member_per_record=True))
+        with open(done, "w") as f:
+            f.write("ok")
+    raw = spark.read.format("binaryFile").load(
+        os.path.join(out, "*.warc.gz")).selectExpr(
+        "path as warc_path", "content")
+    idx = warc_cdx_index(raw)
+    fetched = fetch_warc_records(idx)
+    return fetched.select(
+        F.regexp_extract("warc_path", r"doc(\d+)\.warc\.gz", 1)
+        .cast("long").alias("doc_id"),
+        F.regexp_extract("url", r"/p(\d+)$", 1).cast("int").alias("rec"),
+        "http_status", "content_type", "html",
+    ).orderBy("doc_id", "rec")
+
+
+CDX_FETCH_SQL = r"""
+WITH ids AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120
+),
+t AS (
+    SELECT doc_id, UNNEST(range(1 + doc_id % 3)) AS j FROM ids
+)
+SELECT doc_id, j::INT AS rec,
+       200::INT AS http_status,
+       'text/html; charset=utf-8' AS content_type,
+       '<html><body>doc ' || format('{:04d}', doc_id) || ' rec ' || j
+           || ' ' || repeat('x', doc_id % 7) || '</body></html>' AS html
+FROM t
+ORDER BY doc_id, rec
+"""
+
+
 def arrow_ipc_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     """DISTRIBUTED Arrow IPC sink under the gate (sources/arrow_ipc.
     write_arrow_ipc): the lowest-80 docs repartition over 4 tasks,
@@ -12590,9 +12662,14 @@ REGISTRY: dict[str, QuerySpec] = {
     # r10 window rotation: cdx_snapshot_diff (new, never driver-recorded)
     # promoted; jsonld_extract (recorded r9) slides below the cutoff in
     # exchange.
-    "cdx_snapshot_diff": QuerySpec(
-        cdx_snapshot_diff_op, CDX_SNAPSHOT_DIFF_SQL,
-        "crawl-over-crawl churn: new/gone/changed/unchanged per urlkey from two CDX snapshots"
+    # r13 window rotation (session 2): cdx_random_access_fetch (new,
+    # never driver-recorded — the ranged record fetch closing the CDX
+    # loop) promoted; cdx_snapshot_diff (recorded r10-r12) slides
+    # below the 50-entry cutoff in exchange.
+    "cdx_random_access_fetch": QuerySpec(
+        cdx_random_access_fetch_op, CDX_FETCH_SQL,
+        "CDX locator → seek + single-member gunzip record fetch over "
+        "member-per-record .warc.gz (closed-form oracle)"
     ),
     # r11 window rotation: crawl_to_training_set (new, never
     # driver-recorded — the end-to-end crawl composition the r10
@@ -12913,8 +12990,12 @@ REGISTRY: dict[str, QuerySpec] = {
         "sharded-checkpoint index audit: ok/missing/misplaced/"
         "unindexed via broadcast full-outer join (closed-form oracle)"
     ),
-    # demoted r13 session 2 (all recorded) — see the gguf/zipnum/drift
-    # rotations above
+    # demoted r13 session 2 (all recorded) — see the gguf/zipnum/drift/
+    # fetch rotations above
+    "cdx_snapshot_diff": QuerySpec(
+        cdx_snapshot_diff_op, CDX_SNAPSHOT_DIFF_SQL,
+        "crawl-over-crawl churn: new/gone/changed/unchanged per urlkey from two CDX snapshots"
+    ),
     "avro_export_roundtrip": QuerySpec(
         avro_export_roundtrip_op, AVRO_EXPORT_SQL,
         "distributed Avro container write (schema derived, one container "

@@ -758,3 +758,123 @@ def to_warc_gz_bytes(records: list[dict], version: str = "1.0",
     if not member_per_record:
         return gzip.compress(b"".join(chunks), mtime=0)
     return b"".join(gzip.compress(c, mtime=0) for c in chunks)
+
+
+def fetch_warc_records(captures: DataFrame,
+                       on_error: str = "raise") -> DataFrame:
+    """Random-access record fetch from CDX locators — the replay leg
+    of the index loop (pywb's record fetch; the reference's
+    by-offset vector lookup, includes/class-vector-store.php
+    get-by-id, re-expressed against archive byte ranges): input rows
+    carry (warc_path, offset, length, offset_kind) from
+    ``warc_cdx_index`` / ``zipnum_lookup``, and each locator fetches
+    EXACTLY its byte range —
+
+      gzip-member — seek+read ``length`` bytes, gunzip the single
+        member (Common Crawl's member-per-record layout; the range
+        must be one exact member or it's a contract error)
+      plain       — byte positions in the uncompressed record stream:
+        a direct seek+read on an uncompressed ``.warc``; on a
+        multi-record-member ``.warc.gz`` the members decompress
+        in order ONLY up to ``offset+length`` (documented
+        sequential-prefix cost — that layout does not support true
+        random access, which is why Common Crawl ships member-per-
+        record)
+
+    Output: (warc_path, offset, url, warc_date, http_status,
+    content_type, html) for 200 text/html responses. A locator that
+    does not decode to one such record is a contract error under
+    ``on_error='raise'``; ``'skip'`` drops that LOCATOR only (the
+    point of random access is that one rotted member cannot poison
+    its neighbors). Rows group per file inside the Arrow pass — one
+    open handle, offsets fetched in sorted order; no shuffle beyond
+    the caller's partitioning, bytes read O(requested records)."""
+    import zlib
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["warc_path", "offset", "url", "warc_date", "http_status",
+                "content_type", "html"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            by_path: dict[str, list[tuple[int, int, str]]] = {}
+            for p, off, ln, kind in zip(
+                    pdf["warc_path"], pdf["offset"], pdf["length"],
+                    pdf["offset_kind"]):
+                by_path.setdefault(str(p), []).append(
+                    (int(off), int(ln), str(kind)))
+            for path, locs in by_path.items():
+                local = path[5:] if path.startswith("file:") else path
+                with open(local, "rb") as f:
+                    head2 = f.read(2)
+                    is_gz = head2 == b"\x1f\x8b"
+                    plain_cache: bytes | None = None
+                    for off, ln, kind in sorted(locs):
+                        try:
+                            if kind == "gzip-member":
+                                f.seek(off)
+                                member = f.read(ln)
+                                obj = zlib.decompressobj(31)
+                                try:
+                                    rec_bytes = obj.decompress(member)
+                                except zlib.error as e:
+                                    raise ValueError(
+                                        f"locator {path}:{off}+{ln}: "
+                                        f"corrupt gzip member: {e}"
+                                    ) from e
+                                if not obj.eof or obj.unused_data:
+                                    raise ValueError(
+                                        f"locator {path}:{off}+{ln} is "
+                                        "not one exact gzip member")
+                            elif kind == "plain":
+                                if is_gz:
+                                    # sequential-prefix decompress,
+                                    # cached across this file's locators
+                                    if (plain_cache is None
+                                            or len(plain_cache) < off + ln):
+                                        f.seek(0)
+                                        plain_cache = b"".join(
+                                            m for _, _, m in
+                                            _gzip_members(f.read()))
+                                    rec_bytes = plain_cache[off:off + ln]
+                                else:
+                                    f.seek(off)
+                                    rec_bytes = f.read(ln)
+                                if len(rec_bytes) != ln:
+                                    raise ValueError(
+                                        f"locator {path}:{off}+{ln} "
+                                        "overruns the file")
+                            else:
+                                raise ValueError(
+                                    f"unknown offset_kind {kind!r}")
+                            recs = list(_iter_records(rec_bytes))
+                            if len(recs) != 1:
+                                raise ValueError(
+                                    f"locator {path}:{off}+{ln} holds "
+                                    f"{len(recs)} records, not 1")
+                            head, payload, _, _ = recs[0]
+                            parsed = _parse_record(head, payload)
+                            if parsed is None:
+                                raise ValueError(
+                                    f"locator {path}:{off}+{ln} is not "
+                                    "a 200 text/html response record")
+                        except ValueError:
+                            if on_error == "raise":
+                                raise
+                            continue
+                        rows.append((path, off, parsed["url"],
+                                     parsed["warc_date"],
+                                     parsed["http_status"],
+                                     parsed["content_type"],
+                                     parsed["html"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return captures.select(
+        "warc_path", "offset", "length", "offset_kind"
+    ).mapInPandas(
+        fetch,
+        schema="warc_path string, offset long, url string, "
+               "warc_date string, http_status int, content_type string, "
+               "html string")
