@@ -168,3 +168,30 @@ def test_zipnum_lookup_boundary_block_straddle(spark, tmp_path):
     for h in range(7):
         got = zipnum_lookup(spark, str(out), f"example,host{h})/")
         assert got.count() == 30, f"host{h} lost rows at a boundary"
+
+
+def test_cdxj_streaming_twin_matches_batch(spark, tmp_path):
+    """read_cdxj_stream shares the batch parse pass: index shards
+    dropped into a directory stream out as exactly the batch rows."""
+    from wc_vector_indexing_spark.sources.cdx import read_cdxj_stream
+
+    out = tmp_path / "zn"
+    write_zipnum(_capture_df(spark, n=120, hosts=4), str(out),
+                 lines_per_block=30, n_shards=2)
+    q = (
+        read_cdxj_stream(spark, str(out / "cdx-*.gz"))
+        .writeStream.format("memory")
+        .queryName("cdxj_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    streamed = spark.sql(
+        "SELECT urlkey, ts14, warc_offset FROM cdxj_stream_out").collect()
+    batch = read_cdxj(spark, str(out / "cdx-*.gz")).select(
+        "urlkey", "ts14", "warc_offset").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(batch) == 120

@@ -221,3 +221,30 @@ def test_spark_vector_roundtrip_f32_and_q8(spark, tmp_path):
         ref = np.asarray(orig[row["vec_id"]], dtype=np.float32)
         step = np.abs(ref).max() / 127
         assert np.abs(np.asarray(row["embedding"]) - ref).max() <= step
+
+
+def test_gguf_census_streaming_twin_matches_batch(spark, tmp_path):
+    """read_gguf_index_stream shares the batch header walk: checkpoint
+    shards dropped into a directory census out as the batch rows."""
+    from wc_vector_indexing_spark.sources.gguf import read_gguf_index_stream
+
+    blob, _, _ = _sample_blob()
+    (tmp_path / "m0.gguf").write_bytes(blob)
+    (tmp_path / "m1.gguf").write_bytes(blob)
+    q = (
+        read_gguf_index_stream(spark, str(tmp_path / "*.gguf"))
+        .writeStream.format("memory")
+        .queryName("gguf_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    streamed = spark.sql(
+        "SELECT tensor, ggml_type, n_bytes FROM gguf_stream_out").collect()
+    batch = read_gguf_index(spark, str(tmp_path / "*.gguf")).select(
+        "tensor", "ggml_type", "n_bytes").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(batch) == 8

@@ -10248,6 +10248,68 @@ ORDER BY doc_id, rec
 """
 
 
+def archive_point_replay_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Index → ranged fetch → text, one lazy program (the point-query
+    story for a 100 TB archive: URL subset in, curated text out,
+    archive bytes touched O(records requested)): over the
+    cdx_random_access_fetch fixture's on-disk member-per-record
+    ``.warc.gz`` files, the CDX index pass locates every record, the
+    locator set is PRUNED to one host-id class (doc_id % 5 == 2 via
+    the indexed urlkey — the filter runs on index rows, before any
+    archive byte is read), only those members fetch + gunzip, and the
+    recovered pages strip to plain text with a token count — the same
+    P2 transform the corpus pipeline applies. Closed-form oracle."""
+    from wc_vector_indexing_spark.functions.text import plain
+    from wc_vector_indexing_spark.sources.warc import (
+        fetch_warc_records,
+        warc_cdx_index,
+    )
+
+    # reuse the fetch entry's planted archive directory (same _DONE
+    # guard; build it if this entry runs first)
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"wcvi_cdxfetch_{key}")
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        cdx_random_access_fetch_op(spark, sf)  # builds + validates
+    raw = spark.read.format("binaryFile").load(
+        os.path.join(out, "*.warc.gz")).selectExpr(
+        "path as warc_path", "content")
+    idx = warc_cdx_index(raw)
+    doc_id = F.regexp_extract(
+        "warc_path", r"doc(\d+)\.warc\.gz", 1).cast("long")
+    wanted = idx.filter((doc_id % 5) == 2)
+    fetched = fetch_warc_records(wanted)
+    text = plain("html")
+    return fetched.select(
+        F.regexp_extract("warc_path", r"doc(\d+)\.warc\.gz", 1)
+        .cast("long").alias("doc_id"),
+        F.regexp_extract("url", r"/p(\d+)$", 1).cast("int").alias("rec"),
+        text.alias("text"),
+        F.size(F.split(text, " ")).alias("n_tokens"),
+    ).orderBy("doc_id", "rec")
+
+
+ARCHIVE_REPLAY_SQL = r"""
+WITH ids AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120
+),
+t AS (
+    SELECT doc_id, UNNEST(range(1 + doc_id % 3)) AS j FROM ids
+    WHERE doc_id % 5 = 2
+)
+SELECT doc_id, j::INT AS rec,
+       trim('doc ' || format('{:04d}', doc_id) || ' rec ' || j
+            || ' ' || repeat('x', doc_id % 7)) AS text,
+       (CASE WHEN doc_id % 7 = 0 THEN 4 ELSE 5 END)::INT AS n_tokens
+FROM t
+ORDER BY doc_id, rec
+"""
+
+
 def arrow_ipc_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     """DISTRIBUTED Arrow IPC sink under the gate (sources/arrow_ipc.
     write_arrow_ipc): the lowest-80 docs repartition over 4 tasks,
@@ -12633,11 +12695,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # r8 window rotation: chunk_documents (upgraded rows-only→oracle via
     # the recursive-CTE regime replay, never driver-recorded) promoted;
     # doc_fingerprint (recorded r7) demoted to the tail in exchange.
-    "chunk_documents": QuerySpec(
-        chunk_documents_op,
-        CHUNK_DOCUMENTS_SQL,
-        "deterministic chunker (recursive-CTE regime oracle)",
-    ),
     # late-r8 window rotation: the two new media-census entries (never
     # driver-recorded) promoted; events_json + quantiles_by_type
     # (recorded r7) demoted to the tail in exchange.
@@ -12654,6 +12711,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "warc_revisit_resolve": QuerySpec(
         warc_revisit_resolve_op, WARC_REVISIT_RESOLVE_SQL,
         "as-of digest resolution of CDX revisit rows incl. planted time-wrap negatives (planted-truth oracle)"
+    ),
+    # r13 window rotation (session 2): archive_point_replay (new, never
+    # driver-recorded — index → pruned ranged fetch → plain text, the
+    # point-query composition) promoted; chunk_documents (recorded
+    # r8-r12) slides below the 50-entry cutoff in exchange.
+    "archive_point_replay": QuerySpec(
+        archive_point_replay_op, ARCHIVE_REPLAY_SQL,
+        "point-query replay: CDX index rows pruned BEFORE any archive "
+        "byte is read, ranged fetch, P2 plain-text strip + token "
+        "count (closed-form oracle)"
     ),
     # r10 window rotation: warc_dedup_write (new, never driver-recorded)
     # promoted; subtitle_cues (recorded r9) slides below the 50-entry
@@ -12991,7 +13058,12 @@ REGISTRY: dict[str, QuerySpec] = {
         "unindexed via broadcast full-outer join (closed-form oracle)"
     ),
     # demoted r13 session 2 (all recorded) — see the gguf/zipnum/drift/
-    # fetch rotations above
+    # fetch/replay rotations above
+    "chunk_documents": QuerySpec(
+        chunk_documents_op,
+        CHUNK_DOCUMENTS_SQL,
+        "deterministic chunker (recursive-CTE regime oracle)",
+    ),
     "cdx_snapshot_diff": QuerySpec(
         cdx_snapshot_diff_op, CDX_SNAPSHOT_DIFF_SQL,
         "crawl-over-crawl churn: new/gone/changed/unchanged per urlkey from two CDX snapshots"

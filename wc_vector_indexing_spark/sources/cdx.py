@@ -89,17 +89,12 @@ def to_cdxj_line(urlkey: str, ts14: str, fields: dict) -> str:
             f"{json.dumps(fields, separators=(',', ':'), sort_keys=True)}")
 
 
-def read_cdxj(
-    spark: SparkSession, path: str, on_error: str = "raise",
-) -> DataFrame:
-    """Full-scan CDXJ reader: ``.gz`` shards walk their gzip members
-    (ZipNum blocks decode independently; a plain single-member gzip or
-    an uncompressed ``.cdxj`` file reads the same way), lines parse to
-    typed columns.  One binaryFile scan + one Arrow pass, zero
-    shuffle; ``on_error='skip'`` quarantines a corrupt shard WHOLE."""
+def _cdxj_parse_pass(raw: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Shared Arrow parse stage: (path, content) whole-file rows →
+    typed CDXJ columns — the SAME pass behind the batch reader and the
+    streaming twin, so the two can never disagree on what a line is."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
-    raw = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["urlkey", "ts14", "url", "mime", "status", "digest",
@@ -125,7 +120,33 @@ def read_cdxj(
                     continue
             yield pd.DataFrame(rows, columns=cols)
 
-    return raw.mapInPandas(parse, schema=CDXJ_SCHEMA)
+    return raw.select("path", "content").mapInPandas(
+        parse, schema=CDXJ_SCHEMA)
+
+
+def read_cdxj(
+    spark: SparkSession, path: str, on_error: str = "raise",
+) -> DataFrame:
+    """Full-scan CDXJ reader: ``.gz`` shards walk their gzip members
+    (ZipNum blocks decode independently; a plain single-member gzip or
+    an uncompressed ``.cdxj`` file reads the same way), lines parse to
+    typed columns.  One binaryFile scan + one Arrow pass, zero
+    shuffle; ``on_error='skip'`` quarantines a corrupt shard WHOLE."""
+    raw = spark.read.format("binaryFile").load(path)
+    return _cdxj_parse_pass(raw, on_error)
+
+
+def read_cdxj_stream(
+    spark: SparkSession, path: str, on_error: str = "raise",
+) -> DataFrame:
+    """Streaming twin of :func:`read_cdxj`: file-source ``readStream``
+    over the same binaryFile layout with the SAME Arrow parse stage
+    (the contract every streaming reader here keeps).  New index
+    shards dropped into ``path`` — each crawl's cdx push — become
+    micro-batches; the file-source checkpoint gives exactly-once."""
+    from wc_vector_indexing_spark.sources.readers import binaryfile_stream
+
+    return _cdxj_parse_pass(binaryfile_stream(spark, path), on_error)
 
 
 def write_zipnum(

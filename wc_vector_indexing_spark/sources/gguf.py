@@ -415,18 +415,12 @@ def to_gguf_bytes(
 # Spark passes
 # ---------------------------------------------------------------------------
 
-def read_gguf_index(
-    spark: SparkSession, path: str, on_error: str = "raise",
-) -> DataFrame:
-    """(shard, tensor, ggml_type, shape, n_params, n_bytes): the tensor
-    inventory of every ``*.gguf`` file under ``path`` — HEADERS ONLY,
-    quantized tensor sizes computed from the public ggml block table
-    without touching tensor bytes.  One binaryFile scan + one Arrow
-    pass, zero shuffle; ``on_error='skip'`` quarantines a corrupt
-    shard whole."""
+def _index_parse_pass(raw: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Shared Arrow header-walk stage behind the batch census and its
+    streaming twin (same can't-disagree contract as the other
+    interchange sources)."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
-    raw = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["shard", "tensor", "ggml_type", "shape",
@@ -448,10 +442,35 @@ def read_gguf_index(
                     for i in infos)
             yield pd.DataFrame(rows, columns=cols)
 
-    return raw.mapInPandas(
+    return raw.select("path", "content").mapInPandas(
         parse,
         schema="shard string, tensor string, ggml_type string, "
                "shape string, n_params long, n_bytes long")
+
+
+def read_gguf_index(
+    spark: SparkSession, path: str, on_error: str = "raise",
+) -> DataFrame:
+    """(shard, tensor, ggml_type, shape, n_params, n_bytes): the tensor
+    inventory of every ``*.gguf`` file under ``path`` — HEADERS ONLY,
+    quantized tensor sizes computed from the public ggml block table
+    without touching tensor bytes.  One binaryFile scan + one Arrow
+    pass, zero shuffle; ``on_error='skip'`` quarantines a corrupt
+    shard whole."""
+    raw = spark.read.format("binaryFile").load(path)
+    return _index_parse_pass(raw, on_error)
+
+
+def read_gguf_index_stream(
+    spark: SparkSession, path: str, on_error: str = "raise",
+) -> DataFrame:
+    """Streaming twin of :func:`read_gguf_index`: file-source
+    ``readStream`` sharing the batch header walk — checkpoint shards
+    dropped into ``path`` (a training run's periodic dumps) census as
+    micro-batches with exactly-once file tracking."""
+    from wc_vector_indexing_spark.sources.readers import binaryfile_stream
+
+    return _index_parse_pass(binaryfile_stream(spark, path), on_error)
 
 
 def read_gguf_metadata(
