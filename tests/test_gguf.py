@@ -248,3 +248,58 @@ def test_gguf_census_streaming_twin_matches_batch(spark, tmp_path):
         "tensor", "ggml_type", "n_bytes").collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
     assert len(batch) == 8
+
+
+def test_tokenizer_extraction_and_prefix_read(tmp_path):
+    from wc_vector_indexing_spark.sources.gguf import (
+        read_gguf_header_prefix,
+        read_gguf_tokenizer,
+    )
+
+    vocab = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+        "th", "ing", "<unk>", "th"]  # duplicate piece: best score wins
+    scores = [-4.0] * 26 + [-1.0, -1.5, -10.0, -3.0]
+    p = tmp_path / "tok.gguf"
+    p.write_bytes(to_gguf_bytes(
+        {"tokenizer.ggml.model": "unigram",
+         "tokenizer.ggml.tokens": vocab,
+         "tokenizer.ggml.scores": scores},
+        [("tok.embd", np.zeros(32, dtype=np.float32), "F32")]))
+    logp = read_gguf_tokenizer(str(p))
+    assert len(logp) == 29
+    assert logp["th"] == -1.0  # duplicate kept the BEST score
+    assert logp["ing"] == -1.5
+    # the loaded vocab drives the repo's own Viterbi
+    from wc_vector_indexing_spark.operators.unigram_lm import (
+        viterbi_segment,
+    )
+    assert viterbi_segment("thing", logp) == ["th", "ing"]
+    # prefix read with a tiny initial window exercises the doubling
+    # loop and skips the data-region checks
+    meta, infos, base = read_gguf_header_prefix(str(p), initial_bytes=16)
+    assert meta["tokenizer.ggml.tokens"] == vocab
+    assert infos[0]["tensor"] == "tok.embd"
+
+
+def test_tokenizer_extraction_contract(tmp_path):
+    from wc_vector_indexing_spark.sources.gguf import read_gguf_tokenizer
+
+    # no tokenizer at all
+    p = tmp_path / "bare.gguf"
+    p.write_bytes(to_gguf_bytes({"general.architecture": "x"}, []))
+    with pytest.raises(ValueError, match="tokenizer.ggml.tokens"):
+        read_gguf_tokenizer(str(p))
+    # BPE merges without scores is an explicit seam
+    p2 = tmp_path / "bpe.gguf"
+    p2.write_bytes(to_gguf_bytes(
+        {"tokenizer.ggml.tokens": ["a"],
+         "tokenizer.ggml.merges": ["a b"]}, []))
+    with pytest.raises(NotImplementedError, match="seam"):
+        read_gguf_tokenizer(str(p2))
+    # length mismatch is corruption
+    p3 = tmp_path / "mis.gguf"
+    p3.write_bytes(to_gguf_bytes(
+        {"tokenizer.ggml.tokens": ["a", "b"],
+         "tokenizer.ggml.scores": [-1.0]}, []))
+    with pytest.raises(ValueError, match="mismatch"):
+        read_gguf_tokenizer(str(p3))

@@ -10310,6 +10310,90 @@ ORDER BY doc_id, rec
 """
 
 
+def gguf_tokenizer_encode_op(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-vocabulary token budgeting (sources/gguf.
+    read_gguf_tokenizer → operators/unigram_lm.unigram_encode_col):
+    a planted GGUF shard embeds a unigram tokenizer in its metadata
+    (the llama.cpp ``tokenizer.ggml.tokens``/``scores`` convention —
+    single chars a-z at -4.0 plus the piece 'th' at -1.0, engineered
+    so Viterbi's optimum is closed-form: every 'th' inside an
+    all-alpha word merges, any word containing an OOV character falls
+    back to per-character pieces with OOV chars as '<unk>'), the
+    vocabulary loads driver-side from the header PREFIX only, and the
+    documents text encodes with the MODEL'S OWN vocab — the token
+    count a real context-budget pass needs, not a whitespace proxy.
+    Closed-form oracle replays the same per-word rule in SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from wc_vector_indexing_spark.operators.unigram_lm import (
+        unigram_encode_col,
+    )
+    from wc_vector_indexing_spark.sources.gguf import (
+        read_gguf_tokenizer,
+        to_gguf_bytes,
+    )
+
+    key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
+    shard = os.path.join(
+        tempfile.gettempdir(), f"wcvi_gguf_tok_{key}.gguf")
+    if not os.path.exists(shard):
+        vocab = [chr(c) for c in range(ord("a"), ord("z") + 1)] + ["th"]
+        scores = [-4.0] * 26 + [-1.0]
+        blob = to_gguf_bytes(
+            {"tokenizer.ggml.model": "unigram",
+             "tokenizer.ggml.tokens": vocab,
+             "tokenizer.ggml.scores": scores},
+            [("tok.embd", np.zeros(32, dtype=np.float32), "F32")])
+        tmp = shard + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, shard)
+    logp = read_gguf_tokenizer(shard)
+    docs = load(spark, "documents", sf).select("doc_id", "text") \
+        .orderBy("doc_id").limit(200)
+    pieces = unigram_encode_col(logp, "text", max_piece_len=4)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.filter(pieces, lambda p: p == "<unk>")).alias("n_unk"),
+    ).orderBy("doc_id")
+
+
+GGUF_TOKENIZER_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, lower(coalesce(text, '')) AS t
+    FROM documents ORDER BY doc_id LIMIT 200
+),
+words AS (
+    SELECT doc_id, w
+    FROM ids, UNNEST(string_split_regex(t, '\s+')) AS u(w)
+    WHERE w <> ''
+),
+per AS (
+    SELECT doc_id,
+           CASE WHEN regexp_matches(w, '^[a-z]+$')
+                THEN length(w)
+                     - (length(w) - length(replace(w, 'th', ''))) / 2
+                ELSE length(w) END AS pieces,
+           CASE WHEN regexp_matches(w, '^[a-z]+$') THEN 0
+                ELSE length(w)
+                     - length(regexp_replace(w, '[^a-z]', '', 'g'))
+           END AS unk
+    FROM words
+)
+SELECT i.doc_id,
+       coalesce(sum(p.pieces), 0)::INT AS n_pieces,
+       coalesce(sum(p.unk), 0)::INT AS n_unk
+FROM ids i LEFT JOIN per p ON i.doc_id = p.doc_id
+GROUP BY i.doc_id
+ORDER BY i.doc_id
+"""
+
+
 def arrow_ipc_export_roundtrip_op(spark: SparkSession, sf: str) -> DataFrame:
     """DISTRIBUTED Arrow IPC sink under the gate (sources/arrow_ipc.
     write_arrow_ipc): the lowest-80 docs repartition over 4 tasks,
@@ -12701,10 +12785,6 @@ REGISTRY: dict[str, QuerySpec] = {
     # r9 window rotation: warc_cdx_index (never driver-recorded, the
     # web-archive random-access index) promoted; aac_adts_census
     # (recorded r8) demoted to the tail in exchange.
-    "warc_cdx_index": QuerySpec(
-        warc_cdx_index_op, WARC_CDX_SQL,
-        "CDX(J) index generation: SURT keys + byte offsets over real WARCs (planted-truth oracle)"
-    ),
     # r10 window rotation: warc_revisit_resolve (new, never
     # driver-recorded) promoted; gopher_quality (recorded r9) slides
     # below the 50-entry cutoff in exchange.
@@ -12721,6 +12801,17 @@ REGISTRY: dict[str, QuerySpec] = {
         "point-query replay: CDX index rows pruned BEFORE any archive "
         "byte is read, ranged fetch, P2 plain-text strip + token "
         "count (closed-form oracle)"
+    ),
+    # r13 window rotation (session 2): gguf_tokenizer_encode (new,
+    # never driver-recorded — token budgeting with the model's own
+    # embedded vocabulary) promoted; warc_cdx_index (recorded r9-r12;
+    # the CDX family stays in-window via cdx_random_access_fetch +
+    # archive_point_replay) slides below the cutoff in exchange.
+    "gguf_tokenizer_encode": QuerySpec(
+        gguf_tokenizer_encode_op, GGUF_TOKENIZER_SQL,
+        "embedded-tokenizer extraction from GGUF metadata + unigram "
+        "Viterbi encode of the corpus with the model's own vocab "
+        "(closed-form oracle)"
     ),
     # r10 window rotation: warc_dedup_write (new, never driver-recorded)
     # promoted; subtitle_cues (recorded r9) slides below the 50-entry
@@ -13063,6 +13154,10 @@ REGISTRY: dict[str, QuerySpec] = {
         chunk_documents_op,
         CHUNK_DOCUMENTS_SQL,
         "deterministic chunker (recursive-CTE regime oracle)",
+    ),
+    "warc_cdx_index": QuerySpec(
+        warc_cdx_index_op, WARC_CDX_SQL,
+        "CDX(J) index generation: SURT keys + byte offsets over real WARCs (planted-truth oracle)"
     ),
     "cdx_snapshot_diff": QuerySpec(
         cdx_snapshot_diff_op, CDX_SNAPSHOT_DIFF_SQL,

@@ -132,14 +132,19 @@ class _Reader:
         raise ValueError(f"gguf: unknown metadata value type {vtype}")
 
 
-def parse_gguf_header(data: bytes) -> tuple[dict, list[dict], int]:
+def parse_gguf_header(
+    data: bytes, header_only: bool = False,
+) -> tuple[dict, list[dict], int]:
     """Parse one shard's header: returns (metadata dict, tensor-info
     list, tensor-data base offset).  Tensor infos carry name / ggml
     type name / shape (ggml ``ne`` order reversed to row-major, the
     spec's own note) / n_params / n_bytes / absolute byte offset.
     Validates: magic, version ∈ {2,3}, utf-8 strings, known value and
     tensor types, dims divisible by the quant block size, offsets
-    aligned and tiling the data section without gaps or overlaps."""
+    aligned and tiling the data section without gaps or overlaps.
+    ``header_only=True`` skips the checks that need bytes beyond the
+    parsed header (padding zeros, data-section overrun) — for prefix
+    reads of multi-GB shards (:func:`read_gguf_header_prefix`)."""
     r = _Reader(data)
     if r.take(4) != GGUF_MAGIC:
         raise ValueError("gguf: bad magic")
@@ -193,7 +198,7 @@ def parse_gguf_header(data: bytes) -> tuple[dict, list[dict], int]:
     # nonzero byte there is framing corruption (same strictness as the
     # safetensors trailing-bytes rule) — still headers-only, the check
     # never touches tensor data
-    if any(data[r.pos:min(base, len(data))]):
+    if not header_only and any(data[r.pos:min(base, len(data))]):
         raise ValueError("gguf: nonzero header padding")
     # offsets are relative to the data base and must tile it (padding
     # between tensors up to `align` is the spec's layout)
@@ -205,7 +210,7 @@ def parse_gguf_header(data: bytes) -> tuple[dict, list[dict], int]:
         if s != pos and s != pad:
             raise ValueError("gguf: tensor offset gap/overlap")
         pos = e
-    if infos and base + pos > len(data):
+    if not header_only and infos and base + pos > len(data):
         raise ValueError("gguf: tensor data overruns the file")
     for i in infos:
         i["offset"] += base
@@ -586,3 +591,66 @@ def write_gguf_vectors(
             os.remove(os.path.join(out_dir, stale))
     return df.select(id_col, vec_col).mapInPandas(
         dump, schema="shard string, n_rows long").collect()
+
+
+def read_gguf_header_prefix(path: str,
+                            initial_bytes: int = 1 << 20) -> tuple:
+    """Driver-side header parse that reads only a PREFIX of the file:
+    starts at ``initial_bytes`` and doubles until the header parses —
+    so a multi-GB checkpoint's metadata costs MBs of IO, keeping the
+    headers-only posture off-Spark too.  Returns the same
+    (metadata, tensor_infos, data_base) triple as
+    :func:`parse_gguf_header` (offsets absolute; the tensor-data
+    overrun check is skipped since the data region is not read)."""
+    import os
+
+    size = os.path.getsize(path)
+    n = min(initial_bytes, size)
+    with open(path, "rb") as f:
+        buf = f.read(n)
+        while True:
+            try:
+                return parse_gguf_header(buf, header_only=True)
+            except ValueError as e:
+                if "truncated" not in str(e) or len(buf) >= size:
+                    raise
+                more = f.read(min(len(buf), size - len(buf)))
+                buf += more
+
+
+def read_gguf_tokenizer(path: str) -> dict[str, float]:
+    """Extract the EMBEDDED tokenizer from a GGUF shard's metadata
+    (the llama.cpp convention: ``tokenizer.ggml.tokens`` parallel to
+    ``tokenizer.ggml.scores``) as a ``{piece: log_prob}`` dict — the
+    exact closure ``operators.unigram_lm.unigram_encode_col`` takes,
+    so token budgeting / fertility stats can run with the MODEL'S OWN
+    vocabulary instead of a proxy.  Bounded driver-side read (header
+    prefix only).  BPE-merge tokenizers (``tokenizer.ggml.merges``
+    without scores) are an explicit seam; duplicate pieces keep the
+    best (highest) score, matching unigram semantics."""
+    meta, _, _ = read_gguf_header_prefix(path)
+    tokens = meta.get("tokenizer.ggml.tokens")
+    scores = meta.get("tokenizer.ggml.scores")
+    if tokens is None:
+        raise ValueError(
+            f"gguf {path}: no tokenizer.ggml.tokens metadata")
+    if scores is None:
+        if "tokenizer.ggml.merges" in meta:
+            raise NotImplementedError(
+                "gguf: BPE-merge tokenizer (tokenizer.ggml.merges) is "
+                "a seam — only score-carrying unigram vocabularies "
+                "load here")
+        raise ValueError(
+            f"gguf {path}: tokenizer.ggml.scores missing")
+    if len(tokens) != len(scores):
+        raise ValueError(
+            f"gguf {path}: tokens/scores length mismatch "
+            f"({len(tokens)} vs {len(scores)})")
+    logp: dict[str, float] = {}
+    for t, s in zip(tokens, scores):
+        if not isinstance(t, str):
+            raise ValueError(f"gguf {path}: non-string token {t!r}")
+        s = float(s)
+        if t not in logp or s > logp[t]:
+            logp[t] = s
+    return logp
