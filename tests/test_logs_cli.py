@@ -588,3 +588,24 @@ def test_cli_export_gguf_and_cdx_lookup(spark, tmp_path, capsys):
     assert rc == 0
     looked = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert looked["n_captures"] == 30 and looked["n_urls"] == 30
+
+
+def test_cli_tokenizer_load_gguf(tmp_path, capsys):
+    import numpy as np
+
+    from wc_vector_indexing_spark.cli import main
+    from wc_vector_indexing_spark.sources.gguf import to_gguf_bytes
+
+    vocab = [chr(c) for c in range(ord("a"), ord("z") + 1)] + ["th", "ing"]
+    scores = [-4.0] * 26 + [-1.0, -1.5]
+    p = tmp_path / "model.gguf"
+    p.write_bytes(to_gguf_bytes(
+        {"tokenizer.ggml.tokens": vocab,
+         "tokenizer.ggml.scores": scores},
+        [("e", np.zeros(32, dtype=np.float32), "F32")]))
+    rc = main(["tokenizer", "--load-gguf", str(p),
+               "--sample", "The thing is 42"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    # 'the' -> th+e, 'thing' -> th+ing, OOV digits -> <unk>
+    assert out == "sample: th e th ing i s <unk> <unk>"

@@ -568,6 +568,27 @@ def cmd_tokenizer(args: argparse.Namespace) -> int:
     table, save the artifact as JSON, and optionally show a sample
     segmentation — the reference CLI's chunk-inspection shape
     (class-cli.php) applied to the tokenizer family."""
+    if getattr(args, "load_gguf", ""):
+        # segment with a model file's EMBEDDED vocabulary — no Spark,
+        # no retrain, header-prefix read only
+        from wc_vector_indexing_spark.operators.unigram_lm import (
+            viterbi_segment,
+        )
+        from wc_vector_indexing_spark.sources.gguf import (
+            read_gguf_tokenizer,
+        )
+
+        logp = read_gguf_tokenizer(args.load_gguf)
+        mpl = max((len(p) for p in logp), default=4)
+        pieces = []
+        for w in args.sample.lower().split():
+            try:
+                pieces.extend(viterbi_segment(w, logp, mpl))
+            except ValueError:
+                pieces.extend(
+                    c if c in logp else "<unk>" for c in w)
+        print("sample:", " ".join(pieces))
+        return 0
     if args.load:
         # segment with a saved artifact — no Spark, no retrain
         with open(args.load) as fh:
@@ -1094,6 +1115,9 @@ def build_parser() -> argparse.ArgumentParser:
     tk.add_argument("--save", default="", help="write the artifact JSON here")
     tk.add_argument("--load", default="",
                     help="segment --sample with a saved artifact (no retrain)")
+    tk.add_argument("--load-gguf", default="",
+                    help="segment --sample with the unigram vocabulary "
+                         "embedded in a GGUF model file's metadata")
     tk.add_argument("--sample", default="", help="segment this text and print")
     tk.set_defaults(fn=cmd_tokenizer)
 
