@@ -195,3 +195,34 @@ def test_cdxj_streaming_twin_matches_batch(spark, tmp_path):
         "urlkey", "ts14", "warc_offset").collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
     assert len(batch) == 120
+
+
+def test_zipnum_merge_compacts_and_dedups(spark, tmp_path):
+    """Daily-increment compaction: two pushes with an overlapping
+    capture merge into one sorted cluster; the exact duplicate
+    collapses, lookups see the union."""
+    from wc_vector_indexing_spark.sources.cdx import zipnum_merge
+
+    a = _capture_df(spark, n=60, hosts=3)
+    # push B: 30 fresh captures + 10 exact replays of push A's rows
+    b = _capture_df(spark, n=100, hosts=3).filter(
+        "CAST(substr(ts14, 5) AS INT) >= 60 "
+        "OR CAST(substr(ts14, 5) AS INT) < 10")
+    write_zipnum(a, str(tmp_path / "push_a"),
+                 lines_per_block=10, n_shards=2)
+    write_zipnum(b, str(tmp_path / "push_b"),
+                 lines_per_block=10, n_shards=2)
+    zipnum_merge(spark, [str(tmp_path / "push_a"),
+                         str(tmp_path / "push_b")],
+                 str(tmp_path / "merged"),
+                 lines_per_block=10, n_shards=2)
+    merged = read_cdxj(spark, str(tmp_path / "merged" / "cdx-*.gz"))
+    # 60 + 50 pushed, 10 exact duplicates collapse -> 100 distinct
+    assert merged.count() == 100
+    assert merged.select("urlkey").distinct().count() == 100
+    # the merged cluster still serves pruned lookups
+    got = zipnum_lookup(spark, str(tmp_path / "merged"),
+                        "example,host1)/")
+    ids = sorted(int(k[-4:]) for k in
+                 (r["urlkey"] for r in got.collect()))
+    assert ids == [i for i in range(100) if i % 3 == 1]

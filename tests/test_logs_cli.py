@@ -609,3 +609,48 @@ def test_cli_tokenizer_load_gguf(tmp_path, capsys):
     out = capsys.readouterr().out.strip()
     # 'the' -> th+e, 'thing' -> th+ing, OOV digits -> <unk>
     assert out == "sample: th e th ing i s <unk> <unk>"
+
+
+def test_cli_convert_checkpoint_formats(spark, tmp_path, capsys):
+    import json as _json
+
+    import numpy as np
+
+    from wc_vector_indexing_spark.cli import main
+    from wc_vector_indexing_spark.sources.gguf import read_gguf_vectors
+    from wc_vector_indexing_spark.sources.safetensors import (
+        write_safetensors_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i) + j / 4 for j in range(32)]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    st = tmp_path / "st"
+    write_safetensors_vectors(df.repartition(2), str(st)).collect()
+    rc = main(["convert", "--in-dir", str(st),
+               "--in-format", "safetensors",
+               "--out-dir", str(tmp_path / "gg"),
+               "--out-format", "gguf"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_vectors"] == 40
+    back = read_gguf_vectors(spark, str(tmp_path / "gg")).toPandas()
+    for _, r in back.iterrows():
+        i = r["vec_id"]
+        assert np.allclose(r["embedding"],
+                           [i + j / 4 for j in range(32)],
+                           rtol=0, atol=1e-6)
+    # quantized conversion stays within the Q8_0 step bound
+    rc = main(["convert", "--in-dir", str(st),
+               "--in-format", "safetensors",
+               "--out-dir", str(tmp_path / "ggq"),
+               "--out-format", "gguf", "--quantize", "q8_0"])
+    assert rc == 0
+    # quantize rejected for safetensors output
+    import pytest
+
+    with pytest.raises(SystemExit, match="quantize"):
+        main(["convert", "--in-dir", str(tmp_path / "gg"),
+              "--in-format", "gguf",
+              "--out-dir", str(tmp_path / "st2"),
+              "--out-format", "safetensors", "--quantize", "q8_0"])

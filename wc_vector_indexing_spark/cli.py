@@ -834,6 +834,67 @@ def cmd_zst(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_convert(args: argparse.Namespace) -> int:
+    """Checkpoint format conversion: read an embedding-matrix
+    checkpoint directory in one interchange format (safetensors or
+    gguf) and rewrite it in the other — optionally quantized (gguf
+    Q8_0/Q4_0) — fully distributed, one shard per task at both ends.
+    The (vec_id, embedding) contract is format-blind, the same one
+    checkpoint_drift diffs across."""
+    from wc_vector_indexing_spark.session import get_spark
+
+    spark = get_spark("wcvec-cli", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.in_format == "safetensors":
+        from wc_vector_indexing_spark.sources.safetensors import (
+            read_safetensors_vectors,
+        )
+
+        df = read_safetensors_vectors(
+            spark, args.in_dir.rstrip("/") + "/*.safetensors")
+    elif args.in_format == "gguf":
+        from wc_vector_indexing_spark.sources.gguf import read_gguf_vectors
+
+        df = read_gguf_vectors(spark, args.in_dir.rstrip("/") + "/*.gguf")
+    else:
+        raise SystemExit("--in-format must be safetensors or gguf")
+    n_in = df.count()
+    if args.out_format == "safetensors":
+        if args.quantize:
+            raise SystemExit(
+                "--quantize applies to gguf output only (safetensors "
+                "stores F32/BF16 via --vec-dtype in the export path)")
+        from wc_vector_indexing_spark.sources.safetensors import (
+            write_safetensors_vectors,
+        )
+
+        shards = write_safetensors_vectors(
+            df.select("vec_id", "embedding"), args.out_dir).collect()
+        n_out = int(sum(r.n_rows for r in shards))
+    elif args.out_format == "gguf":
+        from wc_vector_indexing_spark.sources.gguf import write_gguf_vectors
+
+        q = (args.quantize or "f32").lower()
+        ggml_type = {"f32": "F32", "q8_0": "Q8_0", "q4_0": "Q4_0"}.get(q)
+        if ggml_type is None:
+            raise SystemExit("--quantize must be one of f32/q8_0/q4_0")
+        shards = write_gguf_vectors(
+            df.select("vec_id", "embedding"), args.out_dir,
+            ggml_type=ggml_type)
+        n_out = int(sum(r.n_rows for r in shards))
+    else:
+        raise SystemExit("--out-format must be safetensors or gguf")
+    if n_out != n_in:
+        raise SystemExit(
+            f"conversion dropped rows: {n_in} in, {n_out} out")
+    print(json.dumps({
+        "in_format": args.in_format, "out_format": args.out_format,
+        "quantize": args.quantize or None,
+        "n_vectors": n_out, "n_shards": len(shards),
+    }))
+    return 0
+
+
 def cmd_cdx(args: argparse.Namespace) -> int:
     """ZipNum CDX(J) index: --build turns a capture parquet (urlkey,
     ts14, fields_json) into sorted gzip-member shards + cluster.idx;
@@ -867,8 +928,24 @@ def cmd_cdx(args: argparse.Namespace) -> int:
             "blocks": n_blocks,
         }))
         return 0
+    if getattr(args, "merge", ""):
+        from wc_vector_indexing_spark.sources.cdx import zipnum_merge
+
+        ins = [d for d in args.merge.split(",") if d]
+        zipnum_merge(spark, ins, args.index_dir,
+                     lines_per_block=args.lines_per_block,
+                     n_shards=args.shards)
+        import os as _os
+        n_blocks = sum(
+            1 for _ in open(_os.path.join(args.index_dir, "cluster.idx")))
+        print(json.dumps({
+            "index_dir": args.index_dir, "merged_from": len(ins),
+            "blocks": n_blocks,
+        }))
+        return 0
     if not args.prefix:
-        raise SystemExit("need --build (write) or --prefix (lookup)")
+        raise SystemExit("need --build (write), --merge (compact), or "
+                         "--prefix (lookup)")
     hits = zipnum_lookup(
         spark, args.index_dir, args.prefix,
         ts_from=args.ts_from or None, ts_to=args.ts_to or None)
@@ -1157,6 +1234,20 @@ def build_parser() -> argparse.ArgumentParser:
                          "the ID each declares (per-frame resolution)")
     zs.set_defaults(fn=cmd_zst)
 
+    cv = sub.add_parser("convert", help="checkpoint format conversion "
+                                        "(safetensors <-> gguf, optional "
+                                        "quantization)")
+    cv.add_argument("--in-dir", required=True)
+    cv.add_argument("--in-format", choices=["safetensors", "gguf"],
+                    required=True)
+    cv.add_argument("--out-dir", required=True)
+    cv.add_argument("--out-format", choices=["safetensors", "gguf"],
+                    required=True)
+    cv.add_argument("--quantize", default="",
+                    help="gguf output quant type: f32 (default) / "
+                         "q8_0 / q4_0")
+    cv.set_defaults(fn=cmd_convert)
+
     cx = sub.add_parser("cdx", help="ZipNum CDX(J) index: build sorted "
                                     "shards + cluster.idx, or block-"
                                     "pruned prefix lookup")
@@ -1164,6 +1255,10 @@ def build_parser() -> argparse.ArgumentParser:
     cx.add_argument("--build", default="",
                     help="capture parquet (urlkey, ts14, fields_json) "
                          "to index")
+    cx.add_argument("--merge", default="",
+                    help="comma-separated ZipNum cluster dirs to "
+                         "compact into --index-dir (exact-duplicate "
+                         "captures collapse)")
     cx.add_argument("--lines-per-block", type=int, default=3000)
     cx.add_argument("--shards", type=int, default=4)
     cx.add_argument("--prefix", default="", help="SURT urlkey prefix")

@@ -304,3 +304,47 @@ def zipnum_lookup(
     if ts_to is not None:
         out = out.filter(F.col("ts14") < ts_to)
     return out
+
+
+def zipnum_merge(
+    spark: SparkSession, index_dirs: list[str], out_dir: str,
+    lines_per_block: int = 3000, n_shards: int = 4,
+    dedup: bool = True,
+) -> None:
+    """Compact several ZipNum clusters into one (the daily-increment
+    maintenance job: each crawl push lands its own small cluster, and
+    a periodic merge rebuilds the canonical sorted index).  Reads
+    every input cluster's shards through the batch parse pass,
+    optionally drops EXACT duplicate captures (same urlkey + ts14 +
+    digest — the cross-push replay case; distinct on the key triple,
+    first JSON wins deterministically), and writes one re-sorted
+    cluster.  Shuffle cost is the range re-sort of index ROWS (never
+    archive bytes); the inputs' gzip blocks are read once each."""
+    import os
+
+    from pyspark.sql import Window
+
+    frames = [
+        read_cdxj(spark, os.path.join(d, "cdx-*.gz")) for d in index_dirs
+    ]
+    allrows = frames[0]
+    for f in frames[1:]:
+        allrows = allrows.unionByName(f)
+    fields = F.to_json(F.struct(
+        F.col("url").alias("url"),
+        F.col("mime").alias("mime"),
+        F.col("status").alias("status"),
+        F.col("digest").alias("digest"),
+        F.col("warc_filename").alias("filename"),
+        F.col("warc_offset").alias("offset"),
+        F.col("warc_length").alias("length"),
+    ))
+    rows = allrows.select("urlkey", "ts14",
+                          fields.alias("fields_json"), "cdx_path")
+    if dedup:
+        w = Window.partitionBy("urlkey", "ts14", "fields_json") \
+            .orderBy("cdx_path")
+        rows = (rows.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+    write_zipnum(rows.drop("cdx_path"), out_dir,
+                 lines_per_block=lines_per_block, n_shards=n_shards)
