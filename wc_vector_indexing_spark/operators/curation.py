@@ -165,11 +165,17 @@ def curate(
 
     if mirror_clusters is not None:
         # mirror gate first: an entire non-canonical mirror host drops
-        # for the cost of one broadcast anti-join, before any scoring
+        # for the cost of one broadcast anti-join, before any scoring.
+        # The cluster table is host-bounded but its LINEAGE is the whole
+        # detection chain (digest join + components) — materialize the
+        # non-canonical host list once so the semi/anti broadcast builds
+        # (separate actions: audit branch vs survivor chain) read a
+        # dims-sized local table instead of each replaying the chain
         mirrors = (
             mirror_clusters
             .filter(F.col("host") != F.col("cluster_host"))
             .select("host")
+            .localCheckpoint(eager=True)
         )
         m_on = docs[host_col] == mirrors["host"]
         mirror_dropped = docs.join(
@@ -183,7 +189,11 @@ def curate(
         # host gate first: dropping a blocklisted host costs one
         # broadcast anti-join — cheaper than scoring its pages. The
         # prior table is bounded (hosts, not pages): broadcast both
-        # uses; the corpus never shuffles.
+        # uses; the corpus never shuffles. Materialize the prior ONCE —
+        # its lineage is typically a link-graph PageRank + reputation
+        # aggregate, and the gate/re-weight/max-rank consumers run in
+        # separate actions that would each replay that whole chain
+        host_prior = host_prior.localCheckpoint(eager=True)
         if "blocked" in host_prior.columns:
             blocked = host_prior.filter(F.col("blocked")).select("host")
             on = docs[host_col] == blocked["host"]

@@ -67,6 +67,7 @@ def pagerank(
     checkpoint_rounds: bool | None = None,
     small_graph_nodes: int = 100_000,
     seeds: list | None = None,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, rank): ``iterations`` rounds of weighted PageRank,
 
@@ -98,11 +99,37 @@ def pagerank(
     plan is the same; only materialization points move). Default
     (None): auto — checkpoint when the node count exceeds
     ``small_graph_nodes`` (the count is already paid for the (1-d)/N
-    constant), the same adaptive posture as components.py."""
+    constant), the same adaptive posture as components.py.
+
+    Adaptive small-graph path (r13 optimization; the same posture as
+    components.connected_components): the AGGREGATED edge table of a
+    host/event-type graph is dims-bounded — orders of magnitude
+    smaller than the log it came from — so when it fits in one task
+    (``small_graph_edges``) the whole fixpoint runs as one numpy
+    iteration inside ONE grouped-map task: the per-round rank⊳edge
+    join DAG (~2 shuffles × iterations of driver planning + job
+    latency) collapses to a single job. Graphs above the bound take
+    the distributed iteration. Both paths compute the identical
+    formula in float64 and round once at the end; the edge table is
+    materialized ONCE either way (the former code replayed the
+    normalization lineage into every consumer of the result)."""
+    if seeds is not None and not seeds:
+        raise ValueError("pagerank: seeds must be non-empty when given")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         F.col(weight).cast("double").alias("w"),
+    ).localCheckpoint(eager=True)
+    n_edges = e.count()
+    if n_edges == 0:
+        return (
+            e.select(F.col("src").alias("node"))
+            .withColumn("rank", F.lit(0.0))
+        )
+    same_type = (
+        e.schema["src"].dataType == e.schema["dst"].dataType
     )
+    if n_edges <= small_graph_edges and same_type:
+        return _single_task_pagerank(e, iterations, damping, seeds)
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     # normalized edges: computed once, partitioned by the join key so
     # every iteration's rank⊳edge join reuses this layout
@@ -119,13 +146,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # one O(1) scalar action; the (1-d)/N constant
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))  # empty graph → empty frame
     if checkpoint_rounds is None:
         checkpoint_rounds = n > small_graph_nodes
     if seeds is not None:
-        if not seeds:
-            raise ValueError("pagerank: seeds must be non-empty when given")
         seed_mask = F.col("node").isin(*seeds).cast("double")
         base_col = F.lit((1.0 - damping) / len(seeds)) * seed_mask
         ranks = nodes.withColumn(
@@ -149,4 +172,67 @@ def pagerank(
         if checkpoint_rounds:
             # cut lineage: round t+1 must not replan 1..t
             ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _single_task_pagerank(
+    e: DataFrame,
+    iterations: int,
+    damping: float,
+    seeds: list | None,
+) -> DataFrame:
+    """The whole fixpoint in one grouped-map task over the (bounded,
+    already-materialized) edge table — numpy float64, identical formula
+    to the distributed rounds; edges are sorted (src, dst) inside the
+    task so the accumulation order (and hence the 6-dp rounding) is
+    replayable run to run."""
+    from pyspark.sql import types as T
+
+    node_type = e.schema["src"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("rank", T.DoubleType()),
+        ]
+    )
+    seed_set = set(seeds) if seeds is not None else None
+    d = float(damping)
+    iters = int(iterations)
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        nodes = sorted(set(pdf["src"]) | set(pdf["dst"]))
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        si = pdf["src"].map(idx).to_numpy(dtype=np.int64)
+        di = pdf["dst"].map(idx).to_numpy(dtype=np.int64)
+        w = pdf["w"].to_numpy(dtype=np.float64)
+        ow = np.zeros(n, dtype=np.float64)
+        np.add.at(ow, si, w)
+        wn = w / ow[si]
+        if seed_set is not None:
+            mask = np.fromiter(
+                (1.0 if v in seed_set else 0.0 for v in nodes),
+                dtype=np.float64,
+                count=n,
+            )
+            base = (1.0 - d) / len(seed_set) * mask
+            r = mask / len(seed_set)
+        else:
+            base = np.full(n, (1.0 - d) / n)
+            r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            contrib = np.zeros(n, dtype=np.float64)
+            np.add.at(contrib, di, r[si] * wn)
+            r = base + d * contrib
+        return pd.DataFrame({"node": nodes, "rank": r})
+
+    ranks = (
+        e.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: run(pdf), out_schema)
+    )
     return ranks.select("node", F.round("rank", 6).alias("rank"))

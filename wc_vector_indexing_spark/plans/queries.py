@@ -11529,16 +11529,20 @@ def _host_prior_inputs(
     from wc_vector_indexing_spark.sources.wat import host_link_graph
 
     docs = load(spark, "documents", sf)
-    # the host vocabulary is bounded (20 sources at every sf) — a
-    # driver collect here is the same class as broadcast-dim loading
-    hosts = sorted(r[0] for r in docs.select("source").distinct().collect())
-    n = len(hosts)
     key = hashlib.sha256(os.path.realpath(sf).encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"wcvi_hostprior_{key}")
     done = os.path.join(out, "_DONE")
     warc_path = os.path.join(out, "crawl.warc")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
+        # the host vocabulary is bounded (20 sources at every sf) — a
+        # driver collect here is the same class as broadcast-dim
+        # loading, and it is only needed to WRITE the fixture, so it
+        # runs once per sf dir, not once per query invocation
+        hosts = sorted(
+            r[0] for r in docs.select("source").distinct().collect()
+        )
+        n = len(hosts)
         recs = []
         for i, h in enumerate(hosts):
             links = f'<a href="https://{hosts[(i + 1) % n]}.example/">next</a>'
