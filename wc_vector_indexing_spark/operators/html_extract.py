@@ -182,6 +182,13 @@ def extract_documents(
     scan feeds directly."""
     import pandas as pd
 
+    from wc_vector_indexing_spark.functions.partitioning import fan_out
+
+    # the per-row parse/classify cost is 10-100x the scan cost and a
+    # small corpus arrives as ONE scan partition — spread it across the
+    # session's cores (no-op at real scale, guide §4 column-pruning
+    # still applies: only html + passthrough columns cross)
+    df = fan_out(df)
     keep = [f for f in df.schema.fields if f.name != html_col]
     out_schema = T.StructType(list(keep) + HTML_EXTRACT_SCHEMA_SUFFIX)
 
