@@ -412,8 +412,18 @@ def curation_report(docs: DataFrame, audit: DataFrame, id_col: str = "doc_id") -
     as |docs| - Σ rejected — valid because the audit branches are
     disjoint subsets of docs (see ``curate``). The previous
     formulation's second action (a left_anti count against the audit)
-    re-ran the whole MinHash/LSH chain."""
-    reason_rows = audit.groupBy("reject_reason").agg(F.count("*").alias("n")).collect()
-    survivors = docs.count() - sum(r.n for r in reason_rows)
+    re-ran the whole MinHash/LSH chain. The two remaining actions are
+    independent, so they run overlapped from a 2-thread pool."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        reasons_fut = pool.submit(
+            lambda: audit.groupBy("reject_reason")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        count_fut = pool.submit(docs.count)
+        reason_rows = reasons_fut.result()
+        survivors = count_fut.result() - sum(r.n for r in reason_rows)
     rows = sorted([(r.reject_reason, r.n) for r in reason_rows] + [("kept", survivors)])
     return docs.sparkSession.createDataFrame(rows, "reject_reason string, n long")

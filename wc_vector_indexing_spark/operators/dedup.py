@@ -398,10 +398,12 @@ def minhash_lsh_pairs(
             ).alias("p")
         )
         .select("p.*")
-        .distinct()
         # candidate-pair-scale (near-dup rate, not corpus): materialize
         # once — THREE consumers (cand_docs + the verify join) would
-        # otherwise each re-run the signature UDF over the corpus
+        # otherwise each re-run the signature UDF over the corpus.
+        # Multi-band duplicates stay in (no distinct shuffle): the
+        # final LEFT SEMI against the exact-verified pairs emits each
+        # pair once regardless of how many bands it collided in.
         .localCheckpoint(eager=False)
     )
     # verify ONLY the candidate pairs with exact jaccard: restrict the
@@ -416,7 +418,9 @@ def minhash_lsh_pairs(
         cand_docs, "doc", "left_semi"
     )
     exact = _jaccard_from_shingles(sh, threshold)
-    return candidates.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    return exact.join(
+        candidates, ["doc_a", "doc_b"], "left_semi"
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def simhash64(
