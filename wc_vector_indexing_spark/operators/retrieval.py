@@ -51,6 +51,37 @@ def bm25_index(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return tf.join(dl, id_col)
 
 
+def _bm25_query_index(
+    docs: DataFrame, terms: list[str], text_col: str, id_col: str
+) -> DataFrame:
+    """The QUERY-TERM slice of :func:`bm25_index`, built without ever
+    aggregating the full (doc, token) stream: row-identical to
+    ``bm25_index(docs).filter(tok IN terms)`` — tf over matching tokens
+    only, dl as the per-id total token count (== sum of all tf, because
+    every token occurrence lands in exactly one tf group). The full
+    index shuffles one row per DISTINCT corpus token; a query touches a
+    handful of terms, so slicing before the exchange shuffles orders of
+    magnitude fewer (and narrower) rows. The persisted-``index`` fast
+    path is unchanged — this is the ad-hoc path's twin."""
+    ts = _tokens(text_col)
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(ts, lambda t: t.isin(terms))
+            ).alias("tok"),
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    # groupBy (not a plain projection): callers may carry several rows
+    # per id (the anchor zone does) and bm25_index folds them together
+    dl = docs.select(F.col(id_col), F.size(ts).alias("_n")).groupBy(
+        id_col
+    ).agg(F.sum("_n").alias("dl"))
+    return tf.join(dl, id_col)
+
+
 def bm25_search(
     docs: DataFrame,
     query: str,
@@ -73,7 +104,11 @@ def bm25_search(
     terms = sorted({t for t in _py_tokens(query)})
     if not terms:
         raise ValueError("query has no indexable terms")
-    idx = index if index is not None else bm25_index(docs, text_col, id_col)
+    idx = (
+        index
+        if index is not None
+        else _bm25_query_index(docs, terms, text_col, id_col)
+    )
     if index is None:
         # N/avgdl straight off the doc scan: dl == the doc's token count,
         # so a codegen size(tokens) aggregate gives the same numbers as
@@ -151,18 +186,25 @@ def bm25_anchor_search(
     terms = sorted({t for t in _py_tokens(query)})
     if not terms:
         raise ValueError("query has no indexable terms")
-    body_idx = bm25_index(docs, text_col, id_col)
+    body_idx = _bm25_query_index(docs, terms, text_col, id_col)
     ntok = F.size(_tokens(text_col))
     body_stats = docs.select(ntok.alias("_dl")).filter(F.col("_dl") > 0).agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("_dl").alias("avgdl"),
     )
-    a_idx = bm25_index(
-        anchors.select(id_col, F.col(anchor_text_col).alias("text")),
-        "text", id_col)
-    a_stats = a_idx.groupBy(id_col).agg(F.first("dl").alias("_dl")).agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("_dl").alias("avgdl"),
+    a_rel = anchors.select(id_col, F.col(anchor_text_col).alias("text"))
+    a_idx = _bm25_query_index(a_rel, terms, "text", id_col)
+    # zone stats off the scan, not the index: per-id dl is the summed
+    # token count across the id's anchor rows — identical to the
+    # groupBy-first over bm25_index, without building the full index
+    a_stats = (
+        a_rel.select(F.col(id_col), F.size(_tokens("text")).alias("_n"))
+        .groupBy(id_col)
+        .agg(F.sum("_n").alias("_dl"))
+        .agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.avg("_dl").alias("avgdl"),
+        )
     )
     body = _bm25_raw(body_idx, body_stats, terms, k1, b, id_col).select(
         id_col, F.col("score_raw").alias("_s_body"))
