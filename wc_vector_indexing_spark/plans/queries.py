@@ -2233,9 +2233,12 @@ def training_data_pipeline_op(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     curated = result.curated
+    # two consumers (the percentile scalar and the split summary) —
+    # lazy-checkpoint so the explode/aggregate chain runs once, at the
+    # threshold action, instead of replaying into the summary
     w = importance_weights(
         curated, F.col("source").isin("src1", "src2", "src3"), n_buckets=1024
-    )
+    ).localCheckpoint(eager=False)
     thr = w.agg(F.percentile_approx("log_weight", 0.4).alias("t")).head()[0]
     selected = curated.join(
         w.filter(F.col("log_weight") >= thr).select("doc_id"), "doc_id", "left_semi"
