@@ -16,7 +16,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF)
+    # prefer the audit surface (same semantics as tools/plan_audit.py):
+    # eager-summary ops hide the real program behind a driver-built
+    # frame, and _ckpt_sorted ops explain as `Scan ExistingRDD`
+    spec = REGISTRY[name]
+    df = (spec.audit_fn or spec.fn)(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")

@@ -33,6 +33,33 @@ from wc_vector_indexing_spark.plans import relational2 as r2
 from wc_vector_indexing_spark.sources.readers import load
 
 
+def _ckpt_sorted(df: DataFrame, *cols: str, audit: bool = False) -> DataFrame:
+    """Global sort over an expensive OPAQUE stage (a python render/
+    decode map with no exchange in between): the range partitioner's
+    sample job re-runs the child lineage, so the python pass would
+    execute twice per action. A lazy local checkpoint pins the map
+    output once; both the sample and the sort shuffle then read the
+    stored rows. Only worth it when the child is python-heavy — a sort
+    above an Exchange already reuses the shuffle files.
+
+    ``audit``: return the plain sorted program WITHOUT the checkpoint —
+    a checkpointed frame explains as `Scan ExistingRDD`, which would
+    hide the real shuffle/python shape from tools/plan_audit.py; the
+    ops using this helper expose the uncheckpointed twin as their
+    QuerySpec.audit_fn (same plan shape, only the materialization
+    point differs)."""
+    if audit:
+        return df.orderBy(*cols)
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
+def _audit_variant(op):
+    """audit_fn wrapper for _ckpt_sorted ops: the same program with the
+    checkpoint elided, so plan audits see the real shuffle/python shape
+    instead of `Scan ExistingRDD`."""
+    return lambda spark, sf: op(spark, sf, _audit=True)
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -5913,7 +5940,9 @@ ORDER BY fmt, outcome
 """
 
 
-def aac_adts_census_op(spark: SparkSession, sf: str) -> DataFrame:
+def aac_adts_census_op(
+    spark: SparkSession, sf: str, *, _audit: bool = False
+) -> DataFrame:
     """ADTS AAC header census (operators/aac.parse_adts_headers):
     every document renders into a structurally valid ADTS stream whose
     frame count, sampling-frequency index, channel config and profile
@@ -5951,11 +5980,11 @@ def aac_adts_census_op(spark: SparkSession, sf: str) -> DataFrame:
                 out.append({"doc_id": d, **{k: meta[k] for k in cols[1:]}})
             yield pd.DataFrame(out, columns=cols)
 
-    return docs.mapInPandas(
+    return _ckpt_sorted(docs.mapInPandas(
         render,
         schema="doc_id long, n_frames long, duration_us long, "
                "sample_rate long, channels long, profile string",
-    ).orderBy("doc_id")
+    ), "doc_id", audit=_audit)
 
 
 AAC_CENSUS_SQL = r"""
@@ -6351,7 +6380,9 @@ ORDER BY doc_id
 """
 
 
-def tiff_ifd_census_op(spark: SparkSession, sf: str) -> DataFrame:
+def tiff_ifd_census_op(
+    spark: SparkSession, sf: str, *, _audit: bool = False
+) -> DataFrame:
     """TIFF triage (operators/tiff.parse_tiff): every document renders
     into a valid TIFF — byte order, dimensions, bits/compression/
     photometric/orientation/samples tags, and a 1-3 page IFD chain,
@@ -6390,12 +6421,12 @@ def tiff_ifd_census_op(spark: SparkSession, sf: str) -> DataFrame:
                 out.append({"doc_id": d, **{k: meta[k] for k in cols[1:]}})
             yield pd.DataFrame(out, columns=cols)
 
-    return docs.mapInPandas(
+    return _ckpt_sorted(docs.mapInPandas(
         render,
         schema="doc_id long, byte_order string, width long, height long, "
                "bits_per_sample long, compression long, photometric long, "
                "orientation long, samples_per_pixel long, n_ifds long",
-    ).orderBy("doc_id")
+    ), "doc_id", audit=_audit)
 
 
 TIFF_CENSUS_SQL = r"""
@@ -6608,7 +6639,9 @@ ORDER BY doc_id
 """
 
 
-def h264_sps_census_op(spark: SparkSession, sf: str) -> DataFrame:
+def h264_sps_census_op(
+    spark: SparkSession, sf: str, *, _audit: bool = False
+) -> DataFrame:
     """H.264 NAL/SPS triage census (operators/h264.parse_annexb): every
     document renders into a structurally valid Annex B stream — real
     Exp-Golomb SPS (width/height/slice-count/profile from doc_id
@@ -6646,11 +6679,11 @@ def h264_sps_census_op(spark: SparkSession, sf: str) -> DataFrame:
                 out.append({"doc_id": d, **{k: meta[k] for k in cols[1:]}})
             yield pd.DataFrame(out, columns=cols)
 
-    return docs.mapInPandas(
+    return _ckpt_sorted(docs.mapInPandas(
         render,
         schema="doc_id long, n_nals long, n_slices long, width long, "
                "height long, profile_idc long, level_idc long",
-    ).orderBy("doc_id")
+    ), "doc_id", audit=_audit)
 
 
 H264_CENSUS_SQL = r"""
@@ -7019,7 +7052,9 @@ ORDER BY doc_id
 """
 
 
-def jpeg_lossless_census_op(spark: SparkSession, sf: str) -> DataFrame:
+def jpeg_lossless_census_op(
+    spark: SparkSession, sf: str, *, _audit: bool = False
+) -> DataFrame:
     """Lossless JPEG (SOF3, T.81 Annex H) census: every document
     renders a doc_id-derived gradient image (dimensions, precision and
     predictor all arithmetic — every fifth doc is 16-bit), encodes it
@@ -7064,11 +7099,11 @@ def jpeg_lossless_census_op(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
             out = []
 
-    return docs.mapInPandas(
+    return _ckpt_sorted(docs.mapInPandas(
         render,
         schema="doc_id long, width long, height long, precision long, "
                "predictor long, pixel_sum long",
-    ).orderBy("doc_id")
+    ), "doc_id", audit=_audit)
 
 
 JPEG_LOSSLESS_CENSUS_SQL = r"""
@@ -7098,7 +7133,7 @@ ORDER BY doc_id
 
 
 def parquet_footer_census_op(
-    spark: SparkSession, sf: str, *, mega_rows: int = 0
+    spark: SparkSession, sf: str, *, mega_rows: int = 0, _audit: bool = False
 ) -> DataFrame:
     """Parquet footer triage (operators/parquet_meta.parse_parquet_footer):
     every document renders into a REAL parquet file written by pyarrow —
@@ -7149,12 +7184,12 @@ def parquet_footer_census_op(
                 })
             yield pd.DataFrame(out, columns=cols)
 
-    return docs.mapInPandas(
+    return _ckpt_sorted(docs.mapInPandas(
         render,
         schema="doc_id long, num_rows long, n_row_groups long, "
                "n_leaf_columns long, first_rg_rows long, codec string, "
                "writer_tool string",
-    ).orderBy("doc_id")
+    ), "doc_id", audit=_audit)
 
 
 PARQUET_CENSUS_SQL = r"""
@@ -7575,7 +7610,9 @@ def _warc_cdx_fixture_recs(d: int, hot_digest: bool = False) -> list[dict]:
     return recs
 
 
-def warc_cdx_index_op(spark: SparkSession, sf: str) -> DataFrame:
+def warc_cdx_index_op(
+    spark: SparkSession, sf: str, *, _audit: bool = False
+) -> DataFrame:
     """CDX index generation (sources/warc.warc_cdx_index — the
     random-access side door every web archive ships next to its
     WARCs): every document renders into a real WARC file of 1-3
@@ -7613,15 +7650,16 @@ def warc_cdx_index_op(spark: SparkSession, sf: str) -> DataFrame:
 
     raw = docs.mapInPandas(render, schema="warc_path string, content binary")
     idx = warc_cdx_index(raw)
-    return (
+    return _ckpt_sorted(
         idx.select(
             F.regexp_extract("warc_path", r"doc(\d+)\.warc", 1)
             .cast("long").alias("doc_id"),
             ((F.col("offset") - 95) / 315).cast("long").alias("rec_index"),
             "urlkey", "ts14", "url", "mime", "status", "offset", "length",
             "record_type", "refers_to",
-        )
-        .orderBy("doc_id", "rec_index")
+        ),
+        "doc_id", "rec_index",
+        audit=_audit,
     )
 
 
@@ -8528,7 +8566,7 @@ ORDER BY url
 
 
 def mbox_corpus_text_op(
-    spark: SparkSession, sf: str, *, mega_msgs: int = 0
+    spark: SparkSession, sf: str, *, mega_msgs: int = 0, _audit: bool = False
 ) -> DataFrame:
     """mbox/MIME email source (sources/mbox.py): every document
     renders into a mailing-list mbox of 1–3 messages whose transfer
@@ -8580,7 +8618,8 @@ def mbox_corpus_text_op(
 
     rendered = docs.mapInPandas(
         render, schema="doc_id long, mbox_text string")
-    return mbox_messages(rendered).orderBy("doc_id", "msg_index")
+    return _ckpt_sorted(
+        mbox_messages(rendered), "doc_id", "msg_index", audit=_audit)
 
 
 MBOX_CORPUS_SQL = r"""
@@ -12529,7 +12568,9 @@ ORDER BY doc_id, cell_index
 """
 
 
-def wikipedia_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
+def wikipedia_corpus_text_op(
+    spark: SparkSession, sf: str, *, _audit: bool = False
+) -> DataFrame:
     """Wikipedia dump extraction (sources/wikixml.read_wiki_pages): the
     lowest-48 docs become ONE pages-articles-multistream dump (4 pages
     per bz2 stream → 12 page streams, so the slice-parallel offset walk
@@ -12578,10 +12619,11 @@ def wikipedia_corpus_text_op(spark: SparkSession, sf: str) -> DataFrame:
             f.write(index)
         with open(done, "w") as f:
             f.write("ok")
-    return (
+    return _ckpt_sorted(
         read_wiki_pages(spark, dump_path, index_path)
-        .select("page_id", "title", "ns", "is_redirect", "text")
-        .orderBy("page_id")
+        .select("page_id", "title", "ns", "is_redirect", "text"),
+        "page_id",
+        audit=_audit,
     )
 
 
@@ -13181,7 +13223,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "warc_cdx_index": QuerySpec(
         warc_cdx_index_op, WARC_CDX_SQL,
-        "CDX(J) index generation: SURT keys + byte offsets over real WARCs (planted-truth oracle)"
+        "CDX(J) index generation: SURT keys + byte offsets over real WARCs (planted-truth oracle)",
+        audit_fn=_audit_variant(warc_cdx_index_op),
     ),
     "cdx_snapshot_diff": QuerySpec(
         cdx_snapshot_diff_op, CDX_SNAPSHOT_DIFF_SQL,
@@ -13237,7 +13280,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "wikipedia_corpus_text": QuerySpec(
         wikipedia_corpus_text_op, WIKIPEDIA_CORPUS_SQL,
         "MediaWiki multistream dump: slice-parallel bz2 walk + wikitext "
-        "→ text with redirect flags (planted-truth oracle)"
+        "→ text with redirect flags (planted-truth oracle)",
+        audit_fn=_audit_variant(wikipedia_corpus_text_op),
     ),
     # r11 window rotation (session 4): zstd_jsonl_corpus (new, never
     # driver-recorded — the .zst JSONL front door the decoder exists
@@ -13275,7 +13319,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "tiff_ifd_census": QuerySpec(
         tiff_ifd_census_op, TIFF_CENSUS_SQL,
         "TIFF IFD-chain triage: both byte orders, offset heap, "
-        "multi-page counts (planted-truth oracle)"
+        "multi-page counts (planted-truth oracle)",
+        audit_fn=_audit_variant(tiff_ifd_census_op),
     ),
     "exif_metadata_census": QuerySpec(
         exif_metadata_census_op, EXIF_CENSUS_SQL,
@@ -13345,7 +13390,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # for crawl_to_training_set above.
     "parquet_footer_census": QuerySpec(
         parquet_footer_census_op, PARQUET_CENSUS_SQL,
-        "Thrift-compact parquet footer triage vs real pyarrow files (planted-truth oracle)"
+        "Thrift-compact parquet footer triage vs real pyarrow files (planted-truth oracle)",
+        audit_fn=_audit_variant(parquet_footer_census_op),
     ),
     # r11 window rotation: demoted here (recorded r8-r10) in the
     # amended exchange that keeps c4_line_filter (the curation-family
@@ -13381,7 +13427,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # above.
     "jpeg_lossless_census": QuerySpec(
         jpeg_lossless_census_op, JPEG_LOSSLESS_CENSUS_SQL,
-        "SOF3 lossless-JPEG exact decode census, all 7 predictors (planted-truth oracle)"
+        "SOF3 lossless-JPEG exact decode census, all 7 predictors (planted-truth oracle)",
+        audit_fn=_audit_variant(jpeg_lossless_census_op),
     ),
     "audio_overlap_partial": QuerySpec(
         audio_overlap_partial_op, AUDIO_OVERLAP_SQL,
@@ -13397,7 +13444,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # in exchange for unigram_seed_census above.
     "mbox_corpus_text": QuerySpec(
         mbox_corpus_text_op, MBOX_CORPUS_SQL,
-        "mbox/MIME email source: per-message text + headers (planted-truth oracle)"
+        "mbox/MIME email source: per-message text + headers (planted-truth oracle)",
+        audit_fn=_audit_variant(mbox_corpus_text_op),
     ),
     # --- below the 50-entry driver gate window (all recorded green in
     # r1-r7; demoted in r8 to make room for the upgraded/new entries) ---
@@ -13745,7 +13793,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "aac_adts_census": QuerySpec(
         aac_adts_census_op, AAC_CENSUS_SQL,
-        "ADTS AAC header walk: duration/profile census (planted-truth oracle)"
+        "ADTS AAC header walk: duration/profile census (planted-truth oracle)",
+        audit_fn=_audit_variant(aac_adts_census_op),
     ),
     "id3_text_census": QuerySpec(
         id3_text_census_op, ID3_CENSUS_SQL,
@@ -13753,7 +13802,8 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "h264_sps_census": QuerySpec(
         h264_sps_census_op, H264_CENSUS_SQL,
-        "H.264 NAL walk + Exp-Golomb SPS resolution census (planted-truth oracle)"
+        "H.264 NAL walk + Exp-Golomb SPS resolution census (planted-truth oracle)",
+        audit_fn=_audit_variant(h264_sps_census_op),
     ),
     "mp4_box_census": QuerySpec(
         mp4_box_census_op, MP4_CENSUS_SQL,
