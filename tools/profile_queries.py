@@ -159,7 +159,8 @@ def main() -> None:
     sc = spark.sparkContext
 
     if explain:
-        outdir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+        outdir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get(
+            "PROFILE_PLANS_DIR", "r14")
         outdir.mkdir(parents=True, exist_ok=True)
         for name in names:
             spec = REGISTRY[name]

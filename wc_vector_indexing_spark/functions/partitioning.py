@@ -24,15 +24,31 @@ def fan_out(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     plan — the short-circuit keeps frame-level operators (shingle_table,
     simhash64, text quality, …) usable in their stream twins.
 
-    Reading the partition count runs no job but does force physical
-    planning, which is seconds on deep cached/join lineages — so the
-    count is memoized on the DataFrame instance for operators that call
-    fan_out more than once on the same frame."""
+    Frames whose physical plan already contains an Exchange pass
+    through untouched too, for two reasons that hold at any scale:
+    (a) their parallelism is established by the exchange itself —
+    shuffle partitioning plus AQE's parallelismFirst coalescing, so
+    the under-parallel case this helper exists for (a small file
+    arriving as one scan split) cannot occur; and (b) probing such a
+    frame with ``.rdd.getNumPartitions()`` is NOT free under AQE:
+    ``AdaptiveSparkPlanExec.doExecute`` materializes every upstream
+    shuffle/broadcast query stage as real jobs, which the subsequent
+    action then runs AGAIN (measured r14: the probe on a two-shuffle
+    lineage ran 3 jobs / 2.5 s before the query itself started —
+    crawl_to_training_set paid this on its whole WARC→extract chain).
+    Only narrow leaf chains (scan / LocalTableScan / checkpointed
+    ExistingRDD + maps) are probed, where the RDD's partition count is
+    pure metadata and no query stage exists to execute.
+
+    The probe result is memoized on the DataFrame instance for
+    operators that call fan_out more than once on the same frame."""
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     n = getattr(df, "_wcvi_num_partitions", None)
     if n is None:
+        if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+            return df
         n = df.rdd.getNumPartitions()
         try:
             df._wcvi_num_partitions = n

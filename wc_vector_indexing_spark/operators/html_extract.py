@@ -177,9 +177,12 @@ def extract_documents(
     min_chars: int = 25,
 ) -> DataFrame:
     """Distributed extraction: every column except ``html_col`` passes
-    through; adds (text, n_blocks, n_good, n_boilerplate). One
-    zero-shuffle Arrow pass (mapInPandas) — the operator a 100 TB WARC
-    scan feeds directly."""
+    through; adds (text, n_blocks, n_good, n_boilerplate). One Arrow
+    pass (mapInPandas) — the operator a 100 TB WARC scan feeds
+    directly. Zero-shuffle when the input is already fanned out (a wide
+    scan, a post-exchange frame); an under-parallel narrow input (one
+    small file → one split) pays one round-robin repartition first —
+    see functions/partitioning.fan_out for the exact guard."""
     import pandas as pd
 
     from wc_vector_indexing_spark.functions.partitioning import fan_out
