@@ -26,10 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wc_vector_indexing_spark.operators import dedup, textstats
-from wc_vector_indexing_spark.operators.components import (
-    cluster_representatives,
-    connected_components,
-)
 
 
 @dataclass
@@ -369,8 +365,13 @@ def curate(
     # which every real curation pipeline does anyway.
     kept = kept.join(canon, id_col, "left_semi").localCheckpoint(eager=True)
 
-    # near-dup removal on the survivors only
-    pairs = dedup.minhash_lsh_pairs(
+    # near-dup removal on the survivors only: pair generation, pair
+    # clustering and keep-min representative selection as ONE operator
+    # (fused into a single grouped-map task when the survivor set fits
+    # one — see dedup.minhash_near_dup_drops). Lazy-checkpoint the drop
+    # list: its two consumers (audit branch, anti-join) run in separate
+    # actions and would otherwise each re-run the chain.
+    near_dropped = dedup.minhash_near_dup_drops(
         kept,
         num_hashes=config.minhash_hashes,
         bands=config.minhash_bands,
@@ -379,12 +380,7 @@ def curate(
         text_col=text_col,
         id_col=id_col,
         token_hash=config.minhash_token_hash,
-    )
-    # cluster the verified pairs and keep each cluster's min-id
-    # representative (components is eagerly materialized by the
-    # iteration, so the audit branch and the anti-join don't re-run it)
-    components = connected_components(pairs, id_a="doc_a", id_b="doc_b")
-    near_dropped = cluster_representatives(components).select(F.col("doc").alias(id_col))
+    ).localCheckpoint(eager=False)
     kept = kept.join(near_dropped, id_col, "left_anti")
 
     audit = (

@@ -119,6 +119,30 @@ def ngram_containment_pairs(
     )
 
 
+def _h64(s: str) -> int:
+    """64-bit signed blake2b of a shingle string — the ONE verify-hash
+    definition shared by the shingle UDF and the single-task minhash
+    twin, so the two paths can never drift."""
+    import hashlib
+
+    return (
+        int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        - (1 << 63)
+    )
+
+
+def _doc_shingles(text: str, k: int) -> set[str]:
+    """A document's shingle universe WITH the short-doc unigram
+    fallback — the exact universe the minhash band UDF signs (and the
+    verify path scores when ``short_doc_unigrams=True``)."""
+    toks = (text or "").lower().split()
+    if len(toks) < k:
+        return set(toks) or {""}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
 def _shingle_hash_udf(k: int, short_doc_unigrams: bool = False):
     """Distinct word k-gram shingles → 64-bit blake2b hashes, computed
     in one Arrow-batched pass. Python string slicing beats the
@@ -133,13 +157,6 @@ def _shingle_hash_udf(k: int, short_doc_unigrams: bool = False):
     short docs are verifiable rather than silently dropped. Off by
     default: the exact ngram path (and its oracle) defines short docs
     as out of scope."""
-    import hashlib
-
-    def h64(s: str) -> int:
-        return (
-            int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
-            - (1 << 63)
-        )
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sh(texts: pd.Series) -> pd.Series:
@@ -148,8 +165,8 @@ def _shingle_hash_udf(k: int, short_doc_unigrams: bool = False):
             if len(toks) < k:
                 if not short_doc_unigrams:
                     return []
-                return [h64(s) for s in (set(toks) or {""})]
-            return list({h64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)})
+                return [_h64(s) for s in (set(toks) or {""})]
+            return list({_h64(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)})
 
         return texts.map(one)
 
@@ -232,6 +249,49 @@ def _shingle_hasher(token_hash: str, p: int):
     raise ValueError(f"unknown token_hash {token_hash!r}")
 
 
+_M31 = (1 << 31) - 1
+
+
+def _minhash_ab(num_hashes: int):
+    """The (a_i, b_i) permutation family as (num_hashes × 1) int64
+    column vectors — Mersenne-31 modulus: a,b,h < 2³¹ so a*h+b < 2⁶²,
+    making the whole (num_hashes × shingles) permutation matrix ONE
+    int64 numpy op per document. One definition for every consumer
+    (band UDF, store UDF, single-task twin)."""
+    import numpy as np
+
+    a = np.array(
+        [((2 * i + 1) * 2654435761) % _M31 or 1 for i in range(num_hashes)],
+        dtype=np.int64,
+    ).reshape(-1, 1)
+    b = np.array(
+        [((i * 40503 + 12345) * 2246822519) % _M31 for i in range(num_hashes)],
+        dtype=np.int64,
+    ).reshape(-1, 1)
+    return a, b
+
+
+def _doc_sig_bands(text: str, k: int, shash, a, b, bands: int, rows: int):
+    """(mins, band_hashes) for one document — the shared signature +
+    band-bucket arithmetic. Band bucket = blake2b of the band's
+    signature rows (+ band index so bands never cross-match)."""
+    import hashlib
+
+    import numpy as np
+
+    shingles = _doc_shingles(text, k)
+    hs = np.fromiter(
+        (shash(s) for s in shingles), dtype=np.int64, count=len(shingles)
+    )
+    mins = ((a * hs + b) % _M31).min(axis=1)
+    out = []
+    for band in range(bands):
+        key = f"{band}:" + ",".join(map(str, mins[band * rows : (band + 1) * rows]))
+        h = hashlib.blake2b(key.encode(), digest_size=8).digest()
+        out.append(int.from_bytes(h, "big") - (1 << 63))
+    return mins, out
+
+
 def _band_bucket_udf(num_hashes: int, bands: int, k: int, token_hash: str = "crc32"):
     """MinHash signature + banded bucketing in ONE Arrow pass: returns
     the array of ``bands`` bucket hashes per document.
@@ -243,46 +303,15 @@ def _band_bucket_udf(num_hashes: int, bands: int, k: int, token_hash: str = "crc
     broadcasted matrix op per document. Band bucket = blake2b of the
     band's signature rows (+ band index so bands never cross-match).
     """
-    import hashlib
-
-    import numpy as np
-
-    shash = _shingle_hasher(token_hash, (1 << 31) - 1)
-
-    # Mersenne-31 modulus: a,b,h < 2³¹ so a*h+b < 2⁶² — the whole
-    # (num_hashes × shingles) permutation matrix is ONE int64 numpy op
-    # per document, no python inner loop.
-    p = (1 << 31) - 1
+    shash = _shingle_hasher(token_hash, _M31)
     rows = num_hashes // bands
-    a = np.array(
-        [((2 * i + 1) * 2654435761) % p or 1 for i in range(num_hashes)], dtype=np.int64
-    ).reshape(-1, 1)
-    b = np.array(
-        [((i * 40503 + 12345) * 2246822519) % p for i in range(num_hashes)], dtype=np.int64
-    ).reshape(-1, 1)
-
-    def one_doc(text: str) -> tuple[list[int], list[int]]:
-        toks = (text or "").lower().split()
-        if len(toks) < k:
-            shingles = set(toks) or {""}
-        else:
-            shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-        hs = np.fromiter(
-            (shash(s) for s in shingles),
-            dtype=np.int64,
-            count=len(shingles),
-        )
-        mins = ((a * hs + b) % p).min(axis=1)
-        out = []
-        for band in range(bands):
-            key = f"{band}:" + ",".join(map(str, mins[band * rows : (band + 1) * rows]))
-            h = hashlib.blake2b(key.encode(), digest_size=8).digest()
-            out.append(int.from_bytes(h, "big") - (1 << 63))
-        return [int(x) for x in mins], out
+    a, b = _minhash_ab(num_hashes)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: one_doc(t)[1])
+        return texts.map(
+            lambda t: _doc_sig_bands(t, k, shash, a, b, bands, rows)[1]
+        )
 
     return sig
 
@@ -294,19 +323,9 @@ def sig_and_buckets_udf(
     struct(sig, buckets). Same hash family as ``_band_bucket_udf`` (the
     band hashes are byte-identical), so a store built with this matches
     candidates produced by ``minhash_lsh_pairs``."""
-    import hashlib
-
-    import numpy as np
-
-    p = (1 << 31) - 1
-    shash = _shingle_hasher(token_hash, p)
+    shash = _shingle_hasher(token_hash, _M31)
     rows = num_hashes // bands
-    a = np.array(
-        [((2 * i + 1) * 2654435761) % p or 1 for i in range(num_hashes)], dtype=np.int64
-    ).reshape(-1, 1)
-    b = np.array(
-        [((i * 40503 + 12345) * 2246822519) % p for i in range(num_hashes)], dtype=np.int64
-    ).reshape(-1, 1)
+    a, b = _minhash_ab(num_hashes)
 
     out_type = T.StructType(
         [
@@ -319,27 +338,109 @@ def sig_and_buckets_udf(
     def both(texts: pd.Series) -> pd.DataFrame:
         sigs, bucks = [], []
         for text in texts:
-            toks = (text or "").lower().split()
-            if len(toks) < k:
-                shingles = set(toks) or {""}
-            else:
-                shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-            hs = np.fromiter(
-                (shash(s) for s in shingles),
-                dtype=np.int64,
-                count=len(shingles),
-            )
-            mins = ((a * hs + b) % p).min(axis=1)
-            band_hashes = []
-            for band in range(bands):
-                key = f"{band}:" + ",".join(map(str, mins[band * rows : (band + 1) * rows]))
-                h = hashlib.blake2b(key.encode(), digest_size=8).digest()
-                band_hashes.append(int.from_bytes(h, "big") - (1 << 63))
+            mins, band_hashes = _doc_sig_bands(text, k, shash, a, b, bands, rows)
             sigs.append([int(x) for x in mins])
             bucks.append(band_hashes)
         return pd.DataFrame({"sig": sigs, "buckets": bucks})
 
     return both
+
+
+def _verified_pairs_task(
+    num_hashes: int,
+    bands: int,
+    k: int,
+    threshold: float,
+    max_bucket: int | None,
+    token_hash: str,
+):
+    """The in-task body of the single-task minhash paths: a pandas
+    (_id, _text) frame → the verified near-dup pairs
+    [(doc_a, doc_b, raw_jaccard)] with doc_a < doc_b — byte-exact twin
+    of the distributed band/candidate/verify plan (see
+    ``_single_task_minhash_pairs``)."""
+    shash = _shingle_hasher(token_hash, _M31)
+    rows = num_hashes // bands
+    a, b = _minhash_ab(num_hashes)
+    mb = max_bucket
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values("_id", kind="mergesort")
+        buckets: dict[int, list] = {}
+        universe: dict = {}
+        for doc, text in zip(order["_id"], order["_text"]):
+            shingles = _doc_shingles(text, k)
+            _, band_hashes = _doc_sig_bands(text, k, shash, a, b, bands, rows)
+            for bh in band_hashes:
+                buckets.setdefault(bh, []).append(doc)
+            universe[doc] = {_h64(s) for s in shingles}
+        cand = set()
+        for ds in buckets.values():
+            if len(ds) < 2 or (mb is not None and len(ds) > mb):
+                continue
+            # ds is in ascending doc order (sorted insertion), so
+            # (ds[x], ds[y]) with x < y gives doc_a < doc_b — the same
+            # pair orientation as sort_array(collect_set(doc))
+            for x in range(len(ds)):
+                for y in range(x + 1, len(ds)):
+                    cand.add((ds[x], ds[y]))
+        out = []
+        for da, db in cand:
+            sa, sb = universe[da], universe[db]
+            shared = len(sa & sb)
+            if shared == 0:
+                continue  # no co-occurring shingle: the verify index
+                # never generates this pair
+            jac = shared / (len(sa) + len(sb) - shared)
+            if jac >= threshold:
+                out.append((da, db, jac))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+
+    return run
+
+
+def _single_task_minhash_pairs(
+    docs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    k: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    max_bucket: int | None,
+    token_hash: str,
+) -> DataFrame:
+    """The whole minhash→band-bucket→candidate→exact-verify chain in ONE
+    grouped-map task — the small-corpus twin of the distributed
+    ``minhash_lsh_pairs`` plan (same posture as the single-task paths in
+    components.py / graph.py). Byte-exact by construction: the band
+    buckets come from the SAME ``_doc_sig_bands`` the distributed UDF
+    calls, the verify universe is the SAME ``_doc_shingles`` + ``_h64``
+    set the shingle UDF hashes, and the Jaccard is the same
+    shared/(na+nb-shared) double; the 4-dp rounding is applied by the
+    same Spark ``round`` expression AFTER the task. Each shingle set is
+    computed once per doc (the distributed plan computes it twice:
+    band UDF + verify index)."""
+    shash = _shingle_hasher(token_hash, _M31)
+    rows = num_hashes // bands
+    a, b = _minhash_ab(num_hashes)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    run = _verified_pairs_task(
+        num_hashes, bands, k, threshold, max_bucket, token_hash
+    )
+
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        )
+        .withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda pdf: run(pdf),
+            f"doc_a {id_type}, doc_b {id_type}, jaccard double",
+        )
+    )
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def minhash_lsh_pairs(
@@ -352,6 +453,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     max_bucket: int = 256,
     token_hash: str = "crc32",
+    small_docs: int = 20_000,
+    small_bytes: int = 64 << 20,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection.
 
@@ -372,7 +475,24 @@ def minhash_lsh_pairs(
     than the cap (every band bucket saturates): run exact dedup FIRST —
     the curation pipeline does — so minhash only sees near-dups. None
     disables the cap.
+
+    Adaptive small-corpus path (r14; the components/pagerank posture):
+    when the corpus fits ONE task — at most ``small_docs`` documents
+    AND ``small_bytes`` total text — the whole band/candidate/verify
+    chain runs as a single grouped-map job instead of the ~10-stage
+    distributed plan, whose per-stage scheduling latency dwarfs the
+    work at that size. The dispatch is ONE count/bytes aggregate over
+    ``docs`` (already-materialized survivor sets answer it from
+    storage); corpora above either bound take the distributed plan
+    unchanged, so at 100 TB the twin only ever fires for genuinely
+    dims-sized survivor sets. ``small_docs=0`` forces the distributed
+    path (the property tests pin the two paths equal).
     """
+    if _fits_one_task(docs, text_col, small_docs, small_bytes):
+        return _single_task_minhash_pairs(
+            docs, num_hashes, bands, k, threshold, text_col, id_col,
+            max_bucket, token_hash,
+        )
     band_rows = fan_out(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -421,6 +541,98 @@ def minhash_lsh_pairs(
     return exact.join(
         candidates, ["doc_a", "doc_b"], "left_semi"
     ).select("doc_a", "doc_b", "jaccard")
+
+
+def _fits_one_task(
+    docs: DataFrame, text_col: str, small_docs: int, small_bytes: int
+) -> bool:
+    """The single-task dispatch probe: ONE count/bytes aggregate over
+    ``docs`` (already-materialized survivor sets answer it from
+    storage). ``small_docs=0`` disables — streaming frames always
+    take the distributed plan."""
+    if not small_docs or docs.isStreaming:
+        return False
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length(F.col(text_col))).alias("nbytes"),
+    ).head()
+    return stats.n <= small_docs and (stats.nbytes or 0) <= small_bytes
+
+
+def minhash_near_dup_drops(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 4,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+    token_hash: str = "crc32",
+    small_docs: int = 20_000,
+    small_bytes: int = 64 << 20,
+) -> DataFrame:
+    """The ids to DROP under keep-min-representative near-dup policy:
+    ``minhash_lsh_pairs`` → ``connected_components`` →
+    ``cluster_representatives``, as one operator. Semantically exactly
+    that composition (the property test pins them equal); the point is
+    the small-corpus path, where the pair/cluster/representative chain
+    — 3 more jobs of checkpoint/count/grouped-map latency on top of
+    the pair task — FUSES into the same single grouped-map task as the
+    pair generation (union-find over the verified pairs, in-task).
+    Corpora above the one-task bound run the unfused composition
+    unchanged."""
+    from wc_vector_indexing_spark.operators.components import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    if _fits_one_task(docs, text_col, small_docs, small_bytes):
+        id_type = docs.schema[id_col].dataType.simpleString()
+        pairs_of = _verified_pairs_task(
+            num_hashes, bands, k, threshold, max_bucket, token_hash
+        )
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            pairs = pairs_of(pdf)
+            # union-find with attach-max-under-min: root == component
+            # min, the exact labeling _single_task_components produces
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            nodes = set()
+            for a_, b_ in zip(pairs["doc_a"], pairs["doc_b"]):
+                nodes.add(a_)
+                nodes.add(b_)
+                ra, rb = find(a_), find(b_)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            drops = sorted(n for n in nodes if find(n) != n)
+            return pd.DataFrame({"doc": drops})
+
+        return (
+            docs.select(
+                F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+            )
+            .withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(lambda pdf: run(pdf), f"doc {id_type}")
+            .select(F.col("doc").alias(id_col))
+        )
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=num_hashes, bands=bands, k=k, threshold=threshold,
+        text_col=text_col, id_col=id_col, max_bucket=max_bucket,
+        token_hash=token_hash, small_docs=0,
+    )
+    comp = connected_components(pairs, id_a="doc_a", id_b="doc_b")
+    return cluster_representatives(comp).select(F.col("doc").alias(id_col))
 
 
 def simhash64(

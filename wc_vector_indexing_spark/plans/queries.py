@@ -2708,17 +2708,9 @@ def dedup_survivors_op(spark: SparkSession, sf: str) -> DataFrame:
     recursive-CTE components, keep-min drop set, per-source counts —
     so this entry is hash-gated end to end (r7 verdict task; was
     rows-only)."""
-    from wc_vector_indexing_spark.operators.components import (
-        cluster_representatives,
-        connected_components,
-    )
-
     docs = load(spark, "documents", sf)
-    pairs = dedup.minhash_lsh_pairs(
+    drop = dedup.minhash_near_dup_drops(
         docs, threshold=0.2, max_bucket=64, token_hash="md5"
-    )
-    drop = cluster_representatives(connected_components(pairs)).withColumnRenamed(
-        "doc", "doc_id"
     )
     kept = docs.join(drop, "doc_id", "left_anti")
     return (
@@ -8340,7 +8332,14 @@ def _wiki_training_program(
         with open(done, "w") as f:
             f.write("ok")
 
-    wiki = read_wiki_pages(spark, dump_path, index_path)
+    # THREE branches of the final union consume the parsed-page frame
+    # (redirect count, contamination count via wdocs, the curation
+    # chain via clean) — without a stage boundary each re-runs the
+    # slice-parallel bz2 decode python pass inside the one collect
+    # (measured r14: the final action carried 3 × ~1s decode jobs).
+    # Persisting the parsed pages is the classic "write the extracted
+    # corpus between stages" boundary every real dump pipeline has.
+    wiki = read_wiki_pages(spark, dump_path, index_path).persist()
     redirects = (
         wiki.filter(F.col("is_redirect"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -8383,7 +8382,7 @@ def _wiki_training_program(
         .select("split", "n_docs",
                 F.lit(None).cast("double").alias("avg_tokens"))
     ).orderBy("split")
-    return out_df, (result,)
+    return out_df, (result, wiki)
 
 
 def _wiki_to_training_sql() -> str:
