@@ -233,3 +233,45 @@ def test_trustrank_seed_personalization(spark):
     assert tr["island"] == 0.0 and tr["island2"] == 0.0
     pr = {r.node: r.rank for r in pagerank(edges, iterations=8).collect()}
     assert pr["island2"] > 0  # uniform teleport keeps islands alive
+
+
+def test_pagerank_distributed_path_matches_single_task(spark):
+    # r14: the distributed iteration must stay rank-identical to the
+    # single-task numpy fixpoint (the components-style forced-path
+    # parity check — test_components.py does the same with
+    # small_graph_edges=0). Covers the uniform and the seeded teleport,
+    # and a NULL endpoint, which both paths now drop up front.
+    edges = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0), ("d", "a", 1.0),
+        ("c", "d", 1.0), ("e", "a", 2.0), (None, "a", 9.0), ("b", None, 9.0),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, weight double")
+    for seeds in (None, ["a", "d"]):
+        single = {
+            r.node: r.rank
+            for r in pagerank(e, iterations=6, seeds=seeds).collect()
+        }
+        dist = {
+            r.node: r.rank
+            for r in pagerank(
+                e, iterations=6, seeds=seeds, small_graph_edges=0
+            ).collect()
+        }
+        assert dist == single, seeds
+
+
+def test_pagerank_distributed_single_edge_checkpoint(spark):
+    # the big-graph path materializes the edge table ONCE: the
+    # normalized-edge subtree must scan the checkpointed frame, not a
+    # second checkpoint of its own (r13 verdict item 3) — with rounds
+    # uncheckpointed, the per-round plan shows the outw aggregate and
+    # the normalization join over ExistingRDD scans
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src string, dst string, weight double"
+    )
+    out = pagerank(e, iterations=2, small_graph_edges=0, checkpoint_rounds=False)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "HashAggregate" in plan and "Scan ExistingRDD" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # really the distributed path

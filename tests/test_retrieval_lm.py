@@ -253,3 +253,32 @@ def test_retrieval_metrics_trec_definitions(spark):
         and got[2].ndcg == 0.0
     # q3 has qrels but no results: present with zero metrics
     assert got[3].n_retrieved == 0 and got[3].recall_at_k == 0.0
+
+
+def test_bm25_anchor_zero_token_anchor_does_not_shift_stats(spark):
+    """An anchor that tokenizes to nothing (digits/punctuation-only —
+    _tokens keeps [a-z] runs) has no rows in bm25_index, so it must not
+    count toward the anchor zone's n_docs/avgdl: adding one must leave
+    every score byte-identical (r13 ADVICE — a_stats lacked the
+    _dl > 0 filter body_stats has)."""
+    from pyspark.sql import Row
+
+    from wc_vector_indexing_spark.operators.retrieval import bm25_anchor_search
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="vector search engine with vector index"),
+        Row(doc_id=2, text="a page about gardening and soil"),
+        Row(doc_id=3, text="cooking with cast iron pans"),
+    ])
+    anchors = spark.createDataFrame([
+        Row(doc_id=2, anchor="vector database guide"),
+        Row(doc_id=3, anchor="banana bread recipe"),
+    ])
+    polluted = anchors.unionByName(spark.createDataFrame(
+        [Row(doc_id=1, anchor="123 456 !!!")]
+    ))
+    clean = {(r.doc_id, r.score) for r in
+             bm25_anchor_search(docs, anchors, "vector", k=3).collect()}
+    with_zero = {(r.doc_id, r.score) for r in
+                 bm25_anchor_search(docs, polluted, "vector", k=3).collect()}
+    assert clean == with_zero

@@ -195,12 +195,17 @@ def bm25_anchor_search(
     a_rel = anchors.select(id_col, F.col(anchor_text_col).alias("text"))
     a_idx = _bm25_query_index(a_rel, terms, "text", id_col)
     # zone stats off the scan, not the index: per-id dl is the summed
-    # token count across the id's anchor rows — identical to the
-    # groupBy-first over bm25_index, without building the full index
+    # token count across the id's anchor rows. The _dl > 0 filter is
+    # what makes this identical to the groupBy-first over bm25_index —
+    # an id whose anchors tokenize to NOTHING (numeric/punctuation-only
+    # text) has no (doc, tok) rows in the index and so no dl row
+    # either; without the filter it would inflate n_docs and deflate
+    # avgdl (r13 ADVICE). Same rule as body_stats above.
     a_stats = (
         a_rel.select(F.col(id_col), F.size(_tokens("text")).alias("_n"))
         .groupBy(id_col)
         .agg(F.sum("_n").alias("_dl"))
+        .filter(F.col("_dl") > 0)
         .agg(
             F.count("*").cast("double").alias("n_docs"),
             F.avg("_dl").alias("avgdl"),

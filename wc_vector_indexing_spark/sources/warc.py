@@ -566,8 +566,15 @@ def resolve_revisits(cdx: DataFrame,
     # null out — no anti-join/union branch for the negative case
     qual = F.col("orig_ts14").isNotNull() & (
         F.col("orig_ts14") <= F.col("revisit_ts14"))
+    # "digest" leads the partition spec: a (warc_path, offset) revisit
+    # row carries exactly one digest, so the groups are identical — but
+    # hash(digest) from the join output already satisfies the clustering
+    # requirement (HashPartitioning on a SUBSET of the window keys), so
+    # the as-of pick runs as a sort within the digest partitions instead
+    # of re-shuffling the joined rows on revisit identity (one fewer
+    # Exchange, §2.4)
     asof = Window.partitionBy(
-        "revisit_warc_path", "revisit_offset").orderBy(
+        "digest", "revisit_warc_path", "revisit_offset").orderBy(
         F.desc(qual), F.desc("orig_ts14"), F.desc("orig_offset"))
     picked = (
         rev.join(resp, "digest", "left")
