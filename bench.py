@@ -34,10 +34,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # re-adjudicating it by narrative every round (r8/r9 both burned a
 # session on exactly this). Only meaningful at the sf the pins were
 # taken at.
+#
+# r14 re-pin (measurement fix, disclosed in OPTIMIZATION_r14.md): the
+# r14 load() plan memo makes the CONTROL queries themselves cheaper, so
+# the 08-15 pins would read that code speedup as "fast host" and divide
+# it out of the headline (drift 0.88 on an average host — a bias
+# AGAINST the engine, but a bias). Each pin is rescaled by its
+# same-session memo-on/off min-of-5 ratio, preserving the 08-15 host
+# anchor: q1 0.43×1.022→0.44, q8 0.92×0.765→0.70,
+# gopher 0.79×0.897→0.71. Old pins: {0.43, 0.92, 0.79}.
 CONTROL_REF = {
-    "q1_pricing_summary": 0.43,
-    "q8_market_share": 0.92,
-    "gopher_quality": 0.79,
+    "q1_pricing_summary": 0.44,
+    "q8_market_share": 0.70,
+    "gopher_quality": 0.71,
 }
 CONTROL_REF_SF = 0.1
 

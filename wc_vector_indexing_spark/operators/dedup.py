@@ -421,9 +421,6 @@ def _single_task_minhash_pairs(
     same Spark ``round`` expression AFTER the task. Each shingle set is
     computed once per doc (the distributed plan computes it twice:
     band UDF + verify index)."""
-    shash = _shingle_hasher(token_hash, _M31)
-    rows = num_hashes // bands
-    a, b = _minhash_ab(num_hashes)
     id_type = docs.schema[id_col].dataType.simpleString()
     run = _verified_pairs_task(
         num_hashes, bands, k, threshold, max_bucket, token_hash
