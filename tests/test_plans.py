@@ -519,3 +519,23 @@ def test_audit_fn_is_lazy_and_has_real_shape(spark):
     assert ops.count("Exchange") > 0 or ops.count("MapInPandas") > 0
     assert ops.count("CartesianProduct") == 0
     assert ops.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_ckpt_sorted_production_plan_pins_materialization(spark):
+    # the audit twin shows the real python/shuffle shape (covered by the
+    # other tests via plan_of); this guards the PRODUCTION path — the
+    # lazy localCheckpoint between the python map and the global sort
+    # must actually be there (r13 ADVICE: if the checkpoint were dropped
+    # or moved above the sort, only this assertion would notice, and the
+    # range-partitioner sample would silently re-run the python pass)
+    import contextlib
+    import io
+
+    for name in ("warc_cdx_index", "aac_adts_census"):
+        df = REGISTRY[name].fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "Scan ExistingRDD" in plan, name  # the pinned map output
+        assert "Sort" in plan, name              # the global sort above it
